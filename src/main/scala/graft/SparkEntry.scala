@@ -1,13 +1,338 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retention
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator/query-shape from SURVEY.md §2
+  * (or a scale-oriented extension); [[oracleSql]] holds the DuckDB-equivalent
+  * ANSI SQL the driver uses as the correctness oracle. Column names and
+  * output types are aligned between the two on purpose: the driver's compare
+  * sorts columns by name and hashes values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Reads a testdata table. `events.ts` is stored as parquet
+    * TIMESTAMP(NANOS) which Spark cannot read natively — we read it as a
+    * long (`nanosAsLong`) and convert to a microsecond timestamp; all query
+    * logic is at day/second granularity so the ns→µs truncation is lossless
+    * for results.
+    */
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the composed
+    * retention pipeline (the reference's one real product query,
+    * examples/retention.rs:22-46).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    Graft.registerAll(spark)
+    queries("retention_sum")(spark, "/root/testdata/sf0.001")
+  }
+
+  // Retention window shared by the retention queries: 7 days from the first
+  // event day in the testdata (2024-01-01), born = signup, target = purchase
+  // — the analogue of examples/retention_parquet.rs:26-35.
+  private val winStart = "2024-01-01"
+  private val winDays = 7
+
+  private def retentionStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+      .where(col("ts") >= lit(winStart).cast("timestamp") &&
+        col("ts") < date_add(lit(winStart).cast("date"), winDays).cast("timestamp"))
+    ev.groupBy(col("user_id"))
+      .agg(Retention.retention_count(
+        col("event_type") === "signup",
+        col("event_type") === "purchase",
+        lit((winDays - 1).toLong),
+        datediff(to_date(col("ts")), lit(winStart).cast("date")).cast("long")
+      ).as("stats_raw"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Retention (SURVEY §2.1 — the reference's own operators) ──────────
+    "retention_count" -> ((s, dir) => {
+      retentionStats(s, dir)
+        .select(col("user_id"), col("stats_raw").cast("array<array<bigint>>").as("stats"))
+    }),
+    "retention_sum" -> ((s, dir) => {
+      retentionStats(s, dir)
+        .agg(Retention.retention_sum(col("stats_raw")).as("triangle"))
+    }),
+
+    // ── Relational surface (SURVEY §2.2) ─────────────────────────────────
+    // TPC-H Q1-shaped pricing summary: scan → filter → hash agg → sort.
+    // Money/quantity summed as DECIMAL (exact, order-independent), surfaced
+    // as DOUBLE.
+    "q1_pricing_summary" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,3)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,3)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,3)") *
+            (lit(1).cast("decimal(18,3)") - col("l_discount").cast("decimal(18,3)")))
+            .cast("decimal(38,6)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    // Global (ungrouped) aggregate + COUNT(1) + COUNT(DISTINCT).
+    "q2_global_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("l_quantity").cast("decimal(18,3)")).cast("double").as("total_qty"))
+    }),
+    // CASE WHEN + arithmetic + BETWEEN filter.
+    "q3_case_when" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .where(col("o_orderdate").between(
+          lit("1994-01-01").cast("date"), lit("1996-12-31").cast("date")))
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 200000, "big")
+            .when(col("o_totalprice") > 50000, "mid")
+            .otherwise("small").as("bucket"),
+          (col("o_totalprice").cast("decimal(18,2)") -
+            lit(100).cast("decimal(18,2)")).cast("double").as("adj_price"))
+    }),
+    // ORDER BY + LIMIT (TakeOrderedAndProject), ties broken by key.
+    "q4_top_orders" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)")
+          .cast("double").as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    // Aggregate over aggregate (derived-table subquery).
+    "q5_subquery_agg" -> ((s, dir) => {
+      val perCust = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("cust_total"))
+      perCust.agg(
+        count(lit(1)).as("n_cust"),
+        min(col("cust_total")).cast("double").as("min_total"),
+        max(col("cust_total")).cast("double").as("max_total"),
+        sum(col("cust_total")).cast("double").as("sum_total"))
+    }),
+    // Broadcast join: big fact × small dim (part is tiny vs lineitem).
+    "q6_join_broadcast" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+      val p = tbl(s, dir, "part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,3)") *
+            (lit(1).cast("decimal(18,3)") - col("l_discount").cast("decimal(18,3)")))
+            .cast("decimal(38,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    }),
+    // Multi-way join chain across the star schema (all dims broadcastable).
+    "q7_join_multi" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      val r = tbl(s, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+    // DISTINCT projection.
+    "q8_distinct" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    // Inline VALUES relation (CREATE TABLE AS VALUES surface,
+    // retention.slt:5-9).
+    "q9_values" -> ((s, _) => {
+      s.sql("SELECT k, sum(v) AS v_sum FROM VALUES (1, 10), (1, 20), (2, 5), (3, 7) AS t(k, v) GROUP BY k ORDER BY k")
+    }),
+    // Window functions: gap-based sessionization over the event stream
+    // (30-min inactivity gap), a core UBA operation.
+    "q10_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+    // Window rank + join: top-3 spenders per nation.
+    "q11_top_per_nation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      val spend = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("spend").desc, col("c_custkey"))
+      spend.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+        .select(col("n_name"), col("c_custkey"),
+          col("spend").cast("double").as("spend"), col("rn"))
+    }),
+    // Event-stream profile: per-type counts + distinct users + rounded avg.
+    "q12_events_profile" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)), 6).as("avg_value"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val retentionVecs =
+      s"""WITH f AS (
+         |  SELECT user_id,
+         |         date_diff('day', DATE '$winStart', CAST(ts AS DATE)) AS t,
+         |         event_type
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '$winStart 00:00:00'
+         |    AND ts < TIMESTAMP '$winStart 00:00:00' + INTERVAL $winDays DAY
+         |), g AS (
+         |  SELECT user_id, t,
+         |         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS b,
+         |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS tg
+         |  FROM f GROUP BY 1, 2
+         |), spine AS (
+         |  SELECT u.user_id, r.t
+         |  FROM (SELECT DISTINCT user_id FROM f) u
+         |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS t FROM range($winDays)) r
+         |), v AS (
+         |  SELECT s.user_id,
+         |         list(CAST(coalesce(g.b, 0) AS BIGINT) ORDER BY s.t) AS born_vec,
+         |         list(CAST(coalesce(g.tg, 0) AS BIGINT) ORDER BY s.t) AS target_vec
+         |  FROM spine s LEFT JOIN g ON s.user_id = g.user_id AND s.t = g.t
+         |  GROUP BY 1
+         |)""".stripMargin
+    Map(
+      "retention_count" ->
+        s"""$retentionVecs
+           |SELECT user_id, [born_vec, target_vec] AS stats FROM v""".stripMargin,
+      "retention_sum" ->
+        s"""$retentionVecs, idx AS (
+           |  SELECT CAST(range AS BIGINT) AS i FROM range($winDays)
+           |), pairs AS (
+           |  SELECT b.i AS b, t.i AS t,
+           |         CAST(sum(v.born_vec[CAST(b.i AS INT) + 1] * v.target_vec[CAST(t.i AS INT) + 1]) AS BIGINT) AS cnt
+           |  FROM v, idx b, idx t WHERE t.i >= b.i GROUP BY 1, 2
+           |), cohorts AS (
+           |  SELECT b, list(cnt ORDER BY t) AS vec FROM pairs GROUP BY b
+           |), born_row AS (
+           |  SELECT list(sb ORDER BY i) AS vec FROM (
+           |    SELECT r.i, CAST(sum(v.born_vec[CAST(r.i AS INT) + 1]) AS BIGINT) AS sb
+           |    FROM v, idx r GROUP BY 1)
+           |)
+           |SELECT list_prepend((SELECT vec FROM born_row),
+           |                    (SELECT list(vec ORDER BY b) FROM cohorts)) AS triangle""".stripMargin,
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_base_price,
+          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3))) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+          |  count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q2_global_agg" ->
+        """SELECT count(*) AS n_rows,
+          |  count(DISTINCT l_orderkey) AS n_orders,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS total_qty
+          |FROM lineitem""".stripMargin,
+      "q3_case_when" ->
+        """SELECT o_orderkey,
+          |  CASE WHEN o_totalprice > 200000 THEN 'big'
+          |       WHEN o_totalprice > 50000 THEN 'mid'
+          |       ELSE 'small' END AS bucket,
+          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) - CAST(100 AS DECIMAL(18,2)) AS DOUBLE) AS adj_price
+          |FROM orders
+          |WHERE o_orderdate BETWEEN TIMESTAMP '1994-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'""".stripMargin,
+      "q4_top_orders" ->
+        """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+          |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
+      "q5_subquery_agg" ->
+        """SELECT count(*) AS n_cust,
+          |  CAST(min(cust_total) AS DOUBLE) AS min_total,
+          |  CAST(max(cust_total) AS DOUBLE) AS max_total,
+          |  CAST(sum(cust_total) AS DOUBLE) AS sum_total
+          |FROM (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_total
+          |      FROM orders GROUP BY o_custkey)""".stripMargin,
+      "q6_join_broadcast" ->
+        """SELECT p_brand,
+          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3))) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+      "q7_join_multi" ->
+        """SELECT r_name, n_name,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_orders
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+      "q8_distinct" ->
+        """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q9_values" ->
+        """SELECT k, sum(v) AS v_sum
+          |FROM (VALUES (1, 10), (1, 20), (2, 5), (3, 7)) t(k, v)
+          |GROUP BY k ORDER BY k""".stripMargin,
+      "q10_sessionize" ->
+        """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+          |FROM (
+          |  SELECT user_id,
+          |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+          |         THEN 1 ELSE 0 END AS new_sess
+          |  FROM (
+          |    SELECT user_id, ts,
+          |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          |    FROM events))
+          |GROUP BY user_id""".stripMargin,
+      "q11_top_per_nation" ->
+        """SELECT n_name, c_custkey, CAST(spend AS DOUBLE) AS spend, rn FROM (
+          |  SELECT c_nationkey, c_custkey, spend,
+          |    row_number() OVER (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey) AS rn
+          |  FROM (
+          |    SELECT c_nationkey, c_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+          |    FROM orders JOIN customer ON o_custkey = c_custkey
+          |    GROUP BY c_nationkey, c_custkey)
+          |) JOIN nation ON c_nationkey = n_nationkey
+          |WHERE rn <= 3""".stripMargin,
+      "q12_events_profile" ->
+        """SELECT event_type, count(*) AS n,
+          |  count(DISTINCT user_id) AS n_users,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    )
+  }
 }
