@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Text
 import graft.operators.Retention
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -204,6 +205,34 @@ object SparkEntry {
           round(sum(col("value").cast("decimal(18,2)")).cast("double") /
             count(lit(1)), 6).as("avg_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // ── Text analysis (training-data pipeline operators) ─────────────────
+    "t1_token_stats" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        Text.tokenCountWs(col("text")).as("n_tokens_ws"),
+        Text.tokenCount(col("text")).as("n_tokens_re"),
+        length(col("text")).as("n_chars_actual"))
+    }),
+    "t2_quality" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        round(Text.alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(Text.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(Text.avgWordLen(col("text")), 6).as("avg_word_len"),
+        Text.qualityScore(col("text")).as("quality"))
+    }),
+    "t3_langid" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang").as("lang_label"),
+        Text.langId(col("text")).as("lang_pred"))
+    }),
+    "t4_fingerprint" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        Text.docHash(col("text")).as("doc_hash"),
+        Text.fingerprint64(col("text")).as("fp64"))
     })
   )
 
@@ -332,7 +361,64 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n,
           |  count(DISTINCT user_id) AS n_users,
           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
-          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "t1_token_stats" ->
+        """SELECT doc_id,
+          |  CASE WHEN length(trim(text)) = 0 THEN 0
+          |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens_ws,
+          |  len(regexp_extract_all(text, '[a-zA-Z0-9'']+')) AS n_tokens_re,
+          |  length(text) AS n_chars_actual
+          |FROM documents""".stripMargin,
+      "t2_quality" ->
+        """WITH t AS (
+          |  SELECT doc_id, text,
+          |    regexp_extract_all(text, '[a-zA-Z0-9'']+') AS toks,
+          |    regexp_extract_all(lower(text), '[a-zA-Z0-9'']+') AS ltoks
+          |  FROM documents
+          |), m AS (
+          |  SELECT doc_id, len(toks) AS n_tok,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |         ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+          |    CASE WHEN len(toks) = 0 THEN 0.0
+          |         ELSE CAST(len(list_filter(ltoks, x -> x IN ('the','a','of','to','and','in','is','that','it','for'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+          |    CASE WHEN len(toks) = 0 THEN 0.0
+          |         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS awl
+          |  FROM t
+          |)
+          |SELECT doc_id, round(alpha_ratio, 6) AS alpha_ratio,
+          |  round(stop_ratio, 6) AS stop_ratio, round(awl, 6) AS avg_word_len,
+          |  round(least(1.0, CAST(n_tok AS DOUBLE) / 200.0) * 0.25 + alpha_ratio * 0.25 +
+          |        (1.0 - stop_ratio) * 0.2 + least(1.0, awl / 8.0) * 0.3, 6) AS quality
+          |FROM m""".stripMargin,
+      "t3_langid" ->
+        """WITH t AS (
+          |  SELECT doc_id, lang,
+          |    regexp_extract_all(lower(text), '[a-zA-Z0-9'']+') AS ltoks
+          |  FROM documents
+          |), sc AS (
+          |  SELECT doc_id, lang,
+          |    len(list_filter(ltoks, x -> x IN ('the','a','of','to','and','in','is','that','it','for'))) AS s_en,
+          |    len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS s_de,
+          |    len(list_filter(ltoks, x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS s_fr,
+          |    len(list_filter(ltoks, x -> x IN ('el','los','las','y','es','un','una','que','de','por'))) AS s_es
+          |  FROM t
+          |)
+          |SELECT doc_id, lang AS lang_label,
+          |  CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+          |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+          |       WHEN s_fr >= s_es THEN 'fr'
+          |       ELSE 'es' END AS lang_pred
+          |FROM sc""".stripMargin,
+      "t4_fingerprint" ->
+        """WITH n AS (
+          |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+          |  FROM documents
+          |)
+          |SELECT doc_id, md5(norm) AS doc_hash,
+          |  list_min(list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+          |    i -> ('0x' || substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 15))::BIGINT)) AS fp64
+          |FROM n""".stripMargin
     )
   }
 }

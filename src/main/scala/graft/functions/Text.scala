@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * token counting, language ID, quality scoring, fingerprinting.
+  *
+  * All functions are compositions of Spark's native (codegen'd) SQL
+  * functions — no UDFs — so they stay inside whole-stage codegen and scale
+  * linearly with input size. Where the Scala `functions` API lacks a
+  * column-typed argument (e.g. `substring` with a column start), we drop to
+  * `expr(...)`, which compiles to the same Catalyst tree as the SQL form.
+  */
+object Text {
+
+  /** Word tokens: maximal runs of letters/digits/apostrophes. */
+  def tokens(c: Column): Column =
+    regexp_extract_all(c, lit("[a-zA-Z0-9']+"), lit(0))
+
+  /** Token count via the word regex (BPE-ish lower bound). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Token count via whitespace splitting (fast path). */
+  def tokenCountWs(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(split(trim(c), "\\s+")))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "que", "de", "por"))
+
+  private def stopwordHits(c: Column, lang: String): Column = {
+    val set = stopwords(lang)
+    size(filter(tokens(lower(c)), t => t.isin(set: _*)))
+  }
+
+  /** Language-ID heuristic: stopword-hit count per candidate language,
+    * argmax with a fixed tie-break order (en > de > fr > es). Returns the
+    * winner or 'und' when no stopword of any language appears.
+    */
+  def langId(c: Column): Column = {
+    val en = stopwordHits(c, "en"); val de = stopwordHits(c, "de")
+    val fr = stopwordHits(c, "fr"); val es = stopwordHits(c, "es")
+    when(en === 0 && de === 0 && fr === 0 && es === 0, lit("und"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Ratio of alphabetic characters to total characters (0 for empty). */
+  def alphaRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[^a-zA-Z]", "")).cast("double") /
+        length(c).cast("double"))
+
+  /** Ratio of English stopword tokens to all tokens (0 for no tokens). */
+  def stopwordRatio(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n === 0, lit(0.0))
+      .otherwise(stopwordHits(c, "en").cast("double") / n.cast("double"))
+  }
+
+  /** Mean token length in characters (0 for no tokens). */
+  def avgWordLen(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x))
+        .cast("double") / size(t).cast("double"))
+  }
+
+  /** Composite document-quality score in [0, 1]:
+    * token-volume, alphabetic-ness, non-stopword density, word length.
+    * Deterministic arithmetic only — reproducible across engines.
+    */
+  def qualityScore(c: Column): Column = {
+    val volume = least(lit(1.0), tokenCount(c).cast("double") / 200.0)
+    val wordLen = least(lit(1.0), avgWordLen(c) / 8.0)
+    round(
+      volume * 0.25 + alphaRatio(c) * 0.25 +
+        (lit(1.0) - stopwordRatio(c)) * 0.2 + wordLen * 0.3, 6)
+  }
+
+  /** Canonical form used by the fingerprints: lowercase, whitespace
+    * collapsed to single spaces, trimmed. */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whole-document content hash (md5 hex of the normalized text) — the
+    * exact-dedup key. */
+  def docHash(c: Column): Column = md5(normalized(c).cast("binary"))
+
+  /** 60-bit rolling k-gram fingerprint: the minimum md5-derived hash over
+    * all k-char grams of the normalized text (winnowing with a single
+    * global window). Robust to local edits anywhere outside the minimal
+    * gram, unlike [[docHash]].
+    */
+  def fingerprint64(c: Column, k: Int = 8): Column = {
+    val t = normalized(c)
+    array_min(transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => conv(substring(md5(t.substr(i, lit(k)).cast("binary")), 1, 15), 16, 10)
+        .cast("long")))
+  }
+}
