@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.Retention
+import graft.operators.{Dedup, Retention, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -233,8 +233,99 @@ object SparkEntry {
         col("doc_id"),
         Text.docHash(col("text")).as("doc_hash"),
         Text.fingerprint64(col("text")).as("fp64"))
+    }),
+
+    // ── Deduplication (training-data pipeline operators) ─────────────────
+    // Exact dedup over a corpus with literal duplicates (each doc unioned
+    // with an id-shifted copy): one shuffle on the content hash.
+    "d1_exact_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dup = d.unionByName(
+        d.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      Dedup.exact(dup)
+    }),
+    // MinHash+LSH near-dup pairs over a corpus with constructed near-dups
+    // (each doc unioned with a truncated copy), verified by exact Jaccard.
+    "d2_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(augmentedDocs(s, dir), k = 16, bands = 8, threshold = 0.4)),
+    // Per-document 32-bit SimHash.
+    "d3_simhash" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+    }),
+    // Exact n-gram Jaccard pairs via shingle inverted index.
+    "d4_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(augmentedDocs(s, dir), threshold = 0.3)),
+    // Embedding-cosine near-dup pairs (brute force baseline) over a corpus
+    // with constructed near-dups (affine-perturbed copies).
+    "d5_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(augmentedEmb(s, dir), threshold = 0.95)),
+
+    // ── Similarity search ────────────────────────────────────────────────
+    // Brute-force cosine top-5 for the first 20 vectors as queries.
+    "s1_ann_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+    }),
+    // LSH-bucketed variant: candidates restricted to the sign-sketch
+    // bucket. 6 hyperplanes = 64 buckets, sized to the testdata corpus so
+    // buckets are populated; at production scale use 16+ planes and
+    // multi-probe.
+    "s2_ann_lsh" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, planes = 6)
     })
   )
+
+  /** Documents with constructed near-duplicates: each doc plus a
+    * truncated copy at doc_id + 1,000,000. */
+  private def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) - 20, 1))").as("text")))
+  }
+
+  /** Embeddings with constructed near-duplicates: each vector plus an
+    * affine-perturbed copy (x*1.1 + 0.01) at vec_id + 1,000,000. */
+  private def augmentedEmb(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(e.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * 1.1 + 0.01).as("embedding")))
+  }
+
+  // Shared DuckDB fragments for the dedup/similarity oracles.
+  private val normToksSql =
+    """regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9'']+')"""
+  private val shingleSql =
+    s"""list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(range(1, len(toks) - 1),
+       |         i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 2], ' '))
+       |  END)""".stripMargin
+  private val augDocsSql =
+    """aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, 1, greatest(length(text) - 20, 1)) FROM documents
+      |)""".stripMargin
+  private val augShinglesSql =
+    s"""$augDocsSql, norm AS (
+       |  SELECT doc_id, $normToksSql AS toks FROM aug
+       |), shs AS (
+       |  SELECT doc_id AS id, $shingleSql AS sh FROM norm
+       |)""".stripMargin
+  private val quantEmbSql = // quantized vectors + squared norms over `eIn`
+    """q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM eIn
+      |), qn AS (
+      |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM q
+      |)""".stripMargin
+  private val dotCosSql = // cosine between aliases a and b over qn rows
+    """CAST(list_sum(list_transform(range(1, 65), d -> a.qv[CAST(d AS INT)] * b.qv[CAST(d AS INT)])) AS DOUBLE)
+      | / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val retentionVecs =
@@ -418,7 +509,111 @@ object SparkEntry {
           |SELECT doc_id, md5(norm) AS doc_hash,
           |  list_min(list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
           |    i -> ('0x' || substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 15))::BIGINT)) AS fp64
-          |FROM n""".stripMargin
+          |FROM n""".stripMargin,
+      "d1_exact_dedup" ->
+        """WITH dup AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, text FROM documents
+          |), h AS (
+          |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+          |  FROM dup
+          |)
+          |SELECT doc_id, content_hash,
+          |  min(doc_id) OVER (PARTITION BY content_hash) AS keep_id,
+          |  count(*) OVER (PARTITION BY content_hash) AS n_copies,
+          |  doc_id != min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
+          |FROM h""".stripMargin,
+      "d2_minhash_lsh" ->
+        s"""WITH $augShinglesSql, sigs AS (
+           |  SELECT id, list_transform(range(16),
+           |    i -> list_min(list_transform(sh, s -> ('0x' || substr(md5(i || '|' || s), 1, 15))::BIGINT))) AS sig
+           |  FROM shs
+           |), bandkeys AS (
+           |  SELECT id, CAST(j AS INT) AS band,
+           |    md5(array_to_string(list_transform(range(CAST(j AS INT) * 2 + 1, CAST(j AS INT) * 2 + 3),
+           |      x -> CAST(sig[CAST(x AS INT)] AS VARCHAR)), ',')) AS bkey
+           |  FROM sigs, (SELECT CAST(range AS BIGINT) AS j FROM range(8))
+           |), cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+           |), veri AS (
+           |  SELECT id_a, id_b,
+           |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+           |      CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
+           |  FROM cand JOIN shs sa ON cand.id_a = sa.id JOIN shs sb ON cand.id_b = sb.id
+           |)
+           |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM veri WHERE jaccard >= 0.4""".stripMargin,
+      "d3_simhash" ->
+        s"""WITH n AS (
+           |  SELECT doc_id, list_distinct($normToksSql) AS toks FROM documents
+           |), h AS (
+           |  SELECT doc_id, list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs FROM n
+           |)
+           |SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(32), j ->
+           |  CASE WHEN coalesce(list_sum(list_transform(hs, h2 -> ((h2 >> CAST(j AS INT)) & 1) * 2 - 1)), 0) > 0
+           |       THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS simhash
+           |FROM h""".stripMargin,
+      "d4_ngram_jaccard" ->
+        s"""WITH $augShinglesSql, ex AS (
+           |  SELECT id, len(sh) AS n, unnest(sh) AS s FROM shs
+           |), pairs AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, count(*) AS inter
+           |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+           |  GROUP BY 1, 2, 3, 4
+           |)
+           |SELECT id_a, id_b,
+           |  round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+           |FROM pairs
+           |WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.3""".stripMargin,
+      "d5_embedding_neardup" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1 + 0.01)
+           |  FROM embeddings
+           |), $quantEmbSql, pr AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $dotCosSql AS cos
+           |  FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+           |)
+           |SELECT id_a, id_b, round(cos, 6) AS cos FROM pr WHERE cos >= 0.95""".stripMargin,
+      "s1_ann_topk" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |), $quantEmbSql, scored AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dotCosSql AS cos
+           |  FROM qn a JOIN qn b ON a.vec_id < 20 AND b.vec_id != a.vec_id
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored
+           |)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+      "s2_ann_lsh" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |), $quantEmbSql, w AS (
+           |  SELECT p, list_transform(range(64),
+           |    d -> ((('0x' || substr(md5(CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15))::BIGINT) % 2001) - 1000) AS wv
+           |  FROM (SELECT CAST(range AS BIGINT) AS p FROM range(6))
+           |), dots AS (
+           |  SELECT qn.vec_id, w.p,
+           |    list_sum(list_transform(range(1, 65), d -> qn.qv[CAST(d AS INT)] * w.wv[CAST(d AS INT)])) AS dp
+           |  FROM qn, w
+           |), bkt AS (
+           |  SELECT vec_id, CAST(sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM dots GROUP BY vec_id
+           |), qb AS (
+           |  SELECT qn.vec_id, qn.qv, qn.n2, bkt.bucket FROM qn JOIN bkt USING (vec_id)
+           |), scored AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dotCosSql AS cos
+           |  FROM qb a JOIN qb b ON a.vec_id < 20 AND b.bucket = a.bucket AND b.vec_id != a.vec_id
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored
+           |)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin
     )
   }
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Document-deduplication operators for training-data pipelines:
+  * exact (content hash), MinHash+LSH, SimHash, exact n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Everything is built from codegen'd native functions. Hashes are
+  * md5-derived (`conv(substr(md5(x),1,15),16,10)` = a 60-bit integer) so
+  * any SQL engine can reproduce them bit-for-bit — the seeded MinHash
+  * family is `h_i(s) = hash60(i ∥ '|' ∥ s)`, giving k independent hash
+  * functions without multiply-mod arithmetic (which overflows differently
+  * across engines). At 100 TB the md5 family would be swapped for a cheap
+  * integer mixer in a custom codegen Expression; the operator shapes
+  * (explode → band join → verify) are the scale-relevant part.
+  */
+object Dedup {
+
+  /** 60-bit md5-derived hash of a string column. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: k independent hash functions indexed by `seed`. */
+  def seededHash60(seed: Column, c: Column): Column =
+    hash60(concat(seed.cast("string"), lit("|"), c))
+
+  /** Distinct word n-gram shingles of the normalized text. Documents
+    * shorter than n tokens contribute their whole token string as a single
+    * shingle. */
+  def shingleSet(text: Column, n: Int = 3): Column = {
+    val toks = Text.tokens(Text.normalized(text))
+    array_distinct(
+      when(size(toks) < n, array(array_join(toks, " ")))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " "))))
+  }
+
+  /** MinHash signature (length k) over a shingle array. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => seededHash60(i, s))))
+
+  /** 32-bit SimHash over the document's distinct token set. */
+  def simhash32(text: Column): Column = {
+    val hs = transform(array_distinct(Text.tokens(Text.normalized(text))),
+      t => hash60(t))
+    (0 until 32).map { j =>
+      val bitSum = aggregate(hs, lit(0L),
+        (s, h) => s + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Exact deduplication: group by content hash; each row is annotated
+    * with its group's keeper (min id) and multiplicity. Single shuffle on
+    * the hash — the canonical 100 TB exact-dedup plan. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    docs.select(col(idCol), Text.docHash(col(textCol)).as("content_hash"))
+      .withColumn("keep_id", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("keep_id"))
+  }
+
+  /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+    * k hashes in `bands` bands of k/bands rows; docs sharing any band key
+    * become candidates; candidates are verified against the exact shingle
+    * Jaccard and filtered by `threshold`. The band join is an equi-join on
+    * (band, key) — at scale, this is the shuffle that replaces the O(n²)
+    * cross join. */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 16, bands: Int = 8, threshold: Double = 0.4): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val sh = docs.select(col(idCol).as("_id"), shingleSet(col(textCol)).as("_sh"))
+    val sig = sh.withColumn("_sig", minhashSignature(col("_sh"), k))
+    val bandKeys = sig.select(col("_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
+        md5(array_join(
+          transform(slice(col("_sig"), j * r + 1, lit(r)), x => x.cast("string")),
+          ",").cast("binary")))))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bkey")
+    val cand = bandKeys.as("a")
+      .join(bandKeys.as("b"),
+        col("a._band") === col("b._band") && col("a._bkey") === col("b._bkey") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    val setsA = sh.select(col("_id").as("id_a"), col("_sh").as("sh_a"))
+    val setsB = sh.select(col("_id").as("id_b"), col("_sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cand.join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("jaccard",
+        inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard pairs via shingle inverted index (explode →
+    * equi-join on shingle → count co-occurrences). No false negatives,
+    * cost bounded by shingle document frequency — the standard exact
+    * alternative to MinHash when shingle frequencies are tame. */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val sh = docs.select(col(idCol).as("_id"), shingleSet(col(textCol), n).as("_sh"))
+    val ex = sh.select(col("_id"), size(col("_sh")).as("_n"), explode(col("_sh")).as("_s"))
+    ex.as("a").join(ex.as("b"),
+        col("a._s") === col("b._s") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        col("a._n").as("n_a"), col("b._n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, brute force (a < b). Exact
+    * baseline; use [[Similarity.lshTopK]]-style bucketing as the scale
+    * path. Quantized-integer arithmetic — deterministic across engines. */
+  def embeddingNearDupPairs(
+      emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.95): DataFrame = {
+    val q = Similarity.prepare(emb, idCol, vecCol)
+    q.as("a").join(q.as("b"), col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        Similarity.cosineFrom(
+          Similarity.dotQ(col("a._q"), col("b._q")),
+          col("a._n2"), col("b._n2")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

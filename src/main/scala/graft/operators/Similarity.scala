@@ -1,0 +1,112 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity-search primitives over an
+  * embedding column (`array<float>`).
+  *
+  * Design for cross-engine determinism *and* scale:
+  *   - embeddings are quantized to integers (×1000, rounded) so dot
+  *     products and norms are exact integer sums — associative, hence
+  *     independent of partitioning/summation order. The final cosine is a
+  *     single double division/sqrt, identical on any engine.
+  *   - the LSH variant uses 16 random hyperplanes whose integer weights
+  *     derive from md5(p,d) — reproducible in plain SQL by any engine, no
+  *     shared RNG needed.
+  */
+object Similarity {
+
+  def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** 60-bit hash: first 15 hex digits of md5 — computable in SQL as
+    * `conv(substr(md5(x),1,15),16,10)`. */
+  def hexHash60(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
+  /** Quantize a float vector to longs (scale 1000). */
+  def quantize(vec: Column, scale: Int = 1000): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
+
+  /** Cosine from precomputed integer dot and squared norms. */
+  def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** Hyperplane weights in [-1000, 1000]: w(p,d) = md5-hash60("p,d") %
+    * 2001 - 1000. The oracle recomputes the identical table in SQL. */
+  def planeWeights(planes: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until planes).map(p => (0 until dim).map(d => hexHash60(s"$p,$d") % 2001 - 1000))
+
+  /** Sign-sketch bucket id of a *quantized* vector: bit p set iff
+    * dot(v, plane_p) >= 0. Integer-exact. */
+  def lshBucket(qvec: Column, planes: Int = 16, dim: Int = 64): Column = {
+    val ws = planeWeights(planes, dim)
+    (0 until planes).map { p =>
+      when(dotQ(qvec, typedLit(ws(p))) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Prepares (id, quantized vector, squared norm) — the reusable corpus
+    * side of every similarity query. Norms computed once, not per pair. */
+  def prepare(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("_id"), quantize(col(vecCol)).as("_q"))
+      .withColumn("_n2", dotQ(col("_q"), col("_q")))
+
+  /** Brute-force cosine top-k: every query row against the full corpus.
+    * The query side is broadcast — the corpus (the big side) is never
+    * shuffled, so this scales to an arbitrarily large corpus as long as
+    * the query set is small.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = prepare(corpus, idCol, vecCol)
+    val q = prepare(queries, idCol, vecCol)
+      .withColumnRenamed("_id", "_qid").withColumnRenamed("_q", "_qq")
+      .withColumnRenamed("_n2", "_qn2")
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("_id") =!= col("_qid"))
+      .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
+        cosineFrom(dotQ(col("_q"), col("_qq")), col("_n2"), col("_qn2")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
+        col("rn"))
+  }
+
+  /** LSH-bucketed top-k: candidates restricted to the query's sign-sketch
+    * bucket — the scale path (bucket equi-join instead of cross join; at
+    * cluster scale the corpus is hash-partitioned by bucket and only
+    * matching partitions are read).
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Int = 16, dim: Int = 64): DataFrame = {
+    val c = prepare(corpus, idCol, vecCol)
+      .withColumn("_bucket", lshBucket(col("_q"), planes, dim))
+    val q = prepare(queries, idCol, vecCol)
+      .withColumn("_bucket", lshBucket(col("_q"), planes, dim))
+      .withColumnRenamed("_id", "_qid").withColumnRenamed("_q", "_qq")
+      .withColumnRenamed("_n2", "_qn2")
+    val scored = c.join(broadcast(q), "_bucket")
+      .where(col("_id") =!= col("_qid"))
+      .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
+        cosineFrom(dotQ(col("_q"), col("_qq")), col("_n2"), col("_qn2")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
+        col("rn"))
+  }
+}
