@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Dedup, Retention, Similarity}
+import graft.operators.{Dedup, Multimodal, Retention, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -276,6 +276,30 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       Similarity.lshTopK(e, e.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5, planes = 6)
+    }),
+
+    // ── Multimodal binary columns (stubbed decode, real plumbing) ────────
+    // Synthesize a binary media column, decode typed metadata, sample
+    // frames, resize — all byte-exact and oracle-checkable.
+    "m1_multimodal_decode" -> ((s, dir) => {
+      val media = tbl(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          Multimodal.fakeMediaBytes(col("text")).as("bytes"))
+      media
+        .withColumn("meta", Multimodal.decodeImageMeta(col("bytes")))
+        .select(
+          col("media_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.channels").as("channels"), col("meta.n_bytes").as("n_bytes"),
+          size(Multimodal.frameSample(col("bytes"), 4)).as("n_frames"),
+          lower(hex(Multimodal.resize(col("bytes"), 2))).as("resized_hex"))
+    }),
+    // Per-partition imperative feature extraction (typed Dataset path).
+    "m2_multimodal_features" -> ((s, dir) => {
+      val media = tbl(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          Multimodal.fakeMediaBytes(col("text")).as("bytes"))
+      Multimodal.extractFeatures(media)
     })
   )
 
@@ -613,7 +637,27 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
            |  FROM scored
            |)
-           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+      // The fake 32-byte payload is unhex(md5(text) || md5(text||'2')), so
+      // every byte is recoverable from the md5 hex strings — the oracle
+      // never needs blob operations.
+      "m1_multimodal_decode" ->
+        """WITH h AS (
+          |  SELECT doc_id AS media_id, md5(text) AS h1 FROM documents
+          |)
+          |SELECT media_id,
+          |  ('0x' || substr(h1, 1, 2))::INT % 64 + 1 AS width,
+          |  ('0x' || substr(h1, 3, 2))::INT % 64 + 1 AS height,
+          |  ('0x' || substr(h1, 5, 2))::INT % 3 + 1 AS channels,
+          |  32 AS n_bytes,
+          |  8 AS n_frames,
+          |  h1 AS resized_hex
+          |FROM h""".stripMargin,
+      "m2_multimodal_features" ->
+        """SELECT doc_id AS media_id,
+          |  list_transform(range(8),
+          |    i -> ('0x' || substr(md5(text), CAST(i AS INT) * 2 + 1, 2))::INT / 256.0) AS feat
+          |FROM documents""".stripMargin
     )
   }
 }

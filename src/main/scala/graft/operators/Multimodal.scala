@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** One extracted feature row: fixed-dim vector per media item. */
+case class MediaFeature(media_id: Long, feat: Seq[Double])
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs in this
+  * environment): metadata is parsed from the first header bytes and
+  * "frames"/"resize" are byte-range operations. Everything around the stub
+  * is the real production shape — binary columns flow through parquet,
+  * metadata is a typed struct, frame sampling is an array of binary
+  * slices, and feature extraction runs imperatively per partition over a
+  * typed Dataset (the JVM analogue of batched Python UDFs: one
+  * deserialization per partition, vectorizable inner loop, explicit output
+  * encoder).
+  */
+object Multimodal {
+
+  /** Deterministic fake media payload (32 bytes derived from a seed
+    * column) — stands in for real image bytes in tests/benchmarks. */
+  def fakeMediaBytes(seed: Column): Column =
+    unhex(concat(md5(seed.cast("binary")), md5(concat(seed, lit("2")).cast("binary"))))
+
+  private def byteAt(bin: Column, pos: Int): Column =
+    conv(hex(substring(bin, pos, 1)), 16, 10).cast("int")
+
+  /** STUB decode: parses width/height/channels from the first three
+    * header bytes. A real implementation would decode the container
+    * format here; the output schema (typed struct) is the contract. */
+  def decodeImageMeta(bin: Column): Column =
+    struct(
+      (byteAt(bin, 1) % 64 + 1).as("width"),
+      (byteAt(bin, 2) % 64 + 1).as("height"),
+      (byteAt(bin, 3) % 3 + 1).as("channels"),
+      length(bin).as("n_bytes"))
+
+  /** Frame sampling stub: fixed-stride byte slices (a video decoder would
+    * emit one binary per sampled frame). */
+  def frameSample(bin: Column, stride: Int): Column =
+    transform(
+      sequence(lit(0), floor((length(bin) - 1) / stride).cast("int")),
+      i => substring_index_bytes(bin, i * stride + 1, stride))
+
+  private def substring_index_bytes(bin: Column, start: Column, len: Int): Column =
+    bin.substr(start, lit(len))
+
+  /** Resize stub: byte-range downsample by `factor` (a real impl would
+    * rescale pixels; the binary-in/binary-out shape is the contract). */
+  def resize(bin: Column, factor: Int): Column =
+    bin.substr(lit(1), (length(bin) / factor).cast("int"))
+
+  /** Per-partition imperative feature extraction over the binary payload
+    * (first `dim` bytes scaled to [0,1)). Runs as one JVM loop per
+    * partition — the pattern a real decoder/featurizer plugs into. */
+  def extractFeatures(
+      media: DataFrame, idCol: String = "media_id", binCol: String = "bytes",
+      dim: Int = 8): DataFrame = {
+    val in = media.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    in.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        // payloads shorter than `dim` are zero-padded
+        MediaFeature(id, (0 until dim).map(i =>
+          (if (i < bytes.length) bytes(i) & 0xff else 0) / 256.0))
+      }
+    }(Encoders.product[MediaFeature]).toDF()
+  }
+}
