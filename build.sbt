@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen across ~30 distinct queries in one JVM overflows
+  // the default 240m code cache; the JIT then disables itself and later
+  // queries run interpreted (observed 20x slowdowns late in Bench runs).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -34,5 +34,6 @@ object Graft {
   /** Registers every SQL-callable function the library provides. */
   def registerAll(spark: SparkSession): Unit = {
     Retention.register(spark)
+    graft.functions.LongArrayDot.register(spark)
   }
 }

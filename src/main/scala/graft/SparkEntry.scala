@@ -247,23 +247,29 @@ object SparkEntry {
     // MinHash+LSH near-dup pairs over a corpus with constructed near-dups
     // (each doc unioned with a truncated copy), verified by exact Jaccard.
     "d2_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(augmentedDocs(s, dir), k = 16, bands = 8, threshold = 0.4)),
+      Dedup.minhashLshPairs(augmentedDocs(s, dir), k = 32, bands = 8, threshold = 0.4)),
     // Per-document 32-bit SimHash.
     "d3_simhash" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
     }),
-    // Exact n-gram Jaccard pairs via shingle inverted index.
+    // Exact n-gram Jaccard pairs via shingle inverted index. n=5: on a
+    // low-entropy vocabulary, 3-gram document frequencies explode the
+    // inverted-index join quadratically; 5-grams keep shingles near-unique
+    // so join fan-out ≈ true near-dup pairs.
     "d4_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(augmentedDocs(s, dir), threshold = 0.3)),
+      Dedup.ngramJaccardPairs(augmentedDocs(s, dir), n = 5, threshold = 0.3)),
     // Embedding-cosine near-dup pairs (brute force baseline) over a corpus
     // with constructed near-dups (affine-perturbed copies).
-    "d5_embedding_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairs(augmentedEmb(s, dir), threshold = 0.95)),
+    "d5_embedding_neardup" -> ((s, dir) => {
+      Graft.registerAll(s)
+      Dedup.embeddingNearDupPairs(augmentedEmb(s, dir), threshold = 0.95)
+    }),
 
     // ── Similarity search ────────────────────────────────────────────────
     // Brute-force cosine top-5 for the first 20 vectors as queries.
     "s1_ann_topk" -> ((s, dir) => {
+      Graft.registerAll(s)
       val e = tbl(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5)
@@ -273,6 +279,7 @@ object SparkEntry {
     // buckets are populated; at production scale use 16+ planes and
     // multi-probe.
     "s2_ann_lsh" -> ((s, dir) => {
+      Graft.registerAll(s)
       val e = tbl(s, dir, "embeddings")
       Similarity.lshTopK(e, e.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5, planes = 6)
@@ -323,10 +330,10 @@ object SparkEntry {
   // Shared DuckDB fragments for the dedup/similarity oracles.
   private val normToksSql =
     """regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9'']+')"""
-  private val shingleSql =
-    s"""list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-       |  ELSE list_transform(range(1, len(toks) - 1),
-       |         i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 2], ' '))
+  private def shingleSql(n: Int) =
+    s"""list_distinct(CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(range(1, len(toks) - ${n - 2}),
+       |         i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + ${n - 1}], ' '))
        |  END)""".stripMargin
   private val augDocsSql =
     """aug AS (
@@ -334,11 +341,14 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id + 1000000, substr(text, 1, greatest(length(text) - 20, 1)) FROM documents
       |)""".stripMargin
-  private val augShinglesSql =
+  private def augShinglesSql(n: Int) =
     s"""$augDocsSql, norm AS (
        |  SELECT doc_id, $normToksSql AS toks FROM aug
        |), shs AS (
-       |  SELECT doc_id AS id, $shingleSql AS sh FROM norm
+       |  SELECT doc_id AS id,
+       |    list_distinct(list_transform(${shingleSql(n)},
+       |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+       |  FROM norm
        |)""".stripMargin
   private val quantEmbSql = // quantized vectors + squared norms over `eIn`
     """q AS (
@@ -548,14 +558,19 @@ object SparkEntry {
           |  count(*) OVER (PARTITION BY content_hash) AS n_copies,
           |  doc_id != min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
           |FROM h""".stripMargin,
-      "d2_minhash_lsh" ->
-        s"""WITH $augShinglesSql, sigs AS (
-           |  SELECT id, list_transform(range(16),
-           |    i -> list_min(list_transform(sh, s -> ('0x' || substr(md5(i || '|' || s), 1, 15))::BIGINT))) AS sig
-           |  FROM shs
+      "d2_minhash_lsh" -> {
+        val (as, bs) = Dedup.minhashParams(32)
+        s"""WITH ${augShinglesSql(3)}, params AS (
+           |  SELECT ${as.mkString("[", ", ", "]")} AS alist,
+           |         ${bs.mkString("[", ", ", "]")} AS blist
+           |), sigs AS (
+           |  SELECT id, list_transform(range(32),
+           |    i -> list_min(list_transform(sh,
+           |      h -> (alist[CAST(i AS INT) + 1] * (h % ${Dedup.MinhashM}) + blist[CAST(i AS INT) + 1]) % ${Dedup.MinhashP}))) AS sig
+           |  FROM shs, params
            |), bandkeys AS (
            |  SELECT id, CAST(j AS INT) AS band,
-           |    md5(array_to_string(list_transform(range(CAST(j AS INT) * 2 + 1, CAST(j AS INT) * 2 + 3),
+           |    md5(array_to_string(list_transform(range(CAST(j AS INT) * 4 + 1, CAST(j AS INT) * 4 + 5),
            |      x -> CAST(sig[CAST(x AS INT)] AS VARCHAR)), ',')) AS bkey
            |  FROM sigs, (SELECT CAST(range AS BIGINT) AS j FROM range(8))
            |), cand AS (
@@ -567,7 +582,8 @@ object SparkEntry {
            |      CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
            |  FROM cand JOIN shs sa ON cand.id_a = sa.id JOIN shs sb ON cand.id_b = sb.id
            |)
-           |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM veri WHERE jaccard >= 0.4""".stripMargin,
+           |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM veri WHERE jaccard >= 0.4""".stripMargin
+      },
       "d3_simhash" ->
         s"""WITH n AS (
            |  SELECT doc_id, list_distinct($normToksSql) AS toks FROM documents
@@ -579,7 +595,7 @@ object SparkEntry {
            |       THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS simhash
            |FROM h""".stripMargin,
       "d4_ngram_jaccard" ->
-        s"""WITH $augShinglesSql, ex AS (
+        s"""WITH ${augShinglesSql(5)}, ex AS (
            |  SELECT id, len(sh) AS n, unnest(sh) AS s FROM shs
            |), pairs AS (
            |  SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, count(*) AS inter

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Text
 
@@ -25,10 +26,6 @@ object Dedup {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Seeded variant: k independent hash functions indexed by `seed`. */
-  def seededHash60(seed: Column, c: Column): Column =
-    hash60(concat(seed.cast("string"), lit("|"), c))
-
   /** Distinct word n-gram shingles of the normalized text. Documents
     * shorter than n tokens contribute their whole token string as a single
     * shingle. */
@@ -40,10 +37,33 @@ object Dedup {
           i => array_join(slice(toks, i, lit(n)), " "))))
   }
 
-  /** MinHash signature (length k) over a shingle array. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => seededHash60(i, s))))
+  /** Shingle set as 60-bit hashes: one md5 per shingle, then everything
+    * downstream (minhash, band keys, intersections, joins) works on longs
+    * — an order of magnitude cheaper to shuffle and compare than strings.
+    * Collision probability at 60 bits is negligible (~n²/2⁶¹). */
+  def hashedShingleSet(text: Column, n: Int = 3): Column =
+    array_distinct(transform(shingleSet(text, n), s => hash60(s)))
+
+  // MinHash hash family h_i(x) = (a_i * (x mod 2^28) + b_i) mod (2^31-1).
+  // Constants are md5-derived (reproducible in SQL); sizes are chosen so
+  // a_i * x + b_i < 2^58 — exact in int64 on every engine (DuckDB raises
+  // on overflow, Java wraps; neither may be hit).
+  val MinhashP: Long = 2147483647L // 2^31 - 1, prime
+  val MinhashM: Long = 268435456L // 2^28
+
+  def minhashParams(k: Int): (Seq[Long], Seq[Long]) = (
+    (0 until k).map(i => Similarity.hexHash60(s"mh_a,$i") % 1073741824L | 1L),
+    (0 until k).map(i => Similarity.hexHash60(s"mh_b,$i") % MinhashP))
+
+  /** MinHash signature (length k) over a hashed-shingle array. */
+  def minhashSignature(hashedShingles: Column, k: Int): Column = {
+    val (as, bs) = minhashParams(k)
+    val aLit = typedLit(as)
+    val bLit = typedLit(bs)
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(hashedShingles, h =>
+        (element_at(aLit, i + 1) * (h % MinhashM) + element_at(bLit, i + 1)) % MinhashP)))
+  }
 
   /** 32-bit SimHash over the document's distinct token set. */
   def simhash32(text: Column): Column = {
@@ -75,10 +95,16 @@ object Dedup {
     * cross join. */
   def minhashLshPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 16, bands: Int = 8, threshold: Double = 0.4): DataFrame = {
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.4): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
-    val sh = docs.select(col(idCol).as("_id"), shingleSet(col(textCol)).as("_sh"))
+    // The shingle sets and band keys are each consumed by several branches
+    // of the candidate/verify DAG (both sides of two self-joins). Without
+    // materialization Spark re-derives the whole tokenize→hash→minhash
+    // pipeline per branch — measured 25× slowdown at sf0.1. MEMORY_AND_DISK
+    // so large corpora spill instead of OOM.
+    val sh = docs.select(col(idCol).as("_id"), hashedShingleSet(col(textCol)).as("_sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sig = sh.withColumn("_sig", minhashSignature(col("_sh"), k))
     val bandKeys = sig.select(col("_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
@@ -86,6 +112,7 @@ object Dedup {
           transform(slice(col("_sig"), j * r + 1, lit(r)), x => x.cast("string")),
           ",").cast("binary")))))
       .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bkey")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a._band") === col("b._band") && col("a._bkey") === col("b._bkey") &&
@@ -110,8 +137,10 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh = docs.select(col(idCol).as("_id"), shingleSet(col(textCol), n).as("_sh"))
+    val sh = docs.select(col(idCol).as("_id"), hashedShingleSet(col(textCol), n).as("_sh"))
+    // consumed by both sides of the self-join — materialize once
     val ex = sh.select(col("_id"), size(col("_sh")).as("_n"), explode(col("_sh")).as("_s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     ex.as("a").join(ex.as("b"),
         col("a._s") === col("b._s") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"),

@@ -33,9 +33,11 @@ object Similarity {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors, via the codegen
+    * [[graft.functions.LongArrayDot]] expression (requires
+    * `Graft.registerAll` / `LongArrayDot.register` on the session). */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
+    call_function(graft.functions.LongArrayDot.name, a, b)
 
   /** Cosine from precomputed integer dot and squared norms. */
   def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming forms of the UBA aggregations. The reference is
+  * batch-only (no streaming code exists in the crate); these are the
+  * stream-native equivalents of its event-table analytics, built on
+  * event-time windows + watermarks so state is bounded on unbounded
+  * input. Each transform works identically on a batch DataFrame (Spark's
+  * unified semantics), which is how the tests assert correctness:
+  * stream(file source → memory sink) must equal batch.
+  */
+object EventStream {
+
+  /** Tumbling-window event profile: per (window, event_type) counts and
+    * value sums. Watermark bounds the aggregation state. */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessionization with native session windows: one row per
+    * (user, session) with event count and bounds — the streaming form of
+    * the batch q10_sessionize query. */
+  def sessions(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("dedup-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    Graft.registerAll(s)
+    s
+  }
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, ""), (5L, "two tokens"),
+      (6L, "completely different content about spark aggregation engines"))
+      .toDF("doc_id", "text").repartition(2)
+  }
+
+  test("exact dedup flags identical docs, keeps min id") {
+    val r = Dedup.exact(docs).collect().map(x =>
+      x.getLong(0) -> (x.getLong(2), x.getLong(3), x.getBoolean(4))).toMap
+    assert(r(1L) === ((1L, 2L, false)))
+    assert(r(2L) === ((1L, 2L, true)))
+    assert(r(3L)._2 === 1L)
+  }
+
+  test("minhash LSH finds identical and near-dup pairs with exact jaccard") {
+    // r = k/bands = 2 → banding s-curve threshold ≈ 0.27, so the 0.54-jaccard
+    // near-dup pair is found with P ≈ 1 - (1-0.54²)¹⁶ ≈ 0.996 (the default
+    // r=4 tuning targets ≥0.6 jaccard and may legitimately skip it)
+    val pairs = Dedup.minhashLshPairs(docs, k = 32, bands = 16, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.4 && pairs((1L, 3L)) < 0.7)
+    assert(!pairs.keys.exists { case (a, b) => a == 6L || b == 6L })
+  }
+
+  test("ngram jaccard (exact inverted index) agrees with LSH-verified jaccard") {
+    val lsh = Dedup.minhashLshPairs(docs, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH pair must appear in the exact index with the same jaccard
+    lsh.foreach { case (k, v) => assert(exact(k) === v) }
+  }
+
+  test("simhash is equal for identical docs and differs across contents") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash32(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(6L))
+    assert(sh(4L) === 0L) // empty doc: no tokens, all bit-sums 0
+  }
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("brute-force topk ranks by cosine with deterministic tie-break") {
+    val r = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 3).collect()
+      .map(x => (x.getLong(1), x.getInt(3))).toList
+    assert(r.head === ((1L, 1)))   // closest: the 0.99 vector
+    assert(r.last === ((3L, 3)))   // furthest kept: the antipode
+  }
+
+  test("embedding near-dup finds only the close pair at high threshold") {
+    val pairs = Dedup.embeddingNearDupPairs(vecs, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+
+  test("lsh bucket is identical for identical vectors") {
+    import spark.implicits._
+    val two = Seq((0L, Seq(0.5f, -0.25f, 0.125f, 1.0f)), (1L, Seq(0.5f, -0.25f, 0.125f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val b = two.select(
+      Similarity.lshBucket(Similarity.quantize(col("embedding")), planes = 8, dim = 4))
+      .collect().map(_.getLong(0))
+    assert(b(0) === b(1))
+  }
+}

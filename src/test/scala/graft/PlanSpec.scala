@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the headline queries — the
+  * ".explain and iterate" loop captured as tests, so a regression that
+  * e.g. drops a broadcast or un-pushes a filter fails CI, not the
+  * 100 TB run.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    Graft.registerAll(s)
+    s
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1 pricing summary: partial+final hash aggregate, filter pushed to scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("partial"), // map-side combine
+      s"no partial aggregation in plan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate,"),
+      s"shipdate filter not pushed:\n$p")
+  }
+
+  test("q6 join uses broadcast hash join (small dim side)") {
+    val p = plan("q6_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to SortMergeJoin:\n$p")
+  }
+
+  test("q7 multi-join: all three dims broadcast, no sort-merge") {
+    val p = plan("q7_join_multi")
+    assert(p.split("BroadcastHashJoin").length >= 4, s"expected 3 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("retention_count: two-phase object hash aggregate (partial merge on shuffle)") {
+    val p = plan("retention_count")
+    assert(p.contains("ObjectHashAggregate"), s"UDAF should plan as ObjectHashAggregate:\n$p")
+    assert(p.contains("Exchange hashpartitioning(user_id"),
+      s"expected single shuffle on user_id:\n$p")
+  }
+
+  test("s1 ann: query side broadcast, corpus side never shuffled") {
+    val p = plan("s1_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("d1 exact dedup: exactly one exchange (single shuffle on content hash)") {
+    val p = plan("d1_exact_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"exact dedup should shuffle once on the hash:\n$p")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink surface from SURVEY §2.2: parquet scan, partitioned CSV
+  * directory with explicit schema, in-memory tables with explicit
+  * partitioning, VALUES relations, limit/show/collect sinks.
+  * (S3A listing tables take only Hadoop conf — untestable in this
+  * zero-egress environment; Avro needs the spark-avro connector which is
+  * not bundled, mirroring the reference's dormant avro feature gate.)
+  */
+class SourcesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("sources")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("parquet scan with pushed filter and pruned columns") {
+    val df = SparkEntry.tbl(spark, sf, "lineitem")
+      .where(col("l_quantity") > 25)
+      .select(col("l_orderkey"), col("l_quantity"))
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]"),
+      s"filter not pushed to parquet scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned at scan:\n$plan")
+  }
+
+  test("partitioned CSV directory with explicit schema round-trips") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val src = SparkEntry.tbl(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    src.repartition(3).write.mode("overwrite").csv(dir)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType)))
+    val back = spark.read.schema(schema).csv(dir)
+    assert(back.count() === src.count())
+    assert(back.agg(sum("l_quantity")).head.getDouble(0) ===
+      src.agg(sum("l_quantity")).head.getDouble(0))
+  }
+
+  test("in-memory table with explicit partitions feeds two-phase aggregation") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i % 10, i.toLong)).toDF("k", "v").repartition(2)
+    assert(df.rdd.getNumPartitions === 2)
+    val agg = df.groupBy("k").agg(sum("v").as("s")).orderBy("k")
+    assert(agg.count() === 10)
+  }
+
+  test("VALUES relation + re-registered materialized result") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW vals AS SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, s)")
+    val r = spark.sql("SELECT count(*) FROM vals").head.getLong(0)
+    assert(r === 2)
+    val materialized = spark.sql("SELECT id * 10 AS id10 FROM vals")
+    materialized.cache().createOrReplaceTempView("vals2")
+    assert(spark.sql("SELECT sum(id10) FROM vals2").head.getLong(0) === 30)
+  }
+
+  test("limit sink (TakeOrderedAndProject under sort)") {
+    val df = SparkEntry.tbl(spark, sf, "orders")
+      .orderBy(col("o_totalprice").desc).limit(10)
+    assert(df.collect().length === 10)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+}
