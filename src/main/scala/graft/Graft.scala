@@ -1,7 +1,10 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
+import graft.functions.LongArrayDot
 import graft.operators.Retention
 
 /** Session facade for the graft engine — the analogue of the reference's
@@ -34,6 +37,23 @@ object Graft {
   /** Registers every SQL-callable function the library provides. */
   def registerAll(spark: SparkSession): Unit = {
     Retention.register(spark)
-    graft.functions.LongArrayDot.register(spark)
+    LongArrayDot.register(spark)
+  }
+}
+
+/** Config-based injection: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * makes the library's native expressions available in every session of a
+  * cluster without code changes (the deployment-style analogue of
+  * [[Graft.registerAll]]; the Aggregator-based UDAFs still need the
+  * session-level `registerAll` because `functions.udaf` registration is
+  * per-session by design).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier(LongArrayDot.name),
+      new ExpressionInfo(classOf[graft.functions.LongArrayDot].getName, LongArrayDot.name),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.LongArrayDot(exprs(0), exprs(1))))
   }
 }

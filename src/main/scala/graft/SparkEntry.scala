@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Dedup, Multimodal, Retention, Similarity}
+import graft.operators.{Dedup, Funnel, Multimodal, Retention, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -307,7 +307,23 @@ object SparkEntry {
         .select(col("doc_id").as("media_id"),
           Multimodal.fakeMediaBytes(col("text")).as("bytes"))
       Multimodal.extractFeatures(media)
-    })
+    }),
+
+    // ── Funnel analysis (UBA, beyond retention) ──────────────────────────
+    // Per-user ordered funnel signup → click → purchase within 7 days.
+    "u1_funnel_stages" -> ((s, dir) => {
+      Funnel.userStages(tbl(s, dir, "events"),
+        Seq("signup", "click", "purchase"), windowDays = 7)
+        .select(col("user_id"),
+          unix_micros(col("t0")).as("t0_us"),
+          unix_micros(col("t1")).as("t1_us"),
+          unix_micros(col("t2")).as("t2_us"),
+          col("stage"))
+    }),
+    // Aggregate funnel report.
+    "u2_funnel_report" -> ((s, dir) =>
+      Funnel.report(tbl(s, dir, "events"),
+        Seq("signup", "click", "purchase"), windowDays = 7))
   )
 
   /** Documents with constructed near-duplicates: each doc plus a
@@ -673,7 +689,47 @@ object SparkEntry {
         """SELECT doc_id AS media_id,
           |  list_transform(range(8),
           |    i -> ('0x' || substr(md5(text), CAST(i AS INT) * 2 + 1, 2))::INT / 256.0) AS feat
-          |FROM documents""".stripMargin
+          |FROM documents""".stripMargin,
+      "u1_funnel_stages" ->
+        s"""$funnelStagesSql
+           |SELECT user_id, epoch_us(t0) AS t0_us, epoch_us(t1) AS t1_us,
+           |  epoch_us(t2) AS t2_us,
+           |  (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END +
+           |   CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END +
+           |   CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+           |FROM s2""".stripMargin,
+      "u2_funnel_report" ->
+        s"""$funnelStagesSql, st AS (
+           |  SELECT (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END +
+           |          CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END +
+           |          CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+           |  FROM s2
+           |)
+           |SELECT count(*) AS entered,
+           |  sum(CASE WHEN stage > 0 THEN 1 ELSE 0 END) AS reached_1,
+           |  sum(CASE WHEN stage > 1 THEN 1 ELSE 0 END) AS reached_2,
+           |  sum(CASE WHEN stage > 2 THEN 1 ELSE 0 END) AS reached_3
+           |FROM st""".stripMargin
     )
   }
+
+  private val funnelStagesSql =
+    """WITH s0 AS (
+      |  SELECT user_id, min(ts) AS t0 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |), d AS (
+      |  SELECT user_id, t0, t0 + INTERVAL 7 DAY AS deadline FROM s0
+      |), s1 AS (
+      |  SELECT d.user_id, d.t0, d.deadline,
+      |    min(CASE WHEN e.ts >= d.t0 AND e.ts <= d.deadline THEN e.ts END) AS t1
+      |  FROM d LEFT JOIN events e
+      |    ON e.user_id = d.user_id AND e.event_type = 'click'
+      |  GROUP BY 1, 2, 3
+      |), s2 AS (
+      |  SELECT s1.user_id, s1.t0, s1.deadline, s1.t1,
+      |    min(CASE WHEN e.ts >= s1.t1 AND e.ts <= s1.deadline THEN e.ts END) AS t2
+      |  FROM s1 LEFT JOIN events e
+      |    ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+      |  GROUP BY 1, 2, 3, 4
+      |)""".stripMargin
 }
