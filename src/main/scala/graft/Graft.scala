@@ -30,6 +30,7 @@ object Graft {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     registerAll(spark)
     spark
   }
