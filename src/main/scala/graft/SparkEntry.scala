@@ -284,6 +284,14 @@ object SparkEntry {
       Similarity.lshTopK(e, e.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5, planes = 6)
     }),
+    // IVF variant: label column as the coarse quantizer cells; queries
+    // probe their 2 nearest integer centroids.
+    "s3_ann_ivf" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 20),
+        "vec_id", "embedding", "label", k = 5, nprobe = 2)
+    }),
 
     // ── Multimodal binary columns (stubbed decode, real plumbing) ────────
     // Synthesize a binary media column, decode typed metadata, sample
@@ -664,6 +672,44 @@ object SparkEntry {
            |), scored AS (
            |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dotCosSql AS cos
            |  FROM qb a JOIN qb b ON a.vec_id < 20 AND b.bucket = a.bucket AND b.vec_id != a.vec_id
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored
+           |)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+      "s3_ann_ivf" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |), $quantEmbSql, ql AS (
+           |  SELECT qn.vec_id, e2.label, qn.qv, qn.n2
+           |  FROM qn JOIN embeddings e2 ON qn.vec_id = e2.vec_id
+           |), cd AS (
+           |  SELECT label AS cell, d, sum(qv[d]) AS sv, count(*) AS cnt
+           |  FROM ql, (SELECT CAST(range AS INT) + 1 AS d FROM range(64))
+           |  GROUP BY 1, 2
+           |), cents AS (
+           |  SELECT cell, list(CAST(round(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY d) AS cvec
+           |  FROM cd GROUP BY 1
+           |), cn AS (
+           |  SELECT cell, cvec, list_sum(list_transform(cvec, x -> x * x)) AS cn2 FROM cents
+           |), qset AS (
+           |  SELECT vec_id AS qid, qv AS qq, n2 AS qn2 FROM qn WHERE vec_id < 20
+           |), qc AS (
+           |  SELECT qid, qq, qn2, cell,
+           |    qn2 + cn2 - 2 * list_sum(list_transform(range(1, 65),
+           |      d -> qq[CAST(d AS INT)] * cvec[CAST(d AS INT)])) AS dist2
+           |  FROM qset, cn
+           |), probes AS (
+           |  SELECT qid, qq, qn2, cell FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist2, cell) AS pr FROM qc)
+           |  WHERE pr <= 2
+           |), scored AS (
+           |  SELECT p.qid AS query_id, c.vec_id AS neighbor_id,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      d -> c.qv[CAST(d AS INT)] * p.qq[CAST(d AS INT)])) AS DOUBLE)
+           |      / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(p.qn2 AS DOUBLE))) AS cos
+           |  FROM probes p JOIN ql c ON c.label = p.cell AND c.vec_id != p.qid
            |), ranked AS (
            |  SELECT query_id, neighbor_id, cos,
            |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn

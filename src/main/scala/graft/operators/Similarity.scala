@@ -5,6 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor / similarity-search primitives over an
   * embedding column (`array<float>`).
@@ -91,6 +92,53 @@ object Similarity {
     * cluster scale the corpus is hash-partitioned by bucket and only
     * matching partitions are read).
     */
+  /** IVF top-k: an inverted-file index over coarse cells. The cell
+    * assignment of the corpus comes from `cellCol` (an externally trained
+    * quantizer — here the dataset's cluster label; k-means training is an
+    * offline batch job out of scope). Integer centroids are the
+    * elementwise rounded means of member vectors; queries probe their
+    * `nprobe` nearest centroids by exact integer L2 and search only those
+    * cells. At cluster scale the corpus is hash-partitioned by cell, so a
+    * probe touches nprobe/ncells of the data.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, cellCol: String,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val base = corpus.select(col(idCol).as("_id"), quantize(col(vecCol)).as("_q"),
+        col(cellCol).as("_cell"))
+      .withColumn("_n2", dotQ(col("_q"), col("_q")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cents = base
+      .select(col("_cell"), posexplode(col("_q")).as(Seq("_pos", "_v")))
+      .groupBy(col("_cell"), col("_pos"))
+      .agg(sum(col("_v")).as("_sv"), count(lit(1)).as("_cnt"))
+      .groupBy(col("_cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_pos").as("p"),
+          round(col("_sv") / col("_cnt")).cast("long").as("v")))),
+        x => x.getField("v")).as("_cvec"))
+      .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
+    val q = queries.select(col(idCol).as("_qid"), quantize(col(vecCol)).as("_qq"))
+      .withColumn("_qn2", dotQ(col("_qq"), col("_qq")))
+    val qcells = q.crossJoin(broadcast(cents))
+      .withColumn("_dist2",
+        col("_qn2") + col("_cn2") - lit(2L) * dotQ(col("_qq"), col("_cvec")))
+    val wq = Window.partitionBy(col("_qid")).orderBy(col("_dist2"), col("_cell"))
+    val probes = qcells.withColumn("_pr", row_number().over(wq))
+      .where(col("_pr") <= nprobe)
+      .select(col("_qid"), col("_qq"), col("_qn2"), col("_cell"))
+    val scored = base.join(broadcast(probes), "_cell")
+      .where(col("_id") =!= col("_qid"))
+      .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
+        cosineFrom(dotQ(col("_q"), col("_qq")), col("_n2"), col("_qn2")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
+        col("rn"))
+  }
+
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
