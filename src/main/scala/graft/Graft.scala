@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.LongArrayDot
+import graft.functions.{LongArrayDot, MinhashSig}
 import graft.operators.Retention
 
 /** Session facade for the graft engine — the analogue of the reference's
@@ -28,6 +28,7 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -39,6 +40,31 @@ object Graft {
   def registerAll(spark: SparkSession): Unit = {
     Retention.register(spark)
     LongArrayDot.register(spark)
+    MinhashSig.register(spark)
+  }
+
+  /** Applies S3A object-store configuration to the session's Hadoop conf —
+    * the Spark analogue of the reference's `register_object_store` +
+    * listing-table setup over a MinIO endpoint
+    * (reference: tests/test_with_minio.rs:84-92). After this,
+    * `spark.read.parquet("s3a://bucket/path/")` performs the same listing
+    * scan (with parquet pruning, on by default in Spark).
+    */
+  def s3aConf(
+      spark: SparkSession,
+      endpoint: String,
+      accessKey: String,
+      secretKey: String,
+      pathStyleAccess: Boolean = true,
+      sslEnabled: Boolean = false): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.endpoint", endpoint)
+    hc.set("fs.s3a.access.key", accessKey)
+    hc.set("fs.s3a.secret.key", secretKey)
+    hc.set("fs.s3a.path.style.access", pathStyleAccess.toString)
+    hc.set("fs.s3a.connection.ssl.enabled", sslEnabled.toString)
+    hc.set("fs.s3a.aws.credentials.provider",
+      "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
   }
 }
 
@@ -56,5 +82,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.LongArrayDot].getName, LongArrayDot.name),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.LongArrayDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(MinhashSig.name),
+      new ExpressionInfo(classOf[graft.functions.MinhashSig].getName, MinhashSig.name),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.MinhashSig(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

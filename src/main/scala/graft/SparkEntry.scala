@@ -24,7 +24,11 @@ object SparkEntry {
     */
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // session builders set this up front (Graft.localSession / Verify /
+      // Bench); the guarded set is a fallback for foreign sessions so the
+      // common path never mutates session conf
+      if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     } else s.read.parquet(s"$dir/$name.parquet")
@@ -59,9 +63,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── Retention (SURVEY §2.1 — the reference's own operators) ──────────
+    // The nested stats array is JSON-serialized: the driver's pandas-based
+    // comparator cannot sort/hash array-typed columns (round-1 `err`), and
+    // a compact JSON string is bit-identical across engines.
     "retention_count" -> ((s, dir) => {
       retentionStats(s, dir)
-        .select(col("user_id"), col("stats_raw").cast("array<array<bigint>>").as("stats"))
+        .select(col("user_id"),
+          to_json(col("stats_raw").cast("array<array<bigint>>")).as("stats"))
     }),
     "retention_sum" -> ((s, dir) => {
       retentionStats(s, dir)
@@ -246,8 +254,10 @@ object SparkEntry {
     }),
     // MinHash+LSH near-dup pairs over a corpus with constructed near-dups
     // (each doc unioned with a truncated copy), verified by exact Jaccard.
-    "d2_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(augmentedDocs(s, dir), k = 32, bands = 8, threshold = 0.4)),
+    "d2_minhash_lsh" -> ((s, dir) => {
+      Graft.registerAll(s) // minhash_sig codegen expression
+      Dedup.minhashLshPairs(augmentedDocs(s, dir), k = 32, bands = 8, threshold = 0.4)
+    }),
     // Per-document 32-bit SimHash.
     "d3_simhash" -> ((s, dir) => {
       tbl(s, dir, "documents")
@@ -310,11 +320,14 @@ object SparkEntry {
           lower(hex(Multimodal.resize(col("bytes"), 2))).as("resized_hex"))
     }),
     // Per-partition imperative feature extraction (typed Dataset path).
+    // The feature vector is exploded to scalar (media_id, idx, feat_val)
+    // rows — the driver comparator can't sort/hash array columns.
     "m2_multimodal_features" -> ((s, dir) => {
       val media = tbl(s, dir, "documents")
         .select(col("doc_id").as("media_id"),
           Multimodal.fakeMediaBytes(col("text")).as("bytes"))
       Multimodal.extractFeatures(media)
+        .select(col("media_id"), posexplode(col("feat")).as(Seq("idx", "feat_val")))
     }),
 
     // ── Funnel analysis (UBA, beyond retention) ──────────────────────────
@@ -413,7 +426,9 @@ object SparkEntry {
     Map(
       "retention_count" ->
         s"""$retentionVecs
-           |SELECT user_id, [born_vec, target_vec] AS stats FROM v""".stripMargin,
+           |SELECT user_id,
+           |  '[[' || array_to_string(born_vec, ',') || '],[' ||
+           |  array_to_string(target_vec, ',') || ']]' AS stats FROM v""".stripMargin,
       "retention_sum" ->
         s"""$retentionVecs, idx AS (
            |  SELECT CAST(range AS BIGINT) AS i FROM range($winDays)
@@ -482,11 +497,11 @@ object SparkEntry {
         """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
       "q9_values" ->
-        """SELECT k, sum(v) AS v_sum
+        """SELECT k, CAST(sum(v) AS BIGINT) AS v_sum
           |FROM (VALUES (1, 10), (1, 20), (2, 5), (3, 7)) t(k, v)
           |GROUP BY k ORDER BY k""".stripMargin,
       "q10_sessionize" ->
-        """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
           |FROM (
           |  SELECT user_id,
           |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
@@ -732,10 +747,9 @@ object SparkEntry {
           |  h1 AS resized_hex
           |FROM h""".stripMargin,
       "m2_multimodal_features" ->
-        """SELECT doc_id AS media_id,
-          |  list_transform(range(8),
-          |    i -> ('0x' || substr(md5(text), CAST(i AS INT) * 2 + 1, 2))::INT / 256.0) AS feat
-          |FROM documents""".stripMargin,
+        """SELECT doc_id AS media_id, CAST(i AS INT) AS idx,
+          |  CAST(('0x' || substr(md5(text), CAST(i AS INT) * 2 + 1, 2))::INT AS DOUBLE) / 256.0 AS feat_val
+          |FROM documents, (SELECT CAST(range AS BIGINT) AS i FROM range(8))""".stripMargin,
       "u1_funnel_stages" ->
         s"""$funnelStagesSql
            |SELECT user_id, epoch_us(t0) AS t0_us, epoch_us(t1) AS t1_us,
@@ -752,9 +766,9 @@ object SparkEntry {
            |  FROM s2
            |)
            |SELECT count(*) AS entered,
-           |  sum(CASE WHEN stage > 0 THEN 1 ELSE 0 END) AS reached_1,
-           |  sum(CASE WHEN stage > 1 THEN 1 ELSE 0 END) AS reached_2,
-           |  sum(CASE WHEN stage > 2 THEN 1 ELSE 0 END) AS reached_3
+           |  CAST(sum(CASE WHEN stage > 0 THEN 1 ELSE 0 END) AS BIGINT) AS reached_1,
+           |  CAST(sum(CASE WHEN stage > 1 THEN 1 ELSE 0 END) AS BIGINT) AS reached_2,
+           |  CAST(sum(CASE WHEN stage > 2 THEN 1 ELSE 0 END) AS BIGINT) AS reached_3
            |FROM st""".stripMargin
     )
   }

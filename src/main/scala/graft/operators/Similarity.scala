@@ -5,7 +5,6 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor / similarity-search primitives over an
   * embedding column (`array<float>`).
@@ -44,19 +43,27 @@ object Similarity {
   def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
-  /** Hyperplane weights in [-1000, 1000]: w(p,d) = md5-hash60("p,d") %
-    * 2001 - 1000. The oracle recomputes the identical table in SQL. */
+  /** Hyperplane weights in [-1000, 1000]: w(p,d) = md5-hash60(seed+"p,d")
+    * % 2001 - 1000. The oracle recomputes the identical table in SQL.
+    * Distinct `seed`s give independent plane families (used by banded
+    * near-dup LSH). */
+  def planeWeightsSeeded(seed: String, planes: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until planes).map(p => (0 until dim).map(d => hexHash60(s"$seed$p,$d") % 2001 - 1000))
+
   def planeWeights(planes: Int, dim: Int): Seq[Seq[Long]] =
-    (0 until planes).map(p => (0 until dim).map(d => hexHash60(s"$p,$d") % 2001 - 1000))
+    planeWeightsSeeded("", planes, dim)
 
   /** Sign-sketch bucket id of a *quantized* vector: bit p set iff
     * dot(v, plane_p) >= 0. Integer-exact. */
-  def lshBucket(qvec: Column, planes: Int = 16, dim: Int = 64): Column = {
-    val ws = planeWeights(planes, dim)
+  def lshBucketSeeded(qvec: Column, seed: String, planes: Int, dim: Int = 64): Column = {
+    val ws = planeWeightsSeeded(seed, planes, dim)
     (0 until planes).map { p =>
       when(dotQ(qvec, typedLit(ws(p))) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  def lshBucket(qvec: Column, planes: Int = 16, dim: Int = 64): Column =
+    lshBucketSeeded(qvec, "", planes, dim)
 
   /** Prepares (id, quantized vector, squared norm) — the reusable corpus
     * side of every similarity query. Norms computed once, not per pair. */
@@ -80,11 +87,9 @@ object Similarity {
       .where(col("_id") =!= col("_qid"))
       .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
         cosineFrom(dotQ(col("_q"), col("_qq")), col("_n2"), col("_qn2")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
-        col("rn"))
+    // bounded partial top-k: only ≤ k rows per (partition, query) shuffle,
+    // instead of the full |corpus|×|queries| scored set through a window
+    TopK.perQuery(scored, k)
   }
 
   /** LSH-bucketed top-k: candidates restricted to the query's sign-sketch
@@ -105,10 +110,14 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, cellCol: String,
       k: Int, nprobe: Int = 2): DataFrame = {
+    // eagerly materialized: consumed by both the centroid aggregation and
+    // the probe join — a lazy persist() races its own population across
+    // branches of one action and re-derives the upstream pipeline per
+    // branch (see Dedup.minhashLshPairs)
     val base = corpus.select(col(idCol).as("_id"), quantize(col(vecCol)).as("_q"),
         col(cellCol).as("_cell"))
       .withColumn("_n2", dotQ(col("_q"), col("_q")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val cents = base
       .select(col("_cell"), posexplode(col("_q")).as(Seq("_pos", "_v")))
       .groupBy(col("_cell"), col("_pos"))
@@ -132,11 +141,7 @@ object Similarity {
       .where(col("_id") =!= col("_qid"))
       .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
         cosineFrom(dotQ(col("_q"), col("_qq")), col("_n2"), col("_qn2")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
-        col("rn"))
+    TopK.perQuery(scored, k)
   }
 
   def lshTopK(
@@ -153,10 +158,6 @@ object Similarity {
       .where(col("_id") =!= col("_qid"))
       .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
         cosineFrom(dotQ(col("_q"), col("_qq")), col("_n2"), col("_qn2")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
-        col("rn"))
+    TopK.perQuery(scored, k)
   }
 }
