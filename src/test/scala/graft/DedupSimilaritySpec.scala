@@ -92,6 +92,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
+  test("banded LSH near-dup matches brute force on real embeddings") {
+    // the recall proof for the bucketed candidate path: on the testdata
+    // corpus plus perturbed copies (the d5 query shape), banded sign-LSH
+    // finds exactly the pairs the O(n²) brute force finds
+    val e = SparkEntry.tbl(spark, TestData.dir("0.001"), "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val aug = e.unionByName(e.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), x => x * 1.1 + 0.01).as("embedding")))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = key(Dedup.embeddingNearDupPairs(aug))
+    val brute = key(Dedup.embeddingNearDupPairsBrute(aug))
+    assert(banded === brute)
+    assert(banded.nonEmpty)
+  }
+
+  test("native minhash_sig equals the composable signature") {
+    val sh = docs.select(Dedup.hashedShingleSet(col("text")).as("sh"))
+    val both = sh.select(Dedup.minhashSignature(col("sh"), 32).as("a"),
+      Dedup.minhashSignatureNative(col("sh"), 32).as("b"))
+    assert(both.where(col("a") =!= col("b")).count() === 0)
+    assert(both.count() === 6)
+  }
+
+  test("ngram document-frequency cap drops ubiquitous shingles") {
+    // dfCap=1: every shared shingle (df >= 2) is dropped, so no pair can
+    // accumulate intersections — the hot-key guard in its extreme form
+    assert(Dedup.ngramJaccardPairs(docs, threshold = 0.2, dfCap = 1).count() === 0)
+    // the default cap never fires at this scale: results unchanged
+    assert(Dedup.ngramJaccardPairs(docs, threshold = 0.2).count() > 0)
+  }
+
   test("lsh bucket is identical for identical vectors") {
     import spark.implicits._
     val two = Seq((0L, Seq(0.5f, -0.25f, 0.125f, 1.0f)), (1L, Seq(0.5f, -0.25f, 0.125f, 1.0f)))

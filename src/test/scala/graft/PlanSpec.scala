@@ -23,7 +23,7 @@ class PlanSpec extends AnyFunSuite {
     s
   }
 
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestData.dir("0.001")
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
@@ -61,9 +61,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("s1 ann: bounded partial top-k aggregate, no window over the scored set") {
+    val p = plan("s1_ann_topk")
+    assert(p.contains("ObjectHashAggregate"),
+      s"top-k should plan as a partial ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"scored set must not pass through a window operator:\n$p")
+  }
+
   test("d1 exact dedup: exactly one exchange (single shuffle on content hash)") {
     val p = plan("d1_exact_dedup")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
       s"exact dedup should shuffle once on the hash:\n$p")
+  }
+
+  test("d5 near-dup: bucketed candidate equi-join, no all-pairs join") {
+    val p = plan("d5_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), s"all-pairs cartesian in d5:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in d5:\n$p")
+  }
+
+  test("u1 funnel: single shuffle on user_id") {
+    val p = plan("u1_funnel_stages")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"funnel should shuffle exactly once, on user_id:\n$p")
   }
 }

@@ -189,6 +189,33 @@ class RetentionSpec extends AnyFunSuite {
     assert(got === Seq(Seq(2L, 1L), Seq(1L, 1L), Seq(0L)))
   }
 
+  test("golden pretty-table comparator (assert_batches_eq analogue)") {
+    // reference: src/test_util/mod.rs:32-93 — the rendered-table contract,
+    // with the sorted variant for order-insensitive grouping output
+    eventDf.createOrReplaceTempView("event_golden")
+    val df = spark.sql(
+      """select distinct_id, retention_count(
+        |  case when event='add' then true else false end,
+        |  case when event='buy' then true else false end,
+        |  20230102-20230101,
+        |  ds-20230101) as stats
+        |from event_golden group by distinct_id order by distinct_id""".stripMargin)
+    GoldenTable.assertEq(Seq(
+      "+-------------+------------------+",
+      "| distinct_id | stats            |",
+      "+-------------+------------------+",
+      "| 1           | [[1, 1], [1, 0]] |",
+      "| 2           | [[1, 0], [0, 1]] |",
+      "+-------------+------------------+"), df)
+    GoldenTable.assertSortedEq(Seq(
+      "+-------------+------------------+",
+      "| distinct_id | stats            |",
+      "+-------------+------------------+",
+      "| 2           | [[1, 0], [0, 1]] |",
+      "| 1           | [[1, 1], [1, 0]] |",
+      "+-------------+------------------+"), df)
+  }
+
   test("DataFrame column API mirrors SQL results") {
     import org.apache.spark.sql.functions._
     import graft.operators.Retention._

@@ -1,24 +1,17 @@
 package graft
 
-import scala.io.Source
+import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Minimal sqllogictest runner — the Spark analogue of the reference's
-  * vendored sqllogictest harness (reference: tests/sqllogictests/src/
-  * main.rs:63-116, engines/datafusion/normalize.rs:196-230). Runs each
-  * slt file under src/test/resources/slt against a fresh set of temp
-  * views; `retention.slt` is the reference's file, copied verbatim.
-  *
-  * Supported subset (all the reference's file uses):
-  *   - `statement ok` + SQL (CREATE TABLE … AS VALUES is rewritten to a
-  *     temp view — Spark's in-memory-catalog equivalent of DataFusion's
-  *     session tables)
-  *   - `query <types> [rowsort]` + SQL + `----` + expected rows
-  *   - value rendering: NULL, (empty), true/false, nested arrays as
-  *     `[a, b]` — matching Arrow's pretty-print in the golden blocks.
+import graft.slt.SltRunner
+
+/** Drives [[graft.slt.SltRunner]] — the Spark analogue of the reference's
+  * sqllogictest harness (reference: tests/sqllogictests/src/main.rs).
+  * `retention.slt` is the reference's file, copied verbatim.
   */
 class SltSpec extends AnyFunSuite {
 
@@ -35,63 +28,95 @@ class SltSpec extends AnyFunSuite {
     s
   }
 
-  private def render(v: Any): String = v match {
-    case null => "NULL"
-    case s: String if s.isEmpty => "(empty)"
-    case b: Boolean => if (b) "true" else "false"
-    case seq: scala.collection.Seq[_] => seq.map(render).mkString("[", ", ", "]")
-    case d: Double => BigDecimal(d).round(new java.math.MathContext(12)).toString
-    case other => other.toString
-  }
-
-  private def renderRows(df: DataFrame, rowsort: Boolean): Seq[String] = {
-    val rows = df.collect().toSeq.map(r =>
-      (0 until r.length).map(i => render(r.get(i))).mkString(" "))
-    if (rowsort) rows.sorted else rows
-  }
-
-  /** `CREATE TABLE t (a int, b varchar) as values ...` → temp view. */
-  private def rewriteCreate(sql: String): String = {
-    val create = """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s*\(([^)]*)\)\s*as\s+values\s+(.*)$""".r
-    sql match {
-      case create(name, cols, values) =>
-        val names = cols.split(",").map(_.trim.split("\\s+")(0)).mkString(", ")
-        s"CREATE OR REPLACE TEMP VIEW $name AS SELECT * FROM (VALUES $values) AS t($names)"
-      case _ => sql
-    }
-  }
-
-  private case class QueryRecord(sql: String, rowsort: Boolean, expected: Seq[String])
-
-  private def runFile(path: String): Unit = {
-    val lines = Source.fromInputStream(
-      getClass.getResourceAsStream(path), "UTF-8").getLines().toVector
-    var i = 0
-    var nQueries = 0
-    while (i < lines.length) {
-      val line = lines(i).trim
-      if (line.startsWith("statement")) {
-        val sqlLines = lines.drop(i + 1).takeWhile(l => l.trim.nonEmpty)
-        spark.sql(rewriteCreate(sqlLines.mkString("\n")))
-        i += 1 + sqlLines.length
-      } else if (line.startsWith("query")) {
-        val rowsort = line.contains("rowsort")
-        val sqlLines = lines.drop(i + 1).takeWhile(l => l.trim != "----")
-        val sql = sqlLines.mkString("\n")
-        val after = i + 1 + sqlLines.length + 1
-        val expected = lines.drop(after).takeWhile(l => l.trim.nonEmpty).map(_.trim)
-        val got = renderRows(spark.sql(sql), rowsort)
-        val exp = if (rowsort) expected.sorted else expected
-        assert(got == exp, s"slt mismatch in $path for query:\n$sql\n" +
-          s"expected:\n${exp.mkString("\n")}\ngot:\n${got.mkString("\n")}")
-        nQueries += 1
-        i = after + expected.length
-      } else i += 1
-    }
-    assert(nQueries > 0, s"no query records found in $path")
-  }
+  // slt corpus lives in the source tree (completion mode rewrites files
+  // in place, so the spec works on real paths, not classpath resources)
+  private val sltDir = Paths.get(sys.props("user.dir"), "src", "test", "resources", "slt")
 
   test("retention.slt (reference corpus, verbatim)") {
-    runFile("/slt/retention.slt")
+    val n = SltRunner.runDir(spark, sltDir, filters = Seq("retention"))
+    assert(n === 3) // the reference file's three query records
+  }
+
+  test("discovery filters by substring; no match runs nothing") {
+    assert(SltRunner.discover(sltDir, Seq("retention")).nonEmpty)
+    assert(SltRunner.discover(sltDir, Seq("no_such_file")).isEmpty)
+  }
+
+  test("completion mode regenerates retention.slt byte-identically") {
+    val p = sltDir.resolve("retention.slt")
+    val original = Files.readAllLines(p).asScala.toVector
+    val s = spark.newSession()
+    Graft.registerAll(s)
+    val regenerated = SltRunner.completeFile(s, original)
+    assert(regenerated === original)
+  }
+
+  test("strict column validation rejects wrong type letters") {
+    val s = spark.newSession()
+    val file = Vector(
+      "query TT", // actual schema is I (int) + T
+      "select 1 as a, 'x' as b",
+      "----",
+      "1 x",
+      "")
+    val e = intercept[AssertionError] {
+      SltRunner.runFile(s, "inline", file)
+    }
+    assert(e.getMessage.contains("column types 'TT' do not match result schema 'IT'"))
+  }
+
+  test("'?' type letter matches any column type") {
+    val s = spark.newSession()
+    Graft.registerAll(s)
+    val file = Vector(
+      "query I?",
+      "select 1 as a, array(1, 2) as b",
+      "----",
+      "1 [1, 2]",
+      "")
+    assert(SltRunner.runFile(s, "inline", file) === 1)
+  }
+
+  test("NaN, Infinity and float rendering match the reference's conversion rules") {
+    // conversion.rs:23-86: NaN/±Infinity spelled out; floats via
+    // BigDecimal scale-12 round, trailing zeros stripped
+    assert(SltRunner.render(Double.NaN) === "NaN")
+    assert(SltRunner.render(Double.PositiveInfinity) === "Infinity")
+    assert(SltRunner.render(Double.NegativeInfinity) === "-Infinity")
+    assert(SltRunner.render(1.0) === "1")
+    assert(SltRunner.render(0.5) === "0.5")
+    assert(SltRunner.render(1.0 / 3.0) === "0.333333333333")
+    assert(SltRunner.render(-2.5e-13) === "0") // rounds away at scale 12
+    assert(SltRunner.render("") === "(empty)")
+    assert(SltRunner.render(null) === "NULL")
+  }
+
+  test("statement error records pass when the statement fails") {
+    val s = spark.newSession()
+    val file = Vector(
+      "statement error",
+      "select * from no_such_table_xyz",
+      "")
+    assert(SltRunner.runFile(s, "inline", file) === 0)
+    val bad = Vector(
+      "statement error",
+      "select 1",
+      "")
+    intercept[AssertionError] { SltRunner.runFile(s, "inline", bad) }
+  }
+
+  test("multiline last cells expand to rows with leading spaces as dashes") {
+    // normalize.rs:80-112 (explain-plan cells)
+    val expanded = SltRunner.expandRow(Vector("a", "plan:\n  Scan t\n    Filter"))
+    assert(expanded === Vector(
+      Vector("a", "plan:"),
+      Vector("--Scan t"),
+      Vector("----Filter")))
+  }
+
+  test("workspace-root paths are normalized in result cells") {
+    // normalize.rs:125-163
+    assert(SltRunner.normalizePaths("scan file:/ws/data/t.parquet", "/ws") ===
+      "scan file:WORKSPACE_ROOT/data/t.parquet")
   }
 }

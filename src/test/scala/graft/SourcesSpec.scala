@@ -9,10 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Source/sink surface from SURVEY §2.2: parquet scan, partitioned CSV
   * directory with explicit schema, in-memory tables with explicit
-  * partitioning, VALUES relations, limit/show/collect sinks.
-  * (S3A listing tables take only Hadoop conf — untestable in this
-  * zero-egress environment; Avro needs the spark-avro connector which is
-  * not bundled, mirroring the reference's dormant avro feature gate.)
+  * partitioning, VALUES relations, limit/show/collect sinks, and the
+  * S3A object-store conf wiring ([[Graft.s3aConf]] — the store itself is
+  * unreachable zero-egress, so the test asserts the Hadoop conf contract;
+  * Avro needs the spark-avro connector which is not bundled, mirroring
+  * the reference's dormant avro feature gate).
   */
 class SourcesSpec extends AnyFunSuite {
 
@@ -28,7 +29,7 @@ class SourcesSpec extends AnyFunSuite {
     s
   }
 
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestData.dir("0.001")
 
   test("parquet scan with pushed filter and pruned columns") {
     val df = SparkEntry.tbl(spark, sf, "lineitem")
@@ -78,5 +79,29 @@ class SourcesSpec extends AnyFunSuite {
       .orderBy(col("o_totalprice").desc).limit(10)
     assert(df.collect().length === 10)
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("s3a conf helper wires the object-store settings onto the session") {
+    // the Spark analogue of the reference's register_object_store over a
+    // MinIO endpoint (tests/test_with_minio.rs:84-92); zero-egress, so we
+    // assert the Hadoop conf contract that s3a:// reads consume
+    Graft.s3aConf(spark, endpoint = "http://localhost:9000",
+      accessKey = "minio", secretKey = "minio123")
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.endpoint") === "http://localhost:9000")
+    assert(hc.get("fs.s3a.access.key") === "minio")
+    assert(hc.get("fs.s3a.secret.key") === "minio123")
+    assert(hc.get("fs.s3a.path.style.access") === "true")
+    assert(hc.get("fs.s3a.connection.ssl.enabled") === "false")
+    assert(hc.get("fs.s3a.aws.credentials.provider")
+      === "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
+  }
+
+  test("test-data locator honors the system-property override") {
+    assert(TestData.root === "/root/testdata") // default in this env
+    try {
+      sys.props("graft.testdata") = "/tmp/alt_testdata"
+      assert(TestData.dir("0.01") === "/tmp/alt_testdata/sf0.01")
+    } finally sys.props.remove("graft.testdata")
   }
 }

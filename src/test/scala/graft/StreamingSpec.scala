@@ -31,7 +31,7 @@ class StreamingSpec extends AnyFunSuite {
     * fresh dir so readStream can treat it as a file source. */
   private lazy val stagedDir: String = {
     val dir = Files.createTempDirectory("graft_stream").toString
-    SparkEntry.tbl(spark, "/root/testdata/sf0.001", "events")
+    SparkEntry.tbl(spark, TestData.dir("0.001"), "events")
       .write.mode("overwrite").parquet(dir)
     dir
   }
