@@ -37,8 +37,13 @@ class SltSpec extends AnyFunSuite {
     assert(n === 3) // the reference file's three query records
   }
 
-  test("discovery filters by substring; no match runs nothing") {
-    assert(SltRunner.discover(sltDir, Seq("retention")).nonEmpty)
+  test("scalar.slt (graft corpus: floats, NaN, dates, valuesort, statement error)") {
+    val n = SltRunner.runDir(spark, sltDir, filters = Seq("scalar"))
+    assert(n === 5)
+  }
+
+  test("discovery walks the whole corpus; filters by substring") {
+    assert(SltRunner.runDir(spark, sltDir) === 8) // retention(3) + scalar(5)
     assert(SltRunner.discover(sltDir, Seq("no_such_file")).isEmpty)
   }
 
