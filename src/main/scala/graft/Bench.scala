@@ -17,9 +17,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Graft.registerAll(spark)
     // Untimed warmup: absorbs JVM/codegen/session startup so per-query
-    // numbers measure the queries, not the first-run tax.
-    try SparkEntry.queries("q2_global_agg")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // numbers measure the queries, not the first-run tax. The dedup
+    // pipelines are warmed on a tiny slice — their tokenize/minhash/join
+    // codegen otherwise lands entirely on the first heavy query.
+    try {
+      import org.apache.spark.sql.functions.col
+      SparkEntry.queries("q2_global_agg")(spark, sfDir).count()
+      val docs = SparkEntry.tbl(spark, sfDir, "documents")
+        .limit(200).select(col("doc_id"), col("text"))
+      graft.operators.Dedup.minhashLshPairs(docs).count()
+      graft.operators.Dedup.ngramJaccardPairs(docs, n = 5).count()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    } catch { case _: Throwable => () }
     // Two timed runs per query, min reported: measures steady-state cost,
     // not JIT/codegen-compilation noise of whichever query runs first.
     // Failures are recorded explicitly (a swallowed exception would
@@ -34,8 +43,11 @@ object Bench {
               Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200)
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        // operators persist reused intermediates; drop them between runs
+        // operators materialize reused intermediates via localCheckpoint;
+        // those blocks are NOT covered by clearCache() and otherwise
+        // accumulate until GC, degrading later queries in the run
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         dt
       }
       name -> times.min

@@ -39,7 +39,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     Graft.registerAll(spark)
-    queries("retention_sum")(spark, "/root/testdata/sf0.001")
+    queries("retention_sum")(spark, TestData.dir("0.001"))
   }
 
   // Retention window shared by the retention queries: 7 days from the first
@@ -217,14 +217,14 @@ object SparkEntry {
 
     // ── Text analysis (training-data pipeline operators) ─────────────────
     "t1_token_stats" -> ((s, dir) => {
-      tbl(s, dir, "documents").select(
+      par(tbl(s, dir, "documents")).select(
         col("doc_id"),
         Text.tokenCountWs(col("text")).as("n_tokens_ws"),
         Text.tokenCount(col("text")).as("n_tokens_re"),
         length(col("text")).as("n_chars_actual"))
     }),
     "t2_quality" -> ((s, dir) => {
-      tbl(s, dir, "documents").select(
+      par(tbl(s, dir, "documents")).select(
         col("doc_id"),
         round(Text.alphaRatio(col("text")), 6).as("alpha_ratio"),
         round(Text.stopwordRatio(col("text")), 6).as("stop_ratio"),
@@ -232,12 +232,12 @@ object SparkEntry {
         Text.qualityScore(col("text")).as("quality"))
     }),
     "t3_langid" -> ((s, dir) => {
-      tbl(s, dir, "documents").select(
+      par(tbl(s, dir, "documents")).select(
         col("doc_id"), col("lang").as("lang_label"),
         Text.langId(col("text")).as("lang_pred"))
     }),
     "t4_fingerprint" -> ((s, dir) => {
-      tbl(s, dir, "documents").select(
+      par(tbl(s, dir, "documents")).select(
         col("doc_id"),
         Text.docHash(col("text")).as("doc_hash"),
         Text.fingerprint64(col("text")).as("fp64"))
@@ -260,7 +260,7 @@ object SparkEntry {
     }),
     // Per-document 32-bit SimHash.
     "d3_simhash" -> ((s, dir) => {
-      tbl(s, dir, "documents")
+      par(tbl(s, dir, "documents"))
         .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
     }),
     // Exact n-gram Jaccard pairs via shingle inverted index. n=5: on a
@@ -281,7 +281,7 @@ object SparkEntry {
     "s1_ann_topk" -> ((s, dir) => {
       Graft.registerAll(s)
       val e = tbl(s, dir, "embeddings")
-      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 20),
+      Similarity.bruteForceTopK(par(e), e.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5)
     }),
     // LSH-bucketed variant: candidates restricted to the sign-sketch
@@ -291,7 +291,7 @@ object SparkEntry {
     "s2_ann_lsh" -> ((s, dir) => {
       Graft.registerAll(s)
       val e = tbl(s, dir, "embeddings")
-      Similarity.lshTopK(e, e.where(col("vec_id") < 20),
+      Similarity.lshTopK(par(e), e.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5, planes = 6)
     }),
     // IVF variant: label column as the coarse quantizer cells; queries
@@ -299,7 +299,7 @@ object SparkEntry {
     "s3_ann_ivf" -> ((s, dir) => {
       Graft.registerAll(s)
       val e = tbl(s, dir, "embeddings")
-      Similarity.ivfTopK(e, e.where(col("vec_id") < 20),
+      Similarity.ivfTopK(par(e), e.where(col("vec_id") < 20),
         "vec_id", "embedding", "label", k = 5, nprobe = 2)
     }),
 
@@ -307,7 +307,7 @@ object SparkEntry {
     // Synthesize a binary media column, decode typed metadata, sample
     // frames, resize — all byte-exact and oracle-checkable.
     "m1_multimodal_decode" -> ((s, dir) => {
-      val media = tbl(s, dir, "documents")
+      val media = par(tbl(s, dir, "documents"))
         .select(col("doc_id").as("media_id"),
           Multimodal.fakeMediaBytes(col("text")).as("bytes"))
       media
@@ -323,7 +323,7 @@ object SparkEntry {
     // The feature vector is exploded to scalar (media_id, idx, feat_val)
     // rows — the driver comparator can't sort/hash array columns.
     "m2_multimodal_features" -> ((s, dir) => {
-      val media = tbl(s, dir, "documents")
+      val media = par(tbl(s, dir, "documents"))
         .select(col("doc_id").as("media_id"),
           Multimodal.fakeMediaBytes(col("text")).as("bytes"))
       Multimodal.extractFeatures(media)
@@ -347,21 +347,34 @@ object SparkEntry {
         Seq("signup", "click", "purchase"), windowDays = 7))
   )
 
+  /** The testdata parquet files are single-row-group, so a scan is ONE
+    * split and everything narrow downstream of it runs on one core. Fan
+    * compute-heavy per-row stages (shingling, minhash, text metrics,
+    * vector quantization) out to the session's shuffle parallelism first.
+    * At production scale the many-file / many-row-group layout provides
+    * scan parallelism naturally and the round-robin exchange is cheap
+    * relative to the compute it parallelizes. */
+  // explicit numPartitions: a bare repartition() is an AQE-coalescible
+  // shuffle, and at this data size AQE folds it back to one partition —
+  // defeating the point. REPARTITION_BY_NUM is respected.
+  private def par(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   /** Documents with constructed near-duplicates: each doc plus a
     * truncated copy at doc_id + 1,000,000. */
   private def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-    d.unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
-      expr("substring(text, 1, greatest(length(text) - 20, 1))").as("text")))
+    par(d.unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) - 20, 1))").as("text"))))
   }
 
   /** Embeddings with constructed near-duplicates: each vector plus an
     * affine-perturbed copy (x*1.1 + 0.01) at vec_id + 1,000,000. */
   private def augmentedEmb(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
-    e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    par(e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       .unionByName(e.select((col("vec_id") + 1000000).as("vec_id"),
-        transform(col("embedding"), x => x.cast("double") * 1.1 + 0.01).as("embedding")))
+        transform(col("embedding"), x => x.cast("double") * 1.1 + 0.01).as("embedding"))))
   }
 
   // Shared DuckDB fragments for the dedup/similarity oracles.
