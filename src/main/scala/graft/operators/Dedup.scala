@@ -129,8 +129,12 @@ object Dedup {
     val bandKeys = sig.select(col("_id"), posexplode(bandCols))
       .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bkey")
       .localCheckpoint()
+    // shuffle-hash hint: the band-key table is the whole corpus — at
+    // scale it must co-partition on the key, never broadcast (AQE would
+    // otherwise broadcast it whenever it dips under the 10MB threshold,
+    // an unstable and scale-wrong plan)
     val cand = bandKeys.as("a")
-      .join(bandKeys.as("b"),
+      .join(bandKeys.as("b").hint("shuffle_hash"),
         col("a._band") === col("b._band") && col("a._bkey") === col("b._bkey") &&
           col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
@@ -167,7 +171,9 @@ object Dedup {
     val hot = ex.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
       .where(col("_df") > dfCap).select(col("_s"))
     val pruned = ex.join(broadcast(hot), Seq("_s"), "left_anti")
-    pruned.as("a").join(pruned.as("b"),
+    // shuffle-hash hint: the inverted index is corpus-sized — broadcast
+    // is scale-wrong and measurably unstable (see minhashLshPairs)
+    pruned.as("a").join(pruned.as("b").hint("shuffle_hash"),
         col("a._s") === col("b._s") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"),
         col("a._n").as("n_a"), col("b._n").as("n_b"))
@@ -201,7 +207,7 @@ object Dedup {
     val bk = q.select(col("_id"), posexplode(bandCols))
       .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bb")
       .localCheckpoint()
-    val cand = bk.as("x").join(bk.as("y"),
+    val cand = bk.as("x").join(bk.as("y").hint("shuffle_hash"),
         col("x._band") === col("y._band") && col("x._bb") === col("y._bb") &&
           col("x._id") < col("y._id"))
       .select(col("x._id").as("id_a"), col("y._id").as("id_b"))

@@ -92,11 +92,6 @@ object Similarity {
     TopK.perQuery(scored, k)
   }
 
-  /** LSH-bucketed top-k: candidates restricted to the query's sign-sketch
-    * bucket — the scale path (bucket equi-join instead of cross join; at
-    * cluster scale the corpus is hash-partitioned by bucket and only
-    * matching partitions are read).
-    */
   /** IVF top-k: an inverted-file index over coarse cells. The cell
     * assignment of the corpus comes from `cellCol` (an externally trained
     * quantizer — here the dataset's cluster label; k-means training is an
@@ -144,6 +139,11 @@ object Similarity {
     TopK.perQuery(scored, k)
   }
 
+  /** LSH-bucketed top-k: candidates restricted to the query's sign-sketch
+    * bucket — the scale path (bucket equi-join instead of cross join; at
+    * cluster scale the corpus is hash-partitioned by bucket and only
+    * matching partitions are read).
+    */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
