@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Dedup, Funnel, Multimodal, Retention, Similarity}
+import graft.operators.{AsOf, Dedup, Funnel, Multimodal, Retention, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -344,7 +344,19 @@ object SparkEntry {
     // Aggregate funnel report.
     "u2_funnel_report" -> ((s, dir) =>
       Funnel.report(tbl(s, dir, "events"),
-        Seq("signup", "click", "purchase"), windowDays = 7))
+        Seq("signup", "click", "purchase"), windowDays = 7)),
+    // As-of attribution join: each purchase attributed to the latest
+    // click at or before it (same user). Unattributed rows carry a -1
+    // sentinel — NULLs in integer columns sort/hash unreliably through
+    // the pandas comparator.
+    "u3_asof_attribution" -> ((s, dir) => {
+      AsOf.latestPrior(tbl(s, dir, "events"), "purchase", "click")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"),
+          coalesce(unix_micros(col("_src_ts")), lit(-1L)).as("click_us"),
+          coalesce(unix_micros(col("ts")) - unix_micros(col("_src_ts")), lit(-1L))
+            .as("gap_us"))
+    })
   )
 
   /** The testdata parquet files are single-row-group, so a scan is ONE
@@ -782,7 +794,18 @@ object SparkEntry {
            |  CAST(sum(CASE WHEN stage > 0 THEN 1 ELSE 0 END) AS BIGINT) AS reached_1,
            |  CAST(sum(CASE WHEN stage > 1 THEN 1 ELSE 0 END) AS BIGINT) AS reached_2,
            |  CAST(sum(CASE WHEN stage > 2 THEN 1 ELSE 0 END) AS BIGINT) AS reached_3
-           |FROM st""".stripMargin
+           |FROM st""".stripMargin,
+      "u3_asof_attribution" ->
+        """SELECT user_id, event_id, epoch_us(ts) AS t_us,
+          |  coalesce(epoch_us(src_ts), -1) AS click_us,
+          |  coalesce(epoch_us(ts) - epoch_us(src_ts), -1) AS gap_us
+          |FROM (
+          |  SELECT user_id, event_id, ts, event_type,
+          |    max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+          |      PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS src_ts
+          |  FROM events WHERE event_type IN ('click', 'purchase'))
+          |WHERE event_type = 'purchase'""".stripMargin
     )
   }
 

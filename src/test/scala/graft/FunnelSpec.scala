@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Funnel
+import graft.operators.{AsOf, Funnel}
 
 class FunnelSpec extends AnyFunSuite {
 
@@ -51,6 +51,30 @@ class FunnelSpec extends AnyFunSuite {
   test("report counts are monotone and match stages") {
     val r = Funnel.report(events, Seq("signup", "click", "purchase"), 7).head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 3L, 2L, 1L)))
+  }
+
+  test("as-of join attributes each target to the latest prior source") {
+    import spark.implicits._
+    val e = Seq(
+      // user 1: click → purchase → click → purchase (each purchase takes
+      // the latest click at or before it)
+      (1L, 10L, "click", ts("2024-01-01 09:00:00")),
+      (1L, 11L, "purchase", ts("2024-01-01 10:00:00")),
+      (1L, 12L, "click", ts("2024-01-02 09:00:00")),
+      (1L, 13L, "purchase", ts("2024-01-02 10:00:00")),
+      // user 2: purchase with no prior click → null attribution
+      (2L, 20L, "purchase", ts("2024-01-01 10:00:00")),
+      (2L, 21L, "click", ts("2024-01-01 11:00:00")),
+      // user 3: click at the same instant qualifies (at-or-before)
+      (3L, 30L, "click", ts("2024-01-01 10:00:00")),
+      (3L, 31L, "purchase", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_id", "event_type", "ts").repartition(2)
+    val r = AsOf.latestPrior(e, "purchase", "click")
+      .collect().map(x => x.getLong(1) -> Option(x.getTimestamp(3))).toMap
+    assert(r(11L) === Some(ts("2024-01-01 09:00:00")))
+    assert(r(13L) === Some(ts("2024-01-02 09:00:00"))) // latest, not first
+    assert(r(20L) === None) // no prior click
+    assert(r(31L) === Some(ts("2024-01-01 10:00:00"))) // same-instant tie
   }
 
   test("same-timestamp step events qualify (>= boundary)") {
