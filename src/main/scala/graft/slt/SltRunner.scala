@@ -244,20 +244,27 @@ object SltRunner {
   /** Runs every discovered file, each against a fresh session (isolated
     * temp views, shared context) with graft functions registered —
     * mirroring the reference's fresh per-file `SessionContext`
-    * (main.rs:241-283). Returns total queries run. */
+    * (main.rs:241-283). Files run concurrently (the reference buffers
+    * its per-file tasks up to `num_cpus`, main.rs:74-87); sessions are
+    * isolated so files can't see each other's temp views. Returns total
+    * queries run. */
   def runDir(spark: SparkSession, dir: Path, filters: Seq[String] = Nil,
       complete: Boolean = false, workspaceRoot: String = ""): Int = {
-    var n = 0
-    discover(dir, filters).foreach { p =>
-      val s = spark.newSession()
-      graft.Graft.registerAll(s)
-      val lines = Files.readAllLines(p).asScala.toVector
-      if (complete) {
-        val updated = completeFile(s, lines, workspaceRoot)
-        Files.write(p, (updated.mkString("\n") + "\n").getBytes("UTF-8"))
-        n += 1
-      } else n += runFile(s, p.toString, lines, workspaceRoot)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobs = discover(dir, filters).map { p =>
+      Future {
+        val s = spark.newSession()
+        graft.Graft.registerAll(s)
+        val lines = Files.readAllLines(p).asScala.toVector
+        if (complete) {
+          val updated = completeFile(s, lines, workspaceRoot)
+          Files.write(p, (updated.mkString("\n") + "\n").getBytes("UTF-8"))
+          1
+        } else runFile(s, p.toString, lines, workspaceRoot)
+      }
     }
-    n
+    jobs.map(Await.result(_, Duration.Inf)).sum
   }
 }
