@@ -189,6 +189,26 @@ class RetentionSpec extends AnyFunSuite {
     assert(got === Seq(Seq(2L, 1L), Seq(1L, 1L), Seq(0L)))
   }
 
+  test("out-of-window time_diff fails with a clear contract error") {
+    // the reference panics on out-of-range offsets (retention_count.rs:
+    // 103-111 index out of bounds); we mirror with an explicit exception
+    // telling callers to pre-filter, per SURVEY §7.4.3
+    import spark.implicits._
+    Seq((1, "add", 20230105)) // ds outside the 2-day window
+      .toDF("distinct_id", "event", "ds").repartition(2)
+      .createOrReplaceTempView("event_oob")
+    val e = intercept[Exception] {
+      spark.sql(
+        """select distinct_id, retention_count(
+          |  event='add', event='buy', 1L, cast(ds - 20230101 as bigint)) as stats
+          |from event_oob group by distinct_id""".stripMargin).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("pre-filter the time column")),
+      s"expected the retention window contract error, got: $e")
+  }
+
   test("golden pretty-table comparator (assert_batches_eq analogue)") {
     // reference: src/test_util/mod.rs:32-93 — the rendered-table contract,
     // with the sorted variant for order-insensitive grouping output

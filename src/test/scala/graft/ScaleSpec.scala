@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+
+/** Scale-technique demonstrations as executable contracts: salted
+  * aggregation equals its unsalted form (with the skewed key spread
+  * across partial groups), and bucketed tables join without exchanges
+  * (the co-located-join story for repeated joins on the same key).
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("scale-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("salted aggregation equals unsalted on a skewed key distribution") {
+    import spark.implicits._
+    // one hot key (90% of rows) + a long tail
+    val rows = (1 to 5000).map { i =>
+      val k = if (i % 10 != 0) "hot" else s"key${i % 37}"
+      (k, i.toLong, i)
+    }
+    val df = rows.toDF("k", "v", "id").repartition(4)
+    val salted = Skew.saltedSumCount(df, "k", "v", col("id"), salts = 8)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val plain = df.groupBy(col("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(salted === plain)
+    // the partial stage really does split the hot key
+    val partials = df.withColumn("_salt", pmod(xxhash64(col("id")), lit(8)))
+      .where(col("k") === "hot").select(col("_salt")).distinct().count()
+    assert(partials > 1, "salting must spread the hot key across sub-groups")
+  }
+
+  test("bucketed tables join without a shuffle on the bucketed key") {
+    val sf = TestData.dir("0.001")
+    SparkEntry.tbl(spark, sf, "orders")
+      .write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    SparkEntry.tbl(spark, sf, "lineitem")
+      .write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join must not re-shuffle its inputs:\n$plan")
+    assert(joined.collect().map(_.getLong(1)).sum ===
+      SparkEntry.tbl(spark, sf, "lineitem").count())
+  }
+}
