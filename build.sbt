@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the dedup pipelines checkpoint corpus-sized
+  // intermediates; at 8g the bench JVM sits near the GC cliff and
+  // identical queries swing 5-20x run-to-run (observed). Host has 128g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // Whole-stage codegen across ~30 distinct queries in one JVM overflows
   // the default 240m code cache; the JIT then disables itself and later
   // queries run interpreted (observed 20x slowdowns late in Bench runs).

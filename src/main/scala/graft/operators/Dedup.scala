@@ -157,11 +157,15 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, threshold: Double = 0.3, dfCap: Int = 100000): DataFrame = {
+    // materialize the compact per-doc shingle arrays once, eagerly (see
+    // minhashLshPairs); the exploded view is re-derived from the
+    // checkpointed arrays per consumer — exploding cached arrays is
+    // cheap, and identical exchange subtrees are computed once anyway
+    // (ReusedExchange), while checkpointing the exploded table itself
+    // holds |shingles| rows in block storage for the whole query
     val sh = docs.select(col(idCol).as("_id"), hashedShingleSet(col(textCol), n).as("_sh"))
-    // consumed by both sides of the self-join and the df computation —
-    // materialize once, eagerly (see minhashLshPairs)
-    val ex = sh.select(col("_id"), size(col("_sh")).as("_n"), explode(col("_sh")).as("_s"))
       .localCheckpoint()
+    val ex = sh.select(col("_id"), size(col("_sh")).as("_n"), explode(col("_sh")).as("_s"))
     // Hot-shingle guard: a shingle present in more than dfCap documents
     // (boilerplate at web scale) fans the inverted-index join out
     // quadratically on a single shuffle key. Ubiquitous shingles carry no

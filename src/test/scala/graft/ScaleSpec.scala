@@ -51,6 +51,18 @@ class ScaleSpec extends AnyFunSuite {
 
   test("bucketed tables join without a shuffle on the bucketed key") {
     val sf = TestData.dir("0.001")
+    // the builder's warehouse conf is ignored when getOrCreate reuses an
+    // earlier suite's session, so managed-table locations can survive
+    // across JVM runs — clear both catalog entries and locations
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
     SparkEntry.tbl(spark, sf, "orders")
       .write.mode("overwrite").bucketBy(4, "o_orderkey")
       .sortBy("o_orderkey").saveAsTable("orders_b")

@@ -89,6 +89,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful funnel (flatMapGroupsWithState): stream == batch operator") {
+    import graft.streaming.StatefulFunnel
+    val steps = Seq("signup", "click", "purchase")
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream = spark.readStream.schema(schema).parquet(stagedDir)
+    val q = StatefulFunnel.perUserStages(stream, steps).toDF()
+      .writeStream.format("memory").queryName("fun").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // last emission per user wins; with buffered state later emissions
+      // supersede earlier ones, and stage counts only grow
+      val streamed = spark.table("fun").collect()
+        .map(r => r.getLong(0) -> r.getInt(1))
+        .groupMapReduce(_._1)(_._2)(_ max _)
+      val batch = graft.operators.Funnel
+        .userStages(spark.read.parquet(stagedDir), steps)
+        .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session windows: stream equals batch") {
     val schema = spark.read.parquet(stagedDir).schema
     val stream = spark.readStream.schema(schema).parquet(stagedDir)
