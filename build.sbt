@@ -26,6 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // shuffle/spill/broadcast scratch on tmpfs: the VM's virtio disk
+  // writes ~50MB/s with kernel-dominated cost and made shuffle-heavy
+  // queries swing 20-70x. Cluster analogue: local dirs on fast NVMe.
+  "-Dspark.local.dir=/dev/shm",
   // 16g default: the dedup pipelines checkpoint corpus-sized
   // intermediates; at 8g the bench JVM sits near the GC cliff and
   // identical queries swing 5-20x run-to-run (observed). Host has 128g.
