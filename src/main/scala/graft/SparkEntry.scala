@@ -203,6 +203,30 @@ object SparkEntry {
         .select(col("n_name"), col("c_custkey"),
           col("spend").cast("double").as("spend"), col("rn"))
     }),
+    // Grouping sets: ROLLUP over the pricing-summary keys (subtotals +
+    // grand total). NULL group keys are coalesced to '(all)' — the
+    // comparator can't sort mixed None/str columns.
+    "q13_rollup" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,3)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("sum_qty"), col("n"))
+    }),
+    // Set operations: INTERSECT / EXCEPT / UNION ALL over customer keys.
+    "q14_setops" -> ((s, dir) => {
+      val a = tbl(s, dir, "customer")
+        .where(col("c_nationkey") < 12).select(col("c_custkey").as("k"))
+      val b = tbl(s, dir, "orders")
+        .where(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("k")).distinct()
+      a.intersect(b).select(lit("both").as("src"), col("k"))
+        .unionByName(a.except(b).select(lit("only_a").as("src"), col("k")))
+    }),
     // Event-stream profile: per-type counts + distinct users + rounded avg.
     "q12_events_profile" -> ((s, dir) => {
       tbl(s, dir, "events")
@@ -546,6 +570,19 @@ object SparkEntry {
           |    GROUP BY c_nationkey, c_custkey)
           |) JOIN nation ON c_nationkey = n_nationkey
           |WHERE rn <= 3""".stripMargin,
+      "q13_rollup" ->
+        """SELECT coalesce(l_returnflag, '(all)') AS rf,
+          |  coalesce(l_linestatus, '(all)') AS ls,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+          |  count(*) AS n
+          |FROM lineitem
+          |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+      "q14_setops" ->
+        """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_nationkey < 12),
+          |     b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000)
+          |SELECT 'both' AS src, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+          |UNION ALL
+          |SELECT 'only_a' AS src, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)""".stripMargin,
       "q12_events_profile" ->
         """SELECT event_type, count(*) AS n,
           |  count(DISTINCT user_id) AS n_users,
