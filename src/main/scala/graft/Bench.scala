@@ -1,11 +1,104 @@
 package graft
 
+import java.lang.management.ManagementFactory
+import java.util.concurrent.TimeUnit
+
 import org.apache.spark.sql.SparkSession
 
+/** Benchmark driver. Prints ONE JSON line:
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"errors":{...},"sf":...}`
+  *
+  * Default mode forks ONE CHILD JVM PER QUERY. Running ~30 codegen-heavy
+  * queries in a single JVM contaminates later queries with the debris of
+  * earlier ones — accumulated tmpfs shuffle files competing with the heap,
+  * C2 recompilation churn, heap never returning to baseline — measured in
+  * round 2 as 7-40x inflation (s3: 122s shared-JVM vs 7.5s isolated; t1:
+  * 20.5s vs 0.6s). Per-query forking makes each number equal the query's
+  * isolated steady-state cost by construction: every child runs a fixed
+  * warmup (session + parquet init + target query once, untimed), then
+  * times two runs and reports the min. The parent never creates a
+  * SparkSession, so children are the only Spark JVM alive at any moment.
+  *
+  * `SPARK_GRAFT_BENCH_MODE=inproc` restores the single-JVM mode (useful
+  * for quick local iteration); `SPARK_GRAFT_BENCH_ONLY=<name>[,<name>...]`
+  * runs just those queries (this is also the parent->child protocol).
+  */
 object Bench {
+
+  private def sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  private def cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "fork")
+    (only, mode) match {
+      case (Some(names), _) => runInProc(names, emitTotal = false)
+      case (None, "inproc") => runInProc(SparkEntry.queries.keys.toSeq.sorted, emitTotal = true)
+      case (None, _)        => runForked()
+    }
+  }
+
+  /** Parent mode: fork a child JVM per query, sequentially (two Spark
+    * JVMs benching concurrently on one host corrupt each other's numbers).
+    * The child inherits this JVM's flags (heap, code cache, tmpfs
+    * spark.local.dir, add-opens) and classpath, so its environment is
+    * exactly the one build.sbt configures. */
+  private def runForked(): Unit = {
+    // SPARK_GRAFT_BENCH_FILTER: comma-separated names to subset the forked
+    // run (local iteration only; the driver runs the full set).
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => filter.forall(_.contains(n)))
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
+    val cp = sys.props("java.class.path")
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    names.foreach { name =>
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      jvmArgs.forEach(a => cmd.add(a))
+      cmd.add("-cp"); cmd.add(cp); cmd.add("graft.Bench")
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var line: String = null
+      var last: String = null
+      while ({ line = out.readLine(); line != null }) {
+        if (line.startsWith("""{"query":""")) last = line
+      }
+      val finished = proc.waitFor(15, TimeUnit.MINUTES)
+      if (!finished) { proc.destroyForcibly(); errors(name) = "timeout after 15 min" }
+      else if (last == null) errors(name) = s"child exited ${proc.exitValue()} without result"
+      else parseChildLine(last) match {
+        case Right(sec) => results(name) = sec
+        case Left(err)  => errors(name) = err
+      }
+    }
+    emit(results.toSeq, errors)
+  }
+
+  /** Minimal parser for the child's single-result line — the child emits
+    * `{"query":"<name>","sec":<n>}` or `{"query":"<name>","err":"<msg>"}`
+    * with no nesting, so a regex is sufficient (no JSON lib on the
+    * classpath beyond Spark's shaded ones). */
+  private def parseChildLine(line: String): Either[String, Double] = {
+    val sec = """"sec":([0-9.eE+-]+)""".r.findFirstMatchIn(line).map(_.group(1).toDouble)
+    val err = """"err":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(line)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    sec.map(Right(_)).orElse(err.map(Left(_))).getOrElse(Left(s"unparseable: $line"))
+  }
+
+  /** Child / inproc mode: run the given queries in this JVM. In child
+    * mode (emitTotal=false, single query) prints a per-query result line;
+    * in inproc mode prints the aggregate line. */
+  private def runInProc(names: Seq[String], emitTotal: Boolean): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,25 +109,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Graft.registerAll(spark)
-    // Untimed warmup: absorbs JVM/codegen/session startup so per-query
-    // numbers measure the queries, not the first-run tax. The dedup
-    // pipelines are warmed on a tiny slice — their tokenize/minhash/join
-    // codegen otherwise lands entirely on the first heavy query.
-    try {
-      import org.apache.spark.sql.functions.col
-      SparkEntry.queries("q2_global_agg")(spark, sfDir).count()
-      val docs = SparkEntry.tbl(spark, sfDir, "documents")
-        .limit(200).select(col("doc_id"), col("text"))
-      graft.operators.Dedup.minhashLshPairs(docs).count()
-      graft.operators.Dedup.ngramJaccardPairs(docs, n = 5).count()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    } catch { case _: Throwable => () }
-    // Two timed runs per query, min reported: measures steady-state cost,
-    // not JIT/codegen-compilation noise of whichever query runs first.
-    // Failures are recorded explicitly (a swallowed exception would
-    // otherwise report a plausible-looking duration for a broken query).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      // Untimed warmup: session/parquet init plus one full run of the
+      // target query, so the timed runs measure steady-state cost, not
+      // codegen/JIT compilation of this query's operators.
+      try {
+        SparkEntry.queries("q2_global_agg")(spark, sfDir).count()
+        fn(spark, sfDir).count()
+        release(spark)
+      } catch { case _: Throwable => () }
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -43,22 +128,38 @@ object Bench {
               Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200)
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        // operators materialize reused intermediates via localCheckpoint;
-        // those blocks are NOT covered by clearCache() and otherwise
-        // accumulate until GC, degrading later queries in the run
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        release(spark)
         dt
+      }
+      if (!emitTotal) {
+        if (errors.contains(name))
+          println(s"""{"query":${jstr(name)},"err":${jstr(errors(name))}}""")
+        else
+          println(s"""{"query":${jstr(name)},"sec":${times.min}}""")
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    if (emitTotal) emit(results, errors)
+    spark.stop()
+  }
+
+  /** Free cross-query state: cached tables plus localCheckpoint blocks
+    * (NOT covered by clearCache; they otherwise accumulate until GC and
+    * degrade later queries sharing the JVM). */
+  private def release(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
+  private def jstr(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def emit(results: Seq[(String, Double)],
+      errors: scala.collection.Map[String, String]): Unit = {
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }
