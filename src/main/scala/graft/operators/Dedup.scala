@@ -96,15 +96,37 @@ object Dedup {
       .withColumn("is_dup", col(idCol) =!= col("keep_id"))
   }
 
+  /** Drops rows whose (band, key) bucket holds more than `cap` members —
+    * the guard shared by the LSH candidate joins. A bucket of identical
+    * documents (boilerplate pages, a constant embedding) produces
+    * cap²-quadratic candidate pairs on ONE shuffle key before any verify
+    * stage can filter, which is the classic web-scale LSH failure mode.
+    * Oversized buckets are rare by construction, so the hot list is tiny
+    * and broadcast; with `cap` above the largest real bucket the guard
+    * never fires and results are exact. Dropped buckets lose recall only
+    * for pairs whose every shared band landed in a hot bucket — run
+    * [[exact]] dedup first (see PipelineExample) so identical documents
+    * are collapsed before LSH and hot buckets cannot form from exact
+    * copies. */
+  private def capBuckets(bk: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val hot = bk.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_members"))
+      .where(col("_members") > cap)
+      .select(keyCols.map(col): _*)
+    bk.join(broadcast(hot), keyCols, "left_anti")
+  }
+
   /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
     * k hashes in `bands` bands of k/bands rows; docs sharing any band key
     * become candidates; candidates are verified against the exact shingle
     * Jaccard and filtered by `threshold`. The band join is an equi-join on
     * (band, key) — at scale, this is the shuffle that replaces the O(n²)
-    * cross join. */
+    * cross join. `bucketCap` bounds the members of any one (band, key)
+    * bucket (quadratic-candidate guard — see [[capBuckets]]). */
   def minhashLshPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 32, bands: Int = 8, threshold: Double = 0.4): DataFrame = {
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.4,
+      bucketCap: Int = 100000): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     // The shingle sets and band keys are each consumed by several branches
@@ -126,8 +148,10 @@ object Dedup {
     val bandCols = array((0 until bands).map { j =>
       xxhash64((j * r until (j + 1) * r).map(i => element_at(col("_sig"), i + 1)): _*)
     }: _*)
-    val bandKeys = sig.select(col("_id"), posexplode(bandCols))
-      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bkey")
+    val bandKeys = capBuckets(
+      sig.select(col("_id"), posexplode(bandCols))
+        .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bkey"),
+      Seq("_band", "_bkey"), bucketCap)
       .localCheckpoint()
     // shuffle-hash hint: the band-key table is the whole corpus — at
     // scale it must co-partition on the key, never broadcast (AQE would
@@ -200,16 +224,21 @@ object Dedup {
     * 0.103) it is < 1e-3, and for the near-identical pairs dedup targets
     * (cos ≥ 0.99) effectively zero. Candidates are verified with the
     * exact quantized-integer cosine, so false positives never surface.
+    * `bucketCap` bounds any one (band, bucket)'s members (quadratic-
+    * candidate guard — see [[capBuckets]]).
     */
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
-      threshold: Double = 0.95, bands: Int = 8, planesPerBand: Int = 8): DataFrame = {
+      threshold: Double = 0.95, bands: Int = 8, planesPerBand: Int = 8,
+      bucketCap: Int = 100000): DataFrame = {
     val q = Similarity.prepare(emb, idCol, vecCol).localCheckpoint()
     val bandCols = array((0 until bands).map { b =>
       Similarity.lshBucketSeeded(col("_q"), s"nd$b:", planesPerBand)
     }: _*)
-    val bk = q.select(col("_id"), posexplode(bandCols))
-      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bb")
+    val bk = capBuckets(
+      q.select(col("_id"), posexplode(bandCols))
+        .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bb"),
+      Seq("_band", "_bb"), bucketCap)
       .localCheckpoint()
     val cand = bk.as("x").join(bk.as("y").hint("shuffle_hash"),
         col("x._band") === col("y._band") && col("x._bb") === col("y._bb") &&

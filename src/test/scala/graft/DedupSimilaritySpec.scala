@@ -124,6 +124,53 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(docs, threshold = 0.2).count() > 0)
   }
 
+  test("ngram df-cap over threshold yields the documented jaccard lower bound") {
+    import spark.implicits._
+    // A and B share 3-gram shingles {abg, bgd, gde} plus one unique tail
+    // shingle each: exact jaccard = 3/5 = 0.6. The shared shingle "alpha
+    // beta gamma" also appears in 10 filler docs (df = 12); with dfCap=10
+    // it is dropped, so the pair's intersection falls to 2 of 4+4 shingles
+    // and the reported score becomes the lower bound 2/(4+4-2) = 1/3 —
+    // still over the 0.3 threshold, proving the guard degrades scores
+    // instead of losing the pair.
+    val d = (Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon eta")) ++
+      (1L to 10L).map(i => (i, "alpha beta gamma"))).toDF("doc_id", "text")
+    def pairAB(dfCap: Int) =
+      Dedup.ngramJaccardPairs(d, dfCap = dfCap)
+        .where(col("id_a") === 100L && col("id_b") === 101L)
+        .collect().map(_.getDouble(2)).toList
+    assert(pairAB(100000) === List(0.6))
+    assert(pairAB(10) === List(0.333333))
+  }
+
+  test("minhash LSH bucket cap drops hot buckets, keeps cold pairs") {
+    import spark.implicits._
+    // 6 identical copies of X: every band key is a 6-member bucket →
+    // dropped at cap 4, so none of the 15 X-pairs survive. The Y pair
+    // lives in 2-member buckets and is unaffected. Default cap: all pairs.
+    val d = ((1L to 6L).map(i => (i, "the quick brown fox jumps over the lazy dog")) ++
+      Seq((20L, "entirely unrelated text about distributed query planning engines"),
+          (21L, "entirely unrelated text about distributed query planning engines")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(d, bucketCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((20L, 21L)))
+    assert(Dedup.minhashLshPairs(d).count() === 16)
+  }
+
+  test("embedding near-dup bucket cap drops hot buckets") {
+    import spark.implicits._
+    // 6 identical vectors share every (band, bucket) → 6-member buckets
+    // are dropped at cap 5 and no pair survives; the default cap keeps
+    // all 15 clone pairs
+    val d = (1L to 6L).map(i => (i, Seq(0.5f, -0.25f, 0.125f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDupPairs(d, bucketCap = 5).count() === 0)
+    assert(Dedup.embeddingNearDupPairs(d).count() === 15)
+  }
+
   test("lsh bucket is identical for identical vectors") {
     import spark.implicits._
     val two = Seq((0L, Seq(0.5f, -0.25f, 0.125f, 1.0f)), (1L, Seq(0.5f, -0.25f, 0.125f, 1.0f)))
