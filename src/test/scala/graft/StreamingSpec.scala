@@ -111,6 +111,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("evicting funnel drops user state after t0 + windowDays passes the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulFunnel
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val events = mem.toDF.toDF("user_id", "event_type", "ts")
+    val q = StatefulFunnel
+      .perUserStagesEvicting(events, Seq("signup", "click", "purchase"),
+        windowDays = 7, watermarkDelay = "1 hour")
+      .toDF()
+      .writeStream.format("memory").queryName("fev").outputMode("update").start()
+    try {
+      mem.addData((1L, "signup", t("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("fev").where("user_id = 1").count() === 1)
+      // two far-future step events advance the watermark past the user's
+      // t0 + 7d deadline (batch N's watermark derives from batch N-1's
+      // data, hence two batches); the second batch processes the timeout
+      // and removes user 1's state
+      mem.addData((99L, "signup", t("2024-03-01 00:00:00")))
+      q.processAllAvailable()
+      mem.addData((98L, "signup", t("2024-03-02 00:00:00")))
+      q.processAllAvailable()
+      // a later click for user 1: state was evicted, so there is no t0 on
+      // file and nothing is emitted; surviving state would have re-walked
+      // and emitted a second stage-1 row for the click update
+      mem.addData((1L, "click", t("2024-03-03 00:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("fev").where("user_id = 1").count() === 1)
+    } finally q.stop()
+  }
+
+  test("evicting retention clears state after the window end passes the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulRetention
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val events = mem.toDF.toDF("user_id", "event_type", "ts")
+    val q = StatefulRetention
+      .perUserStatsEvicting(events, "2024-01-01", 7, "signup", "purchase")
+      .toDF()
+      .writeStream.format("memory").queryName("rev").outputMode("update").start()
+    try {
+      mem.addData((1L, "signup", t("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("rev").where("user_id = 1").count() === 1)
+      // out-of-window events advance the watermark (the window filter is
+      // on the watermark column, so it stays above the watermark node and
+      // these rows reach the clock) without creating any state of their own
+      mem.addData((99L, "browse", t("2024-03-01 00:00:00")))
+      q.processAllAvailable()
+      mem.addData((98L, "browse", t("2024-03-02 00:00:00")))
+      q.processAllAvailable()
+      // the state store must drain to zero rows once the timeout fires
+      val deadline = System.currentTimeMillis() + 30000
+      def stateRows: Option[Long] = Option(q.lastProgress)
+        .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
+      while (stateRows.forall(_ > 0) && System.currentTimeMillis() < deadline) {
+        mem.addData((97L, "browse", t("2024-03-03 00:00:00")))
+        q.processAllAvailable()
+      }
+      assert(stateRows === Some(0L))
+    } finally q.stop()
+  }
+
   test("session windows: stream equals batch") {
     val schema = spark.read.parquet(stagedDir).schema
     val stream = spark.readStream.schema(schema).parquet(stagedDir)
