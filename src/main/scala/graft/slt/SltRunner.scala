@@ -104,8 +104,12 @@ object SltRunner {
   // ── records ────────────────────────────────────────────────────────────
 
   sealed trait Record
-  /** `statement ok` / `statement error` + SQL. */
-  case class Statement(sql: String, expectError: Boolean, line: Int) extends Record
+  /** `statement ok` / `statement error [<expected>]` + SQL. `expected`
+    * (the rest of the record line after `error`) constrains the failure:
+    * the thrown message must match it as a regex, or contain it verbatim
+    * when it doesn't compile — sqllogictest's error-message semantics. */
+  case class Statement(sql: String, expectError: Boolean, line: Int,
+      expected: Option[String] = None) extends Record
   /** `query <types> [sortmode]` + SQL + expected block.
     * `expectedStart/expectedEnd` are 0-based line indexes of the expected
     * block (for in-place completion). */
@@ -120,8 +124,11 @@ object SltRunner {
       val line = lines(i).trim
       if (line.startsWith("statement")) {
         val expectError = line.contains("error")
+        val expected = if (expectError)
+          Some(line.replaceFirst("^statement\\s+error\\s*", "").trim).filter(_.nonEmpty)
+        else None
         val sqlLines = lines.drop(i + 1).takeWhile(_.trim.nonEmpty)
-        out += Statement(sqlLines.mkString("\n"), expectError, i)
+        out += Statement(sqlLines.mkString("\n"), expectError, i, expected)
         i += 1 + sqlLines.length
       } else if (line.startsWith("query")) {
         val parts = line.split("\\s+").toSeq
@@ -180,11 +187,22 @@ object SltRunner {
     parse(lines).foreach {
       case s: Statement =>
         if (s.expectError) {
-          val failed =
-            try { spark.sql(rewriteCreate(s.sql)).collect(); false }
-            catch { case _: Exception => true }
-          if (!failed) throw new AssertionError(
-            s"$name:${s.line + 1}: statement error expected but succeeded:\n${s.sql}")
+          val thrown =
+            try { spark.sql(rewriteCreate(s.sql)).collect(); None }
+            catch { case e: Exception => Some(e) }
+          thrown match {
+            case None => throw new AssertionError(
+              s"$name:${s.line + 1}: statement error expected but succeeded:\n${s.sql}")
+            case Some(e) => s.expected.foreach { want =>
+              val msg = Option(e.getMessage).getOrElse("")
+              val matches =
+                try want.r.findFirstIn(msg).isDefined
+                catch { case _: Exception => msg.contains(want) }
+              if (!matches) throw new AssertionError(
+                s"$name:${s.line + 1}: statement failed with a different error.\n" +
+                  s"expected (regex or substring): $want\ngot: ${msg.take(500)}")
+            }
+          }
         } else spark.sql(rewriteCreate(s.sql)).collect()
       case q: Query =>
         val (got, letters) = execQuery(spark, q, workspaceRoot)

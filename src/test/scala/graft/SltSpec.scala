@@ -110,6 +110,29 @@ class SltSpec extends AnyFunSuite {
     intercept[AssertionError] { SltRunner.runFile(s, "inline", bad) }
   }
 
+  test("statement error message matching: regex/substring against the thrown error") {
+    val s = spark.newSession()
+    // matching expected text passes
+    val ok = Vector(
+      "statement error TABLE_OR_VIEW_NOT_FOUND",
+      "select * from no_such_table_xyz",
+      "")
+    assert(SltRunner.runFile(s, "inline", ok) === 0)
+    // a failure with a DIFFERENT message than expected is a harness error
+    val wrong = Vector(
+      "statement error DIVIDE_BY_ZERO",
+      "select * from no_such_table_xyz",
+      "")
+    val e = intercept[AssertionError] { SltRunner.runFile(s, "inline", wrong) }
+    assert(e.getMessage.contains("different error"))
+    // regex alternation is honored
+    val rx = Vector(
+      "statement error (FOO|TABLE_OR_VIEW_NOT_FOUND)",
+      "select * from no_such_table_xyz",
+      "")
+    assert(SltRunner.runFile(s, "inline", rx) === 0)
+  }
+
   test("multiline last cells expand to rows with leading spaces as dashes") {
     // normalize.rs:80-112 (explain-plan cells)
     val expanded = SltRunner.expandRow(Vector("a", "plan:\n  Scan t\n    Filter"))
