@@ -318,6 +318,15 @@ object SparkEntry {
       Similarity.lshTopK(par(e), e.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5, planes = 6)
     }),
+    // Multi-probe LSH: the production recall knob — each query also
+    // probes every Hamming-1 bucket (one flipped sign bit), recovering
+    // neighbors that fell one hyperplane to the wrong side.
+    "s4_ann_multiprobe" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.lshTopKMultiProbe(par(e), e.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, planes = 6)
+    }),
     // IVF variant: label column as the coarse quantizer cells; queries
     // probe their 2 nearest integer centroids.
     "s3_ann_ivf" -> ((s, dir) => {
@@ -749,6 +758,38 @@ object SparkEntry {
            |), scored AS (
            |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dotCosSql AS cos
            |  FROM qb a JOIN qb b ON a.vec_id < 20 AND b.bucket = a.bucket AND b.vec_id != a.vec_id
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored
+           |)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+      "s4_ann_multiprobe" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |), $quantEmbSql, w AS (
+           |  SELECT p, list_transform(range(64),
+           |    d -> ((('0x' || substr(md5(CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15))::BIGINT) % 2001) - 1000) AS wv
+           |  FROM (SELECT CAST(range AS BIGINT) AS p FROM range(6))
+           |), dots AS (
+           |  SELECT qn.vec_id, w.p,
+           |    list_sum(list_transform(range(1, 65), d -> qn.qv[CAST(d AS INT)] * w.wv[CAST(d AS INT)])) AS dp
+           |  FROM qn, w
+           |), bkt AS (
+           |  SELECT vec_id, CAST(sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM dots GROUP BY vec_id
+           |), qb AS (
+           |  SELECT qn.vec_id, qn.qv, qn.n2, bkt.bucket FROM qn JOIN bkt USING (vec_id)
+           |), masks AS (
+           |  SELECT CAST(0 AS BIGINT) AS m
+           |  UNION ALL
+           |  SELECT CAST(1 AS BIGINT) << CAST(range AS INT) FROM range(6)
+           |), probes AS (
+           |  SELECT a.vec_id, a.qv, a.n2, xor(a.bucket, masks.m) AS bucket
+           |  FROM qb a, masks WHERE a.vec_id < 20
+           |), scored AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dotCosSql AS cos
+           |  FROM probes a JOIN qb b ON b.bucket = a.bucket AND b.vec_id != a.vec_id
            |), ranked AS (
            |  SELECT query_id, neighbor_id, cos,
            |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn

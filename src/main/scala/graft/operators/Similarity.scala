@@ -160,4 +160,31 @@ object Similarity {
         cosineFrom(dotQ(col("_q"), col("_qq")), col("_n2"), col("_qn2")).as("cos"))
     TopK.perQuery(scored, k)
   }
+
+  /** Multi-probe variant of [[lshTopK]]: each query probes its own bucket
+    * PLUS every Hamming-1 neighbor (one sign bit flipped), `planes + 1`
+    * probes total. Near neighbors that land one hyperplane to the "wrong"
+    * side of the query — the dominant recall loss of single-probe
+    * sign-LSH — are recovered at the cost of probing a constant factor
+    * more buckets, not more planes (which would shrink every bucket).
+    * The plan shape is unchanged: the probe list explodes the tiny
+    * broadcast query side, the corpus side stays a bucket equi-join with
+    * one bucket per vector, so no candidate pair is generated twice. */
+  def lshTopKMultiProbe(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Int = 16, dim: Int = 64): DataFrame = {
+    val c = prepare(corpus, idCol, vecCol)
+      .withColumn("_bucket", lshBucket(col("_q"), planes, dim))
+    val masks = typedLit(0L +: (0 until planes).map(p => 1L << p))
+    val q = prepare(queries, idCol, vecCol)
+      .withColumn("_b0", lshBucket(col("_q"), planes, dim))
+      .select(col("_id").as("_qid"), col("_q").as("_qq"), col("_n2").as("_qn2"),
+        explode(transform(masks, m => col("_b0").bitwiseXOR(m))).as("_bucket"))
+    val scored = c.join(broadcast(q), "_bucket")
+      .where(col("_id") =!= col("_qid"))
+      .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
+        cosineFrom(dotQ(col("_q"), col("_qq")), col("_n2"), col("_qn2")).as("cos"))
+    TopK.perQuery(scored, k)
+  }
 }

@@ -171,6 +171,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.embeddingNearDupPairs(d).count() === 15)
   }
 
+  test("multi-probe LSH recall dominates single-probe against brute force") {
+    // recall@5 on the testdata corpus: multi-probe (Hamming-1 probes)
+    // must find a superset of single-probe's true neighbors, since its
+    // probe set contains the exact bucket
+    val e = SparkEntry.tbl(spark, TestData.dir("0.001"), "embeddings")
+    val queries = e.where(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5))
+    val single = pairs(Similarity.lshTopK(e, queries, "vec_id", "embedding", k = 5, planes = 6))
+    val multi = pairs(Similarity.lshTopKMultiProbe(e, queries, "vec_id", "embedding", k = 5, planes = 6))
+    val rSingle = (single & brute).size.toDouble / brute.size
+    val rMulti = (multi & brute).size.toDouble / brute.size
+    assert(rMulti >= rSingle)
+    assert(rMulti > 0.0)
+    info(f"recall@5: single-probe $rSingle%.3f, multi-probe $rMulti%.3f")
+  }
+
   test("lsh bucket is identical for identical vectors") {
     import spark.implicits._
     val two = Seq((0L, Seq(0.5f, -0.25f, 0.125f, 1.0f)), (1L, Seq(0.5f, -0.25f, 0.125f, 1.0f)))
