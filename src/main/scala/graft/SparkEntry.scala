@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{AsOf, Dedup, Funnel, Multimodal, Retention, Similarity}
+import graft.operators.{AsOf, Dedup, Funnel, Multimodal, Retention, Similarity, Skew, Split}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -389,7 +389,30 @@ object SparkEntry {
           coalesce(unix_micros(col("_src_ts")), lit(-1L)).as("click_us"),
           coalesce(unix_micros(col("ts")) - unix_micros(col("_src_ts")), lit(-1L))
             .as("gap_us"))
-    })
+    }),
+    // Salted two-stage aggregation over a power-law key (event_type):
+    // must equal the plain GROUP BY exactly — decimal sums keep the
+    // equality exact regardless of salt partitioning.
+    "u4_skew_salted" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+        .withColumn("v", col("value").cast("decimal(18,2)"))
+      Skew.saltedSumCount(e, "event_type", "v", saltFrom = col("event_id"))
+        .select(col("event_type"),
+          col("sum_value").cast("double").as("sum_value"), col("n"))
+    }),
+
+    // ── Pipeline plumbing ────────────────────────────────────────────────
+    // Dedup groups: connected components over the d2 near-dup pairs —
+    // pairwise matches become keeper groups (min id per component).
+    "d6_dedup_groups" -> ((s, dir) => {
+      Graft.registerAll(s)
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(augmentedDocs(s, dir), k = 32, bands = 8, threshold = 0.4))
+    }),
+    // Deterministic hash-based train/val/test assignment: a pure
+    // projection of the id, stable across partitioning/cluster size.
+    "p1_hash_split" -> ((s, dir) =>
+      Split.assignSplit(tbl(s, dir, "documents").select(col("doc_id")), "doc_id"))
   )
 
   /** The testdata parquet files are single-row-group, so a scan is ONE
@@ -455,6 +478,34 @@ object SparkEntry {
   private val dotCosSql = // cosine between aliases a and b over qn rows
     """CAST(list_sum(list_transform(range(1, 65), d -> a.qv[CAST(d AS INT)] * b.qv[CAST(d AS INT)])) AS DOUBLE)
       | / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))""".stripMargin
+  // The full d2 minhash+LSH pair pipeline — shared by the d2 oracle and
+  // the d6 connected-components oracle (which clusters the same pairs).
+  private def d2PairsSql: String = {
+    val (as, bs) = Dedup.minhashParams(32)
+    s"""WITH ${augShinglesSql(3)}, params AS (
+       |  SELECT ${as.mkString("[", ", ", "]")} AS alist,
+       |         ${bs.mkString("[", ", ", "]")} AS blist
+       |), sigs AS (
+       |  SELECT id, list_transform(range(32),
+       |    i -> list_min(list_transform(sh,
+       |      h -> (alist[CAST(i AS INT) + 1] * (h % ${Dedup.MinhashM}) + blist[CAST(i AS INT) + 1]) % ${Dedup.MinhashP}))) AS sig
+       |  FROM shs, params
+       |), bandkeys AS (
+       |  SELECT id, CAST(j AS INT) AS band,
+       |    md5(array_to_string(list_transform(range(CAST(j AS INT) * 4 + 1, CAST(j AS INT) * 4 + 5),
+       |      x -> CAST(sig[CAST(x AS INT)] AS VARCHAR)), ',')) AS bkey
+       |  FROM sigs, (SELECT CAST(range AS BIGINT) AS j FROM range(8))
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+       |), veri AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |      CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN shs sa ON cand.id_a = sa.id JOIN shs sb ON cand.id_b = sb.id
+       |)
+       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM veri WHERE jaccard >= 0.4""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = {
     val retentionVecs =
@@ -668,32 +719,7 @@ object SparkEntry {
           |  count(*) OVER (PARTITION BY content_hash) AS n_copies,
           |  doc_id != min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
           |FROM h""".stripMargin,
-      "d2_minhash_lsh" -> {
-        val (as, bs) = Dedup.minhashParams(32)
-        s"""WITH ${augShinglesSql(3)}, params AS (
-           |  SELECT ${as.mkString("[", ", ", "]")} AS alist,
-           |         ${bs.mkString("[", ", ", "]")} AS blist
-           |), sigs AS (
-           |  SELECT id, list_transform(range(32),
-           |    i -> list_min(list_transform(sh,
-           |      h -> (alist[CAST(i AS INT) + 1] * (h % ${Dedup.MinhashM}) + blist[CAST(i AS INT) + 1]) % ${Dedup.MinhashP}))) AS sig
-           |  FROM shs, params
-           |), bandkeys AS (
-           |  SELECT id, CAST(j AS INT) AS band,
-           |    md5(array_to_string(list_transform(range(CAST(j AS INT) * 4 + 1, CAST(j AS INT) * 4 + 5),
-           |      x -> CAST(sig[CAST(x AS INT)] AS VARCHAR)), ',')) AS bkey
-           |  FROM sigs, (SELECT CAST(range AS BIGINT) AS j FROM range(8))
-           |), cand AS (
-           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-           |  FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
-           |), veri AS (
-           |  SELECT id_a, id_b,
-           |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-           |      CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
-           |  FROM cand JOIN shs sa ON cand.id_a = sa.id JOIN shs sb ON cand.id_b = sb.id
-           |)
-           |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM veri WHERE jaccard >= 0.4""".stripMargin
-      },
+      "d2_minhash_lsh" -> d2PairsSql,
       "d3_simhash" ->
         s"""WITH n AS (
            |  SELECT doc_id, list_distinct($normToksSql) AS toks FROM documents
@@ -883,7 +909,35 @@ object SparkEntry {
           |      PARTITION BY user_id ORDER BY ts, event_id
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS src_ts
           |  FROM events WHERE event_type IN ('click', 'purchase'))
-          |WHERE event_type = 'purchase'""".stripMargin
+          |WHERE event_type = 'purchase'""".stripMargin,
+      "u4_skew_salted" ->
+        """SELECT event_type,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM events GROUP BY event_type""".stripMargin,
+      "d6_dedup_groups" ->
+        s"""WITH RECURSIVE prs AS (
+           |$d2PairsSql
+           |), edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM prs
+           |  UNION
+           |  SELECT id_b, id_a FROM prs
+           |), nodes AS (
+           |  SELECT DISTINCT src AS id FROM edges
+           |), cc(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT cc.id, e.dst FROM cc JOIN edges e ON cc.r = e.src
+           |)
+           |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS group_id
+           |FROM cc GROUP BY id""".stripMargin,
+      "p1_hash_split" ->
+        """SELECT doc_id, b AS bucket,
+          |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+          |FROM (
+          |  SELECT doc_id,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+          |  FROM documents)""".stripMargin
     )
   }
 

@@ -256,6 +256,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Dedup group assignment: connected components over a near-dup pair
+    * table (any of [[minhashLshPairs]] / [[ngramJaccardPairs]] /
+    * [[embeddingNearDupPairs]]) — the step that turns pairwise matches
+    * into keeper groups: every document in a component gets the
+    * component's minimum id as `group_id`, so `doc_id = group_id` selects
+    * one keeper per group.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels — one
+    * equi-join + one aggregation, both shuffles on the node id, per
+    * round; rounds needed = the graph diameter. Near-dup graphs are
+    * star/clique-like (diameter 2-4 even for huge corpora), so the round
+    * count stays small where a path-graph worst case would not; for
+    * adversarial diameters switch to large-star/small-star (Kiveris et
+    * al.), which squares paths down in O(log n) rounds at the cost of a
+    * more complex update. Labels are eagerly materialized per round
+    * (same rationale as the checkpoint in [[minhashLshPairs]]) and
+    * convergence is detected by counting changed labels.
+    *
+    * Output: (doc_id, group_id) for every node appearing in `pairs`;
+    * documents without any near-dup pair are their own singleton group —
+    * left-join this result and coalesce to the document's own id. */
+  def connectedComponents(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("lbl").as("slbl")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("slbl")).as("nlbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.select(col("id"), col("lbl").as("nl"))
+        .join(labels, "id").where(col("nl") =!= col("lbl")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("group_id"))
+  }
+
   /** All-pairs brute-force variant of [[embeddingNearDupPairs]] — exact
     * recall oracle for tests; O(n²), never the shipped query path. */
   def embeddingNearDupPairsBrute(

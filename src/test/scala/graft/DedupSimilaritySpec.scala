@@ -171,6 +171,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.embeddingNearDupPairs(d).count() === 15)
   }
 
+  test("connected components collapse pair chains into keeper groups") {
+    import spark.implicits._
+    // a 3-chain (1-2, 2-3) and an isolated pair (10-11): every node takes
+    // its component's min id, so doc_id == group_id selects one keeper
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val r = Dedup.connectedComponents(pairs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components converge on a long path graph") {
+    import spark.implicits._
+    // diameter 11: needs several propagation rounds, well under maxIter
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val groups = Dedup.connectedComponents(pairs).collect().map(_.getLong(1)).toSet
+    assert(groups === Set(1L))
+  }
+
   test("multi-probe LSH recall dominates single-probe against brute force") {
     // recall@5 on the testdata corpus: multi-probe (Hamming-1 probes)
     // must find a superset of single-probe's true neighbors, since its

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Skew
+import graft.operators.{Skew, Split}
 
 /** Scale-technique demonstrations as executable contracts: salted
   * aggregation equals its unsalted form (with the skewed key spread
@@ -47,6 +47,24 @@ class ScaleSpec extends AnyFunSuite {
     val partials = df.withColumn("_salt", pmod(xxhash64(col("id")), lit(8)))
       .where(col("k") === "hot").select(col("_salt")).distinct().count()
     assert(partials > 1, "salting must spread the hot key across sub-groups")
+  }
+
+  test("hash split is deterministic, exhaustive, and proportional") {
+    val docs = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
+      .select(col("doc_id"))
+    def assignments = Split.assignSplit(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val a = assignments
+    assert(a === assignments) // pure function of the id: stable re-read
+    val byName = a.values.groupMapReduce(identity)(_ => 1)(_ + _)
+    assert(byName.keySet === Set("train", "val", "test"))
+    val n = a.size.toDouble
+    assert(byName("train") / n > 0.8 && byName("train") / n < 0.97)
+    // custom weights whose remainder falls into the last split
+    val two = Split.assignSplit(docs, "doc_id", Seq("fit" -> 50, "holdout" -> 10))
+      .collect().map(_.getString(2))
+    assert(two.toSet === Set("fit", "holdout"))
+    assert(two.count(_ == "holdout") > two.length / 4) // 10% + 40% remainder
   }
 
   test("bucketed tables join without a shuffle on the bucketed key") {
