@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{LongArrayDot, MinhashSig}
+import graft.functions.{HashedShingles, LongArrayDot, MinhashSig}
 import graft.operators.Retention
 
 /** Session facade for the graft engine — the analogue of the reference's
@@ -41,6 +41,7 @@ object Graft {
     Retention.register(spark)
     LongArrayDot.register(spark)
     MinhashSig.register(spark)
+    HashedShingles.register(spark)
   }
 
   /** Applies S3A object-store configuration to the session's Hadoop conf —
@@ -87,6 +88,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MinhashSig].getName, MinhashSig.name),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.MinhashSig(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier(HashedShingles.name),
+      new ExpressionInfo(classOf[graft.functions.HashedShingles].getName, HashedShingles.name),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.HashedShingles(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -291,8 +291,10 @@ object SparkEntry {
     // low-entropy vocabulary, 3-gram document frequencies explode the
     // inverted-index join quadratically; 5-grams keep shingles near-unique
     // so join fan-out ≈ true near-dup pairs.
-    "d4_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(augmentedDocs(s, dir), n = 5, threshold = 0.3)),
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      Graft.registerAll(s) // hashed_shingles codegen expression
+      Dedup.ngramJaccardPairs(augmentedDocs(s, dir), n = 5, threshold = 0.3)
+    }),
     // Embedding-cosine near-dup pairs (brute force baseline) over a corpus
     // with constructed near-dups (affine-perturbed copies).
     "d5_embedding_neardup" -> ((s, dir) => {

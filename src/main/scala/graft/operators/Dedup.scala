@@ -39,9 +39,21 @@ object Dedup {
   /** Shingle set as 60-bit hashes: one md5 per shingle, then everything
     * downstream (minhash, band keys, intersections, joins) works on longs
     * — an order of magnitude cheaper to shuffle and compare than strings.
-    * Collision probability at 60 bits is negligible (~n²/2⁶¹). */
+    * Collision probability at 60 bits is negligible (~n²/2⁶¹).
+    *
+    * Composable reference form — beware that the higher-order lambdas
+    * re-evaluate the tokenization subtree per shingle in interpreted mode
+    * (10-80x per-task blowup measured on the shingle stage); the query
+    * paths use [[hashedShingleSetNative]], which computes the identical
+    * hashes in one pass. Kept as the equivalence-test oracle and for
+    * sessions without the graft registry. */
   def hashedShingleSet(text: Column, n: Int = 3): Column =
     array_distinct(transform(shingleSet(text, n), s => hash60(s)))
+
+  /** [[hashedShingleSet]] via the fused one-pass expression — requires
+    * [[graft.Graft.registerAll]] on the session. Identical output. */
+  def hashedShingleSetNative(text: Column, n: Int = 3): Column =
+    call_function(graft.functions.HashedShingles.name, text, lit(n))
 
   // MinHash hash family h_i(x) = (a_i * (x mod 2^28) + b_i) mod (2^31-1).
   // Constants are md5-derived (reproducible in SQL); sizes are chosen so
@@ -138,7 +150,7 @@ object Dedup {
     // lineage, making the fast path unconditional; blocks are freed by the
     // ContextCleaner when the result is garbage-collected. On a multi-node
     // cluster with executor loss, swap for a reliable checkpoint dir.
-    val sh = docs.select(col(idCol).as("_id"), hashedShingleSet(col(textCol)).as("_sh"))
+    val sh = docs.select(col(idCol).as("_id"), hashedShingleSetNative(col(textCol)).as("_sh"))
       .localCheckpoint()
     val sig = sh.withColumn("_sig", minhashSignatureNative(col("_sh"), k))
     // band key = xxhash64 of the band's r signature values — native fixed
@@ -187,7 +199,7 @@ object Dedup {
     // cheap, and identical exchange subtrees are computed once anyway
     // (ReusedExchange), while checkpointing the exploded table itself
     // holds |shingles| rows in block storage for the whole query
-    val sh = docs.select(col(idCol).as("_id"), hashedShingleSet(col(textCol), n).as("_sh"))
+    val sh = docs.select(col(idCol).as("_id"), hashedShingleSetNative(col(textCol), n).as("_sh"))
       .localCheckpoint()
     val ex = sh.select(col("_id"), size(col("_sh")).as("_n"), explode(col("_sh")).as("_s"))
     // Hot-shingle guard: a shingle present in more than dfCap documents

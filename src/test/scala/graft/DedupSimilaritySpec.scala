@@ -108,6 +108,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(banded.nonEmpty)
   }
 
+  test("native hashed_shingles equals the composable shingle pipeline") {
+    // byte-identical hashes AND order on the spec docs plus a slice of
+    // the real corpus, for both n=3 and n=5 (the d2/d4 settings)
+    val real = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
+      .select(col("doc_id"), col("text")).limit(100)
+    for (d <- Seq(docs, real); n <- Seq(3, 5)) {
+      val both = d.select(
+        Dedup.hashedShingleSet(col("text"), n).as("a"),
+        Dedup.hashedShingleSetNative(col("text"), n).as("b"))
+      assert(both.where(col("a") =!= col("b")).count() === 0)
+      assert(both.count() > 0)
+    }
+  }
+
   test("native minhash_sig equals the composable signature") {
     val sh = docs.select(Dedup.hashedShingleSet(col("text")).as("sh"))
     val both = sh.select(Dedup.minhashSignature(col("sh"), 32).as("a"),
