@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{HashedShingles, LongArrayDot, MinhashSig}
+import graft.functions.{Fingerprint64, HashedShingles, LongArrayDot, MinhashSig, Simhash32}
 import graft.operators.Retention
 
 /** Session facade for the graft engine — the analogue of the reference's
@@ -42,6 +42,8 @@ object Graft {
     LongArrayDot.register(spark)
     MinhashSig.register(spark)
     HashedShingles.register(spark)
+    Simhash32.register(spark)
+    Fingerprint64.register(spark)
   }
 
   /** Applies S3A object-store configuration to the session's Hadoop conf —
@@ -94,6 +96,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.HashedShingles].getName, HashedShingles.name),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.HashedShingles(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier(Simhash32.name),
+      new ExpressionInfo(classOf[graft.functions.Simhash32].getName, Simhash32.name),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.Simhash32(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier(Fingerprint64.name),
+      new ExpressionInfo(classOf[graft.functions.Fingerprint64].getName, Fingerprint64.name),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.Fingerprint64(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

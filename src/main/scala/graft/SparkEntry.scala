@@ -261,10 +261,11 @@ object SparkEntry {
         Text.langId(col("text")).as("lang_pred"))
     }),
     "t4_fingerprint" -> ((s, dir) => {
+      Graft.registerAll(s) // fingerprint64 codegen expression
       par(tbl(s, dir, "documents")).select(
         col("doc_id"),
         Text.docHash(col("text")).as("doc_hash"),
-        Text.fingerprint64(col("text")).as("fp64"))
+        Text.fingerprint64Native(col("text")).as("fp64"))
     }),
 
     // ── Deduplication (training-data pipeline operators) ─────────────────
@@ -284,8 +285,9 @@ object SparkEntry {
     }),
     // Per-document 32-bit SimHash.
     "d3_simhash" -> ((s, dir) => {
+      Graft.registerAll(s) // simhash32 codegen expression
       par(tbl(s, dir, "documents"))
-        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+        .select(col("doc_id"), Dedup.simhash32Native(col("text")).as("simhash"))
     }),
     // Exact n-gram Jaccard pairs via shingle inverted index. n=5: on a
     // low-entropy vocabulary, 3-gram document frequencies explode the

@@ -49,15 +49,7 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
     * arrays — the per-row loop is one virtual call, not re-generated
     * source). */
   def compute(s: UTF8String): UnsafeArrayData = {
-    // normalized(text): lower → \s+ -> ' ' → trim spaces (Spark's trim
-    // strips 0x20 only, so no String.trim here)
-    val lowered = s.toString.toLowerCase(java.util.Locale.ROOT)
-    val collapsed = HashedShingles.WsPattern.matcher(lowered).replaceAll(" ")
-    var from = 0
-    var to = collapsed.length
-    while (from < to && collapsed.charAt(from) == ' ') from += 1
-    while (to > from && collapsed.charAt(to - 1) == ' ') to -= 1
-    val norm = collapsed.substring(from, to)
+    val norm = HashedShingles.normalize(s.toString)
     // tokens: maximal [a-zA-Z0-9']+ runs
     val toks = new java.util.ArrayList[String]()
     val m = HashedShingles.TokPattern.matcher(norm)
@@ -101,13 +93,25 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
 object HashedShingles {
   val name = "hashed_shingles"
 
-  private val WsPattern = Pattern.compile("\\s+")
-  private val TokPattern = Pattern.compile("[a-zA-Z0-9']+")
+  private[functions] val WsPattern = Pattern.compile("\\s+")
+  private[functions] val TokPattern = Pattern.compile("[a-zA-Z0-9']+")
+
+  /** `Text.normalized`: lowercase (Locale.ROOT), collapse `\s+` to single
+    * spaces, trim spaces (0x20 only, matching Spark's `trim`). */
+  private[functions] def normalize(text: String): String = {
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
+    val collapsed = WsPattern.matcher(lowered).replaceAll(" ")
+    var from = 0
+    var to = collapsed.length
+    while (from < to && collapsed.charAt(from) == ' ') from += 1
+    while (to > from && collapsed.charAt(to - 1) == ' ') to -= 1
+    collapsed.substring(from, to)
+  }
 
   /** First 60 bits of md5(utf8(s)) — identical to
     * `conv(substring(md5(cast(s as binary)), 1, 15), 16, 10)`: 15 hex
     * digits = the top 60 bits of the first 8 digest bytes. */
-  private def hash60(md: MessageDigest, s: String): Long = {
+  private[functions] def hash60(md: MessageDigest, s: String): Long = {
     val d = md.digest(s.getBytes("UTF-8"))
     (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
       ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |

@@ -104,4 +104,11 @@ object Text {
       i => conv(substring(md5(t.substr(i, lit(k)).cast("binary")), 1, 15), 16, 10)
         .cast("long")))
   }
+
+  /** [[fingerprint64]] via the fused one-pass expression — requires
+    * [[graft.Graft.registerAll]] on the session. Identical output; the
+    * composable form re-normalizes the document once per gram in
+    * interpreted HOF evaluation. */
+  def fingerprint64Native(c: Column, k: Int = 8): Column =
+    call_function(graft.functions.Fingerprint64.name, c, lit(k))
 }

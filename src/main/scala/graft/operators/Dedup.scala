@@ -86,7 +86,10 @@ object Dedup {
   def minhashSignatureNative(hashedShingles: Column, k: Int): Column =
     call_function(graft.functions.MinhashSig.name, hashedShingles, lit(k))
 
-  /** 32-bit SimHash over the document's distinct token set. */
+  /** 32-bit SimHash over the document's distinct token set. Composable
+    * reference form (re-derives the hashed token array once per bit in
+    * interpreted HOF evaluation — 32x); query paths use
+    * [[simhash32Native]]. */
   def simhash32(text: Column): Column = {
     val hs = transform(array_distinct(Text.tokens(Text.normalized(text))),
       t => hash60(t))
@@ -96,6 +99,11 @@ object Dedup {
       when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** [[simhash32]] via the fused one-pass expression — requires
+    * [[graft.Graft.registerAll]] on the session. Identical output. */
+  def simhash32Native(text: Column): Column =
+    call_function(graft.functions.Simhash32.name, text)
 
   /** Exact deduplication: group by content hash; each row is annotated
     * with its group's keeper (min id) and multiplicity. Single shuffle on

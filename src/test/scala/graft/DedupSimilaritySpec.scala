@@ -122,6 +122,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("native simhash32 and fingerprint64 equal the composable forms") {
+    import graft.functions.Text
+    val real = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
+      .select(col("doc_id"), col("text")).limit(100)
+    for (d <- Seq(docs, real)) {
+      val both = d.select(
+        Dedup.simhash32(col("text")).as("sa"),
+        Dedup.simhash32Native(col("text")).as("sb"),
+        Text.fingerprint64(col("text")).as("fa"),
+        Text.fingerprint64Native(col("text")).as("fb"))
+      assert(both.where(col("sa") =!= col("sb") || col("fa") =!= col("fb")).count() === 0)
+      assert(both.count() > 0)
+    }
+  }
+
   test("native minhash_sig equals the composable signature") {
     val sh = docs.select(Dedup.hashedShingleSet(col("text")).as("sh"))
     val both = sh.select(Dedup.minhashSignature(col("sh"), 32).as("a"),
