@@ -86,4 +86,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
       s"funnel should shuffle exactly once, on user_id:\n$p")
   }
+
+  test("s4 multi-probe: bucket equi-join with broadcast probes, no cartesian") {
+    val p = plan("s4_ann_multiprobe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe list should broadcast-join the corpus on _bucket:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"multi-probe must stay an equi-join:\n$p")
+  }
+
+  test("p1 hash split: pure projection, no exchange at all") {
+    val p = plan("p1_hash_split")
+    assert(!p.contains("Exchange"),
+      s"split assignment must not shuffle (it fuses into the scan):\n$p")
+  }
 }
