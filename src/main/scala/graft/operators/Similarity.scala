@@ -139,6 +139,57 @@ object Similarity {
     TopK.perQuery(scored, k)
   }
 
+  /** Lloyd's k-means over quantized vectors — trains the coarse-quantizer
+    * cells [[ivfTopK]] consumes when no external assignment (a label
+    * column, an offline model) exists. Deterministic and
+    * engine-reproducible: initial centroids are the `k` vectors with the
+    * smallest `(xxhash64(id), id)` sort key; each iteration assigns every
+    * vector to its nearest centroid by exact integer L2 (`min_by` with a
+    * (dist, cell) tie-break) and recomputes elementwise rounded means.
+    * Per iteration: one broadcast of the k centroids + two aggregations —
+    * the canonical distributed k-means shape; the corpus is never
+    * shuffled by anything larger than its own id. Cells that lose all
+    * members disappear (standard Lloyd's behavior), so the result may
+    * have fewer than `k` cells. Returns `(_id, _cell)` assignments, ready
+    * to join back as [[ivfTopK]]'s `cellCol`.
+    */
+  def trainIvfCells(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
+    val base = prepare(emb, idCol, vecCol).localCheckpoint()
+    var cents = base
+      .orderBy(xxhash64(col("_id")), col("_id"))
+      .limit(k)
+      .withColumn("_cell",
+        row_number().over(Window.orderBy(xxhash64(col("_id")), col("_id"))) - 1)
+      .select(col("_cell").cast("long").as("_cell"), col("_q").as("_cvec"))
+      .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
+      .localCheckpoint()
+    var assigned: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val scored = base.crossJoin(broadcast(cents))
+        .withColumn("_dist2",
+          col("_n2") + col("_cn2") - lit(2L) * dotQ(col("_q"), col("_cvec")))
+      assigned = scored.groupBy(col("_id"))
+        .agg(min_by(col("_cell"), struct(col("_dist2"), col("_cell"))).as("_cell"))
+      cents = base.join(assigned, "_id")
+        .select(col("_cell"), posexplode(col("_q")).as(Seq("_pos", "_v")))
+        .groupBy(col("_cell"), col("_pos"))
+        .agg(sum(col("_v")).as("_sv"), count(lit(1)).as("_cnt"))
+        .groupBy(col("_cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("_pos").as("p"),
+            round(col("_sv") / col("_cnt")).cast("long").as("v")))),
+          x => x.getField("v")).as("_cvec"))
+        .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
+        .localCheckpoint()
+      i += 1
+    }
+    assigned
+  }
+
   /** LSH-bucketed top-k: candidates restricted to the query's sign-sketch
     * bucket — the scale path (bucket equi-join instead of cross join; at
     * cluster scale the corpus is hash-partitioned by bucket and only

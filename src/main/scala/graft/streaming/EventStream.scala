@@ -27,6 +27,27 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact deduplication of a document/event stream by content
+    * hash — the ingest-time form of [[graft.operators.Dedup.exact]]: the
+    * first arrival of each content hash passes, later copies are
+    * dropped. `dropDuplicatesWithinWatermark` keys state on the hash and
+    * evicts each entry once its event time falls behind the watermark by
+    * more than the delay, so state is bounded by the dedup horizon
+    * (exactly the semantics an ingest pipeline wants: duplicates arrive
+    * close together; a re-crawl months later is a new document).
+    * On a batch DataFrame this degrades to plain `dropDuplicates` over
+    * the hash — the parity tests' contract. */
+  def dedupedByContent(
+      docs: DataFrame, textCol: String = "text",
+      watermark: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("content_hash",
+      graft.functions.Text.docHash(col(textCol)))
+    if (hashed.isStreaming)
+      hashed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("content_hash")
+    else hashed.dropDuplicates("content_hash")
+  }
+
   /** Gap-based sessionization with native session windows: one row per
     * (user, session) with event count and bounds — the streaming form of
     * the batch q10_sessionize query. */

@@ -236,6 +236,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(f"recall@5: single-probe $rSingle%.3f, multi-probe $rMulti%.3f")
   }
 
+  test("k-means IVF training: total assignment, monotone objective, feeds ivfTopK") {
+    val e = SparkEntry.tbl(spark, TestData.dir("0.001"), "embeddings")
+    val n = e.count()
+    // Lloyd's objective (sum of squared distances to recomputed cell
+    // means) must not increase with more iterations
+    def cost(iters: Int): Double = {
+      val assigned = Similarity.trainIvfCells(e, "vec_id", "embedding", k = 8, iters = iters)
+      assert(assigned.count() === n) // every vector gets exactly one cell
+      val base = Similarity.prepare(e, "vec_id", "embedding").join(assigned, "_id")
+      val means = base.select(col("_cell"), posexplode(col("_q")).as(Seq("_pos", "_v")))
+        .groupBy(col("_cell"), col("_pos"))
+        .agg((sum(col("_v")) / count(lit(1))).as("_m"))
+        .groupBy(col("_cell"))
+        .agg(transform(array_sort(collect_list(struct(col("_pos").as("p"), col("_m").as("m")))),
+          x => x.getField("m")).as("_mvec"))
+      base.join(means, "_cell")
+        .select(aggregate(zip_with(col("_q"), col("_mvec"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+        .agg(sum(col("d2"))).head.getDouble(0)
+    }
+    val c1 = cost(1)
+    val c5 = cost(5)
+    assert(c5 <= c1 + 1e-6, s"k-means objective increased: iters=1 -> $c1, iters=5 -> $c5")
+    // trained cells drive ivfTopK end-to-end
+    val assigned = Similarity.trainIvfCells(e, "vec_id", "embedding", k = 8, iters = 3)
+      .withColumnRenamed("_id", "vec_id").withColumnRenamed("_cell", "cell")
+    val withCells = e.join(assigned, "vec_id")
+    val topk = Similarity.ivfTopK(withCells, withCells.where(col("vec_id") < 5),
+      "vec_id", "embedding", "cell", k = 3, nprobe = 2)
+    assert(topk.groupBy(col("query_id")).count().collect().forall(_.getLong(1) === 3))
+  }
+
   test("lsh bucket is identical for identical vectors") {
     import spark.implicits._
     val two = Seq((0L, Seq(0.5f, -0.25f, 0.125f, 1.0f)), (1L, Seq(0.5f, -0.25f, 0.125f, 1.0f)))

@@ -180,6 +180,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops later copies within the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = mem.toDF.toDF("doc_id", "text", "ts")
+    val q = EventStream.dedupedByContent(docs)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("sdd").outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha document", t("2024-01-01 00:00:00")),
+        (2L, "beta document", t("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      // a later exact copy of doc 1's text is dropped; new content passes
+      mem.addData((3L, "alpha document", t("2024-01-01 00:10:00")),
+        (4L, "gamma document", t("2024-01-01 00:11:00")))
+      q.processAllAvailable()
+      val ids = spark.table("sdd").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 4L))
+      // batch parity: same operator on a batch frame keeps one row per hash
+      val batch = EventStream.dedupedByContent(
+        Seq((1L, "alpha document", t("2024-01-01 00:00:00")),
+          (3L, "alpha document", t("2024-01-01 00:10:00")),
+          (4L, "gamma document", t("2024-01-01 00:11:00")))
+          .toDF("doc_id", "text", "ts"))
+      assert(batch.count() === 2)
+    } finally q.stop()
+  }
+
   test("session windows: stream equals batch") {
     val schema = spark.read.parquet(stagedDir).schema
     val stream = spark.readStream.schema(schema).parquet(stagedDir)
