@@ -5,14 +5,18 @@ import org.apache.spark.sql.functions._
 import graft.{Graft, TestData}
 import graft.SparkEntry.tbl
 import graft.functions.Text
-import graft.operators.Dedup
+import graft.operators.{Dedup, Split}
 
 /** End-to-end training-data curation pipeline over the documents table —
   * the integration story for the LLM-pipeline operators: exact dedup →
-  * quality/language filtering → near-dup removal → clean corpus stats.
+  * quality/language filtering → near-dup group clustering (one keeper
+  * per component) → deterministic train/val/test split → corpus stats.
   *
   * Every stage is a DataFrame transform (scales with partitioning); the
-  * near-dup stage is the banded-LSH candidate join, never all-pairs.
+  * near-dup stage is the banded-LSH candidate join, never all-pairs, and
+  * running exact dedup FIRST is what keeps the LSH band buckets small
+  * (identical documents would otherwise share every band key — see
+  * `Dedup.capBuckets`).
   *
   * Run: `sbt "runMain graft.examples.PipelineExample [sfDir]"`.
   */
@@ -38,18 +42,25 @@ object PipelineExample {
       Text.tokenCount(col("text")).as("n_tokens"))
     val kept = scored.where(col("quality") >= 0.5 && col("n_tokens") >= 10)
 
-    // 3. near-dup removal: banded-LSH MinHash pairs, drop the higher id
+    // 3. near-dup removal via GROUP clustering: transitive near-dups
+    //    collapse to one keeper per connected component (pairwise
+    //    drop-the-higher-id under-removes chains: a~b, b~c keeps a and c)
     val pairs = Dedup.minhashLshPairs(kept, threshold = 0.6)
-    val losers = pairs.select(col("id_b").as("doc_id")).distinct()
+    val groups = Dedup.connectedComponents(pairs)
+    val losers = groups.where(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id"))
     val clean = kept.join(losers, Seq("doc_id"), "left_anti")
 
-    // 4. corpus report
-    val report = clean.agg(
+    // 4. deterministic split: pure hash of doc_id, stable across reruns
+    val split = Split.assignSplit(clean, "doc_id")
+
+    // 5. corpus report per split
+    val report = split.groupBy(col("split")).agg(
       count(lit(1)).as("docs"),
       sum(col("n_tokens")).as("tokens"),
       round(avg(col("quality")), 4).as("avg_quality"))
     println(s"input=$total unique=${uniq.count()} kept=${kept.count()} clean=${clean.count()}")
-    report.show(false)
+    report.orderBy(col("split")).show(false)
     spark.stop()
   }
 }

@@ -210,6 +210,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components agree with union-find on random graphs") {
+    import spark.implicits._
+    // seeded random graphs, checked against a driver-side union-find —
+    // guards the iterative propagation against convergence/merge bugs the
+    // hand-picked chain cases can't reach
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val nNodes = 30 + rnd.nextInt(40)
+      val pairs = (0 until nNodes).map { _ =>
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        if (a < b) (a, b) else (b, a + 1)
+      }.filter(p => p._1 != p._2)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed $seed: component mismatch")
+    }
+  }
+
   test("connected components converge on a long path graph") {
     import spark.implicits._
     // diameter 11: needs several propagation rounds, well under maxIter
