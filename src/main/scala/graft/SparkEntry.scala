@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{AsOf, Dedup, Funnel, Multimodal, Retention, Similarity, Skew, Split}
+import graft.operators.{AsOf, Dedup, Funnel, Multimodal, Repetition, Retention, Similarity, Skew, Split}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -267,6 +267,12 @@ object SparkEntry {
         Text.docHash(col("text")).as("doc_hash"),
         Text.fingerprint64Native(col("text")).as("fp64"))
     }),
+    // Repetition/boilerplate signals: duplicate-line fraction (per-row
+    // array compute) + top-2-gram mass (distributed explode → two hash
+    // aggs on the doc id — one shuffle).
+    "t5_repetition" -> ((s, dir) =>
+      Repetition.report(par(tbl(s, dir, "documents")), "doc_id", "text", n = 2)
+        .withColumnRenamed("top_ngram_frac", "top_2gram_frac")),
 
     // ── Deduplication (training-data pipeline operators) ─────────────────
     // Exact dedup over a corpus with literal duplicates (each doc unioned
@@ -709,6 +715,31 @@ object SparkEntry {
           |  list_min(list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
           |    i -> ('0x' || substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 15))::BIGINT)) AS fp64
           |FROM n""".stripMargin,
+      "t5_repetition" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    regexp_extract_all(lower(text), '[a-zA-Z0-9'']+') AS toks,
+          |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+          |                x -> x <> '') AS ls
+          |  FROM documents
+          |), g AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(range(1, len(toks)),
+          |      i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 1], ' '))) AS gram
+          |  FROM t
+          |), c AS (
+          |  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+          |), a AS (
+          |  SELECT doc_id, max(cnt) AS mx, CAST(sum(cnt) AS BIGINT) AS tot
+          |  FROM c GROUP BY 1
+          |)
+          |SELECT t.doc_id,
+          |  round(CASE WHEN len(ls) = 0 THEN 0.0
+          |    ELSE CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / CAST(len(ls) AS DOUBLE)
+          |    END, 6) AS dup_line_frac,
+          |  round(coalesce(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 0.0), 6) AS top_2gram_frac,
+          |  coalesce(tot, CAST(0 AS BIGINT)) AS n_grams
+          |FROM t LEFT JOIN a USING (doc_id)""".stripMargin,
       "d1_exact_dedup" ->
         """WITH dup AS (
           |  SELECT doc_id, text FROM documents

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Repetition
+
+class TextOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("textops-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("repetition report: hand-computed line and 2-gram fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      // 3 lines, one duplicated -> dup 1/3; grams: "a b","b a","a b","b c","c d" -> top 2/5
+      (1L, "a b\na b\nc d"),
+      (2L, ""), // no lines, no grams
+      (3L, "hello"), // one line, zero 2-grams
+      // grams: "foo bar" x3, "bar foo" x2 -> top 3/5
+      (4L, "foo bar foo bar foo bar"),
+      // blank/whitespace-only lines are dropped before the line stats
+      (5L, "x\n   \n\nx"))
+      .toDF("doc_id", "text").repartition(2)
+    val r = Repetition.report(docs, n = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2), x.getLong(3)))).toMap
+    assert(r(1L) === ((0.333333, 0.4, 5L)))
+    assert(r(2L) === ((0.0, 0.0, 0L)))
+    assert(r(3L) === ((0.0, 0.0, 0L)))
+    assert(r(4L) === ((0.0, 0.6, 5L)))
+    assert(r(5L) === ((0.5, 1.0, 1L))) // lines [x, x] -> dup 1/2; one gram "x x"
+  }
+
+  test("repetition report is partitioning-invariant") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"line a\nline b\nword$i " * (i % 5 + 1).toInt))
+      .toDF("doc_id", "text")
+    val one = Repetition.report(docs.repartition(1)).collect().toSet
+    val many = Repetition.report(docs.repartition(7)).collect().toSet
+    assert(one === many)
+  }
+}
