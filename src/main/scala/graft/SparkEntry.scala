@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{AsOf, Dedup, Funnel, Multimodal, Repetition, Retention, Similarity, Skew, Split}
+import graft.operators.{AsOf, Dedup, Funnel, Multimodal, Repetition, Retention, Similarity, Skew, Split, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -273,6 +273,12 @@ object SparkEntry {
     "t5_repetition" -> ((s, dir) =>
       Repetition.report(par(tbl(s, dir, "documents")), "doc_id", "text", n = 2)
         .withColumnRenamed("top_ngram_frac", "top_2gram_frac")),
+    // Corpus vocabulary: top-100 terms by collection frequency with
+    // document frequencies — explode feeding partial hash aggs, global
+    // top-k via TakeOrderedAndProject (k rows per partition, never the
+    // full vocabulary, cross the final boundary).
+    "t6_vocab" -> ((s, dir) =>
+      Vocab.topTerms(par(tbl(s, dir, "documents")), k = 100)),
 
     // ── Deduplication (training-data pipeline operators) ─────────────────
     // Exact dedup over a corpus with literal duplicates (each doc unioned
@@ -422,7 +428,14 @@ object SparkEntry {
     // Deterministic hash-based train/val/test assignment: a pure
     // projection of the id, stable across partitioning/cluster size.
     "p1_hash_split" -> ((s, dir) =>
-      Split.assignSplit(tbl(s, dir, "documents").select(col("doc_id")), "doc_id"))
+      Split.assignSplit(tbl(s, dir, "documents").select(col("doc_id")), "doc_id")),
+    // Deterministic stratified sampling: per-language keep rates as a pure
+    // hash filter — no RNG, no shuffle, reproducible on any engine, and
+    // nested (a lower rate draws a subset of a higher rate's sample).
+    "p2_stratified_sample" -> ((s, dir) =>
+      Split.stratifiedSample(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1))
   )
 
   /** The testdata parquet files are single-row-group, so a scan is ONE
@@ -740,6 +753,15 @@ object SparkEntry {
           |  round(coalesce(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 0.0), 6) AS top_2gram_frac,
           |  coalesce(tot, CAST(0 AS BIGINT)) AS n_grams
           |FROM t LEFT JOIN a USING (doc_id)""".stripMargin,
+      "t6_vocab" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS token
+          |  FROM documents
+          |)
+          |SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+          |  CAST(count(*) AS BIGINT) AS cf
+          |FROM tok GROUP BY token
+          |ORDER BY cf DESC, token LIMIT 100""".stripMargin,
       "d1_exact_dedup" ->
         """WITH dup AS (
           |  SELECT doc_id, text FROM documents
@@ -972,7 +994,12 @@ object SparkEntry {
           |FROM (
           |  SELECT doc_id,
           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
-          |  FROM documents)""".stripMargin
+          |  FROM documents)""".stripMargin,
+      "p2_stratified_sample" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE ('0x' || substr(md5('smp|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          |        % 1000000
+          |  < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 100000 END""".stripMargin
     )
   }
 

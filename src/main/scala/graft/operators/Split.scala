@@ -36,4 +36,28 @@ object Split {
     }
     df.withColumn("bucket", b).withColumn("split", assign)
   }
+
+  /** Deterministic stratified sampling: keeps a row iff the md5 of
+    * ("smp" ∥ stratum ∥ id), reduced to parts-per-million, falls under the
+    * stratum's rate. A pure filter — no RNG, no shuffle, no state; the
+    * sample is a stable function of (stratum, id), so re-running over a
+    * re-partitioned / re-clustered 100 TB corpus reproduces it exactly,
+    * and samples nest: the rate-0.25 sample is a subset of the rate-0.5
+    * sample of the same stratum (both are prefixes of the same hash
+    * order). The "smp" purpose prefix decorrelates the sample from
+    * [[assignSplit]]'s buckets, which hash the bare id. Rates are rounded
+    * to ppm so any engine computing the same md5 draws the same rows. */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      s"rates must be in [0, 1]: $rates / $defaultRate")
+    val ppm = pmod(
+      Dedup.hash60(concat_ws("|", lit("smp"), col(strataCol), col(idCol).cast("string"))),
+      lit(1000000L))
+    val cut = rates.toSeq.sortBy(_._1).foldRight(lit(math.round(defaultRate * 1e6))) {
+      case ((k, v), rest) => when(col(strataCol) === k, lit(math.round(v * 1e6))).otherwise(rest)
+    }
+    df.where(ppm < cut)
+  }
 }

@@ -67,6 +67,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(two.count(_ == "holdout") > two.length / 4) // 10% + 40% remainder
   }
 
+  test("stratified sample is deterministic, rate-accurate, and nested") {
+    import spark.implicits._
+    val rows = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def sample(rEn: Double, rDe: Double) =
+      Split.stratifiedSample(rows, "doc_id", "lang", Map("en" -> rEn, "de" -> rDe))
+        .collect().map(_.getLong(0)).toSet
+    val s = sample(0.5, 0.1)
+    assert(s === sample(0.5, 0.1)) // pure function of (stratum, id)
+    val en = s.count(_ % 2 == 0) / 2000.0
+    val de = s.count(_ % 2 != 0) / 2000.0
+    assert(en > 0.45 && en < 0.55, s"en rate $en")
+    assert(de > 0.07 && de < 0.13, s"de rate $de")
+    // nesting: a lower rate draws a subset of a higher rate's sample
+    assert(sample(0.25, 0.1).filter(_ % 2 == 0).subsetOf(s.filter(_ % 2 == 0)))
+    // default rate applies to strata without an explicit rate
+    val withDefault = Split.stratifiedSample(rows, "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.0).collect().map(_.getLong(0))
+    assert(withDefault.forall(_ % 2 == 0), "unlisted stratum must use the default rate")
+  }
+
   test("bucketed tables join without a shuffle on the bucketed key") {
     val sf = TestData.dir("0.001")
     // the builder's warehouse conf is ignored when getOrCreate reuses an

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Repetition
+import graft.operators.{Repetition, Vocab}
 
 class TextOpsSpec extends AnyFunSuite {
 
@@ -38,6 +38,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r(3L) === ((0.0, 0.0, 0L)))
     assert(r(4L) === ((0.0, 0.6, 5L)))
     assert(r(5L) === ((0.5, 1.0, 1L))) // lines [x, x] -> dup 1/2; one gram "x x"
+  }
+
+  test("vocab top terms: hand-computed df/cf, tie-break, minDf prune") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma"),
+      (3L, "Alpha delta")) // case folds into 'alpha'
+      .toDF("doc_id", "text").repartition(2)
+    val top = Vocab.topTerms(docs, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // cf: alpha 3 (docs 1,1,3), beta 2, delta 1, gamma 1 (ties by token asc)
+    assert(top.toSeq === Seq(("alpha", 2L, 3L), ("beta", 2L, 2L),
+      ("delta", 1L, 1L), ("gamma", 1L, 1L)))
+    val pruned = Vocab.topTerms(docs, k = 10, minDf = 2).collect().map(_.getString(0))
+    assert(pruned.toSeq === Seq("alpha", "beta"))
+    // k truncates after the deterministic (cf desc, token) order
+    assert(Vocab.topTerms(docs, k = 3).collect().map(_.getString(0)).toSeq ===
+      Seq("alpha", "beta", "delta"))
   }
 
   test("repetition report is partitioning-invariant") {
