@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Text
-import graft.operators.{AsOf, Dedup, Funnel, Multimodal, Repetition, Retention, Similarity, Skew, Split, Vocab}
+import graft.functions.{Pii, QualityRules, Text}
+import graft.operators.{AsOf, Decontaminate, Dedup, Funnel, Multimodal, Repetition, Retention, Similarity, Skew, Split, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -227,6 +227,16 @@ object SparkEntry {
       a.intersect(b).select(lit("both").as("src"), col("k"))
         .unionByName(a.except(b).select(lit("only_a").as("src"), col("k")))
     }),
+    // PIVOT: explicit value list, so the plan is a single hash aggregate
+    // with conditional sums — no extra values-discovery job (always pass
+    // the values at scale).
+    "q15_pivot" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,3)")).cast("double"))
+        .orderBy(col("l_returnflag"))
+    }),
     // Event-stream profile: per-type counts + distinct users + rounded avg.
     "q12_events_profile" -> ((s, dir) => {
       tbl(s, dir, "events")
@@ -279,6 +289,35 @@ object SparkEntry {
     // full vocabulary, cross the final boundary).
     "t6_vocab" -> ((s, dir) =>
       Vocab.topTerms(par(tbl(s, dir, "documents")), k = 100)),
+    // PII detect + scrub over a corpus with deterministically injected
+    // PII (the base texts are letter-only word salad, so every match is
+    // an injected one): per-class counts plus the md5 of the scrubbed
+    // text — the hash is the audit that the redaction is byte-identical
+    // across engines. Pure per-row regex map inside codegen, no shuffle.
+    "t7_pii_scrub" -> ((s, dir) => {
+      val injected = concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" contact: user"),
+          col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, concat(lit(" host 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0.1"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, concat(lit(" tel +1-555-"),
+          (col("doc_id") % 1000000 + 1000000).cast("string"))).otherwise(lit("")))
+      par(tbl(s, dir, "documents")).select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          Pii.emailCount(col("t")).as("n_emails"),
+          Pii.ipv4Count(col("t")).as("n_ips"),
+          Pii.phoneCount(col("t")).as("n_phones"),
+          md5(Pii.scrub(col("t")).cast("binary")).as("scrub_hash"))
+    }),
+    // Gopher-style hard quality gates (booleans as 0/1 for the oracle
+    // comparator). Per-row map, no shuffle.
+    "t8_quality_rules" -> ((s, dir) => {
+      val f = par(tbl(s, dir, "documents"))
+        .select(col("doc_id") +: QualityRules.flags(col("text")): _*)
+      f.select(col("doc_id") +:
+        f.columns.tail.map(n => col(n).cast("int").as(n)): _*)
+    }),
 
     // ── Deduplication (training-data pipeline operators) ─────────────────
     // Exact dedup over a corpus with literal duplicates (each doc unioned
@@ -416,6 +455,12 @@ object SparkEntry {
         .select(col("event_type"),
           col("sum_value").cast("double").as("sum_value"), col("n"))
     }),
+    // First-order event-transition matrix (next-event path mining): one
+    // shuffle of the stream on user_id for the lead() window, then a
+    // (from,to) aggregate whose domain is |event types|² — the final
+    // shuffle moves a handful of rows regardless of corpus size.
+    "u5_transitions" -> ((s, dir) =>
+      Transitions.matrix(tbl(s, dir, "events"))),
 
     // ── Pipeline plumbing ────────────────────────────────────────────────
     // Dedup groups: connected components over the d2 near-dup pairs —
@@ -424,6 +469,18 @@ object SparkEntry {
       Graft.registerAll(s)
       Dedup.connectedComponents(
         Dedup.minhashLshPairs(augmentedDocs(s, dir), k = 32, bands = 8, threshold = 0.4))
+    }),
+    // Benchmark decontamination: training documents sharing any hashed
+    // 4-gram with the (broadcast) eval split. The train corpus is never
+    // shuffled — the collision screen is a broadcast hash join inside
+    // the scan stage; only colliding doc ids reach the aggregate.
+    // (Default width is 8; the short synthetic fixtures use 4.)
+    "d7_decontaminate" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val docs = par(tbl(s, dir, "documents")).select(col("doc_id"), col("text"))
+      Decontaminate.report(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0), n = 4)
     }),
     // Deterministic hash-based train/val/test assignment: a pure
     // projection of the id, stable across partitioning/cluster size.
@@ -666,6 +723,11 @@ object SparkEntry {
           |SELECT 'both' AS src, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
           |UNION ALL
           |SELECT 'only_a' AS src, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)""".stripMargin,
+      "q15_pivot" ->
+        """SELECT l_returnflag,
+          |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,3)) END) AS DOUBLE) AS "F",
+          |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,3)) END) AS DOUBLE) AS "O"
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       "q12_events_profile" ->
         """SELECT event_type, count(*) AS n,
           |  count(DISTINCT user_id) AS n_users,
@@ -762,6 +824,59 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS cf
           |FROM tok GROUP BY token
           |ORDER BY cf DESC, token LIMIT 100""".stripMargin,
+      "t7_pii_scrub" ->
+        s"""WITH inj AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 7 = 0 THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+           |    CASE WHEN doc_id % 11 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END ||
+           |    CASE WHEN doc_id % 13 = 0 THEN ' tel +1-555-' || CAST(doc_id % 1000000 + 1000000 AS VARCHAR) ELSE '' END AS t
+           |  FROM documents
+           |)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(t, '${Pii.EmailRe}')) AS n_emails,
+           |  len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS n_ips,
+           |  len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS n_phones,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+           |    '${Pii.EmailRe}', '<EMAIL>', 'g'),
+           |    '${Pii.Ipv4Re}', '<IP>', 'g'),
+           |    '${Pii.PhoneRe}', '<PHONE>', 'g')) AS scrub_hash
+           |FROM inj""".stripMargin,
+      "t8_quality_rules" ->
+        """WITH t AS (
+          |  SELECT doc_id, text,
+          |    regexp_extract_all(text, '[a-zA-Z0-9'']+') AS toks,
+          |    regexp_extract_all(lower(text), '[a-zA-Z0-9'']+') AS ltoks,
+          |    string_split(text, chr(10)) AS ls
+          |  FROM documents
+          |), m AS (
+          |  SELECT doc_id, len(toks) AS n_tok,
+          |    CASE WHEN len(toks) = 0 THEN 0.0
+          |         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS awl,
+          |    CASE WHEN len(toks) = 0 THEN 0.0
+          |         ELSE CAST((length(text) - length(replace(text, '#', ''))) +
+          |                    (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS sym_ratio,
+          |    CASE WHEN len(ls) = 0 THEN 0.0
+          |         ELSE CAST(len(list_filter(ls, x -> starts_with(ltrim(x), '- ') OR starts_with(ltrim(x), '* '))) AS DOUBLE) / CAST(len(ls) AS DOUBLE) END AS bullet_frac,
+          |    CASE WHEN len(ls) = 0 THEN 0.0
+          |         ELSE CAST(len(list_filter(ls, x -> ends_with(rtrim(x), '...'))) AS DOUBLE) / CAST(len(ls) AS DOUBLE) END AS ell_frac,
+          |    CASE WHEN len(toks) = 0 THEN 0.0
+          |         ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS alpha_frac,
+          |    len(list_intersect(list_distinct(ltoks),
+          |        ['the','be','to','of','and','that','have','with'])) AS req_hits
+          |  FROM t
+          |)
+          |SELECT doc_id,
+          |  CASE WHEN n_tok >= 50 AND n_tok <= 100000 THEN 1 ELSE 0 END AS ok_word_count,
+          |  CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1 ELSE 0 END AS ok_word_len,
+          |  CASE WHEN sym_ratio <= 0.1 THEN 1 ELSE 0 END AS ok_symbols,
+          |  CASE WHEN bullet_frac <= 0.9 THEN 1 ELSE 0 END AS ok_bullets,
+          |  CASE WHEN ell_frac <= 0.3 THEN 1 ELSE 0 END AS ok_ellipsis,
+          |  CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS ok_alpha_words,
+          |  CASE WHEN req_hits >= 2 THEN 1 ELSE 0 END AS ok_required_words,
+          |  CASE WHEN n_tok >= 50 AND n_tok <= 100000 AND awl >= 3.0 AND awl <= 10.0
+          |            AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ell_frac <= 0.3
+          |            AND alpha_frac >= 0.8 AND req_hits >= 2 THEN 1 ELSE 0 END AS passes_quality
+          |FROM m""".stripMargin,
       "d1_exact_dedup" ->
         """WITH dup AS (
           |  SELECT doc_id, text FROM documents
@@ -972,6 +1087,19 @@ object SparkEntry {
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
           |  CAST(count(*) AS BIGINT) AS n
           |FROM events GROUP BY event_type""".stripMargin,
+      "u5_transitions" ->
+        """WITH seqd AS (
+          |  SELECT event_type AS from_type,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          |  FROM events
+          |), c AS (
+          |  SELECT from_type, to_type, count(*) AS n_transitions
+          |  FROM seqd WHERE to_type IS NOT NULL GROUP BY 1, 2
+          |)
+          |SELECT from_type, to_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+          |  round(CAST(n_transitions AS DOUBLE) /
+          |        CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p_transition
+          |FROM c""".stripMargin,
       "d6_dedup_groups" ->
         s"""WITH RECURSIVE prs AS (
            |$d2PairsSql
@@ -988,6 +1116,24 @@ object SparkEntry {
            |)
            |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS group_id
            |FROM cc GROUP BY id""".stripMargin,
+      "d7_decontaminate" ->
+        s"""WITH norm AS (
+           |  SELECT doc_id, $normToksSql AS toks FROM documents
+           |), shs AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(${shingleSql(4)},
+           |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+           |  FROM norm
+           |), evals AS (
+           |  SELECT DISTINCT unnest(sh) AS s FROM shs WHERE doc_id % 20 = 0
+           |), trainx AS (
+           |  SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+           |  FROM shs WHERE doc_id % 20 <> 0
+           |)
+           |SELECT doc_id, n_shingles, CAST(count(*) AS BIGINT) AS n_hit,
+           |  round(CAST(count(*) AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contam_frac
+           |FROM trainx JOIN evals USING (s)
+           |GROUP BY doc_id, n_shingles""".stripMargin,
       "p1_hash_split" ->
         """SELECT doc_id, b AS bucket,
           |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split

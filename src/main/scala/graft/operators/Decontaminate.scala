@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: flag training
+  * documents that share word n-grams with an evaluation/benchmark set —
+  * the standard leakage check run before pretraining (n-gram collision
+  * screening of the training set against every eval benchmark).
+  *
+  * Plan shape, sized for the real asymmetry (train = the 100 TB corpus,
+  * eval = a few thousand benchmark documents):
+  *
+  *   1. Eval docs → distinct hashed n-gram shingles. This is tiny
+  *      (|eval| × shingles/doc longs) and is explicitly `broadcast()`.
+  *   2. Train docs → exploded hashed shingles (map-side only, no
+  *      shuffle), inner-joined against the broadcast eval set: the whole
+  *      collision screen is one broadcast hash join inside the scan
+  *      stage — the train corpus is NEVER shuffled.
+  *   3. One hash aggregation on the train doc id (partial map-side
+  *      combine, then a shuffle of only the colliding doc ids — a tiny
+  *      fraction of the corpus) producing per-document hit counts and
+  *      the contaminated fraction of its shingles.
+  *
+  * Shingles are 60-bit md5-derived hashes ([[Dedup.hashedShingleSet]]),
+  * so the same screen is reproducible in any SQL engine. Hash collisions
+  * can only over-count (flagging a clean doc), never miss real overlap —
+  * the safe direction for decontamination.
+  */
+object Decontaminate {
+
+  /** Per-training-document contamination report against `eval`.
+    *
+    * Output: one row per training document with at least one colliding
+    * shingle — (id, n_shingles, n_hit, contam_frac). Callers drop or
+    * down-weight documents above a fraction threshold; `n_hit` alone
+    * (>= 1) is the strict GPT-3-style 13-gram collision rule.
+    *
+    * @param n shingle width in word tokens. 8–13 for real corpora;
+    *          lower only for short-document test fixtures. */
+  def report(
+      train: DataFrame, eval: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 8): DataFrame = {
+    val evalShingles = eval
+      .select(explode(Dedup.hashedShingleSetNative(col(textCol), n)).as("_s"))
+      .distinct()
+    // shingle once per row (the fused expression is the dominant per-row
+    // cost); size + explode consume the same array
+    val trainEx = train
+      .select(col(idCol), Dedup.hashedShingleSetNative(col(textCol), n).as("_sh"))
+      .select(col(idCol), size(col("_sh")).as("n_shingles"),
+        explode(col("_sh")).as("_s"))
+    trainEx.join(broadcast(evalShingles), "_s")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("contam_frac",
+        round(col("n_hit").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Pii, QualityRules}
+import graft.operators.{Decontaminate, Transitions}
+
+/** Behavior specs for the round-3 curation operators: benchmark
+  * decontamination, PII scrubbing, Gopher-style quality gates, and
+  * event-transition mining.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("curation-ops-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    Graft.registerAll(s)
+    s
+  }
+
+  test("decontamination flags exactly the train docs sharing an n-gram with eval") {
+    import spark.implicits._
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a sentence containing the quick brown fox inside it"), // 1 shared 4-gram
+      (2L, "completely different words entirely unrelated here today"))
+      .toDF("doc_id", "text")
+    val r = Decontaminate.report(train, eval, n = 4).collect()
+    assert(r.map(_.getLong(0)).toSet === Set(1L), "only doc 1 overlaps eval")
+    val row = r.head
+    // doc 1 has 9 tokens -> 6 distinct 4-gram shingles; 1 collides
+    assert(row.getAs[Int]("n_shingles") === 6)
+    assert(row.getAs[Long]("n_hit") === 1L)
+    assert(math.abs(row.getAs[Double]("contam_frac") - 1.0 / 6) < 1e-5)
+  }
+
+  test("decontamination counts each colliding shingle once (distinct sets)") {
+    import spark.implicits._
+    // the same 4-gram repeated in train must count as ONE hit
+    val eval = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (2L, "alpha beta gamma delta and alpha beta gamma delta again"))
+      .toDF("doc_id", "text")
+    val r = Decontaminate.report(train, eval, n = 4).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_hit") === 1L)
+  }
+
+  test("pii counts, scrub output, and idempotence") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a@b.co and c.d+e@ex-ample.org, host 192.168.0.1, call +1-555-123-4567 now"),
+      (2L, "no pii here at all")).toDF("id", "t")
+    val r = df.select(col("id"),
+        Pii.emailCount(col("t")).as("e"), Pii.ipv4Count(col("t")).as("i"),
+        Pii.phoneCount(col("t")).as("p"), Pii.scrub(col("t")).as("s"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getInt(3), x.getString(4)))).toMap
+    assert(r(1L) === ((2, 1, 1,
+      "mail <EMAIL> and <EMAIL>, host <IP>, call <PHONE> now")))
+    assert(r(2L) === ((0, 0, 0, "no pii here at all")))
+    // scrubbing scrubbed text changes nothing (placeholders never re-match)
+    val twice = df.select(Pii.scrub(Pii.scrub(col("t"))).as("s2"),
+      Pii.scrub(col("t")).as("s1")).where(col("s1") =!= col("s2")).count()
+    assert(twice === 0L)
+  }
+
+  test("quality gates flag the right failure modes") {
+    import spark.implicits._
+    val good = Seq.fill(10)(
+      "the quick brown fox and that dog have been with all of us to be sure")
+      .mkString(" ")
+    val docs = Seq(
+      ("good", good),
+      ("short", "tiny doc"),
+      ("bullets", (good +: Seq.fill(20)("- bullet item")).mkString("\n")),
+      ("numbers", good + " " + Seq.tabulate(200)(i => (i + 1000).toString).mkString(" ")))
+      .toDF("name", "text")
+    val f = docs.select(col("name") +: QualityRules.flags(col("text")): _*)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(f("good").getAs[Boolean]("passes_quality"))
+    assert(!f("short").getAs[Boolean]("ok_word_count"))
+    assert(!f("short").getAs[Boolean]("passes_quality"))
+    assert(!f("bullets").getAs[Boolean]("ok_bullets"))
+    assert(!f("numbers").getAs[Boolean]("ok_alpha_words"))
+  }
+
+  test("transition matrix: counts, row-normalized probabilities, tie-break") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: a -> b -> a
+      (1L, 1L, 10L, "a"), (2L, 1L, 20L, "b"), (3L, 1L, 30L, "a"),
+      // user 2: same-ts tie broken by event_id: 4 ("a") before 5 ("b")
+      (5L, 2L, 10L, "b"), (4L, 2L, 10L, "a"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val m = Transitions.matrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(m === Map(
+      ("a", "b") -> ((2L, 1.0)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("transition probabilities sum to 1 per source type on real data") {
+    val m = Transitions.matrix(SparkEntry.tbl(spark, TestData.dir("0.001"), "events"))
+    val sums = m.groupBy(col("from_type"))
+      .agg(sum(col("p_transition")).as("s")).collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4,
+      s"probabilities for ${r.getString(0)} sum to ${r.getDouble(1)}"))
+  }
+}

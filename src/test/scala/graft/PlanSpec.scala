@@ -100,4 +100,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"),
       s"split assignment must not shuffle (it fuses into the scan):\n$p")
   }
+
+  test("d7 decontamination: eval shingles broadcast, train side never sort-merged") {
+    val p = plan("d7_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingle set should broadcast into the train scan stage:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the train corpus must not be shuffled for the collision join:\n$p")
+  }
+
+  test("u5 transitions: event stream shuffles once, on user_id") {
+    val p = plan("u5_transitions")
+    assert(p.contains("Exchange hashpartitioning(user_id"),
+      s"lead() window should shuffle on user_id:\n$p")
+  }
+
+  test("q15 pivot: single hash aggregate, no values-discovery stage") {
+    val p = plan("q15_pivot")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Expand"),
+      s"explicit pivot values should plan as conditional sums, not Expand:\n$p")
+  }
 }
