@@ -318,6 +318,11 @@ object SparkEntry {
       f.select(col("doc_id") +:
         f.columns.tail.map(n => col(n).cast("int").as(n)): _*)
     }),
+    // Per-document top-3 tf-idf terms: explode → (doc,term) partial agg
+    // → term-df agg → shuffle join on term → per-doc row_number. Scores
+    // are rounded before ranking so ranks are engine-deterministic.
+    "t9_tfidf" -> ((s, dir) =>
+      Vocab.tfIdfTopTerms(par(tbl(s, dir, "documents")), k = 3)),
 
     // ── Deduplication (training-data pipeline operators) ─────────────────
     // Exact dedup over a corpus with literal duplicates (each doc unioned
@@ -877,6 +882,29 @@ object SparkEntry {
           |            AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ell_frac <= 0.3
           |            AND alpha_frac >= 0.8 AND req_hits >= 2 THEN 1 ELSE 0 END AS passes_quality
           |FROM m""".stripMargin,
+      "t9_tfidf" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS term
+          |  FROM documents
+          |), tf AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+          |), dfs AS (
+          |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+          |), nd AS (
+          |  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+          |), scored AS (
+          |  SELECT doc_id, term, tf, df,
+          |    round(CAST(tf AS DOUBLE) *
+          |      (ln((CAST(n_docs AS DOUBLE) + 1) / (CAST(df AS DOUBLE) + 1)) + 1), 6) AS tfidf
+          |  FROM tf JOIN dfs USING (term) CROSS JOIN nd
+          |), ranked AS (
+          |  SELECT doc_id, term, tf, df, tfidf,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+          |  FROM scored
+          |)
+          |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+          |  tfidf, CAST(rank AS BIGINT) AS rank
+          |FROM ranked WHERE rank <= 3""".stripMargin,
       "d1_exact_dedup" ->
         """WITH dup AS (
           |  SELECT doc_id, text FROM documents

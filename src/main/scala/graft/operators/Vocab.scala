@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -32,4 +33,36 @@ object Vocab {
       .where(col("df") >= minDf)
       .orderBy(col("cf").desc, col("token"))
       .limit(k)
+
+  /** Per-document top-k terms by smoothed tf-idf
+    * (`tf · (ln((N+1)/(df+1)) + 1)`, the sklearn smoothing — never
+    * divides by zero, idf ≥ 1).
+    *
+    * Plan shape at 100 TB: explode feeding a partial-combined hash
+    * aggregate on (doc, term) → df aggregate on the term → a shuffle
+    * equi-join of the tf table on the term (both sides corpus-scale;
+    * broadcast is wrong for a real vocabulary) → per-document
+    * `row_number` window. The window partitions on the document id —
+    * high-cardinality and unskewed, so per-partition state is one doc's
+    * terms. Scores are rounded BEFORE ranking so sub-epsilon float
+    * differences can't flip ranks between engines; ties break on the
+    * term, making the top-k set fully deterministic. */
+  def tfIdfTopTerms(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 3): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(Text.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfs, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf").cast("double") *
+        (log((col("n_docs").cast("double") + 1) / (col("df").cast("double") + 1)) + 1), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
 }

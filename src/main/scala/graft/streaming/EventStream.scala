@@ -48,6 +48,18 @@ object EventStream {
     else hashed.dropDuplicates("content_hash")
   }
 
+  /** Stream-static enrichment join: each event picks up the attributes
+    * of a (small, slowly-changing) batch dimension keyed on `key`. The
+    * dimension is explicitly `broadcast()` so the event stream is never
+    * shuffled — each micro-batch is a map-side hash join, the shape a
+    * feature-enrichment stage needs at any scale. Spark re-plans the
+    * static side per micro-batch, so a dimension refresh (overwritten
+    * parquet) is picked up without restarting the query. Left join:
+    * events with no dimension row pass through with nulls rather than
+    * being dropped. */
+  def enriched(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Gap-based sessionization with native session windows: one row per
     * (user, session) with event count and bounds — the streaming form of
     * the batch q10_sessionize query. */

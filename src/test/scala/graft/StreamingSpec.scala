@@ -228,4 +228,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream-static enrichment join: stream equals batch, left join keeps all events") {
+    val schema = spark.read.parquet(stagedDir).schema
+    val dim = spark.read.parquet(stagedDir)
+      .select(col("user_id")).distinct()
+      // leave some users without a dim row to exercise the left join
+      .where(col("user_id") % 5 =!= 0)
+      .withColumn("segment",
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+    val stream = spark.readStream.schema(schema).parquet(stagedDir)
+    val q = EventStream.enriched(stream, dim)
+      .select(col("event_id"), col("segment"))
+      .writeStream.format("memory").queryName("enr")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enr").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      val batchDf = EventStream.enriched(spark.read.parquet(stagedDir), dim)
+        .select(col("event_id"), col("segment"))
+      val batch = batchDf.collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(streamed === batch)
+      assert(streamed.exists(_._2.isEmpty), "left join must keep dim-less events")
+      assert(streamed.exists(_._2.nonEmpty))
+      // every event survives enrichment exactly once
+      assert(streamed.size === spark.read.parquet(stagedDir).count())
+    } finally q.stop()
+  }
 }
