@@ -323,6 +323,14 @@ object SparkEntry {
     // are rounded before ranking so ranks are engine-deterministic.
     "t9_tfidf" -> ((s, dir) =>
       Vocab.tfIdfTopTerms(par(tbl(s, dir, "documents")), k = 3)),
+    // Corpus boilerplate coverage: fraction of each document's distinct
+    // 3-gram shingles that appear in >= 3 documents. Shingle-df agg +
+    // shuffle-hash join back + doc agg — never broadcasts the
+    // vocabulary-sized df table.
+    "t10_boilerplate" -> ((s, dir) => {
+      Graft.registerAll(s)
+      Repetition.boilerplateCoverage(par(tbl(s, dir, "documents")), n = 3, minDf = 3)
+    }),
 
     // ── Deduplication (training-data pipeline operators) ─────────────────
     // Exact dedup over a corpus with literal duplicates (each doc unioned
@@ -905,6 +913,25 @@ object SparkEntry {
           |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
           |  tfidf, CAST(rank AS BIGINT) AS rank
           |FROM ranked WHERE rank <= 3""".stripMargin,
+      "t10_boilerplate" ->
+        s"""WITH norm AS (
+           |  SELECT doc_id, $normToksSql AS toks FROM documents
+           |), shs AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(${shingleSql(3)},
+           |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+           |  FROM norm
+           |), ex AS (
+           |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shs
+           |), dfs AS (
+           |  SELECT s, count(*) AS df FROM ex GROUP BY 1
+           |)
+           |SELECT doc_id, n_sh AS n_shingles,
+           |  CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           |  round(CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE) /
+           |        CAST(n_sh AS DOUBLE), 6) AS boiler_frac
+           |FROM ex JOIN dfs USING (s)
+           |GROUP BY doc_id, n_sh""".stripMargin,
       "d1_exact_dedup" ->
         """WITH dup AS (
           |  SELECT doc_id, text FROM documents

@@ -66,4 +66,38 @@ object Repetition {
           lit(0.0)), 6).as("top_ngram_frac"),
         coalesce(col("_tot"), lit(0L)).as("n_grams"))
   }
+
+  /** Corpus-level boilerplate coverage: a shingle present in at least
+    * `minDf` documents is "boilerplate" (site chrome, license headers,
+    * navigation text); each document reports the fraction of its
+    * distinct shingles that are boilerplate — a strong remove/clean
+    * signal that [[report]]'s within-document stats cannot see.
+    *
+    * Plan: hashed shingle arrays are materialized once
+    * ([[Dedup.hashedShingleSetNative]], eager checkpoint — same
+    * rationale as the dedup pipelines), the exploded view feeds (1) a
+    * document-frequency aggregate on the shingle and (2) an equi-join
+    * back on the shingle, then one hash aggregate on the doc id. The
+    * df table is corpus-vocabulary-sized, so the join is hinted
+    * shuffle-hash, never broadcast. Three shuffles (shingle df, join,
+    * doc agg), all on keys with corpus-scale cardinality — no skew
+    * hazard beyond the hot shingles themselves, which is exactly what
+    * the signal measures. */
+  def boilerplateCoverage(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, minDf: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("_id"),
+        Dedup.hashedShingleSetNative(col(textCol), n).as("_sh"))
+      .localCheckpoint()
+    val ex = sh.select(col("_id"), size(col("_sh")).as("_n"),
+      explode(col("_sh")).as("_s"))
+    val dfs = ex.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+    ex.join(dfs.hint("shuffle_hash"), "_s")
+      .groupBy(col("_id"), col("_n"))
+      .agg(sum(when(col("_df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("_id").as(idCol), col("_n").as("n_shingles"),
+        col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("_n").cast("double"), 6)
+          .as("boiler_frac"))
+  }
 }

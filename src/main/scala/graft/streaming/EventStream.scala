@@ -48,6 +48,40 @@ object EventStream {
     else hashed.dropDuplicates("content_hash")
   }
 
+  /** Watermarked stream-stream interval join: every purchase paired
+    * with each click by the same user in the preceding `within` window
+    * — the streaming form of the batch as-of/attribution analysis
+    * (\[[graft.operators.AsOf]] keeps only the latest click; this keeps
+    * the window's candidate set, the shape ad-attribution models
+    * consume).
+    *
+    * Both sides carry watermarks and the join condition bounds
+    * click_ts to [buy_ts - within, buy_ts], so Spark can evict click
+    * state once it falls `within` + watermark-delay behind the clock —
+    * state is bounded on an unbounded stream, the requirement for a
+    * production stream-stream join. On batch DataFrames the identical
+    * code is a plain range join (the parity tests' contract). */
+  def clickAttribution(
+      events: DataFrame,
+      within: String = "1 hour",
+      clickType: String = "click", buyType: String = "purchase",
+      watermark: String = "10 minutes"): DataFrame = {
+    def side(t: String, prefix: String) = {
+      val s = events.where(col("event_type") === t)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"), col("event_id").as(s"${prefix}_id"))
+      if (s.isStreaming) s.withWatermark(s"${prefix}_ts", watermark) else s
+    }
+    val clicks = side(clickType, "click")
+    val buys = side(buyType, "buy")
+    buys.join(clicks,
+        col("buy_user") === col("click_user") &&
+          col("click_ts") <= col("buy_ts") &&
+          col("click_ts") >= col("buy_ts") - expr(s"INTERVAL $within"))
+      .select(col("buy_user").as("user_id"), col("buy_id"), col("click_id"),
+        col("click_ts"), col("buy_ts"))
+  }
+
   /** Stream-static enrichment join: each event picks up the attributes
     * of a (small, slowly-changing) batch dimension keyed on `key`. The
     * dimension is explicitly `broadcast()` so the event stream is never

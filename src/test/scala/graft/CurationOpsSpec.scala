@@ -110,6 +110,25 @@ class CurationOpsSpec extends AnyFunSuite {
       ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("boilerplate coverage counts shingles shared by >= minDf docs") {
+    import spark.implicits._
+    import graft.operators.Repetition
+    // "alpha beta gamma" appears in 3 docs (boilerplate at minDf=3);
+    // every other shingle is unique to its doc
+    val docs = Seq(
+      (1L, "alpha beta gamma one two three"),
+      (2L, "alpha beta gamma four five six"),
+      (3L, "alpha beta gamma seven eight nine"),
+      (4L, "totally unique content right here now"))
+      .toDF("doc_id", "text")
+    val r = Repetition.boilerplateCoverage(docs, n = 3, minDf = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getAs[Int]("n_shingles"), x.getAs[Long]("n_boiler")))).toMap
+    // 6 tokens -> 4 shingles each; only "alpha beta gamma" is shared
+    assert(r === Map(1L -> ((4, 1L)), 2L -> ((4, 1L)), 3L -> ((4, 1L)),
+      4L -> ((4, 0L))))
+  }
+
   test("transition probabilities sum to 1 per source type on real data") {
     val m = Transitions.matrix(SparkEntry.tbl(spark, TestData.dir("0.001"), "events"))
     val sums = m.groupBy(col("from_type"))

@@ -257,4 +257,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.size === spark.read.parquet(stagedDir).count())
     } finally q.stop()
   }
+
+  test("stream-stream attribution interval join: stream equals batch") {
+    val schema = spark.read.parquet(stagedDir).schema
+    val stream = spark.readStream.schema(schema).parquet(stagedDir)
+    val q = EventStream.clickAttribution(stream, within = "7 days")
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = EventStream
+        .clickAttribution(spark.read.parquet(stagedDir), within = "7 days")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // window bound holds on every pair
+      val bad = spark.table("attr")
+        .where(col("click_ts") > col("buy_ts") ||
+          col("click_ts") < col("buy_ts") - expr("INTERVAL 7 days"))
+        .count()
+      assert(bad === 0L)
+    } finally q.stop()
+  }
 }
