@@ -505,7 +505,16 @@ object SparkEntry {
     "p2_stratified_sample" -> ((s, dir) =>
       Split.stratifiedSample(
         tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
-        "doc_id", "lang", rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1))
+        "doc_id", "lang", rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)),
+    // Deterministic training-sequence packing: hash docs into bins, then
+    // a per-bin running token total assigns ~512-token sequences. One
+    // shuffle on the bin key; parallelism = bins, invariant to cluster
+    // size.
+    "p3_pack_sequences" -> ((s, dir) =>
+      Split.packSequences(
+        par(tbl(s, dir, "documents"))
+          .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512, bins = 8))
   )
 
   /** The testdata parquet files are single-row-group, so a scan is ONE
@@ -1200,7 +1209,18 @@ object SparkEntry {
         """SELECT doc_id, lang FROM documents
           |WHERE ('0x' || substr(md5('smp|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
           |        % 1000000
-          |  < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 100000 END""".stripMargin
+          |  < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 100000 END""".stripMargin,
+      "p3_pack_sequences" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    len(regexp_extract_all(text, '[a-zA-Z0-9'']+')) AS n_tokens,
+          |    ('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS bin
+          |  FROM documents
+          |)
+          |SELECT doc_id, bin, n_tokens,
+          |  CAST(floor(CAST(sum(n_tokens) OVER (PARTITION BY bin ORDER BY doc_id)
+          |                  - n_tokens AS DOUBLE) / 512) AS BIGINT) AS seq_id
+          |FROM t""".stripMargin
     )
   }
 

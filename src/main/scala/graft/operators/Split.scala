@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting for training pipelines.
@@ -59,5 +60,39 @@ object Split {
       case ((k, v), rest) => when(col(strataCol) === k, lit(math.round(v * 1e6))).otherwise(rest)
     }
     df.where(ppm < cut)
+  }
+
+  /** Deterministic sequence packing for training-batch assembly: each
+    * document lands in a training sequence of roughly `budget` tokens.
+    *
+    * Documents are first hash-assigned to one of `bins` independent
+    * packing streams (a pure projection — the same purpose-prefixed md5
+    * discipline as [[stratifiedSample]]), then within a bin a running
+    * token total ordered by the id yields
+    * `seq_id = floor(exclusive_cumsum / budget)`: a document goes to the
+    * sequence its first token falls in, and never splits. Oversized
+    * documents (> budget tokens) take a sequence id range of their own —
+    * downstream truncation policy stays with the trainer.
+    *
+    * Scale: the only non-projection work is a per-bin sort + running sum
+    * (one shuffle on the bin key). Choose `bins` large enough that a
+    * bin's documents fit one task comfortably (e.g. corpus_tokens /
+    * bins ≈ 10⁸) — bins are independent, so parallelism equals `bins`
+    * and results are invariant to cluster size. Packing quality is that
+    * of first-come greedy (≈ budget/2 waste worst case, far less on
+    * mixed-length corpora); bin-packing heuristics that reorder by
+    * length would pack tighter but destroy the deterministic id order
+    * this guarantees. */
+  def packSequences(
+      docs: DataFrame, idCol: String, tokensCol: String,
+      budget: Int, bins: Int): DataFrame = {
+    require(budget > 0 && bins > 0, s"budget=$budget and bins=$bins must be positive")
+    val bin = pmod(
+      Dedup.hash60(concat(lit("pack|"), col(idCol).cast("string"))), lit(bins.toLong))
+    val w = Window.partitionBy(col("bin")).orderBy(col(idCol))
+    docs.withColumn("bin", bin)
+      .withColumn("_cum", sum(col(tokensCol)).over(w))
+      .select(col(idCol), col("bin"), col(tokensCol),
+        floor((col("_cum") - col(tokensCol)).cast("double") / budget).as("seq_id"))
   }
 }

@@ -120,4 +120,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.collect().map(_.getLong(1)).sum ===
       SparkEntry.tbl(spark, sf, "lineitem").count())
   }
+
+  test("sequence packing: greedy per-bin assignment, docs never split, repartition-invariant") {
+    import spark.implicits._
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 300L), (4L, 1200L), (5L, 100L))
+      .toDF("doc_id", "n_tokens")
+    def pack(df: org.apache.spark.sql.DataFrame) =
+      Split.packSequences(df, "doc_id", "n_tokens", budget = 512, bins = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // exclusive cumsums 0,300,600,900,2100 → seqs 0,0,1,1,4
+    val expected = Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 4L)
+    assert(pack(docs) === expected)
+    // a different physical layout must not re-deal the packing
+    assert(pack(docs.repartition(3)) === expected)
+  }
 }

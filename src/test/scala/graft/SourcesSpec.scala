@@ -100,6 +100,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(orcBack.schema === src.schema)
   }
 
+  test("csv source: PERMISSIVE captures malformed rows, DROPMALFORMED removes them") {
+    val dir = Files.createTempDirectory("graft_badcsv").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "part.csv"),
+      "1,alpha\n2,beta\nnot_a_number,gamma\n3,delta\n")
+    val dataSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val permSchema = dataSchema.add(StructField("_corrupt_record", StringType))
+    val perm = spark.read.schema(permSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+    // Spark forbids filtering on only the corrupt column of a lazy scan —
+    // materialize first (the documented contract for corrupt-record audits)
+    perm.cache()
+    try {
+      assert(perm.count() === 4)
+      val bad = perm.where(col("_corrupt_record").isNotNull).collect()
+      assert(bad.length === 1 && bad.head.getAs[String]("_corrupt_record")
+        .startsWith("not_a_number"))
+      assert(perm.where(col("_corrupt_record").isNull)
+        .agg(sum(col("id"))).head.getLong(0) === 6L)
+    } finally perm.unpersist()
+    val dropped = spark.read.schema(dataSchema)
+      .option("mode", "DROPMALFORMED").csv(dir)
+    // count() alone prunes ALL columns from the scan, so nothing is parsed
+    // and DROPMALFORMED has no malformed rows to drop — materialize the
+    // columns to exercise the mode
+    assert(dropped.collect().length === 3)
+  }
+
   test("s3a conf helper wires the object-store settings onto the session") {
     // the Spark analogue of the reference's register_object_store over a
     // MinIO endpoint (tests/test_with_minio.rs:84-92); zero-egress, so we
