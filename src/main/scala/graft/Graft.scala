@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{Fingerprint64, HashedShingles, LongArrayDot, MinhashSig, Simhash32}
+import graft.functions.{Fingerprint64, HashedShingles, LongArrayDot, MinhashSig, Simhash32, SqlFunctions}
 import graft.operators.Retention
 
 /** Session facade for the graft engine — the analogue of the reference's
@@ -44,6 +44,7 @@ object Graft {
     HashedShingles.register(spark)
     Simhash32.register(spark)
     Fingerprint64.register(spark)
+    SqlFunctions.registerAll(spark)
   }
 
   /** Applies S3A object-store configuration to the session's Hadoop conf —
@@ -108,5 +109,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.Fingerprint64(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue())))
+    // the composed text/PII scalar surface (same builders as the
+    // session-level SqlFunctions.registerAll)
+    graft.functions.SqlFunctions.all.foreach { case (name, arity, f) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.SqlFunctions", name),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.SqlFunctions.builder(name, arity, f)(exprs)))
+    }
   }
 }

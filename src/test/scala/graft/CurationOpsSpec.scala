@@ -129,6 +129,40 @@ class CurationOpsSpec extends AnyFunSuite {
       4L -> ((4, 0L))))
   }
 
+  test("sql function surface equals the DataFrame forms (same Catalyst trees)") {
+    import spark.implicits._
+    import graft.functions.Text
+    val df = Seq((1L, "the quick brown fox mailed a@b.co today"))
+      .toDF("id", "t")
+    df.createOrReplaceTempView("sqlsurf")
+    val viaSql = spark.sql(
+      """select token_count(t) AS n, lang_id(t) AS l, pii_email_count(t) AS e,
+        |       pii_scrub(t) AS s, quality_score(t) AS q, doc_hash(t) AS h
+        |from sqlsurf""".stripMargin).head
+    val viaDf = df.select(
+      Text.tokenCount(col("t")).as("n"), Text.langId(col("t")).as("l"),
+      graft.functions.Pii.emailCount(col("t")).as("e"),
+      graft.functions.Pii.scrub(col("t")).as("s"),
+      Text.qualityScore(col("t")).as("q"), Text.docHash(col("t")).as("h")).head
+    assert(viaSql === viaDf)
+  }
+
+  test("extension-injection builders expand to analyzable trees, not lazy wrappers") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.SqlFunctions
+    val (name, arity, f) = SqlFunctions.all.find(_._1 == "token_count").get
+    val expr = SqlFunctions.builder(name, arity, f)(Seq(Literal("a b c")))
+    // a lazy ColumnNodeExpression never resolves when built outside a
+    // Dataset operation — it would reach codegen unresolved and throw
+    assert(!expr.exists(_.getClass.getName.contains("ColumnNodeExpression")),
+      s"builder leaked a lazy column-node wrapper: $expr")
+    // the analyzer resolves the tree and it evaluates
+    val out = spark.range(1)
+      .select(org.apache.spark.sql.graft.ColumnBridge.column(expr).as("n"))
+      .head.getInt(0)
+    assert(out === 3)
+  }
+
   test("transition probabilities sum to 1 per source type on real data") {
     val m = Transitions.matrix(SparkEntry.tbl(spark, TestData.dir("0.001"), "events"))
     val sums = m.groupBy(col("from_type"))

@@ -42,8 +42,14 @@ class SltSpec extends AnyFunSuite {
     assert(n === 5)
   }
 
+  test("text_functions.slt (SQL surface of the text/PII scalar functions)") {
+    val n = SltRunner.runDir(spark, sltDir, filters = Seq("text_functions"))
+    assert(n === 5) // 5 query records (+1 statement-ok, +1 statement-error)
+  }
+
   test("discovery walks the whole corpus; filters by substring") {
-    assert(SltRunner.runDir(spark, sltDir) === 8) // retention(3) + scalar(5)
+    // retention(3) + scalar(5) + text_functions(5) query records
+    assert(SltRunner.runDir(spark, sltDir) === 13)
     assert(SltRunner.discover(sltDir, Seq("no_such_file")).isEmpty)
   }
 
