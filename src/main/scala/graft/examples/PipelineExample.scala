@@ -4,19 +4,21 @@ import org.apache.spark.sql.functions._
 
 import graft.{Graft, TestData}
 import graft.SparkEntry.tbl
-import graft.functions.Text
-import graft.operators.{Dedup, Split}
+import graft.functions.{Pii, QualityRules, Text}
+import graft.operators.{Decontaminate, Dedup, Split}
 
 /** End-to-end training-data curation pipeline over the documents table —
   * the integration story for the LLM-pipeline operators: exact dedup →
-  * quality/language filtering → near-dup group clustering (one keeper
-  * per component) → deterministic train/val/test split → corpus stats.
+  * PII scrub → quality/language gates → near-dup group clustering (one
+  * keeper per component) → benchmark decontamination → deterministic
+  * train/val/test split → sequence packing → corpus stats.
   *
   * Every stage is a DataFrame transform (scales with partitioning); the
   * near-dup stage is the banded-LSH candidate join, never all-pairs, and
   * running exact dedup FIRST is what keeps the LSH band buckets small
   * (identical documents would otherwise share every band key — see
-  * `Dedup.capBuckets`).
+  * `Dedup.capBuckets`). The scrub and gate stages are pure per-row maps
+  * that fuse into one codegen stage with the scan.
   *
   * Run: `sbt "runMain graft.examples.PipelineExample [sfDir]"`.
   */
@@ -35,12 +37,19 @@ object PipelineExample {
     val uniq = docs.join(
       exact.where(!col("is_dup")).select(col("doc_id")), "doc_id")
 
-    // 2. quality + language gate (native codegen'd text functions)
-    val scored = uniq.select(col("doc_id"), col("text"),
+    // 2. PII scrub (emails/IPs/phones → typed placeholders), then
+    //    quality + language gates over the SCRUBBED text — per-row regex
+    //    maps, all inside the scan's codegen stage
+    val scrubbed = uniq.select(col("doc_id"),
+      Pii.scrub(col("text")).as("text"))
+    val scored = scrubbed.select(col("doc_id"), col("text"),
       Text.qualityScore(col("text")).as("quality"),
       Text.langId(col("text")).as("lang_pred"),
       Text.tokenCount(col("text")).as("n_tokens"))
-    val kept = scored.where(col("quality") >= 0.5 && col("n_tokens") >= 10)
+    val gated = scored.select(col("*") +: QualityRules.flags(col("text"),
+      minWords = 10, minRequiredWords = 1): _*)
+    val kept = gated.where(col("quality") >= 0.5 && col("passes_quality"))
+      .select(col("doc_id"), col("text"), col("quality"), col("n_tokens"))
 
     // 3. near-dup removal via GROUP clustering: transitive near-dups
     //    collapse to one keeper per connected component (pairwise
@@ -51,15 +60,33 @@ object PipelineExample {
       .select(col("doc_id"))
     val clean = kept.join(losers, Seq("doc_id"), "left_anti")
 
-    // 4. deterministic split: pure hash of doc_id, stable across reruns
-    val split = Split.assignSplit(clean, "doc_id")
+    // 4. benchmark decontamination: drop training docs sharing 4-grams
+    //    with the held-out eval slice (here: doc_id % 20 == 0 stands in
+    //    for the benchmark set; in production, the eval suites)
+    val evalSet = docs.where(col("doc_id") % 20 === 0)
+    val contaminated = Decontaminate.report(
+        clean.where(col("doc_id") % 20 =!= 0), evalSet, n = 4)
+      .where(col("contam_frac") >= 0.2).select(col("doc_id"))
+    val decontaminated = clean.where(col("doc_id") % 20 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 5. corpus report per split
+    // 5. deterministic split + sequence packing: both pure functions of
+    //    the id (plus one per-bin running sum), stable across reruns
+    val split = Split.assignSplit(decontaminated, "doc_id")
+    val packed = Split.packSequences(
+      split.where(col("split") === "train")
+        .select(col("doc_id"), col("n_tokens")),
+      "doc_id", "n_tokens", budget = 2048, bins = 16)
+
+    // 6. corpus report per split
     val report = split.groupBy(col("split")).agg(
       count(lit(1)).as("docs"),
       sum(col("n_tokens")).as("tokens"),
       round(avg(col("quality")), 4).as("avg_quality"))
-    println(s"input=$total unique=${uniq.count()} kept=${kept.count()} clean=${clean.count()}")
+    val nSeqs = packed.select(col("bin"), col("seq_id")).distinct().count()
+    println(s"input=$total unique=${uniq.count()} kept=${kept.count()} " +
+      s"clean=${clean.count()} decontaminated=${decontaminated.count()} " +
+      s"train_sequences=$nSeqs")
     report.orderBy(col("split")).show(false)
     spark.stop()
   }
