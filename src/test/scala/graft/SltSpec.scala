@@ -47,9 +47,14 @@ class SltSpec extends AnyFunSuite {
     assert(n === 5) // 5 query records (+1 statement-ok, +1 statement-error)
   }
 
+  test("relational.slt (ROLLUP, set ops, window, PIVOT through the harness)") {
+    val n = SltRunner.runDir(spark, sltDir, filters = Seq("relational"))
+    assert(n === 5)
+  }
+
   test("discovery walks the whole corpus; filters by substring") {
-    // retention(3) + scalar(5) + text_functions(5) query records
-    assert(SltRunner.runDir(spark, sltDir) === 13)
+    // retention(3) + scalar(5) + text_functions(5) + relational(5)
+    assert(SltRunner.runDir(spark, sltDir) === 18)
     assert(SltRunner.discover(sltDir, Seq("no_such_file")).isEmpty)
   }
 
