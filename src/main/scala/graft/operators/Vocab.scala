@@ -55,7 +55,11 @@ object Vocab {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
-    val scored = tf.join(dfs, "term")
+    // shuffle-hash hint: the df table is vocabulary-sized — at corpus
+    // scale it must co-partition on the term, never broadcast (AQE would
+    // otherwise broadcast it whenever it dips under the threshold, an
+    // unstable and scale-wrong plan — same discipline as the dedup joins)
+    val scored = tf.join(dfs.hint("shuffle_hash"), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf").cast("double") *
         (log((col("n_docs").cast("double") + 1) / (col("df").cast("double") + 1)) + 1), 6))

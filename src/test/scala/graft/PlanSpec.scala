@@ -115,6 +115,18 @@ class PlanSpec extends AnyFunSuite {
       s"lead() window should shuffle on user_id:\n$p")
   }
 
+  test("t9 tfidf: vocabulary join stays shuffle-hash, never broadcast") {
+    val p = plan("t9_tfidf")
+    assert(p.contains("ShuffledHashJoin"),
+      s"tf x df join should co-partition on the term:\n$p")
+  }
+
+  test("t10 boilerplate: shingle-df join stays shuffle-hash, never broadcast") {
+    val p = plan("t10_boilerplate")
+    assert(p.contains("ShuffledHashJoin"),
+      s"exploded x df join should co-partition on the shingle:\n$p")
+  }
+
   test("q15 pivot: single hash aggregate, no values-discovery stage") {
     val p = plan("q15_pivot")
     assert(p.contains("HashAggregate"), p)
