@@ -237,6 +237,23 @@ object SparkEntry {
         .agg(sum(col("l_quantity").cast("decimal(18,3)")).cast("double"))
         .orderBy(col("l_returnflag"))
     }),
+    // Weekly cohort-retention matrix: users bucketed by signup week,
+    // activity counted per week offset — the classic UBA cohort output.
+    // One shuffle on user_id (the signup agg and the activity join share
+    // the key), then a tiny (cohort, week) count-distinct aggregate.
+    "q16_cohort_matrix" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val s0 = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      e.join(s0, "user_id").where(col("ts") >= col("t0"))
+        .select(col("user_id"),
+          date_format(date_trunc("week", col("t0")), "yyyy-MM-dd").as("cohort_week"),
+          floor(datediff(to_date(col("ts")), to_date(col("t0"))).cast("double") / 7)
+            .as("week_off"))
+        .where(col("week_off") <= 8)
+        .groupBy(col("cohort_week"), col("week_off"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
     // Event-stream profile: per-type counts + distinct users + rounded avg.
     "q12_events_profile" -> ((s, dir) => {
       tbl(s, dir, "events")
@@ -750,6 +767,19 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,3)) END) AS DOUBLE) AS "F",
           |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,3)) END) AS DOUBLE) AS "O"
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q16_cohort_matrix" ->
+        """WITH s0 AS (
+          |  SELECT user_id, min(ts) AS t0 FROM events
+          |  WHERE event_type = 'signup' GROUP BY 1
+          |), act AS (
+          |  SELECT e.user_id,
+          |    strftime(date_trunc('week', s0.t0), '%Y-%m-%d') AS cohort_week,
+          |    CAST(floor(date_diff('day', CAST(s0.t0 AS DATE), CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_off
+          |  FROM events e JOIN s0 USING (user_id)
+          |  WHERE e.ts >= s0.t0
+          |)
+          |SELECT cohort_week, week_off, count(DISTINCT user_id) AS n_users
+          |FROM act WHERE week_off <= 8 GROUP BY 1, 2""".stripMargin,
       "q12_events_profile" ->
         """SELECT event_type, count(*) AS n,
           |  count(DISTINCT user_id) AS n_users,
