@@ -237,6 +237,25 @@ object SparkEntry {
         .agg(sum(col("l_quantity").cast("decimal(18,3)")).cast("double"))
         .orderBy(col("l_returnflag"))
     }),
+    // Conversion-latency distribution: exact percentiles of the
+    // signup→first-purchase gap. The gap table is per-user (small after
+    // the user-key shuffle it shares with the funnel ops); exact
+    // percentile is a single-pass sort-based aggregate over it.
+    "q17_conversion_latency" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val s0 = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val conv = e.join(s0, "user_id")
+        .where(col("event_type") === "purchase" && col("ts") >= col("t0"))
+        .groupBy(col("user_id"), col("t0")).agg(min(col("ts")).as("tp"))
+        .select((unix_micros(col("tp")) - unix_micros(col("t0")))
+          .cast("double").as("gap_us"))
+      conv.agg(
+        count(lit(1)).as("n_converted"),
+        round(element_at(expr("percentile(gap_us, array(0.5D, 0.9D, 0.99D))"), 1) / 1e6, 6).as("p50_sec"),
+        round(element_at(expr("percentile(gap_us, array(0.5D, 0.9D, 0.99D))"), 2) / 1e6, 6).as("p90_sec"),
+        round(element_at(expr("percentile(gap_us, array(0.5D, 0.9D, 0.99D))"), 3) / 1e6, 6).as("p99_sec"))
+    }),
     // Weekly cohort-retention matrix: users bucketed by signup week,
     // activity counted per week offset — the classic UBA cohort output.
     // One shuffle on user_id (the signup agg and the activity join share
@@ -340,6 +359,11 @@ object SparkEntry {
     // are rounded before ranking so ranks are engine-deterministic.
     "t9_tfidf" -> ((s, dir) =>
       Vocab.tfIdfTopTerms(par(tbl(s, dir, "documents")), k = 3)),
+    // Per-document mean unigram surprisal (perplexity proxy): integer
+    // micro-nat quantization before the sum keeps the mean associative
+    // and engine-exact.
+    "t11_surprisal" -> ((s, dir) =>
+      Vocab.meanSurprisal(par(tbl(s, dir, "documents")))),
     // Corpus boilerplate coverage: fraction of each document's distinct
     // 3-gram shingles that appear in >= 3 documents. Shingle-df agg +
     // shuffle-hash join back + doc agg — never broadcasts the
@@ -767,6 +791,21 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,3)) END) AS DOUBLE) AS "F",
           |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,3)) END) AS DOUBLE) AS "O"
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q17_conversion_latency" ->
+        """WITH s0 AS (
+          |  SELECT user_id, min(ts) AS t0 FROM events
+          |  WHERE event_type = 'signup' GROUP BY 1
+          |), conv AS (
+          |  SELECT CAST(epoch_us(min(e.ts)) - epoch_us(s0.t0) AS DOUBLE) AS gap_us
+          |  FROM events e JOIN s0 USING (user_id)
+          |  WHERE e.event_type = 'purchase' AND e.ts >= s0.t0
+          |  GROUP BY e.user_id, s0.t0
+          |)
+          |SELECT count(*) AS n_converted,
+          |  round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_sec,
+          |  round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_sec,
+          |  round(quantile_cont(gap_us, 0.99) / 1e6, 6) AS p99_sec
+          |FROM conv""".stripMargin,
       "q16_cohort_matrix" ->
         """WITH s0 AS (
           |  SELECT user_id, min(ts) AS t0 FROM events
@@ -952,6 +991,22 @@ object SparkEntry {
           |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
           |  tfidf, CAST(rank AS BIGINT) AS rank
           |FROM ranked WHERE rank <= 3""".stripMargin,
+      "t11_surprisal" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS term
+          |  FROM documents
+          |), cf AS (
+          |  SELECT term, count(*) AS cf FROM tok GROUP BY 1
+          |), tot AS (
+          |  SELECT CAST(sum(cf) AS DOUBLE) AS total FROM cf
+          |), m AS (
+          |  SELECT doc_id,
+          |    CAST(round(-ln(CAST(cf AS DOUBLE) / total) * 1000000) AS BIGINT) AS micro
+          |  FROM tok JOIN cf USING (term) CROSS JOIN tot
+          |)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |  round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000, 6) AS mean_surprisal
+          |FROM m GROUP BY doc_id""".stripMargin,
       "t10_boilerplate" ->
         s"""WITH norm AS (
            |  SELECT doc_id, $normToksSql AS toks FROM documents

@@ -69,4 +69,32 @@ object Vocab {
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("tfidf"), col("rank"))
   }
+
+  /** Per-document mean token surprisal under the corpus unigram model
+    * (`-ln(cf(t)/total)`, in nats) — the cheap perplexity proxy used as
+    * a model-free quality signal: very low surprisal = boilerplate /
+    * repeated text, very high = noise or vocabulary garbage.
+    *
+    * Plan: explode → cf aggregate on the term → shuffle-hash join back
+    * (vocabulary never broadcast) → per-document mean. Per-token
+    * surprisals are quantized to integer micro-nats BEFORE the sum so
+    * the aggregate is associative integer arithmetic — the mean is
+    * bit-identical across partitionings and engines, where a raw double
+    * sum would depend on reduction order. */
+  def meanSurprisal(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(Text.tokens(lower(col(textCol)))).as("term"))
+    val cf = tok.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val tot = cf.agg(sum(col("cf")).cast("double").as("total"))
+    tok.join(cf.hint("shuffle_hash"), "term")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(-log(col("cf").cast("double") / col("total")) * 1e6)
+          .cast("long").as("micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("micro")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_surprisal"))
+  }
 }
