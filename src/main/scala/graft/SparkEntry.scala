@@ -273,6 +273,27 @@ object SparkEntry {
         .groupBy(col("cohort_week"), col("week_off"))
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
+    // Rolling 7-day distinct active users per day. Sliding-window distinct
+    // does not decompose into per-day partials, so the scalable shape is:
+    // dedup to (day, user) once, explode each row into the ≤7 window days
+    // it contributes to, dedup (window_day, user), count per day. Three
+    // key-partitioned shuffles of a stream that dedup already collapsed to
+    // |users|×|days| rows — no window function over the raw stream, no
+    // per-day re-scan. wau7 counts a trailing window clipped to observed
+    // days (day 0 has a 1-day window), the standard dashboard convention.
+    "q18_rolling_active" -> ((s, dir) => {
+      val ud = tbl(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau7"))
+      dau.join(wau, "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau7"))
+    }),
     // Event-stream profile: per-type counts + distinct users + rounded avg.
     "q12_events_profile" -> ((s, dir) => {
       tbl(s, dir, "events")
@@ -536,6 +557,21 @@ object SparkEntry {
         docs.where(col("doc_id") % 20 =!= 0),
         docs.where(col("doc_id") % 20 === 0), n = 4)
     }),
+    // Incremental dedup: a daily increment (every 5th doc, plus exact
+    // copies of corpus docs and of itself) reduced to content-new
+    // documents against the existing corpus — batch-internal keeper
+    // window + anti-join on the content hash.
+    "d8_incremental_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.where(col("doc_id") % 5 =!= 0)
+      val incoming = par(
+        d.where(col("doc_id") % 5 === 0)
+          .unionByName(corpus.where(col("doc_id") % 5 === 1)
+            .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+          .unionByName(d.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 4000000).as("doc_id"), col("text"))))
+      Dedup.incrementalNew(incoming, par(corpus))
+    }),
     // Deterministic hash-based train/val/test assignment: a pure
     // projection of the id, stable across partitioning/cluster size.
     "p1_hash_split" -> ((s, dir) =>
@@ -547,6 +583,17 @@ object SparkEntry {
       Split.stratifiedSample(
         tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "lang", rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)),
+    // Deterministic domain-mixture resampling: thin each language to hit
+    // a 50/20/15/10/5 target mixture, keeping the binding domain whole.
+    // Rates are derived in-plan (tiny count agg → global min → broadcast
+    // join back); selection is the same md5-ppm filter as p2.
+    "p4_mixture_resample" -> ((s, dir) =>
+      Split.mixtureResample(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        sharesPpm = Map("en" -> 500000L, "zh" -> 200000L, "es" -> 150000L,
+          "de" -> 100000L, "fr" -> 50000L))
+        .select(col("doc_id"), col("lang"))),
     // Deterministic training-sequence packing: hash docs into bins, then
     // a per-bin running token total assigns ~512-token sequences. One
     // shuffle on the bin key; parallelism = bins, invariant to cluster
@@ -819,6 +866,19 @@ object SparkEntry {
           |)
           |SELECT cohort_week, week_off, count(DISTINCT user_id) AS n_users
           |FROM act WHERE week_off <= 8 GROUP BY 1, 2""".stripMargin,
+      "q18_rolling_active" ->
+        """WITH ud AS (
+          |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+          |), dau AS (
+          |  SELECT day, count(*) AS dau FROM ud GROUP BY day
+          |), contrib AS (
+          |  SELECT DISTINCT ud.day + CAST(g.i AS INT) AS day, ud.user_id
+          |  FROM ud CROSS JOIN generate_series(0, 6) AS g(i)
+          |), wau AS (
+          |  SELECT day, count(*) AS wau7 FROM contrib GROUP BY day
+          |)
+          |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau7
+          |FROM dau JOIN wau USING (day)""".stripMargin,
       "q12_events_profile" ->
         """SELECT event_type, count(*) AS n,
           |  count(DISTINCT user_id) AS n_users,
@@ -1283,6 +1343,46 @@ object SparkEntry {
            |  round(CAST(count(*) AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contam_frac
            |FROM trainx JOIN evals USING (s)
            |GROUP BY doc_id, n_shingles""".stripMargin,
+      "d8_incremental_dedup" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+          |), inc AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 3000000, text FROM corpus WHERE doc_id % 5 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 5 = 0
+          |), inch AS (
+          |  SELECT doc_id,
+          |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+          |  FROM inc
+          |), keep AS (
+          |  SELECT content_hash, min(doc_id) AS doc_id FROM inch GROUP BY 1
+          |), corph AS (
+          |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+          |  FROM corpus
+          |)
+          |SELECT k.content_hash, k.doc_id FROM keep k
+          |WHERE NOT EXISTS (SELECT 1 FROM corph c WHERE c.content_hash = k.content_hash)""".stripMargin,
+      "p4_mixture_resample" ->
+        """WITH shares AS (
+          |  SELECT * FROM (VALUES ('en', 500000), ('zh', 200000), ('es', 150000),
+          |                        ('de', 100000), ('fr', 50000)) s(lang, share_ppm)
+          |), j AS (
+          |  SELECT c.lang, c.n, s.share_ppm
+          |  FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang) c
+          |  JOIN shares s USING (lang)
+          |), sc AS (
+          |  SELECT min(CAST(n AS DOUBLE) * 1e6 / CAST(share_ppm AS DOUBLE)) AS scale FROM j
+          |), cuts AS (
+          |  SELECT lang,
+          |    least(1000000.0,
+          |      floor(CAST(share_ppm AS DOUBLE) * sc.scale / CAST(n AS DOUBLE))) AS cut
+          |  FROM j CROSS JOIN sc
+          |)
+          |SELECT d.doc_id, d.lang FROM documents d JOIN cuts USING (lang)
+          |WHERE ('0x' || substr(md5('mix|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          |        % 1000000 < cut""".stripMargin,
       "p1_hash_split" ->
         """SELECT doc_id, b AS bucket,
           |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split

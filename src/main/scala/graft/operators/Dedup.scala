@@ -116,6 +116,32 @@ object Dedup {
       .withColumn("is_dup", col(idCol) =!= col("keep_id"))
   }
 
+  /** Incremental (snapshot) dedup — the daily-increment form of [[exact]].
+    * Reduces an incoming batch to its content-new documents: exact dedup
+    * *within* the batch (min-id keeper per content hash), then an
+    * anti-join against the existing corpus's content hashes.
+    *
+    * Scale shape: one shuffle of the batch on the content hash (keeper
+    * window + anti-join share it), one shuffle of the corpus hash
+    * manifest. At 100 TB the corpus side should be a persisted manifest
+    * of hashes only — store the `content_hash` column at ingest (it is
+    * what [[exact]] already computes), bucket it by hash, and repeated
+    * daily runs reshuffle only the day's increment, never the corpus.
+    */
+  def incrementalNew(
+      incoming: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    val batchKeepers = incoming
+      .select(col(idCol), Text.docHash(col(textCol)).as("content_hash"))
+      .withColumn("_keep", min(col(idCol)).over(w))
+      .where(col(idCol) === col("_keep")).drop("_keep")
+    val corpusHashes = corpus.select(Text.docHash(col(textCol)).as("content_hash"))
+    // shuffle-hash hint: the corpus manifest is corpus-sized — broadcast
+    // is scale-wrong (same rationale as the LSH candidate joins)
+    batchKeepers.join(corpusHashes.hint("shuffle_hash"), Seq("content_hash"), "left_anti")
+  }
+
   /** Drops rows whose (band, key) bucket holds more than `cap` members —
     * the guard shared by the LSH candidate joins. A bucket of identical
     * documents (boilerplate pages, a constant embedding) produces

@@ -62,6 +62,51 @@ object Split {
     df.where(ppm < cut)
   }
 
+  /** Deterministic domain-mixture resampling: downsample each domain so
+    * the surviving corpus matches a target mixture, keeping as much data
+    * as possible (no upsampling — the binding domain, the one whose
+    * observed share falls shortest of its target, is kept whole and
+    * every other domain is thinned to match it).
+    *
+    * Given target shares s_d (in ppm), observed counts n_d, the largest
+    * feasible matched corpus is `scale = min_d(n_d / s_d)` and each
+    * domain keeps `rate_d = s_d * scale / n_d` of its rows, selected by
+    * the same purpose-prefixed md5-ppm filter as [[stratifiedSample]] —
+    * deterministic, nested across rate changes, engine-reproducible.
+    *
+    * Everything stays in-plan: the per-domain counts are one tiny
+    * aggregate (|domains| rows), the scale a global min over it, and the
+    * resulting cut table joins back by broadcast — no driver collect, so
+    * the operator composes lazily like every other. Domains absent from
+    * `sharesPpm` are dropped (share 0). At 100 TB the only full-data
+    * work is the count aggregate and the final filter, both map-side.
+    */
+  def mixtureResample(
+      df: DataFrame, idCol: String, domainCol: String,
+      sharesPpm: Map[String, Long]): DataFrame = {
+    require(sharesPpm.nonEmpty && sharesPpm.values.forall(s => s > 0 && s <= 1000000L),
+      s"shares must be in (0, 1e6] ppm: $sharesPpm")
+    val shareExpr = sharesPpm.toSeq.sortBy(_._1).foldRight(lit(null).cast("long")) {
+      case ((k, v), rest) => when(col(domainCol) === k, lit(v)).otherwise(rest)
+    }
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_share_ppm", shareExpr)
+      .where(col("_share_ppm").isNotNull)
+    val scale = counts.agg(
+      min(col("_n").cast("double") * 1e6 / col("_share_ppm").cast("double")).as("_scale"))
+    val cuts = counts.crossJoin(scale).select(col(domainCol),
+      least(lit(1000000.0),
+        floor(col("_share_ppm").cast("double") * col("_scale") / col("_n").cast("double"))
+          .cast("double")).as("_cut_ppm"))
+    val ppm = pmod(
+      Dedup.hash60(concat_ws("|", lit("mix"), col(domainCol), col(idCol).cast("string"))),
+      lit(1000000L))
+    df.join(broadcast(cuts), Seq(domainCol))
+      .where(ppm < col("_cut_ppm"))
+      .drop("_cut_ppm")
+  }
+
   /** Deterministic sequence packing for training-batch assembly: each
     * document lands in a training sequence of roughly `budget` tokens.
     *

@@ -40,6 +40,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r(3L)._2 === 1L)
   }
 
+  test("incremental dedup keeps only content-new batch docs, min-id keeper") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "existing corpus document one"),
+      (2L, "existing corpus document two")).toDF("doc_id", "text").repartition(2)
+    val incoming = Seq(
+      (10L, "a genuinely new document"),
+      (11L, "existing corpus document one"), // exact dup of corpus → dropped
+      (12L, "another new document"),
+      (13L, "another new document"), // batch-internal dup → keeper = 12
+      (14L, "Existing  Corpus  document TWO ")) // normalizes to a corpus dup
+      .toDF("doc_id", "text").repartition(3)
+    val kept = Dedup.incrementalNew(incoming, corpus)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(10L, 12L))
+    // resilient to batch repartitioning (pure function of content)
+    val kept2 = Dedup.incrementalNew(incoming.repartition(1), corpus.repartition(4))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept2 === kept)
+  }
+
   test("minhash LSH finds identical and near-dup pairs with exact jaccard") {
     // r = k/bands = 2 → banding s-curve threshold ≈ 0.27, so the 0.54-jaccard
     // near-dup pair is found with P ≈ 1 - (1-0.54²)¹⁶ ≈ 0.996 (the default

@@ -88,6 +88,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(withDefault.forall(_ % 2 == 0), "unlisted stratum must use the default rate")
   }
 
+  test("mixture resample hits the target mixture, keeps the binding domain whole") {
+    import spark.implicits._
+    // observed 4000/1000/200 (web/wiki/code); targets 60/25/15 → code is
+    // binding (200/0.15 ≈ 1333 scale), so code keeps all 200 rows and the
+    // matched corpus is ~800/333/200.
+    val rows = ((1L to 4000L).map(i => (i, "web")) ++
+      (4001L to 5000L).map(i => (i, "wiki")) ++
+      (5001L to 5200L).map(i => (i, "code")) ++
+      (5201L to 5300L).map(i => (i, "junk"))).toDF("doc_id", "domain")
+    def sample = Split.mixtureResample(rows, "doc_id", "domain",
+      Map("web" -> 600000L, "wiki" -> 250000L, "code" -> 150000L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("domain"))
+    val s = sample
+    assert(s.toSeq.sorted === sample.toSeq.sorted) // deterministic
+    val byDom = s.groupMapReduce(_._2)(_ => 1)(_ + _)
+    assert(!byDom.contains("junk"), "domains without a share must be dropped")
+    assert(byDom("code") === 200, "binding domain must be kept whole")
+    // surviving shares within sampling noise of 60/25/15
+    val n = s.size.toDouble
+    assert(math.abs(byDom("web") / n - 0.60) < 0.05, s"web share ${byDom("web") / n}")
+    assert(math.abs(byDom("wiki") / n - 0.25) < 0.05, s"wiki share ${byDom("wiki") / n}")
+    // repartition-invariant: the sample is a pure function of (domain, id)
+    val s2 = Split.mixtureResample(rows.repartition(7), "doc_id", "domain",
+      Map("web" -> 600000L, "wiki" -> 250000L, "code" -> 150000L))
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(s2 === s.map(_._1).toSet)
+  }
+
   test("bucketed tables join without a shuffle on the bucketed key") {
     val sf = TestData.dir("0.001")
     // the builder's warehouse conf is ignored when getOrCreate reuses an
