@@ -75,11 +75,13 @@ object Split {
     * deterministic, nested across rate changes, engine-reproducible.
     *
     * Everything stays in-plan: the per-domain counts are one tiny
-    * aggregate (|domains| rows), the scale a global min over it, and the
-    * resulting cut table joins back by broadcast — no driver collect, so
-    * the operator composes lazily like every other. Domains absent from
-    * `sharesPpm` are dropped (share 0). At 100 TB the only full-data
-    * work is the count aggregate and the final filter, both map-side.
+    * aggregate (|domains| rows, materialized eagerly so the scale and
+    * cut derivations reuse it instead of re-scanning the corpus — same
+    * rationale as [[Dedup.minhashLshPairs]]'s checkpoint), the scale a
+    * global min over it, and the resulting cut table joins back by
+    * broadcast — no driver collect. Domains absent from `sharesPpm` are
+    * dropped (share 0). At 100 TB the full-data work is exactly two
+    * corpus scans: the map-side count aggregate and the final filter.
     */
   def mixtureResample(
       df: DataFrame, idCol: String, domainCol: String,
@@ -93,6 +95,7 @@ object Split {
       .agg(count(lit(1)).as("_n"))
       .withColumn("_share_ppm", shareExpr)
       .where(col("_share_ppm").isNotNull)
+      .localCheckpoint()
     val scale = counts.agg(
       min(col("_n").cast("double") * 1e6 / col("_share_ppm").cast("double")).as("_scale"))
     val cuts = counts.crossJoin(scale).select(col(domainCol),

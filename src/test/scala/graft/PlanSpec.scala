@@ -101,6 +101,36 @@ class PlanSpec extends AnyFunSuite {
       s"split assignment must not shuffle (it fuses into the scan):\n$p")
   }
 
+  test("d8 incremental dedup: shuffled anti-join on the hash, corpus never broadcast") {
+    val p = plan("d8_incremental_dedup")
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftAnti"),
+      s"corpus manifest must anti-join by shuffle on content_hash:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // keeper window and anti-join share one shuffle of the batch
+    assert("Exchange hashpartitioning\\(content_hash".r.findAllIn(p).length == 2,
+      s"expected exactly batch-side + corpus-side hash exchanges:\n$p")
+  }
+
+  test("p4 mixture resample: cut table broadcast, corpus scanned not shuffled") {
+    val p = plan("p4_mixture_resample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-domain cuts must broadcast-join the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle for the rate join:\n$p")
+    // the count aggregate is checkpointed: the final plan reads the corpus
+    // file once (rate derivation reuses the materialized counts)
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"rate derivation must not rescan the corpus in the final plan:\n$p")
+  }
+
+  test("q18 rolling active: explode-to-window-days, no window function over the stream") {
+    val p = plan("q18_rolling_active")
+    assert(!p.contains("Window"),
+      s"sliding distinct must not use a window function:\n$p")
+    assert(p.contains("Generate explode"),
+      s"expected the explode-to-window-days generate:\n$p")
+  }
+
   test("d7 decontamination: eval shingles broadcast, train side never sort-merged") {
     val p = plan("d7_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
