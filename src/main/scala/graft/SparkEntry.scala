@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{AsOf, Decontaminate, Dedup, Funnel, Multimodal, Repetition, Retention, Similarity, Skew, Split, Transitions, Vocab}
+import graft.operators.{AsOf, Decontaminate, Dedup, Funnel, GroupSample, Multimodal, Repetition, Retention, Rfm, Similarity, Skew, Split, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -530,6 +530,11 @@ object SparkEntry {
         .select(col("event_type"),
           col("sum_value").cast("double").as("sum_value"), col("n"))
     }),
+    // RFM user segmentation: per-user recency/frequency/monetary over
+    // purchases, scored 1-4 by exact quartile cutoffs computed once and
+    // broadcast back — no ntile() global sort anywhere.
+    "u6_rfm_segments" -> ((s, dir) =>
+      Rfm.segments(tbl(s, dir, "events"))),
     // First-order event-transition matrix (next-event path mining): one
     // shuffle of the stream on user_id for the lead() window, then a
     // (from,to) aggregate whose domain is |event types|² — the final
@@ -583,6 +588,14 @@ object SparkEntry {
       Split.stratifiedSample(
         tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "lang", rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)),
+    // Deterministic k-per-group sampling: the 5 docs per language with
+    // the smallest purpose-prefixed md5 keys, selected by a bounded
+    // partial aggregate (≤k rows per partition-group cross the shuffle —
+    // no per-group window sort, robust to group skew).
+    "p5_group_sample" -> ((s, dir) =>
+      GroupSample.sampleKPerGroup(
+        par(tbl(s, dir, "documents")).select(col("lang"), col("doc_id")),
+        "lang", "doc_id", k = 5)),
     // Deterministic domain-mixture resampling: thin each language to hit
     // a 50/20/15/10/5 target mixture, keeping the binding domain whole.
     // Rates are derived in-plan (tiny count agg → global min → broadcast
@@ -1343,6 +1356,37 @@ object SparkEntry {
            |  round(CAST(count(*) AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contam_frac
            |FROM trainx JOIN evals USING (s)
            |GROUP BY doc_id, n_shingles""".stripMargin,
+      "u6_rfm_segments" ->
+        """WITH pu AS (
+          |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day, count(*) AS f,
+          |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS m
+          |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+          |), ao AS (
+          |  SELECT max(CAST(ts AS DATE)) AS asof_day FROM events
+          |), rfm AS (
+          |  SELECT user_id, date_diff('day', last_day, asof_day) AS r_days, f, m
+          |  FROM pu CROSS JOIN ao
+          |), cuts AS (
+          |  SELECT quantile_cont(CAST(r_days AS DOUBLE), [0.25, 0.5, 0.75]) AS rc,
+          |         quantile_cont(CAST(f AS DOUBLE), [0.25, 0.5, 0.75]) AS fc,
+          |         quantile_cont(m, [0.25, 0.5, 0.75]) AS mc
+          |  FROM rfm
+          |)
+          |SELECT user_id, r_days, f, round(m, 6) AS m,
+          |  4 - ((CAST(r_days AS DOUBLE) > rc[1])::INT + (CAST(r_days AS DOUBLE) > rc[2])::INT
+          |       + (CAST(r_days AS DOUBLE) > rc[3])::INT) AS r_score,
+          |  1 + ((CAST(f AS DOUBLE) > fc[1])::INT + (CAST(f AS DOUBLE) > fc[2])::INT
+          |       + (CAST(f AS DOUBLE) > fc[3])::INT) AS f_score,
+          |  1 + ((m > mc[1])::INT + (m > mc[2])::INT + (m > mc[3])::INT) AS m_score
+          |FROM rfm CROSS JOIN cuts""".stripMargin,
+      "p5_group_sample" ->
+        """SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
+          |  SELECT lang, doc_id,
+          |    row_number() OVER (PARTITION BY lang ORDER BY
+          |      ('0x' || substr(md5('gsmp|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+          |      doc_id) AS rk
+          |  FROM documents)
+          |WHERE rk <= 5""".stripMargin,
       "d8_incremental_dedup" ->
         """WITH corpus AS (
           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0

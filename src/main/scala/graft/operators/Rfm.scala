@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** RFM (recency / frequency / monetary) user segmentation — the classic
+  * UBA scoring that buckets every user into quartiles per dimension.
+  *
+  * The naive form is `ntile(4) OVER (ORDER BY r)` three times — three
+  * global sorts of the per-user table, each a single-partition
+  * bottleneck at scale. Instead the quartile cutoffs are computed once
+  * with an exact percentile aggregate (one tiny row) and broadcast back:
+  * the full-data work is one shuffle of the event stream on `user_id`
+  * plus two map-side scans, and no global sort anywhere.
+  *
+  * Scoring convention: each dimension scores 1–4 by quartile; recency
+  * inverts (recent = high). Values *equal* to a cutoff land in the lower
+  * bucket on both engines (strict `>` comparisons against identical
+  * IEEE-interpolated cutoffs), unlike ntile, whose equal-value placement
+  * depends on row order — another reason the cutoff form is the
+  * reproducible one.
+  */
+object Rfm {
+
+  /** Per-user RFM metrics and quartile scores over `valueEvent` events
+    * (default `purchase`). Recency is measured in days from each user's
+    * last value event to the corpus-wide last event day. */
+  def segments(
+      events: DataFrame, valueEvent: String = "purchase",
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val perUser = events.where(col("event_type") === valueEvent)
+      .groupBy(col(userCol))
+      .agg(
+        max(to_date(col(tsCol))).as("_last_day"),
+        count(lit(1)).as("f"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("m"))
+    val asOf = events.agg(max(to_date(col(tsCol))).as("_asof"))
+    // |users| rows, consumed twice (cutoff agg + scoring) — materialize
+    // once, same rationale as Split.mixtureResample's checkpoint
+    val rfm = perUser.crossJoin(broadcast(asOf))
+      .withColumn("r_days", datediff(col("_asof"), col("_last_day")).cast("long"))
+      .drop("_asof", "_last_day")
+      .localCheckpoint()
+    val qs = "array(0.25D, 0.5D, 0.75D)"
+    val cuts = rfm.agg(
+      expr(s"percentile(r_days, $qs)").as("_rc"),
+      expr(s"percentile(f, $qs)").as("_fc"),
+      expr(s"percentile(m, $qs)").as("_mc"))
+    def above(v: Column, cutArr: Column): Column =
+      (0 until 3).map(i => (v > element_at(cutArr, i + 1)).cast("int")).reduce(_ + _)
+    rfm.crossJoin(broadcast(cuts))
+      .select(col(userCol), col("r_days"), col("f"), round(col("m"), 6).as("m"),
+        (lit(4) - above(col("r_days").cast("double"), col("_rc"))).as("r_score"),
+        (lit(1) + above(col("f").cast("double"), col("_fc"))).as("f_score"),
+        (lit(1) + above(col("m"), col("_mc"))).as("m_score"))
+  }
+}

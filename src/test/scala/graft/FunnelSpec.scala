@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AsOf, Funnel}
+import graft.operators.{AsOf, Funnel, Rfm}
 
 class FunnelSpec extends AnyFunSuite {
 
@@ -85,5 +85,24 @@ class FunnelSpec extends AnyFunSuite {
       .toDF("user_id", "event_type", "ts")
     val st = Funnel.userStages(e, Seq("signup", "click"), 7).collect()
     assert(st.head.getInt(3) === 2)
+  }
+
+  test("rfm segmentation scores by quartile cutoffs, recency inverted") {
+    import spark.implicits._
+    // purchase metrics: r_days [2,6,8,8] → cuts (5.0, 7.0, 8.0);
+    // f [1,2,3,4] → (1.75, 2.5, 3.25); m [10,40,90,160] → (32.5, 65, 107.5)
+    val e = (Seq((9L, "click", ts("2024-01-12 00:00:00"), 0.0)) ++ // sets as-of day
+      Seq(1L -> Seq(10), 2L -> Seq(5, 6), 3L -> Seq(2, 3, 4), 4L -> Seq(1, 2, 3, 4))
+        .flatMap { case (u, days) =>
+          days.map(d => (u, "purchase", ts(f"2024-01-$d%02d 10:00:00"), u * 10.0))
+        }).toDF("user_id", "event_type", "ts", "value").repartition(3)
+    val r = Rfm.segments(e).collect().map(x =>
+      x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getInt(4), x.getInt(5), x.getInt(6)))).toMap
+    assert(r === Map(
+      1L -> ((2L, 1L, 10.0, 4, 1, 1)),
+      2L -> ((6L, 2L, 40.0, 3, 2, 2)),
+      3L -> ((8L, 3L, 90.0, 2, 3, 3)),
+      4L -> ((8L, 4L, 160.0, 2, 4, 4))))
   }
 }

@@ -131,6 +131,23 @@ class PlanSpec extends AnyFunSuite {
       s"expected the explode-to-window-days generate:\n$p")
   }
 
+  test("p5 group sample: bounded partial aggregate, no per-group window sort") {
+    val p = plan("p5_group_sample")
+    assert(p.contains("ObjectHashAggregate"),
+      s"group sample should plan as a partial ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"group sample must not use a window sort:\n$p")
+  }
+
+  test("u6 rfm: quartile cutoffs broadcast, no ntile global sort") {
+    val p = plan("u6_rfm_segments")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"cutoff row should broadcast back onto the per-user table:\n$p")
+    assert(!p.contains("Window"), s"rfm must not use an ntile window:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"rfm must not globally sort the per-user table:\n$p")
+  }
+
   test("d7 decontamination: eval shingles broadcast, train side never sort-merged") {
     val p = plan("d7_decontaminate")
     assert(p.contains("BroadcastHashJoin"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Skew, Split}
+import graft.operators.{Dedup, GroupSample, Skew, Split}
 
 /** Scale-technique demonstrations as executable contracts: salted
   * aggregation equals its unsalted form (with the skewed key spread
@@ -114,6 +114,31 @@ class ScaleSpec extends AnyFunSuite {
       Map("web" -> 600000L, "wiki" -> 250000L, "code" -> 150000L))
       .collect().map(r => r.getAs[Long]("doc_id")).toSet
     assert(s2 === s.map(_._1).toSet)
+  }
+
+  test("group sample equals the window formulation, bounded under skew, nests") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // heavy skew: one group with 2000 rows, one with 3 (fewer than k)
+    val rows = ((1L to 2000L).map(i => ("big", i)) ++
+      Seq(("tiny", 9001L), ("tiny", 9002L), ("tiny", 9003L)))
+      .toDF("grp", "doc_id").repartition(4)
+    def sample(k: Int) =
+      GroupSample.sampleKPerGroup(rows, "grp", "doc_id", k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val s5 = sample(5)
+    assert(s5.count(_._1 == "big") === 5)
+    assert(s5.count(_._1 == "tiny") === 3, "short groups return all their rows")
+    // identical to the row_number-window reference (same key, same order)
+    val ref = rows.withColumn("_h",
+        Dedup.hash60(concat_ws("|", lit("gsmp"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("_h"), col("doc_id"))))
+      .where(col("rk") <= 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    assert(s5 === ref)
+    // nesting: the k=2 sample is the rank-prefix of the k=5 sample
+    assert(sample(2) === s5.filter(_._3 <= 2))
   }
 
   test("bucketed tables join without a shuffle on the bucketed key") {
