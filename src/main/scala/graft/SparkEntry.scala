@@ -273,6 +273,24 @@ object SparkEntry {
         .groupBy(col("cohort_week"), col("week_off"))
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
+    // Semi-join (EXISTS) + anti-join (NOT EXISTS) in one report: customers
+    // with/without an urgent order, counted per market segment. The semi
+    // and anti sides share the same broadcast of the filtered orders keys.
+    "q19_semi_anti" -> ((s, dir) => {
+      val urgent = tbl(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val c = tbl(s, dir, "customer")
+      val withU = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_urgent"))
+      val withoutU = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_calm"))
+      withU.join(withoutU, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+          coalesce(col("n_calm"), lit(0L)).as("n_calm"))
+        .orderBy(col("c_mktsegment"))
+    }),
     // Rolling 7-day distinct active users per day. Sliding-window distinct
     // does not decompose into per-day partials, so the scalable shape is:
     // dedup to (day, user) once, explode each row into the ≤7 window days
@@ -879,6 +897,23 @@ object SparkEntry {
           |)
           |SELECT cohort_week, week_off, count(DISTINCT user_id) AS n_users
           |FROM act WHERE week_off <= 8 GROUP BY 1, 2""".stripMargin,
+      "q19_semi_anti" ->
+        """WITH urgent AS (
+          |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          |), w AS (
+          |  SELECT c_mktsegment, count(*) AS n_urgent FROM customer c
+          |  WHERE EXISTS (SELECT 1 FROM urgent u WHERE u.o_custkey = c.c_custkey)
+          |  GROUP BY c_mktsegment
+          |), wo AS (
+          |  SELECT c_mktsegment, count(*) AS n_calm FROM customer c
+          |  WHERE NOT EXISTS (SELECT 1 FROM urgent u WHERE u.o_custkey = c.c_custkey)
+          |  GROUP BY c_mktsegment
+          |)
+          |SELECT c_mktsegment,
+          |  coalesce(w.n_urgent, 0) AS n_urgent,
+          |  coalesce(wo.n_calm, 0) AS n_calm
+          |FROM w FULL OUTER JOIN wo USING (c_mktsegment)
+          |ORDER BY c_mktsegment""".stripMargin,
       "q18_rolling_active" ->
         """WITH ud AS (
           |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events

@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.{Graft, TestData}
 import graft.SparkEntry.tbl
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{Decontaminate, Dedup, Split}
+import graft.operators.{Decontaminate, Dedup, GroupSample, Split}
 
 /** End-to-end training-data curation pipeline over the documents table —
   * the integration story for the LLM-pipeline operators: exact dedup →
   * PII scrub → quality/language gates → near-dup group clustering (one
-  * keeper per component) → benchmark decontamination → deterministic
-  * train/val/test split → sequence packing → corpus stats.
+  * keeper per component) → benchmark decontamination → domain-mixture
+  * resampling → deterministic train/val/test split → sequence packing →
+  * per-language review sample → corpus stats.
   *
   * Every stage is a DataFrame transform (scales with partitioning); the
   * near-dup stage is the banded-LSH candidate join, never all-pairs, and
@@ -40,16 +41,16 @@ object PipelineExample {
     // 2. PII scrub (emails/IPs/phones → typed placeholders), then
     //    quality + language gates over the SCRUBBED text — per-row regex
     //    maps, all inside the scan's codegen stage
-    val scrubbed = uniq.select(col("doc_id"),
+    val scrubbed = uniq.select(col("doc_id"), col("lang"),
       Pii.scrub(col("text")).as("text"))
-    val scored = scrubbed.select(col("doc_id"), col("text"),
+    val scored = scrubbed.select(col("doc_id"), col("lang"), col("text"),
       Text.qualityScore(col("text")).as("quality"),
       Text.langId(col("text")).as("lang_pred"),
       Text.tokenCount(col("text")).as("n_tokens"))
     val gated = scored.select(col("*") +: QualityRules.flags(col("text"),
       minWords = 10, minRequiredWords = 1): _*)
     val kept = gated.where(col("quality") >= 0.5 && col("passes_quality"))
-      .select(col("doc_id"), col("text"), col("quality"), col("n_tokens"))
+      .select(col("doc_id"), col("text"), col("lang"), col("quality"), col("n_tokens"))
 
     // 3. near-dup removal via GROUP clustering: transitive near-dups
     //    collapse to one keeper per connected component (pairwise
@@ -70,15 +71,25 @@ object PipelineExample {
     val decontaminated = clean.where(col("doc_id") % 20 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 5. deterministic split + sequence packing: both pure functions of
+    // 5. domain-mixture resampling: thin each language toward the target
+    //    mixture (binding language kept whole; rates derived in-plan)
+    val mixed = Split.mixtureResample(decontaminated, "doc_id", "lang",
+      sharesPpm = Map("en" -> 500000L, "zh" -> 200000L, "es" -> 150000L,
+        "de" -> 100000L, "fr" -> 50000L))
+
+    // 6. deterministic split + sequence packing: both pure functions of
     //    the id (plus one per-bin running sum), stable across reruns
-    val split = Split.assignSplit(decontaminated, "doc_id")
+    val split = Split.assignSplit(mixed, "doc_id")
     val packed = Split.packSequences(
       split.where(col("split") === "train")
         .select(col("doc_id"), col("n_tokens")),
       "doc_id", "n_tokens", budget = 2048, bins = 16)
 
-    // 6. corpus report per split
+    // 7. deterministic per-language review sample (k smallest md5 keys
+    //    per language — re-runs draw the same docs for human QA)
+    val review = GroupSample.sampleKPerGroup(mixed, "lang", "doc_id", k = 5)
+
+    // 8. corpus report per split
     val report = split.groupBy(col("split")).agg(
       count(lit(1)).as("docs"),
       sum(col("n_tokens")).as("tokens"),
@@ -86,6 +97,7 @@ object PipelineExample {
     val nSeqs = packed.select(col("bin"), col("seq_id")).distinct().count()
     println(s"input=$total unique=${uniq.count()} kept=${kept.count()} " +
       s"clean=${clean.count()} decontaminated=${decontaminated.count()} " +
+      s"mixed=${mixed.count()} review_sample=${review.count()} " +
       s"train_sequences=$nSeqs")
     report.orderBy(col("split")).show(false)
     spark.stop()

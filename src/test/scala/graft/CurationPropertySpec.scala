@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Pii
-import graft.operators.{Decontaminate, Split, Transitions}
+import graft.operators.{Decontaminate, Dedup, GroupSample, Split, Transitions}
 
 /** Randomized-correctness properties for the curation operators, checked
   * against independent in-driver reimplementations on seeded random
@@ -88,6 +88,72 @@ class CurationPropertySpec extends AnyFunSuite {
           sorted.zip(cums).map { case ((id, _, _), c) => (id, b, c / 512) }
         }.sortBy(_._1)
       assert(got.toSeq === expected, s"seed=$seed packing mismatch")
+    }
+  }
+
+  // in-driver mirror of Dedup.hash60: first 15 md5 hex chars as a long
+  private def hash60(s: String): Long = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(md5.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("mixture resample matches an in-driver reimplementation of rates and draws") {
+    import spark.implicits._
+    val shares = Map("a" -> 500000L, "b" -> 300000L, "c" -> 200000L)
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val doms = Vector("a", "b", "c", "unlisted")
+      val rows = (0 until 2500).map(i => (i.toLong, doms(rnd.nextInt(4))))
+      val got = Split.mixtureResample(rows.toDF("doc_id", "domain"),
+          "doc_id", "domain", shares)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val scale = shares.map { case (d, s) => counts(d) * 1e6 / s }.min
+      val cuts = shares.map { case (d, s) =>
+        d -> math.min(1e6, math.floor(s * scale / counts(d)))
+      }
+      val expected = rows.collect {
+        case (id, d) if cuts.contains(d) &&
+          hash60(s"mix|$d|$id") % 1000000L < cuts(d) => id
+      }.toSet
+      assert(got === expected, s"seed=$seed mixture draw mismatch")
+    }
+  }
+
+  test("group sample matches an in-driver min-k-by-hash selection") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val rows = (0 until 600).map(i => (i.toLong, s"g${rnd.nextInt(5)}"))
+      val got = GroupSample.sampleKPerGroup(rows.toDF("doc_id", "grp"),
+          "grp", "doc_id", k = 7)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val expected = rows.groupBy(_._2).toSeq.flatMap { case (g, ids) =>
+        ids.map(_._1).sortBy(id => (hash60(s"gsmp|$id"), id)).take(7)
+          .zipWithIndex.map { case (id, i) => (g, id, i + 1) }
+      }.toSet
+      assert(got === expected, s"seed=$seed group sample mismatch")
+    }
+  }
+
+  test("incremental dedup matches an in-driver hash-set difference") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      // small vocab + short docs → plenty of genuine content collisions
+      val mk = () => words(rnd, 1 + rnd.nextInt(3)).mkString(" ")
+      val corpus = (0 until 120).map(i => (i.toLong, mk()))
+      val incoming = (1000 until 1160).map(i => (i.toLong, mk()))
+      val got = Dedup.incrementalNew(
+          incoming.toDF("doc_id", "text").repartition(3),
+          corpus.toDF("doc_id", "text").repartition(2))
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      val corpusTexts = corpus.map(_._2).toSet
+      val expected = incoming.groupBy(_._2).collect {
+        case (t, ids) if !corpusTexts(t) => ids.map(_._1).min
+      }.toSet
+      assert(got === expected, s"seed=$seed incremental dedup mismatch")
     }
   }
 

@@ -174,6 +174,26 @@ class ScaleSpec extends AnyFunSuite {
       SparkEntry.tbl(spark, sf, "lineitem").count())
   }
 
+  test("approx sketches stay within error bounds of their exact forms") {
+    // The exact forms (countDistinct, percentile) are what the oracle
+    // queries pin; at 100 TB the sketch forms are the production path —
+    // approx_count_distinct is a mergeable HLL++ (map-side partials, no
+    // distinct-expand shuffle) and approx_percentile a bounded-memory
+    // quantile summary (vs percentile's full sort buffer per group).
+    val li = SparkEntry.tbl(spark, TestData.dir("0.01"), "lineitem")
+    val r = li.agg(
+      countDistinct(col("l_orderkey")).as("exact_n"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("appx_n"),
+      expr("percentile(l_quantity, 0.5D)").as("p50_exact"),
+      expr("approx_percentile(l_quantity, 0.5D, 10000)").as("p50_appx")).head
+    val (exact, appx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(appx - exact).toDouble / exact < 0.05,
+      s"HLL estimate $appx too far from exact $exact")
+    val (p50e, p50a) = (r.getDouble(2), r.getDouble(3))
+    assert(math.abs(p50a - p50e) / math.max(p50e, 1e-9) < 0.05,
+      s"approx p50 $p50a too far from exact $p50e")
+  }
+
   test("sequence packing: greedy per-bin assignment, docs never split, repartition-invariant") {
     import spark.implicits._
     val docs = Seq((1L, 300L), (2L, 300L), (3L, 300L), (4L, 1200L), (5L, 100L))
