@@ -50,9 +50,14 @@ object Vocab {
   def tfIdfTopTerms(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k: Int = 3): DataFrame = {
+    // (doc, term, tf) is consumed by both the df aggregate and the join
+    // side — materialize the explode+aggregate once (eager, same
+    // rationale as Dedup.minhashLshPairs) instead of tokenizing the
+    // corpus twice
     val tf = docs.select(col(idCol).as("doc_id"),
         explode(Text.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
     // shuffle-hash hint: the df table is vocabulary-sized — at corpus
