@@ -43,7 +43,11 @@ object Bench {
     * JVMs benching concurrently on one host corrupt each other's numbers).
     * The child inherits this JVM's flags (heap, code cache, tmpfs
     * spark.local.dir, add-opens) and classpath, so its environment is
-    * exactly the one build.sbt configures. */
+    * exactly the one build.sbt configures.
+    *
+    * Every query is forked `SPARK_GRAFT_BENCH_FORKS` times (default 2)
+    * and the min recorded, with up to `SPARK_GRAFT_BENCH_MAXFORKS`
+    * (default 4) total when observations stay unstable. */
   private def runForked(): Unit = {
     // SPARK_GRAFT_BENCH_FILTER: comma-separated names to subset the forked
     // run (local iteration only; the driver runs the full set).
@@ -56,12 +60,22 @@ object Bench {
     val cp = sys.props("java.class.path")
     // This VM has a documented transient-degradation mode: identical
     // queries measured 7 s and 114 s depending on WHEN they ran, across
-    // fresh JVMs with identical configs. A single re-fork when a child
-    // reports an implausible time keeps one bad host window from being
-    // recorded as a query's steady-state cost; min over forks is still an
-    // honest measurement (both children ran the full warmup + min-of-2).
-    val retryThresholdSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_SEC", "30").toDouble
+    // fresh JVMs with identical configs. Round 3 proved a single
+    // threshold-triggered re-fork is not enough: a degradation window
+    // that inflates a query to 29 s (true cost 0.9 s) never crossed the
+    // fixed 30 s threshold and was recorded as steady state. So every
+    // query now forks TWICE unconditionally and records the min — a bad
+    // window must cover both (temporally separated) children to survive —
+    // and when the two observations still disagree by more than 2x with
+    // the min above 3 s (i.e. even the better one may be inflated), up to
+    // two extra forks are spent chasing a stable floor. Min over forks is
+    // an honest measurement: every child runs the full warmup + min-of-2.
+    // Every fork is logged to stderr so the per-round artifact is
+    // auditable against the observation list.
+    val baseForks =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_FORKS", "2").toInt)
+    val maxForks =
+      math.max(baseForks, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXFORKS", "4").toInt)
     def fork(name: String): Either[String, Double] = {
       val cmd = new java.util.ArrayList[String]()
       cmd.add(javaBin)
@@ -85,16 +99,40 @@ object Bench {
       else parseChildLine(last)
     }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>
-      fork(name) match {
-        case Right(sec) if sec > retryThresholdSec =>
-          results(name) = fork(name).fold(_ => sec, math.min(sec, _))
-        case Right(sec) => results(name) = sec
-        case Left(err)  => errors(name) = err
+      val obs = scala.collection.mutable.ArrayBuffer[Double]()
+      var lastErr: Option[String] = None
+      var wall = 0.0
+      var n = 0
+      // fork again while: under the unconditional base count, or the two
+      // best observations disagree >2x with the best above 3 s (both
+      // children may have hit the same degradation window), capped at
+      // maxForks. Errors consume a fork but are retried up to the cap.
+      def unstable: Boolean = obs.sorted.toList match {
+        case best :: second :: _ => best > 3.0 && second > 2.0 * best
+        case _                   => obs.isEmpty
       }
+      while (n < baseForks || (n < maxForks && unstable)) {
+        val w0 = System.nanoTime()
+        val r = fork(name)
+        wall += (System.nanoTime() - w0) / 1e9
+        n += 1
+        r match {
+          case Right(sec) =>
+            obs += sec
+            System.err.println(f"[bench] $name fork $n/$maxForks: $sec%.3f s")
+          case Left(err) =>
+            lastErr = Some(err)
+            System.err.println(s"[bench] $name fork $n/$maxForks FAILED: $err")
+        }
+      }
+      walls(name) = wall
+      if (obs.nonEmpty) results(name) = obs.min
+      else errors(name) = lastErr.getOrElse("no observation")
     }
-    emit(results.toSeq, errors)
+    emit(results.toSeq, errors, walls)
   }
 
   /** Minimal parser for the child's single-result line — the child emits
@@ -167,12 +205,20 @@ object Bench {
   private def jstr(s: String) =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** Emits the single aggregate JSON line. `"queries"` stays a flat
+    * name->seconds map (the driver's parse contract); per-query fork
+    * wall-clock (child JVM boot + warmup + timed runs, summed over all
+    * forks) rides in the sibling `"wall"` key so the timed-query vs
+    * harness-overhead split is diagnosable from the artifact alone. */
   private def emit(results: Seq[(String, Double)],
-      errors: scala.collection.Map[String, String]): Unit = {
+      errors: scala.collection.Map[String, String],
+      walls: scala.collection.Map[String, Double] = Map.empty): Unit = {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
+    val wallJson = walls.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"wall":$wallJson,"sf":"$sfDir"}""")
   }
 }
