@@ -275,7 +275,10 @@ object SparkEntry {
     }),
     // Semi-join (EXISTS) + anti-join (NOT EXISTS) in one report: customers
     // with/without an urgent order, counted per market segment. The semi
-    // and anti sides share the same broadcast of the filtered orders keys.
+    // and anti sides each broadcast the filtered orders keys; whether the
+    // two broadcasts collapse into one (ReusedExchange) is left to the
+    // optimizer — both exchanges are the same tiny filtered projection,
+    // so the plan is broadcast-correct either way.
     "q19_semi_anti" -> ((s, dir) => {
       val urgent = tbl(s, dir, "orders")
         .where(col("o_orderpriority") === "1-URGENT")
@@ -1451,17 +1454,18 @@ object SparkEntry {
           |  SELECT c.lang, c.n, s.share_ppm
           |  FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang) c
           |  JOIN shares s USING (lang)
-          |), sc AS (
-          |  SELECT min(CAST(n AS DOUBLE) * 1e6 / CAST(share_ppm AS DOUBLE)) AS scale FROM j
-          |), cuts AS (
-          |  SELECT lang,
-          |    least(1000000.0,
-          |      floor(CAST(share_ppm AS DOUBLE) * sc.scale / CAST(n AS DOUBLE))) AS cut
-          |  FROM j CROSS JOIN sc
+          |), bind AS (
+          |  SELECT a.n AS n_bind, a.share_ppm AS s_bind FROM j a
+          |  WHERE NOT EXISTS (
+          |    SELECT 1 FROM j b
+          |    WHERE CAST(b.n AS HUGEINT) * a.share_ppm < CAST(a.n AS HUGEINT) * b.share_ppm
+          |       OR (CAST(b.n AS HUGEINT) * a.share_ppm = CAST(a.n AS HUGEINT) * b.share_ppm
+          |           AND b.lang < a.lang))
           |)
-          |SELECT d.doc_id, d.lang FROM documents d JOIN cuts USING (lang)
-          |WHERE ('0x' || substr(md5('mix|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-          |        % 1000000 < cut""".stripMargin,
+          |SELECT d.doc_id, d.lang FROM documents d JOIN j USING (lang) CROSS JOIN bind
+          |WHERE CAST(('0x' || substr(md5('mix|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          |        % 1000000 AS HUGEINT) * s_bind * n
+          |      < CAST(1000000 AS HUGEINT) * share_ppm * n_bind""".stripMargin,
       "p1_hash_split" ->
         """SELECT doc_id, b AS bucket,
           |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split

@@ -68,20 +68,33 @@ object Split {
     * observed share falls shortest of its target, is kept whole and
     * every other domain is thinned to match it).
     *
-    * Given target shares s_d (in ppm), observed counts n_d, the largest
-    * feasible matched corpus is `scale = min_d(n_d / s_d)` and each
-    * domain keeps `rate_d = s_d * scale / n_d` of its rows, selected by
-    * the same purpose-prefixed md5-ppm filter as [[stratifiedSample]] —
-    * deterministic, nested across rate changes, engine-reproducible.
+    * Given target shares s_d (in ppm), observed counts n_d, the binding
+    * domain b is the one minimizing n_d/s_d and each domain keeps
+    * `rate_d = (s_d * n_b) / (s_b * n_d)` of its rows (rate_b = 1
+    * identically), selected by the same purpose-prefixed md5-ppm filter
+    * as [[stratifiedSample]] — deterministic, nested across rate
+    * changes, engine-reproducible.
+    *
+    * All arithmetic is EXACT INTEGER arithmetic: the binding domain is
+    * the argmin under rational cross-multiplication
+    * (`n_b * s_d <= n_d * s_b`, domain name as the tie-break) and a row
+    * survives iff `ppm * s_b * n_d < 1e6 * s_d * n_b`, both evaluated in
+    * decimal(38,0) — no float division, no floor. An earlier
+    * double-precision form (`floor(s_d * scale / n_d)`) rounded the
+    * binding domain's own cut down to 999999 for ~5% of (n, share)
+    * pairs, silently dropping ~1 ppm of the domain that the contract
+    * says is kept whole; cross-multiplied integers cannot exhibit that
+    * failure on any engine.
     *
     * Everything stays in-plan: the per-domain counts are one tiny
-    * aggregate (|domains| rows, materialized eagerly so the scale and
+    * aggregate (|domains| rows, materialized eagerly so the binding and
     * cut derivations reuse it instead of re-scanning the corpus — same
-    * rationale as [[Dedup.minhashLshPairs]]'s checkpoint), the scale a
-    * global min over it, and the resulting cut table joins back by
-    * broadcast — no driver collect. Domains absent from `sharesPpm` are
-    * dropped (share 0). At 100 TB the full-data work is exactly two
-    * corpus scans: the map-side count aggregate and the final filter.
+    * rationale as [[Dedup.minhashLshPairs]]'s checkpoint), the binding
+    * row a |domains|²-cheap anti-join over it, and the resulting cut
+    * table joins back by broadcast — no driver collect. Domains absent
+    * from `sharesPpm` are dropped (share 0). At 100 TB the full-data
+    * work is exactly two corpus scans: the map-side count aggregate and
+    * the final filter.
     */
   def mixtureResample(
       df: DataFrame, idCol: String, domainCol: String,
@@ -91,23 +104,31 @@ object Split {
     val shareExpr = sharesPpm.toSeq.sortBy(_._1).foldRight(lit(null).cast("long")) {
       case ((k, v), rest) => when(col(domainCol) === k, lit(v)).otherwise(rest)
     }
+    def dec(c: Column) = c.cast("decimal(38,0)")
     val counts = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("_n"))
       .withColumn("_share_ppm", shareExpr)
       .where(col("_share_ppm").isNotNull)
       .localCheckpoint()
-    val scale = counts.agg(
-      min(col("_n").cast("double") * 1e6 / col("_share_ppm").cast("double")).as("_scale"))
-    val cuts = counts.crossJoin(scale).select(col(domainCol),
-      least(lit(1000000.0),
-        floor(col("_share_ppm").cast("double") * col("_scale") / col("_n").cast("double"))
-          .cast("double")).as("_cut_ppm"))
+    // binding domain: no other domain has a strictly smaller n/s ratio
+    // (or an equal ratio with a smaller name) — exact rational argmin,
+    // exactly one surviving row
+    val other = counts.select(col(domainCol).as("_d2"),
+      col("_n").as("_n2"), col("_share_ppm").as("_s2"))
+    val binding = counts.join(other,
+        dec(col("_n2")) * dec(col("_share_ppm")) < dec(col("_n")) * dec(col("_s2")) ||
+          (dec(col("_n2")) * dec(col("_share_ppm")) === dec(col("_n")) * dec(col("_s2")) &&
+            col("_d2") < col(domainCol)),
+        "left_anti")
+      .select(col("_n").as("_n_bind"), col("_share_ppm").as("_s_bind"))
+    val cuts = counts.crossJoin(binding)
     val ppm = pmod(
       Dedup.hash60(concat_ws("|", lit("mix"), col(domainCol), col(idCol).cast("string"))),
       lit(1000000L))
     df.join(broadcast(cuts), Seq(domainCol))
-      .where(ppm < col("_cut_ppm"))
-      .drop("_cut_ppm")
+      .where(dec(ppm) * dec(col("_s_bind")) * dec(col("_n")) <
+        dec(lit(1000000L)) * dec(col("_share_ppm")) * dec(col("_n_bind")))
+      .drop("_n", "_share_ppm", "_n_bind", "_s_bind")
   }
 
   /** Deterministic sequence packing for training-batch assembly: each

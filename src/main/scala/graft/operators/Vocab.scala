@@ -38,6 +38,14 @@ object Vocab {
     * (`tf · (ln((N+1)/(df+1)) + 1)`, the sklearn smoothing — never
     * divides by zero, idf ≥ 1).
     *
+    * EAGER: constructing this DataFrame runs a Spark job — the shared
+    * (doc, term, tf) table is `localCheckpoint()`ed (materialized to
+    * MEMORY_AND_DISK, lineage cut), so even explain/plan-only callers pay
+    * the tokenize+aggregate pass, and the pinned blocks are not
+    * recomputable after executor loss (same trade and rationale as
+    * [[Dedup.minhashLshPairs]]; on a multi-node cluster swap for a
+    * reliable checkpoint dir).
+    *
     * Plan shape at 100 TB: explode feeding a partial-combined hash
     * aggregate on (doc, term) → df aggregate on the term → a shuffle
     * equi-join of the tf table on the term (both sides corpus-scale;

@@ -109,13 +109,19 @@ class CurationPropertySpec extends AnyFunSuite {
           "doc_id", "domain", shares)
         .collect().map(_.getAs[Long]("doc_id")).toSet
       val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
-      val scale = shares.map { case (d, s) => counts(d) * 1e6 / s }.min
-      val cuts = shares.map { case (d, s) =>
-        d -> math.min(1e6, math.floor(s * scale / counts(d)))
-      }
+      // exact rational argmin of n/s (tie-break on the name), then the
+      // exact cross-multiplied keep test — mirrors the operator's
+      // decimal(38,0) arithmetic with BigInt
+      val (_, nB, sB) = shares.toSeq
+        .map { case (d, s) => (d, BigInt(counts(d)), BigInt(s)) }
+        .reduceLeft { (a, b) =>
+          val cmp = a._2 * b._3 - b._2 * a._3 // sign of n_a/s_a - n_b/s_b
+          if (cmp < 0 || (cmp == 0 && a._1 < b._1)) a else b
+        }
       val expected = rows.collect {
-        case (id, d) if cuts.contains(d) &&
-          hash60(s"mix|$d|$id") % 1000000L < cuts(d) => id
+        case (id, d) if shares.contains(d) &&
+          BigInt(hash60(s"mix|$d|$id") % 1000000L) * sB * counts(d) <
+            BigInt(1000000L) * shares(d) * nB => id
       }.toSet
       assert(got === expected, s"seed=$seed mixture draw mismatch")
     }

@@ -116,6 +116,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(s2 === s.map(_._1).toSet)
   }
 
+  test("mixture resample keeps the binding domain whole on randomized counts") {
+    import spark.implicits._
+    // The retired double-precision cut (floor(share*scale/n)) evaluated
+    // to 999999 instead of 1000000 for ~5% of (n, share) pairs, silently
+    // dropping binding-domain rows with hash%1e6 == 999999. Randomized
+    // counts and shares probe that space; the exact-integer form must
+    // keep every binding-domain row for all of them.
+    val rnd = new scala.util.Random(20260813)
+    for (trial <- 1 to 8) {
+      val shares = Map(
+        "a" -> (1L + rnd.nextInt(999999)),
+        "b" -> (1L + rnd.nextInt(999999)),
+        "c" -> (1L + rnd.nextInt(999999)))
+      val counts = Map(
+        "a" -> (50 + rnd.nextInt(3000)),
+        "b" -> (50 + rnd.nextInt(3000)),
+        "c" -> (50 + rnd.nextInt(3000)))
+      var next = 0L
+      val rows = counts.toSeq.flatMap { case (d, c) =>
+        (1 to c).map { _ => next += 1; (next, d) }
+      }.toDF("doc_id", "domain")
+      val byDom = Split.mixtureResample(rows, "doc_id", "domain", shares)
+        .groupBy("domain").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // exact rational argmin of n/s, name tie-break — the binding domain
+      val binding = shares.keys.toSeq.reduceLeft { (x, y) =>
+        val cmp = BigInt(counts(x)) * shares(y) - BigInt(counts(y)) * shares(x)
+        if (cmp < 0 || (cmp == 0 && x < y)) x else y
+      }
+      assert(byDom(binding) === counts(binding).toLong,
+        s"trial=$trial binding=$binding shares=$shares counts=$counts kept=$byDom")
+    }
+  }
+
   test("group sample equals the window formulation, bounded under skew, nests") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
