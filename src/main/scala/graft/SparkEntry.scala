@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{AsOf, Decontaminate, Dedup, Funnel, GroupSample, Multimodal, Repetition, Retention, Rfm, Similarity, Skew, Split, Transitions, Vocab}
+import graft.operators.{AsOf, Decontaminate, Dedup, Funnel, GroupSample, Latency, Multimodal, Repetition, Retention, Rfm, Similarity, Skew, Split, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -237,25 +237,13 @@ object SparkEntry {
         .agg(sum(col("l_quantity").cast("decimal(18,3)")).cast("double"))
         .orderBy(col("l_returnflag"))
     }),
-    // Conversion-latency distribution: exact percentiles of the
-    // signup→first-purchase gap. The gap table is per-user (small after
-    // the user-key shuffle it shares with the funnel ops); exact
-    // percentile is a single-pass sort-based aggregate over it.
-    "q17_conversion_latency" -> ((s, dir) => {
-      val e = tbl(s, dir, "events")
-      val s0 = e.where(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
-      val conv = e.join(s0, "user_id")
-        .where(col("event_type") === "purchase" && col("ts") >= col("t0"))
-        .groupBy(col("user_id"), col("t0")).agg(min(col("ts")).as("tp"))
-        .select((unix_micros(col("tp")) - unix_micros(col("t0")))
-          .cast("double").as("gap_us"))
-      conv.agg(
-        count(lit(1)).as("n_converted"),
-        round(element_at(expr("percentile(gap_us, array(0.5D, 0.9D, 0.99D))"), 1) / 1e6, 6).as("p50_sec"),
-        round(element_at(expr("percentile(gap_us, array(0.5D, 0.9D, 0.99D))"), 2) / 1e6, 6).as("p90_sec"),
-        round(element_at(expr("percentile(gap_us, array(0.5D, 0.9D, 0.99D))"), 3) / 1e6, 6).as("p99_sec"))
-    }),
+    // Conversion-latency distribution: percentiles of the signup→
+    // first-purchase gap via the Latency operator. The oracle pins the
+    // exact form; `exact = false` is the bounded-memory production
+    // setting (see Latency scaladoc).
+    "q17_conversion_latency" -> ((s, dir) =>
+      Latency.conversionReport(tbl(s, dir, "events"), "signup", "purchase",
+        exact = true)),
     // Weekly cohort-retention matrix: users bucketed by signup week,
     // activity counted per week offset — the classic UBA cohort output.
     // One shuffle on user_id (the signup agg and the activity join share

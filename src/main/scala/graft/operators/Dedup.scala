@@ -21,6 +21,29 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Observability for the quadratic-candidate cap guards
+    * ([[minhashLshPairs]]'s and [[embeddingNearDupPairs]]'s `bucketCap`,
+    * [[ngramJaccardPairs]]'s `dfCap`): `buckets` counts dropped
+    * (band, key) groups / hot shingles, `rows` the member rows they
+    * carried. At 100 TB a silent cap is a silent recall loss — wire a
+    * CapStats in and report both counters next to the dedup output so
+    * recall exposure is observable, not guessed.
+    *
+    * Accumulator semantics: the guarded operators materialize their
+    * capped table exactly once (eager `localCheckpoint`), so each
+    * operator call tallies each dropped group exactly once at
+    * construction time. Zero drops ⇒ results are exact. */
+  final case class CapStats(
+      buckets: org.apache.spark.util.LongAccumulator,
+      rows: org.apache.spark.util.LongAccumulator)
+
+  object CapStats {
+    def apply(spark: org.apache.spark.sql.SparkSession, name: String): CapStats =
+      CapStats(
+        spark.sparkContext.longAccumulator(s"$name.droppedBuckets"),
+        spark.sparkContext.longAccumulator(s"$name.droppedRows"))
+  }
+
   /** 60-bit md5-derived hash of a string column. */
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
@@ -154,11 +177,26 @@ object Dedup {
     * [[exact]] dedup first (see PipelineExample) so identical documents
     * are collapsed before LSH and hot buckets cannot form from exact
     * copies. */
-  private def capBuckets(bk: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
-    val hot = bk.groupBy(keyCols.map(col): _*)
+  private def capBuckets(bk: DataFrame, keyCols: Seq[String], cap: Int,
+      stats: Option[CapStats] = None): DataFrame = {
+    val hot0 = bk.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_members"))
       .where(col("_members") > cap)
-      .select(keyCols.map(col): _*)
+    // the tally rides the (tiny, broadcast) hot list as a side-effecting
+    // filter, so observability costs nothing on the corpus-sized side;
+    // the caller's eager checkpoint of the capped table means it fires
+    // exactly once per operator call
+    val hot = stats match {
+      case Some(cs) =>
+        val tally = udf { members: Long =>
+          cs.buckets.add(1L); cs.rows.add(members); true
+        }
+        // eager checkpoint so the tally fires exactly once per call, not
+        // once per downstream materialization of the capped table
+        hot0.where(tally(col("_members"))).select(keyCols.map(col): _*)
+          .localCheckpoint()
+      case None => hot0.select(keyCols.map(col): _*)
+    }
     bk.join(broadcast(hot), keyCols, "left_anti")
   }
 
@@ -172,7 +210,7 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k: Int = 32, bands: Int = 8, threshold: Double = 0.4,
-      bucketCap: Int = 100000): DataFrame = {
+      bucketCap: Int = 100000, capStats: Option[CapStats] = None): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     // The shingle sets and band keys are each consumed by several branches
@@ -197,7 +235,7 @@ object Dedup {
     val bandKeys = capBuckets(
       sig.select(col("_id"), posexplode(bandCols))
         .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bkey"),
-      Seq("_band", "_bkey"), bucketCap)
+      Seq("_band", "_bkey"), bucketCap, capStats)
       .localCheckpoint()
     // shuffle-hash hint: the band-key table is the whole corpus — at
     // scale it must co-partition on the key, never broadcast (AQE would
@@ -226,7 +264,8 @@ object Dedup {
     * alternative to MinHash when shingle frequencies are tame. */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, threshold: Double = 0.3, dfCap: Int = 100000): DataFrame = {
+      n: Int = 3, threshold: Double = 0.3, dfCap: Int = 100000,
+      capStats: Option[CapStats] = None): DataFrame = {
     // materialize the compact per-doc shingle arrays once, eagerly (see
     // minhashLshPairs); the exploded view is re-derived from the
     // checkpointed arrays per consumer — exploding cached arrays is
@@ -242,8 +281,17 @@ object Dedup {
     // dedup signal, so they are dropped before the join; for pairs that
     // shared a dropped shingle the jaccard becomes a (tight) lower bound.
     // With near-unique shingles the cap never fires and results are exact.
-    val hot = ex.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
-      .where(col("_df") > dfCap).select(col("_s"))
+    val hot0 = ex.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+      .where(col("_df") > dfCap)
+    val hot = capStats match {
+      case Some(cs) =>
+        val tally = udf { d: Long => cs.buckets.add(1L); cs.rows.add(d); true }
+        // eager checkpoint: the hot list feeds broadcasts on BOTH sides of
+        // the self-join below — materializing it once keeps the tally
+        // exactly-once instead of depending on ReusedExchange
+        hot0.where(tally(col("_df"))).select(col("_s")).localCheckpoint()
+      case None => hot0.select(col("_s"))
+    }
     val pruned = ex.join(broadcast(hot), Seq("_s"), "left_anti")
     // shuffle-hash hint: the inverted index is corpus-sized — broadcast
     // is scale-wrong and measurably unstable (see minhashLshPairs)
@@ -273,10 +321,54 @@ object Dedup {
     * `bucketCap` bounds any one (band, bucket)'s members (quadratic-
     * candidate guard — see [[capBuckets]]).
     */
+  /** Derives the (bands, planesPerBand) pair for [[embeddingNearDupPairs]]
+    * from a target miss probability at the caller's cosine threshold,
+    * instead of guessing a grid. For a pair exactly at `threshold`
+    * (angle θ = acos(threshold)) a plane agrees with probability
+    * 1 - θ/π, a band of p planes matches with (1-θ/π)^p, and b bands
+    * miss with `(1 - (1-θ/π)^p)^b ≤ targetMiss`. Pairs above the
+    * threshold miss strictly less often.
+    *
+    * The search prefers the DEEPEST band (largest p) whose required band
+    * count fits `maxBands`: p controls bucket granularity — each extra
+    * plane roughly halves bucket occupancy, and candidate verification
+    * cost is quadratic in occupancy — while b only multiplies the cheap
+    * linear explode. On production corpora where vectors cluster (the
+    * d5 watch item), raising `maxBands` lets the same miss target be met
+    * with even deeper bands / smaller buckets. */
+  def bandingForTargetMiss(
+      threshold: Double, targetMiss: Double,
+      maxPlanes: Int = 16, maxBands: Int = 64): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1): $threshold")
+    require(targetMiss > 0.0 && targetMiss < 1.0,
+      s"targetMiss must be in (0,1): $targetMiss")
+    val agree = 1.0 - math.acos(threshold) / math.Pi
+    val fits = (maxPlanes to 1 by -1).iterator.map { p =>
+      val bandHit = math.pow(agree, p)
+      val b = math.max(1, math.ceil(math.log(targetMiss) / math.log1p(-bandHit)).toInt)
+      (b, p)
+    }.find(_._1 <= maxBands)
+    fits.getOrElse((maxBands, 1))
+  }
+
+  /** [[embeddingNearDupPairs]] with the banding derived by
+    * [[bandingForTargetMiss]] — callers state the recall contract
+    * ("miss at most `targetMiss` of pairs at the threshold") and the
+    * grid follows. */
+  def embeddingNearDupPairsAuto(
+      emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.95, targetMiss: Double = 1e-3,
+      bucketCap: Int = 100000, capStats: Option[CapStats] = None): DataFrame = {
+    val (bands, planes) = bandingForTargetMiss(threshold, targetMiss)
+    embeddingNearDupPairs(emb, idCol, vecCol, threshold, bands, planes,
+      bucketCap, capStats)
+  }
+
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.95, bands: Int = 8, planesPerBand: Int = 8,
-      bucketCap: Int = 100000): DataFrame = {
+      bucketCap: Int = 100000, capStats: Option[CapStats] = None): DataFrame = {
     val q = Similarity.prepare(emb, idCol, vecCol).localCheckpoint()
     val bandCols = array((0 until bands).map { b =>
       Similarity.lshBucketSeeded(col("_q"), s"nd$b:", planesPerBand)
@@ -284,7 +376,7 @@ object Dedup {
     val bk = capBuckets(
       q.select(col("_id"), posexplode(bandCols))
         .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bb"),
-      Seq("_band", "_bb"), bucketCap)
+      Seq("_band", "_bb"), bucketCap, capStats)
       .localCheckpoint()
     val cand = bk.as("x").join(bk.as("y").hint("shuffle_hash"),
         col("x._band") === col("y._band") && col("x._bb") === col("y._bb") &&
@@ -351,6 +443,88 @@ object Dedup {
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("group_id"))
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the adversarial-diameter upgrade over
+    * [[connectedComponents]]: min-label propagation needs
+    * diameter-many rounds (a path graph of n nodes takes n-1), while
+    * star alternation contracts paths in O(log n) rounds by rewiring
+    * edges instead of just forwarding labels.
+    *
+    * Per round, two steps of one groupBy + one self-key join each (all
+    * shuffles on the node id):
+    *   - large-star: every node u hooks each LARGER neighbor v onto
+    *     m = min(Γ(u) ∪ u) — emits (v, m) for v > u;
+    *   - small-star: every node u (now keyed as the larger endpoint)
+    *     re-points each smaller neighbor, and itself, at the minimum of
+    *     its smaller neighborhood — emits (v, m) for v ∈ Γ⁻(u) ∪ {u},
+    *     v ≠ m.
+    * Both steps preserve connectivity; at the fixed point the edge set
+    * is exactly the star forest {(component min, v)}. Convergence is
+    * detected from the round's eagerly-materialized output with a tiny
+    * (count, order-independent checksum) aggregate — no old-vs-new join.
+    *
+    * Output contract identical to [[connectedComponents]]:
+    * (doc_id, group_id) for every node in `pairs`, group_id = the
+    * component's minimum id. Prefer this variant when the pair graph's
+    * diameter is not known to be small; near-dup graphs from the LSH
+    * operators are star/clique-like, where [[connectedComponents]]'s
+    * cheaper rounds win. */
+  def connectedComponentsStar(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 30): DataFrame =
+    connectedComponentsStarRounds(pairs, idA, idB, maxIter)._1
+
+  /** [[connectedComponentsStar]] plus the number of large+small rounds
+    * it ran — the observable for the O(log n) convergence contract. */
+  def connectedComponentsStarRounds(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 30): (DataFrame, Int) = {
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("_a"), col("_b")).as("_lo"),
+          greatest(col("_a"), col("_b")).as("_hi"))
+        .where(col("_lo") =!= col("_hi")).distinct()
+    def fingerprint(edges: DataFrame): (Long, String) = {
+      // decimal sum: order-independent and ANSI-overflow-free
+      val r = edges.agg(count(lit(1)),
+        sum(xxhash64(col("_lo"), col("_hi")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+    }
+    var edges = canon(pairs.select(col(idA).as("_a"), col(idB).as("_b")))
+      .localCheckpoint()
+    var fp = fingerprint(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      // large-star: adjacency in both directions, keyed on u
+      val adj = edges.select(col("_lo").as("_x"), col("_hi").as("_y"))
+        .unionByName(edges.select(col("_hi").as("_x"), col("_lo").as("_y")))
+      val mins = adj.groupBy(col("_x")).agg(min(col("_y")).as("_mn"))
+      val large = canon(adj.join(mins, "_x")
+        .where(col("_y") > col("_x"))
+        .select(col("_y").as("_a"), least(col("_mn"), col("_x")).as("_b")))
+      // small-star: edges keyed on their larger endpoint; smaller
+      // neighborhood min is the new hub for the smaller neighbors + self
+      val adj2 = large.select(col("_hi").as("_x"), col("_lo").as("_y"))
+      val mins2 = adj2.groupBy(col("_x")).agg(min(col("_y")).as("_mn"))
+      val small = canon(
+        adj2.join(mins2, "_x")
+          .where(col("_y") =!= col("_mn"))
+          .select(col("_y").as("_a"), col("_mn").as("_b"))
+          .unionByName(mins2.select(col("_x").as("_a"), col("_mn").as("_b"))))
+        .localCheckpoint()
+      val fpNext = fingerprint(small)
+      converged = fpNext == fp
+      fp = fpNext
+      edges = small
+      rounds += 1
+    }
+    val labels = edges.select(col("_hi").as("doc_id"), col("_lo").as("group_id"))
+      .unionByName(edges.select(col("_lo").as("doc_id"), col("_lo").as("group_id")))
+      .distinct()
+    (labels, rounds)
   }
 
   /** All-pairs brute-force variant of [[embeddingNearDupPairs]] — exact

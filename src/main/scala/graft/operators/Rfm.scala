@@ -24,11 +24,22 @@ object Rfm {
 
   /** Per-user RFM metrics and quartile scores over `valueEvent` events
     * (default `purchase`). Recency is measured in days from each user's
-    * last value event to the corpus-wide last event day. */
+    * last value event to the corpus-wide last event day.
+    *
+    * `exactCutoffs = true` (the default, and the cross-engine-oracle
+    * form) computes the quartile cutoffs with the exact `percentile`
+    * aggregate, which funnels all per-user values through one final
+    * aggregation buffer — fine to ~10⁷ users. Past that, set it false:
+    * `approx_percentile` (a bounded-memory mergeable quantile summary
+    * with map-side partials) computes cutoffs within 1/`accuracy`
+    * rank error, which at production user counts moves a negligible
+    * sliver of users across a cutoff while removing the single-reducer
+    * memory ceiling. */
   def segments(
       events: DataFrame, valueEvent: String = "purchase",
       userCol: String = "user_id", tsCol: String = "ts",
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value",
+      exactCutoffs: Boolean = true, accuracy: Int = 10000): DataFrame = {
     val perUser = events.where(col("event_type") === valueEvent)
       .groupBy(col(userCol))
       .agg(
@@ -43,10 +54,10 @@ object Rfm {
       .drop("_asof", "_last_day")
       .localCheckpoint()
     val qs = "array(0.25D, 0.5D, 0.75D)"
-    val cuts = rfm.agg(
-      expr(s"percentile(r_days, $qs)").as("_rc"),
-      expr(s"percentile(f, $qs)").as("_fc"),
-      expr(s"percentile(m, $qs)").as("_mc"))
+    def pct(c: String): Column =
+      if (exactCutoffs) expr(s"percentile($c, $qs)")
+      else expr(s"approx_percentile($c, $qs, $accuracy)").cast("array<double>")
+    val cuts = rfm.agg(pct("r_days").as("_rc"), pct("f").as("_fc"), pct("m").as("_mc"))
     def above(v: Column, cutArr: Column): Column =
       (0 until 3).map(i => (v > element_at(cutArr, i + 1)).cast("int")).reduce(_ + _)
     rfm.crossJoin(broadcast(cuts))

@@ -129,6 +129,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(banded.nonEmpty)
   }
 
+  test("auto-tuned banding meets its miss target at two thresholds") {
+    // bandingForTargetMiss derives (bands, planes) from the stated recall
+    // contract; at targetMiss 1e-3 on this fixture (tens of true pairs)
+    // the expected misses are << 1, so the banded result must equal brute
+    // force exactly — at both a loose and a tight threshold.
+    val e = SparkEntry.tbl(spark, TestData.dir("0.001"), "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val aug = e.unionByName(e.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), x => x * 1.1 + 0.01).as("embedding")))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (t <- Seq(0.90, 0.98)) {
+      val (bands, planes) = Dedup.bandingForTargetMiss(t, 1e-3)
+      assert(bands >= 1 && planes >= 1 && planes <= 16)
+      // the derived grid satisfies the analytic miss bound it was asked for
+      val agree = 1.0 - math.acos(t) / math.Pi
+      val miss = math.pow(1.0 - math.pow(agree, planes), bands.toDouble)
+      assert(miss <= 1e-3, s"t=$t grid=($bands,$planes) analytic miss $miss")
+      val banded = key(Dedup.embeddingNearDupPairsAuto(aug, threshold = t))
+      val brute = key(Dedup.embeddingNearDupPairsBrute(aug, threshold = t))
+      assert(banded === brute, s"t=$t grid=($bands,$planes)")
+      assert(brute.nonEmpty)
+    }
+    // a tighter threshold needs fewer bands for the same miss target
+    // (bands are monotone in the angle), never more
+    val loose = Dedup.bandingForTargetMiss(0.90, 1e-3)
+    val tight = Dedup.bandingForTargetMiss(0.99, 1e-3)
+    assert(tight._1 <= loose._1, s"loose=$loose tight=$tight")
+  }
+
   test("native hashed_shingles equals the composable shingle pipeline") {
     // byte-identical hashes AND order on the spec docs plus a slice of
     // the real corpus, for both n=3 and n=5 (the d2/d4 settings)
@@ -193,6 +223,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
         .collect().map(_.getDouble(2)).toList
     assert(pairAB(100000) === List(0.6))
     assert(pairAB(10) === List(0.333333))
+    // observability: the one hot shingle (df=12) is counted with its rows
+    val cs = Dedup.CapStats(spark, "test.ngram")
+    Dedup.ngramJaccardPairs(d, dfCap = 10, capStats = Some(cs)).count()
+    assert(cs.buckets.value === 1L && cs.rows.value === 12L,
+      s"stats ${cs.buckets.value}/${cs.rows.value}")
   }
 
   test("minhash LSH bucket cap drops hot buckets, keeps cold pairs") {
@@ -204,10 +239,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Seq((20L, "entirely unrelated text about distributed query planning engines"),
           (21L, "entirely unrelated text about distributed query planning engines")))
       .toDF("doc_id", "text")
-    val capped = Dedup.minhashLshPairs(d, bucketCap = 4)
+    val cs = Dedup.CapStats(spark, "test.minhash")
+    val capped = Dedup.minhashLshPairs(d, bucketCap = 4, capStats = Some(cs))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped === Set((20L, 21L)))
-    assert(Dedup.minhashLshPairs(d).count() === 16)
+    // every one of the 8 bands has exactly one 6-member hot bucket (the
+    // identical X docs share all band keys); tally fires exactly once
+    assert(cs.buckets.value === 8L, s"dropped buckets ${cs.buckets.value}")
+    assert(cs.rows.value === 48L, s"dropped rows ${cs.rows.value}")
+    // no caps fired → stats stay zero and results are exact
+    val cs0 = Dedup.CapStats(spark, "test.minhash0")
+    assert(Dedup.minhashLshPairs(d, capStats = Some(cs0)).count() === 16)
+    assert(cs0.buckets.value === 0L && cs0.rows.value === 0L)
   }
 
   test("embedding near-dup bucket cap drops hot buckets") {
@@ -217,7 +260,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // all 15 clone pairs
     val d = (1L to 6L).map(i => (i, Seq(0.5f, -0.25f, 0.125f, 1.0f)))
       .toDF("vec_id", "embedding")
-    assert(Dedup.embeddingNearDupPairs(d, bucketCap = 5).count() === 0)
+    val cs = Dedup.CapStats(spark, "test.neardup")
+    assert(Dedup.embeddingNearDupPairs(d, bucketCap = 5, capStats = Some(cs))
+      .count() === 0)
+    // 8 bands × one 6-member hot bucket each
+    assert(cs.buckets.value === 8L && cs.rows.value === 48L,
+      s"stats ${cs.buckets.value}/${cs.rows.value}")
     assert(Dedup.embeddingNearDupPairs(d).count() === 15)
   }
 
@@ -229,6 +277,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val r = Dedup.connectedComponents(pairs).collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val rs = Dedup.connectedComponentsStar(pairs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rs === r)
+  }
+
+  test("large-star/small-star collapses a path graph in O(log n) rounds") {
+    import spark.implicits._
+    // the adversarial diameter for min-label propagation: a path of n
+    // nodes needs n-1 label-forwarding rounds, but star alternation
+    // contracts it logarithmically. n=128: min-label would need 127
+    // rounds; the star variant must land within ceil(log2 128) + 4 = 11.
+    val n = 128
+    val path = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsStarRounds(path)
+    val got = labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got === (1 to n).map(i => i.toLong -> 1L).toMap)
+    val bound = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 4
+    assert(rounds <= bound, s"star CC took $rounds rounds on a $n-path (bound $bound)")
+  }
+
+  test("star CC agrees with min-label CC on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val nNodes = 40 + rnd.nextInt(30)
+      val pairs = (0 until nNodes).flatMap { _ =>
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        if (a == b) None else Some((math.min(a, b), math.max(a, b)))
+      }.toDF("id_a", "id_b")
+      val minLabel = Dedup.connectedComponents(pairs).collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val star = Dedup.connectedComponentsStar(pairs).collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(star === minLabel, s"seed=$seed")
+    }
   }
 
   test("connected components agree with union-find on random graphs") {

@@ -228,6 +228,35 @@ class ScaleSpec extends AnyFunSuite {
       s"approx p50 $p50a too far from exact $p50e")
   }
 
+  test("approx percentile cutoffs are a first-class API choice for RFM and latency") {
+    // exactCutoffs=false / exact=false swap the single-reducer exact
+    // percentile for the bounded-memory sketch. At accuracy 10000 the
+    // rank error is ≤ 1e-4, so on this corpus: latency percentiles agree
+    // within 2% and RFM re-scores at most a sliver of users (the ones
+    // sitting exactly between the exact and approx cutoffs).
+    val events = SparkEntry.tbl(spark, TestData.dir("0.1"), "events")
+    val le = graft.operators.Latency
+      .conversionReport(events, "signup", "purchase", exact = true).head
+    val la = graft.operators.Latency
+      .conversionReport(events, "signup", "purchase", exact = false).head
+    assert(le.getLong(0) === la.getLong(0))
+    for (i <- 1 to 3) {
+      val (e, a) = (le.getDouble(i), la.getDouble(i))
+      assert(math.abs(a - e) / math.max(e, 1e-9) < 0.02,
+        s"latency pct col $i: approx $a vs exact $e")
+    }
+    val re = graft.operators.Rfm.segments(events)
+      .select("user_id", "r_score", "f_score", "m_score").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val ra = graft.operators.Rfm.segments(events, exactCutoffs = false)
+      .select("user_id", "r_score", "f_score", "m_score").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(ra.keySet === re.keySet)
+    val moved = re.count { case (u, s) => ra(u) != s }
+    assert(moved <= math.max(1, re.size / 20),
+      s"approx cutoffs re-scored $moved of ${re.size} users")
+  }
+
   test("sequence packing: greedy per-bin assignment, docs never split, repartition-invariant") {
     import spark.implicits._
     val docs = Seq((1L, 300L), (2L, 300L), (3L, 300L), (4L, 1200L), (5L, 100L))
