@@ -474,6 +474,21 @@ object SparkEntry {
       Similarity.ivfTopK(par(e), e.where(col("vec_id") < 20),
         "vec_id", "embedding", "label", k = 5, nprobe = 2)
     }),
+    // Full in-plan IVF story: the coarse quantizer is TRAINED inside the
+    // plan (deterministic md5-seeded Lloyd's k-means, 2 iterations) and
+    // its assignment feeds the probe path — train → assign → ivfTopK
+    // with no external model or label column. The oracle replays the
+    // identical seeding, assignment, and centroid arithmetic in SQL.
+    "s5_ann_ivf_trained" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+      val cells = Similarity.trainIvfCells(par(e), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .withColumnRenamed("_id", "vec_id")
+      Similarity.ivfTopK(par(e).join(cells, "vec_id"),
+        e.where(col("vec_id") < 20),
+        "vec_id", "embedding", "_cell", k = 5, nprobe = 2)
+    }),
 
     // ── Multimodal binary columns (stubbed decode, real plumbing) ────────
     // Synthesize a binary media column, decode typed metadata, sample
@@ -1248,6 +1263,83 @@ object SparkEntry {
            |), $quantEmbSql, ql AS (
            |  SELECT qn.vec_id, e2.label, qn.qv, qn.n2
            |  FROM qn JOIN embeddings e2 ON qn.vec_id = e2.vec_id
+           |), cd AS (
+           |  SELECT label AS cell, d, sum(qv[d]) AS sv, count(*) AS cnt
+           |  FROM ql, (SELECT CAST(range AS INT) + 1 AS d FROM range(64))
+           |  GROUP BY 1, 2
+           |), cents AS (
+           |  SELECT cell, list(CAST(round(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY d) AS cvec
+           |  FROM cd GROUP BY 1
+           |), cn AS (
+           |  SELECT cell, cvec, list_sum(list_transform(cvec, x -> x * x)) AS cn2 FROM cents
+           |), qset AS (
+           |  SELECT vec_id AS qid, qv AS qq, n2 AS qn2 FROM qn WHERE vec_id < 20
+           |), qc AS (
+           |  SELECT qid, qq, qn2, cell,
+           |    qn2 + cn2 - 2 * list_sum(list_transform(range(1, 65),
+           |      d -> qq[CAST(d AS INT)] * cvec[CAST(d AS INT)])) AS dist2
+           |  FROM qset, cn
+           |), probes AS (
+           |  SELECT qid, qq, qn2, cell FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist2, cell) AS pr FROM qc)
+           |  WHERE pr <= 2
+           |), scored AS (
+           |  SELECT p.qid AS query_id, c.vec_id AS neighbor_id,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      d -> c.qv[CAST(d AS INT)] * p.qq[CAST(d AS INT)])) AS DOUBLE)
+           |      / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(p.qn2 AS DOUBLE))) AS cos
+           |  FROM probes p JOIN ql c ON c.label = p.cell AND c.vec_id != p.qid
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored
+           |)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+      // s5 unrolls trainIvfCells' two Lloyd's iterations: md5-seeded
+      // initial centroids (8 smallest by hash60('ivf|'||id)), assignment
+      // by exact integer L2 with (dist2, cell) tie-break, elementwise
+      // rounded-mean centroids — then the same IVF probe tail as s3 with
+      // the trained assignment in place of the label column.
+      "s5_ann_ivf_trained" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |), $quantEmbSql, seeds AS (
+           |  SELECT qv, row_number() OVER (ORDER BY hkey, vec_id) - 1 AS cell FROM (
+           |    SELECT vec_id, qv,
+           |      ('0x' || substr(md5('ivf|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
+           |    FROM qn)
+           |  ORDER BY hkey, vec_id LIMIT 8
+           |), c0 AS (
+           |  SELECT cell, qv AS cvec, list_sum(list_transform(qv, x -> x * x)) AS cn2 FROM seeds
+           |), a1 AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT q.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        q.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65),
+           |          d -> q.qv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.cell) AS rn
+           |    FROM qn q CROSS JOIN c0 c)
+           |  WHERE rn = 1
+           |), c1d AS (
+           |  SELECT a.cell, d, sum(q.qv[d]) AS sv, count(*) AS cnt
+           |  FROM a1 a JOIN qn q USING (vec_id),
+           |       (SELECT CAST(range AS INT) + 1 AS d FROM range(64))
+           |  GROUP BY 1, 2
+           |), c1 AS (
+           |  SELECT cell, list(CAST(round(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY d) AS cvec
+           |  FROM c1d GROUP BY 1
+           |), c1n AS (
+           |  SELECT cell, cvec, list_sum(list_transform(cvec, x -> x * x)) AS cn2 FROM c1
+           |), a2 AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT q.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        q.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65),
+           |          d -> q.qv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.cell) AS rn
+           |    FROM qn q CROSS JOIN c1n c)
+           |  WHERE rn = 1
+           |), ql AS (
+           |  SELECT qn.vec_id, a2.cell AS label, qn.qv, qn.n2
+           |  FROM qn JOIN a2 USING (vec_id)
            |), cd AS (
            |  SELECT label AS cell, d, sum(qv[d]) AS sv, count(*) AS cnt
            |  FROM ql, (SELECT CAST(range AS INT) + 1 AS d FROM range(64))

@@ -143,7 +143,9 @@ object Similarity {
     * cells [[ivfTopK]] consumes when no external assignment (a label
     * column, an offline model) exists. Deterministic and
     * engine-reproducible: initial centroids are the `k` vectors with the
-    * smallest `(xxhash64(id), id)` sort key; each iteration assigns every
+    * smallest `(hash60("ivf|" ∥ id), id)` sort key (md5-derived, so any
+    * SQL engine replays the same seeding — the s5 oracle does); each
+    * iteration assigns every
     * vector to its nearest centroid by exact integer L2 (`min_by` with a
     * (dist, cell) tie-break) and recomputes elementwise rounded means.
     * Per iteration: one broadcast of the k centroids + two aggregations —
@@ -158,11 +160,12 @@ object Similarity {
       k: Int, iters: Int = 5): DataFrame = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
     val base = prepare(emb, idCol, vecCol).localCheckpoint()
+    val seedKey = Dedup.hash60(concat(lit("ivf|"), col("_id").cast("string")))
     var cents = base
-      .orderBy(xxhash64(col("_id")), col("_id"))
+      .orderBy(seedKey, col("_id"))
       .limit(k)
       .withColumn("_cell",
-        row_number().over(Window.orderBy(xxhash64(col("_id")), col("_id"))) - 1)
+        row_number().over(Window.orderBy(seedKey, col("_id"))) - 1)
       .select(col("_cell").cast("long").as("_cell"), col("_q").as("_cvec"))
       .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
       .localCheckpoint()
