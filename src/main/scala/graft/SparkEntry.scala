@@ -586,6 +586,20 @@ object SparkEntry {
         docs.where(col("doc_id") % 20 =!= 0),
         docs.where(col("doc_id") % 20 === 0), n = 4)
     }),
+    // Bloom-prefiltered decontamination: identical exact output (the
+    // bloom's false positives die in the exact join), but the train
+    // side is screened by a ~10-bits/shingle filter before any join —
+    // the shape for eval sets too large to probe as a broadcast hash
+    // table per task. Different split (%10) and width (5) than d7 so
+    // the two queries exercise different collision patterns.
+    "d9_bloom_decontaminate" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val docs = par(tbl(s, dir, "documents")).select(col("doc_id"), col("text"))
+      Decontaminate.reportBloom(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        n = 5, expectedItems = 100000L, fpp = 0.01)
+    }),
     // Incremental dedup: a daily increment (every 5th doc, plus exact
     // copies of corpus docs and of itself) reduced to content-new
     // documents against the existing corpus — batch-internal keeper
@@ -639,7 +653,24 @@ object SparkEntry {
       Split.packSequences(
         par(tbl(s, dir, "documents"))
           .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens")),
-        "doc_id", "n_tokens", budget = 512, bins = 8))
+        "doc_id", "n_tokens", budget = 512, bins = 8)),
+    // Deterministic epoch shuffle: (shard, pos) from two independent
+    // md5 hashes — a reproducible corpus permutation with one shuffle
+    // (the per-shard rank sort), invariant to input partitioning.
+    "p6_deterministic_shuffle" -> ((s, dir) =>
+      Split.deterministicShuffle(
+        par(tbl(s, dir, "documents")).select(col("doc_id")),
+        "doc_id", shards = 8, seed = "epoch0")),
+    // Semi-structured JSON extraction over the event props: parse a
+    // JSON field per row (map-side, codegen'd get_json_object path) and
+    // aggregate — the "typed view over a JSON column" relational op.
+    "q20_json_props" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k")))
   )
 
   /** The testdata parquet files are single-row-group, so a scan is ONE
@@ -1474,6 +1505,27 @@ object SparkEntry {
            |  round(CAST(count(*) AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contam_frac
            |FROM trainx JOIN evals USING (s)
            |GROUP BY doc_id, n_shingles""".stripMargin,
+      // The bloom prefilter is cost-only: the oracle is the plain exact
+      // screen at d9's split/width — any bloom false positive surviving
+      // to the output would hash-mismatch here.
+      "d9_bloom_decontaminate" ->
+        s"""WITH norm AS (
+           |  SELECT doc_id, $normToksSql AS toks FROM documents
+           |), shs AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(${shingleSql(5)},
+           |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+           |  FROM norm
+           |), evals AS (
+           |  SELECT DISTINCT unnest(sh) AS s FROM shs WHERE doc_id % 10 = 0
+           |), trainx AS (
+           |  SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+           |  FROM shs WHERE doc_id % 10 <> 0
+           |)
+           |SELECT doc_id, n_shingles, CAST(count(*) AS BIGINT) AS n_hit,
+           |  round(CAST(count(*) AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contam_frac
+           |FROM trainx JOIN evals USING (s)
+           |GROUP BY doc_id, n_shingles""".stripMargin,
       "u6_rfm_segments" ->
         """WITH pu AS (
           |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day, count(*) AS f,
@@ -1546,6 +1598,22 @@ object SparkEntry {
           |WHERE CAST(('0x' || substr(md5('mix|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
           |        % 1000000 AS HUGEINT) * s_bind * n
           |      < CAST(1000000 AS HUGEINT) * share_ppm * n_bind""".stripMargin,
+      "p6_deterministic_shuffle" ->
+        """SELECT doc_id, shard, CAST(rn - 1 AS BIGINT) AS pos FROM (
+          |  SELECT doc_id, shard,
+          |    row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS rn
+          |  FROM (
+          |    SELECT doc_id,
+          |      ('0x' || substr(md5('shuf|epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+          |      ('0x' || substr(md5('ord|epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h2
+          |    FROM documents))""".stripMargin,
+      "q20_json_props" ->
+        """SELECT event_type, count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,
+          |  round(avg(k), 6) AS avg_k
+          |FROM (
+          |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |  FROM events)
+          |GROUP BY event_type""".stripMargin,
       "p1_hash_split" ->
         """SELECT doc_id, b AS bucket,
           |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split

@@ -57,4 +57,46 @@ object Decontaminate {
       .withColumn("contam_frac",
         round(col("n_hit").cast("double") / col("n_shingles").cast("double"), 6))
   }
+
+  /** [[report]] with a Bloom-filter pre-screen on the train side —
+    * IDENTICAL output (false positives from the bloom pass are removed
+    * by the exact join that follows), different cost envelope.
+    *
+    * When the eval shingle set grows past comfortable broadcast-hash-
+    * join size (dozens of benchmarks × long documents), the exact join
+    * starts shipping and probing a large hash table per task. A Bloom
+    * filter over the same shingles is ~10 bits/item at 1% fpp —
+    * 20-30× smaller than a long hash set — and is applied as a map-side
+    * codegen-adjacent filter BEFORE the join, so only true collisions
+    * plus an fpp-sliver of the exploded train shingles ever reach the
+    * join probe and aggregate. The train corpus is still never
+    * shuffled; the bloom build is a distributed aggregate over the
+    * (tiny) eval side.
+    *
+    * `expectedItems`/`fpp` size the filter (bits ≈ 1.44·n·log₂(1/fpp));
+    * overshooting `expectedItems` only wastes the overshoot in bits. */
+  def reportBloom(
+      train: DataFrame, eval: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 8, expectedItems: Long = 10000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val evalShingles = eval
+      .select(explode(Dedup.hashedShingleSetNative(col(textCol), n)).as("_s"))
+      .distinct()
+      // consumed twice (bloom build + exact join) — materialize once
+      .localCheckpoint()
+    val bloom = evalShingles.stat.bloomFilter("_s", expectedItems, fpp)
+    val bloomB = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf { s: Long => bloomB.value.mightContainLong(s) }
+    val trainEx = train
+      .select(col(idCol), Dedup.hashedShingleSetNative(col(textCol), n).as("_sh"))
+      .select(col(idCol), size(col("_sh")).as("n_shingles"),
+        explode(col("_sh")).as("_s"))
+    trainEx.where(mightContain(col("_s")))
+      .join(broadcast(evalShingles), "_s")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("contam_frac",
+        round(col("n_hit").cast("double") / col("n_shingles").cast("double"), 6))
+  }
 }

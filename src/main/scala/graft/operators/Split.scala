@@ -131,6 +131,33 @@ object Split {
       .drop("_n", "_share_ppm", "_n_bind", "_s_bind")
   }
 
+  /** Deterministic global shuffle for training-data ordering: every row
+    * gets a (shard, pos) such that reading shards in order and rows by
+    * `pos` within each shard is a reproducible pseudo-uniform permutation
+    * of the corpus — the "shuffle the corpus once per epoch" step of a
+    * training pipeline, with no RNG state. Two independent
+    * purpose-prefixed md5 hashes of (seed, id) drive it: one picks the
+    * shard, one orders rows within the shard (the id itself would
+    * reintroduce ingest order); distinct `seed`s give independent
+    * permutations (epochs).
+    *
+    * Scale shape: shard assignment is a pure projection; the only
+    * shuffle is one hash partition + per-shard sort for the rank.
+    * Shards are independent, so parallelism = `shards` and each sort is
+    * corpus/`shards` rows — pick shards so a shard fits a task
+    * comfortably (e.g. corpus_rows / shards ≈ 10⁶). Results are
+    * invariant to input partitioning and cluster size, and any engine
+    * computing md5 reproduces the same permutation. */
+  def deterministicShuffle(
+      df: DataFrame, idCol: String, shards: Int, seed: String = ""): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    def h(purpose: String): Column = Dedup.hash60(
+      concat_ws("|", lit(purpose), lit(seed), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(h("ord"), col(idCol))
+    df.withColumn("shard", pmod(h("shuf"), lit(shards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
   /** Deterministic sequence packing for training-batch assembly: each
     * document lands in a training sequence of roughly `budget` tokens.
     *

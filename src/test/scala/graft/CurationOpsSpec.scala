@@ -55,6 +55,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.head.getAs[Long]("n_hit") === 1L)
   }
 
+  test("bloom-prefiltered decontamination equals the exact screen") {
+    // reportBloom's output contract is IDENTITY with report — the bloom
+    // stage only thins the join input, and its false positives must die
+    // in the exact join. Checked on the real corpus slice at two fpp
+    // settings (a sloppy filter changes cost, never results).
+    val docs = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val train = docs.where(col("doc_id") % 7 =!= 0)
+    val eval = docs.where(col("doc_id") % 7 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = key(Decontaminate.report(train, eval, n = 4))
+    assert(exact.nonEmpty)
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = key(Decontaminate.reportBloom(train, eval, n = 4,
+        expectedItems = 10000L, fpp = fpp))
+      assert(bloom === exact, s"fpp=$fpp")
+    }
+  }
+
   test("pii counts, scrub output, and idempotence") {
     import spark.implicits._
     val df = Seq(

@@ -156,6 +156,25 @@ class PlanSpec extends AnyFunSuite {
       s"the train corpus must not be shuffled for the collision join:\n$p")
   }
 
+  test("d9 bloom decontamination: bloom prefilter before a broadcast join, no train shuffle") {
+    val p = plan("d9_bloom_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingle set should broadcast into the train scan stage:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the train corpus must not be shuffled for the collision join:\n$p")
+    assert(p.contains("UDF"),
+      s"the bloom mightContain prefilter should sit in the scan stage:\n$p")
+  }
+
+  test("p6 deterministic shuffle: one exchange, on the shard key") {
+    val p = plan("p6_deterministic_shuffle")
+    assert(p.contains("Exchange hashpartitioning(shard"),
+      s"rank window should shuffle on the shard key:\n$p")
+    assert(p.sliding("Exchange hashpartitioning".length).count(
+      _ == "Exchange hashpartitioning") === 1,
+      s"exactly one shuffle expected:\n$p")
+  }
+
   test("u5 transitions: event stream shuffles once, on user_id") {
     val p = plan("u5_transitions")
     assert(p.contains("Exchange hashpartitioning(user_id"),

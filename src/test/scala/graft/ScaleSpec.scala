@@ -257,6 +257,29 @@ class ScaleSpec extends AnyFunSuite {
       s"approx cutoffs re-scored $moved of ${re.size} users")
   }
 
+  test("deterministic shuffle: dense per-shard positions, seed-independent permutations") {
+    import spark.implicits._
+    val rows = (1L to 500L).toDF("doc_id")
+    def shuffle(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Split.deterministicShuffle(df, "doc_id", shards = 4, seed = seed)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    val s0 = shuffle(rows, "e0").toMap
+    // every row assigned exactly once; positions dense 0..n-1 per shard
+    assert(s0.size === 500)
+    s0.values.groupBy(_._1).foreach { case (shard, assigns) =>
+      val poss = assigns.map(_._2).toSeq.sorted
+      assert(poss === (0L until poss.size.toLong), s"shard $shard positions not dense")
+    }
+    // repartition-invariant (pure function of (seed, id))
+    assert(shuffle(rows.repartition(7), "e0").toMap === s0)
+    // a different seed draws a genuinely different permutation
+    val s1 = shuffle(rows, "e1").toMap
+    assert(s0 !== s1)
+    // ...and not ordered by id within a shard (the ord-hash decorrelates)
+    val byPos = s0.toSeq.filter(_._2._1 == 0L).sortBy(_._2._2).map(_._1)
+    assert(byPos !== byPos.sorted, "in-shard order must not be id order")
+  }
+
   test("sequence packing: greedy per-bin assignment, docs never split, repartition-invariant") {
     import spark.implicits._
     val docs = Seq((1L, 300L), (2L, 300L), (3L, 300L), (4L, 1200L), (5L, 100L))
