@@ -615,6 +615,23 @@ object SparkEntry {
             .select((col("doc_id") + 4000000).as("doc_id"), col("text"))))
       Dedup.incrementalNew(incoming, par(corpus))
     }),
+    // End-to-end near-dup corpus dedup: LSH pairs → connected components
+    // → drop non-canonical members (anti-join on the id). The terminal
+    // form of the d2+d6 pipeline — what a crawl-curation job actually
+    // ships. Survivors keep their text length as the cheap payload proof.
+    "d10_corpus_dedup" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val docs = augmentedDocs(s, dir)
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(docs, k = 32, bands = 8, threshold = 0.4))
+      Dedup.keepCanonical(docs, labels)
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+    }),
+    // Corpus-wide span-level exact dedup (C4-style repeated-paragraph
+    // removal on 10-word windows): first occurrence wins, docs are
+    // reassembled from their surviving spans. Two shuffles, no joins.
+    "t12_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(augmentedDocs(s, dir), spanWords = 10)),
     // Deterministic hash-based train/val/test assignment: a pure
     // projection of the id, stable across partitioning/cluster size.
     "p1_hash_split" -> ((s, dir) =>
@@ -1578,6 +1595,43 @@ object SparkEntry {
           |)
           |SELECT k.content_hash, k.doc_id FROM keep k
           |WHERE NOT EXISTS (SELECT 1 FROM corph c WHERE c.content_hash = k.content_hash)""".stripMargin,
+      "d10_corpus_dedup" ->
+        s"""WITH RECURSIVE prs AS (
+           |$d2PairsSql
+           |), edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM prs
+           |  UNION
+           |  SELECT id_b, id_a FROM prs
+           |), nodes AS (
+           |  SELECT DISTINCT src AS id FROM edges
+           |), cc(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT cc.id, e.dst FROM cc JOIN edges e ON cc.r = e.src
+           |), lbl AS (
+           |  SELECT id, min(r) AS group_id FROM cc GROUP BY id
+           |), dups AS (
+           |  SELECT id FROM lbl WHERE id <> group_id
+           |), $augDocsSql
+           |SELECT a.doc_id, length(a.text) AS n_chars
+           |FROM aug a LEFT JOIN dups d ON a.doc_id = d.id
+           |WHERE d.id IS NULL""".stripMargin,
+      "t12_span_dedup" ->
+        s"""WITH $augDocsSql, toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t FROM aug
+           |), spans AS (
+           |  SELECT doc_id, CAST(j AS INT) AS span_idx,
+           |    array_to_string(t[CAST(j * 10 + 1 AS INT):CAST(j * 10 + 10 AS INT)], ' ') AS span_text
+           |  FROM toks, (SELECT CAST(range AS BIGINT) AS j FROM range(4000)) r
+           |  WHERE j * 10 < len(t)
+           |), kept AS (
+           |  SELECT doc_id, span_idx, span_text,
+           |    row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
+           |  FROM spans
+           |)
+           |SELECT doc_id, count(*) AS spans_kept,
+           |  string_agg(span_text, ' ' ORDER BY span_idx) AS text_dedup
+           |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin,
       "p4_mixture_resample" ->
         """WITH shares AS (
           |  SELECT * FROM (VALUES ('en', 500000), ('zh', 200000), ('es', 150000),

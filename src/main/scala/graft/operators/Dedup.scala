@@ -527,6 +527,69 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Reduces a corpus to its near-dup survivors: given component labels
+    * from [[connectedComponents]] / [[connectedComponentsStar]], drops
+    * every document that is a non-canonical member of its component
+    * (id ≠ the component's min id). Documents that never appeared in a
+    * pair have no label row and survive by construction — no left-join
+    * + coalesce spine over the corpus is needed.
+    *
+    * Scale shape: the dup-id list is one row per *discarded* document —
+    * potentially corpus-sized on crawl data (30–50% dup rates), so the
+    * anti-join is a shuffle-hash join on the id, never a broadcast.
+    * This is the terminal step of the standard pipeline:
+    * pairs → components → keep canonical. */
+  def keepCanonical(
+      docs: DataFrame, labels: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val dups = labels.where(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(dups.hint("shuffle_hash"), Seq(idCol), "left_anti")
+  }
+
+  /** Span-level exact dedup (the C4 / RefinedWeb "remove repeated
+    * paragraphs corpus-wide" operator, on fixed word-windows instead of
+    * newline paragraphs): each document is chunked into consecutive
+    * `spanWords`-word spans; every span that already occurred earlier in
+    * the corpus (first occurrence = minimum (doc_id, span_idx)) is
+    * dropped; surviving spans are reassembled in order.
+    *
+    * Output: (doc_id, spans_kept, text_dedup) — documents whose every
+    * span lost vanish from the result (their text is empty).
+    *
+    * Scale shape: two shuffles, no windows, no joins. Chunking is a
+    * per-row higher-order function (sequence → slice → array_join)
+    * inside the scan stage; the first-occurrence winner per span is
+    * min(struct(doc_id, span_idx, …)) under a single groupBy on the
+    * span text — the argmin rides the aggregation buffer, so winner
+    * selection needs no self-join back. Reassembly is a second groupBy
+    * on doc_id (collect_list + array_sort — bounded by document size).
+    * At 100 TB the group key would be a 128-bit span hash instead of
+    * the span text to cut shuffle bytes (collisions then trade exactness
+    * for bandwidth); the text key keeps the operator exactly equal to
+    * its SQL oracle. */
+  def spanDedup(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      spanWords: Int = 10): DataFrame = {
+    require(spanWords > 0, s"spanWords=$spanWords must be positive")
+    val toks = split(col(textCol), " ")
+    val nSpans = ceil(size(toks).cast("double") / spanWords).cast("long")
+    val spanArr = transform(
+      sequence(lit(0L), greatest(nSpans, lit(1L)) - 1),
+      g => array_join(slice(toks, (g * spanWords + 1).cast("int"), lit(spanWords)), " "))
+    val spans = docs
+      .select(col(idCol).as("doc_id"), posexplode(spanArr).as(Seq("span_idx", "span_text")))
+    val kept = spans.groupBy(col("span_text"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("_w"))
+      .select(col("_w.doc_id").as("doc_id"), col("_w.span_idx").as("span_idx"),
+        col("span_text"))
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("spans_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("span_idx"), col("span_text")))),
+            x => x.getField("span_text")),
+          " ").as("text_dedup"))
+  }
+
   /** All-pairs brute-force variant of [[embeddingNearDupPairs]] — exact
     * recall oracle for tests; O(n²), never the shipped query path. */
   def embeddingNearDupPairsBrute(

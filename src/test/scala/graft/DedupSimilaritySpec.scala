@@ -411,4 +411,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(b(0) === b(1))
   }
+
+  test("keepCanonical drops non-canonical members, keeps unpaired docs") {
+    import spark.implicits._
+    // components: {1,2,3} (min 1), {7,8} (min 7); 5 and 6 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val d = Seq(1L, 2L, 3L, 5L, 6L, 7L, 8L).toDF("doc_id")
+      .withColumn("text", concat(lit("doc "), col("doc_id")))
+      .repartition(3)
+    val labels = Dedup.connectedComponents(pairs)
+    val kept = Dedup.keepCanonical(d, labels).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 5L, 6L, 7L))
+  }
+
+  test("span dedup keeps first occurrence corpus-wide and reassembles in order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"),          // spans (w=3): "a b c", "d e f"
+      (2L, "a b c x y z"),          // first span duplicates doc 1's
+      (3L, "d e f"),                // whole doc is a dup span
+      (4L, "x y z a b c q"))        // all three spans distinct as spans
+      .toDF("doc_id", "text").repartition(3)
+    val r = Dedup.spanDedup(d, spanWords = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(r(1L) === ((2L, "a b c d e f")))
+    assert(r(2L) === ((1L, "x y z")))  // "a b c" lost to (1,0); "x y z" is first here
+    assert(!r.contains(3L))            // every span already seen
+    assert(r(4L) === ((1L, "q")))      // "x y z"→(2,1), "a b c"→(1,0); only "q" is new
+    // kept spans across the corpus = one per distinct span text
+    assert(r.values.map(_._1).sum === 4L)
+  }
+
+  test("span dedup is invariant to input partitioning") {
+    import spark.implicits._
+    val base = (1L to 40L).map(i =>
+      (i, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 11}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(parts: Int) =
+      Dedup.spanDedup(base.repartition(parts), spanWords = 5)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).sorted.toSeq
+    assert(run(1) === run(7))
+  }
 }

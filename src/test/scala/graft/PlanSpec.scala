@@ -199,4 +199,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Expand"),
       s"explicit pivot values should plan as conditional sums, not Expand:\n$p")
   }
+
+  test("t12 span dedup: exactly two exchanges, no window functions, no joins") {
+    val p = plan("t12_span_dedup")
+    assert(p.split("Exchange hashpartitioning").length - 1 === 2,
+      s"span dedup should shuffle exactly twice (winner agg + reassembly):\n$p")
+    assert(!p.contains("Window"), s"no window function expected:\n$p")
+    assert(!p.contains("Join"), s"no join expected (argmin rides the agg buffer):\n$p")
+  }
+
+  test("d10 corpus dedup: dup-id anti-join is shuffled, corpus never broadcast") {
+    val p = plan("d10_corpus_dedup")
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftAnti"),
+      s"keepCanonical should anti-join via shuffle-hash on the id:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
