@@ -208,6 +208,49 @@ class ScaleSpec extends AnyFunSuite {
       SparkEntry.tbl(spark, sf, "lineitem").count())
   }
 
+  test("AQE splits the skewed partition of a sort-merge join") {
+    // The runtime half of the skew story ([[Skew]] covers aggregations):
+    // one key holding most of a join's rows lands in one shuffle
+    // partition; with skew-join handling on, AQE re-plans that partition
+    // into advisory-sized splits (skew=true on the join node) with the
+    // matching build side replicated — no salting rewrite needed.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "131072")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val pad = "x" * 64
+      // 150k rows on key 7 (~10 MB in one partition), 50k singleton keys
+      val left = spark.range(200000).select(
+        when(col("id") < 150000, 7L).otherwise(col("id") % 100000).as("k"),
+        concat(lit(pad), col("id")).as("payload"))
+      val right = spark.range(100000).select(col("id").as("k"), (col("id") * 2).as("rv"))
+      val joined = left.join(right, "k")
+      // execute THIS dataframe (count() would plan its own query and the
+      // adaptive plan below would stay unexecuted / isFinalPlan=false)
+      val n = joined.collect().length
+      assert(n === 150000 + 50000, s"join result wrong: $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("approx sketches stay within error bounds of their exact forms") {
     // The exact forms (countDistinct, percentile) are what the oracle
     // queries pin; at 100 TB the sketch forms are the production path —

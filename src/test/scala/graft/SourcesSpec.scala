@@ -100,6 +100,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(orcBack.schema === src.schema)
   }
 
+  test("avro round-trip (gated: runs only when the spark-avro connector is present)") {
+    // Mirrors the reference's dormant avro feature gate
+    // (/root/reference/tests/sqllogictests/src/main.rs:258-270): the
+    // connector is not bundled in this zero-egress build, so the test
+    // cancels cleanly; drop spark-avro_2.13 on the classpath and it runs.
+    val src = SparkEntry.tbl(spark, sf, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val dir = Files.createTempDirectory("graft_avro").toString
+    try src.repartition(2).write.mode("overwrite").format("avro").save(dir)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("Failed to find data source") =>
+        cancel("spark-avro connector not on the classpath (zero-egress build)")
+    }
+    val back = spark.read.format("avro").load(dir)
+    assert(back.count() === src.count())
+    assert(back.agg(sum("n_nationkey")).head.getLong(0) ===
+      src.agg(sum("n_nationkey")).head.getLong(0))
+  }
+
   test("csv source: PERMISSIVE captures malformed rows, DROPMALFORMED removes them") {
     val dir = Files.createTempDirectory("graft_badcsv").toString
     Files.writeString(java.nio.file.Paths.get(dir, "part.csv"),
