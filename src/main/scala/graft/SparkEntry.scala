@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{AsOf, Decontaminate, Dedup, Funnel, GroupSample, Latency, Multimodal, Repetition, Retention, Rfm, Similarity, Skew, Split, Transitions, Vocab}
+import graft.operators.{AsOf, Decontaminate, Dedup, Funnel, GroupSample, Latency, Multimodal, Profile, Repetition, Retention, Rfm, Similarity, Skew, Split, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -687,7 +687,13 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("event_type"))
         .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
-          round(avg(col("k")), 6).as("avg_k")))
+          round(avg(col("k")), 6).as("avg_k"))),
+    // Per-column dataset profile: melt via stack inside the scan stage,
+    // one agg by column name, exact two-stage distinct. The before/after
+    // sanity gate of every curation pipeline run.
+    "q21_column_profile" -> ((s, dir) =>
+      Profile.numericProfile(tbl(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_linenumber")))
   )
 
   /** The testdata parquet files are single-row-group, so a scan is ONE
@@ -1668,6 +1674,22 @@ object SparkEntry {
           |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           |  FROM events)
           |GROUP BY event_type""".stripMargin,
+      "q21_column_profile" ->
+        """WITH m AS (
+          |  SELECT 'l_quantity' AS column_name, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+          |  UNION ALL
+          |  SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+          |  UNION ALL
+          |  SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+          |  UNION ALL
+          |  SELECT 'l_linenumber', CAST(l_linenumber AS DOUBLE) FROM lineitem
+          |)
+          |SELECT column_name, count(*) AS n,
+          |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+          |  count(DISTINCT value) AS n_distinct,
+          |  min(value) AS vmin, max(value) AS vmax,
+          |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS vsum
+          |FROM m GROUP BY column_name""".stripMargin,
       "p1_hash_split" ->
         """SELECT doc_id, b AS bucket,
           |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split

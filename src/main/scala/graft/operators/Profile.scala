@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling: per-column statistics in one distributed pass —
+  * the "what is in this table" primitive a curation pipeline runs before
+  * and after every transform (row counts, null rates, cardinalities,
+  * ranges) to catch schema drift and silent data loss.
+  *
+  * Scale shape: the columns are melted row-wise with `stack` (a
+  * Generate inside the scan stage — no Expand, no data duplication
+  * across shuffles), then aggregated by column name. The exact
+  * distinct count plans as Spark's standard two-stage distinct
+  * aggregate: partial dedup on (column, value) before the final count,
+  * so no single reducer ever sees raw rows. Sums run over DECIMAL so
+  * the result is independent of partition order (a double sum is not
+  * associative); the cast back to double is the last step.
+  *
+  * At 100 TB swap `n_distinct` for `approx_count_distinct` (mergeable
+  * HLL++, no dedup shuffle) — the same exact-vs-sketch trade ScaleSpec
+  * pins for percentile cutoffs.
+  */
+object Profile {
+
+  /** One row per profiled column: (column_name, n, n_null, n_distinct,
+    * vmin, vmax, vsum). `n` counts all rows; nulls are excluded from
+    * the distinct/min/max/sum. Columns are cast to double, so this is
+    * the numeric-column profile. */
+  def numericProfile(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "numericProfile needs at least one column")
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    val melted = df.select(
+      expr(s"stack(${cols.length}, $stackArgs) AS (column_name, value)"))
+    val nDistinct =
+      if (exact) countDistinct(col("value"))
+      else approx_count_distinct(col("value"))
+    melted.groupBy(col("column_name")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+      nDistinct.as("n_distinct"),
+      min(col("value")).as("vmin"),
+      max(col("value")).as("vmax"),
+      sum(col("value").cast("decimal(28,2)")).cast("double").as("vsum"))
+  }
+}

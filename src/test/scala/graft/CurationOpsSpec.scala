@@ -190,4 +190,21 @@ class CurationOpsSpec extends AnyFunSuite {
     sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4,
       s"probabilities for ${r.getString(0)} sum to ${r.getDouble(1)}"))
   }
+
+  test("column profile: counts, nulls, distincts, range, exact decimal sum") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, null), (2.0, 30.5), (null, 10.0), (3.0, null))
+      .toDF("a", "b").repartition(3)
+    val r = graft.operators.Profile.numericProfile(df, Seq("a", "b"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4), x.getDouble(5), x.getDouble(6))))
+      .toMap
+    assert(r("a") === ((5L, 1L, 3L, 1.0, 3.0, 8.0)))
+    assert(r("b") === ((5L, 2L, 2L, 10.0, 30.5, 50.5)))
+    // the sketch variant agrees on small cardinalities (rsd default 5%)
+    val approx = graft.operators.Profile.numericProfile(df, Seq("a", "b"), exact = false)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(approx("a") === 3L && approx("b") === 2L)
+  }
 }

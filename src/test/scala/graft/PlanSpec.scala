@@ -200,6 +200,17 @@ class PlanSpec extends AnyFunSuite {
       s"explicit pivot values should plan as conditional sums, not Expand:\n$p")
   }
 
+  test("q21 column profile: stack generate in scan stage, two-stage distinct, no Expand") {
+    val p = plan("q21_column_profile")
+    assert(p.contains("Generate stack"), s"melt should be a Generate:\n$p")
+    assert(!p.contains("Expand"),
+      s"single-distinct agg must not plan an Expand (row duplication):\n$p")
+    assert(p.split("Exchange hashpartitioning").length - 1 === 2,
+      s"expected partial-dedup + final exchanges only:\n$p")
+    assert(p.contains("ReadSchema: struct<l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double>"),
+      s"profiled columns not pruned at the scan:\n$p")
+  }
+
   test("t12 span dedup: exactly two exchanges, no window functions, no joins") {
     val p = plan("t12_span_dedup")
     assert(p.split("Exchange hashpartitioning").length - 1 === 2,
