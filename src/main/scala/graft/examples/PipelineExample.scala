@@ -5,14 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.{Graft, TestData}
 import graft.SparkEntry.tbl
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{Decontaminate, Dedup, GroupSample, Split}
+import graft.operators.{Decontaminate, Dedup, GroupSample, Profile, Split}
 
 /** End-to-end training-data curation pipeline over the documents table —
   * the integration story for the LLM-pipeline operators: exact dedup →
-  * PII scrub → quality/language gates → near-dup group clustering (one
-  * keeper per component) → benchmark decontamination → domain-mixture
-  * resampling → deterministic train/val/test split → sequence packing →
-  * per-language review sample → corpus stats.
+  * corpus-wide span dedup → PII scrub → quality/language gates →
+  * near-dup group clustering (one keeper per component) → benchmark
+  * decontamination → domain-mixture resampling → deterministic
+  * train/val/test split → sequence packing → per-language review
+  * sample → corpus stats + column profile.
   *
   * Every stage is a DataFrame transform (scales with partitioning); the
   * near-dup stage is the banded-LSH candidate join, never all-pairs, and
@@ -38,10 +39,17 @@ object PipelineExample {
     val uniq = docs.join(
       exact.where(!col("is_dup")).select(col("doc_id")), "doc_id")
 
+    // 1b. corpus-wide span-level dedup (C4-style repeated-paragraph
+    //     removal on 10-word windows): first occurrence wins, docs are
+    //     reassembled from surviving spans; all-dup docs drop out here
+    val spanKept = uniq.drop("text").join(
+      Dedup.spanDedup(uniq, spanWords = 10)
+        .select(col("doc_id"), col("text_dedup").as("text")), "doc_id")
+
     // 2. PII scrub (emails/IPs/phones → typed placeholders), then
     //    quality + language gates over the SCRUBBED text — per-row regex
     //    maps, all inside the scan's codegen stage
-    val scrubbed = uniq.select(col("doc_id"), col("lang"),
+    val scrubbed = spanKept.select(col("doc_id"), col("lang"),
       Pii.scrub(col("text")).as("text"))
     val scored = scrubbed.select(col("doc_id"), col("lang"), col("text"),
       Text.qualityScore(col("text")).as("quality"),
@@ -56,10 +64,7 @@ object PipelineExample {
     //    collapse to one keeper per connected component (pairwise
     //    drop-the-higher-id under-removes chains: a~b, b~c keeps a and c)
     val pairs = Dedup.minhashLshPairs(kept, threshold = 0.6)
-    val groups = Dedup.connectedComponents(pairs)
-    val losers = groups.where(col("doc_id") =!= col("group_id"))
-      .select(col("doc_id"))
-    val clean = kept.join(losers, Seq("doc_id"), "left_anti")
+    val clean = Dedup.keepCanonical(kept, Dedup.connectedComponents(pairs))
 
     // 4. benchmark decontamination: drop training docs sharing 4-grams
     //    with the held-out eval slice (here: doc_id % 20 == 0 stands in
@@ -95,11 +100,15 @@ object PipelineExample {
       sum(col("n_tokens")).as("tokens"),
       round(avg(col("quality")), 4).as("avg_quality"))
     val nSeqs = packed.select(col("bin"), col("seq_id")).distinct().count()
-    println(s"input=$total unique=${uniq.count()} kept=${kept.count()} " +
+    println(s"input=$total unique=${uniq.count()} " +
+      s"span_deduped=${spanKept.count()} kept=${kept.count()} " +
       s"clean=${clean.count()} decontaminated=${decontaminated.count()} " +
       s"mixed=${mixed.count()} review_sample=${review.count()} " +
       s"train_sequences=$nSeqs")
     report.orderBy(col("split")).show(false)
+    // before/after sanity gate: one-pass numeric profile of the output
+    Profile.numericProfile(split, Seq("quality", "n_tokens"))
+      .orderBy(col("column_name")).show(false)
     spark.stop()
   }
 }
