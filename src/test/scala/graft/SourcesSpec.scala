@@ -100,26 +100,6 @@ class SourcesSpec extends AnyFunSuite {
     assert(orcBack.schema === src.schema)
   }
 
-  test("hive-partitioned parquet write prunes partitions at read") {
-    // the write-side layout half of the pushdown story: partitionBy(lang)
-    // puts the predicate in the directory structure, so a lang filter is
-    // a PartitionFilter (whole directories skipped at planning) rather
-    // than a row-level parquet filter
-    val dir = Files.createTempDirectory("graft_part").toString
-    val docs = SparkEntry.tbl(spark, sf, "documents")
-      .select("doc_id", "lang", "n_chars")
-    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
-    val back = spark.read.parquet(dir).where(col("lang") === "en")
-    val plan = back.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
-      s"lang filter should prune partitions, not filter rows:\n$plan")
-    assert(back.count() === docs.where(col("lang") === "en").count())
-    // every file actually read came from the lang=en directory
-    val files = back.select(input_file_name()).distinct()
-      .collect().map(_.getString(0))
-    assert(files.nonEmpty && files.forall(_.contains("lang=en")), files.mkString("\n"))
-  }
-
   test("avro round-trip (gated: runs only when the spark-avro connector is present)") {
     // Mirrors the reference's dormant avro feature gate
     // (/root/reference/tests/sqllogictests/src/main.rs:258-270): the
