@@ -632,6 +632,25 @@ object SparkEntry {
     // reassembled from their surviving spans. Two shuffles, no joins.
     "t12_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(augmentedDocs(s, dir), spanWords = 10)),
+    // Incremental near-dup dedup: the daily batch keeps only docs that
+    // near-dup nothing — no smaller-id batch near-dup, no corpus
+    // near-dup. Batch: the %5==0 docs plus trimmed near-copies of 50
+    // corpus docs and 50 batch docs (both screens exercised).
+    "d11_incremental_neardup" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val trim = expr("substring(text, 1, greatest(length(text) - 20, 1))")
+      val corpus = par(d.where(col("doc_id") % 5 =!= 0))
+      val fresh = d.where(col("doc_id") % 5 === 0)
+      val incoming = par(
+        fresh
+          .unionByName(corpus.where(col("doc_id") % 10 === 1)
+            .select((col("doc_id") + 3000000).as("doc_id"), trim.as("text")))
+          .unionByName(fresh.where(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 4000000).as("doc_id"), trim.as("text"))))
+      Dedup.incrementalNearDupNew(incoming, corpus)
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+    }),
     // Deterministic hash-based train/val/test assignment: a pure
     // projection of the id, stable across partitioning/cluster size.
     "p1_hash_split" -> ((s, dir) =>
@@ -759,34 +778,53 @@ object SparkEntry {
   private val dotCosSql = // cosine between aliases a and b over qn rows
     """CAST(list_sum(list_transform(range(1, 65), d -> a.qv[CAST(d AS INT)] * b.qv[CAST(d AS INT)])) AS DOUBLE)
       | / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))""".stripMargin
-  // The full d2 minhash+LSH pair pipeline — shared by the d2 oracle and
-  // the d6 connected-components oracle (which clusters the same pairs).
-  private def d2PairsSql: String = {
+  // The DuckDB params CTE for the seeded minhash family (shared by every
+  // LSH oracle).
+  private def minhashParamsSql: String = {
     val (as, bs) = Dedup.minhashParams(32)
-    s"""WITH ${augShinglesSql(3)}, params AS (
+    s"""params AS (
        |  SELECT ${as.mkString("[", ", ", "]")} AS alist,
        |         ${bs.mkString("[", ", ", "]")} AS blist
-       |), sigs AS (
+       |)""".stripMargin
+  }
+  // One LSH "side" over a (doc_id, text) CTE named `src`: normalized
+  // tokens, hashed shingle sets, 32-hash minhash signatures, and 8
+  // md5-string band keys, each CTE suffixed with `sfx` so two sides can
+  // coexist in one query (requires `params` in scope).
+  private def lshSideSql(src: String, sfx: String): String =
+    s"""norm$sfx AS (
+       |  SELECT doc_id, $normToksSql AS toks FROM $src
+       |), shs$sfx AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct(list_transform(${shingleSql(3)},
+       |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+       |  FROM norm$sfx
+       |), sigs$sfx AS (
        |  SELECT id, list_transform(range(32),
        |    i -> list_min(list_transform(sh,
        |      h -> (alist[CAST(i AS INT) + 1] * (h % ${Dedup.MinhashM}) + blist[CAST(i AS INT) + 1]) % ${Dedup.MinhashP}))) AS sig
-       |  FROM shs, params
-       |), bandkeys AS (
+       |  FROM shs$sfx, params
+       |), band$sfx AS (
        |  SELECT id, CAST(j AS INT) AS band,
        |    md5(array_to_string(list_transform(range(CAST(j AS INT) * 4 + 1, CAST(j AS INT) * 4 + 5),
        |      x -> CAST(sig[CAST(x AS INT)] AS VARCHAR)), ',')) AS bkey
-       |  FROM sigs, (SELECT CAST(range AS BIGINT) AS j FROM range(8))
-       |), cand AS (
+       |  FROM sigs$sfx, (SELECT CAST(range AS BIGINT) AS j FROM range(8))
+       |)""".stripMargin
+  // exact-jaccard expression between shingle-set aliases sa and sb
+  private val jaccardSql =
+    """CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      |      CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)""".stripMargin
+  // The full d2 minhash+LSH pair pipeline — shared by the d2 oracle and
+  // the d6/d10 connected-components oracles (which cluster the same pairs).
+  private def d2PairsSql: String =
+    s"""WITH $augDocsSql, $minhashParamsSql, ${lshSideSql("aug", "")}, cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |  FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+       |  FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
        |), veri AS (
-       |  SELECT id_a, id_b,
-       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-       |      CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
+       |  SELECT id_a, id_b, $jaccardSql AS jaccard
        |  FROM cand JOIN shs sa ON cand.id_a = sa.id JOIN shs sb ON cand.id_b = sb.id
        |)
        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM veri WHERE jaccard >= 0.4""".stripMargin
-  }
 
   def oracleSql: Map[String, String] = {
     val retentionVecs =
@@ -1622,6 +1660,39 @@ object SparkEntry {
            |SELECT a.doc_id, length(a.text) AS n_chars
            |FROM aug a LEFT JOIN dups d ON a.doc_id = d.id
            |WHERE d.id IS NULL""".stripMargin,
+      "d11_incremental_neardup" ->
+        s"""WITH corp AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+           |), fresh AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+           |), inc AS (
+           |  SELECT doc_id, text FROM fresh
+           |  UNION ALL
+           |  SELECT doc_id + 3000000, substr(text, 1, greatest(length(text) - 20, 1))
+           |  FROM corp WHERE doc_id % 10 = 1
+           |  UNION ALL
+           |  SELECT doc_id + 4000000, substr(text, 1, greatest(length(text) - 20, 1))
+           |  FROM fresh WHERE doc_id % 10 = 0
+           |), $minhashParamsSql, ${lshSideSql("inc", "I")}, ${lshSideSql("corp", "C")},
+           |innerCand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM bandI a JOIN bandI b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+           |), innerDrop AS (
+           |  SELECT DISTINCT c.id_b AS doc_id
+           |  FROM innerCand c JOIN shsI sa ON c.id_a = sa.id JOIN shsI sb ON c.id_b = sb.id
+           |  WHERE $jaccardSql >= 0.4
+           |), crossCand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM bandI a JOIN bandC b ON a.band = b.band AND a.bkey = b.bkey
+           |), crossDrop AS (
+           |  SELECT DISTINCT c.id_a AS doc_id
+           |  FROM crossCand c JOIN shsI sa ON c.id_a = sa.id JOIN shsC sb ON c.id_b = sb.id
+           |  WHERE $jaccardSql >= 0.4
+           |)
+           |SELECT i.doc_id, length(i.text) AS n_chars FROM inc i
+           |LEFT JOIN innerDrop x ON i.doc_id = x.doc_id
+           |LEFT JOIN crossDrop y ON i.doc_id = y.doc_id
+           |WHERE x.doc_id IS NULL AND y.doc_id IS NULL""".stripMargin,
       "t12_span_dedup" ->
         s"""WITH $augDocsSql, toks AS (
            |  SELECT doc_id, string_split(text, ' ') AS t FROM aug

@@ -211,17 +211,40 @@ object Dedup {
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k: Int = 32, bands: Int = 8, threshold: Double = 0.4,
       bucketCap: Int = 100000, capStats: Option[CapStats] = None): DataFrame = {
+    val (sh, bandKeys) = shingleBandKeys(docs, idCol, textCol, k, bands, bucketCap, capStats)
+    // shuffle-hash hint: the band-key table is the whole corpus — at
+    // scale it must co-partition on the key, never broadcast (AQE would
+    // otherwise broadcast it whenever it dips under the 10MB threshold,
+    // an unstable and scale-wrong plan)
+    val cand = bandKeys.as("a")
+      .join(bandKeys.as("b").hint("shuffle_hash"),
+        col("a._band") === col("b._band") && col("a._bkey") === col("b._bkey") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, sh, sh).where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Shared front half of the MinHash-LSH operators: hashed shingle sets
+    * and capped (band, key) rows for every document.
+    *
+    * The shingle sets and band keys are each consumed by several branches
+    * of the candidate/verify DAG (both sides of the candidate joins). A
+    * lazy persist() is not enough: in a cold single-action run the
+    * branches race the cache population and re-derive the whole
+    * tokenize→hash→minhash pipeline per branch — measured 25× slowdown at
+    * sf0.1. localCheckpoint() materializes eagerly (MEMORY_AND_DISK) and
+    * cuts lineage, making the fast path unconditional; blocks are freed
+    * by the ContextCleaner when the result is garbage-collected. On a
+    * multi-node cluster with executor loss, swap for a reliable
+    * checkpoint dir. */
+  private def shingleBandKeys(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, bucketCap: Int,
+      capStats: Option[CapStats] = None): (DataFrame, DataFrame) = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
-    // The shingle sets and band keys are each consumed by several branches
-    // of the candidate/verify DAG (both sides of two self-joins). A lazy
-    // persist() is not enough: in a cold single-action run the branches
-    // race the cache population and re-derive the whole tokenize→hash→
-    // minhash pipeline per branch — measured 25× slowdown at sf0.1.
-    // localCheckpoint() materializes eagerly (MEMORY_AND_DISK) and cuts
-    // lineage, making the fast path unconditional; blocks are freed by the
-    // ContextCleaner when the result is garbage-collected. On a multi-node
-    // cluster with executor loss, swap for a reliable checkpoint dir.
     val sh = docs.select(col(idCol).as("_id"), hashedShingleSetNative(col(textCol)).as("_sh"))
       .localCheckpoint()
     val sig = sh.withColumn("_sig", minhashSignatureNative(col("_sh"), k))
@@ -237,25 +260,67 @@ object Dedup {
         .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bkey"),
       Seq("_band", "_bkey"), bucketCap, capStats)
       .localCheckpoint()
-    // shuffle-hash hint: the band-key table is the whole corpus — at
-    // scale it must co-partition on the key, never broadcast (AQE would
-    // otherwise broadcast it whenever it dips under the 10MB threshold,
-    // an unstable and scale-wrong plan)
-    val cand = bandKeys.as("a")
-      .join(bandKeys.as("b").hint("shuffle_hash"),
-        col("a._band") === col("b._band") && col("a._bkey") === col("b._bkey") &&
-          col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .distinct()
-    val setsA = sh.select(col("_id").as("id_a"), col("_sh").as("sh_a"))
-    val setsB = sh.select(col("_id").as("id_b"), col("_sh").as("sh_b"))
+    (sh, bandKeys)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * the two sides' shingle-set tables. */
+  private def verifyJaccard(
+      cand: DataFrame, shA: DataFrame, shB: DataFrame): DataFrame = {
+    val setsA = shA.select(col("_id").as("id_a"), col("_sh").as("sh_a"))
+    val setsB = shB.select(col("_id").as("id_b"), col("_sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     cand.join(setsA, "id_a").join(setsB, "id_b")
       .withColumn("jaccard",
         inter.cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+  }
+
+  /** Incremental near-dup dedup — the near-dup analogue of
+    * [[incrementalNew]]: reduces an incoming batch to documents that are
+    * near-duplicates of nothing. A batch document survives iff it has
+    * (1) no smaller-id near-dup within the batch (the parallel one-shot
+    * keeper rule — deterministic and order-free, unlike a sequential
+    * greedy which cannot be expressed as a single relational pass) and
+    * (2) no near-dup at all in the existing corpus.
+    *
+    * Scale shape: both screens are (band, key) equi-joins with the
+    * corpus side shuffle-hash-hinted — the corpus is corpus-sized and
+    * must never be broadcast. At 100 TB the corpus's shingle sets and
+    * band keys are a persisted manifest computed once at ingest (they
+    * are exactly what [[minhashLshPairs]] derives), bucketed by
+    * (band, key); daily runs then reshuffle only the day's increment,
+    * mirroring the content-hash manifest note on [[incrementalNew]]. */
+  def incrementalNearDupNew(
+      incoming: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.4,
+      bucketCap: Int = 100000): DataFrame = {
+    val (shInc, bandsInc) = shingleBandKeys(incoming, idCol, textCol, k, bands, bucketCap)
+    val (shCor, bandsCor) = shingleBandKeys(corpus, idCol, textCol, k, bands, bucketCap)
+    // screen 1: within-batch — any doc appearing as the larger id of a
+    // verified pair has a smaller-id near-dup (checkpointed tables are
+    // shared with screen 2, so the batch is shingled exactly once)
+    val innerCand = bandsInc.as("a")
+      .join(bandsInc.as("b").hint("shuffle_hash"),
+        col("a._band") === col("b._band") && col("a._bkey") === col("b._bkey") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    val innerDups = verifyJaccard(innerCand, shInc, shInc)
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_b").as(idCol)).distinct()
+    // screen 2: batch × corpus-manifest candidates, exact-jaccard verify
+    val crossCand = bandsInc.as("a")
+      .join(bandsCor.as("b").hint("shuffle_hash"),
+        col("a._band") === col("b._band") && col("a._bkey") === col("b._bkey"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    val crossDups = verifyJaccard(crossCand, shInc, shCor)
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    incoming.join(innerDups.hint("shuffle_hash"), Seq(idCol), "left_anti")
+      .join(crossDups.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
 
   /** Exact n-gram Jaccard pairs via shingle inverted index (explode →

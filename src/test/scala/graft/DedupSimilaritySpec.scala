@@ -412,6 +412,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(b(0) === b(1))
   }
 
+  test("incremental near-dup keeps only batch docs that near-dup nothing") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "completely different content about spark aggregation engines"))
+      .toDF("doc_id", "text").repartition(2)
+    val incoming = Seq(
+      // near-copy of corpus doc 10 → dropped by the cross screen
+      (100L, "the quick brown fox jumps over the lazy dog again and"),
+      // novel doc → kept (smallest of its within-batch near-dup group)
+      (101L, "functional stream processing with watermarks and session windows"),
+      // near-copy of batch doc 101 with larger id → dropped by the inner screen
+      (102L, "functional stream processing with watermarks and session state"),
+      // unrelated → kept
+      (103L, "a totally unrelated sentence mentioning databases and indexes"))
+      .toDF("doc_id", "text").repartition(3)
+    val kept = Dedup.incrementalNearDupNew(incoming, corpus, threshold = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(101L, 103L))
+  }
+
   test("keepCanonical drops non-canonical members, keeps unpaired docs") {
     import spark.implicits._
     // components: {1,2,3} (min 1), {7,8} (min 7); 5 and 6 unpaired

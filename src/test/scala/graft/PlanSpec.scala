@@ -219,6 +219,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no join expected (argmin rides the agg buffer):\n$p")
   }
 
+  test("d11 incremental near-dup: shuffled band joins and anti-joins, no nested-loop") {
+    val p = plan("d11_incremental_neardup")
+    assert(p.contains("ShuffledHashJoin"),
+      s"band-key candidate joins should co-partition on (band, key):\n$p")
+    assert(p.contains("LeftAnti"), s"drop screens should be anti-joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d10 corpus dedup: dup-id anti-join is shuffled, corpus never broadcast") {
     val p = plan("d10_corpus_dedup")
     assert(p.contains("ShuffledHashJoin") && p.contains("LeftAnti"),
