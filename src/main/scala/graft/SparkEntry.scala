@@ -355,6 +355,14 @@ object SparkEntry {
     // full vocabulary, cross the final boundary).
     "t6_vocab" -> ((s, dir) =>
       Vocab.topTerms(par(tbl(s, dir, "documents")), k = 100)),
+    // Corpus tokenization against a trained 30-term vocabulary: train
+    // (top-k by cf) → assign dense ids → encode every document to its
+    // id sequence with OOV counts. Vocabulary broadcast; corpus
+    // shuffled once on the doc id for reassembly.
+    "t13_vocab_encode" -> ((s, dir) => {
+      val docs = par(tbl(s, dir, "documents"))
+      Vocab.encode(docs, Vocab.assignIds(Vocab.topTerms(docs, k = 30)))
+    }),
     // PII detect + scrub over a corpus with deterministically injected
     // PII (the base texts are letter-only word salad, so every match is
     // an injected one): per-class counts plus the md5 of the scrubbed
@@ -1121,6 +1129,30 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS cf
           |FROM tok GROUP BY token
           |ORDER BY cf DESC, token LIMIT 100""".stripMargin,
+      "t13_vocab_encode" ->
+        """WITH toks AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-Z0-9'']+') AS t
+          |  FROM documents
+          |), v AS (
+          |  SELECT token,
+          |    CAST(row_number() OVER (ORDER BY cf DESC, token) AS INT) - 1 AS token_id
+          |  FROM (
+          |    SELECT token, count(*) AS cf FROM (
+          |      SELECT unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS token
+          |      FROM documents)
+          |    GROUP BY token ORDER BY cf DESC, token LIMIT 30)
+          |), pos AS (
+          |  SELECT doc_id, CAST(j AS INT) AS pos, t[CAST(j AS INT) + 1] AS token
+          |  FROM toks, (SELECT CAST(range AS BIGINT) AS j FROM range(4000)) r
+          |  WHERE j < len(t)
+          |), enc AS (
+          |  SELECT p.doc_id, p.pos, coalesce(v.token_id, -1) AS tid
+          |  FROM pos p LEFT JOIN v ON p.token = v.token
+          |)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |  CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
+          |FROM enc GROUP BY doc_id""".stripMargin,
       "t7_pii_scrub" ->
         s"""WITH inj AS (
            |  SELECT doc_id, text ||

@@ -110,4 +110,44 @@ object Vocab {
         round(sum(col("micro")).cast("double") / count(lit(1)) / 1e6, 6)
           .as("mean_surprisal"))
   }
+
+  /** Deterministic token-id assignment over a trained vocabulary (e.g.
+    * [[topTerms]] output): ids are dense ranks 0..k-1 by (cf desc,
+    * token), the same total order topTerms truncates by. The global-sort
+    * window runs on a k-row table (the vocabulary, already truncated) —
+    * never on corpus-sized data. */
+  def assignIds(vocab: DataFrame): DataFrame =
+    vocab.withColumn("token_id",
+      row_number().over(Window.orderBy(col("cf").desc, col("token"))) - 1)
+
+  /** Corpus tokenization against a trained vocabulary — the "encode the
+    * corpus for training" step: each document's token sequence mapped to
+    * ids (OOV → -1), with token/OOV counts. Output: (doc_id, n_tokens,
+    * n_oov, ids) where `ids` is the space-joined id sequence in document
+    * order.
+    *
+    * Plan shape: posexplode → left join on the token → one groupBy on
+    * the doc id reassembling via array_sort(collect_list) (bounded by
+    * document length, same pattern as [[Dedup.spanDedup]]). A real
+    * tokenizer vocabulary is bounded (≲1M rows), so the default
+    * broadcasts it and the corpus is shuffled exactly once; for
+    * unbounded vocabularies pass `broadcastVocab = false` to
+    * co-partition both sides on the token instead. */
+  def encode(
+      docs: DataFrame, vocabIds: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", broadcastVocab: Boolean = true): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(Text.tokens(lower(col(textCol)))).as(Seq("pos", "token")))
+    val v = vocabIds.select(col("token"), col("token_id"))
+    val joined = toks
+      .join(if (broadcastVocab) broadcast(v) else v.hint("shuffle_hash"),
+        Seq("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(-1)).as("tid"))
+    joined.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("tid") === -1, 1L).otherwise(0L)).as("n_oov"),
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+        x => x.getField("tid").cast("string")), " ").as("ids"))
+  }
 }

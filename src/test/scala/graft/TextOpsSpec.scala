@@ -67,4 +67,25 @@ class TextOpsSpec extends AnyFunSuite {
     val many = Repetition.report(docs.repartition(7)).collect().toSet
     assert(one === many)
   }
+
+  test("vocab encode: dense ids in cf order, OOV as -1, document order kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b zz a"))
+      .toDF("doc_id", "text").repartition(2)
+    // corpus cf: a=4, b=4, c=1, zz=1 → tie at 4 breaks on token: a=0, b=1 (k=2)
+    val vocab = Vocab.assignIds(Vocab.topTerms(docs, k = 2))
+    assert(vocab.orderBy("token_id").collect().map(r =>
+      (r.getAs[String]("token"), r.getAs[Int]("token_id"))).toSeq ===
+      Seq(("a", 0), ("b", 1)))
+    val enc = Vocab.encode(docs, vocab).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(enc(1L) === ((6L, 1L, "1 1 1 0 0 -1")))  // c is OOV
+    assert(enc(2L) === ((4L, 1L, "0 1 -1 0")))      // zz is OOV
+    // the shuffle-join variant (huge-vocab path) produces the same result
+    val encShuffled = Vocab.encode(docs, vocab, broadcastVocab = false).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(encShuffled(1L) === "1 1 1 0 0 -1" && encShuffled(2L) === "0 1 -1 0")
+  }
 }
