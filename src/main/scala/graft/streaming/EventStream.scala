@@ -48,6 +48,28 @@ object EventStream {
     else hashed.dropDuplicates("content_hash")
   }
 
+  /** Streaming incremental dedup against an existing corpus — the
+    * streaming form of [[graft.operators.Dedup.incrementalNew]]: the
+    * arriving stream is first deduplicated within itself by content
+    * hash ([[dedupedByContent]] — watermark-bounded state), then
+    * anti-joined per micro-batch against the static corpus's content
+    * hashes, so only documents new to BOTH the stream horizon and the
+    * corpus pass. The static side is a stream-static join (re-read
+    * every micro-batch — a corpus manifest refresh is picked up without
+    * restarting the query); at 100 TB the manifest is the stored
+    * `content_hash` column, bucketed by hash, and each micro-batch
+    * shuffles only itself. On batch inputs the same code degrades to
+    * [[graft.operators.Dedup.incrementalNew]]'s shape (the parity
+    * tests' contract). */
+  def incrementalNewByContent(
+      docs: DataFrame, corpus: DataFrame, textCol: String = "text",
+      watermark: String = "1 hour"): DataFrame = {
+    val corpusHashes = corpus.select(
+      graft.functions.Text.docHash(col(textCol)).as("content_hash"))
+    dedupedByContent(docs, textCol, watermark)
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+  }
+
   /** Watermarked stream-stream interval join: every purchase paired
     * with each click by the same user in the preceding `within` window
     * — the streaming form of the batch as-of/attribution analysis

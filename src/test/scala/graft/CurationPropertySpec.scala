@@ -163,6 +163,95 @@ class CurationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("span dedup matches an in-driver first-occurrence reimplementation") {
+    import spark.implicits._
+    val w = 4
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      // short docs over a tiny vocab → plenty of genuine span collisions
+      val docs = (0 until 80).map(i => (i.toLong, words(rnd, 1 + rnd.nextInt(20)).mkString(" ")))
+      val got = Dedup.spanDedup(docs.toDF("doc_id", "text").repartition(3), spanWords = w)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      val spans = docs.flatMap { case (id, text) =>
+        text.split(" ").grouped(w).zipWithIndex.map {
+          case (ws, gi) => (id, gi, ws.mkString(" "))
+        }
+      }
+      val winners = spans.groupBy(_._3).map {
+        case (t, occ) => t -> occ.map(x => (x._1, x._2)).min
+      }
+      val expected = spans
+        .filter { case (id, gi, t) => winners(t) == ((id, gi)) }
+        .groupBy(_._1).map { case (id, ss) =>
+          id -> ((ss.size.toLong, ss.sortBy(_._2).map(_._3).mkString(" ")))
+        }
+      assert(got === expected, s"seed=$seed span dedup mismatch")
+    }
+  }
+
+  test("incremental near-dup never drops a doc without a genuine near-dup") {
+    import spark.implicits._
+    def shingles(text: String): Set[String] = {
+      val toks = "[a-zA-Z0-9']+".r.findAllIn(text.toLowerCase).toVector
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty && b.isEmpty) 0.0
+      else (a & b).size.toDouble / (a | b).size.toDouble
+    val t = 0.5
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val mk = () => words(rnd, 4 + rnd.nextInt(8)).mkString(" ")
+      val corpus = (0 until 40).map(i => (i.toLong, mk()))
+      val fresh = (1000 until 1030).map(i => (i.toLong, mk()))
+      // exact copies of corpus and batch docs guarantee some true dups
+      val incoming = fresh ++
+        corpus.take(5).map { case (id, tx) => (id + 2000, tx) } ++
+        fresh.take(5).map { case (id, tx) => (id + 3000, tx) }
+      val kept = Dedup.incrementalNearDupNew(
+          incoming.toDF("doc_id", "text").repartition(3),
+          corpus.toDF("doc_id", "text").repartition(2), threshold = t)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      val dropped = incoming.map(_._1).toSet -- kept
+      val sh = (incoming ++ corpus).map { case (id, tx) => id -> shingles(tx) }.toMap
+      val corpusIds = corpus.map(_._1)
+      def hasRealDup(id: Long): Boolean = {
+        val mine = sh(id)
+        incoming.exists { case (oid, _) => oid < id && jac(sh(oid), mine) >= t } ||
+          corpusIds.exists(cid => jac(sh(cid), mine) >= t)
+      }
+      // soundness: the exact-jaccard verify means every drop is justified
+      dropped.foreach(id => assert(hasRealDup(id), s"seed=$seed false drop of $id"))
+      // exact copies (jaccard 1.0 shares every band) are always caught
+      assert(incoming.filter(_._1 >= 2000).map(_._1).forall(dropped),
+        s"seed=$seed an exact copy survived")
+    }
+  }
+
+  test("vocab encode matches an in-driver cf-ranked encoding") {
+    import spark.implicits._
+    import graft.operators.Vocab
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val docs = (0 until 60).map(i => (i.toLong, words(rnd, 1 + rnd.nextInt(12)).mkString(" ")))
+      val k = 4
+      val df = docs.toDF("doc_id", "text").repartition(3)
+      val got = Vocab.encode(df, Vocab.assignIds(Vocab.topTerms(df, k = k)))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      val cf = docs.flatMap(_._2.split(" ")).groupBy(identity).map { case (w, o) => w -> o.size }
+      val ids = cf.toSeq.sortBy { case (w, c) => (-c, w) }.take(k)
+        .zipWithIndex.map { case ((w, _), i) => w -> i }.toMap
+      val expected = docs.map { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val enc = toks.map(w => ids.getOrElse(w, -1))
+        id -> ((toks.size.toLong, enc.count(_ == -1).toLong, enc.mkString(" ")))
+      }.toMap
+      assert(got === expected, s"seed=$seed vocab encode mismatch")
+    }
+  }
+
   test("decontamination matches a brute-force shingle-intersection oracle") {
     import spark.implicits._
     for (seed <- 1 to 3) {

@@ -210,6 +210,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: corpus copies and stream copies both dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val corpus = Seq((100L, "alpha document"), (101L, "delta document"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = mem.toDF.toDF("doc_id", "text", "ts")
+    val q = EventStream.incrementalNewByContent(docs, corpus)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("sinc").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "alpha document", t("2024-01-01 00:00:00")), // in corpus → dropped
+        (2L, "beta document", t("2024-01-01 00:01:00")))  // new → kept
+      q.processAllAvailable()
+      mem.addData(
+        (3L, "beta document", t("2024-01-01 00:10:00")),  // stream copy → dropped
+        (4L, "delta document", t("2024-01-01 00:11:00")), // in corpus → dropped
+        (5L, "epsilon document", t("2024-01-01 00:12:00"))) // new → kept
+      q.processAllAvailable()
+      assert(spark.table("sinc").collect().map(_.getLong(0)).toSet === Set(2L, 5L))
+      // batch parity: degrades to the incrementalNew shape — one survivor
+      // per content-new hash (dropDuplicates keeps an arbitrary copy)
+      val batch = EventStream.incrementalNewByContent(
+        Seq((1L, "alpha document", t("2024-01-01 00:00:00")),
+          (2L, "beta document", t("2024-01-01 00:01:00")),
+          (3L, "beta document", t("2024-01-01 00:10:00")))
+          .toDF("doc_id", "text", "ts"), corpus)
+        .select("doc_id", "text").collect()
+      assert(batch.length === 1 && batch.head.getString(1) === "beta document")
+    } finally q.stop()
+  }
+
   test("session windows: stream equals batch") {
     val schema = spark.read.parquet(stagedDir).schema
     val stream = spark.readStream.schema(schema).parquet(stagedDir)
