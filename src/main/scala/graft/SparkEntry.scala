@@ -659,6 +659,15 @@ object SparkEntry {
       Dedup.incrementalNearDupNew(incoming, corpus)
         .select(col("doc_id"), length(col("text")).as("n_chars"))
     }),
+    // SemDeDup: k-means-clustered semantic dedup over the augmented
+    // embeddings — the trained cells limit candidates (not LSH bands),
+    // and any vector with a lower-id in-cluster neighbor at cos ≥ 0.95
+    // is dropped. The oracle unrolls the same 2-iteration Lloyd's
+    // training (as s5) and replays the in-cell keeper rule.
+    "d12_semdedup" -> ((s, dir) => {
+      Graft.registerAll(s)
+      Dedup.semDedup(augmentedEmb(s, dir), k = 8, iters = 2, threshold = 0.95)
+    }),
     // Deterministic hash-based train/val/test assignment: a pure
     // projection of the id, stable across partitioning/cluster size.
     "p1_hash_split" -> ((s, dir) =>
@@ -786,6 +795,47 @@ object SparkEntry {
   private val dotCosSql = // cosine between aliases a and b over qn rows
     """CAST(list_sum(list_transform(range(1, 65), d -> a.qv[CAST(d AS INT)] * b.qv[CAST(d AS INT)])) AS DOUBLE)
       | / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))""".stripMargin
+  // Unrolls Similarity.trainIvfCells' two Lloyd's iterations over `qn`:
+  // md5-seeded initial centroids (k smallest by hash60('ivf|'||id)),
+  // assignment by exact integer L2 with a (dist2, cell) tie-break,
+  // elementwise rounded-mean centroids. Yields `a2` = (vec_id, cell).
+  // Shared by the s5 and d12 oracles.
+  private def ivfLloyd2Sql(k: Int) =
+    s"""seeds AS (
+       |  SELECT qv, row_number() OVER (ORDER BY hkey, vec_id) - 1 AS cell FROM (
+       |    SELECT vec_id, qv,
+       |      ('0x' || substr(md5('ivf|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
+       |    FROM qn)
+       |  ORDER BY hkey, vec_id LIMIT $k
+       |), c0 AS (
+       |  SELECT cell, qv AS cvec, list_sum(list_transform(qv, x -> x * x)) AS cn2 FROM seeds
+       |), a1 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT q.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        q.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65),
+       |          d -> q.qv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.cell) AS rn
+       |    FROM qn q CROSS JOIN c0 c)
+       |  WHERE rn = 1
+       |), c1d AS (
+       |  SELECT a.cell, d, sum(q.qv[d]) AS sv, count(*) AS cnt
+       |  FROM a1 a JOIN qn q USING (vec_id),
+       |       (SELECT CAST(range AS INT) + 1 AS d FROM range(64))
+       |  GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT cell, list(CAST(round(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY d) AS cvec
+       |  FROM c1d GROUP BY 1
+       |), c1n AS (
+       |  SELECT cell, cvec, list_sum(list_transform(cvec, x -> x * x)) AS cn2 FROM c1
+       |), a2 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT q.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        q.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65),
+       |          d -> q.qv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.cell) AS rn
+       |    FROM qn q CROSS JOIN c1n c)
+       |  WHERE rn = 1
+       |)""".stripMargin
   // The DuckDB params CTE for the seeded minhash family (shared by every
   // LSH oracle).
   private def minhashParamsSql: String = {
@@ -1427,41 +1477,7 @@ object SparkEntry {
       "s5_ann_ivf_trained" ->
         s"""WITH eIn AS (
            |  SELECT vec_id, embedding FROM embeddings
-           |), $quantEmbSql, seeds AS (
-           |  SELECT qv, row_number() OVER (ORDER BY hkey, vec_id) - 1 AS cell FROM (
-           |    SELECT vec_id, qv,
-           |      ('0x' || substr(md5('ivf|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
-           |    FROM qn)
-           |  ORDER BY hkey, vec_id LIMIT 8
-           |), c0 AS (
-           |  SELECT cell, qv AS cvec, list_sum(list_transform(qv, x -> x * x)) AS cn2 FROM seeds
-           |), a1 AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT q.vec_id, c.cell,
-           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-           |        q.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65),
-           |          d -> q.qv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.cell) AS rn
-           |    FROM qn q CROSS JOIN c0 c)
-           |  WHERE rn = 1
-           |), c1d AS (
-           |  SELECT a.cell, d, sum(q.qv[d]) AS sv, count(*) AS cnt
-           |  FROM a1 a JOIN qn q USING (vec_id),
-           |       (SELECT CAST(range AS INT) + 1 AS d FROM range(64))
-           |  GROUP BY 1, 2
-           |), c1 AS (
-           |  SELECT cell, list(CAST(round(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY d) AS cvec
-           |  FROM c1d GROUP BY 1
-           |), c1n AS (
-           |  SELECT cell, cvec, list_sum(list_transform(cvec, x -> x * x)) AS cn2 FROM c1
-           |), a2 AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT q.vec_id, c.cell,
-           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-           |        q.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65),
-           |          d -> q.qv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.cell) AS rn
-           |    FROM qn q CROSS JOIN c1n c)
-           |  WHERE rn = 1
-           |), ql AS (
+           |), $quantEmbSql, ${ivfLloyd2Sql(8)}, ql AS (
            |  SELECT qn.vec_id, a2.cell AS label, qn.qv, qn.n2
            |  FROM qn JOIN a2 USING (vec_id)
            |), cd AS (
@@ -1725,6 +1741,24 @@ object SparkEntry {
            |LEFT JOIN innerDrop x ON i.doc_id = x.doc_id
            |LEFT JOIN crossDrop y ON i.doc_id = y.doc_id
            |WHERE x.doc_id IS NULL AND y.doc_id IS NULL""".stripMargin,
+      // d12 replays the s5 k-means unroll over the AUGMENTED embeddings,
+      // then drops every vector with a lower-id in-cell neighbor at
+      // cos >= 0.95 (the SemDeDup keeper rule).
+      "d12_semdedup" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1 + 0.01)
+           |  FROM embeddings
+           |), $quantEmbSql, ${ivfLloyd2Sql(8)}, lbl AS (
+           |  SELECT qn.vec_id, a2.cell, qn.qv, qn.n2 FROM qn JOIN a2 USING (vec_id)
+           |), dups AS (
+           |  SELECT DISTINCT b.vec_id FROM lbl a JOIN lbl b
+           |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  AND $dotCosSql >= 0.95
+           |)
+           |SELECT l.vec_id, l.cell FROM lbl l LEFT JOIN dups d ON l.vec_id = d.vec_id
+           |WHERE d.vec_id IS NULL""".stripMargin,
       "t12_span_dedup" ->
         s"""WITH $augDocsSql, toks AS (
            |  SELECT doc_id, string_split(text, ' ') AS t FROM aug

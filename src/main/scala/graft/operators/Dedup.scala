@@ -459,6 +459,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space with k-means, then compare vectors only
+    * WITHIN their cluster and drop every vector that has a lower-id
+    * in-cluster neighbor at cosine ≥ `threshold`. The clustering replaces
+    * the LSH banding of [[embeddingNearDupPairs]] as the candidate
+    * limiter: per-cluster candidate sets make the pairwise step
+    * Σ n_c² instead of N², and the keeper rule (smallest id wins) is the
+    * same deterministic first-occurrence contract as [[exact]] /
+    * [[spanDedup]].
+    *
+    * Scale shape: the training loop is [[Similarity.trainIvfCells]]'s
+    * broadcast+2-agg per iteration; the candidate step is a self-join on
+    * the cell id (shuffle-hash — a cluster never broadcasts its own
+    * corpus); the anti-join drops dups without moving survivors' vectors.
+    * `k` bounds the expected cluster size — at production scale pick
+    * k ≈ N/⟨cell⟩ for the target in-cell pair budget (the SemDeDup paper
+    * uses tens of thousands of clusters for web-scale corpora), and cap
+    * runaway cells the same way [[embeddingNearDupPairs]] caps hot
+    * buckets.
+    *
+    * Returns the survivors as `(idCol, cell)`. */
+  def semDedup(
+      emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 8, iters: Int = 2, threshold: Double = 0.95): DataFrame = {
+    val cells = Similarity.trainIvfCells(emb, idCol, vecCol, k, iters)
+    val base = Similarity.prepare(emb, idCol, vecCol)
+      .join(cells, "_id").localCheckpoint()
+    val a = base.select(col("_cell"), col("_id").as("id_a"),
+      col("_q").as("_qa"), col("_n2").as("_n2a"))
+    val b = base.select(col("_cell"), col("_id").as("id_b"),
+      col("_q").as("_qb"), col("_n2").as("_n2b"))
+    val dups = a.join(b.hint("shuffle_hash"), Seq("_cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(Similarity.cosineFrom(
+        Similarity.dotQ(col("_qa"), col("_qb")),
+        col("_n2a"), col("_n2b")) >= threshold)
+      .select(col("id_b").as("_dup")).distinct()
+    base.join(dups, col("_id") === col("_dup"), "left_anti")
+      .select(col("_id").as(idCol), col("_cell").as("cell"))
+  }
+
   /** Dedup group assignment: connected components over a near-dup pair
     * table (any of [[minhashLshPairs]] / [[ngramJaccardPairs]] /
     * [[embeddingNearDupPairs]]) — the step that turns pairwise matches

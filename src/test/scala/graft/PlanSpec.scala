@@ -81,6 +81,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in d5:\n$p")
   }
 
+  test("d12 semdedup: in-cell candidate join is shuffled-hash, never cartesian") {
+    val p = plan("d12_semdedup")
+    // the only unconditional join is the per-cell self-join; the k-means
+    // crossJoin(broadcast(cents)) is a bounded k-row broadcast by design
+    assert(p.contains("ShuffledHashJoin"),
+      s"in-cell pairwise join should shuffle on the cell id:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs cartesian in d12:\n$p")
+  }
+
   test("u1 funnel: single shuffle on user_id") {
     val p = plan("u1_funnel_stages")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
