@@ -714,6 +714,19 @@ object SparkEntry {
       Split.deterministicShuffle(
         par(tbl(s, dir, "documents")).select(col("doc_id")),
         "doc_id", shards = 8, seed = "epoch0")),
+    // Per-source token budgeting: greedy hash-order selection until the
+    // source's token budget. src0 cut low, src1 effectively unlimited,
+    // the rest on the 700-token default — all three branches exercised.
+    // The bucketed two-phase shape keeps every window partition at
+    // 1/256th of a source regardless of source skew.
+    "p7_token_budget" -> ((s, dir) =>
+      Split.tokenBudget(
+        par(tbl(s, dir, "documents"))
+          .select(col("doc_id"), col("source"),
+            Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", "source",
+        budgets = Map("src0" -> 300L, "src1" -> 100000L),
+        defaultBudget = 700L)),
     // Semi-structured JSON extraction over the event props: parse a
     // JSON field per row (map-side, codegen'd get_json_object path) and
     // aggregate — the "typed view over a JSON column" relational op.
@@ -1804,6 +1817,25 @@ object SparkEntry {
           |      ('0x' || substr(md5('shuf|epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
           |      ('0x' || substr(md5('ord|epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h2
           |    FROM documents))""".stripMargin,
+      // p7's oracle uses the single global window per source — the
+      // engine's bucketed two-phase form must equal it exactly, because
+      // the bucket is the hash key's top bits.
+      "p7_token_budget" ->
+        """WITH base AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(regexp_extract_all(text, '[a-zA-Z0-9'']+')) AS BIGINT) AS n_tokens,
+          |    ('0x' || substr(md5('tb|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS key
+          |  FROM documents
+          |), cum AS (
+          |  SELECT doc_id, source, n_tokens,
+          |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS toks_before
+          |  FROM base
+          |)
+          |SELECT doc_id, source, n_tokens, toks_before FROM cum
+          |WHERE toks_before < CASE WHEN source = 'src0' THEN 300
+          |                         WHEN source = 'src1' THEN 100000
+          |                         ELSE 700 END""".stripMargin,
       "q20_json_props" ->
         """SELECT event_type, count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,
           |  round(avg(k), 6) AS avg_k

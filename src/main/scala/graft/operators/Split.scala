@@ -191,4 +191,57 @@ object Split {
       .select(col(idCol), col("bin"), col(tokensCol),
         floor((col("_cum") - col(tokensCol)).cast("double") / budget).as("seq_id"))
   }
+
+  /** Deterministic per-group token budgeting (data-mixture sizing):
+    * within each group, documents are taken greedily in purpose-hashed
+    * `(key, id)` order until the group's token budget is reached — a row
+    * is kept iff the exclusive running token total (`toks_before`) is
+    * still under the budget, so the crossing document is included and a
+    * group with a nonzero budget always contributes at least one
+    * document. Like [[stratifiedSample]] the order is a pure function of
+    * the id, so the selection is reproducible on any engine and a larger
+    * budget's selection is a superset of a smaller one's.
+    *
+    * Scale shape: a group-wide ordered window would serialize each group
+    * into one task — and mixture groups are few and huge. Instead the
+    * hash key's top bits pre-segment every group into `buckets` ordered
+    * slices: per-(group, bucket) token sums (one map-side-combinable
+    * aggregation) prefix-sum into bucket offsets (a window over ≤
+    * groups × buckets rows, broadcast back), and the row-level running
+    * total only ever windows one (group, bucket) slice — 1/`buckets` of
+    * a group per task regardless of group skew. Ordering by the key
+    * equals ordering by (bucket, key) because the bucket IS the key's
+    * top bits, so the two-phase form computes exactly the single-window
+    * semantics. */
+  def tokenBudget(
+      docs: DataFrame, idCol: String, tokensCol: String, groupCol: String,
+      budgets: Map[String, Long], defaultBudget: Long,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a positive power of two: $buckets")
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      s"budgets must be non-negative: $budgets / $defaultBudget")
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val budget = budgets.toSeq.sortBy(_._1).foldRight(lit(defaultBudget)) {
+      case ((k, v), rest) => when(col(groupCol) === k, lit(v)).otherwise(rest)
+    }
+    val keyed = docs
+      .withColumn("_key", Dedup.hash60(concat(lit("tb|"), col(idCol).cast("string"))))
+      .withColumn("_bkt", shiftright(col("_key"), shift))
+      .localCheckpoint() // consumed by the offsets aggregation and the final window
+    val offsets = keyed.groupBy(col(groupCol), col("_bkt"))
+      .agg(sum(col(tokensCol)).as("_bsum"))
+      .withColumn("_boff", coalesce(
+        sum(col("_bsum")).over(Window.partitionBy(col(groupCol)).orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("_bkt"), col("_boff"))
+    val wRow = Window.partitionBy(col(groupCol), col("_bkt"))
+      .orderBy(col("_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed.join(broadcast(offsets), Seq(groupCol, "_bkt"))
+      .withColumn("toks_before",
+        col("_boff") + coalesce(sum(col(tokensCol)).over(wRow), lit(0L)))
+      .where(col("toks_before") < budget)
+      .drop("_key", "_bkt", "_boff")
+  }
 }

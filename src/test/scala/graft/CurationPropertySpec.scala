@@ -98,6 +98,40 @@ class CurationPropertySpec extends AnyFunSuite {
     java.lang.Long.parseLong(md5.map("%02x".format(_)).mkString.take(15), 16)
   }
 
+  test("token budget matches an in-driver greedy selection and nests across budgets") {
+    import spark.implicits._
+    val budgets = Map("g0" -> 200L)
+    val dflt = 150L
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val docs = (0 until 120).map(i =>
+        (i.toLong, s"g${rnd.nextInt(3)}", rnd.nextInt(50).toLong))
+      val df = docs.toDF("doc_id", "source", "n_tokens").repartition(4)
+      // greedy keeper in global (hash key, id) order — the semantics the
+      // bucketed two-phase form must reproduce exactly
+      def expected(bud: Map[String, Long], d: Long): Set[Long] =
+        docs.groupBy(_._2).flatMap { case (g, ds) =>
+          val b = bud.getOrElse(g, d)
+          var cum = 0L
+          ds.sortBy(x => (hash60(s"tb|${x._1}"), x._1)).flatMap {
+            case (id, _, t) =>
+              val keep = cum < b
+              cum += t
+              if (keep) Some(id) else None
+          }
+        }.toSet
+      val got = Split.tokenBudget(df, "doc_id", "n_tokens", "source",
+          budgets, dflt, buckets = 8)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(got === expected(budgets, dflt), s"seed=$seed token budget mismatch")
+      // a doubled budget's selection is a superset (same hash order)
+      val got2 = Split.tokenBudget(df, "doc_id", "n_tokens", "source",
+          budgets.map { case (k, v) => k -> v * 2 }, dflt * 2, buckets = 8)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(got.subsetOf(got2), s"seed=$seed budgets not nested")
+    }
+  }
+
   test("mixture resample matches an in-driver reimplementation of rates and draws") {
     import spark.implicits._
     val shares = Map("a" -> 500000L, "b" -> 300000L, "c" -> 200000L)
