@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{AsOf, Decontaminate, Dedup, Funnel, GroupSample, Latency, Multimodal, Profile, Repetition, Retention, Rfm, Similarity, Skew, Split, Transitions, Vocab}
+import graft.operators.{AsOf, Chunk, Decontaminate, Dedup, Funnel, GroupSample, Latency, Multimodal, Profile, Repetition, Retention, Rfm, Similarity, Skew, Split, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -363,6 +363,11 @@ object SparkEntry {
       val docs = par(tbl(s, dir, "documents"))
       Vocab.encode(docs, Vocab.assignIds(Vocab.topTerms(docs, k = 30)))
     }),
+    // Context-window chunking: 40-token windows with 10-token overlap —
+    // a pure projection + explode inside the scan stage, no shuffle.
+    "t14_chunk_docs" -> ((s, dir) =>
+      Chunk.chunkDocs(par(tbl(s, dir, "documents")),
+        chunkTokens = 40, overlap = 10)),
     // PII detect + scrub over a corpus with deterministically injected
     // PII (the base texts are letter-only word salad, so every match is
     // an injected one): per-class counts plus the md5 of the scrubbed
@@ -1216,6 +1221,16 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
           |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
           |FROM enc GROUP BY doc_id""".stripMargin,
+      // stride = 40 - 10 = 30; chunk j covers tokens [j*30, j*30+40)
+      "t14_chunk_docs" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          |)
+          |SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+          |  array_to_string(t[CAST(j * 30 + 1 AS INT):CAST(j * 30 + 40 AS INT)], ' ') AS chunk_text,
+          |  CAST(least(40, len(t) - j * 30) AS INT) AS n_tokens
+          |FROM toks, (SELECT CAST(range AS BIGINT) AS j FROM range(4000)) r
+          |WHERE j * 30 < len(t)""".stripMargin,
       "t7_pii_scrub" ->
         s"""WITH inj AS (
            |  SELECT doc_id, text ||

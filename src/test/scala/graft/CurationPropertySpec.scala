@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Pii
-import graft.operators.{Decontaminate, Dedup, GroupSample, Split, Transitions}
+import graft.operators.{Chunk, Decontaminate, Dedup, GroupSample, Split, Transitions}
 
 /** Randomized-correctness properties for the curation operators, checked
   * against independent in-driver reimplementations on seeded random
@@ -129,6 +129,38 @@ class CurationPropertySpec extends AnyFunSuite {
           budgets.map { case (k, v) => k -> v * 2 }, dflt * 2, buckets = 8)
         .collect().map(_.getAs[Long]("doc_id")).toSet
       assert(got.subsetOf(got2), s"seed=$seed budgets not nested")
+    }
+  }
+
+  test("chunking emits exact overlapping windows that stitch back to the doc") {
+    import spark.implicits._
+    val size = 12; val ov = 5; val stride = size - ov
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val docs = (0 until 50).map(i =>
+        (i.toLong, words(rnd, 1 + rnd.nextInt(100)).mkString(" ")))
+      val got = Chunk.chunkDocs(docs.toDF("doc_id", "text").repartition(3),
+          chunkTokens = size, overlap = ov)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3))))
+        .toMap
+      docs.foreach { case (id, text) =>
+        val t = text.split(" ")
+        val n = (t.length - 1) / stride + 1
+        assert(got.count(_._1._1 == id) === n, s"seed=$seed doc=$id chunk count")
+        (0 until n).foreach { j =>
+          val exp = t.slice(j * stride, j * stride + size)
+          val (ct, nt) = got((id, j))
+          assert(ct === exp.mkString(" ") && nt === exp.length,
+            s"seed=$seed doc=$id chunk=$j")
+        }
+        // chunk 0 plus each later chunk minus its overlap re-forms the doc
+        val stitched = (0 until n).flatMap { j =>
+          val c = t.slice(j * stride, j * stride + size)
+          if (j == 0) c else c.drop(ov)
+        }
+        assert(stitched === t.toSeq, s"seed=$seed doc=$id stitch")
+      }
     }
   }
 
