@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{AsOf, Chunk, Decontaminate, Dedup, Funnel, GroupSample, Latency, Multimodal, Profile, Repetition, Retention, Rfm, Similarity, Skew, Split, Transitions, Vocab}
+import graft.operators.{AsOf, Chunk, Decontaminate, Dedup, Funnel, GroupSample, Latency, Multimodal, Profile, RangeJoin, Repetition, Retention, Rfm, Similarity, Skew, Split, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -578,6 +578,26 @@ object SparkEntry {
     // shuffle moves a handful of rows regardless of corpus size.
     "u5_transitions" -> ((s, dir) =>
       Transitions.matrix(tbl(s, dir, "events"))),
+    // No-equi-key range join: shipments against urgent orders' 3-day
+    // windows, bucketized into a plain equi-join on the day-bucket id —
+    // no nested loop, both sides shuffle once. Aggregated per order.
+    "u7_range_join" -> ((s, dir) => {
+      val pts = tbl(s, dir, "lineitem").select(
+        datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("ship_day"),
+        col("l_quantity"))
+      val ivs = tbl(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("start_day"))
+        .withColumn("end_day", col("start_day") + 3)
+      RangeJoin.pointInInterval(pts, "ship_day", ivs,
+          "start_day", "end_day", bucketWidth = 4)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_ship"),
+          sum(col("l_quantity").cast("decimal(18,3)")).cast("double").as("sum_qty"))
+    }),
 
     // ── Pipeline plumbing ────────────────────────────────────────────────
     // Dedup groups: connected components over the d2 near-dup pairs —
@@ -1686,6 +1706,23 @@ object SparkEntry {
           |       + (CAST(f AS DOUBLE) > fc[3])::INT) AS f_score,
           |  1 + ((m > mc[1])::INT + (m > mc[2])::INT + (m > mc[3])::INT) AS m_score
           |FROM rfm CROSS JOIN cuts""".stripMargin,
+      // u7's oracle is the naive range join — DuckDB's IEJoin computes
+      // it exactly; the engine's bucketized equi-join must agree.
+      "u7_range_join" ->
+        """WITH p AS (
+          |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ship_day,
+          |    l_quantity
+          |  FROM lineitem
+          |), iv AS (
+          |  SELECT o_orderkey,
+          |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS start_day
+          |  FROM orders WHERE o_orderpriority = '1-URGENT'
+          |)
+          |SELECT iv.o_orderkey, count(*) AS n_ship,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty
+          |FROM iv JOIN p
+          |  ON p.ship_day >= iv.start_day AND p.ship_day < iv.start_day + 3
+          |GROUP BY 1""".stripMargin,
       "p5_group_sample" ->
         """SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
           |  SELECT lang, doc_id,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{Pii, QualityRules}
-import graft.operators.{Decontaminate, Transitions}
+import graft.operators.{Decontaminate, RangeJoin, Transitions}
 
 /** Behavior specs for the round-3 curation operators: benchmark
   * decontamination, PII scrubbing, Gopher-style quality gates, and
@@ -189,6 +189,24 @@ class CurationOpsSpec extends AnyFunSuite {
       .agg(sum(col("p_transition")).as("s")).collect()
     sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4,
       s"probabilities for ${r.getString(0)} sum to ${r.getDouble(1)}"))
+  }
+
+  test("range join: half-open containment, bucket boundaries, inverted intervals") {
+    import spark.implicits._
+    val points = Seq(0L, 3L, 4L, 9L, 10L, 15L).toDF("p").repartition(3)
+    val ivs = Seq(
+      (1L, 0L, 4L),   // [0,4): catches 0, 3 — not the boundary point 4
+      (2L, 4L, 10L),  // [4,10): spans a bucket edge; catches 4, 9 — not 10
+      (3L, 9L, 11L),  // overlaps interval 2 at point 9; catches 9, 10
+      (4L, 7L, 7L),   // empty — matches nothing
+      (5L, 8L, 6L)    // inverted — matches nothing
+    ).toDF("iv_id", "s", "e").repartition(2)
+    for (width <- Seq(1L, 3L, 100L)) { // tiling must not change the result
+      val got = RangeJoin.pointInInterval(points, "p", ivs, "s", "e", width)
+        .select("iv_id", "p").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 0L), (1L, 3L), (2L, 4L), (2L, 9L), (3L, 9L), (3L, 10L)),
+        s"width=$width")
+    }
   }
 
   test("column profile: counts, nulls, distincts, range, exact decimal sum") {

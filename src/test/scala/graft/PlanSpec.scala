@@ -90,6 +90,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"all-pairs cartesian in d12:\n$p")
   }
 
+  test("u7 range join: bucket equi-join, never a nested-loop range scan") {
+    val p = plan("u7_range_join")
+    assert(!p.contains("CartesianProduct"), s"cartesian in u7:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range predicate degraded to a nested loop:\n$p")
+  }
+
   test("u1 funnel: single shuffle on user_id") {
     val p = plan("u1_funnel_stages")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
