@@ -368,6 +368,24 @@ object SparkEntry {
     "t14_chunk_docs" -> ((s, dir) =>
       Chunk.chunkDocs(par(tbl(s, dir, "documents")),
         chunkTokens = 40, overlap = 10)),
+    // Per-source corpus-mixture report: language histogram entropy per
+    // source. Entropy terms are quantized to integer micro-nats before
+    // the sum (the meanSurprisal discipline) so the result is
+    // bit-identical across partitionings and engines. Two tiny aggs —
+    // the second operates on |sources|×|langs| rows.
+    "t15_source_mixture" -> ((s, dir) => {
+      val counts = par(tbl(s, dir, "documents"))
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy(col("source")).agg(sum(col("n")).as("nd"))
+      counts.join(broadcast(tot), "source")
+        .select(col("source"), col("nd"),
+          round(-(col("n").cast("double") / col("nd")) *
+            log(col("n").cast("double") / col("nd")) * 1e6)
+            .cast("long").as("micro"))
+        .groupBy(col("source"))
+        .agg(max(col("nd")).as("n_docs"), count(lit(1)).as("n_langs"),
+          round(sum(col("micro")).cast("double") / 1e6, 6).as("lang_entropy"))
+    }),
     // PII detect + scrub over a corpus with deterministically injected
     // PII (the base texts are letter-only word salad, so every match is
     // an injected one): per-class counts plus the md5 of the scrubbed
@@ -739,6 +757,17 @@ object SparkEntry {
       Split.deterministicShuffle(
         par(tbl(s, dir, "documents")).select(col("doc_id")),
         "doc_id", shards = 8, seed = "epoch0")),
+    // Cluster-stratified diversity sampling: k-means cells (the same
+    // trained quantizer as s5/d12) as strata, then the deterministic
+    // bounded k-per-group sampler — embedding-space coverage sampling
+    // with ≤k rows per (partition, cell) crossing the shuffle.
+    "p8_cluster_sample" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val cells = Similarity.trainIvfCells(par(tbl(s, dir, "embeddings")),
+          "vec_id", "embedding", k = 8, iters = 2)
+        .withColumnRenamed("_id", "vec_id").withColumnRenamed("_cell", "cell")
+      GroupSample.sampleKPerGroup(cells, "cell", "vec_id", k = 10)
+    }),
     // Per-source token budgeting: greedy hash-order selection until the
     // source's token budget. src0 cut low, src1 effectively unlimited,
     // the rest on the 700-token default — all three branches exercised.
@@ -1869,6 +1898,32 @@ object SparkEntry {
           |      ('0x' || substr(md5('shuf|epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
           |      ('0x' || substr(md5('ord|epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h2
           |    FROM documents))""".stripMargin,
+      // p8 = the s5 training unroll + the p5 group-sample window, with
+      // the trained cell as the stratum.
+      "p8_cluster_sample" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |), $quantEmbSql, ${ivfLloyd2Sql(8)}
+           |SELECT cell, vec_id, CAST(rk AS INT) AS rk FROM (
+           |  SELECT a2.cell, a2.vec_id,
+           |    row_number() OVER (PARTITION BY a2.cell ORDER BY
+           |      ('0x' || substr(md5('gsmp|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+           |      vec_id) AS rk
+           |  FROM a2)
+           |WHERE rk <= 10""".stripMargin,
+      "t15_source_mixture" ->
+        """WITH c AS (
+          |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+          |), t AS (
+          |  SELECT source, sum(n) AS nd FROM c GROUP BY 1
+          |), m AS (
+          |  SELECT c.source, t.nd,
+          |    CAST(round(-(CAST(n AS DOUBLE) / nd) * ln(CAST(n AS DOUBLE) / nd) * 1000000) AS BIGINT) AS micro
+          |  FROM c JOIN t USING (source)
+          |)
+          |SELECT source, CAST(max(nd) AS BIGINT) AS n_docs, count(*) AS n_langs,
+          |  round(CAST(sum(micro) AS DOUBLE) / 1000000, 6) AS lang_entropy
+          |FROM m GROUP BY source""".stripMargin,
       // p7's oracle uses the single global window per source — the
       // engine's bucketed two-phase form must equal it exactly, because
       // the bucket is the hash key's top bits.
