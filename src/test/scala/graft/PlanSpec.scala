@@ -90,6 +90,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"all-pairs cartesian in d12:\n$p")
   }
 
+  test("p7 token budget: running total windows on (source, bucket), never source alone") {
+    val p = plan("p7_token_budget")
+    // the row-level cumsum must partition by the bucket too — a
+    // source-only window would serialize a whole source into one task
+    assert("windowspecdefinition\\(source#\\d+, _bkt#\\d+".r.findFirstIn(p).isDefined,
+      s"row window not partitioned by (source, _bkt):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-offset table should broadcast back:\n$p")
+  }
+
   test("u7 range join: bucket equi-join, never a nested-loop range scan") {
     val p = plan("u7_range_join")
     assert(!p.contains("CartesianProduct"), s"cartesian in u7:\n$p")
