@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{AsOf, Chunk, Decontaminate, Dedup, Funnel, GroupSample, Latency, Multimodal, Profile, RangeJoin, Repetition, Retention, Rfm, Similarity, Skew, Split, Transitions, Vocab}
+import graft.operators.{AsOf, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, Latency, Multimodal, Profile, RangeJoin, Repetition, Retention, Rfm, Similarity, Skew, Split, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -596,6 +596,13 @@ object SparkEntry {
     // shuffle moves a handful of rows regardless of corpus size.
     "u5_transitions" -> ((s, dir) =>
       Transitions.matrix(tbl(s, dir, "events"))),
+    // A/B experiment lift: hash-derived variant (no assignment join),
+    // one user-key shuffle for the conversion flag, then a 2-row variant
+    // summary with the 1-row control side broadcast back. lift and z are
+    // a fixed IEEE expression tree mirrored verbatim in the oracle.
+    "u8_experiment_lift" -> ((s, dir) =>
+      Experiment.liftReport(tbl(s, dir, "events"),
+        col("event_type") === "purchase" && col("value") > 180)),
     // No-equi-key range join: shipments against urgent orders' 3-day
     // windows, bucketized into a plain equi-join on the day-bucket id —
     // no nested loop, both sides shuffle once. Aggregated per order.
@@ -1737,6 +1744,34 @@ object SparkEntry {
           |FROM rfm CROSS JOIN cuts""".stripMargin,
       // u7's oracle is the naive range join — DuckDB's IEJoin computes
       // it exactly; the engine's bucketized equi-join must agree.
+      "u8_experiment_lift" ->
+        """WITH per_user AS (
+          |  SELECT user_id,
+          |    max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS conv
+          |  FROM events GROUP BY 1
+          |), by_var AS (
+          |  SELECT
+          |    CASE WHEN ('0x' || substr(md5('exp|exp1|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+          |           % 100 < 50
+          |      THEN 'treatment' ELSE 'control' END AS variant,
+          |    count(*) AS n_users, sum(conv) AS n_conv
+          |  FROM per_user GROUP BY 1
+          |), calc AS (
+          |  SELECT variant, n_users, n_conv,
+          |    CAST(n_conv AS DOUBLE) / n_users AS pv,
+          |    CAST(c.c_conv AS DOUBLE) / c.c_users AS pc,
+          |    sqrt((CAST(n_conv + c.c_conv AS DOUBLE) / (n_users + c.c_users))
+          |         * (CAST(1.0 AS DOUBLE) - CAST(n_conv + c.c_conv AS DOUBLE) / (n_users + c.c_users))
+          |         * (CAST(1.0 AS DOUBLE) / n_users + CAST(1.0 AS DOUBLE) / c.c_users)) AS se
+          |  FROM by_var CROSS JOIN (
+          |    SELECT n_users AS c_users, n_conv AS c_conv FROM by_var
+          |    WHERE variant = 'control') c
+          |)
+          |SELECT variant, n_users, n_conv,
+          |  round(pv, 6) AS cvr,
+          |  round(CASE WHEN pc = 0 THEN 0 ELSE (pv - pc) / pc END, 6) AS lift,
+          |  round(CASE WHEN se = 0 THEN 0 ELSE (pv - pc) / se END, 6) AS z_score
+          |FROM calc""".stripMargin,
       "u7_range_join" ->
         """WITH p AS (
           |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ship_day,

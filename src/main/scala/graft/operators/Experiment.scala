@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic A/B experiment analysis over an event stream — the
+  * measurement half of the UBA story (the reference's retention/funnel
+  * operators describe behavior; experiment analysis decides launches).
+  *
+  * Variant assignment is a pure hash of (experiment, user) — no
+  * assignment table, no join, no RNG: any engine that computes the same
+  * md5 reproduces the exact cohort, re-runs are stable under
+  * repartitioning, and concurrent experiments decorrelate via the
+  * experiment name in the hash preimage (the same discipline as
+  * [[Split.assignSplit]]'s buckets).
+  *
+  * Plan shape at 100 TB: ONE shuffle — the per-user conversion flag is a
+  * map-side-combined hash aggregate on the user key; everything after
+  * runs on |users| rows collapsing to |variants| rows, and the 1-row
+  * control summary comes back via broadcast. The raw event stream is
+  * never joined against an assignment table and never shuffled twice.
+  */
+object Experiment {
+
+  /** Variant label for a user: "treatment" iff
+    * md5("exp|" ∥ name ∥ "|" ∥ user) % 100 < treatedPct else "control". */
+  def variant(name: String, user: Column, treatedPct: Int): Column = {
+    require(treatedPct > 0 && treatedPct < 100,
+      s"treatedPct must be in (0, 100), got $treatedPct")
+    when(pmod(Dedup.hash60(
+        concat_ws("|", lit("exp"), lit(name), user.cast("string"))),
+      lit(100L)) < treatedPct, lit("treatment")).otherwise(lit("control"))
+  }
+
+  /** Two-proportion conversion report: one row per variant with user and
+    * converter counts, conversion rate, relative lift vs control, and the
+    * pooled two-proportion z statistic (control's own lift and z are
+    * exactly 0). `converted` is any boolean row predicate — a user
+    * converts iff some event satisfies it. Degenerate cohorts (0% or
+    * 100% pooled conversion, zero control rate) report 0 instead of
+    * dividing by zero, so the operator stays total under ANSI mode.
+    * Floats go through a single fixed expression tree — the DuckDB
+    * oracle spells the identical op order, so the rounded values are
+    * bit-reproducible across engines.
+    */
+  def liftReport(
+      events: DataFrame, converted: Column, userCol: String = "user_id",
+      name: String = "exp1", treatedPct: Int = 50): DataFrame = {
+    // one corpus-wide shuffle: per-user converted flag (partial max
+    // map-side); the variant is derived per-row from the hash, so no
+    // assignment join ever touches the event stream
+    val perUser = events
+      .groupBy(col(userCol).as("user"))
+      .agg(max(when(converted, 1).otherwise(0)).as("conv"))
+    val byVariant = perUser
+      .select(variant(name, col("user"), treatedPct).as("variant"), col("conv"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val control = byVariant.where(col("variant") === "control")
+      .select(col("n_users").as("c_users"), col("n_conv").as("c_conv"))
+    // identical op order as the oracle SQL: pv, pc, pooled p, then
+    // sqrt(pp * (1-pp) * (1/n_t + 1/n_c)) — each step one IEEE op
+    val pv = col("n_conv").cast("double") / col("n_users")
+    val pc = col("c_conv").cast("double") / col("c_users")
+    val pp = (col("n_conv") + col("c_conv")).cast("double") /
+      (col("n_users") + col("c_users"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_users") + lit(1.0) / col("c_users")))
+    byVariant.crossJoin(broadcast(control))
+      .select(col("variant"), col("n_users"), col("n_conv"),
+        round(pv, 6).as("cvr"),
+        round(when(pc === 0.0, lit(0.0)).otherwise((pv - pc) / pc), 6).as("lift"),
+        round(when(se === 0.0, lit(0.0)).otherwise((pv - pc) / se), 6).as("z_score"))
+  }
+}

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AsOf, Funnel, Rfm}
+import graft.operators.{AsOf, Experiment, Funnel, Rfm}
 
 class FunnelSpec extends AnyFunSuite {
 
@@ -104,5 +104,47 @@ class FunnelSpec extends AnyFunSuite {
       2L -> ((6L, 2L, 40.0, 3, 2, 2)),
       3L -> ((8L, 3L, 90.0, 2, 3, 3)),
       4L -> ((8L, 4L, 160.0, 2, 4, 4))))
+  }
+
+  test("experiment lift matches a hand-computed two-proportion test") {
+    import spark.implicits._
+    // 40 users, every third one converts; variant comes from the hash, so
+    // recover the assignment through the same column and recompute the
+    // report arithmetic independently in Scala
+    val e = (1L to 40L).flatMap { u =>
+      Seq((u, "view", ts("2024-01-01 10:00:00"))) ++
+        (if (u % 3 == 0) Seq((u, "purchase", ts("2024-01-02 10:00:00"))) else Nil)
+    }.toDF("user_id", "event_type", "ts").repartition(3)
+
+    val assign = e.select($"user_id",
+        Experiment.variant("exp1", $"user_id", 50).as("v"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Seq("control", "treatment").map { v =>
+      val us = (1L to 40L).filter(assign(_) == v)
+      val n = us.size.toDouble
+      val c = us.count(_ % 3 == 0).toDouble
+      (v, us.size.toLong, us.count(_ % 3 == 0).toLong, c / n)
+    }
+    val Seq((_, nC, cC, pC), (_, nT, cT, pT)) = expected
+    val pp = (cC + cT).toDouble / (nC + nT)
+    val se = math.sqrt(pp * (1.0 - pp) * (1.0 / nT + 1.0 / nC))
+
+    val rows = Experiment.liftReport(e, $"event_type" === "purchase").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("control", "treatment"))
+    val ctrl = rows("control")
+    assert((ctrl.getLong(1), ctrl.getLong(2)) === ((nC, cC)))
+    assert(ctrl.getDouble(4) === 0.0 && ctrl.getDouble(5) === 0.0)
+    val tr = rows("treatment")
+    assert((tr.getLong(1), tr.getLong(2)) === ((nT, cT)))
+    assert(math.abs(tr.getDouble(3) - pT) < 1e-6)
+    assert(math.abs(tr.getDouble(4) - (pT - pC) / pC) < 1e-6)
+    assert(math.abs(tr.getDouble(5) - (pT - pC) / se) < 1e-6)
+
+    // pure function of (experiment, user): repartitioning changes nothing
+    val again = Experiment.liftReport(e.repartition(7), $"event_type" === "purchase")
+      .collect()
+      .map(r => r.toSeq).toSet
+    assert(again === rows.values.map(_.toSeq).toSet)
   }
 }
