@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{AsOf, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, Latency, Multimodal, Profile, RangeJoin, Repetition, Retention, Rfm, Similarity, Skew, Split, Transitions, Vocab}
+import graft.operators.{AsOf, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, Latency, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Similarity, Skew, Split, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -596,6 +596,11 @@ object SparkEntry {
     // shuffle moves a handful of rows regardless of corpus size.
     "u5_transitions" -> ((s, dir) =>
       Transitions.matrix(tbl(s, dir, "events"))),
+    // Top user journeys: first-5-events path per user via the bounded
+    // FirstKAgg (no stream-wide window), path histogram, top-20 via
+    // TakeOrderedAndProject. Ties break on the path string.
+    "u9_top_paths" -> ((s, dir) =>
+      Paths.topPaths(tbl(s, dir, "events"), k = 5, topN = 20)),
     // A/B experiment lift: hash-derived variant (no assignment join),
     // one user-key shuffle for the conversion flag, then a 2-row variant
     // summary with the 1-row control side broadcast back. lift and z are
@@ -1744,6 +1749,17 @@ object SparkEntry {
           |FROM rfm CROSS JOIN cuts""".stripMargin,
       // u7's oracle is the naive range join — DuckDB's IEJoin computes
       // it exactly; the engine's bucketized equi-join must agree.
+      "u9_top_paths" ->
+        """WITH ranked AS (
+          |  SELECT user_id, event_type,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          |  FROM events
+          |), paths AS (
+          |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+          |  FROM ranked WHERE rn <= 5 GROUP BY user_id
+          |)
+          |SELECT path, count(*) AS n_users FROM paths GROUP BY 1
+          |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
       "u8_experiment_lift" ->
         """WITH per_user AS (
           |  SELECT user_id,

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AsOf, Experiment, Funnel, Rfm}
+import graft.operators.{AsOf, Experiment, Funnel, Paths, Rfm}
 
 class FunnelSpec extends AnyFunSuite {
 
@@ -146,5 +146,38 @@ class FunnelSpec extends AnyFunSuite {
       .collect()
       .map(r => r.toSeq).toSet
     assert(again === rows.values.map(_.toSeq).toSet)
+  }
+
+  test("top paths: first-k prefix in (ts, id) order, ties and truncation") {
+    import spark.implicits._
+    val e = Seq(
+      // user 1: six events — path truncates at k=3; same-ts pair on
+      // 01-02 ordered by event_id (20 before 21)
+      (1L, 10L, "signup", ts("2024-01-01 10:00:00")),
+      (1L, 21L, "click", ts("2024-01-02 10:00:00")),
+      (1L, 20L, "view", ts("2024-01-02 10:00:00")),
+      (1L, 30L, "purchase", ts("2024-01-03 10:00:00")),
+      (1L, 40L, "view", ts("2024-01-04 10:00:00")),
+      (1L, 50L, "error", ts("2024-01-05 10:00:00")),
+      // user 2: same first-3 journey as user 1
+      (2L, 11L, "signup", ts("2024-02-01 10:00:00")),
+      (2L, 12L, "view", ts("2024-02-02 10:00:00")),
+      (2L, 13L, "click", ts("2024-02-03 10:00:00")),
+      // user 3: short journey — path is just what exists
+      (3L, 14L, "view", ts("2024-03-01 10:00:00")))
+      .toDF("user_id", "event_id", "event_type", "ts").repartition(3)
+    val got = Paths.topPaths(e, k = 3, topN = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq === Seq("signup>view>click" -> 2L, "view" -> 1L))
+
+    // topN truncation keeps the most common paths, ties on path asc
+    val top1 = Paths.topPaths(e, k = 3, topN = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(top1.toSeq === Seq("signup>view>click" -> 2L))
+
+    // bounded-aggregate result is partition-invariant
+    val again = Paths.topPaths(e.repartition(7), k = 3, topN = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(again.toSeq === got.toSeq)
   }
 }

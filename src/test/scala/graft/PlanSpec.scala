@@ -165,6 +165,16 @@ class PlanSpec extends AnyFunSuite {
       s"group sample must not use a window sort:\n$p")
   }
 
+  test("u9 top paths: bounded first-k aggregate and top-N, no stream window") {
+    val p = plan("u9_top_paths")
+    assert(p.contains("ObjectHashAggregate"),
+      s"journey prefix should plan as a partial ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"top paths must not window-sort the event stream:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N should be TakeOrderedAndProject, not a global sort:\n$p")
+  }
+
   test("u6 rfm: quartile cutoffs broadcast, no ntile global sort") {
     val p = plan("u6_rfm_segments")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
