@@ -425,6 +425,12 @@ object SparkEntry {
     // and engine-exact.
     "t11_surprisal" -> ((s, dir) =>
       Vocab.meanSurprisal(par(tbl(s, dir, "documents")))),
+    // Bigram-LM quality score: add-α bigram surprisal — the CCNet-style
+    // perplexity filter. Bigrams form in the scan stage (sliced arrays,
+    // no window/self-join); count tables come back via shuffle-hash
+    // joins, never broadcast.
+    "t16_bigram_surprisal" -> ((s, dir) =>
+      Vocab.meanBigramSurprisal(par(tbl(s, dir, "documents")))),
     // Corpus boilerplate coverage: fraction of each document's distinct
     // 3-gram shingles that appear in >= 3 documents. Shingle-df agg +
     // shuffle-hash join back + doc agg — never broadcasts the
@@ -1382,6 +1388,31 @@ object SparkEntry {
           |  FROM tok JOIN cf USING (term) CROSS JOIN tot
           |)
           |SELECT doc_id, count(*) AS n_tokens,
+          |  round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000, 6) AS mean_surprisal
+          |FROM m GROUP BY doc_id""".stripMargin,
+      "t16_bigram_surprisal" ->
+        """WITH toks AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-Z0-9'']+') AS t
+          |  FROM documents
+          |), bg AS (
+          |  SELECT doc_id, t[CAST(j AS INT) + 1] AS prev, t[CAST(j AS INT) + 2] AS cur
+          |  FROM toks, (SELECT CAST(range AS BIGINT) AS j FROM range(4000)) r
+          |  WHERE j < len(t) - 1
+          |), c2 AS (
+          |  SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY 1, 2
+          |), c1 AS (
+          |  SELECT prev, count(*) AS c1 FROM bg GROUP BY 1
+          |), voc AS (
+          |  SELECT count(DISTINCT term) AS v FROM (
+          |    SELECT unnest(t) AS term FROM toks)
+          |), m AS (
+          |  SELECT doc_id,
+          |    CAST(round(-ln((CAST(c2 AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+          |        (CAST(c1 AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(v AS DOUBLE))) * 1000000)
+          |      AS BIGINT) AS micro
+          |  FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN voc
+          |)
+          |SELECT doc_id, count(*) AS n_bigrams,
           |  round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000, 6) AS mean_surprisal
           |FROM m GROUP BY doc_id""".stripMargin,
       "t10_boilerplate" ->

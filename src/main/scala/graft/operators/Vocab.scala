@@ -111,6 +111,60 @@ object Vocab {
           .as("mean_surprisal"))
   }
 
+  /** Per-document mean bigram surprisal under an add-α corpus bigram
+    * model (`-ln((c(prev,cur)+α) / (c(prev·)+α·V))`, nats) — the
+    * CCNet-style language-model quality filter one rung above
+    * [[meanSurprisal]]'s unigram model: fluent text scores low, shuffled
+    * or machine-generated token soup scores high even when its unigram
+    * profile looks normal. Documents with fewer than two tokens have no
+    * bigrams and drop out.
+    *
+    * EAGER: the (doc, prev, cur) bigram stream feeds both count
+    * aggregates and the scoring join, so it is `localCheckpoint()`ed —
+    * constructing this DataFrame runs a Spark job and pins blocks, the
+    * same trade as [[tfIdfTopTerms]] and [[Dedup.minhashLshPairs]].
+    *
+    * Plan shape at 100 TB: bigrams form INSIDE the scan stage (two array
+    * slices zipped — attribute refs only, no per-element re-evaluation —
+    * then one explode; no per-document window, no positional self-join),
+    * then two hash aggregates build the bigram and context tables and
+    * shuffle-hash equi-joins bring them back — both are vocabulary²-
+    * scale, so neither is ever broadcast; only the 1-row vocabulary size
+    * is. Per-bigram surprisals are quantized to integer micro-nats
+    * BEFORE the sum (associative, partition-order independent), exactly
+    * like the unigram model. */
+  def meanBigramSurprisal(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Text.tokens(lower(col(textCol))).as("t"))
+    // materialize the slices as plain attributes before zip_with — a HOF
+    // re-evaluates non-lambda subtrees per element in interpreted mode
+    val bg = toks.select(col("doc_id"),
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))).as("_a"),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))).as("_b"))
+      .select(col("doc_id"), explode(zip_with(col("_a"), col("_b"),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("_bg"))
+      .select(col("doc_id"), col("_bg.prev").as("prev"), col("_bg.cur").as("cur"))
+      .localCheckpoint()
+    val c2 = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+    val v = toks.select(explode(col("t")).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    bg.join(c2.hint("shuffle_hash"), Seq("prev", "cur"))
+      .join(c1.hint("shuffle_hash"), Seq("prev"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(-log((col("c2").cast("double") + lit(alpha)) /
+          (col("c1").cast("double") + lit(alpha) * col("v").cast("double"))) * 1e6)
+          .cast("long").as("micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("micro")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_surprisal"))
+  }
+
   /** Deterministic token-id assignment over a trained vocabulary (e.g.
     * [[topTerms]] output): ids are dense ranks 0..k-1 by (cf desc,
     * token), the same total order topTerms truncates by. The global-sort

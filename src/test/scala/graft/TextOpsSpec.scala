@@ -88,4 +88,31 @@ class TextOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(encShuffled(1L) === "1 1 1 0 0 -1" && encShuffled(2L) === "0 1 -1 0")
   }
+
+  test("bigram surprisal: hand-computed add-alpha model, short docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams (a,b) (b,a) (a,b)
+      (2L, "a b"),     // bigram (a,b)
+      (3L, "c"))       // no bigrams — absent from the report
+      .toDF("doc_id", "text").repartition(2)
+    // corpus: c2(a,b)=3, c2(b,a)=1; c1(a)=3, c1(b)=1; V=3; alpha=0.5
+    def micro(c2: Long, c1: Long): Long =
+      math.round(-math.log((c2 + 0.5) / (c1 + 0.5 * 3)) * 1e6)
+    val sAB = micro(3, 3) // -ln(3.5/4.5)
+    val sBA = micro(1, 1) // -ln(1.5/2.5)
+    def mean(ms: Seq[Long]): Double =
+      math.round(ms.sum.toDouble / ms.size / 1e6 * 1e6) / 1e6
+    val r = Vocab.meanBigramSurprisal(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r.keySet === Set(1L, 2L))
+    assert(r(1L)._1 === 3L && r(2L)._1 === 1L)
+    assert(math.abs(r(1L)._2 - mean(Seq(sAB, sAB, sBA))) < 1e-9)
+    assert(math.abs(r(2L)._2 - mean(Seq(sAB))) < 1e-9)
+
+    // partition-invariant: integer micro-nat sums don't care about order
+    val again = Vocab.meanBigramSurprisal(docs.repartition(7)).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(again === r)
+  }
 }
