@@ -740,6 +740,13 @@ object SparkEntry {
       Split.stratifiedSample(
         tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "lang", rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)),
+    // Quality-weighted sampling: survival probability proportional to a
+    // length-capped quality weight — a pure hash-threshold filter in the
+    // scan stage, no RNG, no shuffle.
+    "p9_weighted_sample" -> ((s, dir) =>
+      Split.weightedSample(
+        tbl(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", least(col("n_chars"), lit(400)).cast("double") / lit(400))),
     // Deterministic k-per-group sampling: the 5 docs per language with
     // the smallest purpose-prefixed md5 keys, selected by a bounded
     // partial aggregate (≤k rows per partition-group cross the shuffle —
@@ -1834,6 +1841,11 @@ object SparkEntry {
           |FROM iv JOIN p
           |  ON p.ship_day >= iv.start_day AND p.ship_day < iv.start_day + 3
           |GROUP BY 1""".stripMargin,
+      "p9_weighted_sample" ->
+        """SELECT doc_id, source, n_chars FROM documents
+          |WHERE ('0x' || substr(md5('wsmp|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          |        % 1000000
+          |  < CAST(round(CAST(least(n_chars, 400) AS DOUBLE) / 400 * 1e6) AS BIGINT)""".stripMargin,
       "p5_group_sample" ->
         """SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
           |  SELECT lang, doc_id,

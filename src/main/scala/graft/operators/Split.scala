@@ -62,6 +62,25 @@ object Split {
     df.where(ppm < cut)
   }
 
+  /** Deterministic weighted (importance) sampling: keeps a row iff the
+    * md5-ppm of ("wsmp" ∥ id) falls under `round(weight · 1e6)`, so each
+    * row survives with probability proportional to its own weight —
+    * quality-weighted corpus thinning without an RNG. Weights ≤ 0 never
+    * survive, ≥ 1 always do. A pure filter in the scan stage: no
+    * shuffle, no state, stable under repartitioning, and monotone in
+    * the weight — raising a row's weight can only add it to the sample
+    * (the per-row draw is a fixed hash threshold test), so samples at
+    * uniformly-scaled weights nest exactly like [[stratifiedSample]]
+    * rates. The cut is a SINGLE multiply-then-round on the weight —
+    * any engine evaluating the same IEEE expression draws identically.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val ppm = pmod(
+      Dedup.hash60(concat_ws("|", lit("wsmp"), col(idCol).cast("string"))),
+      lit(1000000L))
+    df.where(ppm < round(weight * lit(1e6)).cast("long"))
+  }
+
   /** Deterministic domain-mixture resampling: downsample each domain so
     * the surviving corpus matches a target mixture, keeping as much data
     * as possible (no upsampling — the binding domain, the one whose

@@ -88,6 +88,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(withDefault.forall(_ % 2 == 0), "unlisted stratum must use the default rate")
   }
 
+  test("weighted sample tracks per-row weights, clamps, and is monotone") {
+    import spark.implicits._
+    // weights stratified by construction: ids 1-1000 weight 0.2,
+    // 1001-2000 weight 0.8, 2001-2500 weight 1.5 (always kept),
+    // 2501-3000 weight -0.5 (never kept)
+    val rows = (1L to 3000L).map { i =>
+      val w = if (i <= 1000) 0.2 else if (i <= 2000) 0.8
+        else if (i <= 2500) 1.5 else -0.5
+      (i, w)
+    }.toDF("doc_id", "w")
+    def sample(scale: Double) =
+      Split.weightedSample(rows, "doc_id", $"w" * scale)
+        .collect().map(_.getLong(0)).toSet
+    val s = sample(1.0)
+    assert(s === sample(1.0)) // pure function of (id, weight)
+    val lo = s.count(_ <= 1000) / 1000.0
+    val hi = s.count(i => i > 1000 && i <= 2000) / 1000.0
+    assert(lo > 0.15 && lo < 0.25, s"w=0.2 survival $lo")
+    assert(hi > 0.75 && hi < 0.85, s"w=0.8 survival $hi")
+    assert((2001L to 2500L).forall(s.contains), "w>=1 rows must all survive")
+    assert(!(2501L to 3000L).exists(s.contains), "w<=0 rows must never survive")
+    // monotone in the weight: halving every weight yields a subset
+    assert(sample(0.5).subsetOf(s))
+  }
+
   test("mixture resample hits the target mixture, keeps the binding domain whole") {
     import spark.implicits._
     // observed 4000/1000/200 (web/wiki/code); targets 60/25/15 → code is
