@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{AsOf, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, Latency, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Similarity, Skew, Split, Transitions, Vocab}
+import graft.operators.{Anomaly, AsOf, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, Latency, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Similarity, Skew, Split, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -602,6 +602,11 @@ object SparkEntry {
     // shuffle moves a handful of rows regardless of corpus size.
     "u5_transitions" -> ((s, dir) =>
       Transitions.matrix(tbl(s, dir, "events"))),
+    // Per-user daily-volume spike detection: one event-stream shuffle
+    // into (user, day) counts, then a per-user window over the small
+    // aggregated table. Variance numerator stays in exact integers.
+    "u10_anomaly_days" -> ((s, dir) =>
+      Anomaly.dailySpikes(tbl(s, dir, "events"))),
     // Top user journeys: first-5-events path per user via the bounded
     // FirstKAgg (no stream-wide window), path histogram, top-20 via
     // TakeOrderedAndProject. Ties break on the path string.
@@ -1787,6 +1792,22 @@ object SparkEntry {
           |FROM rfm CROSS JOIN cuts""".stripMargin,
       // u7's oracle is the naive range join — DuckDB's IEJoin computes
       // it exactly; the engine's bucketized equi-join must agree.
+      "u10_anomaly_days" ->
+        """WITH ud AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c
+          |  FROM events GROUP BY 1, 2
+          |), st AS (
+          |  SELECT user_id, day, c,
+          |    count(*) OVER w AS n, sum(c) OVER w AS s1, sum(c * c) OVER w AS s2
+          |  FROM ud WINDOW w AS (PARTITION BY user_id)
+          |)
+          |SELECT user_id, day, c AS n_events,
+          |  round((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+          |        sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))), 6) AS z_score
+          |FROM st
+          |WHERE n >= 3 AND n * s2 - s1 * s1 > 0
+          |  AND (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+          |      sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))) > 2.0""".stripMargin,
       "u9_top_paths" ->
         """WITH ranked AS (
           |  SELECT user_id, event_type,

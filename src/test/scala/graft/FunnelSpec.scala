@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AsOf, Experiment, Funnel, Paths, Rfm}
+import graft.operators.{Anomaly, AsOf, Experiment, Funnel, Paths, Rfm}
 
 class FunnelSpec extends AnyFunSuite {
 
@@ -179,5 +179,26 @@ class FunnelSpec extends AnyFunSuite {
     val again = Paths.topPaths(e.repartition(7), k = 3, topN = 10).collect()
       .map(r => r.getString(0) -> r.getLong(1))
     assert(again.toSeq === got.toSeq)
+  }
+
+  test("daily spikes: z against the user's own history, exact exclusions") {
+    import spark.implicits._
+    // user 1: nine 1-event days + one 11-event day → mean 2, std 3.162,
+    // z(11) = 2.846 flagged, z(1) negative; user 2: constant 3/day →
+    // integer variance numerator exactly 0, excluded; user 3: two days
+    // only, under minDays
+    val e = ((1 to 9).flatMap(d => Seq((1L, ts(f"2024-01-$d%02d 10:00:00")))) ++
+      (1 to 11).map(i => (1L, ts(f"2024-01-10 ${9 + i % 3}%02d:0$i:00"))) ++
+      (1 to 3).flatMap(d => (1 to 3).map(i => (2L, ts(f"2024-02-0$d 1$i:00:00")))) ++
+      Seq((3L, ts("2024-03-01 10:00:00")), (3L, ts("2024-03-02 10:00:00"))))
+      .map { case (u, t) => (u, "view", t) }
+      .toDF("user_id", "event_type", "ts").repartition(3)
+    val r = Anomaly.dailySpikes(e).collect()
+      .map(x => (x.getLong(0), x.getDate(1).toString, x.getLong(2), x.getDouble(3)))
+    assert(r.length === 1)
+    val (u, day, c, z) = r.head
+    assert(u === 1L && day === "2024-01-10" && c === 11L)
+    // mean 2, var (10*130-400)/90 = 10, z = 9/sqrt(10)
+    assert(math.abs(z - 9.0 / math.sqrt(10.0)) < 1e-6)
   }
 }
