@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{Anomaly, AsOf, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, Latency, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Similarity, Skew, Split, Transitions, Vocab}
+import graft.operators.{Anomaly, AsOf, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, Latency, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Split, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -602,6 +602,17 @@ object SparkEntry {
     // shuffle moves a handful of rows regardless of corpus size.
     "u5_transitions" -> ((s, dir) =>
       Transitions.matrix(tbl(s, dir, "events"))),
+    // Equi-depth value histogram: decile boundaries from the exact
+    // percentile aggregate, broadcast back for the bucket assignment —
+    // one scan + one tiny broadcast + one bucket-id aggregate.
+    "q23_value_histogram" -> ((s, dir) =>
+      Profile.equiDepthHistogram(tbl(s, dir, "events"), "value", k = 10)),
+    // Session-duration distribution: gap-based sessions (one user-key
+    // shuffle shared by the lag and running-sum windows), per-session
+    // collapse in the same partitioning, exact percentile over the
+    // |sessions|-row table (approx_percentile is the 100 TB switch).
+    "q22_session_stats" -> ((s, dir) =>
+      Sessions.durationReport(tbl(s, dir, "events"))),
     // Per-user daily-volume spike detection: one event-stream shuffle
     // into (user, day) counts, then a per-user window over the small
     // aggregated table. Variance numerator stays in exact integers.
@@ -1792,6 +1803,47 @@ object SparkEntry {
           |FROM rfm CROSS JOIN cuts""".stripMargin,
       // u7's oracle is the naive range join — DuckDB's IEJoin computes
       // it exactly; the engine's bucketized equi-join must agree.
+      "q23_value_histogram" ->
+        """WITH vals AS (
+          |  SELECT CAST(value AS DOUBLE) AS value FROM events
+          |  WHERE value IS NOT NULL
+          |), cuts AS (
+          |  SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+          |          quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+          |          quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+          |          quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+          |          quantile_cont(value, 0.9)] AS cs
+          |  FROM vals
+          |)
+          |SELECT CAST(len(list_filter(cs, c -> c < value)) + 1 AS INT) AS bucket,
+          |  count(*) AS n, min(value) AS lo, max(value) AS hi
+          |FROM vals CROSS JOIN cuts
+          |GROUP BY 1""".stripMargin,
+      "q22_session_stats" ->
+        """WITH r AS (
+          |  SELECT user_id, ts, event_id,
+          |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          |  FROM events
+          |), f AS (
+          |  SELECT user_id, ts, event_id,
+          |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+          |         THEN 1 ELSE 0 END AS new_sess
+          |  FROM r
+          |), sid AS (
+          |  SELECT user_id, ts,
+          |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+          |  FROM f
+          |), per AS (
+          |  SELECT user_id, sess_id, count(*) AS n_events,
+          |    CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE) AS dur_us
+          |  FROM sid GROUP BY 1, 2
+          |)
+          |SELECT count(*) AS n_sessions,
+          |  round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS mean_events,
+          |  round(quantile_cont(dur_us, 0.5) / 1e6, 6) AS p50_sec,
+          |  round(quantile_cont(dur_us, 0.9) / 1e6, 6) AS p90_sec
+          |FROM per""".stripMargin,
       "u10_anomaly_days" ->
         """WITH ud AS (
           |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c

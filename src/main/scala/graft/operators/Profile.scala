@@ -44,4 +44,39 @@ object Profile {
       max(col("value")).as("vmax"),
       sum(col("value").cast("decimal(28,2)")).cast("double").as("vsum"))
   }
+
+  /** Equi-depth histogram of a numeric column: k buckets bounded by the
+    * interior `i/k` percentiles, with per-bucket counts and observed
+    * value ranges — the distribution fingerprint a curation pipeline
+    * tracks across corpus versions (equal-width histograms hide skewed
+    * tails; equal-depth ones move their boundaries instead).
+    *
+    * Bucket boundaries come from the interpolated percentile aggregate
+    * (`exact` / `accuracy` carry the same single-reducer-vs-sketch trade
+    * as [[Latency.conversionReport]]); the row→bucket assignment is
+    * `1 + |{cuts < value}|` computed against the broadcast k−1-element
+    * cutoff array — one corpus scan, one tiny broadcast, one hash
+    * aggregate on the bucket id. Interpolated cutoffs are either exactly
+    * a data value (zero fractional rank — both engines return the lower
+    * sample unchanged) or strictly between two samples, so the strict
+    * comparison is engine-stable without rounding. */
+  def equiDepthHistogram(
+      df: DataFrame, valueCol: String, k: Int = 10,
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(k >= 2, s"need at least 2 buckets, got $k")
+    val probs = (1 until k).map(i => i.toDouble / k)
+    val arr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val rows = df.select(col(valueCol).cast("double").as("value"))
+      .where(col("value").isNotNull)
+    val cuts = rows.agg(
+      (if (exact) expr(s"percentile(value, $arr)")
+       else expr(s"approx_percentile(value, $arr, $accuracy)").cast("array<double>"))
+        .as("cuts"))
+    rows.crossJoin(broadcast(cuts))
+      .select(col("value"),
+        (size(filter(col("cuts"), c => c < col("value"))) + 1).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+  }
 }

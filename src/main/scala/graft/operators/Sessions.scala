@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based session statistics — the batch half of the sessionization
+  * story (the streaming half is `EventStream`'s native session windows):
+  * events split into sessions wherever a user pauses longer than the
+  * gap, then per-session size/duration and a corpus-wide duration
+  * distribution.
+  *
+  * Plan shape at 100 TB: the event stream shuffles ONCE onto the user
+  * key for the lag/running-sum windows (per-partition state is one
+  * user's events, high-cardinality and unskewed — same justification as
+  * the q10 sessionize query), collapses to the per-session table in the
+  * same partitioning (user is a prefix of the (user, session) grouping
+  * key), and the one-row report aggregates |sessions| rows. The
+  * percentile aggregate exposes the same `exact` switch as
+  * [[Latency.conversionReport]]: exact `percentile` sorts all session
+  * durations in one final buffer (the cross-engine-oracle form, fine to
+  * ~10⁷ sessions), `approx_percentile` is the bounded-memory mergeable
+  * path for beyond.
+  */
+object Sessions {
+
+  /** Per-session table: (user, sess_id, n_events, dur_us). `sess_id`
+    * numbers a user's sessions 1..n in time order; single-event
+    * sessions have duration 0. */
+  def sessionTable(
+      events: DataFrame, gapMinutes: Int = 30, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("_prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("_new_sess",
+        when(col("_prev_us").isNull ||
+          unix_micros(col(tsCol)) - col("_prev_us") > gapMinutes * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("_new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
+          .cast("double").as("dur_us"))
+  }
+
+  /** One-row report: `n_sessions`, `mean_events`, and one `p{N}_sec`
+    * column per requested percentile of the session duration. */
+  def durationReport(
+      events: DataFrame, gapMinutes: Int = 30, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      probs: Seq[Double] = Seq(0.5, 0.9),
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      s"percentile probs must be in (0,1): $probs")
+    val per = sessionTable(events, gapMinutes, userCol, tsCol, idCol)
+    val arr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val pcts =
+      if (exact) expr(s"percentile(dur_us, $arr)")
+      else expr(s"approx_percentile(dur_us, $arr, $accuracy)").cast("array<double>")
+    val outs: Seq[Column] = Seq(
+      count(lit(1)).as("n_sessions"),
+      round(sum(col("n_events")).cast("double") / count(lit(1)), 6)
+        .as("mean_events")) ++
+      probs.zipWithIndex.map { case (p, i) =>
+        round(element_at(pcts, i + 1) / 1e6, 6).as(s"p${(p * 100).round}_sec")
+      }
+    per.agg(outs.head, outs.tail: _*)
+  }
+}

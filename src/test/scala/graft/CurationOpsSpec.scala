@@ -225,4 +225,21 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
     assert(approx("a") === 3L && approx("b") === 2L)
   }
+
+  test("equi-depth histogram: quartile boundaries, duplicates, null exclusion") {
+    import spark.implicits._
+    // 1..10 with a null: interior quartile cuts 3.25 / 5.5 / 7.75
+    val df = ((1 to 10).map(i => Some(i.toDouble)) :+ None)
+      .toDF("v").repartition(3)
+    val r = graft.operators.Profile.equiDepthHistogram(df, "v", k = 4)
+      .collect().map(x =>
+        x.getInt(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r === Map(
+      1 -> ((3L, 1.0, 3.0)), 2 -> ((2L, 4.0, 5.0)),
+      3 -> ((2L, 6.0, 7.0)), 4 -> ((3L, 8.0, 10.0))))
+    // constant column: every cut equals the value, one bucket survives
+    val const = Seq.fill(4)(1.0).toDF("v")
+    val rc = graft.operators.Profile.equiDepthHistogram(const, "v", k = 2).collect()
+    assert(rc.length === 1 && rc.head.getLong(1) === 4L)
+  }
 }

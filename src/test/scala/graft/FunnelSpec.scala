@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Anomaly, AsOf, Experiment, Funnel, Paths, Rfm}
+import graft.operators.{Anomaly, AsOf, Experiment, Funnel, Paths, Rfm, Sessions}
 
 class FunnelSpec extends AnyFunSuite {
 
@@ -179,6 +179,37 @@ class FunnelSpec extends AnyFunSuite {
     val again = Paths.topPaths(e.repartition(7), k = 3, topN = 10).collect()
       .map(r => r.getString(0) -> r.getLong(1))
     assert(again.toSeq === got.toSeq)
+  }
+
+  test("session stats: gap split, durations, hand-computed percentiles") {
+    import spark.implicits._
+    val e = Seq(
+      // user 1, session 1: three events over 20 min (duration 1200 s)
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 10:10:00")),
+      (1L, 3L, ts("2024-01-01 10:20:00")),
+      // user 1, session 2 after a 2 h gap: single event (duration 0)
+      (1L, 4L, ts("2024-01-01 12:20:01")),
+      // user 2: one event, one zero-duration session
+      (2L, 5L, ts("2024-01-02 09:00:00")))
+      .map { case (u, i, t) => (u, i, "view", t) }
+      .toDF("user_id", "event_id", "event_type", "ts").repartition(3)
+    val per = Sessions.sessionTable(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(per === Map(
+      (1L, 1L) -> ((3L, 1200e6)), (1L, 2L) -> ((1L, 0.0)),
+      (2L, 1L) -> ((1L, 0.0))))
+    val rep = Sessions.durationReport(e).head
+    // durations [0, 0, 1200] s: p50 = 0, p90 interpolates to 960 s
+    assert(rep.getLong(0) === 3L)
+    assert(math.abs(rep.getDouble(1) - 5.0 / 3) < 1e-6)
+    assert(rep.getDouble(2) === 0.0)
+    assert(math.abs(rep.getDouble(3) - 960.0) < 1e-9)
+    // exactly-at-gap boundary (30:00) stays in the same session
+    val b = Seq((9L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (9L, 2L, "view", ts("2024-01-01 10:30:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    assert(Sessions.sessionTable(b).collect().length === 1)
   }
 
   test("daily spikes: z against the user's own history, exact exclusions") {
