@@ -269,4 +269,19 @@ class PlanSpec extends AnyFunSuite {
       s"keepCanonical should anti-join via shuffle-hash on the id:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q22 session stats: one user-key shuffle shared by windows and session agg") {
+    val p = plan("q22_session_stats")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"lag/running-sum windows and the (user, sess) collapse should share one user shuffle:\n$p")
+    assert(p.contains("Exchange hashpartitioning(user_id"), p)
+  }
+
+  test("q23 value histogram: cutoffs broadcast, one bucket-id shuffle") {
+    val p = plan("q23_value_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row cutoff table must broadcast, never shuffle the corpus:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"only the bucket-id aggregate should shuffle:\n$p")
+  }
 }
