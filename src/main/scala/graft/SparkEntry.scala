@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{Anomaly, AsOf, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, Latency, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Split, Transitions, Vocab}
+import graft.operators.{Anomaly, AsOf, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, Latency, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Split, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -618,6 +618,11 @@ object SparkEntry {
     // aggregated table. Variance numerator stays in exact integers.
     "u10_anomaly_days" -> ((s, dir) =>
       Anomaly.dailySpikes(tbl(s, dir, "events"))),
+    // Daily growth accounting: one event-stream shuffle to distinct
+    // (user, day), one window pass classifying each active day and
+    // marking churn, tiny per-day aggregate. No joins or self-unions.
+    "u11_growth_accounting" -> ((s, dir) =>
+      Lifecycle.growthAccounting(tbl(s, dir, "events"))),
     // Top user journeys: first-5-events path per user via the bounded
     // FirstKAgg (no stream-wide window), path histogram, top-20 via
     // TakeOrderedAndProject. Ties break on the path string.
@@ -1844,6 +1849,30 @@ object SparkEntry {
           |  round(quantile_cont(dur_us, 0.5) / 1e6, 6) AS p50_sec,
           |  round(quantile_cont(dur_us, 0.9) / 1e6, 6) AS p90_sec
           |FROM per""".stripMargin,
+      "u11_growth_accounting" ->
+        """WITH ud AS (
+          |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+          |), w AS (
+          |  SELECT user_id, day,
+          |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+          |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+          |  FROM ud
+          |), c AS (
+          |  SELECT day,
+          |    CASE WHEN prev IS NULL THEN 'new'
+          |         WHEN day - prev = 1 THEN 'retained'
+          |         ELSE 'resurrected' END AS status
+          |  FROM w
+          |  UNION ALL
+          |  SELECT day + 1 AS day, 'churned' AS status
+          |  FROM w WHERE next IS NULL OR next - day > 1
+          |)
+          |SELECT day,
+          |  count(*) FILTER (WHERE status = 'new') AS new_users,
+          |  count(*) FILTER (WHERE status = 'retained') AS retained_users,
+          |  count(*) FILTER (WHERE status = 'resurrected') AS resurrected_users,
+          |  count(*) FILTER (WHERE status = 'churned') AS churned_users
+          |FROM c GROUP BY 1""".stripMargin,
       "u10_anomaly_days" ->
         """WITH ud AS (
           |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c

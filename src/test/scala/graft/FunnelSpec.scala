@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Anomaly, AsOf, Experiment, Funnel, Paths, Rfm, Sessions}
+import graft.operators.{Anomaly, AsOf, Experiment, Funnel, Lifecycle, Paths, Rfm, Sessions}
 
 class FunnelSpec extends AnyFunSuite {
 
@@ -210,6 +210,32 @@ class FunnelSpec extends AnyFunSuite {
       (9L, 2L, "view", ts("2024-01-01 10:30:00")))
       .toDF("user_id", "event_id", "event_type", "ts")
     assert(Sessions.sessionTable(b).collect().length === 1)
+  }
+
+  test("growth accounting: new/retained/resurrected/churned identities") {
+    import spark.implicits._
+    // u1 active Jan 1, 2, 5 (two events on Jan 1 must not double-count);
+    // u2 active Jan 2 only
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 11:00:00")),
+      (1L, 3L, ts("2024-01-02 10:00:00")),
+      (1L, 4L, ts("2024-01-05 10:00:00")),
+      (2L, 5L, ts("2024-01-02 09:00:00")))
+      .map { case (u, i, t) => (u, i, "view", t) }
+      .toDF("user_id", "event_id", "event_type", "ts").repartition(3)
+    val r = Lifecycle.growthAccounting(e).collect()
+      .map(x => x.getDate(0).toString ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r === Map(
+      "2024-01-01" -> ((1L, 0L, 0L, 0L)),   // u1 new
+      "2024-01-02" -> ((1L, 1L, 0L, 0L)),   // u2 new, u1 retained
+      "2024-01-03" -> ((0L, 0L, 0L, 2L)),   // both churn after Jan 2
+      "2024-01-05" -> ((0L, 0L, 1L, 0L)),   // u1 resurrects
+      "2024-01-06" -> ((0L, 0L, 0L, 1L))),  // trailing right-censored churn
+      r)
+    // identity: churned(d) = active(d-1) - retained(d) on the interior day
+    assert(r("2024-01-03")._4 === 2L)
   }
 
   test("daily spikes: z against the user's own history, exact exclusions") {
