@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{Anomaly, AsOf, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, Latency, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Split, Transitions, Vocab}
+import graft.operators.{Anomaly, AsOf, Attribution, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, Latency, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Split, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -618,6 +618,11 @@ object SparkEntry {
     // aggregated table. Variance numerator stays in exact integers.
     "u10_anomaly_days" -> ((s, dir) =>
       Anomaly.dailySpikes(tbl(s, dir, "events"))),
+    // Position-based multi-touch attribution: one user-key shuffle
+    // serves the conversion-counter and per-epoch rank windows; credit
+    // stays in exact integer ppm until the per-channel rollup.
+    "u12_attribution_credit" -> ((s, dir) =>
+      Attribution.positionCredit(tbl(s, dir, "events"))),
     // Daily growth accounting: one event-stream shuffle to distinct
     // (user, day), one window pass classifying each active day and
     // marking churn, tiny per-day aggregate. No joins or self-unions.
@@ -1849,6 +1854,32 @@ object SparkEntry {
           |  round(quantile_cont(dur_us, 0.5) / 1e6, 6) AS p50_sec,
           |  round(quantile_cont(dur_us, 0.9) / 1e6, 6) AS p90_sec
           |FROM per""".stripMargin,
+      "u12_attribution_credit" ->
+        """WITH e AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |            ROWS UNBOUNDED PRECEDING) AS seen,
+          |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY user_id) AS k
+          |  FROM events
+          |), t AS (
+          |  SELECT user_id, event_type, ts, event_id, seen + 1 AS epoch
+          |  FROM e WHERE event_type <> 'purchase' AND seen + 1 <= k
+          |), r AS (
+          |  SELECT event_type,
+          |    row_number() OVER (PARTITION BY user_id, epoch
+          |                       ORDER BY ts, event_id) AS rn,
+          |    count(*) OVER (PARTITION BY user_id, epoch) AS n
+          |  FROM t
+          |)
+          |SELECT event_type AS channel, count(*) AS n_touches,
+          |  CAST(sum(CASE WHEN n = 1 THEN 1000000
+          |                WHEN n = 2 THEN 500000
+          |                WHEN rn = 1 OR rn = n THEN 400000
+          |                ELSE CAST(floor(CAST(200000 AS DOUBLE) / (n - 2)) AS BIGINT)
+          |           END) AS DOUBLE) / 1e6 AS credit
+          |FROM r GROUP BY 1""".stripMargin,
       "u11_growth_accounting" ->
         """WITH ud AS (
           |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

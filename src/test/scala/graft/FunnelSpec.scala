@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Anomaly, AsOf, Experiment, Funnel, Lifecycle, Paths, Rfm, Sessions}
+import graft.operators.{Anomaly, AsOf, Attribution, Experiment, Funnel, Lifecycle, Paths, Rfm, Sessions}
 
 class FunnelSpec extends AnyFunSuite {
 
@@ -210,6 +210,34 @@ class FunnelSpec extends AnyFunSuite {
       (9L, 2L, "view", ts("2024-01-01 10:30:00")))
       .toDF("user_id", "event_id", "event_type", "ts")
     assert(Sessions.sessionTable(b).collect().length === 1)
+  }
+
+  test("attribution: U-shaped credit per epoch, exact ppm, trailing touches dropped") {
+    import spark.implicits._
+    // u1 epoch 1: view, click, view, signup → conv. 4 touches:
+    //   first view 0.4, click 0.066666, view 0.066666, signup 0.4
+    // u1 epoch 2 (after conv 1): click → conv. 1 touch: click 1.0
+    // u1 trailing view after last conversion: no credit
+    // u2: view, click → conv. 2 touches: 0.5 each
+    val e = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "view"),
+      (1L, 4L, "signup"), (1L, 5L, "purchase"),
+      (1L, 6L, "click"), (1L, 7L, "purchase"),
+      (1L, 8L, "view"),
+      (2L, 9L, "view"), (2L, 10L, "click"), (2L, 11L, "purchase"))
+      .map { case (u, i, t) =>
+        (u, i, t, ts(f"2024-01-01 10:${i}%02d:00")) }
+      .toDF("user_id", "event_id", "event_type", "ts").repartition(3)
+    val r = Attribution.positionCredit(e).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    // floor(200000/2) = 100000 ppm = 0.1 for each middle touch
+    assert(r === Map(
+      "view" -> ((3L, 0.4 + 0.1 + 0.5)),
+      "click" -> ((3L, 0.1 + 1.0 + 0.5)),
+      "signup" -> ((1L, 0.4))), r)
+    // no purchase channel, no credit for the trailing view
+    assert(!r.contains("purchase"))
+    assert(r.values.map(_._1).sum === 7L)
   }
 
   test("growth accounting: new/retained/resurrected/churned identities") {

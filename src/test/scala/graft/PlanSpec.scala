@@ -270,6 +270,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("u12 attribution: epoch windows reuse the user-key shuffle") {
+    val p = plan("u12_attribution_credit")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"(user, epoch) windows must cluster on the existing user partitioning:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"expected only the user shuffle + the channel rollup:\n$p")
+  }
+
   test("q22 session stats: one user-key shuffle shared by windows and session agg") {
     val p = plan("q22_session_stats")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
