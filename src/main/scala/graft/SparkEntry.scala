@@ -618,6 +618,14 @@ object SparkEntry {
     // aggregated table. Variance numerator stays in exact integers.
     "u10_anomaly_days" -> ((s, dir) =>
       Anomaly.dailySpikes(tbl(s, dir, "events"))),
+    // Funnel with an exclusion step: signup→click→purchase voided by an
+    // error strictly between entry and completion. The exclusion stream
+    // is one more collect_list in the SAME per-user aggregate — still
+    // one shuffle, no anti-join.
+    "u13_funnel_exclusion" -> ((s, dir) =>
+      Funnel.cleanReport(tbl(s, dir, "events"),
+        Seq("signup", "click", "purchase"), excludeType = "error",
+        windowDays = 7)),
     // Position-based multi-touch attribution: one user-key shuffle
     // serves the conversion-counter and per-epoch rank windows; credit
     // stays in exact integer ppm until the per-channel rollup.
@@ -1854,6 +1862,19 @@ object SparkEntry {
           |  round(quantile_cont(dur_us, 0.5) / 1e6, 6) AS p50_sec,
           |  round(quantile_cont(dur_us, 0.9) / 1e6, 6) AS p90_sec
           |FROM per""".stripMargin,
+      "u13_funnel_exclusion" ->
+        s"""$funnelStagesSql, ex AS (
+           |  SELECT s2.user_id, s2.t2,
+           |    max(CASE WHEN e.ts > s2.t0 AND e.ts < s2.t2 THEN 1 ELSE 0 END) AS excl
+           |  FROM s2 LEFT JOIN events e
+           |    ON e.user_id = s2.user_id AND e.event_type = 'error'
+           |  GROUP BY 1, 2
+           |)
+           |SELECT count(*) AS entered,
+           |  CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS completed,
+           |  CAST(sum(CASE WHEN t2 IS NOT NULL AND excl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS excluded,
+           |  CAST(sum(CASE WHEN t2 IS NOT NULL AND coalesce(excl, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS clean_converted
+           |FROM ex""".stripMargin,
       "u12_attribution_credit" ->
         """WITH e AS (
           |  SELECT user_id, event_id, event_type, ts,

@@ -68,6 +68,55 @@ object Funnel {
           .reduce(_ + _).as("stage"): _*)
   }
 
+  /** Funnel with an EXCLUSION step (the "A then B then C with no X in
+    * between" form every funnel product supports): a completion is
+    * voided when an `excludeType` event falls strictly between the
+    * user's step-0 time and their final-step time. One-row report:
+    * `entered`, `completed` (reached the last step), `excluded`
+    * (completed but voided), `clean_converted` (completed − excluded).
+    *
+    * Same ONE-shuffle shape as [[userStages]]: the exclusion stream is
+    * just one more `collect_list` in the same per-user aggregate — no
+    * second scan, no anti-join — and the void test is an `exists` over
+    * that (small, per-user-bounded) array after the funnel walk. */
+  def cleanReport(
+      events: DataFrame,
+      steps: Seq[String],
+      excludeType: String,
+      windowDays: Int = 7,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(!steps.contains(excludeType),
+      s"exclusion type $excludeType cannot also be a step")
+    val perUser = events.where(col(typeCol).isin(steps :+ excludeType: _*))
+      .groupBy(col(userCol))
+      .agg(
+        collect_list(when(col(typeCol) === steps.head, col(tsCol))).as("_ts0"),
+        (steps.zipWithIndex.tail.map { case (step, i) =>
+          collect_list(when(col(typeCol) === step, col(tsCol))).as(s"_ts$i")
+        } :+
+          collect_list(when(col(typeCol) === excludeType, col(tsCol))).as("_tsx")): _*)
+      .where(size(col("_ts0")) > 0)
+    val withT0 = perUser
+      .withColumn("t0", array_min(col("_ts0")))
+      .withColumn("deadline", col("t0") + expr(s"INTERVAL $windowDays DAYS"))
+    val walked = steps.indices.tail.foldLeft(withT0) { (acc, i) =>
+      acc.withColumn(s"t$i",
+        array_min(filter(col(s"_ts$i"),
+          x => x >= col(s"t${i - 1}") && x <= col("deadline"))))
+    }
+    val last = col(s"t${steps.length - 1}")
+    val voided = last.isNotNull &&
+      exists(col("_tsx"), x => x > col("t0") && x < last)
+    walked.agg(
+      count(lit(1)).as("entered"),
+      sum(when(last.isNotNull, 1L).otherwise(0L)).as("completed"),
+      sum(when(voided, 1L).otherwise(0L)).as("excluded"),
+      sum(when(last.isNotNull && !voided, 1L).otherwise(0L)).as("clean_converted"))
+  }
+
   /** Aggregate funnel report: users reaching each stage (monotone
     * decreasing), with conversion from stage 1. */
   def report(

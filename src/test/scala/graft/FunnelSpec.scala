@@ -212,6 +212,29 @@ class FunnelSpec extends AnyFunSuite {
     assert(Sessions.sessionTable(b).collect().length === 1)
   }
 
+  test("funnel exclusion: strictly-between void, boundary errors don't count") {
+    import spark.implicits._
+    val e = Seq(
+      // u1: clean conversion, no error anywhere
+      (1L, "signup", "10:00"), (1L, "click", "10:05"), (1L, "purchase", "10:10"),
+      // u2: error strictly inside (t0, t2) → voided
+      (2L, "signup", "10:00"), (2L, "error", "10:03"),
+      (2L, "click", "10:05"), (2L, "purchase", "10:10"),
+      // u3: enters but never completes
+      (3L, "signup", "10:00"), (3L, "click", "10:05"),
+      // u4: errors only outside the open interval (before entry, exactly
+      // at completion, after completion) → still clean
+      (4L, "error", "09:00"), (4L, "signup", "10:00"), (4L, "click", "10:05"),
+      (4L, "purchase", "10:10"), (4L, "error", "10:10"), (4L, "error", "11:00"))
+      .zipWithIndex
+      .map { case ((u, t, hm), i) =>
+        (u, i.toLong, t, ts(s"2024-01-01 $hm:00")) }
+      .toDF("user_id", "event_id", "event_type", "ts").repartition(3)
+    val r = Funnel.cleanReport(e, Seq("signup", "click", "purchase"), "error").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 3L, 1L, 2L)))
+  }
+
   test("attribution: U-shaped credit per epoch, exact ppm, trailing touches dropped") {
     import spark.implicits._
     // u1 epoch 1: view, click, view, signup → conv. 4 touches:
