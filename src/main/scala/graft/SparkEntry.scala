@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{Anomaly, AsOf, Attribution, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, Latency, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Split, Transitions, Vocab}
+import graft.operators.{Anomaly, AsOf, Attribution, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, Latency, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -762,6 +762,19 @@ object SparkEntry {
     "d12_semdedup" -> ((s, dir) => {
       Graft.registerAll(s)
       Dedup.semDedup(augmentedEmb(s, dir), k = 8, iters = 2, threshold = 0.95)
+    }),
+    // Corpus snapshot diff: (id, content-hash) projected in the scan
+    // stage, one co-partitioned full-outer join — the release audit
+    // between dataset version N and N+1. Old = docs except %7==0;
+    // new = docs except %7==3, with %5==0 texts edited.
+    "q24_snapshot_diff" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      Snapshot.diff(
+        d.where(col("doc_id") % 7 =!= 0),
+        d.where(col("doc_id") % 7 =!= 3)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text")))
     }),
     // Deterministic hash-based train/val/test assignment: a pure
     // projection of the id, stable across partitioning/cluster size.
@@ -1862,6 +1875,20 @@ object SparkEntry {
           |  round(quantile_cont(dur_us, 0.5) / 1e6, 6) AS p50_sec,
           |  round(quantile_cont(dur_us, 0.9) / 1e6, 6) AS p90_sec
           |FROM per""".stripMargin,
+      "q24_snapshot_diff" ->
+        """WITH oldv AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+          |), newv AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+          |  FROM documents WHERE doc_id % 7 <> 3
+          |)
+          |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          |  CASE WHEN o.doc_id IS NULL THEN 'added'
+          |       WHEN n.doc_id IS NULL THEN 'removed'
+          |       WHEN o.text <> n.text THEN 'changed'
+          |       ELSE 'unchanged' END AS status
+          |FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id""".stripMargin,
       "u13_funnel_exclusion" ->
         s"""$funnelStagesSql, ex AS (
            |  SELECT s2.user_id, s2.t2,

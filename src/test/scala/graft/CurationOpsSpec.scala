@@ -226,6 +226,21 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(approx("a") === 3L && approx("b") === 2L)
   }
 
+  test("snapshot diff: added/removed/changed/unchanged by content") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "text").repartition(2)
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d"))
+      .toDF("doc_id", "text").repartition(3)
+    val d = graft.operators.Snapshot.diff(oldSnap, newSnap).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    val rep = graft.operators.Snapshot.report(oldSnap, newSnap).head
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2), rep.getLong(3)) ===
+      ((1L, 1L, 1L, 1L)))
+  }
+
   test("equi-depth histogram: quartile boundaries, duplicates, null exclusion") {
     import spark.implicits._
     // 1..10 with a null: interior quartile cuts 3.25 / 5.5 / 7.75
