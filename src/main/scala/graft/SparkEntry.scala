@@ -591,6 +591,11 @@ object SparkEntry {
         .select(col("event_type"),
           col("sum_value").cast("double").as("sum_value"), col("n"))
     }),
+    // Join-key skew diagnostic: one shuffle into per-key counts, then a
+    // one-row distribution summary (max/median/p99/skew) — run before
+    // choosing a salt factor.
+    "u14_skew_profile" -> ((s, dir) =>
+      Skew.keyProfile(tbl(s, dir, "events"), "user_id")),
     // RFM user segmentation: per-user recency/frequency/monetary over
     // purchases, scored 1-4 by exact quartile cutoffs computed once and
     // broadcast back — no ntile() global sort anywhere.
@@ -1875,6 +1880,16 @@ object SparkEntry {
           |  round(quantile_cont(dur_us, 0.5) / 1e6, 6) AS p50_sec,
           |  round(quantile_cont(dur_us, 0.9) / 1e6, 6) AS p90_sec
           |FROM per""".stripMargin,
+      "u14_skew_profile" ->
+        """WITH c AS (
+          |  SELECT user_id, count(*) AS n FROM events GROUP BY 1
+          |)
+          |SELECT sum(n) AS n_rows, count(*) AS n_keys,
+          |  max(n) AS max_key_rows,
+          |  quantile_cont(n, 0.5) AS p50_key_rows,
+          |  quantile_cont(n, 0.99) AS p99_key_rows,
+          |  round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6) AS skew
+          |FROM c""".stripMargin,
       "q24_snapshot_diff" ->
         """WITH oldv AS (
           |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0

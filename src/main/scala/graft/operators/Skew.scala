@@ -20,6 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Key-distribution profile — the diagnostic you run BEFORE picking a
+    * salt factor or trusting a join key: one shuffle into per-key
+    * counts (map-side partials absorb the hot keys' row streams), then
+    * a one-row summary over the |keys|-sized count table. `skew` is
+    * max-to-mean (`max · keys ∕ rows`, exact integers until the one
+    * final division) — ~1 for uniform keys, ≫1 for power laws; a salted
+    * aggregation with `salts ≈ ceil(skew)` levels the reducers. */
+  def keyProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    counts.agg(
+      sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("n")).as("max_key_rows"),
+      expr("percentile(n, 0.5D)").as("p50_key_rows"),
+      expr("percentile(n, 0.99D)").as("p99_key_rows"),
+      round(max(col("n")).cast("double") * count(lit(1)) / sum(col("n")), 6)
+        .as("skew"))
+  }
+
   /** Two-stage salted sum/count per key: returns
     * `(key, sum(valueCol) AS <sumAlias>, count(*) AS <cntAlias>)`,
     * identical to the unsalted `groupBy(key).agg(sum, count)` but with

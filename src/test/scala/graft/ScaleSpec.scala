@@ -49,6 +49,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(partials > 1, "salting must spread the hot key across sub-groups")
   }
 
+  test("key profile: exact counts and max-to-mean skew on a known mix") {
+    import spark.implicits._
+    // key "hot" 90 rows; keys a..i 9 × 10 rows → rows 180, keys 10,
+    // max 90, p50 10, mean 18 → skew 5.0; p99 interpolates 90/10
+    val rows = (1 to 90).map(i => ("hot", i)) ++
+      (0 until 9).flatMap(k => (1 to 10).map(i => (s"k$k", i)))
+    val p = Skew.keyProfile(rows.toDF("k", "v").repartition(4), "k").head
+    assert(p.getLong(0) === 180L && p.getLong(1) === 10L && p.getLong(2) === 90L)
+    assert(p.getDouble(3) === 10.0)
+    assert(math.abs(p.getDouble(4) - (10.0 * 0.09 + 90.0 * 0.91)) < 1e-6)
+    assert(p.getDouble(5) === 5.0)
+  }
+
   test("hash split is deterministic, exhaustive, and proportional") {
     val docs = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
       .select(col("doc_id"))
