@@ -100,6 +100,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(orcBack.schema === src.schema)
   }
 
+  test("bucketed tables: co-located join with no exchange, bucket pruning on point lookups") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bucketed").toFile.getAbsolutePath
+    val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "l")
+    val right = (1 to 1000).map(i => (i.toLong, i * 2L)).toDF("id", "r")
+    left.write.mode("overwrite").option("path", s"$dir/left")
+      .bucketBy(8, "id").sortBy("id").saveAsTable("bkt_left")
+    right.write.mode("overwrite").option("path", s"$dir/right")
+      .bucketBy(8, "id").sortBy("id").saveAsTable("bkt_right")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // co-located join: both sides pre-bucketed on the key → the join
+      // runs on the bucket layout, no Exchange anywhere in the plan
+      val j = spark.table("bkt_left").join(spark.table("bkt_right"), "id")
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed-by-key join must not re-shuffle either side:\n$p")
+      assert(j.count() === 1000)
+      // bucket pruning: an equality filter touches 1 of 8 buckets.
+      // (The planner turns bucketed scans OFF for join-free queries by
+      // default — pruning needs the bucketed layout kept on.)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val one = spark.table("bkt_left").where(col("id") === 5L)
+      val pp = one.queryExecution.executedPlan.toString
+      assert(pp.contains("SelectedBucketsCount: 1 out of 8"),
+        s"point lookup should prune to one bucket:\n$pp")
+      assert(one.count() === 1)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+
   test("avro round-trip (gated: runs only when the spark-avro connector is present)") {
     // Mirrors the reference's dormant avro feature gate
     // (/root/reference/tests/sqllogictests/src/main.rs:258-270): the
