@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{Anomaly, AsOf, Attribution, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, Latency, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Transitions, Vocab}
+import graft.operators.{Anomaly, AsOf, Attribution, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, HeavyHitters, Latency, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -355,6 +355,13 @@ object SparkEntry {
     // full vocabulary, cross the final boundary).
     "t6_vocab" -> ((s, dir) =>
       Vocab.topTerms(par(tbl(s, dir, "documents")), k = 100)),
+    // Misra-Gries heavy hitters: ≤ capacity counters per partition cross
+    // the single merge — the bounded-memory top-terms path for
+    // vocabularies too large to shuffle. capacity=1024 ≥ |vocab| here,
+    // so counts are exact and the oracle is the plain GROUP BY.
+    "t17_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.topTokens(par(tbl(s, dir, "documents")),
+        capacity = 1024, k = 20)),
     // Corpus tokenization against a trained 30-term vocabulary: train
     // (top-k by cf) → assign dense ids → encode every document to its
     // id sequence with OOV counts. Vocabulary broadcast; corpus
@@ -1323,6 +1330,16 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS cf
           |FROM tok GROUP BY token
           |ORDER BY cf DESC, token LIMIT 100""".stripMargin,
+      "t17_heavy_hitters" ->
+        """WITH tok AS (
+          |  SELECT unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS term
+          |  FROM documents
+          |), c AS (
+          |  SELECT term, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(row_number() OVER (ORDER BY count(*) DESC, term) AS INT) AS rank
+          |  FROM tok GROUP BY term
+          |)
+          |SELECT term, n, rank FROM c WHERE rank <= 20""".stripMargin,
       "t13_vocab_encode" ->
         """WITH toks AS (
           |  SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-Z0-9'']+') AS t

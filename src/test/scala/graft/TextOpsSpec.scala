@@ -115,4 +115,34 @@ class TextOpsSpec extends AnyFunSuite {
       .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
     assert(again === r)
   }
+
+  test("misra-gries: exact when capacity holds the vocab, bounded under eviction") {
+    import spark.implicits._
+    import graft.operators.HeavyHitters
+    // exact regime: capacity >= distinct terms → counts equal GROUP BY
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b c d"), (3L, "a e")).toDF("doc_id", "text")
+    val exact = HeavyHitters.topTokens(docs.repartition(3), capacity = 64, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(exact.toSeq === Seq(("a", 5L, 1), ("b", 3L, 2), ("c", 2L, 3),
+      ("d", 1L, 4), ("e", 1L, 5)))
+    // eviction regime: 3 heavy terms (100 each) among 200 singletons,
+    // capacity 8 → bound N/(cap+1) = 500/9 ≈ 55.6; heavies must survive
+    // with counts within the bound, on any partitioning
+    val stream = (1 to 100).flatMap(_ => Seq("h1", "h2", "h3")) ++
+      (1 to 200).map(i => s"noise$i")
+    val n = stream.size.toLong
+    val hh = HeavyHitters.topTokens(
+      stream.map(t => (0L, t)).toDF("doc_id", "text").repartition(5),
+      capacity = 8, k = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = n.toDouble / 9
+    Seq("h1", "h2", "h3").foreach { h =>
+      assert(hh.contains(h), s"heavy hitter $h evicted: $hh")
+      assert(hh(h) <= 100L && hh(h) >= 100L - bound, s"$h count ${hh(h)} outside bound")
+    }
+    hh.foreach { case (t, c) =>
+      val truth = if (t.startsWith("h")) 100L else 1L
+      assert(c <= truth && c >= truth - bound, s"$t=$c violates the MG bound")
+    }
+  }
 }
