@@ -75,7 +75,7 @@ object Bench {
     val baseForks =
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_FORKS", "2").toInt)
     val maxForks =
-      math.max(baseForks, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXFORKS", "4").toInt)
+      math.max(baseForks, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXFORKS", "5").toInt)
     def fork(name: String): Either[String, Double] = {
       val cmd = new java.util.ArrayList[String]()
       cmd.add(javaBin)
@@ -106,13 +106,17 @@ object Bench {
       var lastErr: Option[String] = None
       var wall = 0.0
       var n = 0
-      // fork again while: under the unconditional base count, or the two
-      // best observations disagree >2x with the best above 3 s (both
-      // children may have hit the same degradation window), capped at
-      // maxForks. Errors consume a fork but are retried up to the cap.
+      // fork again while: under the unconditional base count; or the
+      // query looks slow (best > 3 s) but has fewer than 3 observations
+      // — a degradation window lasting minutes can cover BOTH base forks,
+      // so anything slow earns a third temporally-separated sample; or
+      // the two best observations disagree >2x with the best above 3 s.
+      // All capped at maxForks. Errors consume a fork but are retried up
+      // to the cap.
       def unstable: Boolean = obs.sorted.toList match {
-        case best :: second :: _ => best > 3.0 && second > 2.0 * best
-        case _                   => obs.isEmpty
+        case best :: rest =>
+          best > 3.0 && (obs.size < 3 || rest.headOption.exists(_ > 2.0 * best))
+        case _ => obs.isEmpty
       }
       while (n < baseForks || (n < maxForks && unstable)) {
         val w0 = System.nanoTime()
