@@ -775,6 +775,35 @@ object SparkEntry {
       Graft.registerAll(s)
       Dedup.semDedup(augmentedEmb(s, dir), k = 8, iters = 2, threshold = 0.95)
     }),
+    // Asymmetric containment screen over a corpus with constructed
+    // excerpt copies (200-char mid-document slices): the excerpts score
+    // containment 1.0 against their sources while symmetric jaccard is
+    // far below any dedup threshold — the case d4 structurally misses.
+    "d13_containment" -> ((s, dir) => {
+      Graft.registerAll(s)
+      Dedup.containmentPairs(excerptDocs(s, dir), n = 5, threshold = 0.9)
+    }),
+    // Cross-source duplication matrix: near-dup pairs labeled with both
+    // documents' sources and rolled up to (source, source) — the "which
+    // sources overlap each other" release audit run before mixing
+    // corpora. The pair table is orders of magnitude smaller than the
+    // corpus, so the two source-lookup joins are cheap equi-joins on the
+    // doc id; max is the order-independent score aggregate.
+    "d14_source_overlap" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val pairs = Dedup.ngramJaccardPairs(augmentedDocs(s, dir), n = 5,
+        threshold = 0.3)
+      val src = tbl(s, dir, "documents").select(col("doc_id"), col("source"))
+      pairs
+        .withColumn("base_a", col("id_a") % 1000000)
+        .withColumn("base_b", col("id_b") % 1000000)
+        .join(src.select(col("doc_id").as("base_a"), col("source").as("source_a")), "base_a")
+        .join(src.select(col("doc_id").as("base_b"), col("source").as("source_b")), "base_b")
+        .groupBy(least(col("source_a"), col("source_b")).as("src_lo"),
+          greatest(col("source_a"), col("source_b")).as("src_hi"))
+        .agg(count(lit(1)).as("pair_count"),
+          round(max(col("jaccard")), 6).as("max_score"))
+    }),
     // Corpus snapshot diff: (id, content-hash) projected in the scan
     // stage, one co-partitioned full-outer join — the release audit
     // between dataset version N and N+1. Old = docs except %7==0;
@@ -902,6 +931,18 @@ object SparkEntry {
     val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
     par(d.unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
       expr("substring(text, 1, greatest(length(text) - 20, 1))").as("text"))))
+  }
+
+  /** Documents with constructed excerpt copies: each sufficiently long
+    * doc plus a 200-char mid-document slice at doc_id + 2,000,000. A
+    * contiguous slice's shingle set is a subset of its source's, so the
+    * pair scores containment 1.0 while symmetric jaccard stays near
+    * |excerpt| / |doc|. */
+  private def excerptDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    par(d.unionByName(d.where(length(col("text")) >= 231)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        expr("substring(text, 31, 200)").as("text"))))
   }
 
   /** Embeddings with constructed near-duplicates: each vector plus an
@@ -2160,6 +2201,52 @@ object SparkEntry {
            |)
            |SELECT l.vec_id, l.cell FROM lbl l LEFT JOIN dups d ON l.vec_id = d.vec_id
            |WHERE d.vec_id IS NULL""".stripMargin,
+      "d13_containment" ->
+        s"""WITH exc AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 2000000, substr(text, 31, 200) FROM documents
+           |  WHERE length(text) >= 231
+           |), norm AS (
+           |  SELECT doc_id, $normToksSql AS toks FROM exc
+           |), shs AS (
+           |  SELECT doc_id AS id,
+           |    list_distinct(list_transform(${shingleSql(5)},
+           |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+           |  FROM norm
+           |), ex AS (
+           |  SELECT id, len(sh) AS n, unnest(sh) AS s FROM shs
+           |), pairs AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, count(*) AS inter
+           |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+           |  GROUP BY 1, 2, 3, 4
+           |)
+           |SELECT id_a, id_b,
+           |  round(CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE), 6) AS containment
+           |FROM pairs
+           |WHERE CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.9""".stripMargin,
+      "d14_source_overlap" ->
+        s"""WITH ${augShinglesSql(5)}, ex AS (
+           |  SELECT id, len(sh) AS n, unnest(sh) AS s FROM shs
+           |), pairs AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, count(*) AS inter
+           |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+           |  GROUP BY 1, 2, 3, 4
+           |), scored AS (
+           |  SELECT id_a, id_b,
+           |    round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+           |  FROM pairs
+           |  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.3
+           |), lab AS (
+           |  SELECT least(da.source, db.source) AS src_lo,
+           |         greatest(da.source, db.source) AS src_hi, jaccard
+           |  FROM scored
+           |  JOIN documents da ON scored.id_a % 1000000 = da.doc_id
+           |  JOIN documents db ON scored.id_b % 1000000 = db.doc_id
+           |)
+           |SELECT src_lo, src_hi, count(*) AS pair_count,
+           |  round(max(jaccard), 6) AS max_score
+           |FROM lab GROUP BY 1, 2""".stripMargin,
       "t12_span_dedup" ->
         s"""WITH $augDocsSql, toks AS (
            |  SELECT doc_id, string_split(text, ' ') AS t FROM aug

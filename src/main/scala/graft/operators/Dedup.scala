@@ -330,7 +330,41 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, threshold: Double = 0.3, dfCap: Int = 100000,
-      capStats: Option[CapStats] = None): DataFrame = {
+      capStats: Option[CapStats] = None): DataFrame =
+    shinglePairCounts(docs, idCol, textCol, n, dfCap, capStats)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Asymmetric containment near-dup pairs: score = |A ∩ B| / min(|A|, |B|)
+    * — the shingle containment of the SMALLER document in the larger.
+    * Catches excerpt/quote/prefix duplication that symmetric Jaccard
+    * structurally misses: a 200-char excerpt of a 2000-char page scores
+    * jaccard ≈ 0.1 but containment 1.0. This is the containment screen
+    * web-corpus pipelines run alongside [[ngramJaccardPairs]] (same
+    * inverted-index plan shape, hot-shingle guard, and exactness
+    * properties; only the normalizer differs). */
+  def containmentPairs(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, threshold: Double = 0.9, dfCap: Int = 100000,
+      capStats: Option[CapStats] = None): DataFrame =
+    shinglePairCounts(docs, idCol, textCol, n, dfCap, capStats)
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+
+  /** Shared inverted-index core of [[ngramJaccardPairs]] and
+    * [[containmentPairs]]: hashed shingle sets → explode → hot-shingle
+    * prune → self equi-join on the shingle → per-pair co-occurrence
+    * count. Returns (id_a, id_b, n_a, n_b, inter) with id_a < id_b. */
+  private def shinglePairCounts(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, dfCap: Int, capStats: Option[CapStats]): DataFrame = {
     // materialize the compact per-doc shingle arrays once, eagerly (see
     // minhashLshPairs); the exploded view is re-derived from the
     // checkpointed arrays per consumer — exploding cached arrays is
@@ -365,11 +399,6 @@ object Dedup {
       .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"),
         col("a._n").as("n_a"), col("b._n").as("n_b"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Embedding-cosine near-duplicate pairs via banded sign-LSH candidate

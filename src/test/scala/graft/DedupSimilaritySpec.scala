@@ -81,6 +81,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     lsh.foreach { case (k, v) => assert(exact(k) === v) }
   }
 
+  test("containment flags an excerpt its symmetric jaccard misses") {
+    import spark.implicits._
+    val long = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu one two three four five six")
+    // excerpt = a contiguous mid-document slice → shingle subset of long
+    val excerpt = "kilo lima mike november oscar papa quebec romeo"
+    val d = Seq((1L, long), (2L, excerpt),
+      (3L, "entirely unrelated content about database engines and planners"))
+      .toDF("doc_id", "text").repartition(2)
+    val cont = Dedup.containmentPairs(d, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.keySet === Set((1L, 2L)))
+    assert(cont((1L, 2L)) === 1.0)
+    // the same pair is invisible to symmetric jaccard at any dedup-grade
+    // threshold: |excerpt shingles| / |long shingles| is well under 0.3
+    val jac = Dedup.ngramJaccardPairs(d, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
+  test("containment and jaccard agree on identical docs and respect the df cap") {
+    val cont = Dedup.containmentPairs(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont((1L, 2L)) === 1.0) // identical docs: containment == jaccard == 1
+    // dfCap=1 drops every shared shingle → no pairs survive
+    assert(Dedup.containmentPairs(docs, threshold = 0.5, dfCap = 1).count() === 0)
+  }
+
   test("simhash is equal for identical docs and differs across contents") {
     val sh = docs.select(col("doc_id"), Dedup.simhash32(col("text")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
