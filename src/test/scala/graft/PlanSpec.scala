@@ -90,6 +90,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"all-pairs cartesian in d12:\n$p")
   }
 
+  test("d13 containment: inverted-index equi-join stays shuffled-hash, no nested loop") {
+    val p = plan("d13_containment")
+    assert(p.contains("ShuffledHashJoin"),
+      s"shingle self-join should shuffle on the shingle key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in d13:\n$p")
+  }
+
+  test("d14 source overlap: source lookups are equi-joins, no nested loop") {
+    val p = plan("d14_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in d14:\n$p")
+  }
+
   test("p7 token budget: running total windows on (source, bucket), never source alone") {
     val p = plan("p7_token_budget")
     // the row-level cumsum must partition by the bucket too — a
