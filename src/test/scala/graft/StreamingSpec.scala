@@ -245,6 +245,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: exact regime matches true counts, bounded under eviction") {
+    import spark.implicits._
+    import graft.streaming.StatefulTopK
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val tokens = StatefulTopK.shapeTokens(mem.toDF.toDF("text"), buckets = 4)
+    val q = StatefulTopK.bucketSummaries(tokens, capacity = 64).toDF()
+      .writeStream.format("memory").queryName("shh").outputMode("update").start()
+    try {
+      mem.addData("alpha alpha bravo", "alpha charlie")
+      q.processAllAvailable()
+      mem.addData("bravo bravo delta alpha")
+      q.processAllAvailable()
+      // capacity >= per-bucket vocabulary → no eviction → exact counts
+      // across micro-batches, deterministic (n desc, term asc) order
+      val top = StatefulTopK.topK(spark.table("shh"), k = 10).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      assert(top.toSeq === Seq("alpha" -> 4L, "bravo" -> 3L,
+        "charlie" -> 1L, "delta" -> 1L))
+    } finally q.stop()
+    // eviction regime: capacity 2 with ~51 distinct tokens per bucket —
+    // state stays bounded and the genuinely heavy token survives
+    val mem2 = MemoryStream[String]
+    val t2 = StatefulTopK.shapeTokens(mem2.toDF.toDF("text"), buckets = 2)
+    val q2 = StatefulTopK.bucketSummaries(t2, capacity = 2).toDF()
+      .writeStream.format("memory").queryName("shh2").outputMode("update").start()
+    try {
+      mem2.addData((1 to 50).map(i => s"tok$i heavy heavy").mkString(" "))
+      q2.processAllAvailable()
+      val rows = spark.table("shh2").collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getMap[String, Long](2).size <= 2),
+        "state exceeded the Misra-Gries capacity")
+      // heavy's frequency (100) is far above N_bucket/(capacity+1) —
+      // Misra-Gries guarantees it is present in the summary
+      val terms = StatefulTopK.topK(spark.table("shh2"), k = 4).collect()
+        .map(_.getString(0)).toSet
+      assert(terms.contains("heavy"))
+    } finally q2.stop()
+  }
+
   test("session windows: stream equals batch") {
     val schema = spark.read.parquet(stagedDir).schema
     val stream = spark.readStream.schema(schema).parquet(stagedDir)
