@@ -742,6 +742,20 @@ object SparkEntry {
       Dedup.keepCanonical(docs, labels)
         .select(col("doc_id"), length(col("text")).as("n_chars"))
     }),
+    // Quality-aware dedup survivors: same pairs/components as d10, but
+    // each component keeps its LONGEST member (tie: min id) instead of
+    // the arbitrary min-id copy — the "keep the best copy" rule
+    // production dedup uses. Orig-vs-truncated-copy components agree
+    // with d10 (the original is both longer and lower-id); components
+    // that merge DIFFERENT documents exercise the argmax for real.
+    "d15_keep_best" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val docs = augmentedDocs(s, dir)
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(docs, k = 32, bands = 8, threshold = 0.4))
+      Dedup.keepBest(docs.withColumn("_len", length(col("text"))), labels, "_len")
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+    }),
     // Corpus-wide span-level exact dedup (C4-style repeated-paragraph
     // removal on 10-word windows): first occurrence wins, docs are
     // reassembled from their surviving spans. Two shuffles, no joins.
@@ -2149,6 +2163,33 @@ object SparkEntry {
            |), $augDocsSql
            |SELECT a.doc_id, length(a.text) AS n_chars
            |FROM aug a LEFT JOIN dups d ON a.doc_id = d.id
+           |WHERE d.id IS NULL""".stripMargin,
+      "d15_keep_best" ->
+        s"""WITH RECURSIVE prs AS (
+           |$d2PairsSql
+           |), edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM prs
+           |  UNION
+           |  SELECT id_b, id_a FROM prs
+           |), nodes AS (
+           |  SELECT DISTINCT src AS id FROM edges
+           |), cc(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT cc.id, e.dst FROM cc JOIN edges e ON cc.r = e.src
+           |), lbl AS (
+           |  SELECT id, min(r) AS group_id FROM cc GROUP BY id
+           |), $augDocsSql, win AS (
+           |  SELECT id FROM (
+           |    SELECT l.id, row_number() OVER (PARTITION BY l.group_id
+           |      ORDER BY length(a.text) DESC, l.id) AS rn
+           |    FROM lbl l JOIN aug a ON l.id = a.doc_id) w
+           |  WHERE rn = 1
+           |), losers AS (
+           |  SELECT id FROM lbl WHERE id NOT IN (SELECT id FROM win)
+           |)
+           |SELECT a.doc_id, length(a.text) AS n_chars
+           |FROM aug a LEFT JOIN losers d ON a.doc_id = d.id
            |WHERE d.id IS NULL""".stripMargin,
       "d11_incremental_neardup" ->
         s"""WITH corp AS (

@@ -682,6 +682,35 @@ object Dedup {
     docs.join(dups.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware canonical selection: keeps, per duplicate component,
+    * the member with the highest `scoreCol` (ties → smallest id) —
+    * [[keepCanonical]]'s arbitrary min-id rule replaced by "keep the
+    * best copy" (longest text, highest quality score, newest crawl …),
+    * which is how production dedup actually picks survivors. Documents
+    * in no pair survive by construction, exactly as in
+    * [[keepCanonical]].
+    *
+    * Scale shape: the label table (one row per clustered doc, tiny next
+    * to the corpus on most data, corpus-scale on crawl data) joins the
+    * corpus' (id, score) projection shuffle-hash on the id; the winner
+    * per component is an argmax riding the group aggregate
+    * (max(struct(score, -id))) — no window, no self-join; and the final
+    * anti-join ships only loser ids, shuffle-hash, never broadcast. */
+  def keepBest(
+      docs: DataFrame, labels: DataFrame, scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.select(col(idCol).as("_id"), col(scoreCol).as("_score"))
+    val members = labels.select(col("doc_id").as("_id"), col("group_id"))
+      .join(scored.hint("shuffle_hash"), Seq("_id"))
+    val winners = members.groupBy(col("group_id"))
+      .agg(max(struct(col("_score").as("_score"), (-col("_id")).as("_nid"))).as("_w"))
+      .select((-col("_w._nid")).as("_id"))
+    val losers = members.select(col("_id"))
+      .join(winners.hint("shuffle_hash"), Seq("_id"), "left_anti")
+      .select(col("_id").as(idCol))
+    docs.join(losers.hint("shuffle_hash"), Seq(idCol), "left_anti")
+  }
+
   /** Span-level exact dedup (the C4 / RefinedWeb "remove repeated
     * paragraphs corpus-wide" operator, on fixed word-windows instead of
     * newline paragraphs): each document is chunked into consecutive

@@ -475,6 +475,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 5L, 6L, 7L))
   }
 
+  test("keepBest keeps the highest-score member per component, min id on ties") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {10,11}; 20 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+    val docs = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 7.0), // winner: 2 (highest score, not min id)
+      (10L, 4.0), (11L, 4.0),          // tie → winner: min id 10
+      (20L, 1.0))                      // unpaired → survives
+      .toDF("doc_id", "score").repartition(2)
+    val kept = Dedup.keepBest(docs, labels, "score")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 10L, 20L))
+    // same fixture through keepCanonical picks min ids instead
+    val canon = Dedup.keepCanonical(docs, labels)
+      .collect().map(_.getLong(0)).toSet
+    assert(canon === Set(1L, 10L, 20L))
+  }
+
   test("span dedup keeps first occurrence corpus-wide and reassembles in order") {
     import spark.implicits._
     val d = Seq(
