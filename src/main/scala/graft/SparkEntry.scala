@@ -303,6 +303,57 @@ object SparkEntry {
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("dau"), col("wau7"))
     }),
+    // Daily stickiness (DAU / trailing-28-day MAU): the same
+    // explode-the-contribution-window shape as q18 — each active (user,
+    // day) row contributes to the 28 days it keeps that user "monthly
+    // active", so MAU is a plain distinct+agg instead of a per-day
+    // re-scan or a stream-wide window function. mau28 ≥ dau ≥ 1 on every
+    // joined day, so the ratio is ANSI-safe by construction.
+    "u15_stickiness" -> ((s, dir) => {
+      val ud = tbl(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val mau = ud
+        .select(explode(sequence(col("day"), date_add(col("day"), 27))).as("day"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("mau28"))
+      dau.join(mau, "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("mau28"),
+          round(col("dau").cast("double") / col("mau28").cast("double"), 6)
+            .as("stickiness"))
+    }),
+    // Power-user curve: how many users were active on exactly n distinct
+    // days — the L28-style engagement histogram. Two small shuffles
+    // (user-day distinct → per-user count → histogram); the histogram
+    // aggregate absorbs map-side, so only |distinct n_days| rows reach
+    // the final exchange.
+    "u16_power_curve" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_days"))
+        .groupBy(col("n_days")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_days"))
+    }),
+    // GROUPING SETS — the ((rf,ls),(rf),()) lattice in one pass, with
+    // the grouping-flag bitmask projected so every stratum is
+    // self-describing (q13's ROLLUP generalized to an explicit lattice).
+    "q25_grouping_sets" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,3)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("long").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("sum_qty"), col("n"), col("gid"))
+    }),
     // Event-stream profile: per-type counts + distinct users + rounded avg.
     "q12_events_profile" -> ((s, dir) => {
       tbl(s, dir, "events")
@@ -1289,6 +1340,35 @@ object SparkEntry {
           |)
           |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau7
           |FROM dau JOIN wau USING (day)""".stripMargin,
+      "u15_stickiness" ->
+        """WITH ud AS (
+          |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+          |), dau AS (
+          |  SELECT day, count(*) AS dau FROM ud GROUP BY day
+          |), contrib AS (
+          |  SELECT DISTINCT ud.day + CAST(g.i AS INT) AS day, ud.user_id
+          |  FROM ud CROSS JOIN generate_series(0, 27) AS g(i)
+          |), mau AS (
+          |  SELECT day, count(*) AS mau28 FROM contrib GROUP BY day
+          |)
+          |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, mau.mau28,
+          |  round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau28 AS DOUBLE), 6) AS stickiness
+          |FROM dau JOIN mau USING (day)""".stripMargin,
+      "u16_power_curve" ->
+        """WITH ud AS (
+          |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+          |), per AS (
+          |  SELECT user_id, count(*) AS n_days FROM ud GROUP BY user_id
+          |)
+          |SELECT n_days, count(*) AS n_users FROM per GROUP BY n_days""".stripMargin,
+      "q25_grouping_sets" ->
+        """SELECT coalesce(l_returnflag, '(all)') AS rf,
+          |  coalesce(l_linestatus, '(all)') AS ls,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+          |  count(*) AS n,
+          |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
       "q12_events_profile" ->
         """SELECT event_type, count(*) AS n,
           |  count(DISTINCT user_id) AS n_users,
