@@ -817,6 +817,34 @@ object SparkEntry {
       Dedup.keepBest(docs.withColumn("_len", length(col("text"))), labels, "_len")
         .select(col("doc_id"), length(col("text")).as("n_chars"))
     }),
+    // Per-source dedup audit: how much of each source a keep-best dedup
+    // pass would remove — the release report run before shipping a
+    // training mix. The removed set (keepBestLosers) is orders of
+    // magnitude smaller than the corpus, so its source rollup is cheap;
+    // the corpus-side total is one broadcast source-lookup join + one
+    // map-side-absorbed aggregate. (On production data `source` rides
+    // the corpus row itself; the base-id join is this dataset's lookup.)
+    "d16_dup_stats" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val docs = augmentedDocs(s, dir)
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(docs, k = 32, bands = 8, threshold = 0.4))
+      val losers = Dedup.keepBestLosers(
+        docs.withColumn("_len", length(col("text"))), labels, "_len")
+      val src = tbl(s, dir, "documents")
+        .select(col("doc_id").as("base_id"), col("source"))
+      val totals = docs.withColumn("base_id", col("doc_id") % 1000000)
+        .join(src, "base_id").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val removed = losers.withColumn("base_id", col("doc_id") % 1000000)
+        .join(src, "base_id").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_removed"))
+      totals.join(removed, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          round(coalesce(col("n_removed"), lit(0L)).cast("double") /
+            col("n_docs").cast("double"), 6).as("dup_ratio"))
+    }),
     // Corpus-wide span-level exact dedup (C4-style repeated-paragraph
     // removal on 10-word windows): first occurrence wins, docs are
     // reassembled from their surviving spans. Two shuffles, no joins.
@@ -2319,6 +2347,44 @@ object SparkEntry {
            |SELECT a.doc_id, length(a.text) AS n_chars
            |FROM aug a LEFT JOIN losers d ON a.doc_id = d.id
            |WHERE d.id IS NULL""".stripMargin,
+      // d15's closure + keep-best winner rule, rolled up to per-source
+      // removal stats via the base-id source lookup.
+      "d16_dup_stats" ->
+        s"""WITH RECURSIVE prs AS (
+           |$d2PairsSql
+           |), edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM prs
+           |  UNION
+           |  SELECT id_b, id_a FROM prs
+           |), nodes AS (
+           |  SELECT DISTINCT src AS id FROM edges
+           |), cc(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT cc.id, e.dst FROM cc JOIN edges e ON cc.r = e.src
+           |), lbl AS (
+           |  SELECT id, min(r) AS group_id FROM cc GROUP BY id
+           |), $augDocsSql, win AS (
+           |  SELECT id FROM (
+           |    SELECT l.id, row_number() OVER (PARTITION BY l.group_id
+           |      ORDER BY length(a.text) DESC, l.id) AS rn
+           |    FROM lbl l JOIN aug a ON l.id = a.doc_id) w
+           |  WHERE rn = 1
+           |), losers AS (
+           |  SELECT id FROM lbl WHERE id NOT IN (SELECT id FROM win)
+           |), tot AS (
+           |  SELECT d.source, count(*) AS n_docs
+           |  FROM aug a JOIN documents d ON a.doc_id % 1000000 = d.doc_id
+           |  GROUP BY 1
+           |), rem AS (
+           |  SELECT d.source, count(*) AS n_removed
+           |  FROM losers l JOIN documents d ON l.id % 1000000 = d.doc_id
+           |  GROUP BY 1
+           |)
+           |SELECT t.source, t.n_docs, coalesce(r.n_removed, 0) AS n_removed,
+           |  round(CAST(coalesce(r.n_removed, 0) AS DOUBLE) /
+           |        CAST(t.n_docs AS DOUBLE), 6) AS dup_ratio
+           |FROM tot t LEFT JOIN rem r USING (source)""".stripMargin,
       "d11_incremental_neardup" ->
         s"""WITH corp AS (
            |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0

@@ -698,6 +698,19 @@ object Dedup {
     * anti-join ships only loser ids, shuffle-hash, never broadcast. */
   def keepBest(
       docs: DataFrame, labels: DataFrame, scoreCol: String,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(keepBestLosers(docs, labels, scoreCol, idCol).hint("shuffle_hash"),
+      Seq(idCol), "left_anti")
+
+  /** The loser side of [[keepBest]]: ids of every clustered document
+    * that is NOT its component's best copy — the rows a dedup pass
+    * removes. Exposed separately so audit operators (per-source dup
+    * rates, removal manifests) can aggregate over the removed set
+    * without materializing the surviving corpus. Same scale shape as
+    * [[keepBest]]: shuffle-hash joins on the id, argmax riding the
+    * group aggregate, no window. */
+  def keepBestLosers(
+      docs: DataFrame, labels: DataFrame, scoreCol: String,
       idCol: String = "doc_id"): DataFrame = {
     val scored = docs.select(col(idCol).as("_id"), col(scoreCol).as("_score"))
     val members = labels.select(col("doc_id").as("_id"), col("group_id"))
@@ -705,10 +718,9 @@ object Dedup {
     val winners = members.groupBy(col("group_id"))
       .agg(max(struct(col("_score").as("_score"), (-col("_id")).as("_nid"))).as("_w"))
       .select((-col("_w._nid")).as("_id"))
-    val losers = members.select(col("_id"))
+    members.select(col("_id"))
       .join(winners.hint("shuffle_hash"), Seq("_id"), "left_anti")
       .select(col("_id").as(idCol))
-    docs.join(losers.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
 
   /** Span-level exact dedup (the C4 / RefinedWeb "remove repeated
