@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{Anomaly, AsOf, Attribution, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, HeavyHitters, Latency, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Transitions, Vocab}
+import graft.operators.{Anomaly, AsOf, Attribution, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, HeavyHitters, Latency, Layout, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -966,6 +966,18 @@ object SparkEntry {
         par(tbl(s, dir, "documents"))
           .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", budget = 512, bins = 8)),
+    // Z-order layout audit: Morton-interleave (l_partkey, l_suppkey)
+    // and report each fixed-width curve bucket's row count and (x, y)
+    // bounding box — the min/max stats a skipping engine reads per
+    // file. The write-side layout itself (range-partition + local sort
+    // on the z key) is Layout.zordered; this query checks what matters,
+    // that curve buckets are tight rectangles on both dimensions.
+    "p10_zorder_layout" -> ((s, dir) =>
+      Layout.zorderBucketStats(
+        tbl(s, dir, "lineitem")
+          .select(col("l_partkey").cast("long").as("x"),
+            col("l_suppkey").cast("long").as("y")),
+        "x", "y", bits = 16, bucketShift = 16)),
     // Deterministic epoch shuffle: (shard, pos) from two independent
     // md5 hashes — a reproducible corpus permutation with one shuffle
     // (the per-shard rank sort), invariant to input partitioning.
@@ -2617,9 +2629,27 @@ object SparkEntry {
           |SELECT doc_id, bin, n_tokens,
           |  CAST(floor(CAST(sum(n_tokens) OVER (PARTITION BY bin ORDER BY doc_id)
           |                  - n_tokens AS DOUBLE) / 512) AS BIGINT) AS seq_id
-          |FROM t""".stripMargin
+          |FROM t""".stripMargin,
+      "p10_zorder_layout" ->
+        s"""WITH b AS (
+           |  SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y
+           |  FROM lineitem
+           |), z AS (
+           |  SELECT ${zorderSqlExpr("x", "y", 16)} AS zv, x, y FROM b
+           |)
+           |SELECT zv >> 16 AS z_bucket, count(*) AS n_rows,
+           |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+           |FROM z GROUP BY 1""".stripMargin
     )
   }
+
+  // Morton-interleave SQL expression for the p10 oracle — the same
+  // 16-bit shift/mask tree Layout.zorder2 builds as Columns, over
+  // BIGINT inputs (31-bit shifts overflow INT32).
+  private def zorderSqlExpr(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
 
   private val funnelStagesSql =
     """WITH s0 AS (

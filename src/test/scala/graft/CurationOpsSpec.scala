@@ -257,4 +257,32 @@ class CurationOpsSpec extends AnyFunSuite {
     val rc = graft.operators.Profile.equiDepthHistogram(const, "v", k = 2).collect()
     assert(rc.length === 1 && rc.head.getLong(1) === 4L)
   }
+
+  test("z-order: known Morton codes, and range partitions become tight rectangles") {
+    import spark.implicits._
+    // x=5 (101), y=3 (011) interleaves to 11011 = 27; a few more by hand
+    val codes = Seq((5L, 3L), (0L, 0L), (1L, 0L), (0L, 1L), (7L, 7L))
+      .toDF("x", "y")
+      .select(graft.operators.Layout.zorder2(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(codes === Seq(27L, 0L, 1L, 2L, 63L))
+
+    // 16x16 grid z-sorted into 4 range partitions: each partition must
+    // be exactly one quadrant (bounding box 8x8), the property that
+    // makes curve segments prunable on BOTH columns
+    val grid = (for { x <- 0 until 16; y <- 0 until 16 } yield (x.toLong, y.toLong))
+      .toDF("x", "y").repartition(7)
+    val parts = graft.operators.Layout.zordered(grid, "x", "y", partitions = 4)
+      .select(spark_partition_id().as("pid"), col("x"), col("y"))
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n"),
+        (max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
+      .collect()
+    assert(parts.length === 4)
+    parts.foreach { r =>
+      assert(r.getLong(1) === 64L, s"uneven curve split: $r")
+      assert(r.getLong(2) <= 7L && r.getLong(3) <= 7L,
+        s"partition is not a tight rectangle: $r")
+    }
+  }
 }
