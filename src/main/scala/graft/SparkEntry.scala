@@ -186,6 +186,26 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
+    // RANGE-frame window: per-user trailing-3-day purchase revenue —
+    // the frame is bounded by the ORDER BY *value* (day number), not a
+    // row count, so gaps in activity shrink the window correctly. One
+    // user-key shuffle; the frame scans per-user-day pre-aggregated
+    // rows (≤ |days| per user), never the raw event stream.
+    "q26_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perDay = tbl(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day_num"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+        .rangeBetween(-2, 0)
+      perDay
+        .withColumn("rev3", sum(col("rev")).over(w).cast("double"))
+        .select(col("user_id"), col("day_num"),
+          col("rev").cast("double").as("rev"), col("rev3"))
+    }),
     // Window rank + join: top-3 spenders per nation.
     "q11_top_per_nation" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1304,6 +1324,18 @@ object SparkEntry {
           |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
           |    FROM events))
           |GROUP BY user_id""".stripMargin,
+      "q26_range_frame" ->
+        """WITH perday AS (
+          |  SELECT user_id,
+          |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+          |    sum(CAST(value AS DECIMAL(18,2))) AS rev
+          |  FROM events WHERE event_type = 'purchase'
+          |  GROUP BY 1, 2
+          |)
+          |SELECT user_id, day_num, CAST(rev AS DOUBLE) AS rev,
+          |  CAST(sum(rev) OVER (PARTITION BY user_id ORDER BY day_num
+          |         RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev3
+          |FROM perday""".stripMargin,
       "q11_top_per_nation" ->
         """SELECT n_name, c_custkey, CAST(spend AS DOUBLE) AS spend, rn FROM (
           |  SELECT c_nationkey, c_custkey, spend,

@@ -43,6 +43,28 @@ class SourcesSpec extends AnyFunSuite {
       s"columns not pruned at scan:\n$plan")
   }
 
+  test("hive-partitioned parquet: partition filter prunes directories at plan time") {
+    // the 100 TB layout for event logs is date-partitioned parquet; a
+    // day filter must prune partition DIRECTORIES (never listed, never
+    // read), not just push a data filter into surviving files
+    val dir = Files.createTempDirectory("graft_hivepart").toString
+    SparkEntry.tbl(spark, sf, "events")
+      .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val all = spark.read.parquet(dir)
+    val oneDay = all.where(col("day") === "2024-01-02")
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"day filter not applied as a partition filter:\n$plan")
+    val scannedParts = oneDay.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }.sum
+    assert(scannedParts === 1, s"expected exactly 1 surviving partition, got $scannedParts")
+    val expected = SparkEntry.tbl(spark, sf, "events")
+      .where(to_date(col("ts")) === "2024-01-02").count()
+    assert(oneDay.count() === expected)
+  }
+
   test("partitioned CSV directory with explicit schema round-trips") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val src = SparkEntry.tbl(spark, sf, "lineitem")
