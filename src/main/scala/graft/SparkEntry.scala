@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{Anomaly, AsOf, Attribution, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, HeavyHitters, Latency, Layout, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Transitions, Vocab}
+import graft.operators.{Anomaly, AsOf, Attribution, Bpe, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, HeavyHitters, Latency, Layout, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -441,6 +441,13 @@ object SparkEntry {
       val docs = par(tbl(s, dir, "documents"))
       Vocab.encode(docs, Vocab.assignIds(Vocab.topTerms(docs, k = 30)))
     }),
+    // Distributed BPE tokenizer training: 6 greedy merge rounds over the
+    // corpus word-frequency table — per round one explode→aggregate for
+    // pair counts, a TakeOrdered(1) for the winner, and a literal
+    // rewrite of the symbol strings. The oracle unrolls the identical
+    // rounds (same tie-break, same left-to-right replace) in SQL.
+    "t18_bpe_merges" -> ((s, dir) =>
+      Bpe.trainMerges(par(tbl(s, dir, "documents")), "text", rounds = 6)),
     // Context-window chunking: 40-token windows with 10-token overlap —
     // a pure projection + explode inside the scan stage, no shuffle.
     "t14_chunk_docs" -> ((s, dir) =>
@@ -1581,6 +1588,7 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
           |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
           |FROM enc GROUP BY doc_id""".stripMargin,
+      "t18_bpe_merges" -> bpeOracleSql(6),
       // stride = 40 - 10 = 30; chunk j covers tokens [j*30, j*30+40)
       "t14_chunk_docs" ->
         """WITH toks AS (
@@ -2682,6 +2690,39 @@ object SparkEntry {
     (0 until bits).map(i =>
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
+
+  // Unrolls Bpe.trainMerges round-for-round: w0 = space-padded symbol
+  // strings of the normalized word-frequency table; each round r counts
+  // adjacent pairs (p_r), picks the (count DESC, l, r) winner (b_r), and
+  // rewrites the strings with a literal left-to-right replace (w_r).
+  private def bpeOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"p$r AS (\n" +
+        s"  SELECT u.pr[1] AS l, u.pr[2] AS r, sum(w.cnt) AS n\n" +
+        s"  FROM w${r - 1} w,\n" +
+        s"    unnest(list_transform(range(1, len(string_split(trim(w.s), ' '))),\n" +
+        s"      i -> [string_split(trim(w.s), ' ')[i], string_split(trim(w.s), ' ')[i + 1]])) AS u(pr)\n" +
+        s"  GROUP BY 1, 2\n" +
+        s"), b$r AS (\n" +
+        s"  SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1\n" +
+        s"), w$r AS (\n" +
+        s"  SELECT w.cnt, replace(w.s, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS s\n" +
+        s"  FROM w${r - 1} w, b$r b\n" +
+        s")"
+    }.mkString(", ")
+    val unions = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, n AS pair_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH norm AS (
+       |  SELECT $normToksSql AS toks FROM documents
+       |), wrd AS (
+       |  SELECT t.tok AS word, count(*) AS cnt
+       |  FROM norm, unnest(norm.toks) AS t(tok) GROUP BY 1
+       |), w0 AS (
+       |  SELECT cnt, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s FROM wrd
+       |), $roundCtes
+       |$unions""".stripMargin
+  }
 
   private val funnelStagesSql =
     """WITH s0 AS (

@@ -145,4 +145,22 @@ class TextOpsSpec extends AnyFunSuite {
       assert(c <= truth && c >= truth - bound, s"$t=$c violates the MG bound")
     }
   }
+
+  test("bpe merges: frequency order, greedy-left overlap, early stop") {
+    import spark.implicits._
+    // words: "aa" x2, "ab" x1 → round 1 merges (a,a) count 2, round 2
+    // merges (a,b) count 1, round 3 finds nothing and stops early
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val m = graft.operators.Bpe.trainMerges(docs, "text", rounds = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq === Seq((1, "a", "a", 2L), (2, "a", "b", 1L)))
+
+    // "aaa": pair (a,a) occurs twice but overlapping — greedy-left
+    // replace merges only the first, leaving " aa a ", so round 2
+    // learns (aa, a)
+    val tri = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val m2 = graft.operators.Bpe.trainMerges(tri, "text", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m2.toSeq === Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
 }
