@@ -448,6 +448,18 @@ object SparkEntry {
     // rounds (same tie-break, same left-to-right replace) in SQL.
     "t18_bpe_merges" -> ((s, dir) =>
       Bpe.trainMerges(par(tbl(s, dir, "documents")), "text", rounds = 6)),
+    // Corpus encoding with the trained tokenizer: per-document token
+    // and post-merge subword counts — the token-budget accounting that
+    // feeds packing/mixture/billing. The 6 learned merges come back to
+    // the driver (6 rows, the same role as a broadcast model) and fold
+    // into one chained-replace projection over the distinct-word table.
+    "t19_bpe_encode" -> ((s, dir) => {
+      val docs = par(tbl(s, dir, "documents"))
+      val merges = Bpe.trainMerges(docs, "text", rounds = 6)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encodeStats(docs, "doc_id", "text", merges)
+    }),
     // Context-window chunking: 40-token windows with 10-token overlap —
     // a pure projection + explode inside the scan stage, no shuffle.
     "t14_chunk_docs" -> ((s, dir) =>
@@ -1589,6 +1601,7 @@ object SparkEntry {
           |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
           |FROM enc GROUP BY doc_id""".stripMargin,
       "t18_bpe_merges" -> bpeOracleSql(6),
+      "t19_bpe_encode" -> bpeEncodeOracleSql(6),
       // stride = 40 - 10 = 30; chunk j covers tokens [j*30, j*30+40)
       "t14_chunk_docs" ->
         """WITH toks AS (
@@ -2695,7 +2708,9 @@ object SparkEntry {
   // strings of the normalized word-frequency table; each round r counts
   // adjacent pairs (p_r), picks the (count DESC, l, r) winner (b_r), and
   // rewrites the strings with a literal left-to-right replace (w_r).
-  private def bpeOracleSql(rounds: Int): String = {
+  // Returns the CTE body (norm/tok/wrd/w0 + all rounds), shared by the
+  // t18 (merge list) and t19 (corpus encoding) oracles.
+  private def bpeCtesSql(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"p$r AS (\n" +
         s"  SELECT u.pr[1] AS l, u.pr[2] AS r, sum(w.cnt) AS n\n" +
@@ -2706,23 +2721,34 @@ object SparkEntry {
         s"), b$r AS (\n" +
         s"  SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1\n" +
         s"), w$r AS (\n" +
-        s"  SELECT w.cnt, replace(w.s, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS s\n" +
+        s"  SELECT w.word, w.cnt, replace(w.s, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS s\n" +
         s"  FROM w${r - 1} w, b$r b\n" +
         s")"
     }.mkString(", ")
+    s"""norm AS (
+       |  SELECT doc_id, $normToksSql AS toks FROM documents
+       |), tok AS (
+       |  SELECT doc_id, t.tok AS word FROM norm, unnest(norm.toks) AS t(tok)
+       |), wrd AS (
+       |  SELECT word, count(*) AS cnt FROM tok GROUP BY 1
+       |), w0 AS (
+       |  SELECT word, cnt, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s FROM wrd
+       |), $roundCtes""".stripMargin
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
     val unions = (1 to rounds).map(r =>
       s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, n AS pair_count FROM b$r")
       .mkString("\nUNION ALL ")
-    s"""WITH norm AS (
-       |  SELECT $normToksSql AS toks FROM documents
-       |), wrd AS (
-       |  SELECT t.tok AS word, count(*) AS cnt
-       |  FROM norm, unnest(norm.toks) AS t(tok) GROUP BY 1
-       |), w0 AS (
-       |  SELECT cnt, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s FROM wrd
-       |), $roundCtes
-       |$unions""".stripMargin
+    s"WITH ${bpeCtesSql(rounds)}\n$unions"
   }
+
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    s"""WITH ${bpeCtesSql(rounds)}
+       |SELECT t.doc_id, count(*) AS n_tokens,
+       |  CAST(sum(len(string_split(trim(w.s), ' '))) AS BIGINT) AS n_symbols
+       |FROM tok t JOIN w$rounds w USING (word)
+       |GROUP BY 1""".stripMargin
 
   private val funnelStagesSql =
     """WITH s0 AS (

@@ -84,4 +84,31 @@ object Bpe {
     }
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
+
+  /** Applies a learned merge list to the corpus and reports per-document
+    * subword statistics: (id, n_tokens, n_symbols) — the "how many BPE
+    * tokens is this document" accounting every token-budgeted pipeline
+    * stage (packing, mixture, billing) runs after tokenizer training.
+    *
+    * Scale shape: the merge list is a driver-side constant (one row per
+    * learned merge — thousands at most), folded into a single
+    * chained-replace projection; it is applied to the DISTINCT-word
+    * table (vocab-sized), which then joins the exploded token stream on
+    * the word — one shuffle each side, aggregation absorbed map-side.
+    * Documents with no tokens vanish (inner join on an empty explode). */
+  def encodeStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val tokens = docs.select(col(idCol),
+      explode(Text.tokens(Text.normalized(col(textCol)))).as("word"))
+    val merged = merges.foldLeft(charString(col("word"))) { case (s, (l, r)) =>
+      replace(s, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    val vocab = tokens.select(col("word")).distinct()
+      .select(col("word"), size(split(trim(merged), " ")).as("_n_sym"))
+    tokens.join(vocab.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_n_sym")).as("n_symbols"))
+  }
 }

@@ -162,5 +162,11 @@ class TextOpsSpec extends AnyFunSuite {
     val m2 = graft.operators.Bpe.trainMerges(tri, "text", rounds = 2)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(m2.toSeq === Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+
+    // encoding with the first merge only: "aa"→1 symbol, "ab"→2 symbols
+    // ⇒ doc has 3 tokens, 1+1+2 = 4 subword symbols
+    val enc = graft.operators.Bpe.encodeStats(docs, "doc_id", "text", Seq(("a", "a")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.toSeq === Seq((1L, 3L, 4L)))
   }
 }
