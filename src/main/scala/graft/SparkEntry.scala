@@ -16,11 +16,14 @@ import graft.operators.{Anomaly, AsOf, Attribution, Bpe, Chunk, Decontaminate, D
   */
 object SparkEntry {
 
-  /** Reads a testdata table. `events.ts` is stored as parquet
-    * TIMESTAMP(NANOS) which Spark cannot read natively — we read it as a
-    * long (`nanosAsLong`) and convert to a microsecond timestamp; all query
-    * logic is at day/second granularity so the ns→µs truncation is lossless
-    * for results.
+  /** Reads a testdata table. `events.ts` has shipped under two physical
+    * parquet types across testdata generations: TIMESTAMP(NANOS) (which
+    * Spark can only read as a long via `nanosAsLong`) and plain
+    * TIMESTAMP(MICROS) without the UTC flag (which Spark reads as
+    * TIMESTAMP_NTZ). Both are normalized here to a session-zone (UTC)
+    * microsecond timestamp, so every downstream query sees one `ts` type;
+    * all query logic is at day/second granularity so the normalization is
+    * lossless for results.
     */
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
@@ -29,8 +32,14 @@ object SparkEntry {
       // common path never mutates session conf
       if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // nanos-as-long generation
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType => // µs-NTZ generation
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw // already a session-zone timestamp
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the composed
