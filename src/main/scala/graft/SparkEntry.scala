@@ -1072,7 +1072,146 @@ object SparkEntry {
     // sanity gate of every curation pipeline run.
     "q21_column_profile" -> ((s, dir) =>
       Profile.numericProfile(tbl(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_linenumber")))
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_linenumber"))),
+    // Full analytic-window suite over per-customer order sequences:
+    // lag/lead/percent_rank/cume_dist/ntile share ONE window pass — the
+    // partition key is the customer, so sort scope stays O(orders per
+    // customer) per key and there is no global sort anywhere. ntile is
+    // cast to long to match the oracle engine's BIGINT window output.
+    "q27_window_suite" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      tbl(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).cast("long").as("nt"))
+    }),
+    // Correlated subqueries through the SQL surface: EXISTS / NOT
+    // EXISTS decorrelate to semi/anti hash joins and the correlated
+    // scalar max-subquery to an aggregate-then-join — one pass over
+    // orders, no per-row re-execution in the physical plan.
+    "q28_exists_subquery" -> ((s, dir) => {
+      tbl(s, dir, "customer").createOrReplaceTempView("g28_customer")
+      tbl(s, dir, "orders").createOrReplaceTempView("g28_orders")
+      s.sql("""
+        SELECT c.c_custkey,
+               (SELECT max(o.o_totalprice) FROM g28_orders o
+                 WHERE o.o_custkey = c.c_custkey) AS max_price
+        FROM g28_customer c
+        WHERE EXISTS (SELECT 1 FROM g28_orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 100000)
+          AND NOT EXISTS (SELECT 1 FROM g28_orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_totalprice < 5000)""")
+    }),
+    // Time-to-conversion survival curve: per signup-cohort user, days
+    // until the first purchase at-or-after signup; S(t) walks a dense
+    // day axis with a running conversion count. The heavy stage is one
+    // user-key shuffle; the axis/cumsum stage runs over the aggregated
+    // per-day frame, whose size is bounded by the calendar (not the
+    // data), so its single-partition window is safe at any scale.
+    "u17_survival" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = tbl(s, dir, "events")
+      val s0 = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val conv = ev.where(col("event_type") === "purchase").alias("e")
+        .join(s0.alias("s"), col("e.user_id") === col("s.user_id") &&
+          col("e.ts") >= col("s.t0"))
+        .groupBy(col("s.user_id"), col("s.t0"))
+        .agg(min(to_date(col("e.ts"))).as("pday"))
+        .select(datediff(col("pday"), to_date(col("t0"))).cast("long").as("d"))
+      val byday = conv.groupBy(col("d")).agg(count(lit(1)).as("n_conv"))
+      val total = s0.agg(count(lit(1)).as("n_users"))
+      val axis = byday.agg(max(col("d")).as("maxd"))
+        .select(explode(sequence(lit(0L), col("maxd"))).as("t"))
+      val w = Window.orderBy(col("t"))
+      axis.join(byday, col("t") === col("d"), "left")
+        .select(col("t"), coalesce(col("n_conv"), lit(0L)).as("n_conv"))
+        .withColumn("cum_conv", sum(col("n_conv")).over(w))
+        .crossJoin(broadcast(total))
+        .select(col("t"), col("n_conv"),
+          (col("n_users") - col("cum_conv")).as("n_surviving"),
+          round((col("n_users") - col("cum_conv")).cast("double") /
+            col("n_users").cast("double"), 6).as("surv"))
+    }),
+    // Curriculum staging for training runs: documents bucketed into four
+    // length-quartile stages (short→long) plus a deterministic within-
+    // stage shuffle key. Cutoffs are one tiny exact-percentile row
+    // broadcast back (the Rfm pattern — no ntile, no global sort); the
+    // md5-ppm key gives a stable seedless traversal order any executor
+    // can recompute locally.
+    "p11_curriculum" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val cuts = d.agg(
+        expr("percentile(CAST(n_chars AS DOUBLE), array(0.25, 0.5, 0.75))").as("c"))
+      val nc = col("n_chars").cast("double")
+      d.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_chars"),
+          (lit(1) + when(nc > col("c").getItem(0), 1).otherwise(0)
+            + when(nc > col("c").getItem(1), 1).otherwise(0)
+            + when(nc > col("c").getItem(2), 1).otherwise(0)).cast("long").as("stage"),
+          pmod(Dedup.hash60(concat(lit("cur|"), col("doc_id").cast("string"))),
+            lit(1000000L)).as("shuffle_ppm"))
+    }),
+    // Grouped bivariate statistics with exact fixed-point moments:
+    // Pearson correlation and OLS slope of extended price on quantity
+    // per return flag. Inputs are quantized to fixed-point longs
+    // (milli-qty, centi-price); the second-moment sums accumulate as
+    // DECIMAL(38,0) (exact to 1e38 — no float summation-order drift,
+    // no int64 wrap at any realistic scale) with map-side partials, and
+    // the closed-form double arithmetic happens once per group at the
+    // end — a corr()/regr_slope() whose result is bit-reproducible
+    // across engines and partitionings.
+    "q29_stats_profile" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_quantity") * 1000).cast("long").as("qx"),
+        round(col("l_extendedprice") * 100).cast("long").as("qy"))
+      val qxd = col("qx").cast("decimal(19,0)")
+      val qyd = col("qy").cast("decimal(19,0)")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val sxy = col("sxy").cast("double")
+      val sx2 = col("sx2").cast("double"); val sy2 = col("sy2").cast("double")
+      l.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qx")).as("sx"), sum(col("qy")).as("sy"),
+          sum(qxd * qyd).as("sxy"),
+          sum(qxd * qxd).as("sx2"),
+          sum(qyd * qyd).as("sy2"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * sxy - sx * sy) /
+            (sqrt(col("n") * sx2 - sx * sx) * sqrt(col("n") * sy2 - sy * sy)),
+            6).as("corr_xy"),
+          round((col("n") * sxy - sx * sy) / (col("n") * sx2 - sx * sx), 6)
+            .as("slope"),
+          round(sx / lit(1000.0) / col("n"), 6).as("mean_x"))
+    }),
+    // Per-dimension corpus moments over the embedding column — the
+    // feature-normalization/whitening statistics pass. posexplode each
+    // vector once (rows × 64), aggregate exact integer milli-unit sums
+    // per dimension with map-side partials, then mean and population
+    // std in closed form; nothing is collected and nothing shuffles
+    // except 64-group partials.
+    "s7_dim_stats" -> ((s, dir) => {
+      val e = par(tbl(s, dir, "embeddings"))
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"),
+          round(col("v").cast("double") * 1000).cast("long").as("q"))
+      val sq = col("sq").cast("double"); val sq2 = col("sq2").cast("double")
+      val qd = col("q").cast("decimal(19,0)")
+      e.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+          sum(qd * qd).as("sq2"))
+        .select(col("dim"), col("n"),
+          round(sq / lit(1000.0) / col("n"), 6).as("mean"),
+          round(sqrt(sq2 / col("n") - (sq / col("n")) * (sq / col("n"))) /
+            lit(1000.0), 6).as("std"))
+    })
   )
 
   /** The testdata parquet files are single-row-group, so a scan is ONE
@@ -2701,7 +2840,104 @@ object SparkEntry {
            |)
            |SELECT zv >> 16 AS z_bucket, count(*) AS n_rows,
            |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
-           |FROM z GROUP BY 1""".stripMargin
+           |FROM z GROUP BY 1""".stripMargin,
+      "q27_window_suite" ->
+        """SELECT o_custkey, o_orderkey,
+          |  lag(o_totalprice, 1) OVER w AS prev_price,
+          |  lead(o_totalprice, 1) OVER w AS next_price,
+          |  round(percent_rank() OVER w, 6) AS pr,
+          |  round(cume_dist() OVER w, 6) AS cd,
+          |  CAST(ntile(4) OVER w AS BIGINT) AS nt
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+      "q28_exists_subquery" ->
+        """SELECT c.c_custkey,
+          |  (SELECT max(o.o_totalprice) FROM orders o
+          |    WHERE o.o_custkey = c.c_custkey) AS max_price
+          |FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |               WHERE o.o_custkey = c.c_custkey
+          |                 AND o.o_totalprice > 100000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders o
+          |                   WHERE o.o_custkey = c.c_custkey
+          |                     AND o.o_totalprice < 5000)""".stripMargin,
+      "u17_survival" ->
+        """WITH s0 AS (
+          |  SELECT user_id, min(ts) AS t0 FROM events
+          |  WHERE event_type = 'signup' GROUP BY 1
+          |), conv AS (
+          |  SELECT date_diff('day', CAST(s.t0 AS DATE), min(CAST(e.ts AS DATE))) AS d
+          |  FROM events e JOIN s0 s ON e.user_id = s.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+          |  GROUP BY s.user_id, s.t0
+          |), byday AS (
+          |  SELECT d, count(*) AS n_conv FROM conv GROUP BY d
+          |), tot AS (SELECT count(*) AS n_users FROM s0),
+          |axis AS (
+          |  SELECT CAST(unnest(range(0, mx + 1)) AS BIGINT) AS t
+          |  FROM (SELECT max(d) AS mx FROM byday)
+          |), cum AS (
+          |  SELECT t, CAST(coalesce(n_conv, 0) AS BIGINT) AS n_conv,
+          |    sum(coalesce(n_conv, 0)) OVER (ORDER BY t) AS cc
+          |  FROM axis LEFT JOIN byday ON d = t
+          |)
+          |SELECT t, n_conv,
+          |  n_users - CAST(cc AS BIGINT) AS n_surviving,
+          |  round(CAST(n_users - cc AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS surv
+          |FROM cum CROSS JOIN tot""".stripMargin,
+      "p11_curriculum" ->
+        """WITH cuts AS (
+          |  SELECT quantile_cont(CAST(n_chars AS DOUBLE), [0.25, 0.5, 0.75]) AS c
+          |  FROM documents
+          |)
+          |SELECT doc_id, n_chars,
+          |  CAST(1 + CASE WHEN CAST(n_chars AS DOUBLE) > c[1] THEN 1 ELSE 0 END
+          |         + CASE WHEN CAST(n_chars AS DOUBLE) > c[2] THEN 1 ELSE 0 END
+          |         + CASE WHEN CAST(n_chars AS DOUBLE) > c[3] THEN 1 ELSE 0 END
+          |       AS BIGINT) AS stage,
+          |  ('0x' || substr(md5('cur|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS shuffle_ppm
+          |FROM documents CROSS JOIN cuts""".stripMargin,
+      "q29_stats_profile" ->
+        """WITH q AS (
+          |  SELECT l_returnflag,
+          |    CAST(round(l_quantity * 1000) AS BIGINT) AS qx,
+          |    CAST(round(l_extendedprice * 100) AS BIGINT) AS qy
+          |  FROM lineitem
+          |), m AS (
+          |  SELECT l_returnflag, count(*) AS n,
+          |    sum(qx) AS sx, sum(qy) AS sy,
+          |    sum(CAST(qx AS DECIMAL(19,0)) * CAST(qy AS DECIMAL(19,0))) AS sxy,
+          |    sum(CAST(qx AS DECIMAL(19,0)) * CAST(qx AS DECIMAL(19,0))) AS sx2,
+          |    sum(CAST(qy AS DECIMAL(19,0)) * CAST(qy AS DECIMAL(19,0))) AS sy2
+          |  FROM q GROUP BY 1
+          |)
+          |SELECT l_returnflag, n,
+          |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          |    (sqrt(n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+          |     sqrt(n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+          |    6) AS corr_xy,
+          |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          |    (n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+          |  round(CAST(sx AS DOUBLE) / 1000.0 / n, 6) AS mean_x
+          |FROM m""".stripMargin,
+      "s7_dim_stats" ->
+        """WITH q AS (
+          |  SELECT list_transform(embedding,
+          |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          |  FROM embeddings
+          |), ex AS (
+          |  SELECT d.dim, qv[CAST(d.dim AS INT) + 1] AS q
+          |  FROM q, (SELECT CAST(range AS BIGINT) AS dim FROM range(64)) d
+          |), m AS (
+          |  SELECT dim, count(*) AS n, sum(q) AS sq,
+          |    sum(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))) AS sq2
+          |  FROM ex GROUP BY 1
+          |)
+          |SELECT dim, n,
+          |  round(CAST(sq AS DOUBLE) / 1000.0 / n, 6) AS mean,
+          |  round(sqrt(CAST(sq2 AS DOUBLE) / n -
+          |    (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n)) / 1000.0, 6) AS std
+          |FROM m""".stripMargin
     )
   }
 

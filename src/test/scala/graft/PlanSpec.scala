@@ -324,4 +324,51 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
       s"only the bucket-id aggregate should shuffle:\n$p")
   }
+
+  test("q27 window suite: all five analytics share one window pass on the customer key") {
+    val p = plan("q27_window_suite")
+    assert("Window ".r.findAllIn(p).length == 1,
+      s"lag/lead/percent_rank/cume_dist/ntile must fuse into one Window operator:\n$p")
+    assert(p.contains("Exchange hashpartitioning(o_custkey"),
+      s"window partitioning must shuffle on the customer key (no global sort):\n$p")
+  }
+
+  test("q28 correlated subqueries: decorrelated to hash semi/anti joins, no nested loop") {
+    val p = plan("q28_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS must decorrelate to a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must decorrelate to an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"correlated predicates must not plan as per-row nested-loop re-execution:\n$p")
+  }
+
+  test("u17 survival: user-key shuffle for the heavy stage, window only over the day axis") {
+    val p = plan("u17_survival")
+    assert(p.contains("Exchange hashpartitioning(user_id"),
+      s"cohort and conversion aggregates must shuffle on user_id:\n$p")
+    assert("Window ".r.findAllIn(p).length == 1,
+      s"the only window is the cumsum over the bounded day axis:\n$p")
+  }
+
+  test("p11 curriculum: percentile cutoffs broadcast, no window, no range partitioning") {
+    val p = plan("p11_curriculum")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row cutoff table must broadcast back:\n$p")
+    assert(!p.contains("Window") && !p.contains("rangepartitioning"),
+      s"staging must not global-sort (no ntile):\n$p")
+  }
+
+  test("q29 stats profile: one group-key shuffle with partial moment sums, no window") {
+    val p = plan("q29_stats_profile")
+    assert(p.contains("partial"), s"moment sums must combine map-side:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"only the returnflag aggregate should shuffle:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("s7 dim stats: posexplode in scan stage, partial sums, no window") {
+    val p = plan("s7_dim_stats")
+    assert(p.contains("Generate posexplode"), s"expected the vector explode:\n$p")
+    assert(p.contains("partial"), s"per-dimension sums must combine map-side:\n$p")
+    assert(!p.contains("Window"), p)
+  }
 }
