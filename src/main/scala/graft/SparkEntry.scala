@@ -642,6 +642,18 @@ object SparkEntry {
       Similarity.sq8TopK(par(e), e.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5, rerank = 20)
     }),
+    // Product-quantized ANN: per-subspace codebooks trained in-plan
+    // (seeded Lloyd's, one iteration), 4-code storage, ADC table-sum
+    // candidate scan, exact top-k rerank — the 64×-compression scale
+    // path of the quantization family (s1 brute → s2/s4 LSH → s3/s5
+    // IVF → s6 SQ8 → s8 PQ).
+    "s8_ann_pq" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.pqTopK(par(e), e.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5,
+        subspaces = 8, kSub = 8, iters = 1, rerank = 20)
+    }),
 
     // ── Multimodal binary columns (stubbed decode, real plumbing) ────────
     // Synthesize a binary media column, decode typed metadata, sample
@@ -2126,6 +2138,96 @@ object SparkEntry {
            |), scored AS (
            |  SELECT c.qid AS query_id, c.nid AS neighbor_id, $dotCosSql AS cos
            |  FROM cand c JOIN qn a ON a.vec_id = c.qid JOIN qn b ON b.vec_id = c.nid
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored
+           |)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+      // Replays pqTopK exactly: per-subspace quantized subvectors,
+      // md5-seeded per-sub codebooks (c0), one Lloyd round (a1 → c1),
+      // final codes (a2), integer ADC table-sums, top-20 candidates by
+      // approximate cosine, exact top-5 rerank.
+      "s8_ann_pq" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |), $quantEmbSql, subs AS (
+           |  SELECT CAST(range AS BIGINT) AS sub FROM range(8)
+           |), sd AS (
+           |  SELECT CAST(range AS INT) + 1 AS d FROM range(8)
+           |), subv AS (
+           |  SELECT vec_id, sub,
+           |    qv[CAST(sub * 8 + 1 AS INT):CAST(sub * 8 + 8 AS INT)] AS sv
+           |  FROM qn, subs
+           |), svn AS (
+           |  SELECT vec_id, sub, sv,
+           |    list_sum(list_transform(sv, x -> x * x)) AS svn2
+           |  FROM subv
+           |), seeds AS (
+           |  SELECT sub, vec_id, sv, svn2,
+           |    row_number() OVER (PARTITION BY sub ORDER BY hkey, vec_id) - 1 AS cell
+           |  FROM (
+           |    SELECT vec_id, sub, sv, svn2,
+           |      ('0x' || substr(md5('pq|' || CAST(sub AS VARCHAR) || '|' ||
+           |        CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
+           |    FROM svn)
+           |  QUALIFY row_number() OVER (PARTITION BY sub ORDER BY hkey, vec_id) <= 8
+           |), c0 AS (
+           |  SELECT sub, cell, sv AS cvec, svn2 AS cn2 FROM seeds
+           |), a1 AS (
+           |  SELECT vec_id, sub, cell FROM (
+           |    SELECT s.vec_id, s.sub, c.cell,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+           |        s.svn2 + c.cn2 - 2 * list_sum(list_transform(range(1, 9),
+           |          d -> s.sv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.cell) AS rn
+           |    FROM svn s JOIN c0 c USING (sub))
+           |  WHERE rn = 1
+           |), c1d AS (
+           |  SELECT a.sub, a.cell, sd.d, sum(s.sv[sd.d]) AS svs, count(*) AS cnt
+           |  FROM a1 a JOIN svn s USING (vec_id, sub), sd
+           |  GROUP BY 1, 2, 3
+           |), c1 AS (
+           |  SELECT sub, cell,
+           |    list(CAST(round(CAST(svs AS DOUBLE) / cnt) AS BIGINT) ORDER BY d) AS cvec
+           |  FROM c1d GROUP BY 1, 2
+           |), c1n AS (
+           |  SELECT sub, cell, cvec,
+           |    list_sum(list_transform(cvec, x -> x * x)) AS cn2
+           |  FROM c1
+           |), a2 AS (
+           |  SELECT vec_id, sub, cell, cn2 FROM (
+           |    SELECT s.vec_id, s.sub, c.cell, c.cn2,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+           |        s.svn2 + c.cn2 - 2 * list_sum(list_transform(range(1, 9),
+           |          d -> s.sv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.cell) AS rn
+           |    FROM svn s JOIN c1n c USING (sub))
+           |  WHERE rn = 1
+           |), qsub AS (
+           |  SELECT vec_id AS qid, sub, sv FROM svn WHERE vec_id < 20
+           |), lut AS (
+           |  SELECT q.qid, c.sub, c.cell,
+           |    list_sum(list_transform(range(1, 9),
+           |      d -> q.sv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])) AS dot
+           |  FROM qsub q JOIN c1n c ON q.sub = c.sub
+           |), appr AS (
+           |  SELECT l.qid, a.vec_id AS nid, sum(l.dot) AS adot, sum(a.cn2) AS rn2
+           |  FROM a2 a JOIN lut l ON a.sub = l.sub AND a.cell = l.cell
+           |    AND a.vec_id <> l.qid
+           |  GROUP BY 1, 2
+           |), apprc AS (
+           |  SELECT ap.qid, ap.nid,
+           |    CAST(ap.adot AS DOUBLE) /
+           |      (sqrt(CAST(ap.rn2 AS DOUBLE)) * sqrt(CAST(qn.n2 AS DOUBLE))) AS acos
+           |  FROM appr ap JOIN qn ON qn.vec_id = ap.qid
+           |), pcand AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT qid, nid,
+           |      row_number() OVER (PARTITION BY qid ORDER BY acos DESC, nid) AS pr
+           |    FROM apprc)
+           |  WHERE pr <= 20
+           |), scored AS (
+           |  SELECT c.qid AS query_id, c.nid AS neighbor_id, $dotCosSql AS cos
+           |  FROM pcand c JOIN qn a ON a.vec_id = c.qid JOIN qn b ON b.vec_id = c.nid
            |), ranked AS (
            |  SELECT query_id, neighbor_id, cos,
            |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -297,6 +297,153 @@ object Similarity {
       .where(col("_id") =!= col("_qid"))
       .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
         dotQ(col("_recon"), col("_qq")).cast("double").as("cos"))
+    val cand = TopK.perQuery(appr, rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = base
+      .join(broadcast(cand.withColumnRenamed("neighbor_id", "_id")), Seq("_id"))
+      .join(broadcast(q), col("query_id") === col("_qid"))
+      .select(col("query_id"), col("_id").as("neighbor_id"),
+        cosineFrom(dotQ(col("_q"), col("_qq")), col("_n2"), col("_qn2")).as("cos"))
+    TopK.perQuery(exact, k)
+  }
+
+  /** Product-quantized (PQ) top-k with exact rerank — the
+    * memory-compression ANN path for corpora where even SQ8 codes are
+    * too large: each vector is split into `subspaces` contiguous
+    * subvectors, each subvector is vector-quantized against a per-
+    * subspace codebook of `kSub` centroids (trained here with the same
+    * deterministic seeded Lloyd's as [[trainIvfCells]], per subspace),
+    * and the stored representation shrinks to `subspaces` small codes
+    * (4 bytes here vs 256 for f32×64 — at 100 TB the candidate scan
+    * reads 64× fewer bytes). Candidate generation is asymmetric
+    * distance computation (ADC): per query, one dot product against
+    * every codebook centroid builds a lookup table, and each corpus
+    * vector's approximate score is a `subspaces`-term table-sum over
+    * its codes; the top `rerank` candidates per query are re-scored at
+    * full precision for the final top-k.
+    *
+    * Deterministic and engine-reproducible end-to-end: quantized
+    * integer subvectors, md5-seeded per-subspace initialization (the k
+    * smallest `(hash60("pq|" ∥ sub ∥ "|" ∥ id), id)` keys via the
+    * bounded [[MinKAgg]] — no corpus-wide window), exact integer L2
+    * assignment with a (dist², cell) tie-break, rounded-mean centroid
+    * updates, and exact integer LUT dots, so any SQL engine replays the
+    * identical candidate set (the s8 oracle does); ties break on the
+    * neighbor id.
+    *
+    * Scale shape: codebooks are tiny (`subspaces`·`kSub` rows) and ride
+    * broadcasts everywhere; per-vector codes are computed with one
+    * broadcast join + bounded aggregates; the ADC scan is corpus ×
+    * broadcast(query LUTs) with NO shuffle of the corpus (the per-query
+    * LUT is a long-keyed map, the table-sum a codegen'd HOF over the
+    * codes array); candidate selection is the bounded [[TopKAgg]]; the
+    * rerank joins the tiny candidate list back as a broadcast. The
+    * corpus is never shuffled by anything except its own id during
+    * training aggregates.
+    *
+    * Eager note: the corpus projection and subvector table are
+    * `localCheckpoint`ed (multiple consumers — the repo-wide pattern,
+    * see [[Dedup.minhashLshPairs]]); construction runs Spark jobs at
+    * call time.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      subspaces: Int = 8, kSub: Int = 8, iters: Int = 1,
+      rerank: Int = 20, dim: Int = 64): DataFrame = {
+    require(dim % subspaces == 0,
+      s"dim $dim must divide into $subspaces subspaces")
+    require(k > 0 && kSub > 0 && iters > 0 && rerank >= k,
+      s"need k > 0, kSub > 0, iters > 0, rerank >= k")
+    val w = dim / subspaces
+    val base = prepare(corpus, idCol, vecCol).localCheckpoint()
+    // (vector, subspace) → quantized subvector + its squared norm
+    val subv = base
+      .select(col("_id"), col("_q"),
+        explode(sequence(lit(0), lit(subspaces - 1))).as("_sub"))
+      .select(col("_id"), col("_sub"),
+        slice(col("_q"), col("_sub") * w + 1, lit(w)).as("_sv"))
+      .withColumn("_svn2", dotQ(col("_sv"), col("_sv")))
+      .localCheckpoint()
+    // per-subspace seeding: k smallest purpose-prefixed md5 keys via the
+    // bounded MinKAgg (≤ kSub rows per partition-subspace cross the
+    // shuffle — no corpus-wide window)
+    val mink = udaf(new MinKAgg(kSub), Encoders.product[SampleCand])
+    val seedIds = subv
+      .select(col("_sub"),
+        Dedup.hash60(concat(lit("pq|"), col("_sub").cast("string"),
+          lit("|"), col("_id").cast("string"))).as("_h"),
+        col("_id"))
+      .groupBy(col("_sub")).agg(mink(col("_h"), col("_id")).as("_seeds"))
+      .select(col("_sub"), posexplode(col("_seeds")).as(Seq("_pos", "_c")))
+      .select(col("_sub"), col("_c.id").as("_id"),
+        col("_pos").cast("long").as("_cell"))
+    var cents = subv.join(broadcast(seedIds), Seq("_sub", "_id"))
+      .select(col("_sub"), col("_cell"), col("_sv").as("_cvec"),
+        col("_svn2").as("_cn2"))
+      .localCheckpoint()
+    // Lloyd's per subspace: assign by exact integer L2, recompute
+    // rounded means — one broadcast + two bounded aggregates per round
+    var i = 0
+    while (i < iters) {
+      val assigned = subv.join(broadcast(cents), "_sub")
+        .withColumn("_dist2",
+          col("_svn2") + col("_cn2") - lit(2L) * dotQ(col("_sv"), col("_cvec")))
+        .groupBy(col("_id"), col("_sub"))
+        .agg(min_by(col("_cell"), struct(col("_dist2"), col("_cell"))).as("_cell"))
+      cents = subv.join(assigned, Seq("_id", "_sub"))
+        .select(col("_sub"), col("_cell"), posexplode(col("_sv")).as(Seq("_pos", "_v")))
+        .groupBy(col("_sub"), col("_cell"), col("_pos"))
+        .agg(sum(col("_v")).as("_svs"), count(lit(1)).as("_cnt"))
+        .groupBy(col("_sub"), col("_cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("_pos").as("p"),
+            round(col("_svs") / col("_cnt")).cast("long").as("v")))),
+          x => x.getField("v")).as("_cvec"))
+        .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
+        .localCheckpoint()
+      i += 1
+    }
+    // final codes against the trained codebooks, folded into one
+    // codes-array + reconstructed-norm² row per vector
+    val codes = subv.join(broadcast(cents), "_sub")
+      .withColumn("_dist2",
+        col("_svn2") + col("_cn2") - lit(2L) * dotQ(col("_sv"), col("_cvec")))
+      .groupBy(col("_id"), col("_sub"))
+      .agg(min_by(struct(col("_cell"), col("_cn2")),
+        struct(col("_dist2"), col("_cell"))).as("_cc"))
+      .groupBy(col("_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("_sub").as("s"),
+          col("_cc._cell").as("c")))), x => x.getField("c")).as("_codes"),
+        sum(col("_cc._cn2")).as("_rn2"))
+    // per-query ADC lookup table: dot of each query subvector against
+    // each codebook centroid, keyed sub·1000 + cell in a long-keyed map
+    val q = prepare(queries, idCol, vecCol)
+      .select(col("_id").as("_qid"), col("_q").as("_qq"), col("_n2").as("_qn2"))
+      .localCheckpoint()
+    val lut = q
+      .select(col("_qid"), col("_qn2"),
+        explode(sequence(lit(0), lit(subspaces - 1))).as("_sub"), col("_qq"))
+      .select(col("_qid"), col("_qn2"), col("_sub"),
+        slice(col("_qq"), col("_sub") * w + 1, lit(w)).as("_qsv"))
+      .join(broadcast(cents), "_sub")
+      .groupBy(col("_qid"), col("_qn2"))
+      .agg(map_from_arrays(
+        collect_list(col("_sub") * 1000L + col("_cell")),
+        collect_list(dotQ(col("_qsv"), col("_cvec")))).as("_lut"))
+    // ADC scan: corpus codes × broadcast LUTs, table-sum via a codegen'd
+    // HOF — the |corpus|×|queries| stage touches only 4-code rows
+    val appr = codes.crossJoin(broadcast(lut))
+      .where(col("_id") =!= col("_qid"))
+      .withColumn("_adot", expr(
+        s"""aggregate(sequence(0, ${subspaces - 1}), 0L, (acc, s) ->
+           |  acc + element_at(_lut, s * 1000L + element_at(_codes, s + 1)))"""
+          .stripMargin))
+      .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
+        (col("_adot").cast("double") /
+          (sqrt(col("_rn2").cast("double")) * sqrt(col("_qn2").cast("double"))))
+          .as("cos"))
     val cand = TopK.perQuery(appr, rerank)
       .select(col("query_id"), col("neighbor_id"))
     val exact = base

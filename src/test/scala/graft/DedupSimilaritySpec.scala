@@ -418,6 +418,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(f"sq8 recall@5 at rerank=20: $recall%.3f")
   }
 
+  test("pq with full-corpus rerank equals brute force; small rerank keeps recall") {
+    val e = SparkEntry.tbl(spark, TestData.dir("0.001"), "embeddings")
+    val queries = e.where(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = e.count().toInt
+    val brute = pairs(Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5))
+    // rerank ≥ |corpus| ⇒ every candidate survives the ADC screen, so
+    // the exact rerank must reproduce brute force bit-for-bit
+    val full = pairs(Similarity.pqTopK(e, queries, "vec_id", "embedding",
+      k = 5, rerank = n))
+    assert(full === brute)
+    // 8-byte codes at a 4×-k rerank budget — far lossier than SQ8's
+    // per-dimension codes, and these synthetic embeddings are near-random
+    // (PQ's worst case: no cluster structure for the codebooks to
+    // exploit), so the bar is a usable candidate screen, not SQ8's 1.0
+    val pq = pairs(Similarity.pqTopK(e, queries, "vec_id", "embedding",
+      k = 5, rerank = 20))
+    val recall = (pq & brute).size.toDouble / brute.size
+    assert(recall >= 0.3, f"pq recall@5 too low: $recall%.3f")
+    info(f"pq recall@5 at rerank=20: $recall%.3f")
+  }
+
   test("k-means IVF training: total assignment, monotone objective, feeds ivfTopK") {
     val e = SparkEntry.tbl(spark, TestData.dir("0.001"), "embeddings")
     val n = e.count()

@@ -365,6 +365,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("s8 pq: ADC scan broadcasts LUTs, corpus never sort-merge-joined, bounded top-k") {
+    val p = plan("s8_ann_pq")
+    assert(!p.contains("SortMergeJoin"),
+      s"codebooks and LUTs must ride broadcasts; the corpus must never shuffle for a join:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"candidate + rerank top-k should plan as partial ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"no window anywhere — seeds use the bounded MinKAgg, top-k the bounded TopKAgg:\n$p")
+  }
+
   test("s7 dim stats: posexplode in scan stage, partial sums, no window") {
     val p = plan("s7_dim_stats")
     assert(p.contains("Generate posexplode"), s"expected the vector explode:\n$p")
