@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark driver. Prints ONE JSON line:
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"errors":{...},"sf":...}`
   *
-  * Default mode forks ONE CHILD JVM PER QUERY. Running ~30 codegen-heavy
+  * Default mode forks ONE CHILD JVM PER QUERY. Running ~100 codegen-heavy
   * queries in a single JVM contaminates later queries with the debris of
   * earlier ones — accumulated tmpfs shuffle files competing with the heap,
   * C2 recompilation churn, heap never returning to baseline — measured in
@@ -18,6 +18,18 @@ import org.apache.spark.sql.SparkSession
   * warmup (session + parquet init + target query once, untimed), then
   * times two runs and reports the min. The parent never creates a
   * SparkSession, so children are the only Spark JVM alive at any moment.
+  *
+  * COMPLETABILITY over redundancy (round-4 lesson): round 4's
+  * fork-everything-twice policy multiplied by 104 queries blew the
+  * driver's wall budget (rc=124, no artifact at all). So the parent now
+  * (a) forks each query ONCE by default, spending extra forks only on
+  * suspicious results (min > 3 s, or two observations disagreeing > 2x)
+  * and only while the global budget has headroom for the queries still
+  * unmeasured; (b) tracks a global deadline from
+  * `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 1500) and, when it is spent,
+  * records the remaining queries as skipped rather than running over;
+  * (c) registers a shutdown hook that emits whatever was measured if the
+  * driver SIGTERMs the run — a partial artifact beats none.
   *
   * `SPARK_GRAFT_BENCH_MODE=inproc` restores the single-JVM mode (useful
   * for quick local iteration); `SPARK_GRAFT_BENCH_ONLY=<name>[,<name>...]`
@@ -45,9 +57,11 @@ object Bench {
     * spark.local.dir, add-opens) and classpath, so its environment is
     * exactly the one build.sbt configures.
     *
-    * Every query is forked `SPARK_GRAFT_BENCH_FORKS` times (default 2)
-    * and the min recorded, with up to `SPARK_GRAFT_BENCH_MAXFORKS`
-    * (default 4) total when observations stay unstable. */
+    * Fork policy: 1 fork per query (`SPARK_GRAFT_BENCH_FORKS`), extra
+    * forks up to `SPARK_GRAFT_BENCH_MAXFORKS` (default 3) only for
+    * suspicious results AND only while the global budget
+    * (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 1500) retains enough
+    * headroom to give every not-yet-measured query its mandatory fork. */
   private def runForked(): Unit = {
     // SPARK_GRAFT_BENCH_FILTER: comma-separated names to subset the forked
     // run (local iteration only; the driver runs the full set).
@@ -58,24 +72,29 @@ object Bench {
     val javaBin = sys.props("java.home") + "/bin/java"
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
     val cp = sys.props("java.class.path")
-    // This VM has a documented transient-degradation mode: identical
-    // queries measured 7 s and 114 s depending on WHEN they ran, across
-    // fresh JVMs with identical configs. Round 3 proved a single
-    // threshold-triggered re-fork is not enough: a degradation window
-    // that inflates a query to 29 s (true cost 0.9 s) never crossed the
-    // fixed 30 s threshold and was recorded as steady state. So every
-    // query now forks TWICE unconditionally and records the min — a bad
-    // window must cover both (temporally separated) children to survive —
-    // and when the two observations still disagree by more than 2x with
-    // the min above 3 s (i.e. even the better one may be inflated), up to
-    // two extra forks are spent chasing a stable floor. Min over forks is
-    // an honest measurement: every child runs the full warmup + min-of-2.
-    // Every fork is logged to stderr so the per-round artifact is
-    // auditable against the observation list.
     val baseForks =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_FORKS", "2").toInt)
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_FORKS", "1").toInt)
     val maxForks =
-      math.max(baseForks, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXFORKS", "5").toInt)
+      math.max(baseForks, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXFORKS", "3").toInt)
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // If the driver SIGTERMs the run (external timeout), emit whatever
+    // was measured so the round still has a performance artifact.
+    val hook = new Thread(() => emitOnce(results.toSeq, errors, walls))
+    Runtime.getRuntime.addShutdownHook(hook)
+
+    // Running average of per-fork wall (JVM boot + session + warmup +
+    // 2 timed runs); seeds the headroom estimate before the first fork.
+    var forkWallSum = 0.0
+    var forkCount = 0
+    def avgForkWall: Double = if (forkCount == 0) 20.0 else forkWallSum / forkCount
+
     def fork(name: String): Either[String, Double] = {
       val cmd = new java.util.ArrayList[String]()
       cmd.add(javaBin)
@@ -93,50 +112,65 @@ object Bench {
       while ({ line = out.readLine(); line != null }) {
         if (line.startsWith("""{"query":""")) last = line
       }
-      val finished = proc.waitFor(15, TimeUnit.MINUTES)
-      if (!finished) { proc.destroyForcibly(); Left("timeout after 15 min") }
+      // A hung query must not eat the whole budget: cap each fork at the
+      // remaining global budget (min 60 s), never more than 10 min.
+      val capSec = math.min(600.0, math.max(60.0, budgetSec - elapsed))
+      val finished = proc.waitFor(capSec.toLong, TimeUnit.SECONDS)
+      if (!finished) {
+        proc.destroy() // SIGTERM first so the child's Spark stops cleanly
+        if (!proc.waitFor(10, TimeUnit.SECONDS)) proc.destroyForcibly()
+        Left(f"timeout after $capSec%.0f s")
+      }
       else if (last == null) Left(s"child exited ${proc.exitValue()} without result")
       else parseChildLine(last)
     }
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    names.foreach { name =>
-      val obs = scala.collection.mutable.ArrayBuffer[Double]()
-      var lastErr: Option[String] = None
-      var wall = 0.0
-      var n = 0
-      // fork again while: under the unconditional base count; or the
-      // query looks slow (best > 3 s) but has fewer than 3 observations
-      // — a degradation window lasting minutes can cover BOTH base forks,
-      // so anything slow earns a third temporally-separated sample; or
-      // the two best observations disagree >2x with the best above 3 s.
-      // All capped at maxForks. Errors consume a fork but are retried up
-      // to the cap.
-      def unstable: Boolean = obs.sorted.toList match {
-        case best :: rest =>
-          best > 3.0 && (obs.size < 3 || rest.headOption.exists(_ > 2.0 * best))
-        case _ => obs.isEmpty
-      }
-      while (n < baseForks || (n < maxForks && unstable)) {
-        val w0 = System.nanoTime()
-        val r = fork(name)
-        wall += (System.nanoTime() - w0) / 1e9
-        n += 1
-        r match {
-          case Right(sec) =>
-            obs += sec
-            System.err.println(f"[bench] $name fork $n/$maxForks: $sec%.3f s")
-          case Left(err) =>
-            lastErr = Some(err)
-            System.err.println(s"[bench] $name fork $n/$maxForks FAILED: $err")
+
+    names.zipWithIndex.foreach { case (name, i) =>
+      val remaining = names.size - i - 1 // queries still owed a mandatory fork
+      if (elapsed + avgForkWall > budgetSec + 120.0) {
+        // Budget (plus small grace) fully spent: record and move on rather
+        // than dying mid-run with nothing.
+        errors(name) = "skipped: bench budget exhausted"
+      } else {
+        val obs = scala.collection.mutable.ArrayBuffer[Double]()
+        var lastErr: Option[String] = None
+        var wall = 0.0
+        var n = 0
+        // Extra forks beyond the first are a luxury: spend one only when
+        // the result is suspicious (this VM has a documented transient-
+        // degradation mode — identical queries measured 7 s and 114 s in
+        // fresh JVMs — so a slow single observation may be a degradation
+        // window, not the query's true cost) AND the global budget can
+        // still afford the mandatory fork of every remaining query.
+        def suspicious: Boolean = obs.sorted.toList match {
+          case best :: rest =>
+            best > 3.0 && (rest.isEmpty || rest.head > 2.0 * best)
+          case _ => true // only errors so far: retry up to the cap
         }
+        def headroom: Boolean =
+          budgetSec - elapsed > avgForkWall * (remaining + 1)
+        while (n < baseForks || (n < maxForks && suspicious && headroom)) {
+          val w0 = System.nanoTime()
+          val r = fork(name)
+          val dw = (System.nanoTime() - w0) / 1e9
+          wall += dw; forkWallSum += dw; forkCount += 1
+          n += 1
+          r match {
+            case Right(sec) =>
+              obs += sec
+              System.err.println(f"[bench] $name fork $n/$maxForks: $sec%.3f s (wall ${elapsed}%.0f/${budgetSec}%.0f)")
+            case Left(err) =>
+              lastErr = Some(err)
+              System.err.println(s"[bench] $name fork $n/$maxForks FAILED: $err")
+          }
+        }
+        walls(name) = wall
+        if (obs.nonEmpty) results(name) = obs.min
+        else errors(name) = lastErr.getOrElse("no observation")
       }
-      walls(name) = wall
-      if (obs.nonEmpty) results(name) = obs.min
-      else errors(name) = lastErr.getOrElse("no observation")
     }
-    emit(results.toSeq, errors, walls)
+    emitOnce(results.toSeq, errors, walls)
+    try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: IllegalStateException => () }
   }
 
   /** Minimal parser for the child's single-result line — the child emits
@@ -167,11 +201,11 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      // Untimed warmup: session/parquet init plus one full run of the
-      // target query, so the timed runs measure steady-state cost, not
-      // codegen/JIT compilation of this query's operators.
+      // Untimed warmup: one full run of the target query covers session +
+      // parquet init AND this query's codegen/JIT, so the timed runs
+      // measure steady-state cost. (No separate cross-query warmup — it
+      // cost ~2-3 s per fork and the target's own run subsumes it.)
       try {
-        SparkEntry.queries("q2_global_agg")(spark, sfDir).count()
         fn(spark, sfDir).count()
         release(spark)
       } catch { case _: Throwable => () }
@@ -208,6 +242,21 @@ object Bench {
 
   private def jstr(s: String) =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  @volatile private var emitted = false
+
+  /** Emit-at-most-once wrapper shared by the normal exit path and the
+    * SIGTERM shutdown hook, so a killed run still prints one parseable
+    * (partial) artifact and a normal run never prints two. */
+  private def emitOnce(results: Seq[(String, Double)],
+      errors: scala.collection.Map[String, String],
+      walls: scala.collection.Map[String, Double]): Unit = synchronized {
+    if (!emitted) {
+      emitted = true
+      emit(results, errors, walls)
+      System.out.flush()
+    }
+  }
 
   /** Emits the single aggregate JSON line. `"queries"` stays a flat
     * name->seconds map (the driver's parse contract); per-query fork

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{Anomaly, AsOf, Attribution, Bpe, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, HeavyHitters, Latency, Layout, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Transitions, Vocab}
+import graft.operators.{Anomaly, AsOf, Attribution, Bpe, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, HeavyHitters, Latency, Layout, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Survival, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,7 +38,11 @@ object SparkEntry {
           raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
         case org.apache.spark.sql.types.TimestampNTZType => // µs-NTZ generation
           raw.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => raw // already a session-zone timestamp
+        case org.apache.spark.sql.types.TimestampType =>
+          raw // already a session-zone timestamp
+        case other => // a new testdata generation must fail loudly, not read garbage
+          throw new IllegalStateException(
+            s"unexpected physical type for events.ts: $other")
       }
     } else s.read.parquet(s"$dir/$name.parquet")
 
@@ -1107,9 +1111,13 @@ object SparkEntry {
     // scalar max-subquery to an aggregate-then-join — one pass over
     // orders, no per-row re-execution in the physical plan.
     "q28_exists_subquery" -> ((s, dir) => {
+      // The views exist only long enough for sql() to analyze the plan
+      // (analysis is eager; the returned Dataset holds resolved
+      // relations), then are dropped so the registry stays free of
+      // session-catalog side effects like every other entry.
       tbl(s, dir, "customer").createOrReplaceTempView("g28_customer")
       tbl(s, dir, "orders").createOrReplaceTempView("g28_orders")
-      s.sql("""
+      try s.sql("""
         SELECT c.c_custkey,
                (SELECT max(o.o_totalprice) FROM g28_orders o
                  WHERE o.o_custkey = c.c_custkey) AS max_price
@@ -1120,6 +1128,10 @@ object SparkEntry {
           AND NOT EXISTS (SELECT 1 FROM g28_orders o
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_totalprice < 5000)""")
+      finally {
+        s.catalog.dropTempView("g28_customer")
+        s.catalog.dropTempView("g28_orders")
+      }
     }),
     // Time-to-conversion survival curve: per signup-cohort user, days
     // until the first purchase at-or-after signup; S(t) walks a dense
@@ -1127,6 +1139,12 @@ object SparkEntry {
     // user-key shuffle; the axis/cumsum stage runs over the aggregated
     // per-day frame, whose size is bounded by the calendar (not the
     // data), so its single-partition window is safe at any scale.
+    // SIMPLIFICATION (deliberate, mirrored by the oracle): no
+    // right-censoring — users signing up near the end of the event
+    // window count as surviving at every t rather than leaving the risk
+    // set at their observation horizon, so S(t) sits above a
+    // Kaplan-Meier estimate at large t. KM semantics would cap each
+    // user's contribution at datediff(max_event_date, t0).
     "u17_survival" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val ev = tbl(s, dir, "events")
@@ -1152,6 +1170,15 @@ object SparkEntry {
           round((col("n_users") - col("cum_conv")).cast("double") /
             col("n_users").cast("double"), 6).as("surv"))
     }),
+    // Right-censored KM life table — the censored complement of
+    // u17_survival: non-converters leave the risk set at their
+    // observation horizon (global max event day − birth day) instead of
+    // surviving forever, so per-day hazards are unbiased. All hashed
+    // columns are integers (hazard in exact floor-div ppm); see the
+    // Survival scaladoc for the 100 TB shape (one user-key shuffle,
+    // calendar-bounded axis windows).
+    "u18_km_lifetable" -> ((s, dir) =>
+      Survival.lifeTable(tbl(s, dir, "events"), "signup", "purchase")),
     // Curriculum staging for training runs: documents bucketed into four
     // length-quartile stages (short→long) plus a deterministic within-
     // stage shuffle key. Cutoffs are one tiny exact-percentile row
@@ -2427,7 +2454,7 @@ object SparkEntry {
         """WITH c AS (
           |  SELECT user_id, count(*) AS n FROM events GROUP BY 1
           |)
-          |SELECT sum(n) AS n_rows, count(*) AS n_keys,
+          |SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
           |  max(n) AS max_key_rows,
           |  quantile_cont(n, 0.5) AS p50_key_rows,
           |  quantile_cont(n, 0.99) AS p99_key_rows,
@@ -2547,7 +2574,7 @@ object SparkEntry {
           |    CASE WHEN ('0x' || substr(md5('exp|exp1|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
           |           % 100 < 50
           |      THEN 'treatment' ELSE 'control' END AS variant,
-          |    count(*) AS n_users, sum(conv) AS n_conv
+          |    count(*) AS n_users, CAST(sum(conv) AS BIGINT) AS n_conv
           |  FROM per_user GROUP BY 1
           |), calc AS (
           |  SELECT variant, n_users, n_conv,
@@ -2883,7 +2910,7 @@ object SparkEntry {
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS toks_before
           |  FROM base
           |)
-          |SELECT doc_id, source, n_tokens, toks_before FROM cum
+          |SELECT doc_id, source, n_tokens, CAST(toks_before AS BIGINT) AS toks_before FROM cum
           |WHERE toks_before < CASE WHEN source = 'src0' THEN 300
           |                         WHEN source = 'src1' THEN 100000
           |                         ELSE 700 END""".stripMargin,
@@ -2987,6 +3014,50 @@ object SparkEntry {
           |  n_users - CAST(cc AS BIGINT) AS n_surviving,
           |  round(CAST(n_users - cc AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS surv
           |FROM cum CROSS JOIN tot""".stripMargin,
+      "u18_km_lifetable" ->
+        """WITH s0 AS (
+          |  SELECT user_id, min(ts) AS t0 FROM events
+          |  WHERE event_type = 'signup' GROUP BY 1
+          |), mx AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+          |cv AS (
+          |  SELECT s.user_id,
+          |    date_diff('day', CAST(s.t0 AS DATE), min(CAST(e.ts AS DATE))) AS dc
+          |  FROM events e JOIN s0 s ON e.user_id = s.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+          |  GROUP BY s.user_id, s.t0
+          |), per AS (
+          |  SELECT s.user_id, cv.dc,
+          |    date_diff('day', CAST(s.t0 AS DATE), mx.maxd) AS h
+          |  FROM s0 s LEFT JOIN cv USING (user_id) CROSS JOIN mx
+          |), cByDay AS (
+          |  SELECT dc AS t, count(*) AS nc_t FROM per WHERE dc IS NOT NULL GROUP BY 1
+          |), xByDay AS (
+          |  SELECT h AS t, count(*) AS nx_t FROM per WHERE dc IS NULL GROUP BY 1
+          |), tot AS (
+          |  SELECT count(*) FILTER (WHERE dc IS NOT NULL) AS nconv,
+          |    count(*) FILTER (WHERE dc IS NULL) AS nnon,
+          |    max(h) AS maxh
+          |  FROM per
+          |), axis AS (
+          |  SELECT CAST(unnest(range(0, maxh + 1)) AS BIGINT) AS t, nconv, nnon
+          |  FROM tot
+          |), j AS (
+          |  SELECT a.t, a.nconv, a.nnon,
+          |    CAST(coalesce(c.nc_t, 0) AS BIGINT) AS n_conv,
+          |    CAST(coalesce(x.nx_t, 0) AS BIGINT) AS n_censored
+          |  FROM axis a LEFT JOIN cByDay c ON c.t = a.t LEFT JOIN xByDay x ON x.t = a.t
+          |), r AS (
+          |  SELECT t, n_conv, n_censored,
+          |    CAST(nconv - coalesce(sum(n_conv) OVER (ORDER BY t
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      + nnon - coalesce(sum(n_censored) OVER (ORDER BY t
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+          |  FROM j
+          |)
+          |SELECT t, n_at_risk, n_conv, n_censored,
+          |  CAST(CASE WHEN n_at_risk > 0 THEN (n_conv * 1000000) // n_at_risk
+          |            ELSE 0 END AS BIGINT) AS hazard_ppm
+          |FROM r""".stripMargin,
       "p11_curriculum" ->
         """WITH cuts AS (
           |  SELECT quantile_cont(CAST(n_chars AS DOUBLE), [0.25, 0.5, 0.75]) AS c
@@ -3085,7 +3156,7 @@ object SparkEntry {
 
   private def bpeOracleSql(rounds: Int): String = {
     val unions = (1 to rounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, n AS pair_count FROM b$r")
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, CAST(n AS BIGINT) AS pair_count FROM b$r")
       .mkString("\nUNION ALL ")
     s"WITH ${bpeCtesSql(rounds)}\n$unions"
   }

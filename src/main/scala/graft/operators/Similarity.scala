@@ -355,6 +355,9 @@ object Similarity {
       s"dim $dim must divide into $subspaces subspaces")
     require(k > 0 && kSub > 0 && iters > 0 && rerank >= k,
       s"need k > 0, kSub > 0, iters > 0, rerank >= k")
+    // The ADC lookup table packs (sub, cell) as sub*1000 + cell; a kSub
+    // above the multiplier would silently collide keys across subspaces.
+    require(kSub <= 1000, s"kSub $kSub must be <= 1000 (LUT key packing)")
     val w = dim / subspaces
     val base = prepare(corpus, idCol, vecCol).localCheckpoint()
     // (vector, subspace) → quantized subvector + its squared norm

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Anomaly, AsOf, Attribution, Experiment, Funnel, Lifecycle, Paths, Rfm, Sessions}
+import graft.operators.{Anomaly, AsOf, Attribution, Experiment, Funnel, Lifecycle, Paths, Rfm, Sessions, Survival}
 
 class FunnelSpec extends AnyFunSuite {
 
@@ -308,5 +308,44 @@ class FunnelSpec extends AnyFunSuite {
     assert(u === 1L && day === "2024-01-10" && c === 11L)
     // mean 2, var (10*130-400)/90 = 10, z = 9/sqrt(10)
     assert(math.abs(z - 9.0 / math.sqrt(10.0)) < 1e-6)
+  }
+
+  test("km life table: right-censoring at the horizon, hand-computed hazards") {
+    import spark.implicits._
+    // horizon anchor: user 5's click makes the global max event day
+    // 2024-01-10. Converters: u1 (d=2), u4 (d=0, same-day). Censored:
+    // u2 (h=9), u3 (h=2), u6 (h=5 — its purchase PREDATES signup and
+    // must not count). u5 never signs up → outside the table.
+    val e = Seq(
+      (1L, "signup", ts("2024-01-01 10:00:00")),
+      (1L, "purchase", ts("2024-01-03 09:00:00")),
+      (2L, "signup", ts("2024-01-01 11:00:00")),
+      (3L, "signup", ts("2024-01-08 10:00:00")),
+      (4L, "signup", ts("2024-01-09 08:00:00")),
+      (4L, "purchase", ts("2024-01-09 23:00:00")),
+      (5L, "click", ts("2024-01-10 12:00:00")),
+      (6L, "signup", ts("2024-01-05 10:00:00")),
+      (6L, "purchase", ts("2024-01-04 10:00:00")))
+      .toDF("user_id", "event_type", "ts").repartition(3)
+    val rows = Survival.lifeTable(e, "signup", "purchase")
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val expect = Seq(
+      0L -> ((5L, 1L, 0L, 200000L)),
+      1L -> ((4L, 0L, 0L, 0L)),
+      2L -> ((4L, 1L, 1L, 250000L)),
+      3L -> ((2L, 0L, 0L, 0L)),
+      4L -> ((2L, 0L, 0L, 0L)),
+      5L -> ((2L, 0L, 1L, 0L)),
+      6L -> ((1L, 0L, 0L, 0L)),
+      7L -> ((1L, 0L, 0L, 0L)),
+      8L -> ((1L, 0L, 0L, 0L)),
+      9L -> ((1L, 0L, 1L, 0L)))
+    assert(rows.toSeq === expect)
+    // life-table identity: the risk set drains by exactly the exits
+    rows.toSeq.sliding(2).foreach { case Seq((_, (ar0, c0, x0, _)), (_, (ar1, _, _, _))) =>
+      assert(ar1 === ar0 - c0 - x0)
+    case _ => ()
+    }
   }
 }
