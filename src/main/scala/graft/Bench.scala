@@ -21,15 +21,16 @@ import org.apache.spark.sql.SparkSession
   *
   * COMPLETABILITY over redundancy (round-4 lesson): round 4's
   * fork-everything-twice policy multiplied by 104 queries blew the
-  * driver's wall budget (rc=124, no artifact at all). So the parent now
-  * (a) forks each query ONCE by default, spending extra forks only on
-  * suspicious results (min > 3 s, or two observations disagreeing > 2x)
-  * and only while the global budget has headroom for the queries still
-  * unmeasured; (b) tracks a global deadline from
+  * driver's wall budget (rc=124, no artifact at all), and even single
+  * per-query forks cost ~19 s of boot each (105 × 19 ≈ 2,000 s). So the
+  * parent now (a) measures queries in small GROUPS per child JVM
+  * (amortizing boot) and re-forks only suspicious observations
+  * isolated; (b) tracks a global deadline from
   * `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 1500) and, when it is spent,
   * records the remaining queries as skipped rather than running over;
   * (c) registers a shutdown hook that emits whatever was measured if the
-  * driver SIGTERMs the run — a partial artifact beats none.
+  * driver SIGTERMs the run — a partial artifact beats none. See
+  * [[runForked]] for the two-pass policy.
   *
   * `SPARK_GRAFT_BENCH_MODE=inproc` restores the single-JVM mode (useful
   * for quick local iteration); `SPARK_GRAFT_BENCH_ONLY=<name>[,<name>...]`
@@ -51,17 +52,34 @@ object Bench {
     }
   }
 
-  /** Parent mode: fork a child JVM per query, sequentially (two Spark
-    * JVMs benching concurrently on one host corrupt each other's numbers).
-    * The child inherits this JVM's flags (heap, code cache, tmpfs
-    * spark.local.dir, add-opens) and classpath, so its environment is
-    * exactly the one build.sbt configures.
+  /** Parent mode: fork child JVMs sequentially (two Spark JVMs benching
+    * concurrently on one host corrupt each other's numbers). The child
+    * inherits this JVM's flags (heap, code cache, tmpfs spark.local.dir,
+    * add-opens) and classpath, so its environment is exactly the one
+    * build.sbt configures.
     *
-    * Fork policy: 1 fork per query (`SPARK_GRAFT_BENCH_FORKS`), extra
-    * forks up to `SPARK_GRAFT_BENCH_MAXFORKS` (default 3) only for
-    * suspicious results AND only while the global budget
-    * (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 1500) retains enough
-    * headroom to give every not-yet-measured query its mandatory fork. */
+    * Fork policy — two passes:
+    *  1. GROUP pass: queries run in fresh child JVMs of
+    *     `SPARK_GRAFT_BENCH_GROUP` (default 5) queries each, with
+    *     cached/checkpointed state released between queries. This
+    *     amortizes the ~10-15 s JVM-boot + session + parquet-init cost
+    *     that made one-JVM-per-query unaffordable at 100+ queries
+    *     (105 × ~19 s ≈ 2,000 s vs the ~1,500 s wall budget). Groups
+    *     are small and short-lived, so the round-2 shared-JVM
+    *     contamination (30+ heavy queries in ONE JVM inflating later
+    *     ones 7-40×) cannot accumulate.
+    *  2. CONFIRM pass: any query whose group observation is suspicious
+    *     (> 3 s — possibly group debris or this VM's documented
+    *     transient-degradation windows) is re-forked ISOLATED, up to
+    *     `SPARK_GRAFT_BENCH_MAXFORKS` (default 3) total observations
+    *     while they disagree > 2×, and the min is recorded. Isolated
+    *     min-of-honest-runs equals the per-query-fork fidelity of the
+    *     old design exactly where it matters.
+    * Both passes respect the global `SPARK_GRAFT_BENCH_BUDGET_SEC`
+    * deadline (default 1500): when it is spent, remaining work is
+    * recorded as skipped and whatever was measured is emitted. A
+    * shutdown hook emits the partial artifact if the driver SIGTERMs
+    * the run. */
   private def runForked(): Unit = {
     // SPARK_GRAFT_BENCH_FILTER: comma-separated names to subset the forked
     // run (local iteration only; the driver runs the full set).
@@ -72,10 +90,10 @@ object Bench {
     val javaBin = sys.props("java.home") + "/bin/java"
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
     val cp = sys.props("java.class.path")
-    val baseForks =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_FORKS", "1").toInt)
+    val group =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUP", "5").toInt)
     val maxForks =
-      math.max(baseForks, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXFORKS", "3").toInt)
+      math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXFORKS", "3").toInt)
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
     val t0 = System.nanoTime()
@@ -89,99 +107,110 @@ object Bench {
     val hook = new Thread(() => emitOnce(results.toSeq, errors, walls))
     Runtime.getRuntime.addShutdownHook(hook)
 
-    // Running average of per-fork wall (JVM boot + session + warmup +
-    // 2 timed runs); seeds the headroom estimate before the first fork.
-    var forkWallSum = 0.0
-    var forkCount = 0
-    def avgForkWall: Double = if (forkCount == 0) 20.0 else forkWallSum / forkCount
-
-    def fork(name: String): Either[String, Double] = {
+    /** Forks one child JVM over `qs`, returns per-query results. */
+    def fork(qs: Seq[String]): Map[String, Either[String, Double]] = {
       val cmd = new java.util.ArrayList[String]()
       cmd.add(javaBin)
       jvmArgs.forEach(a => cmd.add(a))
       cmd.add("-cp"); cmd.add(cp); cmd.add("graft.Bench")
       val pb = new ProcessBuilder(cmd)
-      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", qs.mkString(","))
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       val out = new java.io.BufferedReader(
         new java.io.InputStreamReader(proc.getInputStream))
+      val got = scala.collection.mutable.LinkedHashMap[String, Either[String, Double]]()
       var line: String = null
-      var last: String = null
       while ({ line = out.readLine(); line != null }) {
-        if (line.startsWith("""{"query":""")) last = line
+        if (line.startsWith("""{"query":"""))
+          parseChildLine(line).foreach { case (n, r) => got(n) = r }
       }
-      // A hung query must not eat the whole budget: cap each fork at the
+      // A hung child must not eat the whole budget: cap each fork at the
       // remaining global budget (min 60 s), never more than 10 min.
       val capSec = math.min(600.0, math.max(60.0, budgetSec - elapsed))
       val finished = proc.waitFor(capSec.toLong, TimeUnit.SECONDS)
       if (!finished) {
         proc.destroy() // SIGTERM first so the child's Spark stops cleanly
         if (!proc.waitFor(10, TimeUnit.SECONDS)) proc.destroyForcibly()
-        Left(f"timeout after $capSec%.0f s")
       }
-      else if (last == null) Left(s"child exited ${proc.exitValue()} without result")
-      else parseChildLine(last)
+      qs.map { n =>
+        n -> got.getOrElse(n,
+          Left(if (finished) s"child exited ${proc.exitValue()} without result"
+               else f"timeout after $capSec%.0f s"))
+      }.toMap
     }
 
-    names.zipWithIndex.foreach { case (name, i) =>
-      val remaining = names.size - i - 1 // queries still owed a mandatory fork
-      if (elapsed + avgForkWall > budgetSec + 120.0) {
-        // Budget (plus small grace) fully spent: record and move on rather
-        // than dying mid-run with nothing.
-        errors(name) = "skipped: bench budget exhausted"
+    // ── pass 1: grouped measurement ──────────────────────────────────
+    val groups = names.grouped(group).toSeq
+    groups.zipWithIndex.foreach { case (qs, gi) =>
+      if (elapsed > budgetSec) {
+        qs.foreach(n => errors(n) = "skipped: bench budget exhausted")
       } else {
-        val obs = scala.collection.mutable.ArrayBuffer[Double]()
-        var lastErr: Option[String] = None
-        var wall = 0.0
-        var n = 0
-        // Extra forks beyond the first are a luxury: spend one only when
-        // the result is suspicious (this VM has a documented transient-
-        // degradation mode — identical queries measured 7 s and 114 s in
-        // fresh JVMs — so a slow single observation may be a degradation
-        // window, not the query's true cost) AND the global budget can
-        // still afford the mandatory fork of every remaining query.
-        def suspicious: Boolean = obs.sorted.toList match {
-          case best :: rest =>
-            best > 3.0 && (rest.isEmpty || rest.head > 2.0 * best)
-          case _ => true // only errors so far: retry up to the cap
-        }
-        def headroom: Boolean =
-          budgetSec - elapsed > avgForkWall * (remaining + 1)
-        while (n < baseForks || (n < maxForks && suspicious && headroom)) {
-          val w0 = System.nanoTime()
-          val r = fork(name)
-          val dw = (System.nanoTime() - w0) / 1e9
-          wall += dw; forkWallSum += dw; forkCount += 1
-          n += 1
-          r match {
+        val w0 = System.nanoTime()
+        val r = fork(qs)
+        val dw = (System.nanoTime() - w0) / 1e9
+        qs.foreach { n =>
+          walls(n) = walls.getOrElse(n, 0.0) + dw / qs.size
+          r(n) match {
             case Right(sec) =>
-              obs += sec
-              System.err.println(f"[bench] $name fork $n/$maxForks: $sec%.3f s (wall ${elapsed}%.0f/${budgetSec}%.0f)")
+              results(n) = sec
+              System.err.println(f"[bench] $n group ${gi + 1}/${groups.size}: $sec%.3f s (wall $elapsed%.0f/$budgetSec%.0f)")
             case Left(err) =>
-              lastErr = Some(err)
-              System.err.println(s"[bench] $name fork $n/$maxForks FAILED: $err")
+              errors(n) = err
+              System.err.println(s"[bench] $n group ${gi + 1}/${groups.size} FAILED: $err")
           }
         }
-        walls(name) = wall
-        if (obs.nonEmpty) results(name) = obs.min
-        else errors(name) = lastErr.getOrElse("no observation")
       }
     }
-    emitOnce(results.toSeq, errors, walls)
+    // ── pass 2: isolated confirmation of suspicious observations ─────
+    // A >3 s group observation may be group debris or a degradation
+    // window; a group-failed query deserves one isolated retry. Spend
+    // isolated forks while the budget holds, min over observations.
+    val suspects = names.filter(n =>
+      results.get(n).exists(_ > 3.0) ||
+        errors.get(n).exists(!_.startsWith("skipped")))
+    suspects.foreach { n =>
+      val obs = scala.collection.mutable.ArrayBuffer[Double]()
+      results.get(n).foreach(obs += _)
+      var forks = 1 // the group pass counted as one observation
+      def unstable: Boolean = obs.sorted.toList match {
+        case best :: rest =>
+          best > 3.0 && (rest.isEmpty || rest.head > 2.0 * best)
+        case _ => true // still no observation: retry
+      }
+      while (forks < maxForks && unstable && elapsed < budgetSec) {
+        val w0 = System.nanoTime()
+        val r = fork(Seq(n))
+        walls(n) = walls.getOrElse(n, 0.0) + (System.nanoTime() - w0) / 1e9
+        forks += 1
+        r(n) match {
+          case Right(sec) =>
+            obs += sec
+            System.err.println(f"[bench] $n isolated $forks/$maxForks: $sec%.3f s (wall $elapsed%.0f/$budgetSec%.0f)")
+          case Left(err) =>
+            if (obs.isEmpty) errors(n) = err
+            System.err.println(s"[bench] $n isolated $forks/$maxForks FAILED: $err")
+        }
+      }
+      if (obs.nonEmpty) { results(n) = obs.min; errors.remove(n) }
+    }
+    emitOnce(results.toSeq.sortBy(_._1), errors, walls)
     try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: IllegalStateException => () }
   }
 
-  /** Minimal parser for the child's single-result line — the child emits
+  /** Minimal parser for a child result line — the child emits
     * `{"query":"<name>","sec":<n>}` or `{"query":"<name>","err":"<msg>"}`
     * with no nesting, so a regex is sufficient (no JSON lib on the
     * classpath beyond Spark's shaded ones). */
-  private def parseChildLine(line: String): Either[String, Double] = {
+  private def parseChildLine(line: String): Option[(String, Either[String, Double])] = {
+    val name = """"query":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(line)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     val sec = """"sec":([0-9.eE+-]+)""".r.findFirstMatchIn(line).map(_.group(1).toDouble)
     val err = """"err":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(line)
       .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-    sec.map(Right(_)).orElse(err.map(Left(_))).getOrElse(Left(s"unparseable: $line"))
+    name.map(n => n -> sec.map(Right(_)).orElse(err.map(Left(_)))
+      .getOrElse(Left(s"unparseable: $line")))
   }
 
   /** Child / inproc mode: run the given queries in this JVM. In child

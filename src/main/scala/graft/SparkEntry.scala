@@ -294,6 +294,40 @@ object SparkEntry {
         .groupBy(col("cohort_week"), col("week_off"))
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
+    // Cohort LTV curves: cumulative purchase revenue per signup-week
+    // cohort by week offset — q16's revenue-valued sibling. Revenue is
+    // quantized to integer cents BEFORE summing so every aggregate is
+    // exact long arithmetic (partition-order/engine independent); the
+    // cumulative window runs per cohort over ≤9 aggregated rows. The
+    // signup aggregate and the purchase join share one user-key shuffle;
+    // cohort sizes are a tiny broadcast.
+    "u19_cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = tbl(s, dir, "events")
+      val s0 = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val week = date_format(date_trunc("week", col("t0")), "yyyy-MM-dd")
+      val sizes = s0.groupBy(week.as("cohort_week"))
+        .agg(count(lit(1)).as("n_users"))
+      val rev = e.where(col("event_type") === "purchase").alias("e")
+        .join(s0.alias("s"), col("e.user_id") === col("s.user_id") &&
+          col("e.ts") >= col("s.t0"))
+        .select(
+          date_format(date_trunc("week", col("s.t0")), "yyyy-MM-dd").as("cohort_week"),
+          floor(datediff(to_date(col("e.ts")), to_date(col("s.t0"))).cast("double") / 7)
+            .cast("long").as("week_off"),
+          round(col("e.value") * 100).cast("long").as("_cents"))
+        .where(col("week_off") <= 8)
+        .groupBy(col("cohort_week"), col("week_off"))
+        .agg(sum(col("_cents")).as("rev_cents"))
+      val w = Window.partitionBy(col("cohort_week")).orderBy(col("week_off"))
+      rev.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+        .join(broadcast(sizes), Seq("cohort_week"))
+        .select(col("cohort_week"), col("week_off"), col("rev_cents"),
+          col("cum_rev_cents"), col("n_users"),
+          round(col("cum_rev_cents").cast("double") / 100.0 /
+            col("n_users").cast("double"), 6).as("ltv_per_user"))
+    }),
     // Semi-join (EXISTS) + anti-join (NOT EXISTS) in one report: customers
     // with/without an urgent order, counted per market segment. The semi
     // and anti sides each broadcast the filtered orders keys; whether the
@@ -541,6 +575,16 @@ object SparkEntry {
     // joins, never broadcast.
     "t16_bigram_surprisal" -> ((s, dir) =>
       Vocab.meanBigramSurprisal(par(tbl(s, dir, "documents")))),
+    // Lexical diversity: per-doc type/token/hapax counts + TTR — the
+    // model-free vocabulary-richness quality gate. Two map-side-combined
+    // aggregates ((doc, term) then doc), no joins or windows.
+    "t20_lexical_diversity" -> ((s, dir) =>
+      Vocab.lexicalDiversity(par(tbl(s, dir, "documents")))),
+    // Zipf rank-frequency fit over the top-1000 vocabulary: micro-nat
+    // integer sums + decimal(38,0) normal equations — an engine-exact
+    // least-squares regression (natural text ≈ slope −1).
+    "t21_zipf_fit" -> ((s, dir) =>
+      Vocab.zipfFit(par(tbl(s, dir, "documents")), k = 1000)),
     // Corpus boilerplate coverage: fraction of each document's distinct
     // 3-gram shingles that appear in >= 3 documents. Shingle-df agg +
     // shuffle-hash join back + doc agg — never broadcasts the
@@ -656,6 +700,19 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       Similarity.pqTopK(par(e), e.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5,
+        subspaces = 8, kSub = 8, iters = 1, rerank = 20)
+    }),
+    // IVF-PQ: the FAISS-style composition closing the quantization
+    // family — trained coarse cells restrict each query's candidates to
+    // its 2 nearest cells, PQ codes + ADC table-sums score only those,
+    // exact rerank finishes. At scale the corpus is hash-partitioned by
+    // cell, so a probe reads ~nprobe/kCells of the codes.
+    "s9_ann_ivfpq" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfPqTopK(par(e), e.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5,
+        kCells = 8, nprobe = 2, ivfIters = 2,
         subspaces = 8, kSub = 8, iters = 1, rerank = 20)
     }),
 
@@ -988,6 +1045,25 @@ object SparkEntry {
     // projection of the id, stable across partitioning/cluster size.
     "p1_hash_split" -> ((s, dir) =>
       Split.assignSplit(tbl(s, dir, "documents").select(col("doc_id")), "doc_id")),
+    // Leakage-safe split: near-dup docs must land in the SAME
+    // train/val/test split or eval leaks training text — so the split
+    // hashes the near-dup COMPONENT id (min doc id of the d2-pairs
+    // connected component; unpaired docs are their own group), not the
+    // doc id. Composition: LSH pairs → connected components → left
+    // join back (docs without pairs coalesce to themselves) →
+    // assignSplit on the group. The component table is pair-bounded
+    // (tiny next to the corpus), so the join back is cheap.
+    "p12_leakage_split" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val aug = augmentedDocs(s, dir)
+      val comp = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(aug, k = 32, bands = 8, threshold = 0.4))
+      val grouped = aug.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      Split.assignSplit(grouped, "group_id")
+    }),
     // Deterministic stratified sampling: per-language keep rates as a pure
     // hash filter — no RNG, no shuffle, reproducible on any engine, and
     // nested (a lower rate draws a subset of a higher rate's sample).
@@ -1598,6 +1674,31 @@ object SparkEntry {
           |)
           |SELECT cohort_week, week_off, count(DISTINCT user_id) AS n_users
           |FROM act WHERE week_off <= 8 GROUP BY 1, 2""".stripMargin,
+      "u19_cohort_ltv" ->
+        """WITH s0 AS (
+          |  SELECT user_id, min(ts) AS t0 FROM events
+          |  WHERE event_type = 'signup' GROUP BY 1
+          |), cs AS (
+          |  SELECT strftime(date_trunc('week', t0), '%Y-%m-%d') AS cohort_week,
+          |    count(*) AS n_users
+          |  FROM s0 GROUP BY 1
+          |), r AS (
+          |  SELECT strftime(date_trunc('week', s.t0), '%Y-%m-%d') AS cohort_week,
+          |    CAST(floor(date_diff('day', CAST(s.t0 AS DATE), CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_off,
+          |    CAST(round(e.value * 100) AS BIGINT) AS cents
+          |  FROM events e JOIN s0 s ON e.user_id = s.user_id AND e.ts >= s.t0
+          |  WHERE e.event_type = 'purchase'
+          |), g AS (
+          |  SELECT cohort_week, week_off, CAST(sum(cents) AS BIGINT) AS rev_cents
+          |  FROM r WHERE week_off <= 8 GROUP BY 1, 2
+          |), c AS (
+          |  SELECT cohort_week, week_off, rev_cents,
+          |    CAST(sum(rev_cents) OVER (PARTITION BY cohort_week ORDER BY week_off) AS BIGINT) AS cum_rev_cents
+          |  FROM g
+          |)
+          |SELECT c.cohort_week, c.week_off, c.rev_cents, c.cum_rev_cents, cs.n_users,
+          |  round(CAST(c.cum_rev_cents AS DOUBLE) / 100.0 / CAST(cs.n_users AS DOUBLE), 6) AS ltv_per_user
+          |FROM c JOIN cs USING (cohort_week)""".stripMargin,
       "q19_semi_anti" ->
         """WITH urgent AS (
           |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -1875,6 +1976,43 @@ object SparkEntry {
           |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
           |  tfidf, CAST(rank AS BIGINT) AS rank
           |FROM ranked WHERE rank <= 3""".stripMargin,
+      "t20_lexical_diversity" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS term
+          |  FROM documents
+          |), tf AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+          |)
+          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+          |  count(*) AS n_types,
+          |  CAST(count(*) FILTER (WHERE tf = 1) AS BIGINT) AS n_hapax,
+          |  round(CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS ttr
+          |FROM tf GROUP BY doc_id""".stripMargin,
+      "t21_zipf_fit" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS token
+          |  FROM documents
+          |), cfs AS (
+          |  SELECT token, count(*) AS cf FROM tok GROUP BY 1
+          |  ORDER BY cf DESC, token LIMIT 1000
+          |), rk AS (
+          |  SELECT cf, row_number() OVER (ORDER BY cf DESC, token) AS rank FROM cfs
+          |), xy AS (
+          |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+          |         CAST(round(ln(CAST(cf AS DOUBLE)) * 1000000) AS BIGINT) AS y
+          |  FROM rk
+          |), agg AS (
+          |  SELECT CAST(count(*) AS HUGEINT) AS n,
+          |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+          |    CAST(sum(x * x) AS HUGEINT) AS sxx, CAST(sum(y * y) AS HUGEINT) AS syy,
+          |    CAST(sum(x * y) AS HUGEINT) AS sxy
+          |  FROM xy
+          |)
+          |SELECT CAST(n AS BIGINT) AS n_terms,
+          |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+          |  round(pow(CAST(n * sxy - sx * sy AS DOUBLE), 2) /
+          |        (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+          |FROM agg""".stripMargin,
       "t11_surprisal" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS term
@@ -2165,6 +2303,123 @@ object SparkEntry {
            |), scored AS (
            |  SELECT c.qid AS query_id, c.nid AS neighbor_id, $dotCosSql AS cos
            |  FROM cand c JOIN qn a ON a.vec_id = c.qid JOIN qn b ON b.vec_id = c.nid
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored
+           |)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+      // s9 = s5's coarse unroll (trained cells a2 → member-mean
+      // centroids → top-2 probes per query) gating s8's PQ unroll
+      // (p-prefixed CTEs to avoid colliding with the coarse family):
+      // ADC scores only candidates whose coarse cell is probed, then
+      // the exact top-5 rerank.
+      "s9_ann_ivfpq" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |), $quantEmbSql, ${ivfLloyd2Sql(8)}, ql AS (
+           |  SELECT qn.vec_id, a2.cell AS label, qn.qv, qn.n2
+           |  FROM qn JOIN a2 USING (vec_id)
+           |), cd AS (
+           |  SELECT label AS cell, d, sum(qv[d]) AS sv, count(*) AS cnt
+           |  FROM ql, (SELECT CAST(range AS INT) + 1 AS d FROM range(64))
+           |  GROUP BY 1, 2
+           |), cents AS (
+           |  SELECT cell, list(CAST(round(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY d) AS cvec
+           |  FROM cd GROUP BY 1
+           |), cn AS (
+           |  SELECT cell, cvec, list_sum(list_transform(cvec, x -> x * x)) AS cn2 FROM cents
+           |), qset AS (
+           |  SELECT vec_id AS qid, qv AS qq, n2 AS qn2 FROM qn WHERE vec_id < 20
+           |), qc AS (
+           |  SELECT qid, cell,
+           |    qn2 + cn2 - 2 * list_sum(list_transform(range(1, 65),
+           |      d -> qq[CAST(d AS INT)] * cvec[CAST(d AS INT)])) AS dist2
+           |  FROM qset, cn
+           |), probes AS (
+           |  SELECT qid, cell FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist2, cell) AS pr FROM qc)
+           |  WHERE pr <= 2
+           |), psubs AS (
+           |  SELECT CAST(range AS BIGINT) AS sub FROM range(8)
+           |), psd AS (
+           |  SELECT CAST(range AS INT) + 1 AS d FROM range(8)
+           |), psubv AS (
+           |  SELECT vec_id, sub,
+           |    qv[CAST(sub * 8 + 1 AS INT):CAST(sub * 8 + 8 AS INT)] AS sv
+           |  FROM qn, psubs
+           |), psvn AS (
+           |  SELECT vec_id, sub, sv,
+           |    list_sum(list_transform(sv, x -> x * x)) AS svn2
+           |  FROM psubv
+           |), pseeds AS (
+           |  SELECT sub, vec_id, sv, svn2,
+           |    row_number() OVER (PARTITION BY sub ORDER BY hkey, vec_id) - 1 AS cell
+           |  FROM (
+           |    SELECT vec_id, sub, sv, svn2,
+           |      ('0x' || substr(md5('pq|' || CAST(sub AS VARCHAR) || '|' ||
+           |        CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
+           |    FROM psvn)
+           |  QUALIFY row_number() OVER (PARTITION BY sub ORDER BY hkey, vec_id) <= 8
+           |), pc0 AS (
+           |  SELECT sub, cell, sv AS cvec, svn2 AS cn2 FROM pseeds
+           |), pa1 AS (
+           |  SELECT vec_id, sub, cell FROM (
+           |    SELECT s.vec_id, s.sub, c.cell,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+           |        s.svn2 + c.cn2 - 2 * list_sum(list_transform(range(1, 9),
+           |          d -> s.sv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.cell) AS rn
+           |    FROM psvn s JOIN pc0 c USING (sub))
+           |  WHERE rn = 1
+           |), pc1d AS (
+           |  SELECT a.sub, a.cell, psd.d, sum(s.sv[psd.d]) AS svs, count(*) AS cnt
+           |  FROM pa1 a JOIN psvn s USING (vec_id, sub), psd
+           |  GROUP BY 1, 2, 3
+           |), pc1 AS (
+           |  SELECT sub, cell,
+           |    list(CAST(round(CAST(svs AS DOUBLE) / cnt) AS BIGINT) ORDER BY d) AS cvec
+           |  FROM pc1d GROUP BY 1, 2
+           |), pc1n AS (
+           |  SELECT sub, cell, cvec,
+           |    list_sum(list_transform(cvec, x -> x * x)) AS cn2
+           |  FROM pc1
+           |), pa2 AS (
+           |  SELECT vec_id, sub, cell, cn2 FROM (
+           |    SELECT s.vec_id, s.sub, c.cell, c.cn2,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+           |        s.svn2 + c.cn2 - 2 * list_sum(list_transform(range(1, 9),
+           |          d -> s.sv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.cell) AS rn
+           |    FROM psvn s JOIN pc1n c USING (sub))
+           |  WHERE rn = 1
+           |), qsub AS (
+           |  SELECT vec_id AS qid, sub, sv FROM psvn WHERE vec_id < 20
+           |), plut AS (
+           |  SELECT q.qid, c.sub, c.cell,
+           |    list_sum(list_transform(range(1, 9),
+           |      d -> q.sv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])) AS dot
+           |  FROM qsub q JOIN pc1n c ON q.sub = c.sub
+           |), appr AS (
+           |  SELECT l.qid, a.vec_id AS nid, sum(l.dot) AS adot, sum(a.cn2) AS rn2
+           |  FROM pa2 a
+           |  JOIN a2 cc ON cc.vec_id = a.vec_id
+           |  JOIN probes p ON p.cell = cc.cell
+           |  JOIN plut l ON a.sub = l.sub AND a.cell = l.cell
+           |    AND l.qid = p.qid AND a.vec_id <> l.qid
+           |  GROUP BY 1, 2
+           |), apprc AS (
+           |  SELECT ap.qid, ap.nid,
+           |    CAST(ap.adot AS DOUBLE) /
+           |      (sqrt(CAST(ap.rn2 AS DOUBLE)) * sqrt(CAST(qn.n2 AS DOUBLE))) AS acos
+           |  FROM appr ap JOIN qn ON qn.vec_id = ap.qid
+           |), pcand AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT qid, nid,
+           |      row_number() OVER (PARTITION BY qid ORDER BY acos DESC, nid) AS pr
+           |    FROM apprc)
+           |  WHERE pr <= 20
+           |), scored AS (
+           |  SELECT c.qid AS query_id, c.nid AS neighbor_id, $dotCosSql AS cos
+           |  FROM pcand c JOIN qn a ON a.vec_id = c.qid JOIN qn b ON b.vec_id = c.nid
            |), ranked AS (
            |  SELECT query_id, neighbor_id, cos,
            |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
@@ -2944,6 +3199,37 @@ object SparkEntry {
           |  SELECT doc_id,
           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
           |  FROM documents)""".stripMargin,
+      // p12 = the d6 closure over the d2 pairs, left-joined back onto
+      // the augmented corpus (unpaired docs group to themselves), then
+      // p1's bucket/split arithmetic applied to the GROUP id.
+      "p12_leakage_split" ->
+        s"""WITH RECURSIVE $augDocsSql, prs AS (
+           |$d2PairsSql
+           |), edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM prs
+           |  UNION
+           |  SELECT id_b, id_a FROM prs
+           |), nodes AS (
+           |  SELECT DISTINCT src AS id FROM edges
+           |), cc(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT cc.id, e.dst FROM cc JOIN edges e ON cc.r = e.src
+           |), comp AS (
+           |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS group_id
+           |  FROM cc GROUP BY id
+           |), grouped AS (
+           |  SELECT a.doc_id, coalesce(c.group_id, a.doc_id) AS group_id
+           |  FROM aug a LEFT JOIN comp c USING (doc_id)
+           |), b AS (
+           |  SELECT doc_id, group_id,
+           |    ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+           |  FROM grouped
+           |)
+           |SELECT doc_id, group_id, bucket,
+           |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM b""".stripMargin,
       "p2_stratified_sample" ->
         """SELECT doc_id, lang FROM documents
           |WHERE ('0x' || substr(md5('smp|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT

@@ -360,17 +360,44 @@ object Similarity {
     require(kSub <= 1000, s"kSub $kSub must be <= 1000 (LUT key packing)")
     val w = dim / subspaces
     val base = prepare(corpus, idCol, vecCol).localCheckpoint()
-    // (vector, subspace) → quantized subvector + its squared norm
-    val subv = base
+    val subv = pqSubvectors(base, subspaces, w).localCheckpoint()
+    val cents = pqCodebooks(subv, kSub, iters)
+    val codes = pqAssignCodes(subv, cents)
+    val q = prepare(queries, idCol, vecCol)
+      .select(col("_id").as("_qid"), col("_q").as("_qq"), col("_n2").as("_qn2"))
+      .localCheckpoint()
+    val lut = pqQueryLuts(q, cents, subspaces, w)
+    // ADC scan: corpus codes × broadcast LUTs, table-sum via a codegen'd
+    // HOF — the |corpus|×|queries| stage touches only 4-code rows
+    val appr = codes.crossJoin(broadcast(lut))
+      .where(col("_id") =!= col("_qid"))
+      .withColumn("_adot", adcDotExpr(subspaces))
+      .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
+        (col("_adot").cast("double") /
+          (sqrt(col("_rn2").cast("double")) * sqrt(col("_qn2").cast("double"))))
+          .as("cos"))
+    val cand = TopK.perQuery(appr, rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(base, q, cand, k)
+  }
+
+  /** (vector, subspace) → quantized subvector + its squared norm: the
+    * shared first stage of the PQ family ([[pqTopK]], [[ivfPqTopK]]). */
+  private def pqSubvectors(base: DataFrame, subspaces: Int, w: Int): DataFrame =
+    base
       .select(col("_id"), col("_q"),
         explode(sequence(lit(0), lit(subspaces - 1))).as("_sub"))
       .select(col("_id"), col("_sub"),
         slice(col("_q"), col("_sub") * w + 1, lit(w)).as("_sv"))
       .withColumn("_svn2", dotQ(col("_sv"), col("_sv")))
-      .localCheckpoint()
-    // per-subspace seeding: k smallest purpose-prefixed md5 keys via the
-    // bounded MinKAgg (≤ kSub rows per partition-subspace cross the
-    // shuffle — no corpus-wide window)
+
+  /** Per-subspace codebooks: seeding picks the kSub smallest purpose-
+    * prefixed md5 keys via the bounded MinKAgg (≤ kSub rows per
+    * partition-subspace cross the shuffle — no corpus-wide window),
+    * then `iters` rounds of Lloyd's (exact integer L2 assignment with a
+    * (dist², cell) tie-break, rounded-mean updates — one broadcast + two
+    * bounded aggregates per round). */
+  private def pqCodebooks(subv: DataFrame, kSub: Int, iters: Int): DataFrame = {
     val mink = udaf(new MinKAgg(kSub), Encoders.product[SampleCand])
     val seedIds = subv
       .select(col("_sub"),
@@ -385,8 +412,6 @@ object Similarity {
       .select(col("_sub"), col("_cell"), col("_sv").as("_cvec"),
         col("_svn2").as("_cn2"))
       .localCheckpoint()
-    // Lloyd's per subspace: assign by exact integer L2, recompute
-    // rounded means — one broadcast + two bounded aggregates per round
     var i = 0
     while (i < iters) {
       val assigned = subv.join(broadcast(cents), "_sub")
@@ -407,9 +432,14 @@ object Similarity {
         .localCheckpoint()
       i += 1
     }
-    // final codes against the trained codebooks, folded into one
-    // codes-array + reconstructed-norm² row per vector
-    val codes = subv.join(broadcast(cents), "_sub")
+    cents
+  }
+
+  /** Final code assignment against trained codebooks, folded into one
+    * codes-array + reconstructed-norm² row per vector: (_id, _codes,
+    * _rn2). */
+  private def pqAssignCodes(subv: DataFrame, cents: DataFrame): DataFrame =
+    subv.join(broadcast(cents), "_sub")
       .withColumn("_dist2",
         col("_svn2") + col("_cn2") - lit(2L) * dotQ(col("_sv"), col("_cvec")))
       .groupBy(col("_id"), col("_sub"))
@@ -420,13 +450,13 @@ object Similarity {
         transform(array_sort(collect_list(struct(col("_sub").as("s"),
           col("_cc._cell").as("c")))), x => x.getField("c")).as("_codes"),
         sum(col("_cc._cn2")).as("_rn2"))
-    // per-query ADC lookup table: dot of each query subvector against
-    // each codebook centroid, keyed sub·1000 + cell in a long-keyed map
-    val q = prepare(queries, idCol, vecCol)
-      .select(col("_id").as("_qid"), col("_q").as("_qq"), col("_n2").as("_qn2"))
-      .localCheckpoint()
-    val lut = q
-      .select(col("_qid"), col("_qn2"),
+
+  /** Per-query ADC lookup tables: dot of each query subvector against
+    * each codebook centroid, keyed sub·1000 + cell in a long-keyed map —
+    * (_qid, _qn2, _lut). */
+  private def pqQueryLuts(
+      q: DataFrame, cents: DataFrame, subspaces: Int, w: Int): DataFrame =
+    q.select(col("_qid"), col("_qn2"),
         explode(sequence(lit(0), lit(subspaces - 1))).as("_sub"), col("_qq"))
       .select(col("_qid"), col("_qn2"), col("_sub"),
         slice(col("_qq"), col("_sub") * w + 1, lit(w)).as("_qsv"))
@@ -435,25 +465,111 @@ object Similarity {
       .agg(map_from_arrays(
         collect_list(col("_sub") * 1000L + col("_cell")),
         collect_list(dotQ(col("_qsv"), col("_cvec")))).as("_lut"))
-    // ADC scan: corpus codes × broadcast LUTs, table-sum via a codegen'd
-    // HOF — the |corpus|×|queries| stage touches only 4-code rows
-    val appr = codes.crossJoin(broadcast(lut))
-      .where(col("_id") =!= col("_qid"))
-      .withColumn("_adot", expr(
-        s"""aggregate(sequence(0, ${subspaces - 1}), 0L, (acc, s) ->
-           |  acc + element_at(_lut, s * 1000L + element_at(_codes, s + 1)))"""
-          .stripMargin))
-      .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
-        (col("_adot").cast("double") /
-          (sqrt(col("_rn2").cast("double")) * sqrt(col("_qn2").cast("double"))))
-          .as("cos"))
-    val cand = TopK.perQuery(appr, rerank)
-      .select(col("query_id"), col("neighbor_id"))
+
+  /** The `subspaces`-term ADC table-sum over a row's `_codes` against
+    * its joined `_lut` map. */
+  private def adcDotExpr(subspaces: Int): Column = expr(
+    s"""aggregate(sequence(0, ${subspaces - 1}), 0L, (acc, s) ->
+       |  acc + element_at(_lut, s * 1000L + element_at(_codes, s + 1)))"""
+      .stripMargin)
+
+  /** Exact full-precision rerank of a small (query_id, neighbor_id)
+    * candidate list: both the candidates and the query set ride
+    * broadcasts, the corpus is never shuffled. */
+  private def exactRerank(
+      base: DataFrame, q: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val exact = base
       .join(broadcast(cand.withColumnRenamed("neighbor_id", "_id")), Seq("_id"))
       .join(broadcast(q), col("query_id") === col("_qid"))
       .select(col("query_id"), col("_id").as("neighbor_id"),
         cosineFrom(dotQ(col("_q"), col("_qq")), col("_n2"), col("_qn2")).as("cos"))
     TopK.perQuery(exact, k)
+  }
+
+  /** IVF-PQ top-k — the production-scale composition of the coarse
+    * inverted file ([[trainIvfCells]] + the [[ivfTopK]] probe) with
+    * product-quantized scoring ([[pqTopK]]'s ADC): the trained coarse
+    * quantizer restricts each query's candidates to its `nprobe`
+    * nearest cells (at cluster scale the corpus is hash-partitioned by
+    * cell, so a probe reads ~nprobe/kCells of the data) and the ADC
+    * table-sum scores only those candidates from `subspaces` small
+    * codes (64× less scan bandwidth than f32 vectors), followed by the
+    * exact top-`rerank` rerank. This is the FAISS-style IVFPQ layout
+    * re-expressed as dataframe algebra.
+    *
+    * Deterministic end-to-end: both quantizers train with md5-seeded
+    * Lloyd's (the coarse one exactly as [[trainIvfCells]], the
+    * codebooks exactly as [[pqTopK]]), so any SQL engine replays the
+    * identical index and candidate sets (the s9 oracle does).
+    *
+    * EAGER: trains two quantizers at call time, each localCheckpoint-ing
+    * intermediates — see [[Dedup.minhashLshPairs]] for the trade.
+    *
+    * Scale shape: quantizer training is broadcast + bounded-aggregate
+    * loops (the corpus shuffles only on its own id); the candidate scan
+    * is codes ⋈ cell-assignment (id-co-partitioned) ⋈ broadcast(probes)
+    * ⋈ broadcast(LUTs); candidate selection is the bounded [[TopKAgg]];
+    * the rerank broadcasts the candidate list. The corpus is never
+    * shuffled on anything but its own id.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      kCells: Int = 8, nprobe: Int = 2, ivfIters: Int = 2,
+      subspaces: Int = 8, kSub: Int = 8, iters: Int = 1,
+      rerank: Int = 20, dim: Int = 64): DataFrame = {
+    require(dim % subspaces == 0,
+      s"dim $dim must divide into $subspaces subspaces")
+    require(k > 0 && kSub > 0 && iters > 0 && rerank >= k && kCells > 0 &&
+      nprobe > 0 && ivfIters > 0,
+      s"need positive k/kSub/iters/kCells/nprobe/ivfIters and rerank >= k")
+    require(kSub <= 1000, s"kSub $kSub must be <= 1000 (LUT key packing)")
+    val w = dim / subspaces
+    val base = prepare(corpus, idCol, vecCol).localCheckpoint()
+    // coarse quantizer: trained assignment + member-mean centroids (the
+    // same rounded-mean form ivfTopK derives from an external label)
+    val assigned = trainIvfCells(corpus, idCol, vecCol, kCells, ivfIters)
+    val coarse = base.join(assigned, "_id")
+      .select(col("_cell"), posexplode(col("_q")).as(Seq("_pos", "_v")))
+      .groupBy(col("_cell"), col("_pos"))
+      .agg(sum(col("_v")).as("_sv"), count(lit(1)).as("_cnt"))
+      .groupBy(col("_cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_pos").as("p"),
+          round(col("_sv") / col("_cnt")).cast("long").as("v")))),
+        x => x.getField("v")).as("_cvec"))
+      .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
+    val q = prepare(queries, idCol, vecCol)
+      .select(col("_id").as("_qid"), col("_q").as("_qq"), col("_n2").as("_qn2"))
+      .localCheckpoint()
+    val wq = Window.partitionBy(col("_qid")).orderBy(col("_dist2"), col("_cell"))
+    val probes = q.crossJoin(broadcast(coarse))
+      .withColumn("_dist2",
+        col("_qn2") + col("_cn2") - lit(2L) * dotQ(col("_qq"), col("_cvec")))
+      .withColumn("_pr", row_number().over(wq))
+      .where(col("_pr") <= nprobe)
+      .select(col("_qid"), col("_cell"))
+    val subv = pqSubvectors(base, subspaces, w).localCheckpoint()
+    val cents = pqCodebooks(subv, kSub, iters)
+    val codes = pqAssignCodes(subv, cents)
+    val lut = pqQueryLuts(q, cents, subspaces, w)
+    // restricted ADC scan: candidates = vectors whose coarse cell is in
+    // the query's probe set. codes⋈assignment is the one corpus-scale
+    // join — both sides co-partition on the id, so it's shuffle-hash-
+    // hinted like every corpus-scale equi-join in the library (AQE
+    // would otherwise broadcast whichever side dips under the
+    // threshold — an unstable, scale-wrong plan)
+    val appr = codes.join(assigned.hint("shuffle_hash"), "_id")
+      .join(broadcast(probes), "_cell")
+      .join(broadcast(lut), "_qid")
+      .where(col("_id") =!= col("_qid"))
+      .withColumn("_adot", adcDotExpr(subspaces))
+      .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
+        (col("_adot").cast("double") /
+          (sqrt(col("_rn2").cast("double")) * sqrt(col("_qn2").cast("double"))))
+          .as("cos"))
+    val cand = TopK.perQuery(appr, rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(base, q, cand, k)
   }
 }

@@ -165,6 +165,76 @@ object Vocab {
           .as("mean_surprisal"))
   }
 
+  /** Corpus Zipf rank-frequency fit — the "does this corpus look like
+    * natural language" health metric: least-squares slope and r² of
+    * ln(cf) against ln(rank) over the top-k vocabulary (natural text
+    * fits slope ≈ −1; template farms and token soup bend the curve).
+    *
+    * Engine-exact despite being a regression: per-term (x, y) =
+    * (ln rank, ln cf) are quantized to integer micro-nats BEFORE the
+    * sums (associative long arithmetic — |Σxy| ≲ 1e17 at k = 10⁶), and
+    * the normal-equation combination `n·Σxy − Σx·Σy` runs in
+    * decimal(38,0) cross-multiplication (the [[Split.mixtureResample]]
+    * discipline — the raw products overflow longs at ~5·10¹⁹). The
+    * only doubles are the final two divisions, identical on any
+    * engine.
+    *
+    * Plan shape: the corpus-wide work is [[topTerms]] (explode → hash
+    * agg → TakeOrdered k); everything after runs on the k-row
+    * vocabulary (one window for ranks, one global aggregate). Output:
+    * one row (n_terms, slope, r2). */
+  def zipfFit(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 1000): DataFrame = {
+    val v = assignIds(topTerms(docs, idCol, textCol, k))
+    val t = v.select(
+      round(log(col("token_id").cast("double") + 1) * 1e6).cast("long").as("_x"),
+      round(log(col("cf").cast("double")) * 1e6).cast("long").as("_y"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    t.agg(
+      count(lit(1)).as("_n"), sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_x") * col("_x")).as("_sxx"), sum(col("_y") * col("_y")).as("_syy"),
+      sum(col("_x") * col("_y")).as("_sxy"))
+      .select(col("_n").as("n_terms"),
+        round((dec(col("_n")) * dec(col("_sxy")) - dec(col("_sx")) * dec(col("_sy")))
+          .cast("double") /
+          (dec(col("_n")) * dec(col("_sxx")) - dec(col("_sx")) * dec(col("_sx")))
+            .cast("double"), 6).as("slope"),
+        round(pow((dec(col("_n")) * dec(col("_sxy")) - dec(col("_sx")) * dec(col("_sy")))
+          .cast("double"), 2) /
+          ((dec(col("_n")) * dec(col("_sxx")) - dec(col("_sx")) * dec(col("_sx")))
+            .cast("double") *
+           (dec(col("_n")) * dec(col("_syy")) - dec(col("_sy")) * dec(col("_sy")))
+            .cast("double")), 6).as("r2"))
+  }
+
+  /** Per-document lexical-diversity profile — the vocabulary-richness
+    * quality signal complementary to [[meanSurprisal]] (which needs a
+    * corpus model) and `Repetition` (which looks at adjacent structure):
+    * token count, distinct-type count, hapax count (types occurring
+    * exactly once in the document), and the type-token ratio. Template
+    * farms and keyword-stuffed spam score low TTR; character-soup noise
+    * scores ~1 with near-zero hapax mass at volume.
+    *
+    * Plan shape at 100 TB: explode feeds a partial-combined hash
+    * aggregate on (doc, term) — the explode output never materializes —
+    * then the per-document rollup aggregates the much smaller (doc,
+    * term, tf) table on the doc id. Two shuffles, both map-side
+    * combined; no windows, no joins. Documents with zero tokens drop
+    * out (no rows to aggregate). */
+  def lexicalDiversity(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(Text.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("doc_id")).agg(
+      sum(col("tf")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      count(when(col("tf") === 1, 1)).as("n_hapax"),
+      round(count(lit(1)).cast("double") / sum(col("tf")).cast("double"), 6)
+        .as("ttr"))
+  }
+
   /** Deterministic token-id assignment over a trained vocabulary (e.g.
     * [[topTerms]] output): ids are dense ranks 0..k-1 by (cf desc,
     * token), the same total order topTerms truncates by. The global-sort

@@ -375,6 +375,20 @@ class PlanSpec extends AnyFunSuite {
       s"no window anywhere — seeds use the bounded MinKAgg, top-k the bounded TopKAgg:\n$p")
   }
 
+  test("s9 ivf-pq: cell-restricted ADC — no cartesian, broadcasts + shuffled id-join only") {
+    val p = plan("s9_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must be the probed-cell equi-join, never a cross:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probes and LUTs must ride broadcasts:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the id-co-partitioned codes-to-cells join is shuffle-hash-hinted:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the index build or scan may sort-merge:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"candidate + rerank top-k should plan as partial ObjectHashAggregate:\n$p")
+  }
+
   test("s7 dim stats: posexplode in scan stage, partial sums, no window") {
     val p = plan("s7_dim_stats")
     assert(p.contains("Generate posexplode"), s"expected the vector explode:\n$p")

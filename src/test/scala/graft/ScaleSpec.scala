@@ -374,4 +374,28 @@ class ScaleSpec extends AnyFunSuite {
     // a different physical layout must not re-deal the packing
     assert(pack(docs.repartition(3)) === expected)
   }
+
+  test("leakage-safe split: a near-dup component shares one split, singletons hash their own id") {
+    import spark.implicits._
+    // component {1,2,3} via chained pairs; 4 and 5 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val comp = Dedup.connectedComponents(pairs)
+    val grouped = docs.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
+    val r = Split.assignSplit(grouped, "group_id").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // every member of the component carries the component-min group and
+    // therefore the identical (bucket, split) — no train/test leakage
+    assert(r(1L) === r(2L) && r(2L) === r(3L))
+    assert(r(1L)._1 === 1L)
+    // singletons group to themselves and hash independently
+    assert(r(4L)._1 === 4L && r(5L)._1 === 5L)
+    // the split is the p1 hash-bucket rule applied to the group id
+    val su = Split.assignSplit(Seq(1L, 4L, 5L).toDF("doc_id"), "doc_id")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L).foreach { case (d, g) =>
+      assert((r(d)._2, r(d)._3) === su(g))
+    }
+  }
 }

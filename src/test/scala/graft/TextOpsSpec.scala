@@ -169,4 +169,50 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(enc.toSeq === Seq((1L, 3L, 4L)))
   }
+
+  test("lexical diversity: hand-computed types/hapax/ttr, case folding, empty docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      // "the The cat cat cat sat" → 6 tokens, 3 types (case-folded),
+      // hapax {sat}, ttr 0.5
+      (1L, "the The cat cat, cat sat!"),
+      // all distinct → ttr 1, every token hapax
+      (2L, "alpha beta gamma"),
+      // punctuation-only → zero tokens → no output row
+      (3L, "?!... --- ..."))
+      .toDF("doc_id", "text").repartition(3)
+    val r = Vocab.lexicalDiversity(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))))
+      .toMap
+    assert(r === Map(
+      1L -> ((6L, 3L, 1L, 0.5)),
+      2L -> ((3L, 3L, 3L, 1.0))))
+  }
+
+  test("zipf fit matches an exact BigInt replication of the quantized regression") {
+    import spark.implicits._
+    // frequencies 4/3/2/1 over ranks 1..4 (ties broken by token)
+    val docs = Seq((1L, "a a a a b b b c c d")).toDF("doc_id", "text")
+    val row = Vocab.zipfFit(docs, k = 10).collect().head
+    val cf = Seq(4L, 3L, 2L, 1L)
+    val xs = cf.indices.map(i => math.round(math.log(i + 1.0) * 1e6))
+    val ys = cf.map(c => math.round(math.log(c.toDouble) * 1e6))
+    def bi(l: Long) = BigInt(l)
+    val n = bi(cf.size)
+    val (sx, sy) = (xs.map(bi).sum, ys.map(bi).sum)
+    val sxx = xs.map(x => bi(x) * bi(x)).sum
+    val syy = ys.map(y => bi(y) * bi(y)).sum
+    val sxy = xs.zip(ys).map { case (x, y) => bi(x) * bi(y) }.sum
+    val num = (n * sxy - sx * sy).toDouble
+    val slope = BigDecimal(num / (n * sxx - sx * sx).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r2 = BigDecimal(num * num /
+        ((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getLong(0) === 4L)
+    assert(math.abs(row.getDouble(1) - slope) < 1e-9, s"slope ${row.getDouble(1)} vs $slope")
+    assert(math.abs(row.getDouble(2) - r2) < 1e-9, s"r2 ${row.getDouble(2)} vs $r2")
+    // natural-ish data slopes negative
+    assert(row.getDouble(1) < 0)
+  }
 }
