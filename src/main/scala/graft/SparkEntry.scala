@@ -507,6 +507,26 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Bpe.encodeStats(docs, "doc_id", "text", merges)
     }),
+    // Tokenizer fertility by language: subword-per-token ratio of the
+    // trained BPE over each language's documents — the "how expensive is
+    // this language under this tokenizer" report that drives per-lang
+    // token budgeting. Rides t19's encode; the per-lang rollup is a tiny
+    // aggregate over the doc-level stats.
+    "t22_bpe_fertility" -> ((s, dir) => {
+      val docs = par(tbl(s, dir, "documents"))
+      val merges = Bpe.trainMerges(docs, "text", rounds = 6)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encodeStats(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_symbols")).as("n_symbols"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_symbols"),
+          round(col("n_symbols").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("fertility"))
+    }),
     // Context-window chunking: 40-token windows with 10-token overlap —
     // a pure projection + explode inside the scan stage, no shuffle.
     "t14_chunk_docs" -> ((s, dir) =>
@@ -1246,6 +1266,21 @@ object SparkEntry {
           round((col("n_users") - col("cum_conv")).cast("double") /
             col("n_users").cast("double"), 6).as("surv"))
     }),
+    // Forward gap-fill (feature-pipeline staple): carry each user's
+    // last purchase price forward across their event stream via
+    // last_value IGNORE NULLS — one user-key shuffle, values pass
+    // through untouched (no arithmetic to drift across engines).
+    "q30_gap_fill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tbl(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "purchase", col("value")).as("_v"))
+        .withColumn("last_price", last(col("_v"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("last_price"),
+          col("_v").isNull.as("is_filled"))
+    }),
     // Right-censored KM life table — the censored complement of
     // u17_survival: non-converters leave the risk set at their
     // observation horizon (global max event day − birth day) instead of
@@ -1890,6 +1925,21 @@ object SparkEntry {
           |FROM enc GROUP BY doc_id""".stripMargin,
       "t18_bpe_merges" -> bpeOracleSql(6),
       "t19_bpe_encode" -> bpeEncodeOracleSql(6),
+      // t22 = t19's encode with a per-language rollup joined from the
+      // documents table.
+      "t22_bpe_fertility" ->
+        s"""WITH ${bpeCtesSql(6)}, enc AS (
+           |  SELECT t.doc_id, count(*) AS n_tokens,
+           |    CAST(sum(len(string_split(trim(w.s), ' '))) AS BIGINT) AS n_symbols
+           |  FROM tok t JOIN w6 w USING (word)
+           |  GROUP BY 1
+           |)
+           |SELECT d.lang, count(*) AS n_docs,
+           |  CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+           |  CAST(sum(e.n_symbols) AS BIGINT) AS n_symbols,
+           |  round(CAST(sum(e.n_symbols) AS DOUBLE) / CAST(sum(e.n_tokens) AS DOUBLE), 6) AS fertility
+           |FROM enc e JOIN documents d USING (doc_id)
+           |GROUP BY 1""".stripMargin,
       // stride = 40 - 10 = 30; chunk j covers tokens [j*30, j*30+40)
       "t14_chunk_docs" ->
         """WITH toks AS (
@@ -3300,6 +3350,15 @@ object SparkEntry {
           |  n_users - CAST(cc AS BIGINT) AS n_surviving,
           |  round(CAST(n_users - cc AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS surv
           |FROM cum CROSS JOIN tot""".stripMargin,
+      "q30_gap_fill" ->
+        """SELECT user_id, event_id,
+          |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_price,
+          |  v IS NULL AS is_filled
+          |FROM (
+          |  SELECT user_id, event_id, ts,
+          |    CASE WHEN event_type = 'purchase' THEN value END AS v
+          |  FROM events)""".stripMargin,
       "u18_km_lifetable" ->
         """WITH s0 AS (
           |  SELECT user_id, min(ts) AS t0 FROM events

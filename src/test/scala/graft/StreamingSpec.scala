@@ -358,4 +358,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(bad === 0L)
     } finally q.stop()
   }
+
+  test("stateful gap-fill: stream == batch window, fill carries across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulGapFill
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)]
+    val events = mem.toDF.toDF("user_id", "event_id", "event_type", "value", "ts")
+    val q = StatefulGapFill.filled(events)
+      .writeStream.format("memory").queryName("gap").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, 10L, "view", 0.0, t("2024-01-01 09:00:00")),      // before any price → None
+        (1L, 11L, "purchase", 5.0, t("2024-01-01 10:00:00")),
+        (1L, 12L, "view", 0.0, t("2024-01-01 11:00:00")))      // filled 5.0
+      q.processAllAvailable()
+      mem.addData(
+        (1L, 13L, "view", 0.0, t("2024-01-02 09:00:00")),      // carried across batches → 5.0
+        (1L, 14L, "purchase", 7.0, t("2024-01-02 10:00:00")),
+        (1L, 15L, "view", 0.0, t("2024-01-02 11:00:00")),      // 7.0
+        (2L, 20L, "view", 0.0, t("2024-01-02 11:00:00")))      // other user: None
+      q.processAllAvailable()
+      val got = spark.table("gap").collect()
+        .map(r => r.getLong(1) -> ((if (r.isNullAt(2)) None else Some(r.getDouble(2))), r.getBoolean(3)))
+        .toMap
+      assert(got === Map(
+        10L -> ((None, true)), 11L -> ((Some(5.0), false)), 12L -> ((Some(5.0), true)),
+        13L -> ((Some(5.0), true)), 14L -> ((Some(7.0), false)), 15L -> ((Some(7.0), true)),
+        20L -> ((None, true))))
+      // batch parity against the q30 window form on the real events table
+      val ev = SparkEntry.tbl(spark, TestData.dir("0.001"), "events")
+      val stateful = StatefulGapFill.filled(ev).collect()
+        .map(r => r.event_id -> ((r.last_price, r.is_filled))).toMap
+      val window = SparkEntry.queries("q30_gap_fill")(spark, TestData.dir("0.001"))
+        .collect()
+        .map(r => r.getLong(1) -> ((if (r.isNullAt(2)) None else Some(r.getDouble(2))), r.getBoolean(3)))
+        .toMap
+      assert(stateful === window)
+    } finally q.stop()
+  }
 }
