@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{Anomaly, AsOf, Attribution, Bpe, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, HeavyHitters, Latency, Layout, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Survival, Transitions, Vocab}
+import graft.operators.{Anomaly, AsOf, Attribution, Bpe, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, HeavyHitters, Incremental, Latency, Layout, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Survival, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1265,6 +1265,24 @@ object SparkEntry {
           (col("n_users") - col("cum_conv")).as("n_surviving"),
           round((col("n_users") - col("cum_conv")).cast("double") /
             col("n_users").cast("double"), 6).as("surv"))
+    }),
+    // Incremental rollup maintenance: a deterministic shard of the
+    // event stream (event_id % 10 == 7) plays the "late-arriving
+    // increment"; its rollup full-outer-merges into the base rollup
+    // with coalesce-sums — no raw re-read of base data. The oracle is
+    // the INDEPENDENT full recompute over all events, so the
+    // correctness gate proves incremental == batch (the u4
+    // salted==plain discipline).
+    "u20_incremental_rollup" -> ((s, dir) => {
+      val e = tbl(s, dir, "events").select(
+        to_date(col("ts")).as("day"), col("event_type"),
+        col("event_id"), round(col("value") * 100).cast("long").as("_cents"))
+      def rollup(df: DataFrame) = df.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("_cents")).as("rev_cents"))
+      Incremental.mergeAdditive(
+        rollup(e.where(col("event_id") % 10 =!= 7)),
+        rollup(e.where(col("event_id") % 10 === 7)),
+        keys = Seq("day", "event_type"), metrics = Seq("n_events", "rev_cents"))
     }),
     // Forward gap-fill (feature-pipeline staple): carry each user's
     // last purchase price forward across their event stream via
@@ -3350,6 +3368,13 @@ object SparkEntry {
           |  n_users - CAST(cc AS BIGINT) AS n_surviving,
           |  round(CAST(n_users - cc AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS surv
           |FROM cum CROSS JOIN tot""".stripMargin,
+      // u20's oracle deliberately recomputes from scratch — hash
+      // equality IS the incremental==batch proof.
+      "u20_incremental_rollup" ->
+        """SELECT CAST(ts AS DATE) AS day, event_type,
+          |  count(*) AS n_events,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+          |FROM events GROUP BY 1, 2""".stripMargin,
       "q30_gap_fill" ->
         """SELECT user_id, event_id,
           |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id

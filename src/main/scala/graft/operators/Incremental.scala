@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance — the "update yesterday's rollup
+  * with today's increment without re-reading the corpus" step every
+  * 100 TB daily pipeline runs. For ADDITIVE metrics (counts, sums,
+  * quantized-integer money — anything with an associative merge), the
+  * maintained rollup is exactly
+  * `base ⟗ increment` with per-key coalesce-sums: no raw-data re-read,
+  * no recompute of untouched keys.
+  *
+  * Scale shape: the only full-size input is the increment (delta-sized,
+  * aggregated with map-side partials before the merge join); the base
+  * rollup is keys-sized — orders of magnitude smaller than the raw
+  * corpus. The full-outer merge shuffles both on the key; at cluster
+  * scale write the rollup bucketed by the key and the merge is
+  * exchange-free on the base side. Metrics that are NOT additive
+  * (distinct counts, percentiles) need sketches with an associative
+  * merge (HLL, t-digest) — the approx family the library exposes
+  * elsewhere — or a recompute of touched partitions.
+  */
+object Incremental {
+
+  /** Merge an increment's rollup into a base rollup sharing `keys`;
+    * every column in `metrics` (present in both inputs) is summed with
+    * null-as-zero semantics. Keys present in only one side pass
+    * through. */
+  def mergeAdditive(
+      base: DataFrame, inc: DataFrame,
+      keys: Seq[String], metrics: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && metrics.nonEmpty, "need keys and metrics")
+    val incR = metrics.foldLeft(inc) { (df, m) => df.withColumnRenamed(m, s"_inc_$m") }
+    val merged = base.join(incR, keys, "full_outer")
+    metrics.foldLeft(merged) { (df, m) =>
+      df.withColumn(m,
+        coalesce(col(m), lit(0L)) + coalesce(col(s"_inc_$m"), lit(0L)))
+        .drop(s"_inc_$m")
+    }.select((keys ++ metrics).map(col): _*)
+  }
+}

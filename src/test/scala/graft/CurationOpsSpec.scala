@@ -285,4 +285,15 @@ class CurationOpsSpec extends AnyFunSuite {
         s"partition is not a tight rectangle: $r")
     }
   }
+
+  test("incremental additive merge equals a full recompute, null-as-zero on one-sided keys") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val base = Seq(("a", 3L, 100L), ("b", 2L, 50L)).toDF("k", "n", "cents")
+    val inc = Seq(("b", 1L, 25L), ("c", 4L, 10L)).toDF("k", "n", "cents")
+    val got = Incremental.mergeAdditive(base, inc, Seq("k"), Seq("n", "cents"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // base-only passes through, shared key sums, inc-only passes through
+    assert(got === Map("a" -> ((3L, 100L)), "b" -> ((3L, 75L)), "c" -> ((4L, 10L))))
+  }
 }
