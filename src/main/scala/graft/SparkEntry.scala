@@ -752,6 +752,20 @@ object SparkEntry {
           size(Multimodal.frameSample(col("bytes"), 4)).as("n_frames"),
           lower(hex(Multimodal.resize(col("bytes"), 2))).as("resized_hex"))
     }),
+    // Clip assembly: stride-4 frame samples grouped into 4-frame clips
+    // advancing 2 frames (overlap 2) — the video analogue of t14's
+    // text chunking, byte-exact against the md5-hex oracle.
+    "m3_clip_windows" -> ((s, dir) => {
+      val media = par(tbl(s, dir, "documents"))
+        .select(col("doc_id").as("media_id"),
+          Multimodal.fakeMediaBytes(col("text")).as("bytes"))
+      media.select(col("media_id"),
+          posexplode(Multimodal.clipWindows(col("bytes"),
+            stride = 4, clipFrames = 4, stepFrames = 2)).as(Seq("clip_id", "clip")))
+        .select(col("media_id"), col("clip_id").cast("long").as("clip_id"),
+          length(col("clip")).cast("long").as("n_bytes"),
+          lower(hex(col("clip"))).as("clip_hex"))
+    }),
     // Per-partition imperative feature extraction (typed Dataset path).
     // The feature vector is exploded to scalar (media_id, idx, feat_val)
     // rows — the driver comparator can't sort/hash array columns.
@@ -2599,6 +2613,18 @@ object SparkEntry {
           |  8 AS n_frames,
           |  h1 AS resized_hex
           |FROM h""".stripMargin,
+      // Each 4-frame clip at step 2 starts at frame 2c → byte 8c → hex
+      // char 16c; 16 bytes = 32 hex chars of the 64-char two-md5 payload.
+      "m3_clip_windows" ->
+        """WITH h AS (
+          |  SELECT doc_id AS media_id, md5(text) || md5(text || '2') AS hx
+          |  FROM documents
+          |), c AS (
+          |  SELECT media_id, hx, CAST(range AS BIGINT) AS clip_id FROM h, range(3)
+          |)
+          |SELECT media_id, clip_id, CAST(16 AS BIGINT) AS n_bytes,
+          |  substr(hx, CAST(clip_id * 16 + 1 AS INT), 32) AS clip_hex
+          |FROM c""".stripMargin,
       "m2_multimodal_features" ->
         """SELECT doc_id AS media_id, CAST(i AS INT) AS idx,
           |  CAST(('0x' || substr(md5(text), CAST(i AS INT) * 2 + 1, 2))::INT AS DOUBLE) / 256.0 AS feat_val

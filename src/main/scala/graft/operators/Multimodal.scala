@@ -57,6 +57,25 @@ object Multimodal {
   def resize(bin: Column, factor: Int): Column =
     bin.substr(lit(1), (length(bin) / factor).cast("int"))
 
+  /** Clip assembly — the video analogue of [[Chunk.chunkDocs]]: sampled
+    * frames grouped into overlapping fixed-length clips (`clipFrames`
+    * frames per clip, advancing `stepFrames` frames), each clip emitted
+    * as its concatenated frame payload. Payloads with fewer than
+    * `clipFrames` frames yield no clips. A real video pipeline swaps
+    * the byte-slice frames for decoded ones; the array-of-binary-clips
+    * shape and the window arithmetic are the contract. Pure projection
+    * in the scan stage — no shuffle, like the text chunker. */
+  def clipWindows(
+      bin: Column, stride: Int, clipFrames: Int, stepFrames: Int): Column = {
+    val frames = frameSample(bin, stride)
+    when(size(frames) < clipFrames, expr("CAST(array() AS ARRAY<BINARY>)"))
+      .otherwise(transform(
+        sequence(lit(0), ((size(frames) - clipFrames) / stepFrames).cast("int")),
+        w => aggregate(slice(frames, w * stepFrames + 1, lit(clipFrames)),
+          lit(Array.emptyByteArray),
+          (acc, f) => concat(acc, f))))
+  }
+
   /** Per-partition imperative feature extraction over the binary payload
     * (first `dim` bytes scaled to [0,1)). Runs as one JVM loop per
     * partition — the pattern a real decoder/featurizer plugs into. */

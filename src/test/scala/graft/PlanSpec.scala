@@ -389,6 +389,22 @@ class PlanSpec extends AnyFunSuite {
       s"candidate + rerank top-k should plan as partial ObjectHashAggregate:\n$p")
   }
 
+  test("q30 gap-fill: one user-key shuffle feeding the fill window") {
+    val p = plan("q30_gap_fill")
+    assert(p.contains("Exchange hashpartitioning(user_id"),
+      s"expected the user-key shuffle:\n$p")
+    assert(p.split("Exchange").length == 2,
+      s"gap-fill must shuffle exactly once:\n$p")
+    assert(p.contains("Window"), s"expected the carry-forward window:\n$p")
+  }
+
+  test("u20 incremental rollup: partial aggregates on both sides of a full-outer merge") {
+    val p = plan("u20_incremental_rollup")
+    assert(p.contains("FullOuter"), s"expected the full-outer merge join:\n$p")
+    assert(p.contains("partial"), s"both rollups must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s7 dim stats: posexplode in scan stage, partial sums, no window") {
     val p = plan("s7_dim_stats")
     assert(p.contains("Generate posexplode"), s"expected the vector explode:\n$p")
