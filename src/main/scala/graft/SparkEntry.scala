@@ -449,6 +449,25 @@ object SparkEntry {
         round(Text.avgWordLen(col("text")), 6).as("avg_word_len"),
         Text.qualityScore(col("text")).as("quality"))
     }),
+    // Per-source corpus report card: doc/token volume, mean quality
+    // (micro-quantized before the sum — exact integer aggregation), and
+    // the fraction clearing a quality threshold. The release-gate
+    // dashboard row per ingested source; one map-side-combined
+    // aggregate over the scan.
+    "t23_source_report" -> ((s, dir) => {
+      par(tbl(s, dir, "documents"))
+        .select(col("source"),
+          round(Text.qualityScore(col("text")) * 1e6).cast("long").as("_qm"),
+          Text.tokenCount(col("text")).cast("long").as("_nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_nt")).as("n_tokens"),
+          round(sum(col("_qm")).cast("double") / count(lit(1)) / 1e6, 6)
+            .as("mean_quality"),
+          count(when(col("_qm") >= 500000, 1)).as("n_good"))
+        .withColumn("good_frac",
+          round(col("n_good").cast("double") / col("n_docs").cast("double"), 6))
+    }),
     "t3_langid" -> ((s, dir) => {
       par(tbl(s, dir, "documents")).select(
         col("doc_id"), col("lang").as("lang_label"),
@@ -721,6 +740,14 @@ object SparkEntry {
       Similarity.pqTopK(par(e), e.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5,
         subspaces = 8, kSub = 8, iters = 1, rerank = 20)
+    }),
+    // Clustering-quality diagnostic: per trained IVF cell, member count
+    // + mean exact-integer squared distance to the member-mean centroid
+    // — the cell-balance pre-flight before committing a layout.
+    "s10_cell_profile" -> ((s, dir) => {
+      Graft.registerAll(s)
+      Similarity.cellProfile(par(tbl(s, dir, "embeddings")),
+        "vec_id", "embedding", k = 8, iters = 2)
     }),
     // IVF-PQ: the FAISS-style composition closing the quantization
     // family — trained coarse cells restrict each query's candidates to
@@ -1858,6 +1885,35 @@ object SparkEntry {
           |  round(least(1.0, CAST(n_tok AS DOUBLE) / 200.0) * 0.25 + alpha_ratio * 0.25 +
           |        (1.0 - stop_ratio) * 0.2 + least(1.0, awl / 8.0) * 0.3, 6) AS quality
           |FROM m""".stripMargin,
+      // t23 rides t2's quality expression with source carried through;
+      // micro-quantized before the per-source sums.
+      "t23_source_report" ->
+        """WITH t AS (
+          |  SELECT doc_id, source, text,
+          |    regexp_extract_all(text, '[a-zA-Z0-9'']+') AS toks,
+          |    regexp_extract_all(lower(text), '[a-zA-Z0-9'']+') AS ltoks
+          |  FROM documents
+          |), m AS (
+          |  SELECT doc_id, source, len(toks) AS n_tok,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |         ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+          |    CASE WHEN len(toks) = 0 THEN 0.0
+          |         ELSE CAST(len(list_filter(ltoks, x -> x IN ('the','a','of','to','and','in','is','that','it','for'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+          |    CASE WHEN len(toks) = 0 THEN 0.0
+          |         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS awl
+          |  FROM t
+          |), qd AS (
+          |  SELECT source,
+          |    CAST(round(round(least(1.0, CAST(n_tok AS DOUBLE) / 200.0) * 0.25 + alpha_ratio * 0.25 +
+          |      (1.0 - stop_ratio) * 0.2 + least(1.0, awl / 8.0) * 0.3, 6) * 1000000) AS BIGINT) AS qm,
+          |    CAST(n_tok AS BIGINT) AS nt
+          |  FROM m
+          |)
+          |SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+          |  round(CAST(sum(qm) AS DOUBLE) / count(*) / 1000000, 6) AS mean_quality,
+          |  CAST(count(*) FILTER (WHERE qm >= 500000) AS BIGINT) AS n_good,
+          |  round(CAST(count(*) FILTER (WHERE qm >= 500000) AS DOUBLE) / count(*), 6) AS good_frac
+          |FROM qd GROUP BY 1""".stripMargin,
       "t3_langid" ->
         """WITH t AS (
           |  SELECT doc_id, lang,
@@ -2391,6 +2447,31 @@ object SparkEntry {
            |  FROM scored
            |)
            |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+      // s10 = s5's coarse unroll + a per-cell dist2 rollup.
+      "s10_cell_profile" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |), $quantEmbSql, ${ivfLloyd2Sql(8)}, ql AS (
+           |  SELECT qn.vec_id, a2.cell AS label, qn.qv, qn.n2
+           |  FROM qn JOIN a2 USING (vec_id)
+           |), cd AS (
+           |  SELECT label AS cell, d, sum(qv[d]) AS sv, count(*) AS cnt
+           |  FROM ql, (SELECT CAST(range AS INT) + 1 AS d FROM range(64))
+           |  GROUP BY 1, 2
+           |), cents AS (
+           |  SELECT cell, list(CAST(round(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY d) AS cvec
+           |  FROM cd GROUP BY 1
+           |), cn AS (
+           |  SELECT cell, cvec, list_sum(list_transform(cvec, x -> x * x)) AS cn2 FROM cents
+           |), dd AS (
+           |  SELECT ql.label AS cell,
+           |    ql.n2 + cn.cn2 - 2 * list_sum(list_transform(range(1, 65),
+           |      i -> ql.qv[CAST(i AS INT)] * cn.cvec[CAST(i AS INT)])) AS dist2
+           |  FROM ql JOIN cn ON cn.cell = ql.label
+           |)
+           |SELECT cell, count(*) AS n_members,
+           |  round(CAST(sum(dist2) AS DOUBLE) / count(*), 6) AS mean_dist2
+           |FROM dd GROUP BY 1""".stripMargin,
       // s9 = s5's coarse unroll (trained cells a2 → member-mean
       // centroids → top-2 probes per query) gating s8's PQ unroll
       // (p-prefixed CTEs to avoid colliding with the coarse family):

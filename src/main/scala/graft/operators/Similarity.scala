@@ -381,6 +381,45 @@ object Similarity {
     exactRerank(base, q, cand, k)
   }
 
+  /** Elementwise rounded-mean centroids (+ squared norms) of each
+    * cell's members — the coarse-centroid derivation shared by
+    * [[ivfPqTopK]] and [[cellProfile]]. */
+  private def memberCentroids(base: DataFrame, assigned: DataFrame): DataFrame =
+    base.join(assigned, "_id")
+      .select(col("_cell"), posexplode(col("_q")).as(Seq("_pos", "_v")))
+      .groupBy(col("_cell"), col("_pos"))
+      .agg(sum(col("_v")).as("_sv"), count(lit(1)).as("_cnt"))
+      .groupBy(col("_cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_pos").as("p"),
+          round(col("_sv") / col("_cnt")).cast("long").as("v")))),
+        x => x.getField("v")).as("_cvec"))
+      .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
+
+  /** Clustering-quality diagnostic over the trained coarse cells: per
+    * cell, the member count and mean exact-integer squared L2 distance
+    * to the member-mean centroid — the "are my IVF cells balanced and
+    * compact" pre-flight before committing to a cell layout at scale
+    * (a fat loose cell means probes scan too much; many empty cells
+    * mean wasted probes). One broadcast of the k centroids + two
+    * corpus aggregates; all distance arithmetic is exact integer, the
+    * only double is the final mean. */
+  def cellProfile(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    val base = prepare(emb, idCol, vecCol).localCheckpoint()
+    val assigned = trainIvfCells(emb, idCol, vecCol, k, iters)
+    val cents = memberCentroids(base, assigned)
+    base.join(assigned, "_id")
+      .join(broadcast(cents), "_cell")
+      .withColumn("_dist2",
+        col("_n2") + col("_cn2") - lit(2L) * dotQ(col("_q"), col("_cvec")))
+      .groupBy(col("_cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("_dist2")).as("_sd2"))
+      .select(col("_cell").as("cell"), col("n_members"),
+        round(col("_sd2").cast("double") / col("n_members"), 6).as("mean_dist2"))
+  }
+
   /** (vector, subspace) → quantized subvector + its squared norm: the
     * shared first stage of the PQ family ([[pqTopK]], [[ivfPqTopK]]). */
   private def pqSubvectors(base: DataFrame, subspaces: Int, w: Int): DataFrame =
@@ -529,16 +568,7 @@ object Similarity {
     // coarse quantizer: trained assignment + member-mean centroids (the
     // same rounded-mean form ivfTopK derives from an external label)
     val assigned = trainIvfCells(corpus, idCol, vecCol, kCells, ivfIters)
-    val coarse = base.join(assigned, "_id")
-      .select(col("_cell"), posexplode(col("_q")).as(Seq("_pos", "_v")))
-      .groupBy(col("_cell"), col("_pos"))
-      .agg(sum(col("_v")).as("_sv"), count(lit(1)).as("_cnt"))
-      .groupBy(col("_cell"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("_pos").as("p"),
-          round(col("_sv") / col("_cnt")).cast("long").as("v")))),
-        x => x.getField("v")).as("_cvec"))
-      .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
+    val coarse = memberCentroids(base, assigned)
     val q = prepare(queries, idCol, vecCol)
       .select(col("_id").as("_qid"), col("_q").as("_qq"), col("_n2").as("_qn2"))
       .localCheckpoint()
