@@ -118,14 +118,25 @@ object Bench {
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
-      val out = new java.io.BufferedReader(
-        new java.io.InputStreamReader(proc.getInputStream))
-      val got = scala.collection.mutable.LinkedHashMap[String, Either[String, Double]]()
-      var line: String = null
-      while ({ line = out.readLine(); line != null }) {
-        if (line.startsWith("""{"query":"""))
-          parseChildLine(line).foreach { case (n, r) => got(n) = r }
-      }
+      // Drain stdout on a daemon thread: a blocking readLine loop on the
+      // parent thread would hang forever on a wedged child and the fork
+      // timeout below would never fire (results already printed would
+      // also be lost). The reader exits when the child's stdout closes —
+      // including after a destroy().
+      val got = new java.util.concurrent.ConcurrentHashMap[String, Either[String, Double]]()
+      val reader = new Thread(() => {
+        val out = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        try {
+          var line: String = null
+          while ({ line = out.readLine(); line != null }) {
+            if (line.startsWith("""{"query":"""))
+              parseChildLine(line).foreach { case (n, r) => got.put(n, r) }
+          }
+        } catch { case _: java.io.IOException => () }
+      })
+      reader.setDaemon(true)
+      reader.start()
       // A hung child must not eat the whole budget: cap each fork at the
       // remaining global budget (min 60 s), never more than 10 min.
       val capSec = math.min(600.0, math.max(60.0, budgetSec - elapsed))
@@ -134,10 +145,11 @@ object Bench {
         proc.destroy() // SIGTERM first so the child's Spark stops cleanly
         if (!proc.waitFor(10, TimeUnit.SECONDS)) proc.destroyForcibly()
       }
+      reader.join(5000)
       qs.map { n =>
-        n -> got.getOrElse(n,
+        n -> Option(got.get(n)).getOrElse(
           Left(if (finished) s"child exited ${proc.exitValue()} without result"
-               else f"timeout after $capSec%.0f s"))
+               else f"timeout after $capSec%.0f s (partial results kept)"))
       }.toMap
     }
 
