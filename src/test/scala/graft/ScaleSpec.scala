@@ -375,6 +375,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(pack(docs.repartition(3)) === expected)
   }
 
+  test("count-min sketch: over-estimates only, within eps*N at the stated confidence") {
+    import spark.implicits._
+    // skewed stream: one hot key + 200 singletons, N = 700
+    val words = (Seq.fill(500)("hot") ++ (1 to 200).map(i => s"w$i")).toDF("w")
+    val cms = words.stat.countMinSketch("w", eps = 0.01, confidence = 0.95, seed = 42)
+    val hot = cms.estimateCount("hot")
+    // CMS never under-counts; the collision overshoot is bounded by
+    // eps * N (here 7) with the stated confidence — deterministic for a
+    // fixed seed, so this is a stable executable contract, and the
+    // mergeable sketch is the 100 TB path for approximate frequencies
+    // when Misra-Gries' top-k shape doesn't fit (point queries over an
+    // unbounded key space).
+    assert(hot >= 500L, s"CMS must never under-count: $hot")
+    assert(hot <= 507L, s"overshoot beyond eps*N: $hot")
+    assert(cms.estimateCount("absent") <= 7L)
+  }
+
   test("leakage-safe split: a near-dup component shares one split, singletons hash their own id") {
     import spark.implicits._
     // component {1,2,3} via chained pairs; 4 and 5 unpaired
