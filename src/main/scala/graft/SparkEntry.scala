@@ -1032,6 +1032,11 @@ object SparkEntry {
     // reassembled from their surviving spans. Two shuffles, no joins.
     "t12_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(augmentedDocs(s, dir), spanWords = 10)),
+    // Most-duplicated spans: t12's audit complement — which exact
+    // passages repeat most (boilerplate/license/chrome mining). One
+    // combined aggregate + bounded top-k.
+    "t24_top_spans" -> ((s, dir) =>
+      Dedup.topSpans(augmentedDocs(s, dir), spanWords = 10, k = 20)),
     // Incremental near-dup dedup: the daily batch keeps only docs that
     // near-dup nothing — no smaller-id batch near-dup, no corpus
     // near-dup. Batch: the %5==0 docs plus trimmed near-copies of 50
@@ -3270,6 +3275,20 @@ object SparkEntry {
            |SELECT doc_id, count(*) AS spans_kept,
            |  string_agg(span_text, ' ' ORDER BY span_idx) AS text_dedup
            |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+      "t24_top_spans" ->
+        s"""WITH $augDocsSql, toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t FROM aug
+           |), spans AS (
+           |  SELECT doc_id,
+           |    array_to_string(t[CAST(j * 10 + 1 AS INT):CAST(j * 10 + 10 AS INT)], ' ') AS span_text
+           |  FROM toks, (SELECT CAST(range AS BIGINT) AS j FROM range(4000)) r
+           |  WHERE j * 10 < len(t)
+           |), agg AS (
+           |  SELECT span_text, count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs
+           |  FROM spans GROUP BY 1 HAVING count(*) > 1
+           |)
+           |SELECT span_text, n_copies, n_docs FROM agg
+           |ORDER BY n_copies DESC, span_text LIMIT 20""".stripMargin,
       "p4_mixture_resample" ->
         """WITH shares AS (
           |  SELECT * FROM (VALUES ('en', 500000), ('zh', 200000), ('es', 150000),

@@ -744,17 +744,41 @@ object Dedup {
     * the span text to cut shuffle bytes (collisions then trade exactness
     * for bandwidth); the text key keeps the operator exactly equal to
     * its SQL oracle. */
-  def spanDedup(
-      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      spanWords: Int = 10): DataFrame = {
+  /** (doc_id, span_idx, span_text) exploded word-window spans — the
+    * chunking stage shared by [[spanDedup]] and [[topSpans]]; a per-row
+    * higher-order function inside the scan stage. */
+  private def docSpans(
+      docs: DataFrame, idCol: String, textCol: String, spanWords: Int): DataFrame = {
     require(spanWords > 0, s"spanWords=$spanWords must be positive")
     val toks = split(col(textCol), " ")
     val nSpans = ceil(size(toks).cast("double") / spanWords).cast("long")
     val spanArr = transform(
       sequence(lit(0L), greatest(nSpans, lit(1L)) - 1),
       g => array_join(slice(toks, (g * spanWords + 1).cast("int"), lit(spanWords)), " "))
-    val spans = docs
-      .select(col(idCol).as("doc_id"), posexplode(spanArr).as(Seq("span_idx", "span_text")))
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(spanArr).as(Seq("span_idx", "span_text")))
+  }
+
+  /** Most-duplicated spans corpus-wide: the audit report behind
+    * [[spanDedup]] — which exact passages (boilerplate, licenses,
+    * navigation chrome) repeat most, with total copies and distinct
+    * carrying documents. One map-side-combined aggregate on the span
+    * text + a bounded TakeOrdered top-k; spans occurring once are
+    * pruned before the sort. */
+  def topSpans(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      spanWords: Int = 10, k: Int = 20): DataFrame =
+    docSpans(docs, idCol, textCol, spanWords)
+      .groupBy(col("span_text"))
+      .agg(count(lit(1)).as("n_copies"), countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_copies") > 1)
+      .orderBy(col("n_copies").desc, col("span_text"))
+      .limit(k)
+
+  def spanDedup(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      spanWords: Int = 10): DataFrame = {
+    val spans = docSpans(docs, idCol, textCol, spanWords)
     val kept = spans.groupBy(col("span_text"))
       .agg(min(struct(col("doc_id"), col("span_idx"))).as("_w"))
       .select(col("_w.doc_id").as("doc_id"), col("_w.span_idx").as("span_idx"),

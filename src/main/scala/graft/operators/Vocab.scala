@@ -182,7 +182,9 @@ object Vocab {
     * Plan shape: the corpus-wide work is [[topTerms]] (explode → hash
     * agg → TakeOrdered k); everything after runs on the k-row
     * vocabulary (one window for ranks, one global aggregate). Output:
-    * one row (n_terms, slope, r2). */
+    * one row (n_terms, slope, r2). Degenerate corpora (a single
+    * distinct term → zero x-variance) yield NaN slope/r², the standard
+    * undefined-regression answer — gate on n_terms if that matters. */
   def zipfFit(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k: Int = 1000): DataFrame = {
