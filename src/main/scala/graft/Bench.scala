@@ -102,9 +102,21 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // All three maps are mutated by the fork loop and read by the
+    // shutdown hook, which runs CONCURRENTLY with it on SIGTERM —
+    // unsynchronized LinkedHashMap iteration mid-insert can throw and
+    // kill the very partial-artifact emit the hook exists for. Every
+    // mutation and the hook's snapshot share the object monitor
+    // (emitOnce's lock).
+    def record(f: => Unit): Unit = synchronized(f)
+    def snapshot(): (Seq[(String, Double)], Map[String, String], Map[String, Double]) =
+      synchronized((results.toSeq, errors.toMap, walls.toMap))
     // If the driver SIGTERMs the run (external timeout), emit whatever
     // was measured so the round still has a performance artifact.
-    val hook = new Thread(() => emitOnce(results.toSeq, errors, walls))
+    val hook = new Thread(() => {
+      val (r, e, w) = snapshot()
+      emitOnce(r, e, w)
+    })
     Runtime.getRuntime.addShutdownHook(hook)
 
     /** Forks one child JVM over `qs`, returns per-query results. */
@@ -157,19 +169,23 @@ object Bench {
     val groups = names.grouped(group).toSeq
     groups.zipWithIndex.foreach { case (qs, gi) =>
       if (elapsed > budgetSec) {
-        qs.foreach(n => errors(n) = "skipped: bench budget exhausted")
+        record { qs.foreach(n => errors(n) = "skipped: bench budget exhausted") }
       } else {
         val w0 = System.nanoTime()
         val r = fork(qs)
         val dw = (System.nanoTime() - w0) / 1e9
         qs.foreach { n =>
-          walls(n) = walls.getOrElse(n, 0.0) + dw / qs.size
+          record {
+            walls(n) = walls.getOrElse(n, 0.0) + dw / qs.size
+            r(n) match {
+              case Right(sec) => results(n) = sec
+              case Left(err)  => errors(n) = err
+            }
+          }
           r(n) match {
             case Right(sec) =>
-              results(n) = sec
               System.err.println(f"[bench] $n group ${gi + 1}/${groups.size}: $sec%.3f s (wall $elapsed%.0f/$budgetSec%.0f)")
             case Left(err) =>
-              errors(n) = err
               System.err.println(s"[bench] $n group ${gi + 1}/${groups.size} FAILED: $err")
           }
         }
@@ -194,20 +210,21 @@ object Bench {
       while (forks < maxForks && unstable && elapsed < budgetSec) {
         val w0 = System.nanoTime()
         val r = fork(Seq(n))
-        walls(n) = walls.getOrElse(n, 0.0) + (System.nanoTime() - w0) / 1e9
+        record { walls(n) = walls.getOrElse(n, 0.0) + (System.nanoTime() - w0) / 1e9 }
         forks += 1
         r(n) match {
           case Right(sec) =>
             obs += sec
             System.err.println(f"[bench] $n isolated $forks/$maxForks: $sec%.3f s (wall $elapsed%.0f/$budgetSec%.0f)")
           case Left(err) =>
-            if (obs.isEmpty) errors(n) = err
+            record { if (obs.isEmpty) errors(n) = err }
             System.err.println(s"[bench] $n isolated $forks/$maxForks FAILED: $err")
         }
       }
-      if (obs.nonEmpty) { results(n) = obs.min; errors.remove(n) }
+      record { if (obs.nonEmpty) { results(n) = obs.min; errors.remove(n) } }
     }
-    emitOnce(results.toSeq.sortBy(_._1), errors, walls)
+    val (fr, fe, fw) = snapshot()
+    emitOnce(fr.sortBy(_._1), fe, fw)
     try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: IllegalStateException => () }
   }
 

@@ -157,9 +157,16 @@ object Similarity {
     */
   def trainIvfCells(
       emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 5): DataFrame = {
+      k: Int, iters: Int = 5): DataFrame =
+    trainIvfCellsOn(prepare(emb, idCol, vecCol).localCheckpoint(), k, iters)
+
+  /** [[trainIvfCells]] over an already-[[prepare]]d (and checkpointed)
+    * corpus projection — [[cellProfile]] and [[ivfPqTopK]] hold `base`
+    * anyway, and re-preparing would double the most expensive
+    * materialization of the call (a second full-corpus quantize +
+    * pinned checkpoint). */
+  private def trainIvfCellsOn(base: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
-    val base = prepare(emb, idCol, vecCol).localCheckpoint()
     val seedKey = Dedup.hash60(concat(lit("ivf|"), col("_id").cast("string")))
     var cents = base
       .orderBy(seedKey, col("_id"))
@@ -408,7 +415,7 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 2): DataFrame = {
     val base = prepare(emb, idCol, vecCol).localCheckpoint()
-    val assigned = trainIvfCells(emb, idCol, vecCol, k, iters)
+    val assigned = trainIvfCellsOn(base, k, iters)
     val cents = memberCentroids(base, assigned)
     base.join(assigned, "_id")
       .join(broadcast(cents), "_cell")
@@ -567,7 +574,7 @@ object Similarity {
     val base = prepare(corpus, idCol, vecCol).localCheckpoint()
     // coarse quantizer: trained assignment + member-mean centroids (the
     // same rounded-mean form ivfTopK derives from an external label)
-    val assigned = trainIvfCells(corpus, idCol, vecCol, kCells, ivfIters)
+    val assigned = trainIvfCellsOn(base, kCells, ivfIters)
     val coarse = memberCentroids(base, assigned)
     val q = prepare(queries, idCol, vecCol)
       .select(col("_id").as("_qid"), col("_q").as("_qq"), col("_n2").as("_qn2"))

@@ -171,13 +171,13 @@ object Vocab {
     * fits slope ≈ −1; template farms and token soup bend the curve).
     *
     * Engine-exact despite being a regression: per-term (x, y) =
-    * (ln rank, ln cf) are quantized to integer micro-nats BEFORE the
-    * sums (associative long arithmetic — |Σxy| ≲ 1e17 at k = 10⁶), and
-    * the normal-equation combination `n·Σxy − Σx·Σy` runs in
-    * decimal(38,0) cross-multiplication (the [[Split.mixtureResample]]
-    * discipline — the raw products overflow longs at ~5·10¹⁹). The
-    * only doubles are the final two divisions, identical on any
-    * engine.
+    * (ln rank, ln cf) are quantized to integer micro-nats, and ALL
+    * sums and the normal-equation combination `n·Σxy − Σx·Σy` run in
+    * decimal(38,0) (the [[Split.mixtureResample]] discipline) — x
+    * reaches ~1.4e7 micro-nats, so Σx² alone passes 9.2e18 (long
+    * overflow) around 5·10⁴ terms, and the cross-products reach
+    * ~1e20 at k = 10⁶; 38-digit decimals hold both exactly. The only
+    * doubles are the final two divisions, identical on any engine.
     *
     * Plan shape: the corpus-wide work is [[topTerms]] (explode → hash
     * agg → TakeOrdered k); everything after runs on the k-row
@@ -189,10 +189,10 @@ object Vocab {
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k: Int = 1000): DataFrame = {
     val v = assignIds(topTerms(docs, idCol, textCol, k))
-    val t = v.select(
-      round(log(col("token_id").cast("double") + 1) * 1e6).cast("long").as("_x"),
-      round(log(col("cf").cast("double")) * 1e6).cast("long").as("_y"))
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val t = v.select(
+      dec(round(log(col("token_id").cast("double") + 1) * 1e6).cast("long")).as("_x"),
+      dec(round(log(col("cf").cast("double")) * 1e6).cast("long")).as("_y"))
     t.agg(
       count(lit(1)).as("_n"), sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
       sum(col("_x") * col("_x")).as("_sxx"), sum(col("_y") * col("_y")).as("_syy"),
