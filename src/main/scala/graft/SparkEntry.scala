@@ -596,7 +596,7 @@ object SparkEntry {
       val f = par(tbl(s, dir, "documents"))
         .select(col("doc_id") +: QualityRules.flags(col("text")): _*)
       f.select(col("doc_id") +:
-        f.columns.tail.map(n => col(n).cast("int").as(n)): _*)
+        f.columns.tail.toIndexedSeq.map(n => col(n).cast("int").as(n)): _*)
     }),
     // Per-document top-3 tf-idf terms: explode → (doc,term) partial agg
     // → term-df agg → shuffle join on term → per-doc row_number. Scores

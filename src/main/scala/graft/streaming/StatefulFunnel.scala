@@ -159,7 +159,7 @@ object StatefulFunnel {
             // the max() guard keeps a straggler group from arming a
             // timestamp at or below the current watermark, which throws
             state.setTimeoutTimestamp(
-              math.max(anchorUs / 1000L + windowMs, state.getCurrentWatermarkMs + 1))
+              math.max(anchorUs / 1000L + windowMs, state.getCurrentWatermarkMs() + 1))
             if (merged.head.isEmpty) Iterator.empty
             else {
               val ts = walk(merged, windowUs)

@@ -139,7 +139,7 @@ object StatefulRetention {
             // keeps a (theoretically unreachable) straggler from arming a
             // timestamp at or below the current watermark, which throws
             state.setTimeoutTimestamp(
-              math.max(winEndMs, state.getCurrentWatermarkMs + 1))
+              math.max(winEndMs, state.getCurrentWatermarkMs() + 1))
             Iterator.single(out)
           }
       }
