@@ -819,6 +819,24 @@ object SparkEntry {
     "u2_funnel_report" -> ((s, dir) =>
       Funnel.report(tbl(s, dir, "events"),
         Seq("signup", "click", "purchase"), windowDays = 7)),
+    // Step-to-step funnel latency: exact p50/p90 of the signup→click and
+    // click→purchase gaps among users reaching each step — where the
+    // funnel stalls, not just where it leaks. Rides the one-shuffle
+    // userStages output; percentiles collapse to a single row.
+    "u21_funnel_latency" -> ((s, dir) => {
+      val st = Funnel.userStages(tbl(s, dir, "events"),
+        Seq("signup", "click", "purchase"), windowDays = 7)
+        .select(
+          (unix_micros(col("t1")) - unix_micros(col("t0"))).cast("double").as("_d01"),
+          (unix_micros(col("t2")) - unix_micros(col("t1"))).cast("double").as("_d12"))
+      st.agg(
+        count(col("_d01")).as("n_step1"),
+        round(expr("percentile(_d01, 0.5)") / 1e6, 6).as("p50_01_sec"),
+        round(expr("percentile(_d01, 0.9)") / 1e6, 6).as("p90_01_sec"),
+        count(col("_d12")).as("n_step2"),
+        round(expr("percentile(_d12, 0.5)") / 1e6, 6).as("p50_12_sec"),
+        round(expr("percentile(_d12, 0.9)") / 1e6, 6).as("p90_12_sec"))
+    }),
     // As-of attribution join: each purchase attributed to the latest
     // click at or before it (same user). Unattributed rows carry a -1
     // sentinel — NULLs in integer columns sort/hash unreliably through
@@ -2909,6 +2927,15 @@ object SparkEntry {
           |       WHEN o.text <> n.text THEN 'changed'
           |       ELSE 'unchanged' END AS status
           |FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id""".stripMargin,
+      "u21_funnel_latency" ->
+        s"""$funnelStagesSql
+           |SELECT CAST(count(t1) AS BIGINT) AS n_step1,
+           |  round(quantile_cont(CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE), 0.5) / 1e6, 6) AS p50_01_sec,
+           |  round(quantile_cont(CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE), 0.9) / 1e6, 6) AS p90_01_sec,
+           |  CAST(count(t2) AS BIGINT) AS n_step2,
+           |  round(quantile_cont(CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE), 0.5) / 1e6, 6) AS p50_12_sec,
+           |  round(quantile_cont(CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE), 0.9) / 1e6, 6) AS p90_12_sec
+           |FROM s2""".stripMargin,
       "u13_funnel_exclusion" ->
         s"""$funnelStagesSql, ex AS (
            |  SELECT s2.user_id, s2.t2,
