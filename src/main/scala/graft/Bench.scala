@@ -26,7 +26,8 @@ import org.apache.spark.sql.SparkSession
   * parent now (a) measures queries in small GROUPS per child JVM
   * (amortizing boot) and re-forks only suspicious observations
   * isolated; (b) tracks a global deadline from
-  * `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 1500) and, when it is spent,
+  * `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 1250 — under the driver's
+  * ~1,400 s kill with emit-tail slack) and, when it is spent,
   * records the remaining queries as skipped rather than running over;
   * (c) registers a shutdown hook that emits whatever was measured if the
   * driver SIGTERMs the run — a partial artifact beats none. See
@@ -76,7 +77,7 @@ object Bench {
     *     min-of-honest-runs equals the per-query-fork fidelity of the
     *     old design exactly where it matters.
     * Both passes respect the global `SPARK_GRAFT_BENCH_BUDGET_SEC`
-    * deadline (default 1500): when it is spent, remaining work is
+    * deadline (default 1250): when it is spent, remaining work is
     * recorded as skipped and whatever was measured is emitted. A
     * shutdown hook emits the partial artifact if the driver SIGTERMs
     * the run. */
@@ -91,11 +92,11 @@ object Bench {
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
     val cp = sys.props("java.class.path")
     val group =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUP", "5").toInt)
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUP", "6").toInt)
     val maxForks =
       math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXFORKS", "3").toInt)
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1250").toDouble
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
 

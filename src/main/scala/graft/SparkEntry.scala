@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{Anomaly, AsOf, Attribution, Bpe, Chunk, Decontaminate, Dedup, Experiment, Funnel, GroupSample, HeavyHitters, Incremental, Latency, Layout, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Survival, Transitions, Vocab}
+import graft.operators.{Anomaly, AsOf, Attribution, Bpe, Chunk, Decontaminate, Dedup, Experiment, Funnel, Graph, GroupSample, HeavyHitters, Incremental, Latency, Layout, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Survival, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -762,6 +762,18 @@ object SparkEntry {
         kCells = 8, nprobe = 2, ivfIters = 2,
         subspaces = 8, kSub = 8, iters = 1, rerank = 20)
     }),
+    // Bitext-style margin mining: even vec_ids (< 100) as the query
+    // language side, odd vec_ids as the candidate pool; keep best-match
+    // pairs whose cosine clears the runner-up by ≥ 0.01. See
+    // Similarity.bitextMarginPairs for the scale shape.
+    "s11_bitext_margin" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.bitextMarginPairs(
+        par(e.where(col("vec_id") % 2 === 1)),
+        e.where(col("vec_id") % 2 === 0 && col("vec_id") < 100),
+        "vec_id", "embedding", minMargin = 0.01)
+    }),
 
     // ── Multimodal binary columns (stubbed decode, real plumbing) ────────
     // Synthesize a binary media column, decode typed metadata, sample
@@ -1363,6 +1375,65 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("last_price"),
           col("_v").isNull.as("is_filled"))
     }),
+    // CDC-style compaction: the latest record per (user, event_type)
+    // key. ONE shuffle: the (ts, event_id)-prefixed struct max runs with
+    // map-side partials — no window (which would shuffle every version
+    // of every key into one partition ordered), no self-join. The
+    // (ts, event_id) prefix is a unique total order, so the trailing
+    // payload fields never break a tie and the winner is deterministic.
+    "q31_latest_by_key" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("_m"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("_m.ts")).as("ts_us"),
+          col("_m.event_id").as("event_id"), col("_m.value").as("value"))),
+    // Weighted PageRank over the nation-level trade graph (customer
+    // nation → supplier nation, weight = lineitem count) in exact
+    // integer ppm — see the Graph scaladoc for the Pregel-as-joins
+    // iteration shape. Dimensions broadcast into the edge build; the
+    // fact table shuffles once for the edge aggregation.
+    "g1_pagerank" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val sup = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      Graph.pageRankPpm(edges, iters = 10)
+    }),
+    // Sessions of the first 50 users that overlap the platform's 10
+    // busiest hours — an interval×interval join with NO equi key,
+    // bucket-tiled into an hour-wide equi-join (RangeJoin scaladoc).
+    // The busy-hour side is 10 rows; each pair is emitted exactly once.
+    "u23_interval_overlap" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val sess = Sessions.sessionIntervals(ev.where(col("user_id") < 50))
+      val hourUs = 3600L * 1000000L
+      val hours = ev
+        .groupBy(date_trunc("hour", col("ts")).as("_h"))
+        .agg(count(lit(1)).as("h_events"))
+        .orderBy(col("h_events").desc, col("_h")).limit(10)
+        .select(unix_micros(col("_h")).as("h_start_us"),
+          (unix_micros(col("_h")) + hourUs).as("h_end_us"), col("h_events"))
+      RangeJoin.intervalOverlap(sess, "s_start_us", "s_end_us",
+        hours, "h_start_us", "h_end_us", bucketWidth = hourUs)
+        .select(col("user_id"), col("sess_id"), col("s_start_us"),
+          col("s_end_us"), col("h_start_us"), col("h_events"))
+    }),
+    // Hashed-feature linear quality model (the fastText-filter stage of
+    // a corpus pipeline): one codegen'd pass per document, exact integer
+    // score, keep/drop decision inline. See Text.hashedLinearScore.
+    "t25_quality_model" -> ((s, dir) =>
+      par(tbl(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.functions.Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+          graft.functions.Text.hashedLinearScore(col("text")).as("score"))
+        .withColumn("kept", when(col("score") >= 0, 1).otherwise(0))),
     // Right-censored KM life table — the censored complement of
     // u17_survival: non-converters leave the risk set at their
     // observation horizon (global max event day − birth day) instead of
@@ -1635,6 +1706,43 @@ object SparkEntry {
          |  FROM spine s LEFT JOIN g ON s.user_id = g.user_id AND s.t = g.t
          |  GROUP BY 1
          |)""".stripMargin
+    // Unrolls Graph.pageRankPpm's fixed iterations as chained CTEs (the
+    // same oracle technique as the BPE merge rounds): r0 = floor(1e6/n),
+    // r_i = floor(150000/n) + floor(0.85 · Σ floor(r·w/tw)). All integer
+    // floor-division arithmetic, so DuckDB and Spark agree bit-for-bit.
+    val pagerankIters = 10
+    val pagerankSql: String = {
+      val base =
+        """WITH edges AS (
+          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+          |    CAST(count(*) AS BIGINT) AS w
+          |  FROM lineitem l
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  GROUP BY 1, 2
+          |), eo AS (
+          |  SELECT e.src, e.dst, e.w, t.tw FROM edges e
+          |  JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS tw
+          |        FROM edges GROUP BY src) t USING (src)
+          |), nodes AS (
+          |  SELECT DISTINCT src AS node FROM edges
+          |  UNION SELECT DISTINCT dst FROM edges
+          |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          |r0 AS (
+          |  SELECT node, CAST(1000000 // n AS BIGINT) AS r FROM nodes, nn)""".stripMargin
+      val iters = (1 to pagerankIters).map { i =>
+        s""", r$i AS (
+           |  SELECT nodes.node,
+           |    CAST(150000 // nn.n + coalesce(c.s, 0) * 85 // 100 AS BIGINT) AS r
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN (
+           |    SELECT eo.dst AS node, sum((p.r * eo.w) // eo.tw) AS s
+           |    FROM eo JOIN r${i - 1} p ON eo.src = p.node GROUP BY eo.dst) c
+           |  ON nodes.node = c.node)""".stripMargin
+      }.mkString
+      s"$base$iters\nSELECT node, r AS rank_ppm FROM r$pagerankIters"
+    }
     Map(
       "retention_count" ->
         s"""$retentionVecs
@@ -3537,6 +3645,89 @@ object SparkEntry {
           |  SELECT user_id, event_id, ts,
           |    CASE WHEN event_type = 'purchase' THEN value END AS v
           |  FROM events)""".stripMargin,
+      "q31_latest_by_key" ->
+        """WITH m1 AS (
+          |  SELECT user_id, event_type, max(ts) AS mts
+          |  FROM events GROUP BY 1, 2
+          |), m2 AS (
+          |  SELECT e.user_id, e.event_type, CAST(max(e.event_id) AS BIGINT) AS mid
+          |  FROM events e JOIN m1 ON e.user_id = m1.user_id
+          |    AND e.event_type = m1.event_type AND e.ts = m1.mts
+          |  GROUP BY 1, 2
+          |)
+          |SELECT e.user_id, e.event_type, epoch_us(e.ts) AS ts_us,
+          |  e.event_id, e.value
+          |FROM events e JOIN m2 ON e.user_id = m2.user_id
+          |  AND e.event_type = m2.event_type AND e.event_id = m2.mid""".stripMargin,
+      "g1_pagerank" -> pagerankSql,
+      "u23_interval_overlap" ->
+        """WITH r AS (
+          |  SELECT user_id, ts, event_id,
+          |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          |  FROM events WHERE user_id < 50
+          |), f AS (
+          |  SELECT user_id, ts, event_id,
+          |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+          |         THEN 1 ELSE 0 END AS new_sess
+          |  FROM r
+          |), sid AS (
+          |  SELECT user_id, ts,
+          |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                        ROWS UNBOUNDED PRECEDING) AS new_sum
+          |  FROM f
+          |), sess AS (
+          |  SELECT user_id, CAST(new_sum AS BIGINT) AS sess_id,
+          |    min(epoch_us(ts)) AS s_start_us,
+          |    max(epoch_us(ts)) + 1 AS s_end_us
+          |  FROM sid GROUP BY 1, 2
+          |), hr AS (
+          |  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS h_events,
+          |    row_number() OVER (ORDER BY count(*) DESC, date_trunc('hour', ts)) AS rn
+          |  FROM events GROUP BY 1
+          |), hours AS (
+          |  SELECT epoch_us(h) AS h_start_us, epoch_us(h) + 3600000000 AS h_end_us,
+          |    h_events
+          |  FROM hr WHERE rn <= 10
+          |)
+          |SELECT s.user_id, s.sess_id, s.s_start_us, s.s_end_us,
+          |  h.h_start_us, h.h_events
+          |FROM sess s JOIN hours h
+          |  ON s.s_start_us < h.h_end_us AND h.h_start_us < s.s_end_us""".stripMargin,
+      "t25_quality_model" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS token
+          |  FROM documents
+          |), w AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |    CAST(sum((('0x' || substr(md5('qw|' || token), 1, 15))::BIGINT % 2001) - 1000)
+          |      AS BIGINT) AS score
+          |  FROM tok GROUP BY doc_id
+          |)
+          |SELECT d.doc_id, CAST(coalesce(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+          |  CAST(coalesce(w.score, 0) AS BIGINT) AS score,
+          |  CASE WHEN coalesce(w.score, 0) >= 0 THEN 1 ELSE 0 END AS kept
+          |FROM documents d LEFT JOIN w USING (doc_id)""".stripMargin,
+      "s11_bitext_margin" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |), $quantEmbSql, scored AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dotCosSql AS cos
+           |  FROM qn a JOIN qn b
+           |    ON a.vec_id % 2 = 0 AND a.vec_id < 100 AND b.vec_id % 2 = 1
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored
+           |), piv AS (
+           |  SELECT query_id,
+           |    max(CASE WHEN rn = 1 THEN neighbor_id END) AS match_id,
+           |    max(CASE WHEN rn = 1 THEN round(cos, 6) END) AS cos,
+           |    max(CASE WHEN rn = 2 THEN round(cos, 6) END) AS cos2
+           |  FROM ranked WHERE rn <= 2 GROUP BY query_id
+           |)
+           |SELECT query_id, match_id, cos,
+           |  round(cos - coalesce(cos2, 0.0), 6) AS margin
+           |FROM piv WHERE round(cos - coalesce(cos2, 0.0), 6) >= 0.01""".stripMargin,
       "u18_km_lifetable" ->
         """WITH s0 AS (
           |  SELECT user_id, min(ts) AS t0 FROM events

@@ -25,6 +25,23 @@ object Text {
   def tokenCountWs(c: Column): Column =
     when(length(trim(c)) === 0, lit(0)).otherwise(size(split(trim(c), "\\s+")))
 
+  /** fastText-style linear quality model over hashed unigram features:
+    * each token contributes the integer weight
+    * `hash60("qw|" ∥ token) % 2001 − 1000` (the same md5-derived weight
+    * scheme as the LSH hyperplanes — a stand-in for trained
+    * classifier weights, which at production scale arrive as a broadcast
+    * `(feature_hash → weight)` map instead of a hash formula). The score
+    * is the exact integer sum, so it is partitioning- and
+    * engine-independent.
+    *
+    * A single codegen'd `aggregate` over the token array — the whole
+    * model evaluates inside whole-stage codegen in one pass over the
+    * text, no explode, no shuffle, no UDF. */
+  def hashedLinearScore(c: Column): Column =
+    aggregate(tokens(lower(c)), lit(0L), (acc, t) =>
+      acc + (conv(substring(md5(concat(lit("qw|"), t)), 1, 15), 16, 10)
+        .cast("long") % 2001 - 1000))
+
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "that", "it", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),

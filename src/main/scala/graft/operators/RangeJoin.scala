@@ -43,4 +43,26 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_bkt")
   }
+
+  /** Joins every `left` interval `[lStart, lEnd)` to every `right`
+    * interval `[rStart, rEnd)` it overlaps (`lStart < rEnd ∧ rStart <
+    * lEnd`), both sides tiled into `bucketWidth` buckets and joined on
+    * the bucket id. A pair that shares several buckets is emitted
+    * exactly ONCE — only the bucket containing `max(lStart, rStart)`
+    * (the first bucket the two replicas both cover) keeps it — so no
+    * pair-sized `distinct` shuffle is ever needed. Inputs must have
+    * disjoint column names; empty/inverted intervals match nothing. */
+  def intervalOverlap(
+      left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def tile(df: DataFrame, s: String, e: String): DataFrame =
+      df.where(col(e) > col(s)).withColumn("_bkt", explode(sequence(
+        floor(col(s) / bucketWidth), floor((col(e) - 1) / bucketWidth))))
+    tile(left, lStart, lEnd).join(tile(right, rStart, rEnd), Seq("_bkt"))
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col("_bkt") === floor(greatest(col(lStart), col(rStart)) / bucketWidth))
+      .drop("_bkt")
+  }
 }

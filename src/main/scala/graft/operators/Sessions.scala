@@ -46,6 +46,31 @@ object Sessions {
           .cast("double").as("dur_us"))
   }
 
+  /** Like [[sessionTable]] but keeps the session's time extent:
+    * `(user, sess_id, s_start_us, s_end_us, n_events)` with a half-open
+    * `[s_start_us, s_end_us)` interval — the end is the last event plus
+    * one microsecond so single-event sessions are non-empty and
+    * back-to-back sessions never touch. The shape downstream interval
+    * operators ([[RangeJoin.intervalOverlap]]) consume. */
+  def sessionIntervals(
+      events: DataFrame, gapMinutes: Int = 30, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("_prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("_new_sess",
+        when(col("_prev_us").isNull ||
+          unix_micros(col(tsCol)) - col("_prev_us") > gapMinutes * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("_new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("sess_id"))
+      .agg(min(unix_micros(col(tsCol))).as("s_start_us"),
+        (max(unix_micros(col(tsCol))) + 1L).as("s_end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** One-row report: `n_sessions`, `mean_events`, and one `p{N}_sec`
     * column per requested percentile of the session duration. */
   def durationReport(

@@ -92,6 +92,38 @@ object Similarity {
     TopK.perQuery(scored, k)
   }
 
+  /** Bitext-style margin mining (parallel-corpus construction): match
+    * each `queries` vector to its best `corpus` vector by cosine and
+    * keep the match only when its margin over the runner-up clears
+    * `minMargin` — the absolute-margin simplification of Artetxe &
+    * Schwenk's ratio criterion, forward direction only. The margin
+    * filter is what separates genuine translation/near-paraphrase pairs
+    * from hubs that are "closest" to everything.
+    *
+    * Output: `(query_id, match_id, cos, margin)` with `cos`/`margin`
+    * rounded to 6 decimals (both computed from the already-rounded
+    * top-2 cosines, so the result is engine-independent).
+    *
+    * Scale shape: rides [[bruteForceTopK]] (corpus never shuffled,
+    * queries broadcast, bounded top-2 partial aggregate); the pivot
+    * aggregates ≤ 2 rows per query. Swap in [[ivfTopK]]'s probe join for
+    * corpora where brute force is too hot — the margin logic is
+    * unchanged.
+    */
+  def bitextMarginPairs(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, minMargin: Double): DataFrame = {
+    val top2 = bruteForceTopK(corpus, queries, idCol, vecCol, k = 2)
+    top2.groupBy(col("query_id"))
+      .agg(
+        max(when(col("rn") === 1, struct(col("cos"), col("neighbor_id")))).as("_b"),
+        max(when(col("rn") === 2, col("cos"))).as("_c2"))
+      .select(col("query_id"), col("_b.neighbor_id").as("match_id"),
+        col("_b.cos").as("cos"),
+        round(col("_b.cos") - coalesce(col("_c2"), lit(0.0)), 6).as("margin"))
+      .where(col("margin") >= minMargin)
+  }
+
   /** IVF top-k: an inverted-file index over coarse cells. The cell
     * assignment of the corpus comes from `cellCol` (an externally trained
     * quantizer — here the dataset's cluster label; k-means training is an

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{Pii, QualityRules}
-import graft.operators.{Decontaminate, RangeJoin, Transitions}
+import graft.operators.{Decontaminate, Graph, RangeJoin, Sessions, Transitions}
 
 /** Behavior specs for the round-3 curation operators: benchmark
   * decontamination, PII scrubbing, Gopher-style quality gates, and
@@ -295,5 +295,64 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // base-only passes through, shared key sums, inc-only passes through
     assert(got === Map("a" -> ((3L, 100L)), "b" -> ((3L, 75L)), "c" -> ((4L, 10L))))
+  }
+
+  test("interval overlap: exactly-once pairs, equals the naive cross filter") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 0L, 25L),   // spans 3 buckets at width 10
+      (2L, 10L, 12L),
+      (3L, 30L, 31L),
+      (4L, 5L, 5L)     // empty — matches nothing
+    ).toDF("l_id", "ls", "le").repartition(3)
+    val right = Seq(
+      (10L, 20L, 40L), // overlaps 1 (in 2 shared buckets) and 3
+      (20L, 11L, 13L), // overlaps 1 and 2
+      (30L, 25L, 30L)  // touches 1 at its end and 3 at its start — half-open: neither
+    ).toDF("r_id", "rs", "re").repartition(2)
+    val naive = left.crossJoin(right)
+      .where(col("ls") < col("re") && col("rs") < col("le") && col("le") > col("ls") && col("re") > col("rs"))
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(naive.size === naive.toSet.size)
+    for (width <- Seq(1L, 10L, 100L)) { // tiling must not change or duplicate pairs
+      val got = RangeJoin.intervalOverlap(left, "ls", "le", right, "rs", "re", width)
+        .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size === got.toSet.size, s"width=$width emitted duplicates: $got")
+      assert(got.toSet === naive.toSet, s"width=$width")
+      assert(got.toSet === Set((1L, 10L), (1L, 20L), (2L, 20L), (3L, 10L)))
+    }
+  }
+
+  test("session intervals agree with the session table and are half-open non-empty") {
+    val ev = SparkEntry.tbl(spark, TestData.dir("0.001"), "events")
+    val iv = Sessions.sessionIntervals(ev).collect()
+    assert(iv.nonEmpty)
+    iv.foreach { r =>
+      assert(r.getAs[Long]("s_end_us") > r.getAs[Long]("s_start_us"))
+    }
+    val nFromTable = Sessions.sessionTable(ev).count()
+    assert(iv.length.toLong === nFromTable)
+  }
+
+  test("pagerank: fixed points, mass conservation, and partition invariance") {
+    import spark.implicits._
+    // symmetric 2-cycle: the uniform distribution is an exact fixed point
+    val cyc = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val rc = Graph.pageRankPpm(cyc, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rc === Map(1L -> 500000L, 2L -> 500000L))
+    // star: A receives from B and C. The A↔B 2-cycle oscillates with
+    // period 2 (decay 0.7225 per double-step), so compare at 25
+    // iterations, past the transient. Expected values come from an
+    // independent scalar simulation of the same integer recurrence.
+    val star = Seq((10L, 20L, 1L), (20L, 10L, 1L), (30L, 10L, 1L))
+      .toDF("src", "dst", "w")
+    def run(parts: Int): Map[Long, Long] =
+      Graph.pageRankPpm(star.repartition(parts), iters = 25).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = run(1)
+    assert(r1 === Map(10L -> 489117L, 20L -> 460877L, 30L -> 50000L))
+    assert(r1.values.sum <= 1000000L, s"mass exceeded 1e6: $r1")
+    assert(run(5) === r1, "result must not depend on partitioning")
   }
 }

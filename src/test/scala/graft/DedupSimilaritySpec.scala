@@ -564,4 +564,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
         .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).sorted.toSeq
     assert(run(1) === run(7))
   }
+
+  test("bitext margin mining keeps clear matches and drops ambiguous ones") {
+    import spark.implicits._
+    // corpus: vec 100 ≈ query 1's vector (clear match); vecs 200/201 are
+    // two near-identical candidates for query 2 (ambiguous — tiny margin)
+    val q = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (100L, Array(0.999f, 0.02f, 0.0f)),
+      (150L, Array(0.5f, 0.5f, 0.0f)),
+      (200L, Array(0.01f, 0.998f, 0.0f)),
+      (201L, Array(0.012f, 0.998f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bitextMarginPairs(corpus.repartition(3), q,
+      "vec_id", "embedding", minMargin = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 100L), s"got $got")
+  }
 }

@@ -411,4 +411,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), s"per-dimension sums must combine map-side:\n$p")
     assert(!p.contains("Window"), p)
   }
+
+  test("q31 latest-by-key: one key shuffle, partial struct max, no window or self-join") {
+    val p = plan("q31_latest_by_key")
+    assert(p.contains("partial_max"), s"struct max must combine map-side:\n$p")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one key shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("u23 interval overlap: bucket equi-join, no nested-loop or cartesian") {
+    val p = plan("u23_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degraded to a nested loop:\n$p")
+  }
 }

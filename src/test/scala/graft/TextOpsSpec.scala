@@ -1,9 +1,12 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Repetition, Vocab}
+import graft.functions.Text
+import graft.operators.Similarity.hexHash60
 
 class TextOpsSpec extends AnyFunSuite {
 
@@ -214,5 +217,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(2) - r2) < 1e-9, s"r2 ${row.getDouble(2)} vs $r2")
     // natural-ish data slopes negative
     assert(row.getDouble(1) < 0)
+  }
+
+  test("hashed linear score equals the md5-weight sum; empty text scores 0") {
+    import spark.implicits._
+    def w(tok: String): Long = hexHash60(s"qw|$tok") % 2001 - 1000
+    val df = Seq(
+      (1L, "Alpha beta ALPHA"), // case-folds: w(alpha)·2 + w(beta)
+      (2L, "  .,;  "),          // no tokens
+      (3L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Text.hashedLinearScore(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 2 * w("alpha") + w("beta"))
+    assert(got(2L) === 0L && got(3L) === 0L)
   }
 }
