@@ -1434,6 +1434,39 @@ object SparkEntry {
           graft.functions.Text.tokenCount(col("text")).cast("long").as("n_tokens"),
           graft.functions.Text.hashedLinearScore(col("text")).as("score"))
         .withColumn("kept", when(col("score") >= 0, 1).otherwise(0))),
+    // Forward as-of: next purchase after each click + time-to-event gap
+    // (the label-construction join). Same one-shuffle window shape as
+    // u3's backward as-of.
+    "u24_next_touch" -> ((s, dir) =>
+      AsOf.firstAfter(tbl(s, dir, "events"), "click", "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("_next_us").as("next_purchase_us"),
+          (col("_next_us") - unix_micros(col("ts"))).as("gap_us"))),
+    // CDC changelog → final state: latest record per user, users whose
+    // latest record is an 'error' tombstone dropped. One struct-max
+    // shuffle; see Incremental.applyChangelog.
+    "q32_cdc_apply" -> ((s, dir) =>
+      Incremental.applyChangelog(
+        tbl(s, dir, "events")
+          .withColumn("_ts_us", unix_micros(col("ts")))
+          .withColumn("_is_del", col("event_type") === "error"),
+        keys = Seq("user_id"), orderCols = Seq("_ts_us", "event_id"),
+        deleteCol = "_is_del", payload = Seq("event_type", "value"))
+        .withColumnRenamed("_ts_us", "ts_us")),
+    // Collocation mining: top-50 bigram associations by PMI (micro-nat
+    // integer quantization; min pair count 5). See Vocab.pmiTopPairs.
+    "t26_pmi_pairs" -> ((s, dir) =>
+      Vocab.pmiTopPairs(par(tbl(s, dir, "documents")), k = 50, minCount = 5)),
+    // Small-files compaction plan: per-source assignment of documents to
+    // ~2000-byte output files over the deterministic hash order — the
+    // same two-phase bucketed cumsum as p7 with a floor-div file index
+    // instead of a budget filter.
+    "p13_compaction_plan" -> ((s, dir) =>
+      Split.compactionPlan(
+        par(tbl(s, dir, "documents"))
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "n_chars", "source", targetBytes = 2000L)),
     // Right-censored KM life table — the censored complement of
     // u17_survival: non-converters leave the risk set at their
     // observation horizon (global max event day − birth day) instead of
@@ -3728,6 +3761,69 @@ object SparkEntry {
            |SELECT query_id, match_id, cos,
            |  round(cos - coalesce(cos2, 0.0), 6) AS margin
            |FROM piv WHERE round(cos - coalesce(cos2, 0.0), 6) >= 0.01""".stripMargin,
+      "u24_next_touch" ->
+        """WITH f AS (
+          |  SELECT user_id, event_id, ts, event_type,
+          |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us
+          |  FROM events WHERE event_type IN ('click', 'purchase')
+          |)
+          |SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          |  next_us AS next_purchase_us, next_us - epoch_us(ts) AS gap_us
+          |FROM f WHERE event_type = 'click'""".stripMargin,
+      "q32_cdc_apply" ->
+        """WITH m1 AS (
+          |  SELECT user_id, max(ts) AS mts FROM events GROUP BY 1
+          |), m2 AS (
+          |  SELECT e.user_id, CAST(max(e.event_id) AS BIGINT) AS mid
+          |  FROM events e JOIN m1 ON e.user_id = m1.user_id AND e.ts = m1.mts
+          |  GROUP BY 1
+          |)
+          |SELECT e.user_id, epoch_us(e.ts) AS ts_us, e.event_id,
+          |  e.event_type, e.value
+          |FROM events e JOIN m2 ON e.user_id = m2.user_id AND e.event_id = m2.mid
+          |WHERE e.event_type <> 'error'""".stripMargin,
+      "t26_pmi_pairs" ->
+        """WITH toks AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-Z0-9'']+') AS t
+          |  FROM documents
+          |), bg AS (
+          |  SELECT t[CAST(j AS INT) + 1] AS prev, t[CAST(j AS INT) + 2] AS cur
+          |  FROM toks, (SELECT CAST(range AS BIGINT) AS j FROM range(4000)) r
+          |  WHERE j < len(t) - 1
+          |), c2 AS (
+          |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+          |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+          |), c1 AS (
+          |  SELECT w, CAST(count(*) AS BIGINT) AS c1
+          |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+          |), tot AS (
+          |  SELECT (SELECT CAST(count(*) AS BIGINT)
+          |          FROM (SELECT unnest(t) FROM toks)) AS n_tok,
+          |         (SELECT CAST(count(*) AS BIGINT) FROM bg) AS n_bg
+          |)
+          |SELECT c2.prev, c2.cur, c2.c2 AS pair_count,
+          |  CAST(round(ln(CAST(c2.c2 AS DOUBLE) * CAST(tot.n_tok AS DOUBLE)
+          |      * CAST(tot.n_tok AS DOUBLE) /
+          |      (CAST(tot.n_bg AS DOUBLE) * CAST(a.c1 AS DOUBLE)
+          |       * CAST(b.c1 AS DOUBLE))) * 1000000) AS BIGINT) AS pmi_micro
+          |FROM c2 JOIN c1 a ON c2.prev = a.w JOIN c1 b ON c2.cur = b.w
+          |CROSS JOIN tot
+          |ORDER BY pmi_micro DESC, c2.prev, c2.cur LIMIT 50""".stripMargin,
+      "p13_compaction_plan" ->
+        """WITH k AS (
+          |  SELECT doc_id, source, n_chars,
+          |    ('0x' || substr(md5('cp|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS key
+          |  FROM documents
+          |), c AS (
+          |  SELECT doc_id, source, n_chars,
+          |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY key, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          |  FROM k
+          |)
+          |SELECT doc_id, source, n_chars, CAST(bef // 2000 AS BIGINT) AS file_seq
+          |FROM c""".stripMargin,
       "u18_km_lifetable" ->
         """WITH s0 AS (
           |  SELECT user_id, min(ts) AS t0 FROM events

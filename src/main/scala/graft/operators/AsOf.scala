@@ -43,4 +43,36 @@ object AsOf {
       .where(col(typeCol) === targetType)
       .drop(typeCol)
   }
+
+  /** The forward as-of: one row per `targetType` event with the
+    * timestamp (epoch µs) of the EARLIEST `sourceType` event strictly
+    * after it in the same user's (ts, event_id) timeline, or null when
+    * none follows — the label-construction join of training pipelines
+    * ("next purchase after this click", time-to-event targets).
+    * "Strictly after" means later in the (ts, id) order, so a source
+    * sharing the target's timestamp but with a later id qualifies.
+    *
+    * Same single-shuffle shape as [[latestPrior]], with the running
+    * extreme taken over the FOLLOWING frame (`rowsBetween(1, ∞)`)
+    * instead of the preceding one.
+    */
+  def firstAfter(
+      events: DataFrame,
+      targetType: String,
+      sourceType: String,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    events
+      .where(col(typeCol).isin(targetType, sourceType))
+      .select(col(userCol), col(idCol), col(tsCol), col(typeCol))
+      .withColumn("_next_us",
+        min(when(col(typeCol) === sourceType, unix_micros(col(tsCol)))).over(w))
+      .where(col(typeCol) === targetType)
+      .drop(typeCol)
+  }
 }

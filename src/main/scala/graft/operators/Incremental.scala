@@ -39,4 +39,33 @@ object Incremental {
         .drop(s"_inc_$m")
     }.select((keys ++ metrics).map(col): _*)
   }
+
+  /** Apply a CDC changelog: reduce an insert/update/delete event log to
+    * the final table state — the latest version of every key, with keys
+    * whose latest record is a tombstone (`deleteCol` true) absent. The
+    * lakehouse MERGE/compaction semantics (Hudi/Delta/Iceberg CoW)
+    * as one relational operator.
+    *
+    * `orderCols` must be a unique total order per key (e.g. ts then a
+    * unique id) — the prefix decides the winner and the trailing
+    * payload fields are never compared, so the result is deterministic.
+    *
+    * Scale shape: ONE shuffle on the key with a map-side-partial
+    * `max(struct(order..., delete, payload...))` — version history
+    * collapses inside each map task before anything crosses the wire;
+    * no window over the version chain, no self-join. The tombstone
+    * filter runs on the collapsed (keys-sized) result.
+    */
+  def applyChangelog(
+      log: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      deleteCol: String, payload: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty, "need keys and orderCols")
+    val versioned = struct(
+      (orderCols.map(col) :+ col(deleteCol).as("_del")) ++ payload.map(col): _*)
+    log.groupBy(keys.map(col): _*)
+      .agg(max(versioned).as("_m"))
+      .where(!col("_m._del"))
+      .select(keys.map(col) ++ orderCols.map(c => col(s"_m.$c").as(c)) ++
+        payload.map(c => col(s"_m.$c").as(c)): _*)
+  }
 }

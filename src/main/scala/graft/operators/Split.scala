@@ -236,20 +236,37 @@ object Split {
       docs: DataFrame, idCol: String, tokensCol: String, groupCol: String,
       budgets: Map[String, Long], defaultBudget: Long,
       buckets: Int = 256): DataFrame = {
-    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
-      s"buckets must be a positive power of two: $buckets")
     require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
       s"budgets must be non-negative: $budgets / $defaultBudget")
-    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
     val budget = budgets.toSeq.sortBy(_._1).foldRight(lit(defaultBudget)) {
       case ((k, v), rest) => when(col(groupCol) === k, lit(v)).otherwise(rest)
     }
+    hashOrderBefore(docs, idCol, tokensCol, groupCol, buckets, "tb|")
+      .withColumnRenamed("_before", "toks_before")
+      .where(col("toks_before") < budget)
+      .drop("_key", "_bkt", "_boff")
+  }
+
+  /** Exclusive running total of `valueCol` in the deterministic
+    * md5-hash traversal order of each group — the bucketed two-phase
+    * cumsum shared by [[tokenBudget]] and [[compactionPlan]] (scale
+    * rationale in the tokenBudget scaladoc: the key's top bits
+    * pre-segment each group so no window ever serializes a whole
+    * group). Adds `_key`, `_bkt`, `_boff`, `_before`; callers drop the
+    * internals. EAGER: the keyed input is `localCheckpoint()`ed — it
+    * feeds both the offsets aggregation and the final window. */
+  private def hashOrderBefore(
+      docs: DataFrame, idCol: String, valueCol: String, groupCol: String,
+      buckets: Int, prefix: String): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a positive power of two: $buckets")
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
     val keyed = docs
-      .withColumn("_key", Dedup.hash60(concat(lit("tb|"), col(idCol).cast("string"))))
+      .withColumn("_key", Dedup.hash60(concat(lit(prefix), col(idCol).cast("string"))))
       .withColumn("_bkt", shiftright(col("_key"), shift))
-      .localCheckpoint() // consumed by the offsets aggregation and the final window
+      .localCheckpoint()
     val offsets = keyed.groupBy(col(groupCol), col("_bkt"))
-      .agg(sum(col(tokensCol)).as("_bsum"))
+      .agg(sum(col(valueCol)).as("_bsum"))
       .withColumn("_boff", coalesce(
         sum(col("_bsum")).over(Window.partitionBy(col(groupCol)).orderBy(col("_bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -258,9 +275,26 @@ object Split {
       .orderBy(col("_key"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     keyed.join(broadcast(offsets), Seq(groupCol, "_bkt"))
-      .withColumn("toks_before",
-        col("_boff") + coalesce(sum(col(tokensCol)).over(wRow), lit(0L)))
-      .where(col("toks_before") < budget)
-      .drop("_key", "_bkt", "_boff")
+      .withColumn("_before",
+        col("_boff") + coalesce(sum(col(valueCol)).over(wRow), lit(0L)))
+  }
+
+  /** Small-files compaction / output-file assignment: bin each row of a
+    * group into sequential `targetBytes`-sized output files —
+    * `file_seq = floor(bytes_before / target)` over the deterministic
+    * hash traversal order, so any engine (or a re-run after failure)
+    * derives the identical layout with no coordination. A row may
+    * straddle its file boundary (files can finish slightly over
+    * target) — standard size-based assignment semantics. Rides the
+    * same two-phase cumsum as [[tokenBudget]]; the hash order also
+    * mixes content across output files instead of preserving ingest
+    * clustering. */
+  def compactionPlan(
+      files: DataFrame, idCol: String, sizeCol: String, groupCol: String,
+      targetBytes: Long, buckets: Int = 256): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    hashOrderBefore(files, idCol, sizeCol, groupCol, buckets, "cp|")
+      .withColumn("file_seq", expr(s"_before div ${targetBytes}L"))
+      .drop("_key", "_bkt", "_boff", "_before")
   }
 }

@@ -165,6 +165,59 @@ object Vocab {
           .as("mean_surprisal"))
   }
 
+  /** Top-k word-association pairs by pointwise mutual information —
+    * collocation mining (`new york`, `machine learning`) over the
+    * corpus bigram stream: `PMI(a,b) = ln(c_ab·N² / (B·c_a·c_b))` with
+    * token total `N` and bigram total `B`; `minCount` prunes the
+    * unstable low-frequency tail (PMI's classic failure mode).
+    *
+    * Engine determinism: all counts are exact long aggregates, and the
+    * PMI is ONE fixed-shape double expression (every operand cast,
+    * left-associated — the u8 identical-IEEE-tree discipline) quantized
+    * to integer micro-nats before the (pmi, prev, cur) total-order
+    * top-k.
+    *
+    * Plan shape at 100 TB: bigrams form inside the scan stage (two
+    * array slices + zip_with — no self-join on position); one hash
+    * aggregate each for pair and unigram counts (map-side partials);
+    * count tables join shuffle-hash (vocabulary-sized, never the
+    * corpus); the two scalar totals broadcast. EAGER: the bigram and
+    * token streams are `localCheckpoint()`ed — each feeds both its
+    * count aggregate and a total, and a lazy plan would re-derive the
+    * tokenize+explode per branch. */
+  def pmiTopPairs(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 50, minCount: Long = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Text.tokens(lower(col(textCol))).as("t"))
+    val bg = toks.select(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))).as("_a"),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))).as("_b"))
+      .select(explode(zip_with(col("_a"), col("_b"),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("_bg"))
+      .select(col("_bg.prev").as("prev"), col("_bg.cur").as("cur"))
+      .localCheckpoint()
+    val uni = toks.select(explode(col("t")).as("w")).localCheckpoint()
+    val c2 = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      .where(col("c2") >= minCount)
+    val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(count(lit(1)).as("n_tok"))
+      .crossJoin(bg.agg(count(lit(1)).as("n_bg")))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    c2.join(c1.select(col("w").as("prev"), col("c1").as("_ca")).hint("shuffle_hash"),
+        Seq("prev"))
+      .join(c1.select(col("w").as("cur"), col("c1").as("_cb")).hint("shuffle_hash"),
+        Seq("cur"))
+      .crossJoin(broadcast(totals))
+      .select(col("prev"), col("cur"), col("c2").as("pair_count"),
+        round(log(d(col("c2")) * d(col("n_tok")) * d(col("n_tok")) /
+          (d(col("n_bg")) * d(col("_ca")) * d(col("_cb")))) * 1e6)
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("prev"), col("cur"))
+      .limit(k)
+  }
+
   /** Corpus Zipf rank-frequency fit — the "does this corpus look like
     * natural language" health metric: least-squares slope and r² of
     * ln(cf) against ln(rank) over the top-k vocabulary (natural text

@@ -297,6 +297,46 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === Map("a" -> ((3L, 100L)), "b" -> ((3L, 75L)), "c" -> ((4L, 10L))))
   }
 
+  test("changelog apply: latest wins, tombstone drops key, re-insert resurrects") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val log = Seq(
+      // key 1: insert → update (latest v=2 wins)
+      (1L, 10L, 100L, false, 1.0), (1L, 20L, 101L, false, 2.0),
+      // key 2: insert → delete (absent from the result)
+      (2L, 10L, 102L, false, 9.0), (2L, 30L, 103L, true, 0.0),
+      // key 3: delete → re-insert (resurrected with the later value)
+      (3L, 10L, 104L, true, 0.0), (3L, 40L, 105L, false, 7.0),
+      // key 4: same ts — the higher id wins the unique order
+      (4L, 50L, 107L, false, 4.0), (4L, 50L, 106L, false, 3.0)
+    ).toDF("k", "ts", "id", "del", "v").repartition(3)
+    val got = Incremental.applyChangelog(log, Seq("k"), Seq("ts", "id"), "del", Seq("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      1L -> ((20L, 101L, 2.0)), 3L -> ((40L, 105L, 7.0)), 4L -> ((50L, 107L, 4.0))))
+  }
+
+  test("compaction plan: matches a driver-side replay and is bucket-count invariant") {
+    import spark.implicits._
+    import graft.operators.Split
+    val files = (0L until 200L).map(i => (i, s"g${i % 3}", 50L + i % 7))
+      .toDF("id", "grp", "bytes").repartition(5)
+    def run(buckets: Int): Map[Long, Long] =
+      Split.compactionPlan(files, "id", "bytes", "grp", targetBytes = 300L,
+          buckets = buckets)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("file_seq")).toMap
+    val got = run(256)
+    // independent replay: exclusive cumsum over (hash, id) order per group
+    val expected = (0L until 200L).map(i => (i, s"g${i % 3}", 50L + i % 7))
+      .groupBy(_._2).values.flatMap { g =>
+        var cum = 0L
+        g.sortBy(x => (graft.operators.Similarity.hexHash60(s"cp|${x._1}"), x._1))
+          .map { x => val seq = cum / 300L; cum += x._3; x._1 -> seq }
+      }.toMap
+    assert(got === expected)
+    assert(run(1) === got, "bucketing must not change the assignment")
+  }
+
   test("interval overlap: exactly-once pairs, equals the naive cross filter") {
     import spark.implicits._
     val left = Seq(

@@ -77,6 +77,33 @@ class FunnelSpec extends AnyFunSuite {
     assert(r(31L) === Some(ts("2024-01-01 10:00:00"))) // same-instant tie
   }
 
+  test("forward as-of finds the earliest strictly-later source per target") {
+    import spark.implicits._
+    def us(s: String): Long = ts(s).getTime * 1000L
+    val e = Seq(
+      // user 1: click → two later purchases (earliest wins), then a
+      // trailing click with nothing after → null
+      (1L, 10L, "click", ts("2024-01-01 09:00:00")),
+      (1L, 11L, "purchase", ts("2024-01-01 10:00:00")),
+      (1L, 12L, "purchase", ts("2024-01-01 12:00:00")),
+      (1L, 13L, "click", ts("2024-01-02 09:00:00")),
+      // user 2: purchase BEFORE the click does not qualify
+      (2L, 20L, "purchase", ts("2024-01-01 08:00:00")),
+      (2L, 21L, "click", ts("2024-01-01 09:00:00")),
+      // user 3: purchase at the same ts with a LATER id is strictly
+      // after in the (ts, id) order, so it qualifies
+      (3L, 30L, "click", ts("2024-01-01 10:00:00")),
+      (3L, 31L, "purchase", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_id", "event_type", "ts").repartition(2)
+    val r = AsOf.firstAfter(e, "click", "purchase")
+      .collect().map(x => x.getLong(1) ->
+        (if (x.isNullAt(3)) None else Some(x.getLong(3)))).toMap
+    assert(r(10L) === Some(us("2024-01-01 10:00:00"))) // earliest, not latest
+    assert(r(13L) === None) // nothing follows
+    assert(r(21L) === None) // earlier purchase does not qualify
+    assert(r(30L) === Some(us("2024-01-01 10:00:00"))) // same-ts later id
+  }
+
   test("same-timestamp step events qualify (>= boundary)") {
     import spark.implicits._
     val e = Seq(

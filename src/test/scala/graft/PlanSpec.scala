@@ -425,4 +425,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"interval join degraded to a nested loop:\n$p")
   }
+
+  test("q32 cdc apply: one key shuffle, partial struct max, no window or self-join") {
+    val p = plan("q32_cdc_apply")
+    assert(p.contains("partial_max"), s"changelog collapse must combine map-side:\n$p")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one key shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+  }
 }

@@ -219,6 +219,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(row.getDouble(1) < 0)
   }
 
+  test("pmi pairs: exact counts, micro-nat scores, and tie-broken top-k order") {
+    import spark.implicits._
+    // tokens: [a b a b] + [a b c] → N=7; bigrams (a,b)×3 (b,a) (b,c) → B=5
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    def m(c2: Long, ca: Long, cb: Long): Long =
+      math.round(math.log(c2.toDouble * 7.0 * 7.0 / (5.0 * ca.toDouble * cb.toDouble)) * 1e6)
+    val got = Vocab.pmiTopPairs(docs, k = 10, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // (a,b) and (b,c) share the identical ratio 49/15 → tie-break on prev
+    assert(got === Seq(
+      ("a", "b", 3L, m(3, 3, 3)),
+      ("b", "c", 1L, m(1, 3, 1)),
+      ("b", "a", 1L, m(1, 3, 3))))
+  }
+
   test("hashed linear score equals the md5-weight sum; empty text scores 0") {
     import spark.implicits._
     def w(tok: String): Long = hexHash60(s"qw|$tok") % 2001 - 1000
