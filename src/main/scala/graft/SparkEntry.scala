@@ -250,6 +250,18 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
           col("sum_qty"), col("n"))
     }),
+    // CUBE: all 2^2 grouping combinations over (status, priority) — the
+    // rollup's cross-combination sibling; one Expand + hash aggregate.
+    "q33_cube" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("sum_price"), col("n"))),
     // Set operations: INTERSECT / EXCEPT / UNION ALL over customer keys.
     "q14_setops" -> ((s, dir) => {
       val a = tbl(s, dir, "customer")
@@ -761,6 +773,25 @@ object SparkEntry {
         "vec_id", "embedding", k = 5,
         kCells = 8, nprobe = 2, ivfIters = 2,
         subspaces = 8, kSub = 8, iters = 1, rerank = 20)
+    }),
+    // Index-quality evaluation in-plan: per-query recall@5 of the LSH
+    // index against brute-force ground truth (integer-ppm recall) — the
+    // "is this ANN index good enough to ship" report, computed
+    // distributed without materializing either side.
+    "s12_recall_report" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(par(e), q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.lshTopK(par(e), q, "vec_id", "embedding", k = 5, planes = 6)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("_hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("n_true"), col("n_hit"),
+          expr("(n_hit * 1000000) div n_true").as("recall_ppm"))
     }),
     // Bitext-style margin mining: even vec_ids (< 100) as the query
     // language side, odd vec_ids as the candidate pool; keep best-match
@@ -1434,6 +1465,31 @@ object SparkEntry {
           graft.functions.Text.tokenCount(col("text")).cast("long").as("n_tokens"),
           graft.functions.Text.hashedLinearScore(col("text")).as("score"))
         .withColumn("kept", when(col("score") >= 0, 1).otherwise(0))),
+    // Behavioral cohort selection (the UBA "users who did X ≥ n times in
+    // window A — did they do Y in window B" question): week-1 engagement
+    // cohorts (≥3 views vs fewer) × week-2 purchase conversion, rate in
+    // exact integer ppm. One user-key shuffle builds the cohort table;
+    // the converter id set joins on the same key.
+    "u25_behavior_cohort" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val d0 = lit(winStart).cast("timestamp")
+      val d7 = date_add(lit(winStart).cast("date"), 7).cast("timestamp")
+      val d14 = date_add(lit(winStart).cast("date"), 14).cast("timestamp")
+      val base = ev.where(col("ts") >= d0 && col("ts") < d7)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("_nv"))
+      val conv = ev.where(col("ts") >= d7 && col("ts") < d14 &&
+          col("event_type") === "purchase")
+        .select(col("user_id")).distinct().withColumn("_c", lit(1L))
+      base.join(conv, Seq("user_id"), "left")
+        .groupBy((col("_nv") >= 3).as("_engaged"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(coalesce(col("_c"), lit(0L))).as("n_conv"))
+        .select(
+          when(col("_engaged"), "engaged").otherwise("casual").as("cohort"),
+          col("n_users"), col("n_conv"),
+          expr("(n_conv * 1000000) div n_users").as("cvr_ppm"))
+    }),
     // Forward as-of: next purchase after each click + time-to-event gap
     // (the label-construction join). Same one-shuffle window shape as
     // u3's backward as-of.
@@ -3761,6 +3817,66 @@ object SparkEntry {
            |SELECT query_id, match_id, cos,
            |  round(cos - coalesce(cos2, 0.0), 6) AS margin
            |FROM piv WHERE round(cos - coalesce(cos2, 0.0), 6) >= 0.01""".stripMargin,
+      "q33_cube" ->
+        """SELECT coalesce(o_orderstatus, '(all)') AS status,
+          |  coalesce(o_orderpriority, '(all)') AS priority,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          |  count(*) AS n
+          |FROM orders
+          |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+      "s12_recall_report" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |), $quantEmbSql, w AS (
+           |  SELECT p, list_transform(range(64),
+           |    d -> ((('0x' || substr(md5(CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15))::BIGINT) % 2001) - 1000) AS wv
+           |  FROM (SELECT CAST(range AS BIGINT) AS p FROM range(6))
+           |), dots AS (
+           |  SELECT qn.vec_id, w.p,
+           |    list_sum(list_transform(range(1, 65), d -> qn.qv[CAST(d AS INT)] * w.wv[CAST(d AS INT)])) AS dp
+           |  FROM qn, w
+           |), bkt AS (
+           |  SELECT vec_id, CAST(sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM dots GROUP BY vec_id
+           |), qb AS (
+           |  SELECT qn.vec_id, qn.qv, qn.n2, bkt.bucket FROM qn JOIN bkt USING (vec_id)
+           |), ex AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotCosSql DESC, b.vec_id) AS rn
+           |  FROM qn a JOIN qn b ON a.vec_id < 20 AND b.vec_id != a.vec_id
+           |), exk AS (SELECT query_id, neighbor_id FROM ex WHERE rn <= 5
+           |), ap AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotCosSql DESC, b.vec_id) AS rn
+           |  FROM qb a JOIN qb b ON a.vec_id < 20 AND b.bucket = a.bucket AND b.vec_id != a.vec_id
+           |), apk AS (SELECT query_id, neighbor_id FROM ap WHERE rn <= 5)
+           |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_true,
+           |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           |  CAST(count(a.neighbor_id) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+           |FROM exk e LEFT JOIN apk a
+           |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           |GROUP BY e.query_id""".stripMargin,
+      "u25_behavior_cohort" ->
+        s"""WITH base AS (
+           |  SELECT user_id,
+           |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS nv
+           |  FROM events
+           |  WHERE ts >= TIMESTAMP '$winStart 00:00:00'
+           |    AND ts < TIMESTAMP '$winStart 00:00:00' + INTERVAL 7 DAY
+           |  GROUP BY 1
+           |), conv AS (
+           |  SELECT DISTINCT user_id FROM events
+           |  WHERE ts >= TIMESTAMP '$winStart 00:00:00' + INTERVAL 7 DAY
+           |    AND ts < TIMESTAMP '$winStart 00:00:00' + INTERVAL 14 DAY
+           |    AND event_type = 'purchase'
+           |)
+           |SELECT CASE WHEN b.nv >= 3 THEN 'engaged' ELSE 'casual' END AS cohort,
+           |  CAST(count(*) AS BIGINT) AS n_users,
+           |  CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
+           |  CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+           |    // count(*) AS BIGINT) AS cvr_ppm
+           |FROM base b LEFT JOIN conv c ON b.user_id = c.user_id
+           |GROUP BY 1""".stripMargin,
       "u24_next_touch" ->
         """WITH f AS (
           |  SELECT user_id, event_id, ts, event_type,

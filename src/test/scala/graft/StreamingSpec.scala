@@ -399,4 +399,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(stateful === window)
     } finally q.stop()
   }
+
+  test("stateful cdc: upserts refresh, tombstones mark, late old versions ignored; batch parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulCdc
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)]
+    val events = mem.toDF.toDF("user_id", "event_id", "event_type", "value", "ts")
+    val q = StatefulCdc.latestState(events)
+      .writeStream.format("memory").queryName("cdc").outputMode("update").start()
+    try {
+      mem.addData(
+        (1L, 10L, "view", 1.0, t("2024-01-01 09:00:00")),
+        (2L, 20L, "view", 2.0, t("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      mem.addData(
+        (1L, 11L, "purchase", 3.0, t("2024-01-01 10:00:00")), // upsert user 1
+        (2L, 21L, "error", 0.0, t("2024-01-01 10:00:00")),    // tombstone user 2
+        (1L, 9L, "view", 9.9, t("2024-01-01 08:00:00")))      // late + older: ignored
+      q.processAllAvailable()
+      // the final state per key = the max-(ts_us, event_id) emission
+      // (updates are monotone in the version order)
+      val fin = spark.table("cdc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getDouble(4), r.getBoolean(5)))
+        .groupBy(_._1).view.mapValues(_.maxBy(x => (x._2, x._3))).toMap
+      assert(fin(1L) === ((1L, t("2024-01-01 10:00:00").getTime * 1000L, 11L,
+        "purchase", 3.0, false)))
+      assert(fin(2L)._6 === true) // tombstoned
+      assert(fin(2L)._3 === 21L)
+      // batch parity: same operator on the static events table, deleted
+      // dropped, equals the q32 batch changelog apply
+      val ev = SparkEntry.tbl(spark, TestData.dir("0.001"), "events")
+      val stateful = StatefulCdc.latestState(ev).collect()
+        .filter(!_.deleted)
+        .map(r => r.user_id -> ((r.ts_us, r.event_id, r.event_type, r.value))).toMap
+      val batch = SparkEntry.queries("q32_cdc_apply")(spark, TestData.dir("0.001"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))))
+        .toMap
+      assert(stateful === batch)
+    } finally q.stop()
+  }
 }
