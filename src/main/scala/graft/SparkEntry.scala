@@ -250,6 +250,31 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
           col("sum_qty"), col("n"))
     }),
+    // Data-quality expectations report (the Deequ-style validation gate
+    // a pipeline runs before shipping a table): declared rules evaluate
+    // as conditional counts inside ONE map-side-combined aggregate over
+    // one scan — violation counts plus 0/1 pass flags in a single row.
+    // At 100 TB this is the same single pass regardless of rule count.
+    "q34_expectations" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+      val viol = l.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+          .as("qty_range_viol"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L))
+          .as("discount_range_viol"),
+        sum(when(col("l_shipdate") < lit("1992-01-01").cast("date"), 1L).otherwise(0L))
+          .as("shipdate_floor_viol"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("pk_dup_viol"),
+        // monitored distribution stat (not a gate): drift sentinel
+        sum(when(col("l_quantity") > 40, 1L).otherwise(0L)).as("n_qty_over_40"))
+      viol.select(col("*"),
+        when(col("null_orderkey") === 0 && col("qty_range_viol") === 0 &&
+          col("discount_range_viol") === 0 && col("shipdate_floor_viol") === 0 &&
+          col("pk_dup_viol") === 0, 1).otherwise(0).as("all_passed"))
+    }),
     // CUBE: all 2^2 grouping combinations over (status, priority) — the
     // rollup's cross-combination sibling; one Expand + hash aggregate.
     "q33_cube" -> ((s, dir) =>
@@ -485,6 +510,21 @@ object SparkEntry {
         col("doc_id"), col("lang").as("lang_label"),
         Text.langId(col("text")).as("lang_pred"))
     }),
+    // Classifier-quality evaluation in-plan: lang-ID confusion matrix
+    // against the labeled lang column, with per-label integer-ppm shares
+    // — the eval-as-operator pattern (s12's sibling for text
+    // classification). Two tiny aggregates over the prediction stream;
+    // the label-total side broadcasts.
+    "t27_langid_eval" -> ((s, dir) => {
+      val preds = par(tbl(s, dir, "documents")).select(
+        col("lang").as("lang_label"), Text.langId(col("text")).as("lang_pred"))
+      val cells = preds.groupBy(col("lang_label"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val totals = preds.groupBy(col("lang_label")).agg(count(lit(1)).as("_tot"))
+      cells.join(broadcast(totals), Seq("lang_label"))
+        .select(col("lang_label"), col("lang_pred"), col("n"),
+          expr("(n * 1000000) div _tot").as("share_ppm"))
+    }),
     "t4_fingerprint" -> ((s, dir) => {
       Graft.registerAll(s) // fingerprint64 codegen expression
       par(tbl(s, dir, "documents")).select(
@@ -659,6 +699,14 @@ object SparkEntry {
     "d2_minhash_lsh" -> ((s, dir) => {
       Graft.registerAll(s) // minhash_sig codegen expression
       Dedup.minhashLshPairs(augmentedDocs(s, dir), k = 32, bands = 8, threshold = 0.4)
+    }),
+    // MinHash sketch-accuracy audit: signature-estimated Jaccard vs the
+    // exact shingle Jaccard over the banded candidates, integer-ppm mean
+    // and max absolute error — the sketch-eval sibling of s12's recall
+    // report (see Dedup.minhashErrorAudit).
+    "d17_minhash_error" -> ((s, dir) => {
+      Graft.registerAll(s)
+      Dedup.minhashErrorAudit(augmentedDocs(s, dir))
     }),
     // Per-document 32-bit SimHash.
     "d3_simhash" -> ((s, dir) => {
@@ -2446,6 +2494,29 @@ object SparkEntry {
           |  doc_id != min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
           |FROM h""".stripMargin,
       "d2_minhash_lsh" -> d2PairsSql,
+      "d17_minhash_error" ->
+        s"""WITH $augDocsSql, $minhashParamsSql, ${lshSideSql("aug", "")}, cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM band a JOIN band b
+           |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+           |), m AS (
+           |  SELECT
+           |    CAST(coalesce(list_sum(list_transform(range(32),
+           |      i -> CASE WHEN sga.sig[CAST(i AS INT) + 1] = sgb.sig[CAST(i AS INT) + 1]
+           |           THEN 1 ELSE 0 END)), 0) AS BIGINT) AS nmatch,
+           |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+           |    CAST(len(sa.sh) AS BIGINT) AS na, CAST(len(sb.sh) AS BIGINT) AS nb
+           |  FROM cand
+           |  JOIN sigs sga ON cand.id_a = sga.id JOIN sigs sgb ON cand.id_b = sgb.id
+           |  JOIN shs sa ON cand.id_a = sa.id JOIN shs sb ON cand.id_b = sb.id
+           |), e AS (
+           |  SELECT abs(nmatch * 1000000 // 32 - inter * 1000000 // (na + nb - inter)) AS err
+           |  FROM m
+           |)
+           |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(err) // count(*) AS BIGINT) AS mean_abs_err_ppm,
+           |  CAST(max(err) AS BIGINT) AS max_abs_err_ppm
+           |FROM e""".stripMargin,
       "d3_simhash" ->
         s"""WITH n AS (
            |  SELECT doc_id, list_distinct($normToksSql) AS toks FROM documents
@@ -3817,6 +3888,50 @@ object SparkEntry {
            |SELECT query_id, match_id, cos,
            |  round(cos - coalesce(cos2, 0.0), 6) AS margin
            |FROM piv WHERE round(cos - coalesce(cos2, 0.0), 6) >= 0.01""".stripMargin,
+      "q34_expectations" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+          |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_range_viol,
+          |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS discount_range_viol,
+          |  CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_floor_viol,
+          |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS pk_dup_viol,
+          |  CAST(sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_qty_over_40,
+          |  CASE WHEN sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+          |        AND sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+          |        AND sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) = 0
+          |        AND sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01 00:00:00' THEN 1 ELSE 0 END) = 0
+          |        AND count(*) = count(DISTINCT (l_orderkey, l_linenumber))
+          |       THEN 1 ELSE 0 END AS all_passed
+          |FROM lineitem""".stripMargin,
+      "t27_langid_eval" ->
+        """WITH t AS (
+          |  SELECT doc_id, lang,
+          |    regexp_extract_all(lower(text), '[a-zA-Z0-9'']+') AS ltoks
+          |  FROM documents
+          |), sc AS (
+          |  SELECT doc_id, lang,
+          |    len(list_filter(ltoks, x -> x IN ('the','a','of','to','and','in','is','that','it','for'))) AS s_en,
+          |    len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS s_de,
+          |    len(list_filter(ltoks, x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS s_fr,
+          |    len(list_filter(ltoks, x -> x IN ('el','los','las','y','es','un','una','que','de','por'))) AS s_es
+          |  FROM t
+          |), p AS (
+          |  SELECT lang AS lang_label,
+          |    CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+          |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+          |         WHEN s_fr >= s_es THEN 'fr'
+          |         ELSE 'es' END AS lang_pred
+          |  FROM sc
+          |), cells AS (
+          |  SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n
+          |  FROM p GROUP BY 1, 2
+          |), tot AS (
+          |  SELECT lang_label, CAST(count(*) AS BIGINT) AS t FROM p GROUP BY 1
+          |)
+          |SELECT c.lang_label, c.lang_pred, c.n,
+          |  CAST(c.n * 1000000 // t.t AS BIGINT) AS share_ppm
+          |FROM cells c JOIN tot t USING (lang_label)""".stripMargin,
       "q33_cube" ->
         """SELECT coalesce(o_orderstatus, '(all)') AS status,
           |  coalesce(o_orderpriority, '(all)') AS priority,

@@ -226,6 +226,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** MinHash sketch-accuracy audit — "can I trust the signature as a
+    * Jaccard estimator on THIS corpus": over the banded candidate
+    * pairs, compares the signature estimate (matching positions / k)
+    * against the exact shingle Jaccard and reports the pair count with
+    * mean and max absolute error, all in exact integer ppm. The
+    * sketch-eval sibling of the ANN recall report (`s12`) — run it
+    * before trusting estimate-only dedup at a new k.
+    *
+    * Band keys here are the band's raw signature-slice string (not the
+    * xxhash64 of [[minhashLshPairs]]): the audit has no
+    * exact-verify-threshold step to absorb hash-collision candidates,
+    * so the candidate set must be a pure function of signature
+    * equality for the oracle to reproduce it.
+    *
+    * Scale shape: same as [[minhashLshPairs]] — the band equi-join is
+    * the only corpus-sized shuffle; signatures/shingles join back to
+    * the pair table (pair-sized); the report is one aggregate. */
+  def minhashErrorAudit(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 32, bands: Int = 8): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val sig = docs
+      .select(col(idCol).as("_id"), hashedShingleSetNative(col(textCol)).as("_sh"))
+      .withColumn("_sig", minhashSignatureNative(col("_sh"), k))
+      .localCheckpoint() // feeds band keys AND both pair-side joins
+    val bandCols = array((0 until bands).map { j =>
+      concat_ws(",", (j * r until (j + 1) * r)
+        .map(i => element_at(col("_sig"), i + 1).cast("string")): _*)
+    }: _*)
+    val bk = sig.select(col("_id"), posexplode(bandCols))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bkey")
+    val cand = bk.as("a")
+      .join(bk.as("b").hint("shuffle_hash"),
+        col("a._band") === col("b._band") && col("a._bkey") === col("b._bkey") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    val sa = sig.select(col("_id").as("id_a"), col("_sig").as("_siga"), col("_sh").as("sh_a"))
+    val sb = sig.select(col("_id").as("id_b"), col("_sig").as("_sigb"), col("_sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val nmatch = size(filter(
+      zip_with(col("_siga"), col("_sigb"), (x, y) => x === y), b => b)).cast("long")
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(nmatch.as("_nmatch"), inter.as("_inter"),
+        size(col("sh_a")).cast("long").as("_na"),
+        size(col("sh_b")).cast("long").as("_nb"))
+      .select(
+        abs(expr(s"(_nmatch * 1000000) div ${k}L") -
+          expr("(_inter * 1000000) div (_na + _nb - _inter)")).as("_err"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(sum(_err) div count(1) AS BIGINT)").as("mean_abs_err_ppm"),
+        max(col("_err")).as("max_abs_err_ppm"))
+  }
+
   /** Shared front half of the MinHash-LSH operators: hashed shingle sets
     * and capped (band, key) rows for every document.
     *

@@ -565,6 +565,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(run(1) === run(7))
   }
 
+  test("minhash error audit: identical docs estimate exactly, report bounds hold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different words entirely unrelated sentences about nothing much"))
+      .toDF("doc_id", "text").repartition(3)
+    val r = Dedup.minhashErrorAudit(docs).collect().head
+    // identical docs: signature estimate 32/32 == exact jaccard 1.0 → err 0;
+    // the unrelated doc shares no band with either
+    assert(r.getAs[Long]("n_pairs") === 1L)
+    assert(r.getAs[Long]("mean_abs_err_ppm") === 0L)
+    assert(r.getAs[Long]("max_abs_err_ppm") === 0L)
+  }
+
   test("bitext margin mining keeps clear matches and drops ambiguous ones") {
     import spark.implicits._
     // corpus: vec 100 ≈ query 1's vector (clear match); vecs 200/201 are
