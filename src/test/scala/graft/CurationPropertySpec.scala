@@ -360,4 +360,67 @@ class CurationPropertySpec extends AnyFunSuite {
       assert(got === expected, s"seed=$seed transition mismatch")
     }
   }
+
+  test("interval overlap equals the naive cross filter on random intervals, any width") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      def ivs(n: Int, idBase: Long) = (0 until n).map { i =>
+        val s = rnd.nextInt(400).toLong
+        (idBase + i, s, s + rnd.nextInt(60).toLong) // may be empty (len 0)
+      }
+      val ls = ivs(40, 0L); val rs = ivs(30, 1000L)
+      val lDf = ls.toDF("l_id", "ls", "le").repartition(3)
+      val rDf = rs.toDF("r_id", "rs", "re").repartition(2)
+      val naive = (for {
+        (li, lsv, lev) <- ls; (ri, rsv, rev) <- rs
+        if lev > lsv && rev > rsv && lsv < rev && rsv < lev
+      } yield (li, ri)).toSet
+      for (width <- Seq(1L, 7L, 64L, 1000L)) {
+        val got = RangeJoin.intervalOverlap(lDf, "ls", "le", rDf, "rs", "re", width)
+          .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got.size === got.toSet.size, s"seed=$seed width=$width duplicates")
+        assert(got.toSet === naive, s"seed=$seed width=$width")
+      }
+    }
+  }
+
+  test("changelog apply equals a driver-side replay on random logs") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val log = (0 until 300).map { i =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(50).toLong, i.toLong,
+          rnd.nextInt(5) == 0, rnd.nextDouble())
+      }
+      val df = log.toDF("k", "ts", "id", "del", "v").repartition(4)
+      val got = Incremental.applyChangelog(df, Seq("k"), Seq("ts", "id"), "del", Seq("v"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val expected = log.groupBy(_._1).flatMap { case (k, rows) =>
+        val last = rows.maxBy(r => (r._2, r._3))
+        if (last._4) None else Some(k -> ((last._2, last._3, last._5)))
+      }.toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("pagerank mass stays bounded and partition-invariant on random graphs") {
+    import spark.implicits._
+    import graft.operators.Graph
+    for (seed <- 1 to 2) {
+      val rnd = new Random(seed)
+      val edges = (0 until 60).map(_ =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong, 1L + rnd.nextInt(9).toLong))
+        .distinct
+      val df = edges.toDF("src", "dst", "w")
+      def run(parts: Int) = Graph.pageRankPpm(df.repartition(parts), iters = 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val r1 = run(1)
+      assert(r1.values.sum <= 1000000L, s"seed=$seed mass ${r1.values.sum}")
+      assert(r1.values.forall(_ >= 0L), s"seed=$seed negative rank")
+      assert(run(5) === r1, s"seed=$seed partition variance")
+    }
+  }
 }
