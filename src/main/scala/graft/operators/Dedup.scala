@@ -245,7 +245,8 @@ object Dedup {
     * the pair table (pair-sized); the report is one aggregate. */
   def minhashErrorAudit(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 32, bands: Int = 8): DataFrame = {
+      k: Int = 32, bands: Int = 8,
+      bucketCap: Int = 100000, capStats: Option[CapStats] = None): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val sig = docs
@@ -256,8 +257,15 @@ object Dedup {
       concat_ws(",", (j * r until (j + 1) * r)
         .map(i => element_at(col("_sig"), i + 1).cast("string")): _*)
     }: _*)
-    val bk = sig.select(col("_id"), posexplode(bandCols))
-      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bkey")
+    // same quadratic-candidate guard as minhashLshPairs; at the default
+    // cap it never fires on the oracle corpus (the audit's candidate set
+    // stays a pure function of signature equality), while a production
+    // corpus of mass-duplicated text degrades gracefully with the drop
+    // reported via capStats instead of a quadratic join
+    val bk = capBuckets(
+      sig.select(col("_id"), posexplode(bandCols))
+        .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bkey"),
+      Seq("_band", "_bkey"), bucketCap, capStats)
     val cand = bk.as("a")
       .join(bk.as("b").hint("shuffle_hash"),
         col("a._band") === col("b._band") && col("a._bkey") === col("b._bkey") &&
