@@ -1651,6 +1651,62 @@ object SparkEntry {
           round(sq / lit(1000.0) / col("n"), 6).as("mean"),
           round(sqrt(sq2 / col("n") - (sq / col("n")) * (sq / col("n"))) /
             lit(1000.0), 6).as("std"))
+    }),
+    // Sorted-neighborhood near-dup pairs (record-linkage SNM): blocked
+    // prefix sort + windowed Levenshtein verify — the edit-distance
+    // complement of the shingle detectors. One shuffle on the block key,
+    // candidates bounded at window-1 per row; see the operator scaladoc.
+    "d18_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(augmentedDocs(s, dir))),
+    // k-NN majority-vote label prediction of the held-out first 20
+    // vectors against the labeled rest — the standard embedding-quality
+    // probe. Corpus never shuffled; see Similarity.knnClassify.
+    "s13_knn_classify" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.knnClassify(par(e.where(col("vec_id") >= 20)),
+        e.where(col("vec_id") < 20), "vec_id", "embedding", "label", k = 5)
+    }),
+    // Per-user inter-event cadence: mean gap + squared coefficient of
+    // variation (burstiness dispersion index) in exact integer moments.
+    "u26_burstiness" -> ((s, dir) =>
+      Sessions.interEventStats(tbl(s, dir, "events"))),
+    // Robust per-event-type outlier profile: median/MAD cutoffs (exact
+    // percentile, broadcast back), rows > 3 MADs from the median.
+    "u27_mad_outliers" -> ((s, dir) =>
+      Anomaly.madOutlierStats(tbl(s, dir, "events"), "event_type", "value")),
+    // Per-month quantile normalization of order totalprice — the
+    // rank-uniformization feature transform, exact integer ppm. The
+    // window is partitioned by month so no single reducer sees the whole
+    // table (a global-rank variant would use the p7-style bucketed
+    // two-phase cumsum instead).
+    "q35_quantile_normalize" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+          col("o_totalprice"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("m"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      o.withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("m"))))
+        .select(col("o_orderkey"), col("m"),
+          when(col("n") === 1, 0L)
+            .otherwise(expr("((r - 1) * 1000000) div (n - 1)")).as("pr_ppm"))
+    }),
+    // Per-nation triangle participation in the trade graph (same edge
+    // construction as g1_pagerank) — degree-oriented node-iterator, no
+    // cartesian; see Graph.triangleCounts.
+    "g2_triangles" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val sup = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+      Graph.triangleCounts(edges)
     })
   )
 
@@ -4151,7 +4207,112 @@ object SparkEntry {
           |  round(CAST(sq AS DOUBLE) / 1000.0 / n, 6) AS mean,
           |  round(sqrt(CAST(sq2 AS DOUBLE) / n -
           |    (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n)) / 1000.0, 6) AS std
-          |FROM m""".stripMargin
+          |FROM m""".stripMargin,
+      "d18_sorted_neighborhood" ->
+        s"""WITH $augDocsSql, kb AS (
+           |  SELECT doc_id AS id,
+           |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS k
+           |  FROM aug
+           |), kbp AS (
+           |  SELECT id, k, substr(k, 1, 6) AS blk, substr(k, 1, 40) AS pfx FROM kb
+           |), nb AS (
+           |  SELECT id, pfx,
+           |    list(struct_pack(i := id, p := pfx)) OVER (PARTITION BY blk ORDER BY k, id
+           |      ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING) AS nxt
+           |  FROM kbp
+           |), ex AS (
+           |  SELECT nb.id, nb.pfx, u.s.i AS id2, u.s.p AS pfx2
+           |  FROM nb, unnest(nb.nxt) AS u(s)
+           |)
+           |SELECT least(id, id2) AS doc_lo, greatest(id, id2) AS doc_hi,
+           |  CAST(levenshtein(pfx, pfx2) AS BIGINT) AS dist
+           |FROM ex WHERE levenshtein(pfx, pfx2) <= 12""".stripMargin,
+      "s13_knn_classify" ->
+        s"""WITH eIn AS (SELECT vec_id, embedding FROM embeddings), $quantEmbSql, scored AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dotCosSql AS cos
+           |  FROM qn a JOIN qn b ON a.vec_id < 20 AND b.vec_id >= 20
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored
+           |), top AS (SELECT query_id, neighbor_id FROM ranked WHERE rn <= 5),
+           |votes AS (
+           |  SELECT t.query_id, CAST(e.label AS BIGINT) AS lbl, CAST(count(*) AS BIGINT) AS votes
+           |  FROM top t JOIN embeddings e ON e.vec_id = t.neighbor_id GROUP BY 1, 2
+           |), pred AS (
+           |  SELECT query_id, lbl, votes,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, lbl) AS r
+           |  FROM votes
+           |)
+           |SELECT p.query_id, CAST(q.label AS BIGINT) AS true_label, p.lbl AS pred_label,
+           |  p.votes,
+           |  CAST(CASE WHEN CAST(q.label AS BIGINT) = p.lbl THEN 1 ELSE 0 END AS BIGINT) AS correct
+           |FROM pred p JOIN embeddings q ON q.vec_id = p.query_id WHERE p.r = 1""".stripMargin,
+      "u26_burstiness" ->
+        """WITH g AS (
+          |  SELECT user_id,
+          |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap
+          |  FROM events
+          |), gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+          |m AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, CAST(sum(gap) AS BIGINT) AS sum_gap_s,
+          |    sum(CAST(gap AS DECIMAL(20,0)) * CAST(gap AS DECIMAL(20,0))) AS s2
+          |  FROM gg GROUP BY 1
+          |)
+          |SELECT user_id, n_gaps, sum_gap_s, CAST(sum_gap_s // n_gaps AS BIGINT) AS mean_gap_s,
+          |  round(CAST(CAST(n_gaps AS DECIMAL(38,0)) * s2 - CAST(sum_gap_s AS DECIMAL(38,0)) * CAST(sum_gap_s AS DECIMAL(38,0)) AS DOUBLE)
+          |    / CAST(CAST(sum_gap_s AS DECIMAL(38,0)) * CAST(sum_gap_s AS DECIMAL(38,0)) AS DOUBLE), 6) AS cv2
+          |FROM m WHERE n_gaps >= 2 AND sum_gap_s > 0""".stripMargin,
+      "u27_mad_outliers" ->
+        """WITH med AS (
+          |  SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY 1
+          |), dev AS (
+          |  SELECT e.event_type, abs(e.value - med.m) AS d, med.m AS m
+          |  FROM events e JOIN med USING (event_type)
+          |), mad AS (
+          |  SELECT event_type, quantile_cont(d, 0.5) AS md FROM dev GROUP BY 1
+          |)
+          |SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n, round(min(dev.m), 6) AS med,
+          |  round(min(mad.md), 6) AS mad,
+          |  CAST(sum(CASE WHEN dev.d > 3.0 * mad.md THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |FROM dev JOIN mad USING (event_type) GROUP BY 1""".stripMargin,
+      "q35_quantile_normalize" ->
+        """WITH o AS (
+          |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS m, o_totalprice FROM orders
+          |), r AS (
+          |  SELECT o_orderkey, m,
+          |    row_number() OVER (PARTITION BY m ORDER BY o_totalprice, o_orderkey) AS rr,
+          |    count(*) OVER (PARTITION BY m) AS n
+          |  FROM o
+          |)
+          |SELECT o_orderkey, m,
+          |  CAST(CASE WHEN n = 1 THEN 0 ELSE ((rr - 1) * 1000000) // (n - 1) END AS BIGINT) AS pr_ppm
+          |FROM r""".stripMargin,
+      "g2_triangles" ->
+        """WITH edges AS (
+          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w
+          |  FROM lineitem l
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  GROUP BY 1, 2
+          |), und AS (
+          |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM edges WHERE src <> dst
+          |), deg AS (
+          |  SELECT n, CAST(count(*) AS BIGINT) AS d
+          |  FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY 1
+          |), o AS (
+          |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v) THEN und.u ELSE und.v END AS a,
+          |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v) THEN und.v ELSE und.u END AS b
+          |  FROM und JOIN deg du ON und.u = du.n JOIN deg dv ON und.v = dv.n
+          |), tri AS (
+          |  SELECT e1.a, e1.b, e2.b AS c FROM o e1
+          |  JOIN o e2 ON e1.b = e2.a
+          |  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b
+          |)
+          |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+          |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+          |) GROUP BY 1""".stripMargin
     )
   }
 

@@ -52,4 +52,43 @@ object Anomaly {
       .select(col("user").as(userCol), col("day"),
         col("c").as("n_events"), round(z, 6).as("z_score"))
   }
+
+  /** Robust (median/MAD) outlier profile of a value column per group —
+    * the heavy-tail-safe alternative to mean/stddev z-scores: per key,
+    * the median, the median absolute deviation, and how many rows sit
+    * more than `k` MADs from the median. MAD-based cuts don't move when
+    * a whale user drags the mean, which is the point for revenue-like
+    * columns.
+    *
+    * Two exact `percentile` passes (median of the values, then median of
+    * |value − median|); both per-key cutoff tables are tiny (|keys|
+    * rows) and join back by BROADCAST, so the big table is scanned three
+    * times but never shuffled on a value key. At 100 TB swap
+    * `percentile` for `approx_percentile` (mergeable, bounded memory) —
+    * the same switch [[Rfm]] and [[Latency]] expose; exact is the
+    * cross-engine-oracle form.
+    *
+    * Both medians interpolate exactly like DuckDB's `quantile_cont`, so
+    * the outputs (rounded to 6dp) are oracle-stable.
+    */
+  def madOutlierStats(
+      df: DataFrame, keyCol: String, valCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val v = df.select(col(keyCol).as("_k"), col(valCol).cast("double").as("_v"))
+    val med = v.groupBy(col("_k"))
+      .agg(expr("percentile(_v, 0.5)").as("_med"))
+    val dev = v.join(broadcast(med), Seq("_k"))
+      .withColumn("_dev", abs(col("_v") - col("_med")))
+    val mad = dev.groupBy(col("_k"))
+      .agg(expr("percentile(_dev, 0.5)").as("_mad"))
+    dev.join(broadcast(mad), Seq("_k"))
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("n"),
+        first(col("_med")).as("_m"), first(col("_mad")).as("_d"),
+        sum(when(col("_dev") > lit(k) * col("_mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("_k").as(keyCol), col("n"), round(col("_m"), 6).as("med"),
+        round(col("_d"), 6).as("mad"), col("n_outliers"))
+  }
 }

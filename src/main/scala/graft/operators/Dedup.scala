@@ -868,4 +868,56 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Sorted-neighborhood near-dup pairs (Hernández–Stolfo SNM, the
+    * record-linkage classic): documents are keyed by their normalized
+    * text (lowercased, non-alphanumerics stripped), blocked on the first
+    * `blockLen` key characters, sorted within each block by
+    * (key, doc_id), and each document is compared only against the next
+    * `window - 1` documents in sort order. A pair survives when the
+    * Levenshtein distance between the two docs' `prefixLen`-char
+    * normalized prefixes is ≤ `maxDist`.
+    *
+    * Complements the shingle-based detectors: edit distance catches
+    * small in-place character edits (typos, near-identical templates)
+    * that shift every containing shingle, and the sort key makes the
+    * candidate set |docs|·(window-1) instead of quadratic.
+    *
+    * Scale shape: one shuffle on the block key; the window frame
+    * (`ROWS BETWEEN 1 FOLLOWING AND window-1 FOLLOWING`) carries at most
+    * `window - 1` (id, prefix) structs per row, so the expanded
+    * candidate set is a bounded projection of the sorted scan — no
+    * self-join, no cartesian. Blocks are prefix groups (bounded by key
+    * cardinality); a hot block degrades to that block's rows × window,
+    * never rows². Like all single-key SNM, near-dups whose first
+    * `blockLen` normalized chars differ are missed — production runs do
+    * 2-3 passes with independent keys (e.g. reversed text) and union the
+    * pairs.
+    *
+    * Output: `(doc_lo, doc_hi, dist)`, one row per surviving unordered
+    * pair (each pair of sort positions appears exactly once in exactly
+    * one frame, so no dedup pass is needed).
+    */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      window: Int = 6, blockLen: Int = 6, prefixLen: Int = 40,
+      maxDist: Int = 12): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(blockLen >= 1 && prefixLen >= blockLen,
+      s"need 1 <= blockLen <= prefixLen, got $blockLen/$prefixLen")
+    val key = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
+    val keyed = docs.select(col(idCol).cast("long").as("_id"),
+      key.as("_key"), substring(key, 1, blockLen).as("_blk"),
+      substring(key, 1, prefixLen).as("_pfx"))
+    val w = Window.partitionBy(col("_blk"))
+      .orderBy(col("_key"), col("_id"))
+      .rowsBetween(1, window - 1)
+    keyed
+      .withColumn("_next", collect_list(struct(col("_id"), col("_pfx"))).over(w))
+      .select(col("_id"), col("_pfx"), explode(col("_next")).as("_nb"))
+      .withColumn("dist", levenshtein(col("_pfx"), col("_nb._pfx")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(least(col("_id"), col("_nb._id")).as("doc_lo"),
+        greatest(col("_id"), col("_nb._id")).as("doc_hi"), col("dist"))
+  }
 }

@@ -67,4 +67,53 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts over an undirected graph given as a
+    * directed `(src, dst)` edge table (duplicates, self-loops, and both
+    * orientations tolerated — the input is canonicalized to distinct
+    * unordered pairs first).
+    *
+    * Algorithm: the node-iterator with degree orientation (Chiba–Nishizeki
+    * / Schank's `forward`): each undirected edge {u,v} is oriented from
+    * the endpoint with (degree, id)-smaller rank to the larger, and a
+    * triangle {a,b,c} is found exactly once as the join
+    * `o(a,b) ⋈ o(b,c) ⋈ o(a,c)` over the oriented table. Orientation is
+    * what makes this scale: every node's out-degree in `o` is bounded by
+    * O(√|E|) (arboricity), so the self-join fan-out is Σ outdeg² —
+    * near-linear on real sparse graphs instead of the Σ deg² blow-up of
+    * the unoriented wedge join. All three joins are equi-joins on node
+    * keys; no cartesian, no windows.
+    *
+    * Output: `(node, n_triangles)` — one row per node that participates
+    * in at least one triangle, `n_triangles` the number of distinct
+    * triangles containing it.
+    */
+  def triangleCounts(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("_u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("_v"))
+      .where(col("_u") =!= col("_v"))
+      .distinct()
+    val deg = und.select(col("_u").as("_n")).union(und.select(col("_v").as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    // orient each edge from the (degree, id)-smaller endpoint to the larger
+    val o = und
+      .join(deg.select(col("_n").as("_u"), col("_d").as("_du")), Seq("_u"))
+      .join(deg.select(col("_n").as("_v"), col("_d").as("_dv")), Seq("_v"))
+      .select(
+        when(col("_du") < col("_dv") ||
+          (col("_du") === col("_dv") && col("_u") < col("_v")), col("_u"))
+          .otherwise(col("_v")).as("_a"),
+        when(col("_du") < col("_dv") ||
+          (col("_du") === col("_dv") && col("_u") < col("_v")), col("_v"))
+          .otherwise(col("_u")).as("_b"))
+    val ab = o.select(col("_a"), col("_b"))
+    val tri = ab
+      .join(ab.select(col("_a").as("_b"), col("_b").as("_c")), Seq("_b"))
+      .join(ab.select(col("_a"), col("_b").as("_c")), Seq("_a", "_c"))
+      .select(col("_a"), col("_b"), col("_c"))
+    tri.select(explode(array(col("_a"), col("_b"), col("_c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

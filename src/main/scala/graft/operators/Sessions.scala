@@ -94,4 +94,49 @@ object Sessions {
       }
     per.agg(outs.head, outs.tail: _*)
   }
+
+  /** Per-user inter-event cadence profile: gap count, total/mean gap in
+    * whole seconds, and the squared coefficient of variation `cv2`
+    * (population variance / mean², the dispersion index behind
+    * burstiness scores — ~1 for a Poisson user, ≫1 for bursty ones).
+    *
+    * Exact arithmetic end to end: gaps are floor-second integers, the
+    * moment sums accumulate in decimal(38,0) (a long `n·Σg²` overflows
+    * around 10⁴ one-month gaps), and
+    * `cv2 = (n·Σg² − (Σg)²) / (Σg)²` divides the two EXACT integers as
+    * doubles only once at the end — associative integer sums make the
+    * result partitioning-independent, the same discipline as
+    * [[Anomaly.dailySpikes]].
+    *
+    * Plan shape at 100 TB: one shuffle on the user key shared by the
+    * lag window and the per-user aggregate (user is the grouping key),
+    * per-partition window state = one user's events. Output is |users|
+    * rows.
+    */
+  def interEventStats(
+      events: DataFrame, userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", minGaps: Int = 2): DataFrame = {
+    require(minGaps >= 1, s"minGaps must be >= 1, got $minGaps")
+    val gaps = events
+      .select(col(userCol).as("user_id"), unix_micros(col(tsCol)).as("_us"),
+        col(idCol).as("_id"))
+      .withColumn("_prev", lag(col("_us"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("_us"), col("_id"))))
+      .where(col("_prev").isNotNull)
+      .select(col("user_id"), expr("(_us - _prev) div 1000000").as("_g"))
+    val dec = col("_g").cast("decimal(20,0)")
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("_g")).as("sum_gap_s"),
+        sum(dec * dec).as("_s2"))
+      .where(col("n_gaps") >= minGaps && col("sum_gap_s") > 0)
+      .select(col("user_id"), col("n_gaps"), col("sum_gap_s"),
+        expr("sum_gap_s div n_gaps").as("mean_gap_s"),
+        round(
+          ((col("n_gaps").cast("decimal(38,0)") * col("_s2") -
+            col("sum_gap_s").cast("decimal(38,0)") * col("sum_gap_s").cast("decimal(38,0)"))
+            .cast("double")) /
+            ((col("sum_gap_s").cast("decimal(38,0)") * col("sum_gap_s").cast("decimal(38,0)"))
+              .cast("double")),
+          6).as("cv2"))
+  }
 }

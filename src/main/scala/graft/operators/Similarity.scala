@@ -641,4 +641,46 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     exactRerank(base, q, cand, k)
   }
+
+  /** k-NN majority-vote classification of `queries` against a labeled
+    * `corpus` (the standard embedding-quality probe: hold out rows,
+    * predict their labels from their nearest labeled neighbors).
+    *
+    * Each query's k cosine-nearest corpus rows vote with their
+    * `labelCol`; the predicted label is the most-voted one, ties broken
+    * toward the smaller label. Output:
+    * `(query_id, true_label, pred_label, votes, correct)` — one row per
+    * query, `votes` the winning label's vote count, `correct` 1 iff
+    * prediction equals the query's own label (queries must carry
+    * `labelCol` too).
+    *
+    * Scale shape: neighbor search is [[bruteForceTopK]] (corpus never
+    * shuffled, queries broadcast, bounded top-k partial aggregate) —
+    * swap in [[ivfTopK]] for corpora where brute force is too hot; the
+    * k·|queries|-row neighbor table is then BROADCAST back against the
+    * corpus to fetch labels, so the corpus is streamed, never shuffled,
+    * in that join too. Voting and the final true-label join run on
+    * ≤ k·|queries| rows.
+    */
+  def knnClassify(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(labelCol).cast("long").as("_lbl"))
+    val votes = labels
+      .join(broadcast(nn.select(col("query_id"), col("neighbor_id"))), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("_lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val pick = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("_lbl"))
+    val pred = votes.withColumn("_r", row_number().over(pick))
+      .where(col("_r") === 1)
+      .select(col("query_id"), col("_lbl").as("pred_label"), col("votes"))
+    val truth = queries.select(col(idCol).cast("long").as("query_id"),
+      col(labelCol).cast("long").as("true_label"))
+    pred.join(broadcast(truth), Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("pred_label"), col("votes"),
+        when(col("true_label") === col("pred_label"), 1L).otherwise(0L).as("correct"))
+  }
 }

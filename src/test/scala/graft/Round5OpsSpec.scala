@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Anomaly, Dedup, Graph, Sessions, Similarity}
+
+/** Behavior specs for the round-5 additions: triangle counting,
+  * sorted-neighborhood dedup, k-NN classification, inter-event cadence,
+  * and median/MAD outlier stats.
+  */
+class Round5OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("round5-ops-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    Graft.registerAll(s)
+    s
+  }
+
+  // ── Graph.triangleCounts ───────────────────────────────────────────
+
+  test("triangleCounts: square plus one diagonal has two triangles") {
+    import spark.implicits._
+    // 1-2-3-4-1 square, diagonal 1-3: triangles {1,2,3} and {1,3,4}.
+    // Edges given messy: duplicated, reversed, plus a self-loop.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (2L, 1L), (3L, 1L), (2L, 2L)).toDF("src", "dst")
+    val r = Graph.triangleCounts(edges).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangleCounts: triangle-free graph returns no rows") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(star).count() === 0)
+  }
+
+  test("triangleCounts: complete graph K5 counts C(4,2)=6 per node") {
+    import spark.implicits._
+    val nodes = 0L until 5L
+    val k5 = (for { a <- nodes; b <- nodes if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val r = Graph.triangleCounts(k5).collect()
+    assert(r.length === 5 && r.forall(_.getLong(1) === 6L))
+  }
+
+  // ── Dedup.sortedNeighborhoodPairs ──────────────────────────────────
+
+  test("sortedNeighborhood finds typo'd near-duplicates, skips distinct docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the river bank"),
+      // "jumps" -> "jumped": 2 edits inside the 40-char compare prefix
+      (2L, "The quick brown fox jumped over the lazy dog near the river bank"),
+      (3L, "Completely unrelated text about database query optimization today"),
+      (4L, "zzz sorted to the very end of the alphabet unlike the others"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, window = 3, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // distance 3: "jumps"->"jumped" is 2 edits, and the net +1 length
+    // shifts one extra char across the 40-char truncation boundary
+    assert(pairs.toSeq === Seq((1L, 2L, 3L)),
+      "only the typo'd pair survives")
+  }
+
+  test("sortedNeighborhood: each unordered pair is emitted at most once") {
+    import spark.implicits._
+    // three identical docs in one block: frames (a,b),(a,c),(b,c) - 3 pairs
+    val docs = Seq(
+      (1L, "same text here"), (2L, "same text here"), (3L, "same text here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, window = 6, maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length === 3 && pairs.distinct.length === 3)
+  }
+
+  test("sortedNeighborhood window bounds the candidate set") {
+    import spark.implicits._
+    // five identical docs, window=2: only adjacent sort positions compare,
+    // so exactly 4 pairs (not C(5,2)=10)
+    val docs = (1L to 5L).map(i => (i, "identical content")).toDF("doc_id", "text")
+    assert(Dedup.sortedNeighborhoodPairs(docs, window = 2, maxDist = 0).count() === 4)
+  }
+
+  // ── Similarity.knnClassify ─────────────────────────────────────────
+
+  test("knnClassify predicts the surrounding cluster's label and scores correctness") {
+    import spark.implicits._
+    def vec(x: Float): Seq[Float] = Seq.tabulate(64)(d => if (d == 0) x else 0.1f)
+    // corpus: 3 vectors near +1 labeled 7, 3 near -1 labeled 9
+    val corpus = Seq(
+      (10L, vec(1.0f), 7), (11L, vec(0.9f), 7), (12L, vec(1.1f), 7),
+      (20L, vec(-1.0f), 9), (21L, vec(-0.9f), 9), (22L, vec(-1.1f), 9))
+      .toDF("vec_id", "embedding", "label")
+    // queries: one in each cluster; q2 mislabeled on purpose
+    val queries = Seq((1L, vec(0.95f), 7), (2L, vec(-0.95f), 5))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnClassify(corpus, queries, "vec_id", "embedding", "label", k = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1L) === ((7L, 7L, 3L, 1L)), "query 1: 3/3 votes for 7, correct")
+    assert(r(2L) === ((5L, 9L, 3L, 0L)), "query 2: predicted 9, true label 5 -> incorrect")
+  }
+
+  test("knnClassify breaks vote ties toward the smaller label") {
+    import spark.implicits._
+    def vec(x: Float): Seq[Float] = Seq.tabulate(64)(d => if (d == 0) x else 0.1f)
+    val corpus = Seq(
+      (10L, vec(1.0f), 4), (11L, vec(1.0f), 2)).toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, vec(1.0f), 2)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnClassify(corpus, queries, "vec_id", "embedding", "label", k = 2)
+      .collect().head
+    assert(r.getLong(2) === 2L && r.getLong(3) === 1L, "1-1 tie -> smaller label wins")
+  }
+
+  // ── Sessions.interEventStats ───────────────────────────────────────
+
+  test("interEventStats computes exact gap moments") {
+    import spark.implicits._
+    // user 1: events at 0s, 10s, 30s -> gaps 10, 20: n=2, sum=30, mean=15
+    // cv2 = (n*s2 - s1^2)/s1^2 = (2*500 - 900)/900 = 100/900
+    // user 2: single event -> filtered (no gaps)
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:00:10", 1L),
+      (3L, "2024-01-01 00:00:30", 1L), (4L, "2024-01-01 00:00:00", 2L))
+      .toDF("event_id", "ts_s", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val r = Sessions.interEventStats(ev).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(0) === 1L && row.getLong(1) === 2L &&
+      row.getLong(2) === 30L && row.getLong(3) === 15L)
+    assert(math.abs(row.getDouble(4) - 100.0 / 900.0) < 1e-6)
+  }
+
+  test("interEventStats: gaps are floored whole seconds, ties broken by event id") {
+    import spark.implicits._
+    // 0.4s and 0.6s gaps floor to 0 and 0 -> sum 0 -> filtered out;
+    // a user with sub-second jitter never divides by zero
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00.000", 1L), (2L, "2024-01-01 00:00:00.400", 1L),
+      (3L, "2024-01-01 00:00:01.000", 1L))
+      .toDF("event_id", "ts_s", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    assert(Sessions.interEventStats(ev).count() === 0)
+  }
+
+  // ── Anomaly.madOutlierStats ────────────────────────────────────────
+
+  test("madOutlierStats: hand-computed median, MAD, and outlier count") {
+    import spark.implicits._
+    // values 1..9 plus outlier 100: median=5.5, deviations 0.5..4.5 &
+    // 94.5 -> MAD = median(0.5,1.5,2.5,3.5,4.5,0.5,1.5,2.5,3.5,94.5) = 2.5
+    // outliers: |v-5.5| > 3*2.5 = 7.5 -> only 100
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).map(("a", _)).toDF("k", "v")
+    val r = Anomaly.madOutlierStats(df, "k", "v").collect().head
+    assert(r.getString(0) === "a" && r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 5.5 && r.getDouble(3) === 2.5)
+    assert(r.getLong(4) === 1L)
+  }
+
+  test("madOutlierStats is robust where mean/stddev is not") {
+    import spark.implicits._
+    // the whale at 1e6 drags a z-score cut to uselessness; the MAD cut
+    // still flags it and ONLY it
+    val df = ((1 to 99).map(_ % 10 + 1.0) :+ 1e6).map(("k", _)).toDF("k", "v")
+    val r = Anomaly.madOutlierStats(df, "k", "v").collect().head
+    assert(r.getLong(4) === 1L, "exactly the whale is flagged")
+  }
+}
