@@ -1693,6 +1693,14 @@ object SparkEntry {
           when(col("n") === 1, 0L)
             .otherwise(expr("((r - 1) * 1000000) div (n - 1)")).as("pr_ppm"))
     }),
+    // Distributed exact global rank of every order by totalprice — the
+    // two-phase bucketed rank (bin offsets + within-bin windows), no
+    // single-partition data-sized window anywhere; see Layout.globalRank.
+    "q36_global_rank" -> ((s, dir) =>
+      Layout.globalRank(
+        tbl(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", "o_orderkey")
+        .select(col("o_orderkey"), col("rank"))),
     // Per-nation triangle participation in the trade graph (same edge
     // construction as g1_pagerank) — degree-oriented node-iterator, no
     // cartesian; see Graph.triangleCounts.
@@ -4288,6 +4296,10 @@ object SparkEntry {
           |SELECT o_orderkey, m,
           |  CAST(CASE WHEN n = 1 THEN 0 ELSE ((rr - 1) * 1000000) // (n - 1) END AS BIGINT) AS pr_ppm
           |FROM r""".stripMargin,
+      "q36_global_rank" ->
+        """SELECT o_orderkey,
+          |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rank
+          |FROM orders""".stripMargin,
       "g2_triangles" ->
         """WITH edges AS (
           |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w

@@ -62,4 +62,59 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"),
         min(col("_x")).as("x_min"), max(col("_x")).as("x_max"),
         min(col("_y")).as("y_min"), max(col("_y")).as("y_max"))
+
+  /** Distributed exact global rank (dense 1..N `row_number` over
+    * `(valueCol, tieCol)` order) WITHOUT a single-partition window —
+    * the operator behind global quantile normalization, percentile
+    * labels, and exact top-N cuts at corpus scale.
+    *
+    * Two-phase bucketed rank: (1) rows are linearly binned between the
+    * column's min and max into `buckets` value-ordered bins (bin edges
+    * from one tiny min/max aggregate, broadcast); (2) per-bin counts
+    * (≤`buckets` rows) get prefix-summed on the driver-sized bin table,
+    * and each row's rank = its bin's offset + its `row_number` within
+    * the bin. Bin monotonicity ⇒ the composite equals the global
+    * `row_number` exactly.
+    *
+    * Scale shape: two scans of the input (min/max, then the ranked
+    * projection), one shuffle on the bin id for the within-bin windows,
+    * and a `buckets`-row broadcast — no global sort, no one-reducer
+    * window. Per-window state is one bin (~N/buckets rows under a
+    * roughly uniform value spread). A heavily value-skewed column makes
+    * one bin hot — raise `buckets`, or pre-map values through an
+    * equi-depth histogram ([[Lifecycle]] q23's cutoffs) so bins are
+    * count-balanced; ties on a single hot VALUE are inherently serial
+    * in any exact rank and need the tie column to spread them.
+    *
+    * Engine-exact: bin index arithmetic is the same IEEE double ops on
+    * any engine, and window order `(value, tie)` must be total — pass a
+    * unique `tieCol`.
+    */
+  def globalRank(
+      df: DataFrame, valueCol: String, tieCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val v = col(valueCol).cast("double")
+    val mm = df.agg(min(v).as("_lo"), max(v).as("_hi"))
+    val binned = df.crossJoin(broadcast(mm))
+      .withColumn("_bin",
+        when(col("_hi") === col("_lo"), lit(0L))
+          .otherwise(least(lit(buckets - 1L),
+            floor((v - col("_lo")) * buckets / (col("_hi") - col("_lo"))))))
+      .drop("_lo", "_hi")
+    val offsets = binned.groupBy(col("_bin")).agg(count(lit(1)).as("_n"))
+      .withColumn("_offset",
+        coalesce(sum(col("_n")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("_bin"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_bin"), col("_offset"))
+    // the offsets window is a |buckets|-row table: its single-partition
+    // window is driver-sized by construction, never data-sized
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bin")).orderBy(col(valueCol), col(tieCol))
+    binned.join(broadcast(offsets), Seq("_bin"))
+      .withColumn("rank", col("_offset") + row_number().over(w))
+      .drop("_bin", "_offset")
+  }
 }

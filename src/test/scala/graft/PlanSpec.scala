@@ -433,4 +433,42 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one key shuffle:\n$p")
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("d18 sorted neighborhood: window on the block key, no self-join or cartesian") {
+    val p = plan("d18_sorted_neighborhood")
+    assert(p.contains("Exchange hashpartitioning(_blk"),
+      s"window must partition on the block key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be the window frame, not a join:\n$p")
+  }
+
+  test("s13 knn classify: labels fetched by broadcasting the neighbor table") {
+    val p = plan("s13_knn_classify")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus label fetch degraded to a corpus shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast label joins:\n$p")
+  }
+
+  test("q36 global rank: within-bin windows only — no single-partition data window") {
+    val p = plan("q36_global_rank")
+    // the data-sized window must partition by _bin; the only
+    // SinglePartition-adjacent window allowed is over the bucket-count
+    // offsets table (bounded rows), which plans as a separate tiny window
+    assert(p.contains("Exchange hashpartitioning(_bin"),
+      s"row windows must partition on the bin id:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast back:\n$p")
+  }
+
+  test("g2 triangles: equi-joins only, no cartesian or nested loop") {
+    val p = plan("g2_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration degraded:\n$p")
+  }
+
+  test("u26 burstiness: lag window and aggregate share one user-key shuffle") {
+    val p = plan("u26_burstiness")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"expected exactly one user-key shuffle:\n$p")
+  }
 }

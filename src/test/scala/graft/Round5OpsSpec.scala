@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Anomaly, Dedup, Graph, Sessions, Similarity}
+import graft.operators.{Anomaly, Dedup, Graph, Layout, Sessions, Similarity}
 
 /** Behavior specs for the round-5 additions: triangle counting,
   * sorted-neighborhood dedup, k-NN classification, inter-event cadence,
@@ -153,6 +153,32 @@ class Round5OpsSpec extends AnyFunSuite {
       .toDF("event_id", "ts_s", "user_id")
       .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
     assert(Sessions.interEventStats(ev).count() === 0)
+  }
+
+  // ── Layout.globalRank ──────────────────────────────────────────────
+
+  test("globalRank equals the single-partition row_number on any bucket count") {
+    import spark.implicits._
+    // adversarial values: duplicates, negatives, a far outlier that
+    // empties most linear bins
+    val rows = Seq(5.0, -3.0, 5.0, 0.0, 1e6, 2.5, -3.0, 7.0, 0.0, 42.0)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("id", "v").repartition(4)
+    val expected = rows.sortBy { case (id, v) => (v, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    for (buckets <- Seq(1, 3, 256)) {
+      val got = Layout.globalRank(df, "v", "id", buckets).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === expected, s"buckets=$buckets")
+    }
+  }
+
+  test("globalRank: constant value column falls back to one bin, tie order ranks") {
+    import spark.implicits._
+    val df = (1L to 5L).map((_, 9.9)).toDF("id", "v").repartition(3)
+    val got = Layout.globalRank(df, "v", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === (1L to 5L).map(i => i -> i).toMap)
   }
 
   // ── Anomaly.madOutlierStats ────────────────────────────────────────
