@@ -1693,6 +1693,22 @@ object SparkEntry {
           when(col("n") === 1, 0L)
             .otherwise(expr("((r - 1) * 1000000) div (n - 1)")).as("pr_ppm"))
     }),
+    // Metadata-filtered ANN: each held-out query matches only corpus
+    // rows with its own label (filter applied during candidate
+    // generation as a join key, not post-filtered below k). Corpus
+    // never shuffled; see Similarity.filteredTopK.
+    "s14_ann_filtered" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.filteredTopK(par(e), e.where(col("vec_id") < 20),
+        "vec_id", "embedding", "label", k = 5)
+    }),
+    // Column-association screen: per-cell pointwise MI and MI
+    // contribution of (lang, source) in exact micro-nats — one scan to
+    // the cell table, margins re-aggregated from it. See
+    // Profile.mutualInfo.
+    "t28_mutual_info" -> ((s, dir) =>
+      Profile.mutualInfo(tbl(s, dir, "documents"), "lang", "source")),
     // Distributed exact global rank of every order by totalprice — the
     // two-phase bucketed rank (bin offsets + within-bin windows), no
     // single-partition data-sized window anywhere; see Layout.globalRank.
@@ -4296,6 +4312,31 @@ object SparkEntry {
           |SELECT o_orderkey, m,
           |  CAST(CASE WHEN n = 1 THEN 0 ELSE ((rr - 1) * 1000000) // (n - 1) END AS BIGINT) AS pr_ppm
           |FROM r""".stripMargin,
+      "s14_ann_filtered" ->
+        s"""WITH eIn AS (SELECT vec_id, embedding FROM embeddings), $quantEmbSql, ql AS (
+           |  SELECT qn.*, e.label FROM qn JOIN embeddings e USING (vec_id)
+           |), scored AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dotCosSql AS cos
+           |  FROM ql a JOIN ql b ON a.vec_id < 20 AND b.vec_id != a.vec_id AND a.label = b.label
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored
+           |)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+      "t28_mutual_info" ->
+        """WITH cells AS (
+          |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ab FROM documents GROUP BY 1, 2
+          |), ma AS (SELECT lang, CAST(sum(n_ab) AS BIGINT) AS n_a FROM cells GROUP BY 1),
+          |mb AS (SELECT source, CAST(sum(n_ab) AS BIGINT) AS n_b FROM cells GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_tot FROM cells)
+          |SELECT c.lang, c.source, c.n_ab,
+          |  CAST(round(ln(CAST(c.n_ab AS DOUBLE) * CAST(n_tot AS DOUBLE) /
+          |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * 1e6) AS BIGINT) AS pmi_micro,
+          |  CAST(round(CAST(c.n_ab AS DOUBLE) / CAST(n_tot AS DOUBLE) *
+          |    ln(CAST(c.n_ab AS DOUBLE) * CAST(n_tot AS DOUBLE) /
+          |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * 1e6) AS BIGINT) AS mi_contrib_micro
+          |FROM cells c JOIN ma USING (lang) JOIN mb USING (source) CROSS JOIN tot""".stripMargin,
       "q36_global_rank" ->
         """SELECT o_orderkey,
           |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rank

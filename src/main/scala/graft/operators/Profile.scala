@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling: per-column statistics in one distributed pass —
@@ -78,5 +78,41 @@ object Profile {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("value")).as("lo"), max(col("value")).as("hi"))
+  }
+
+  /** Pairwise mutual-information profile of two categorical columns —
+    * the feature-association / leakage screen (is `lang` predictable
+    * from `source`?). One row per observed (a, b) cell with its count,
+    * pointwise MI, and MI contribution; the column MI is the sum of
+    * `mi_contrib_micro` (exact integer sum — the per-cell micro-nat
+    * quantization makes the total independent of summation order, the
+    * same trick as [[Vocab.pmiTopPairs]]).
+    *
+    * `pmi_micro  = round(1e6 · ln(n_ab·N / (n_a·n_b)))`
+    * `mi_contrib_micro = round(1e6 · (n_ab/N) · ln(n_ab·N / (n_a·n_b)))`
+    *
+    * Scale shape: ONE scan/shuffle of the input into the (a, b) cell
+    * table; both margins and the total are re-aggregated from the cell
+    * table itself (|cells| rows), and the joins back are broadcasts of
+    * those margins. All log inputs are exact integer counts, so the
+    * doubles are engine-identical.
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val ma = cells.groupBy(col("_a")).agg(sum(col("n_ab")).as("n_a"))
+    val mb = cells.groupBy(col("_b")).agg(sum(col("n_ab")).as("n_b"))
+    val tot = cells.agg(sum(col("n_ab")).as("n_tot"))
+    val d = (c: Column) => c.cast("double")
+    cells.join(broadcast(ma), Seq("_a"))
+      .join(broadcast(mb), Seq("_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("_a").as(aCol), col("_b").as(bCol), col("n_ab"),
+        round(log(d(col("n_ab")) * d(col("n_tot")) /
+          (d(col("n_a")) * d(col("n_b")))) * 1e6).cast("long").as("pmi_micro"),
+        round(d(col("n_ab")) / d(col("n_tot")) *
+          log(d(col("n_ab")) * d(col("n_tot")) /
+            (d(col("n_a")) * d(col("n_b")))) * 1e6).cast("long")
+          .as("mi_contrib_micro"))
   }
 }

@@ -642,6 +642,36 @@ object Similarity {
     exactRerank(base, q, cand, k)
   }
 
+  /** Metadata-filtered cosine top-k (the production "search within a
+    * tenant/language/category" form): each query row matches only
+    * corpus rows whose `filterCol` equals the query's own — the filter
+    * is applied DURING candidate generation as an equi-join key, not as
+    * a post-filter that silently returns < k rows when the top of the
+    * unfiltered list is mostly other categories.
+    *
+    * Scale shape: the (small) query side is broadcast keyed by the
+    * filter value, so the corpus is streamed once, never shuffled, and
+    * every corpus row only scores against the queries sharing its
+    * filter value; then the bounded [[TopK.perQuery]] partial
+    * aggregate. For large query sets swap the broadcast for a
+    * shuffle-hash equi-join on `filterCol` — same plan family.
+    */
+  def filteredTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, filterCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("_id"), quantize(col(vecCol)).as("_q"),
+        col(filterCol).as("_f"))
+      .withColumn("_n2", dotQ(col("_q"), col("_q")))
+    val q = queries.select(col(idCol).as("_qid"), quantize(col(vecCol)).as("_qq"),
+        col(filterCol).as("_qf"))
+      .withColumn("_qn2", dotQ(col("_qq"), col("_qq")))
+    val scored = c.join(broadcast(q),
+        col("_f") === col("_qf") && col("_id") =!= col("_qid"))
+      .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
+        cosineFrom(dotQ(col("_q"), col("_qq")), col("_n2"), col("_qn2")).as("cos"))
+    TopK.perQuery(scored, k)
+  }
+
   /** k-NN majority-vote classification of `queries` against a labeled
     * `corpus` (the standard embedding-quality probe: hold out rows,
     * predict their labels from their nearest labeled neighbors).

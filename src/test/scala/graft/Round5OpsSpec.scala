@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Anomaly, Dedup, Graph, Layout, Sessions, Similarity}
+import graft.operators.{Anomaly, Dedup, Graph, Layout, Profile, Sessions, Similarity}
 
 /** Behavior specs for the round-5 additions: triangle counting,
   * sorted-neighborhood dedup, k-NN classification, inter-event cadence,
@@ -153,6 +153,40 @@ class Round5OpsSpec extends AnyFunSuite {
       .toDF("event_id", "ts_s", "user_id")
       .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
     assert(Sessions.interEventStats(ev).count() === 0)
+  }
+
+  // ── Similarity.filteredTopK ────────────────────────────────────────
+
+  test("filteredTopK only matches rows sharing the filter value") {
+    import spark.implicits._
+    def vec(x: Float): Seq[Float] = Seq.tabulate(64)(d => if (d == 0) x else 0.1f)
+    // the globally-nearest neighbor (21, label B) must NOT appear for an
+    // A query; within A the farther 11 must
+    val corpus = Seq(
+      (10L, vec(1.0f), "A"), (11L, vec(0.5f), "A"), (21L, vec(0.99f), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, vec(1.0f), "A")).toDF("vec_id", "embedding", "label")
+    val r = Similarity.filteredTopK(corpus, queries, "vec_id", "embedding", "label", k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(r === Set(10L, 11L), "exactly the label-A corpus rows")
+  }
+
+  // ── Profile.mutualInfo ─────────────────────────────────────────────
+
+  test("mutualInfo: independent columns score zero, dependent score ln(2)") {
+    import spark.implicits._
+    // independent 2x2: every cell n=5, margins 10, N=20 -> pmi = ln(1) = 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val ri = Profile.mutualInfo(ind, "a", "b").collect()
+    assert(ri.length === 4 && ri.forall(r => r.getLong(3) === 0L && r.getLong(4) === 0L))
+    // perfectly dependent: a==b, 2 cells, pmi = ln(2*10/(5*... )): n_ab=5,
+    // n_a=n_b=5, N=10 -> ln(5*10/25) = ln 2 -> 693147 micro-nats; each
+    // contributes (5/10)*ln2 -> 346574
+    val dep = (for { a <- Seq("x", "y"); _ <- 1 to 5 } yield (a, a)).toDF("a", "b")
+    val rd = Profile.mutualInfo(dep, "a", "b").collect()
+    assert(rd.length === 2 && rd.forall(r => r.getLong(3) === 693147L &&
+      r.getLong(4) === 346574L))
   }
 
   // ── Layout.globalRank ──────────────────────────────────────────────

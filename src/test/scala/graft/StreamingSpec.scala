@@ -443,4 +443,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(stateful === batch)
     } finally q.stop()
   }
+
+  test("stateful cadence: moments carry across micro-batches; stream == batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulCadence
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val events = mem.toDF.toDF("user_id", "event_id", "ts")
+    val q = StatefulCadence.cadence(events)
+      .writeStream.format("memory").queryName("cad").outputMode("update").start()
+    try {
+      mem.addData((1L, 1L, t("2024-01-01 00:00:00")), (1L, 2L, t("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      mem.addData((1L, 3L, t("2024-01-01 00:00:30"))) // gap 20 carries across batches
+      q.processAllAvailable()
+      // last emission per user (update mode re-emits on every change)
+      val fin = spark.table("cad").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      // gaps 10, 20: n=2, sum=30, mean=15, cv2=(2*500-900)/900 rounded 6dp
+      assert(fin(1L) === ((1L, 2L, 30L, 15L, 0.111111)))
+      // batch parity: the same operator run on the static events table
+      // equals Sessions.interEventStats row-for-row (cv2 bit-equal)
+      val ev = SparkEntry.tbl(spark, TestData.dir("0.001"), "events")
+      val stateful = StatefulCadence.cadence(ev).collect()
+        .map(r => r.user_id -> ((r.n_gaps, r.sum_gap_s, r.mean_gap_s, r.cv2))).toMap
+      val batch = graft.operators.Sessions.interEventStats(ev).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      assert(stateful === batch)
+      assert(stateful.nonEmpty)
+    } finally q.stop()
+  }
 }
