@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{Anomaly, AsOf, Attribution, Bpe, Chunk, Decontaminate, Dedup, Experiment, Funnel, Graph, GroupSample, HeavyHitters, Incremental, Latency, Layout, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Survival, Transitions, Vocab}
+import graft.operators.{Anomaly, AsOf, Attribution, Basket, Bpe, Chunk, Decontaminate, Dedup, Experiment, Funnel, Graph, GroupSample, HeavyHitters, Incremental, Latency, Layout, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Survival, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1692,6 +1692,23 @@ object SparkEntry {
         .select(col("o_orderkey"), col("m"),
           when(col("n") === 1, 0L)
             .otherwise(expr("((r - 1) * 1000000) div (n - 1)")).as("pr_ppm"))
+    }),
+    // Market-basket pair association over (user, day) baskets:
+    // support/confidence/lift in exact integer ppm. Co-partitioned
+    // self-join on the basket key; see Basket.pairLift.
+    "u28_basket_lift" -> ((s, dir) =>
+      Basket.pairLift(tbl(s, dir, "events"))),
+    // PSI drift of purchase values, week 1 vs week 2 — the standard
+    // distribution-shift monitor between dataset versions; per-bin
+    // contributions in exact micro-nats. See Snapshot.psiDrift.
+    "u29_psi_drift" -> ((s, dir) => {
+      val p = tbl(s, dir, "events").where(col("event_type") === "purchase")
+        .select(col("value"), to_date(col("ts")).as("_d"))
+      val d0 = lit(winStart).cast("date")
+      Snapshot.psiDrift(
+        p.where(col("_d") >= d0 && col("_d") < date_add(d0, 7)),
+        p.where(col("_d") >= date_add(d0, 7) && col("_d") < date_add(d0, 14)),
+        "value")
     }),
     // Metadata-filtered ANN: each held-out query matches only corpus
     // rows with its own label (filter applied during candidate
@@ -4312,6 +4329,47 @@ object SparkEntry {
           |SELECT o_orderkey, m,
           |  CAST(CASE WHEN n = 1 THEN 0 ELSE ((rr - 1) * 1000000) // (n - 1) END AS BIGINT) AS pr_ppm
           |FROM r""".stripMargin,
+      "u28_basket_lift" ->
+        """WITH items AS (
+          |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type FROM events
+          |), nb AS (SELECT CAST(count(DISTINCT (user_id, d)) AS BIGINT) AS n_baskets FROM items),
+          |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_item FROM items GROUP BY 1),
+          |pairs AS (
+          |  SELECT a.event_type AS item_a, b.event_type AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+          |  FROM items a JOIN items b ON a.user_id = b.user_id AND a.d = b.d AND a.event_type < b.event_type
+          |  GROUP BY 1, 2
+          |)
+          |SELECT item_a, item_b, n_ab,
+          |  CAST((n_ab * 1000000) // n_baskets AS BIGINT) AS support_ppm,
+          |  CAST((n_ab * 1000000) // ma.n_item AS BIGINT) AS conf_a_to_b_ppm,
+          |  CAST((CAST(n_ab AS HUGEINT) * n_baskets * 1000000) // (CAST(ma.n_item AS HUGEINT) * mb.n_item) AS BIGINT) AS lift_ppm
+          |FROM pairs JOIN m ma ON pairs.item_a = ma.event_type
+          |           JOIN m mb ON pairs.item_b = mb.event_type
+          |CROSS JOIN nb""".stripMargin,
+      "u29_psi_drift" ->
+        """WITH base AS (
+          |  SELECT value, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'purchase'
+          |), w1 AS (SELECT value FROM base WHERE d >= DATE '2024-01-01' AND d < DATE '2024-01-08'),
+          |w2 AS (SELECT value FROM base WHERE d >= DATE '2024-01-08' AND d < DATE '2024-01-15'),
+          |mm AS (SELECT min(value) AS lo, max(value) AS hi FROM w1),
+          |b1 AS (
+          |  SELECT CAST(CASE WHEN hi = lo THEN 0
+          |    ELSE least(9, greatest(0, floor((value - lo) * 10 / (hi - lo)))) END AS BIGINT) AS bin,
+          |    count(*) AS n FROM w1, mm GROUP BY 1
+          |), b2 AS (
+          |  SELECT CAST(CASE WHEN hi = lo THEN 0
+          |    ELSE least(9, greatest(0, floor((value - lo) * 10 / (hi - lo)))) END AS BIGINT) AS bin,
+          |    count(*) AS n FROM w2, mm GROUP BY 1
+          |), bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(10)),
+          |j AS (
+          |  SELECT bins.bin,
+          |    CAST(coalesce(b1.n, 0) + 1 AS BIGINT) AS n1, CAST(coalesce(b2.n, 0) + 1 AS BIGINT) AS n2
+          |  FROM bins LEFT JOIN b1 USING (bin) LEFT JOIN b2 USING (bin)
+          |), t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2 FROM j)
+          |SELECT bin, n1 - 1 AS n_ref, n2 - 1 AS n_cur,
+          |  CAST(round((CAST(n1 AS DOUBLE) / t1 - CAST(n2 AS DOUBLE) / t2) *
+          |    ln((CAST(n1 AS DOUBLE) / t1) / (CAST(n2 AS DOUBLE) / t2)) * 1e6) AS BIGINT) AS psi_contrib_micro
+          |FROM j CROSS JOIN t""".stripMargin,
       "s14_ann_filtered" ->
         s"""WITH eIn AS (SELECT vec_id, embedding FROM embeddings), $quantEmbSql, ql AS (
            |  SELECT qn.*, e.label FROM qn JOIN embeddings e USING (vec_id)

@@ -48,4 +48,49 @@ object Snapshot {
       count(when(col("status") === "changed", 1)).as("changed"),
       count(when(col("status") === "unchanged", 1)).as("unchanged"))
   }
+
+  /** Population-stability-index drift report between a reference and a
+    * current sample of a numeric column — the standard "did this
+    * feature's distribution move between dataset versions" monitor
+    * (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+    *
+    * `bins` equal-width buckets span the REFERENCE min/max (current
+    * outliers clamp into the edge bins — drift beyond the reference
+    * range must surface, not vanish into a NULL bin); both counts get
+    * add-one smoothing so empty bins never divide by zero; each bin's
+    * `(p−q)·ln(p/q)` contribution is quantized to integer micro-nats
+    * (total PSI = exact integer sum of `psi_contrib_micro`, independent
+    * of summation order — the [[Profile.mutualInfo]] discipline).
+    *
+    * Plan shape: one scan + tiny aggregate per side (min/max broadcast,
+    * per-bin counts ≤ `bins` rows), everything downstream on
+    * `bins`-row tables. All log inputs are exact smoothed integer
+    * counts ⇒ engine-identical doubles.
+    */
+  def psiDrift(
+      ref: DataFrame, cur: DataFrame, valCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val spark = ref.sparkSession
+    val v = col(valCol).cast("double")
+    val mm = ref.agg(min(v).as("lo"), max(v).as("hi"))
+    def binned(df: DataFrame): DataFrame = df.crossJoin(broadcast(mm))
+      .select(when(col("hi") === col("lo"), lit(0L))
+        .otherwise(least(lit(bins - 1L), greatest(lit(0L),
+          floor((v - col("lo")) * bins / (col("hi") - col("lo")))))).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val all = spark.range(bins).select(col("id").as("bin"))
+    val j = all
+      .join(binned(ref).withColumnRenamed("n", "_n1"), Seq("bin"), "left")
+      .join(binned(cur).withColumnRenamed("n", "_n2"), Seq("bin"), "left")
+      .select(col("bin"), (coalesce(col("_n1"), lit(0L)) + 1).as("n1"),
+        (coalesce(col("_n2"), lit(0L)) + 1).as("n2"))
+    val t = j.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    j.crossJoin(broadcast(t))
+      .select(col("bin"), (col("n1") - 1).as("n_ref"), (col("n2") - 1).as("n_cur"),
+        round((d(col("n1")) / d(col("t1")) - d(col("n2")) / d(col("t2"))) *
+          log((d(col("n1")) / d(col("t1"))) / (d(col("n2")) / d(col("t2")))) * 1e6)
+          .cast("long").as("psi_contrib_micro"))
+  }
 }

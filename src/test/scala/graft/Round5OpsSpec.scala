@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Anomaly, Dedup, Graph, Layout, Profile, Sessions, Similarity}
+import graft.operators.{Anomaly, Basket, Dedup, Graph, Layout, Profile, Sessions, Similarity, Snapshot}
 
 /** Behavior specs for the round-5 additions: triangle counting,
   * sorted-neighborhood dedup, k-NN classification, inter-event cadence,
@@ -213,6 +213,50 @@ class Round5OpsSpec extends AnyFunSuite {
     val got = Layout.globalRank(df, "v", "id").collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got === (1L to 5L).map(i => i -> i).toMap)
+  }
+
+  // ── Basket.pairLift ────────────────────────────────────────────────
+
+  test("pairLift: hand-computed support, confidence, lift") {
+    import spark.implicits._
+    // 4 baskets: {a,b} {a,b} {a} {b} -> n_a=3, n_b=3, n_ab=2
+    // support = 2/4 = 500000 ppm; conf a->b = 2/3 = 666666 ppm;
+    // lift = 2*4/(3*3) = 888888 ppm
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", "a"), (1L, "2024-01-01 11:00:00", "b"),
+      (1L, "2024-01-01 12:00:00", "a"), // dup item in basket: counted once
+      (2L, "2024-01-01 10:00:00", "a"), (2L, "2024-01-01 11:00:00", "b"),
+      (1L, "2024-01-02 10:00:00", "a"),
+      (2L, "2024-01-02 10:00:00", "b"))
+      .toDF("user_id", "ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val r = Basket.pairLift(ev).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert((row.getString(0), row.getString(1), row.getLong(2)) === (("a", "b", 2L)))
+    assert(row.getLong(3) === 500000L && row.getLong(4) === 666666L &&
+      row.getLong(5) === 888888L)
+  }
+
+  // ── Snapshot.psiDrift ──────────────────────────────────────────────
+
+  test("psiDrift: identical distributions score zero in every bin") {
+    import spark.implicits._
+    val vals = (1 to 100).map(_.toDouble).toDF("v")
+    val r = Snapshot.psiDrift(vals, vals, "v").collect()
+    assert(r.length === 10 && r.forall(_.getLong(3) === 0L))
+    assert(r.map(_.getLong(1)).sum === 100L, "reference counts preserved")
+  }
+
+  test("psiDrift: out-of-range current values clamp into edge bins, drift surfaces") {
+    import spark.implicits._
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val cur = (1 to 100).map(_ * 10.0).toDF("v") // mass pushed far right
+    val r = Snapshot.psiDrift(ref, cur, "v").collect()
+    assert(r.map(_.getLong(2)).sum === 100L, "no current rows vanish")
+    val top = r.find(_.getLong(0) === 9L).get
+    assert(top.getLong(2) >= 90L, "clamped mass lands in the top bin")
+    assert(r.map(_.getLong(3)).sum > 250000L, "PSI flags the shift (> 0.25 nats)")
   }
 
   // ── Anomaly.madOutlierStats ────────────────────────────────────────
