@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{Anomaly, AsOf, Attribution, Basket, Bpe, Chunk, Decontaminate, Dedup, Experiment, Funnel, Graph, GroupSample, HeavyHitters, Incremental, Latency, Layout, Lifecycle, Multimodal, Paths, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Survival, Transitions, Vocab}
+import graft.operators.{Anomaly, AsOf, Attribution, Basket, Bpe, Chunk, Decontaminate, Dedup, Experiment, Funnel, Graph, GroupSample, HeavyHitters, Incremental, Latency, Layout, Lifecycle, Multimodal, Paths, Pca, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Survival, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1710,6 +1710,12 @@ object SparkEntry {
         p.where(col("_d") >= date_add(d0, 7) && col("_d") < date_add(d0, 14)),
         "value")
     }),
+    // Leading PCA component of the embedding covariance in EXACT integer
+    // power iteration (anisotropy / whitening diagnostic): one corpus
+    // scan through the moment UDAF, driver-side BigInt matvec on the
+    // 64x64 scatter model, bit-identical to the oracle's HUGEINT CTEs.
+    "s15_pca_top" -> ((s, dir) =>
+      Pca.topComponent(par(tbl(s, dir, "embeddings")), "embedding")),
     // Metadata-filtered ANN: each held-out query matches only corpus
     // rows with its own label (filter applied during candidate
     // generation as a join key, not post-filtered below k). Corpus
@@ -4370,6 +4376,7 @@ object SparkEntry {
           |  CAST(round((CAST(n1 AS DOUBLE) / t1 - CAST(n2 AS DOUBLE) / t2) *
           |    ln((CAST(n1 AS DOUBLE) / t1) / (CAST(n2 AS DOUBLE) / t2)) * 1e6) AS BIGINT) AS psi_contrib_micro
           |FROM j CROSS JOIN t""".stripMargin,
+      "s15_pca_top" -> pcaOracleSql(20),
       "s14_ann_filtered" ->
         s"""WITH eIn AS (SELECT vec_id, embedding FROM embeddings), $quantEmbSql, ql AS (
            |  SELECT qn.*, e.label FROM qn JOIN embeddings e USING (vec_id)
@@ -4465,6 +4472,45 @@ object SparkEntry {
        |), w0 AS (
        |  SELECT word, cnt, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s FROM wrd
        |), $roundCtes""".stripMargin
+  }
+
+  /** Unrolls [[Pca.topComponent]]'s exact integer power iteration as
+    * HUGEINT CTEs: quantized moments → scatter `n·M − s·sᵀ` → `iters`
+    * matvec/renormalize rounds with the identical sign-split floor
+    * division, then the same first-nonzero sign fix. CTEs are
+    * MATERIALIZED — DuckDB otherwise inlines the scan chain once per
+    * iteration and exhausts file handles. */
+  private def pcaOracleSql(iters: Int): String = {
+    val base =
+      """WITH q AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), dims AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS dim FROM range(64)),
+        |ex AS MATERIALIZED (SELECT q.vec_id, d.dim, qv[CAST(d.dim AS INT) + 1] AS x FROM q, dims d),
+        |sv AS MATERIALIZED (SELECT dim, CAST(sum(x) AS HUGEINT) AS s FROM ex GROUP BY 1),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+        |mm AS MATERIALIZED (
+        |  SELECT a.dim AS i, b.dim AS j, CAST(sum(a.x * b.x) AS HUGEINT) AS m
+        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2
+        |), scat AS MATERIALIZED (
+        |  SELECT mm.i, mm.j, nn.n * mm.m - si.s * sj.s AS c
+        |  FROM mm CROSS JOIN nn
+        |  JOIN sv si ON si.dim = mm.i JOIN sv sj ON sj.dim = mm.j
+        |), v0 AS (SELECT dim, CAST(1000000 AS HUGEINT) AS v FROM dims)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s""", w$r AS MATERIALIZED (
+         |  SELECT scat.i AS dim, sum(scat.c * p.v) AS w FROM scat JOIN v${r - 1} p ON scat.j = p.dim GROUP BY 1
+         |), mx$r AS (SELECT max(abs(w)) AS mx FROM w$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT dim, CASE WHEN mx = 0 THEN CAST(0 AS HUGEINT)
+         |    WHEN w < 0 THEN -((-w) * 1000000 // mx)
+         |    ELSE (w * 1000000 // mx) END AS v
+         |  FROM w$r, mx$r)""".stripMargin
+    }.mkString
+    s"""$base$rounds, sgn AS (
+       |  SELECT CASE WHEN (SELECT v FROM v$iters WHERE v != 0 ORDER BY dim LIMIT 1) < 0
+       |    THEN CAST(-1 AS HUGEINT) ELSE CAST(1 AS HUGEINT) END AS s)
+       |SELECT dim, CAST(v * s AS BIGINT) AS loading_micro FROM v$iters, sgn""".stripMargin
   }
 
   private def bpeOracleSql(rounds: Int): String = {

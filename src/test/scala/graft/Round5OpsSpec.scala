@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Anomaly, Basket, Dedup, Graph, Layout, Profile, Sessions, Similarity, Snapshot}
+import graft.operators.{Anomaly, Basket, Dedup, Graph, Layout, Pca, Profile, Sessions, Similarity, Snapshot}
 
 /** Behavior specs for the round-5 additions: triangle counting,
   * sorted-neighborhood dedup, k-NN classification, inter-event cadence,
@@ -213,6 +213,26 @@ class Round5OpsSpec extends AnyFunSuite {
     val got = Layout.globalRank(df, "v", "id").collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got === (1L to 5L).map(i => i -> i).toMap)
+  }
+
+  // ── Pca.topComponent ───────────────────────────────────────────────
+
+  test("pcaTop finds the dominant variance axis; result is partition-invariant") {
+    import spark.implicits._
+    // variance concentrated on dim 0 (spread ±2), noise on dim 1 (±0.1)
+    val vecs = Seq(
+      Seq(2.0f, 0.1f, 0f, 0f), Seq(-2.0f, -0.1f, 0f, 0f),
+      Seq(1.5f, 0.1f, 0f, 0f), Seq(-1.5f, 0.05f, 0f, 0f),
+      Seq(1.0f, -0.1f, 0f, 0f), Seq(-1.0f, 0.02f, 0f, 0f))
+    val df = vecs.toDF("embedding")
+    val r = Pca.topComponent(df, "embedding", dim = 4).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) === 1000000L, "dominant axis loads at full scale, sign-fixed positive")
+    assert(math.abs(r(1L)) < 100000L && r(2L) === 0L && r(3L) === 0L)
+    // exact integer arithmetic: any partitioning yields the identical vector
+    val r2 = Pca.topComponent(df.repartition(5), "embedding", dim = 4).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 === r)
   }
 
   // ── Basket.pairLift ────────────────────────────────────────────────
