@@ -471,4 +471,51 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
       s"expected exactly one user-key shuffle:\n$p")
   }
+
+  test("u28 basket lift: co-partitioned basket self-join, margins broadcast back") {
+    val p = plan("u28_basket_lift")
+    // the only nested-loop allowed is the 1-row basket-count cross
+    // broadcast; pair generation itself must be an equi-join
+    assert(!p.contains("CartesianProduct"), s"pair generation degraded:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"margins must broadcast back:\n$p")
+  }
+
+  test("u29 psi drift: min/max and totals broadcast, no sort-merge join") {
+    val p = plan("u29_psi_drift")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"reference min/max row must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bins-row joins degraded:\n$p")
+  }
+
+  test("t28 mutual info: margins re-aggregated from cells and broadcast back") {
+    val p = plan("t28_mutual_info")
+    assert(p.contains("BroadcastHashJoin"), s"margin joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"margin join degraded:\n$p")
+  }
+
+  test("s14 filtered ann: corpus never shuffled, queries broadcast on the filter key") {
+    val p = plan("s14_ann_filtered")
+    assert(p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus side must stream:\n$p")
+  }
+
+  test("s15 pca top: moment pass is a partial object-hash aggregate; result is a model constant") {
+    // the registry query returns the trained model (a LocalTableScan of
+    // 64 loadings) because the power iteration is driver arithmetic —
+    // assert THAT, plus the shape of the underlying one-scan moment pass
+    assert(plan("s15_pca_top").contains("LocalTableScan"),
+      "pca output should be a driver-side model constant")
+    import org.apache.spark.sql.functions._
+    val agg = udaf(new graft.operators.MomentAgg(64),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val p = SparkEntry.tbl(spark, sf, "embeddings")
+      .select(graft.operators.Similarity.quantize(col("embedding")).as("_q"))
+      .agg(agg(col("_q")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"),
+      s"moment UDAF should plan as ObjectHashAggregate:\n$p")
+    assert(p.contains("partial_momentagg$") || p.toLowerCase.contains("partial"),
+      s"moments must combine map-side:\n$p")
+  }
 }
