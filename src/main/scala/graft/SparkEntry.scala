@@ -1485,6 +1485,22 @@ object SparkEntry {
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
       Graph.pageRankPpm(edges, iters = 10)
     }),
+    // Personalized PageRank from a 5-nation seed set over the same
+    // trade graph as g1 — random walk with restart; ranks decay with
+    // distance from the seeds. See Graph.personalizedPageRankPpm.
+    "g3_ppr" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val sup = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      Graph.personalizedPageRankPpm(edges, Seq(0L, 1L, 2L, 3L, 4L), iters = 10)
+    }),
     // Sessions of the first 50 users that overlap the platform's 10
     // busiest hours — an interval×interval join with NO equi key,
     // bucket-tiled into an hour-wide equi-join (RangeJoin scaladoc).
@@ -1976,6 +1992,45 @@ object SparkEntry {
            |  SELECT nodes.node,
            |    CAST(150000 // nn.n + coalesce(c.s, 0) * 85 // 100 AS BIGINT) AS r
            |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN (
+           |    SELECT eo.dst AS node, sum((p.r * eo.w) // eo.tw) AS s
+           |    FROM eo JOIN r${i - 1} p ON eo.src = p.node GROUP BY eo.dst) c
+           |  ON nodes.node = c.node)""".stripMargin
+      }.mkString
+      s"$base$iters\nSELECT node, r AS rank_ppm FROM r$pagerankIters"
+    }
+    // The personalized variant: initial mass and teleport concentrate on
+    // the seed list; ⌊1e6/|S|⌋ and ⌊150000/|S|⌋ replace the /n uniform
+    // terms. Same integer floor arithmetic, same unrolled-CTE technique.
+    val pprSeeds = Seq(0L, 1L, 2L, 3L, 4L)
+    val pprSql: String = {
+      val seedList = pprSeeds.mkString(", ")
+      val ns = pprSeeds.length
+      val base =
+        s"""WITH edges AS (
+           |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM lineitem l
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |  GROUP BY 1, 2
+           |), eo AS (
+           |  SELECT e.src, e.dst, e.w, t.tw FROM edges e
+           |  JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS tw
+           |        FROM edges GROUP BY src) t USING (src)
+           |), nodes AS (
+           |  SELECT DISTINCT src AS node FROM edges
+           |  UNION SELECT DISTINCT dst FROM edges
+           |), r0 AS (
+           |  SELECT node, CAST(CASE WHEN node IN ($seedList) THEN ${1000000L / ns} ELSE 0 END AS BIGINT) AS r
+           |  FROM nodes)""".stripMargin
+      val iters = (1 to pagerankIters).map { i =>
+        s""", r$i AS (
+           |  SELECT nodes.node,
+           |    CAST(CASE WHEN nodes.node IN ($seedList) THEN ${150000L / ns} ELSE 0 END
+           |      + coalesce(c.s, 0) * 85 // 100 AS BIGINT) AS r
+           |  FROM nodes
            |  LEFT JOIN (
            |    SELECT eo.dst AS node, sum((p.r * eo.w) // eo.tw) AS s
            |    FROM eo JOIN r${i - 1} p ON eo.src = p.node GROUP BY eo.dst) c
@@ -3923,6 +3978,7 @@ object SparkEntry {
           |FROM events e JOIN m2 ON e.user_id = m2.user_id
           |  AND e.event_type = m2.event_type AND e.event_id = m2.mid""".stripMargin,
       "g1_pagerank" -> pagerankSql,
+      "g3_ppr" -> pprSql,
       "u23_interval_overlap" ->
         """WITH r AS (
           |  SELECT user_id, ts, event_id,

@@ -68,6 +68,50 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (random walk with restart to a SEED set —
+    * the "importance relative to these nodes" variant behind
+    * related-entity ranking and seed-expansion): identical exact
+    * integer-ppm Pregel-as-joins loop as [[pageRankPpm]], but both the
+    * initial mass and the per-iteration teleport concentrate on
+    * `seeds` — `⌊(1−d)·1e6/|seeds|⌋` each — instead of spreading
+    * uniformly. Non-seed nodes receive only propagated mass, so ranks
+    * decay with graph distance from the seed set.
+    *
+    * `seeds` is a driver-side constant (same altitude as the LSH plane
+    * table): seed sets are query parameters, not data.
+    */
+  def personalizedPageRankPpm(
+      edges: DataFrame, seeds: Seq[Long], srcCol: String = "src",
+      dstCol: String = "dst", weightCol: String = "w", iters: Int = 10,
+      dampPct: Int = 85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(seeds.nonEmpty, "personalizedPageRankPpm: empty seed set")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct must be in [0,100], got $dampPct")
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
+      col(weightCol).cast("long").as("_w"))
+    val eo = e.join(e.groupBy(col("_src")).agg(sum(col("_w")).as("_tw")), Seq("_src"))
+      .localCheckpoint()
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node"))).distinct().localCheckpoint()
+    val isSeed = col("node").isin(seeds: _*)
+    val seedMass = 1000000L / seeds.length
+    val tele = ((100L - dampPct) * 10000L) / seeds.length
+    var ranks = nodes.withColumn("rank_ppm",
+      when(isSeed, lit(seedMass)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val contrib = eo
+        .join(ranks.withColumnRenamed("node", "_src"), Seq("_src"))
+        .select(col("_dst").as("node"), expr("(rank_ppm * _w) div _tw").as("_c"))
+        .groupBy(col("node")).agg(sum(col("_c")).as("_in"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(tele)).otherwise(lit(0L)) +
+            expr(s"(coalesce(_in, 0L) * $dampPct) div 100")).as("rank_ppm"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Per-node triangle counts over an undirected graph given as a
     * directed `(src, dst)` edge table (duplicates, self-loops, and both
     * orientations tolerated — the input is canonicalized to distinct

@@ -88,7 +88,10 @@ object Layout {
     *
     * Engine-exact: bin index arithmetic is the same IEEE double ops on
     * any engine, and window order `(value, tie)` must be total — pass a
-    * unique `tieCol`.
+    * unique `tieCol`. `valueCol` must be non-null (engines disagree on
+    * NULL sort position — Spark sorts them first, DuckDB last — so a
+    * null-bearing column has no engine-independent rank; filter or
+    * coalesce first).
     */
   def globalRank(
       df: DataFrame, valueCol: String, tieCol: String,

@@ -24,6 +24,7 @@ class MomentAgg(dim: Int)
   override def zero: Array[Long] = new Array[Long](1 + dim + triLen)
 
   override def reduce(buf: Array[Long], x: Seq[Long]): Array[Long] = {
+    if (x == null) return buf // null vectors contribute nothing
     require(x.length == dim, s"vector length ${x.length} != dim $dim")
     val v = x.toArray
     buf(0) += 1L

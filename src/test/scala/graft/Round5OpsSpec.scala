@@ -54,6 +54,19 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(r.length === 5 && r.forall(_.getLong(1) === 6L))
   }
 
+  test("personalized pagerank: mass decays from the seed, unreachable nodes score 0") {
+    import spark.implicits._
+    // chain 0->1->2 plus a disconnected pair 5->6; seed {0}, damp 85%
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (5L, 6L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.personalizedPageRankPpm(edges, Seq(0L), iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // fixed point: rank(0) = teleport only = 150000; each hop keeps 85%
+    assert(r(0L) === 150000L)
+    assert(r(1L) === 127500L && r(2L) === 108375L)
+    assert(r(5L) === 0L && r(6L) === 0L, "no restart mass off the seed component")
+  }
+
   // ── Dedup.sortedNeighborhoodPairs ──────────────────────────────────
 
   test("sortedNeighborhood finds typo'd near-duplicates, skips distinct docs") {
