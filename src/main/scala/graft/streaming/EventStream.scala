@@ -116,6 +116,65 @@ object EventStream {
   def enriched(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming PSI drift monitor — the online form of the batch
+    * [[graft.operators.Snapshot.psiDrift]]: each tumbling window of the
+    * value stream is binned against a STATIC reference distribution and
+    * scored with the population stability index, so a training-data
+    * ingest job can alert the moment a feed's value distribution walks
+    * away from the corpus it was validated against.
+    *
+    * The reference is collapsed to a driver-side model constant (bin
+    * edges from its min/max + `bins` smoothed bin probabilities — the
+    * same altitude as the PCA scatter model or the BPE merge table), so
+    * the stream needs ONE windowed aggregation: `bins` conditional
+    * sums per window (no second streaming agg, no stream-stream join —
+    * chained streaming aggregations aren't generally executable in
+    * append mode). PSI arithmetic replicates the batch operator
+    * bin-for-bin: add-one smoothing on the window counts, per-bin
+    * `(p−q)·ln(p/q)` rounded to integer micro-nats, integer-summed —
+    * a window's `psi_micro` equals `psiDrift(ref, windowRows)`'s
+    * `sum(psi_contrib_micro)` exactly (the parity test's contract).
+    *
+    * Output per closed window: `(window_start, n_rows, psi_micro)`.
+    */
+  def psiMonitor(
+      stream: DataFrame, ref: DataFrame, valCol: String,
+      bins: Int = 10, windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    // ONE reference collect: (lo, hi) + smoothed per-bin counts — a
+    // model constant, not a data path
+    val v = col(valCol).cast("double")
+    val mmRow = ref.agg(min(v).as("lo"), max(v).as("hi")).head()
+    val (lo, hi) = (mmRow.getDouble(0), mmRow.getDouble(1))
+    def binOf(c: org.apache.spark.sql.Column) =
+      if (hi == lo) lit(0L)
+      else least(lit(bins - 1L), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo)) * bins / lit(hi - lo))))
+    val refCounts = ref.select(binOf(col(valCol)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n1 = Array.tabulate(bins)(i => refCounts.getOrElse(i.toLong, 0L) + 1)
+    val t1 = n1.sum.toDouble
+    val aggs = count(lit(1)).as("n_rows") +:
+      (0 until bins).map(i =>
+        sum(when(binOf(col(valCol)) === i, 1L).otherwise(0L)).as(s"_c$i"))
+    val counted = stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(aggs.head, aggs.tail: _*)
+    // per-bin micro-nat contributions as literal-parameterized columns;
+    // t2 = window total + bins (every bin smoothed by one)
+    val t2 = (0 until bins).map(i => col(s"_c$i")).reduce(_ + _) + lit(bins.toLong)
+    val psi = (0 until bins).map { i =>
+      val p = lit(n1(i) / t1)
+      val q = (col(s"_c$i") + 1).cast("double") / t2.cast("double")
+      round((p - q) * log(p / q) * 1e6).cast("long")
+    }.reduce(_ + _)
+    counted.select(col("window.start").as("window_start"),
+      col("n_rows"), psi.as("psi_micro"))
+  }
+
   /** Gap-based sessionization with native session windows: one row per
     * (user, session) with event count and bounds — the streaming form of
     * the batch q10_sessionize query. */

@@ -444,6 +444,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming psi monitor: per-window psi equals the batch psiDrift total") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ref = (1 to 100).map(_.toDouble).toDF("value")
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val stream = mem.toDF.toDF("ts", "value")
+    val q = EventStream.psiMonitor(stream, ref, "value", windowLength = "1 hour")
+      .writeStream.format("memory").queryName("psi").outputMode("append").start()
+    try {
+      // window A: drawn from the reference range; window B: shifted high
+      val winA = (1 to 50).map(i => (t("2024-01-01 10:%02d:00".format(i % 60)), i * 2.0))
+      val winB = (1 to 50).map(i => (t("2024-01-01 11:%02d:00".format(i % 60)), 80.0 + i))
+      mem.addData(winA ++ winB: _*)
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 14:00:00"), 1.0)) // advance watermark, close A+B
+      q.processAllAvailable()
+      val got = spark.table("psi").collect()
+        .map(r => r.getTimestamp(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+      def batchPsi(rows: Seq[Double]): Long =
+        graft.operators.Snapshot.psiDrift(ref, rows.toDF("value"), "value")
+          .agg(sum(col("psi_contrib_micro"))).head().getLong(0)
+      assert(got("2024-01-01 10:00:00.0") === ((50L, batchPsi(winA.map(_._2)))))
+      assert(got("2024-01-01 11:00:00.0") === ((50L, batchPsi(winB.map(_._2)))))
+      assert(got("2024-01-01 11:00:00.0")._2 > got("2024-01-01 10:00:00.0")._2,
+        "the shifted window must score higher drift")
+    } finally q.stop()
+  }
+
   test("stateful cadence: moments carry across micro-batches; stream == batch operator") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
