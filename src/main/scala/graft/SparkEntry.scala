@@ -1726,6 +1726,16 @@ object SparkEntry {
         p.where(col("_d") >= date_add(d0, 7) && col("_d") < date_add(d0, 14)),
         "value")
     }),
+    // Johnson–Lindenstrauss projection of every embedding to 16 dims in
+    // exact integer arithmetic (md5-seeded planes; the LSH family) —
+    // exploded to (vec_id, dim, v) rows. See Similarity.randomProject.
+    "s16_random_projection" -> ((s, dir) => {
+      Graft.registerAll(s)
+      Similarity.randomProject(par(tbl(s, dir, "embeddings")),
+        "vec_id", "embedding", outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v"))
+    }),
     // Leading PCA component of the embedding covariance in EXACT integer
     // power iteration (anisotropy / whitening diagnostic): one corpus
     // scan through the moment UDAF, driver-side BigInt matvec on the
@@ -4433,6 +4443,15 @@ object SparkEntry {
           |    ln((CAST(n1 AS DOUBLE) / t1) / (CAST(n2 AS DOUBLE) / t2)) * 1e6) AS BIGINT) AS psi_contrib_micro
           |FROM j CROSS JOIN t""".stripMargin,
       "s15_pca_top" -> pcaOracleSql(20),
+      "s16_random_projection" ->
+        s"""WITH eIn AS (SELECT vec_id, embedding FROM embeddings), $quantEmbSql, w AS (
+           |  SELECT p, list_transform(range(64),
+           |    d -> ((('0x' || substr(md5('jl|' || CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15))::BIGINT) % 2001) - 1000) AS wv
+           |  FROM (SELECT CAST(range AS BIGINT) AS p FROM range(16))
+           |)
+           |SELECT qn.vec_id, w.p AS dim,
+           |  CAST(list_sum(list_transform(range(1, 65), d -> qn.qv[CAST(d AS INT)] * w.wv[CAST(d AS INT)])) AS BIGINT) AS v
+           |FROM qn, w""".stripMargin,
       "s14_ann_filtered" ->
         s"""WITH eIn AS (SELECT vec_id, embedding FROM embeddings), $quantEmbSql, ql AS (
            |  SELECT qn.*, e.label FROM qn JOIN embeddings e USING (vec_id)

@@ -642,6 +642,31 @@ object Similarity {
     exactRerank(base, q, cand, k)
   }
 
+  /** Johnson–Lindenstrauss random projection of the embedding column to
+    * `outDim` dimensions — the cheap-sketch half of a two-stage
+    * similarity pipeline (prefilter in the small space, verify in the
+    * full one) and the standard decorrelating compression before
+    * clustering. Projection planes are the same md5-seeded integer
+    * hyperplane family the LSH buckets use ([[planeWeightsSeeded]]), so
+    * the output is exact integer arithmetic end to end: `proj_p =
+    * Σ_d q_d · w_{p,d}` with quantized milli-unit inputs — no RNG, no
+    * floats, reproducible in plain SQL on any engine.
+    *
+    * Scale shape: a pure projection — `outDim` codegen'd integer dot
+    * products per row riding the scan, no shuffle, no state. Output:
+    * `(idCol, proj array<long>)` in milli·weight units.
+    */
+  def randomProject(
+      emb: DataFrame, idCol: String, vecCol: String, outDim: Int,
+      seed: String = "jl|", dim: Int = 64): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    val ws = planeWeightsSeeded(seed, outDim, dim)
+    emb.select(col(idCol), quantize(col(vecCol)).as("_q"))
+      .select(col(idCol),
+        array((0 until outDim).map(p => dotQ(col("_q"), typedLit(ws(p)))): _*)
+          .as("proj"))
+  }
+
   /** Metadata-filtered cosine top-k (the production "search within a
     * tenant/language/category" form): each query row matches only
     * corpus rows whose `filterCol` equals the query's own — the filter

@@ -184,6 +184,21 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(r === Set(10L, 11L), "exactly the label-A corpus rows")
   }
 
+  test("randomProject matches a driver-side dot with the seeded plane weights") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 10L).map(i => (i, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val ws = Similarity.planeWeightsSeeded("jl|", 16, 64)
+    val expected = vecs.map { case (id, v) =>
+      val q = v.map(x => math.round(x.toDouble * 1000))
+      id -> (0 until 16).map(p => (0 until 64).map(d => q(d) * ws(p)(d)).sum)
+    }.toMap
+    val got = Similarity.randomProject(df, "vec_id", "embedding", outDim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    assert(got === expected)
+  }
+
   // ── Profile.mutualInfo ─────────────────────────────────────────────
 
   test("mutualInfo: independent columns score zero, dependent score ln(2)") {
