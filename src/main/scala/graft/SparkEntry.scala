@@ -1472,35 +1472,14 @@ object SparkEntry {
     // integer ppm — see the Graph scaladoc for the Pregel-as-joins
     // iteration shape. Dimensions broadcast into the edge build; the
     // fact table shuffles once for the edge aggregation.
-    "g1_pagerank" -> ((s, dir) => {
-      val l = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
-      val sup = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
-      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .select(col("c_nationkey").cast("long").as("src"),
-          col("s_nationkey").cast("long").as("dst"))
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      Graph.pageRankPpm(edges, iters = 10)
-    }),
+    "g1_pagerank" -> ((s, dir) =>
+      Graph.pageRankPpm(tradeEdges(s, dir), iters = 10)),
     // Personalized PageRank from a 5-nation seed set over the same
     // trade graph as g1 — random walk with restart; ranks decay with
     // distance from the seeds. See Graph.personalizedPageRankPpm.
-    "g3_ppr" -> ((s, dir) => {
-      val l = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
-      val sup = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
-      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .select(col("c_nationkey").cast("long").as("src"),
-          col("s_nationkey").cast("long").as("dst"))
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      Graph.personalizedPageRankPpm(edges, Seq(0L, 1L, 2L, 3L, 4L), iters = 10)
-    }),
+    "g3_ppr" -> ((s, dir) =>
+      Graph.personalizedPageRankPpm(tradeEdges(s, dir), Seq(0L, 1L, 2L, 3L, 4L),
+        iters = 10)),
     // Sessions of the first 50 users that overlap the platform's 10
     // busiest hours — an interval×interval join with NO equi key,
     // bucket-tiled into an hour-wide equi-join (RangeJoin scaladoc).
@@ -1769,18 +1748,8 @@ object SparkEntry {
     // Per-nation triangle participation in the trade graph (same edge
     // construction as g1_pagerank) — degree-oriented node-iterator, no
     // cartesian; see Graph.triangleCounts.
-    "g2_triangles" -> ((s, dir) => {
-      val l = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
-      val sup = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
-      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .select(col("c_nationkey").cast("long").as("src"),
-          col("s_nationkey").cast("long").as("dst"))
-      Graph.triangleCounts(edges)
-    })
+    "g2_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(tradeEdges(s, dir)))
   )
 
   /** The testdata parquet files are single-row-group, so a scan is ONE
@@ -1795,6 +1764,22 @@ object SparkEntry {
   // defeating the point. REPARTITION_BY_NUM is respected.
   private def par(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  /** The nation-level trade graph shared by the graph queries
+    * (g1/g2/g3): customer nation → supplier nation weighted edges via
+    * lineitem⋈orders⋈customer⋈supplier, dims broadcast. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val l = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val sup = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+  }
 
   /** Documents with constructed near-duplicates: each doc plus a
     * truncated copy at doc_id + 1,000,000. */
@@ -4563,7 +4548,7 @@ object SparkEntry {
         |), dims AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS dim FROM range(64)),
         |ex AS MATERIALIZED (SELECT q.vec_id, d.dim, qv[CAST(d.dim AS INT) + 1] AS x FROM q, dims d),
         |sv AS MATERIALIZED (SELECT dim, CAST(sum(x) AS HUGEINT) AS s FROM ex GROUP BY 1),
-        |nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+        |nn AS MATERIALIZED (SELECT CAST(count(qv) AS HUGEINT) AS n FROM q),
         |mm AS MATERIALIZED (
         |  SELECT a.dim AS i, b.dim AS j, CAST(sum(a.x * b.x) AS HUGEINT) AS m
         |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2
@@ -4571,7 +4556,7 @@ object SparkEntry {
         |  SELECT mm.i, mm.j, nn.n * mm.m - si.s * sj.s AS c
         |  FROM mm CROSS JOIN nn
         |  JOIN sv si ON si.dim = mm.i JOIN sv sj ON sj.dim = mm.j
-        |), v0 AS (SELECT dim, CAST(1000000 AS HUGEINT) AS v FROM dims)""".stripMargin
+        |), v0 AS (SELECT dim, CAST(1000000 + dim AS HUGEINT) AS v FROM dims)""".stripMargin
     val rounds = (1 to iters).map { r =>
       s""", w$r AS MATERIALIZED (
          |  SELECT scat.i AS dim, sum(scat.c * p.v) AS w FROM scat JOIN v${r - 1} p ON scat.j = p.dim GROUP BY 1

@@ -36,8 +36,12 @@ object Basket {
     val nb = items.select(col("_u"), col("_d")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val m = items.groupBy(col("_item")).agg(count(lit(1)).as("n_item"))
+    // shuffle_hash pinned: AQE would otherwise broadcast the corpus-sized
+    // item table whenever it dips under the threshold at small scale —
+    // the same unstable-plan hazard as the LSH band joins
     val pairs = items
-      .join(items.select(col("_u"), col("_d"), col("_item").as("_item_b")),
+      .join(items.select(col("_u"), col("_d"), col("_item").as("_item_b"))
+        .hint("shuffle_hash"),
         Seq("_u", "_d"))
       .where(col("_item") < col("_item_b"))
       .groupBy(col("_item").as("item_a"), col("_item_b").as("item_b"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge tables — the family the
@@ -45,6 +45,19 @@ object Graph {
       weightCol: String = "w", iters: Int = 10, dampPct: Int = 85): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct must be in [0,100], got $dampPct")
+    prLoop(edges, srcCol, dstCol, weightCol, iters, dampPct,
+      init = n => lit(1000000L / n),
+      teleport = n => lit(((100L - dampPct) * 10000L) / n))
+  }
+
+  /** Shared Pregel-as-joins core: prepares `(src, dst, w, out-weight)`
+    * edges and the node table, then runs the damped propagation loop
+    * with caller-supplied initial-rank and per-iteration teleport
+    * columns (both built from the node count, may reference `node`). */
+  private def prLoop(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      iters: Int, dampPct: Int,
+      init: Long => Column, teleport: Long => Column): DataFrame = {
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
       col(weightCol).cast("long").as("_w"))
     val eo = e.join(e.groupBy(col("_src")).agg(sum(col("_w")).as("_tw")), Seq("_src"))
@@ -52,9 +65,8 @@ object Graph {
     val nodes = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count() // one tiny job; |V| is known anyway at this point
-    require(n > 0, "pageRankPpm: empty edge set")
-    val tele = ((100L - dampPct) * 10000L) / n // floor((1-d)·1e6 / n)
-    var ranks = nodes.withColumn("rank_ppm", lit(1000000L / n))
+    require(n > 0, "pageRank: empty edge set")
+    var ranks = nodes.withColumn("rank_ppm", init(n))
     for (_ <- 1 to iters) {
       val contrib = eo
         .join(ranks.withColumnRenamed("node", "_src"), Seq("_src"))
@@ -62,7 +74,7 @@ object Graph {
         .groupBy(col("node")).agg(sum(col("_c")).as("_in"))
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(tele) + expr(s"(coalesce(_in, 0L) * $dampPct) div 100")).as("rank_ppm"))
+          (teleport(n) + expr(s"(coalesce(_in, 0L) * $dampPct) div 100")).as("rank_ppm"))
         .localCheckpoint()
     }
     ranks
@@ -78,7 +90,11 @@ object Graph {
     * decay with graph distance from the seed set.
     *
     * `seeds` is a driver-side constant (same altitude as the LSH plane
-    * table): seed sets are query parameters, not data.
+    * table): seed sets are query parameters, not data. Duplicates are
+    * collapsed before the per-seed mass split; a seed id that never
+    * appears in the edge set has no node row to park its share on, so
+    * that share is forfeited (total mass < 1e6) — validate seeds
+    * upstream if that matters.
     */
   def personalizedPageRankPpm(
       edges: DataFrame, seeds: Seq[Long], srcCol: String = "src",
@@ -87,29 +103,12 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(seeds.nonEmpty, "personalizedPageRankPpm: empty seed set")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct must be in [0,100], got $dampPct")
-    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
-      col(weightCol).cast("long").as("_w"))
-    val eo = e.join(e.groupBy(col("_src")).agg(sum(col("_w")).as("_tw")), Seq("_src"))
-      .localCheckpoint()
-    val nodes = e.select(col("_src").as("node"))
-      .union(e.select(col("_dst").as("node"))).distinct().localCheckpoint()
-    val isSeed = col("node").isin(seeds: _*)
-    val seedMass = 1000000L / seeds.length
-    val tele = ((100L - dampPct) * 10000L) / seeds.length
-    var ranks = nodes.withColumn("rank_ppm",
-      when(isSeed, lit(seedMass)).otherwise(lit(0L)))
-    for (_ <- 1 to iters) {
-      val contrib = eo
-        .join(ranks.withColumnRenamed("node", "_src"), Seq("_src"))
-        .select(col("_dst").as("node"), expr("(rank_ppm * _w) div _tw").as("_c"))
-        .groupBy(col("node")).agg(sum(col("_c")).as("_in"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (when(isSeed, lit(tele)).otherwise(lit(0L)) +
-            expr(s"(coalesce(_in, 0L) * $dampPct) div 100")).as("rank_ppm"))
-        .localCheckpoint()
-    }
-    ranks
+    val distinctSeeds = seeds.distinct
+    val isSeed = col("node").isin(distinctSeeds: _*)
+    prLoop(edges, srcCol, dstCol, weightCol, iters, dampPct,
+      init = _ => when(isSeed, lit(1000000L / distinctSeeds.length)).otherwise(lit(0L)),
+      teleport = _ => when(isSeed,
+        lit(((100L - dampPct) * 10000L) / distinctSeeds.length)).otherwise(lit(0L)))
   }
 
   /** Per-node triangle counts over an undirected graph given as a

@@ -100,7 +100,12 @@ object Pca {
       t += 1
     }
     val million = BigInt(1000000)
-    var v = Array.fill(dim)(million)
+    // start at 1e6 + i, not all-ones: a perfectly antisymmetric scatter
+    // (dim_a = -dim_b exactly, realistic under integer quantization)
+    // annihilates a constant start vector on iteration 1 and the method
+    // would report all-zero loadings; the per-dim offset breaks that
+    // exact cancellation while staying deterministic
+    var v = Array.tabulate(dim)(i => million + i)
     for (_ <- 1 to iters) {
       val w = Array.tabulate(dim) { i =>
         var acc = BigInt(0)

@@ -98,7 +98,11 @@ object Profile {
     * doubles are engine-identical.
     */
   def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+    // rows with a null category are excluded from the distribution
+    // entirely (an inner join on a null key would silently drop the
+    // cell while its rows still inflated n_tot, breaking Σ mi = MI)
+    val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
       .agg(count(lit(1)).as("n_ab"))
     val ma = cells.groupBy(col("_a")).agg(sum(col("n_ab")).as("n_a"))
     val mb = cells.groupBy(col("_b")).agg(sum(col("n_ab")).as("n_b"))

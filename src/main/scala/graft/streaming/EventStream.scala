@@ -146,6 +146,8 @@ object EventStream {
     // model constant, not a data path
     val v = col(valCol).cast("double")
     val mmRow = ref.agg(min(v).as("lo"), max(v).as("hi")).head()
+    require(!mmRow.isNullAt(0) && !mmRow.isNullAt(1),
+      s"psiMonitor: reference has no non-null '$valCol' values - bin edges undefined")
     val (lo, hi) = (mmRow.getDouble(0), mmRow.getDouble(1))
     def binOf(c: org.apache.spark.sql.Column) =
       if (hi == lo) lit(0L)
