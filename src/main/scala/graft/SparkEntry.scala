@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{Anomaly, AsOf, Attribution, Basket, Bpe, Chunk, Decontaminate, Dedup, Experiment, Funnel, Graph, GroupSample, HeavyHitters, Incremental, Latency, Layout, Lifecycle, Multimodal, Paths, Pca, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Survival, Transitions, Vocab}
+import graft.operators.{Anomaly, AsOf, Attribution, Basket, Bpe, Chunk, Decontaminate, Dedup, Experiment, Funnel, Graph, GroupSample, HeavyHitters, Incremental, Kmv, Latency, Layout, Lifecycle, Multimodal, Paths, Pca, Profile, RangeJoin, Repetition, Retention, Rfm, Sessions, Similarity, Skew, Snapshot, Split, Survival, Transitions, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1704,6 +1704,25 @@ object SparkEntry {
         p.where(col("_d") >= d0 && col("_d") < date_add(d0, 7)),
         p.where(col("_d") >= date_add(d0, 7) && col("_d") < date_add(d0, 14)),
         "value")
+    }),
+    // KMV distinct-count sketch of order custkeys: the k smallest
+    // distinct md5 hashes as mergeable, engine-reproducible cardinality
+    // state; estimate vs exact side by side. See Kmv.distinctEstimate.
+    "q37_kmv_distinct" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      Kmv.distinctEstimate(o, "o_custkey")
+        .crossJoin(broadcast(
+          o.agg(countDistinct(col("o_custkey")).as("n_exact"))))
+    }),
+    // Deterministic word-dropout augmentation (15% positional md5 coin):
+    // the epoch-reproducible token-level augmenter. See
+    // Text.dropoutTokens.
+    "t29_word_dropout" -> ((s, dir) => {
+      val kept = Text.dropoutTokens(col("text"), col("doc_id"), ratePpm = 150000)
+      par(tbl(s, dir, "documents")).select(col("doc_id"),
+        size(Text.tokens(lower(col("text")))).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, " ").as("text_aug"))
     }),
     // Johnson–Lindenstrauss projection of every embedding to 16 dims in
     // exact integer arithmetic (md5-seeded planes; the LSH family) —
@@ -4427,6 +4446,29 @@ object SparkEntry {
           |  CAST(round((CAST(n1 AS DOUBLE) / t1 - CAST(n2 AS DOUBLE) / t2) *
           |    ln((CAST(n1 AS DOUBLE) / t1) / (CAST(n2 AS DOUBLE) / t2)) * 1e6) AS BIGINT) AS psi_contrib_micro
           |FROM j CROSS JOIN t""".stripMargin,
+      "q37_kmv_distinct" ->
+        """WITH h AS (
+          |  SELECT DISTINCT ('0x' || substr(md5('kmv|' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+          |  FROM orders
+          |), k AS (SELECT h FROM h ORDER BY h LIMIT 1 OFFSET 255),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_raw FROM h)
+          |SELECT CAST(least(n.n_raw, 256) AS BIGINT) AS n_distinct_hashes,
+          |  CAST(CASE WHEN n.n_raw < 256 THEN n.n_raw
+          |       ELSE (CAST(255 AS HUGEINT) * 1152921504606846976) // (SELECT h FROM k) END AS BIGINT) AS est_distinct,
+          |  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS n_exact
+          |FROM n""".stripMargin,
+      "t29_word_dropout" ->
+        s"""WITH norm AS (
+           |  SELECT doc_id, $normToksSql AS toks FROM documents
+           |), k AS (
+           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    list_filter(toks, (x, i) ->
+           |      (('0x' || substr(md5('aug|' || CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) % 1000000 >= 150000) AS kept
+           |  FROM norm
+           |)
+           |SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
+           |  array_to_string(kept, ' ') AS text_aug
+           |FROM k""".stripMargin,
       "s15_pca_top" -> pcaOracleSql(20),
       "s16_random_projection" ->
         s"""WITH eIn AS (SELECT vec_id, embedding FROM embeddings), $quantEmbSql, w AS (

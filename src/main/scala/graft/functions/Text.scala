@@ -128,4 +128,22 @@ object Text {
     * interpreted HOF evaluation. */
   def fingerprint64Native(c: Column, k: Int = 8): Column =
     call_function(graft.functions.Fingerprint64.name, c, lit(k))
+
+  /** Deterministic word-dropout augmentation: the kept-token array of
+    * the lowercased word tokens, where the token at 1-based position
+    * `p` survives iff `hash60("aug|" ∥ id ∥ "|" ∥ p) % 1e6 ≥ ratePpm` —
+    * an md5 coin per (document, position), no RNG, so every epoch /
+    * engine / partitioning reproduces the same augmented corpus (the
+    * [[graft.operators.Split]] discipline applied to token-level
+    * augmentation). Positional hashing keeps repeated words independent
+    * and the keep decision O(1) per token inside one codegen'd `filter`
+    * HOF — a pure projection riding the scan.
+    */
+  def dropoutTokens(text: Column, id: Column, ratePpm: Int): Column = {
+    require(ratePpm >= 0 && ratePpm <= 1000000, s"ratePpm must be in [0, 1e6]: $ratePpm")
+    filter(tokens(lower(text)), (_, i) =>
+      pmod(graft.operators.Dedup.hash60(
+        concat(lit("aug|"), id.cast("string"), lit("|"), (i + 1).cast("string"))),
+        lit(1000000L)) >= ratePpm)
+  }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded k-minimum-values buffer: the k smallest DISTINCT hashes seen,
+  * sorted ascending. Distinctness in the buffer is what separates KMV
+  * from a plain min-k sample — duplicates of one value hash identically
+  * and must occupy one slot, not k. Exact integer state, so merge order
+  * (partitioning) cannot change the result. */
+class KmvAgg(k: Int)
+    extends Aggregator[Long, Seq[Long], Seq[Long]] with Serializable {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def zero: Seq[Long] = Vector.empty
+
+  override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
+    if (buf.size >= k && h >= buf.last) buf // O(1) reject path
+    else if (buf.contains(h)) buf
+    else (buf :+ h).sorted.take(k)
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  override def finish(r: Seq[Long]): Seq[Long] = r
+
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
+/** K-minimum-values distinct-count sketch — the mergeable cardinality
+  * estimator whose state is just the k smallest distinct 60-bit md5
+  * hashes of the values: under a uniform hash the k-th smallest value
+  * `h_k` sits at ≈ k/n of the hash space, so
+  * `n̂ = (k−1) · 2⁶⁰ / h_k` (the standard unbiased KMV estimator,
+  * relative error ≈ 1/√k). Below k distinct values the sketch IS the
+  * distinct set and the count is exact.
+  *
+  * Versus HLL++ (`approx_count_distinct`): ~64 bits/slot instead of 6,
+  * but the state is engine-reproducible integers (the DuckDB oracle
+  * recomputes it from scratch and matches bit-for-bit) and the same
+  * buffer doubles as a distinct sample of the keys. The aggregate is a
+  * map-side-partial [[KmvAgg]], so ≤ k values per partition cross the
+  * shuffle — the same bounded-partial shape as [[TopK.perQuery]].
+  */
+object Kmv {
+
+  /** Purpose-prefixed 60-bit hash of the value column. */
+  def hash(c: Column): Column = Dedup.hash60(concat(lit("kmv|"), c.cast("string")))
+
+  /** One-row distinct estimate of `valueCol`:
+    * `(n_distinct_hashes, est_distinct)` — `n_distinct_hashes` is the
+    * buffer fill (= exact distinct count while < k). */
+  def distinctEstimate(df: DataFrame, valueCol: String, k: Int = 256): DataFrame = {
+    val agg = udaf(new KmvAgg(k), ExpressionEncoder[Long]())
+    df.select(hash(col(valueCol)).as("_h"))
+      .agg(agg(col("_h")).as("_kmv"))
+      .select(size(col("_kmv")).cast("long").as("n_distinct_hashes"),
+        element_at(col("_kmv"), k).as("_hk"))
+      .select(col("n_distinct_hashes"),
+        when(col("n_distinct_hashes") < k, col("n_distinct_hashes"))
+          .otherwise(expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976 div _hk"))
+          .as("est_distinct"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Anomaly, Basket, Dedup, Graph, Layout, Pca, Profile, Sessions, Similarity, Snapshot}
+import graft.operators.{Anomaly, Basket, Dedup, Graph, Kmv, Layout, Pca, Profile, Sessions, Similarity, Snapshot}
 
 /** Behavior specs for the round-5 additions: triangle counting,
   * sorted-neighborhood dedup, k-NN classification, inter-event cadence,
@@ -166,6 +166,41 @@ class Round5OpsSpec extends AnyFunSuite {
       .toDF("event_id", "ts_s", "user_id")
       .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
     assert(Sessions.interEventStats(ev).count() === 0)
+  }
+
+  // ── Kmv.distinctEstimate ───────────────────────────────────────────
+
+  test("kmv: exact below k, duplicates share one slot, estimate tracks truth above k") {
+    import spark.implicits._
+    // 100 distinct values each repeated 5x, k=256: buffer holds all 100
+    val small = (1 to 100).flatMap(v => Seq.fill(5)(v)).toDF("v").repartition(7)
+    val rs = Kmv.distinctEstimate(small, "v").collect().head
+    assert(rs.getLong(0) === 100L && rs.getLong(1) === 100L, "exact below k")
+    // 20k distinct with k=256: relative error should be well under 3/sqrt(k)
+    val big = (1 to 20000).toDF("v").repartition(7)
+    val rb = Kmv.distinctEstimate(big, "v", k = 256).collect().head
+    val err = math.abs(rb.getLong(1) - 20000.0) / 20000.0
+    assert(err < 3.0 / math.sqrt(256), s"estimate ${rb.getLong(1)} err $err")
+    // partition invariance: exact integer state merges associatively
+    val rb1 = Kmv.distinctEstimate(big.repartition(1), "v", k = 256).collect().head
+    assert(rb1.getLong(1) === rb.getLong(1))
+  }
+
+  // ── Text.dropoutTokens ─────────────────────────────────────────────
+
+  test("word dropout: rate endpoints, determinism, and plausible keep rate") {
+    import spark.implicits._
+    import graft.functions.Text
+    val doc = ((1L, ("tok " * 400).trim)) :: Nil
+    val df = doc.toDF("doc_id", "text")
+    def kept(rate: Int): Seq[String] =
+      df.select(Text.dropoutTokens(col("text"), col("doc_id"), rate).as("k"))
+        .collect().head.getSeq[String](0)
+    assert(kept(0).length === 400, "rate 0 keeps everything")
+    assert(kept(1000000).isEmpty, "rate 1e6 drops everything")
+    val n = kept(150000).length
+    assert(n > 400 * 0.78 && n < 400 * 0.92, s"15% dropout kept $n/400")
+    assert(kept(150000) === kept(150000), "deterministic")
   }
 
   // ── Similarity.filteredTopK ────────────────────────────────────────
