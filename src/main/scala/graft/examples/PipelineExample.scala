@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.{Graft, TestData}
 import graft.SparkEntry.tbl
 import graft.functions.{Pii, QualityRules, Text}
-import graft.operators.{Decontaminate, Dedup, GroupSample, Profile, Split}
+import graft.operators.{Decontaminate, Dedup, GroupSample, Profile, Snapshot, Split}
 
 /** End-to-end training-data curation pipeline over the documents table —
   * the integration story for the LLM-pipeline operators: exact dedup →
@@ -109,6 +109,27 @@ object PipelineExample {
     // before/after sanity gate: one-pass numeric profile of the output
     Profile.numericProfile(split, Seq("quality", "n_tokens"))
       .orderBy(col("column_name")).show(false)
+
+    // 9. release audits: (a) split-leakage screen — the md5 split must
+    //    be statistically independent of language, so the total mutual
+    //    information should sit near 0 micro-nats; (b) PSI drift gate —
+    //    how far curation moved the token-length distribution vs the
+    //    raw scored corpus (large PSI = the gates reshaped the corpus,
+    //    worth a human look); (c) deterministic 10% word-dropout
+    //    augmentation of the train split (same md5-coin family as the
+    //    split itself, so every epoch reproduces the same corpus)
+    val splitMi = Profile.mutualInfo(split, "lang", "split")
+      .agg(sum(col("mi_contrib_micro"))).head().getLong(0)
+    val tokenPsi = Snapshot.psiDrift(
+        scored.select(col("n_tokens")), mixed.select(col("n_tokens")), "n_tokens")
+      .agg(sum(col("psi_contrib_micro"))).head().getLong(0)
+    val aug = split.where(col("split") === "train")
+      .select(col("doc_id"), col("n_tokens"),
+        size(Text.dropoutTokens(col("text"), col("doc_id"), ratePpm = 100000))
+          .cast("long").as("n_aug_tokens"))
+      .agg(sum(col("n_tokens")).as("t"), sum(col("n_aug_tokens")).as("a")).head()
+    println(s"split_lang_mi_micro=$splitMi token_psi_micro=$tokenPsi " +
+      s"aug_kept=${aug.getLong(1)}/${aug.getLong(0)}")
     spark.stop()
   }
 }
