@@ -116,6 +116,37 @@ object EventStream {
   def enriched(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming distinct-count estimate per tumbling window — the
+    * [[graft.operators.KmvAgg]] sketch dropped into a watermarked
+    * window aggregation: KMV state is a bounded mergeable integer
+    * buffer (≤ k hashes per window), so per-window distinct-user
+    * estimates stream with O(k) state per open window and NO
+    * `dropDuplicates` blow-up. Exact below k distinct keys (the common
+    * per-window case), `(k−1)·2⁶⁰/h_k` above, and — because the state
+    * is deterministic integers — a window's streamed estimate equals
+    * the batch [[graft.operators.Kmv.distinctEstimate]] over that
+    * window's rows exactly (the parity test's contract).
+    */
+  def windowedDistinct(
+      events: DataFrame, keyCol: String = "user_id",
+      windowLength: String = "1 hour", watermark: String = "10 minutes",
+      k: Int = 256): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.operators.KmvAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(count(lit(1)).as("n_rows"),
+        agg(graft.operators.Kmv.hash(col(keyCol))).as("_kmv"))
+      .select(col("window.start").as("window_start"), col("n_rows"),
+        size(col("_kmv")).cast("long").as("n_distinct_hashes"),
+        when(size(col("_kmv")) < k, size(col("_kmv")).cast("long"))
+          .otherwise(expr(
+            s"CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976 div element_at(_kmv, $k)"))
+          .as("est_distinct"))
+  }
+
   /** Streaming PSI drift monitor — the online form of the batch
     * [[graft.operators.Snapshot.psiDrift]]: each tumbling window of the
     * value stream is binned against a STATIC reference distribution and

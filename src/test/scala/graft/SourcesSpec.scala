@@ -248,6 +248,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(n === src.where(col("o_totalprice") > 100).count())
   }
 
+  test("schema evolution: mergeSchema unions parquet generations, old rows null-fill") {
+    import spark.implicits._
+    // generation v1 writes (id, a); v2 adds a column (id, a, b) — the
+    // additive-column evolution every long-lived dataset goes through
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.parquet(s"$dir/gen=1")
+    Seq((3L, "z", 30L)).toDF("id", "a", "b")
+      .write.parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "a", "b", "gen"))
+    val rows = merged.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(rows === Map(1L -> None, 2L -> None, 3L -> Some(30L)),
+      "v1 rows null-fill the new column; v2 rows carry it")
+    // without the option the footer-sampled schema may miss 'b' — assert
+    // the merged read is the contract, not the default
+    assert(merged.where(col("b").isNotNull).count() === 1)
+  }
+
   test("test-data locator honors the system-property override") {
     assert(TestData.root === "/root/testdata") // default in this env
     try {

@@ -444,6 +444,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed kmv distinct: exact below k; k=4 estimate matches batch sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val stream = mem.toDF.toDF("ts", "user_id")
+    // k=4 so the estimator path (not just exact fill) is exercised
+    val q = EventStream.windowedDistinct(stream, k = 4)
+      .writeStream.format("memory").queryName("wd").outputMode("append").start()
+    try {
+      // window A: 3 distinct users (< k -> exact); window B: 20 distinct
+      val winA = Seq(1L, 2L, 2L, 3L).map(u => (t("2024-01-01 10:05:00"), u))
+      val winB = (1L to 20L).map(u => (t("2024-01-01 11:05:00"), u))
+      mem.addData(winA ++ winB: _*)
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 14:00:00"), 1L)) // close both windows
+      q.processAllAvailable()
+      val got = spark.table("wd").collect()
+        .map(r => r.getTimestamp(0).toString -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got("2024-01-01 10:00:00.0") === ((4L, 3L, 3L)), "below k -> exact")
+      val (nB, fillB, estB) = got("2024-01-01 11:00:00.0")
+      assert(nB === 20L && fillB === 4L)
+      val batchEst = graft.operators.Kmv.distinctEstimate(
+          winB.map(_._2).toDF("user_id"), "user_id", k = 4)
+        .collect().head.getLong(1)
+      assert(estB === batchEst, "stream window == batch sketch on the same rows")
+    } finally q.stop()
+  }
+
   test("streaming psi monitor: per-window psi equals the batch psiDrift total") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
