@@ -61,6 +61,11 @@ object SparkEntry {
   private val winStart = "2024-01-01"
   private val winDays = 7
 
+  // Personalized-pagerank seed set — ONE constant shared by the g3_ppr
+  // registration and its oracle CTE builder, so editing the seeds can
+  // never desynchronize query and oracle.
+  private val pprSeeds = Seq(0L, 1L, 2L, 3L, 4L)
+
   private def retentionStats(s: SparkSession, dir: String): DataFrame = {
     val ev = tbl(s, dir, "events")
       .where(col("ts") >= lit(winStart).cast("timestamp") &&
@@ -1478,8 +1483,7 @@ object SparkEntry {
     // trade graph as g1 — random walk with restart; ranks decay with
     // distance from the seeds. See Graph.personalizedPageRankPpm.
     "g3_ppr" -> ((s, dir) =>
-      Graph.personalizedPageRankPpm(tradeEdges(s, dir), Seq(0L, 1L, 2L, 3L, 4L),
-        iters = 10)),
+      Graph.personalizedPageRankPpm(tradeEdges(s, dir), pprSeeds, iters = 10)),
     // Sessions of the first 50 users that overlap the platform's 10
     // busiest hours — an interval×interval join with NO equi key,
     // bucket-tiled into an hour-wide equi-join (RangeJoin scaladoc).
@@ -2016,7 +2020,6 @@ object SparkEntry {
     // The personalized variant: initial mass and teleport concentrate on
     // the seed list; ⌊1e6/|S|⌋ and ⌊150000/|S|⌋ replace the /n uniform
     // terms. Same integer floor arithmetic, same unrolled-CTE technique.
-    val pprSeeds = Seq(0L, 1L, 2L, 3L, 4L)
     val pprSql: String = {
       val seedList = pprSeeds.mkString(", ")
       val ns = pprSeeds.length

@@ -118,16 +118,19 @@ object PipelineExample {
     //    worth a human look); (c) deterministic 10% word-dropout
     //    augmentation of the train split (same md5-coin family as the
     //    split itself, so every epoch reproduces the same corpus)
+    // coalesce: sum() over an empty frame is null, and an empty corpus
+    // (all docs gated out) should report zeros, not NPE at the finish
     val splitMi = Profile.mutualInfo(split, "lang", "split")
-      .agg(sum(col("mi_contrib_micro"))).head().getLong(0)
+      .agg(coalesce(sum(col("mi_contrib_micro")), lit(0L))).head().getLong(0)
     val tokenPsi = Snapshot.psiDrift(
         scored.select(col("n_tokens")), mixed.select(col("n_tokens")), "n_tokens")
-      .agg(sum(col("psi_contrib_micro"))).head().getLong(0)
+      .agg(coalesce(sum(col("psi_contrib_micro")), lit(0L))).head().getLong(0)
     val aug = split.where(col("split") === "train")
       .select(col("doc_id"), col("n_tokens"),
         size(Text.dropoutTokens(col("text"), col("doc_id"), ratePpm = 100000))
           .cast("long").as("n_aug_tokens"))
-      .agg(sum(col("n_tokens")).as("t"), sum(col("n_aug_tokens")).as("a")).head()
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("t"),
+        coalesce(sum(col("n_aug_tokens")), lit(0L)).as("a")).head()
     println(s"split_lang_mi_micro=$splitMi token_psi_micro=$tokenPsi " +
       s"aug_kept=${aug.getLong(1)}/${aug.getLong(0)}")
     spark.stop()

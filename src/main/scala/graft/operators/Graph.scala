@@ -85,9 +85,11 @@ object Graph {
     * related-entity ranking and seed-expansion): identical exact
     * integer-ppm Pregel-as-joins loop as [[pageRankPpm]], but both the
     * initial mass and the per-iteration teleport concentrate on
-    * `seeds` — `⌊(1−d)·1e6/|seeds|⌋` each — instead of spreading
-    * uniformly. Non-seed nodes receive only propagated mass, so ranks
-    * decay with graph distance from the seed set.
+    * `seeds` — ranks start at `⌊1e6/|seeds|⌋` per seed and each
+    * iteration teleports `⌊(1−d)·1e6/|seeds|⌋` back to every seed —
+    * instead of spreading uniformly. Non-seed nodes receive only
+    * propagated mass, so ranks decay with graph distance from the seed
+    * set.
     *
     * `seeds` is a driver-side constant (same altitude as the LSH plane
     * table): seed sets are query parameters, not data. Duplicates are

@@ -50,6 +50,18 @@ object Kmv {
   /** Purpose-prefixed 60-bit hash of the value column. */
   def hash(c: Column): Column = Dedup.hash60(concat(lit("kmv|"), c.cast("string")))
 
+  /** The KMV estimator over a sorted k-min buffer column (referenced BY
+    * NAME — the `(k−1)·2⁶⁰ div h_k` floor division must be the
+    * IntegralDivide expression, which the Column API only exposes via
+    * SQL text): exact fill while the buffer holds < k hashes, the
+    * unbiased estimator otherwise. THE single definition of the
+    * estimate — batch [[distinctEstimate]] and the streaming windowed
+    * form share it, so stream==batch parity cannot drift. */
+  def estimate(bufColName: String, k: Int): Column =
+    when(size(col(bufColName)) < k, size(col(bufColName)).cast("long"))
+      .otherwise(expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976" +
+        s" div element_at($bufColName, $k)"))
+
   /** One-row distinct estimate of `valueCol`:
     * `(n_distinct_hashes, est_distinct)` — `n_distinct_hashes` is the
     * buffer fill (= exact distinct count while < k). */
@@ -58,10 +70,6 @@ object Kmv {
     df.select(hash(col(valueCol)).as("_h"))
       .agg(agg(col("_h")).as("_kmv"))
       .select(size(col("_kmv")).cast("long").as("n_distinct_hashes"),
-        element_at(col("_kmv"), k).as("_hk"))
-      .select(col("n_distinct_hashes"),
-        when(col("n_distinct_hashes") < k, col("n_distinct_hashes"))
-          .otherwise(expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976 div _hk"))
-          .as("est_distinct"))
+        estimate("_kmv", k).as("est_distinct"))
   }
 }

@@ -141,10 +141,7 @@ object EventStream {
         agg(graft.operators.Kmv.hash(col(keyCol))).as("_kmv"))
       .select(col("window.start").as("window_start"), col("n_rows"),
         size(col("_kmv")).cast("long").as("n_distinct_hashes"),
-        when(size(col("_kmv")) < k, size(col("_kmv")).cast("long"))
-          .otherwise(expr(
-            s"CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976 div element_at(_kmv, $k)"))
-          .as("est_distinct"))
+        graft.operators.Kmv.estimate("_kmv", k).as("est_distinct"))
   }
 
   /** Streaming PSI drift monitor — the online form of the batch
@@ -191,8 +188,10 @@ object EventStream {
     val t1 = n1.sum.toDouble
     val aggs = count(lit(1)).as("n_rows") +:
       (0 until bins).map(i =>
-        sum(when(binOf(col(valCol)) === i, 1L).otherwise(0L)).as(s"_c$i"))
+        sum(when(col("_bin") === i, 1L).otherwise(0L)).as(s"_c$i"))
+    // bin once per row in the projection; the agg then only compares ints
     val counted = stream
+      .withColumn("_bin", binOf(col(valCol)))
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLength))
       .agg(aggs.head, aggs.tail: _*)
