@@ -1709,6 +1709,20 @@ object SparkEntry {
         p.where(col("_d") >= date_add(d0, 7) && col("_d") < date_add(d0, 14)),
         "value")
     }),
+    // Sketch-algebra audience overlap: per event-type pair, KMV
+    // estimates of each side / union / intersection (inclusion-
+    // exclusion over merged k-min buffers) next to the exact overlap.
+    // k=64 < |users| so the estimator path is live at verify scale.
+    "u30_sketch_overlap" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val est = Kmv.pairOverlap(ev, "event_type", "user_id", k = 64)
+      val ut = ev.select(col("event_type").as("_t"), col("user_id")).distinct()
+      val exact = ut.join(ut.select(col("_t").as("_t2"), col("user_id")), "user_id")
+        .where(col("_t") < col("_t2"))
+        .groupBy(col("_t").as("set_a"), col("_t2").as("set_b"))
+        .agg(count(lit(1)).as("n_exact_overlap"))
+      est.join(exact, Seq("set_a", "set_b"))
+    }),
     // KMV distinct-count sketch of order custkeys: the k smallest
     // distinct md5 hashes as mergeable, engine-reproducible cardinality
     // state; estimate vs exact side by side. See Kmv.distinctEstimate.
@@ -4449,6 +4463,29 @@ object SparkEntry {
           |  CAST(round((CAST(n1 AS DOUBLE) / t1 - CAST(n2 AS DOUBLE) / t2) *
           |    ln((CAST(n1 AS DOUBLE) / t1) / (CAST(n2 AS DOUBLE) / t2)) * 1e6) AS BIGINT) AS psi_contrib_micro
           |FROM j CROSS JOIN t""".stripMargin,
+      "u30_sketch_overlap" ->
+        """WITH ut AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+          |h AS (SELECT DISTINCT t, ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM ut),
+          |tt AS (SELECT DISTINCT t FROM ut),
+          |prs AS (SELECT a.t AS set_a, b.t AS set_b FROM tt a, tt b WHERE a.t < b.t),
+          |sr AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn,
+          |       count(*) OVER (PARTITION BY t) AS n FROM h),
+          |se AS (SELECT t, CAST(CASE WHEN max(n) < 64 THEN max(n)
+          |       ELSE (CAST(63 AS HUGEINT) * 1152921504606846976) // max(CASE WHEN rn = 64 THEN h END)
+          |       END AS BIGINT) AS est FROM sr GROUP BY t),
+          |uh AS (SELECT p.set_a, p.set_b, h.h FROM prs p JOIN h ON h.t IN (p.set_a, p.set_b) GROUP BY 1, 2, 3),
+          |ur AS (SELECT set_a, set_b, h, row_number() OVER (PARTITION BY set_a, set_b ORDER BY h) AS rn,
+          |       count(*) OVER (PARTITION BY set_a, set_b) AS n FROM uh),
+          |ue AS (SELECT set_a, set_b, CAST(CASE WHEN max(n) < 64 THEN max(n)
+          |       ELSE (CAST(63 AS HUGEINT) * 1152921504606846976) // max(CASE WHEN rn = 64 THEN h END)
+          |       END AS BIGINT) AS est_union FROM ur GROUP BY 1, 2),
+          |ex AS (SELECT a.t AS set_a, b.t AS set_b, CAST(count(*) AS BIGINT) AS n_exact_overlap
+          |       FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.t < b.t GROUP BY 1, 2)
+          |SELECT ue.set_a, ue.set_b, sa.est AS est_a, sb.est AS est_b, ue.est_union,
+          |  greatest(CAST(0 AS BIGINT), sa.est + sb.est - ue.est_union) AS est_overlap,
+          |  ex.n_exact_overlap
+          |FROM ue JOIN se sa ON sa.t = ue.set_a JOIN se sb ON sb.t = ue.set_b
+          |JOIN ex USING (set_a, set_b)""".stripMargin,
       "q37_kmv_distinct" ->
         """WITH h AS (
           |  SELECT DISTINCT ('0x' || substr(md5('kmv|' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h

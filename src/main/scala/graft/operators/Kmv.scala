@@ -72,4 +72,38 @@ object Kmv {
       .select(size(col("_kmv")).cast("long").as("n_distinct_hashes"),
         estimate("_kmv", k).as("est_distinct"))
   }
+
+  /** Sketch-algebra overlap matrix: for every unordered pair of `setCol`
+    * values, the estimated distinct `valueCol` count of each side, of
+    * their union, and of their intersection by inclusion–exclusion
+    * (`est_a + est_b − est_union`, floored at 0) — the "how much do
+    * these sources/segments share" audit WITHOUT shuffling values per
+    * pair. This leans on the KMV union property: the k smallest hashes
+    * of A∪B all live inside kmin(A) ∪ kmin(B), so merging two k-min
+    * buffers (concat → distinct → sort → take k, plain codegen'd array
+    * ops on |sets|² tiny rows) yields EXACTLY the union's sketch.
+    *
+    * One shuffle builds the per-set sketches (≤ k longs each crossing
+    * the wire); everything pairwise happens on the |sets|-row sketch
+    * table. Inclusion–exclusion error compounds (≈ 3/√k relative on
+    * the intersection of similar-sized sets) — raise k for tighter
+    * audits, or fall back to the exact pair join when |sets| is small.
+    */
+  def pairOverlap(
+      df: DataFrame, setCol: String, valueCol: String,
+      k: Int = 256): DataFrame = {
+    val agg = udaf(new KmvAgg(k), ExpressionEncoder[Long]())
+    val sk = df.select(col(setCol).as("_t"), hash(col(valueCol)).as("_h"))
+      .groupBy(col("_t")).agg(agg(col("_h")).as("_kmv"))
+    val a = sk.select(col("_t").as("set_a"), col("_kmv").as("_ka"))
+    val b = sk.select(col("_t").as("set_b"), col("_kmv").as("_kb"))
+    a.join(b, col("set_a") < col("set_b"))
+      .withColumn("_ku",
+        slice(array_sort(array_distinct(concat(col("_ka"), col("_kb")))), 1, k))
+      .select(col("set_a"), col("set_b"),
+        estimate("_ka", k).as("est_a"), estimate("_kb", k).as("est_b"),
+        estimate("_ku", k).as("est_union"))
+      .withColumn("est_overlap",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+  }
 }

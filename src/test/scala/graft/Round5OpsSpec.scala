@@ -186,6 +186,26 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(rb1.getLong(1) === rb.getLong(1))
   }
 
+  test("kmv pairOverlap: merged buffers equal the union sketch; overlap tracks truth") {
+    import spark.implicits._
+    // sets A = 1..1000, B = 501..1500: |A|=|B|=1000, |A∪B|=1500, overlap 500
+    val df = ((1 to 1000).map(("A", _)) ++ (501 to 1500).map(("B", _)))
+      .toDF("s", "v").repartition(5)
+    val r = Kmv.pairOverlap(df, "s", "v", k = 128).collect().head
+    assert((r.getString(0), r.getString(1)) === (("A", "B")))
+    val (ea, eb, eu, eo) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    // union property: the merged sketch must estimate A∪B, not 2k rows
+    assert(math.abs(eu - 1500.0) / 1500.0 < 3.0 / math.sqrt(128), s"union $eu")
+    assert(math.abs(ea - 1000.0) / 1000.0 < 3.0 / math.sqrt(128), s"a $ea")
+    // inclusion-exclusion error compounds: allow 3x the single-set bound
+    assert(math.abs(eo - 500.0) < 3 * (3.0 / math.sqrt(128)) * 1000, s"overlap $eo")
+    // disjoint sets: overlap clamps to >= 0
+    val dj = ((1 to 500).map(("A", _)) ++ (10001 to 10500).map(("B", _)))
+      .toDF("s", "v")
+    val r2 = Kmv.pairOverlap(dj, "s", "v", k = 128).collect().head
+    assert(r2.getLong(5) <= 60L, s"disjoint overlap ~0, got ${r2.getLong(5)}")
+  }
+
   // ── Text.dropoutTokens ─────────────────────────────────────────────
 
   test("word dropout: rate endpoints, determinism, and plausible keep rate") {
