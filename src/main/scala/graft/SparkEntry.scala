@@ -1657,6 +1657,11 @@ object SparkEntry {
     // candidates bounded at window-1 per row; see the operator scaladoc.
     "d18_sorted_neighborhood" -> ((s, dir) =>
       Dedup.sortedNeighborhoodPairs(augmentedDocs(s, dir))),
+    // Multi-pass SNM: forward + reversed-key passes unioned (min dist
+    // per pair) — catches near-dups whose PREFIX differs via their
+    // shared tail. See Dedup.sortedNeighborhoodPairsMultiPass.
+    "d19_snm_multipass" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairsMultiPass(augmentedDocs(s, dir))),
     // k-NN majority-vote label prediction of the held-out first 20
     // vectors against the labeled rest — the standard embedding-quality
     // probe. Corpus never shuffled; see Similarity.knnClassify.
@@ -4361,6 +4366,29 @@ object SparkEntry {
            |SELECT least(id, id2) AS doc_lo, greatest(id, id2) AS doc_hi,
            |  CAST(levenshtein(pfx, pfx2) AS BIGINT) AS dist
            |FROM ex WHERE levenshtein(pfx, pfx2) <= 12""".stripMargin,
+      "d19_snm_multipass" -> {
+        def pass(key: String) =
+          s"""SELECT least(id, id2) AS doc_lo, greatest(id, id2) AS doc_hi,
+             |  CAST(levenshtein(pfx, pfx2) AS BIGINT) AS dist
+             |FROM (
+             |  SELECT nb.id, nb.pfx, u.s.i AS id2, u.s.p AS pfx2
+             |  FROM (
+             |    SELECT id, pfx,
+             |      list(struct_pack(i := id, p := pfx)) OVER (PARTITION BY blk ORDER BY k, id
+             |        ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING) AS nxt
+             |    FROM (
+             |      SELECT id, k, substr(k, 1, 6) AS blk, substr(k, 1, 40) AS pfx FROM (
+             |        SELECT doc_id AS id, $key AS k FROM aug))
+             |  ) nb, unnest(nb.nxt) AS u(s)
+             |) WHERE levenshtein(pfx, pfx2) <= 12""".stripMargin
+        val norm = "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
+        s"""WITH $augDocsSql
+           |SELECT doc_lo, doc_hi, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |${pass(norm)}
+           |UNION ALL
+           |${pass(s"reverse($norm)")}
+           |) GROUP BY 1, 2""".stripMargin
+      },
       "s13_knn_classify" ->
         s"""WITH eIn AS (SELECT vec_id, embedding FROM embeddings), $quantEmbSql, scored AS (
            |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dotCosSql AS cos

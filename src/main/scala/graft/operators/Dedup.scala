@@ -901,11 +901,11 @@ object Dedup {
   def sortedNeighborhoodPairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       window: Int = 6, blockLen: Int = 6, prefixLen: Int = 40,
-      maxDist: Int = 12): DataFrame = {
+      maxDist: Int = 12, keyTransform: Column => Column = identity): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     require(blockLen >= 1 && prefixLen >= blockLen,
       s"need 1 <= blockLen <= prefixLen, got $blockLen/$prefixLen")
-    val key = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
+    val key = keyTransform(regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""))
     val keyed = docs.select(col(idCol).cast("long").as("_id"),
       key.as("_key"), substring(key, 1, blockLen).as("_blk"),
       substring(key, 1, prefixLen).as("_pfx"))
@@ -919,5 +919,26 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .select(least(col("_id"), col("_nb._id")).as("doc_lo"),
         greatest(col("_id"), col("_nb._id")).as("doc_hi"), col("dist"))
+  }
+
+  /** Multi-pass SNM (the production form the single-key scaladoc
+    * promises): a forward pass over the normalized key UNION a pass
+    * over the REVERSED key, so near-dups whose first `blockLen` chars
+    * differ (a changed title, a prepended header) are still caught by
+    * their shared tail. Each pass is a full [[sortedNeighborhoodPairs]]
+    * run (the reversed pass blocks, sorts, and Levenshtein-verifies on
+    * the reversed key — i.e. suffix edit distance); a pair found by
+    * both keeps its minimum distance. Two block-key shuffles total.
+    */
+  def sortedNeighborhoodPairsMultiPass(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      window: Int = 6, blockLen: Int = 6, prefixLen: Int = 40,
+      maxDist: Int = 12): DataFrame = {
+    val fwd = sortedNeighborhoodPairs(docs, idCol, textCol, window,
+      blockLen, prefixLen, maxDist)
+    val rev = sortedNeighborhoodPairs(docs, idCol, textCol, window,
+      blockLen, prefixLen, maxDist, keyTransform = reverse)
+    fwd.unionByName(rev)
+      .groupBy(col("doc_lo"), col("doc_hi")).agg(min(col("dist")).as("dist"))
   }
 }

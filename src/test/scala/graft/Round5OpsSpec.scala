@@ -97,6 +97,22 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(pairs.length === 3 && pairs.distinct.length === 3)
   }
 
+  test("multi-pass SNM catches prefix-divergent near-dups the forward pass misses") {
+    import spark.implicits._
+    // identical bodies behind different 20-char prefixes: forward
+    // blocking separates them, the reversed pass reunites them by tail
+    val docs = Seq(
+      (1L, "alpha heading one shared body of text that continues identically to the end"),
+      (2L, "zeta heading twoxx shared body of text that continues identically to the end"),
+      (3L, "completely different document body with nothing in common at all here"))
+      .toDF("doc_id", "text")
+    val fwd = Dedup.sortedNeighborhoodPairs(docs, maxDist = 10)
+    assert(fwd.count() === 0, "forward pass blocks apart on the differing prefixes")
+    val multi = Dedup.sortedNeighborhoodPairsMultiPass(docs, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(multi.toSeq === Seq((1L, 2L)), "reversed pass finds the shared tail")
+  }
+
   test("sortedNeighborhood window bounds the candidate set") {
     import spark.implicits._
     // five identical docs, window=2: only adjacent sort positions compare,
