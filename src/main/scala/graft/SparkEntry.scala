@@ -1657,6 +1657,14 @@ object SparkEntry {
     // candidates bounded at window-1 per row; see the operator scaladoc.
     "d18_sorted_neighborhood" -> ((s, dir) =>
       Dedup.sortedNeighborhoodPairs(augmentedDocs(s, dir))),
+    // Language-ID with confidence margins (CCNet-style "how sure was
+    // the classifier" filter signal): predicted language + the
+    // winner-vs-runner-up stopword-hit margin in ppm of tokens.
+    "t30_langid_margin" -> ((s, dir) =>
+      par(tbl(s, dir, "documents")).select(col("doc_id"),
+        Text.langId(col("text")).as("lang_pred"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Text.langIdMarginPpm(col("text")).as("margin_ppm"))),
     // Multi-pass SNM: forward + reversed-key passes unioned (min dist
     // per pair) — catches near-dups whose PREFIX differs via their
     // shared tail. See Dedup.sortedNeighborhoodPairsMultiPass.
@@ -4366,6 +4374,34 @@ object SparkEntry {
            |SELECT least(id, id2) AS doc_lo, greatest(id, id2) AS doc_hi,
            |  CAST(levenshtein(pfx, pfx2) AS BIGINT) AS dist
            |FROM ex WHERE levenshtein(pfx, pfx2) <= 12""".stripMargin,
+      "t30_langid_margin" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-Z0-9'']+') AS ltoks,
+          |    CAST(len(regexp_extract_all(text, '[a-zA-Z0-9'']+')) AS BIGINT) AS n_tokens
+          |  FROM documents
+          |), sc AS (
+          |  SELECT doc_id, n_tokens,
+          |    len(list_filter(ltoks, x -> x IN ('the','a','of','to','and','in','is','that','it','for'))) AS s_en,
+          |    len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS s_de,
+          |    len(list_filter(ltoks, x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS s_fr,
+          |    len(list_filter(ltoks, x -> x IN ('el','los','las','y','es','un','una','que','de','por'))) AS s_es
+          |  FROM t
+          |), m AS (
+          |  SELECT doc_id, n_tokens, s_en, s_de, s_fr, s_es,
+          |    list_sort([s_en, s_de, s_fr, s_es], 'DESC') AS srt
+          |  FROM sc
+          |)
+          |SELECT doc_id,
+          |  CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+          |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+          |       WHEN s_fr >= s_es THEN 'fr'
+          |       ELSE 'es' END AS lang_pred,
+          |  n_tokens,
+          |  CASE WHEN n_tokens = 0 THEN 0
+          |       ELSE CAST(floor(CAST(srt[1] - srt[2] AS DOUBLE) * 1000000.0 / CAST(n_tokens AS DOUBLE)) AS BIGINT)
+          |       END AS margin_ppm
+          |FROM m""".stripMargin,
       "d19_snm_multipass" -> {
         def pass(key: String) =
           s"""SELECT least(id, id2) AS doc_lo, greatest(id, id2) AS doc_hi,

@@ -67,6 +67,26 @@ object Text {
       .otherwise(lit("es"))
   }
 
+  /** Language-ID confidence margin in ppm of the token count:
+    * `⌊(hits₁ − hits₂) · 1e6 / n_tokens⌋` where hits₁/hits₂ are the
+    * winning and runner-up stopword-hit counts — the CCNet-style
+    * "keep only confidently-identified documents" filter signal (a
+    * margin near 0 means two languages scored alike, or none did).
+    * 0 for token-less documents. The double arithmetic is one
+    * multiply + divide + floor over exact small integers, identical op
+    * order in the oracle, so the output is engine-stable.
+    */
+  def langIdMarginPpm(c: Column): Column = {
+    val sorted = sort_array(array(stopwordHits(c, "en"), stopwordHits(c, "de"),
+      stopwordHits(c, "fr"), stopwordHits(c, "es")), asc = false)
+    val h1 = element_at(sorted, 1)
+    val h2 = element_at(sorted, 2)
+    val n = tokenCount(c)
+    when(n === 0, lit(0L))
+      .otherwise(floor((h1 - h2).cast("double") * lit(1000000.0) /
+        n.cast("double")).cast("long"))
+  }
+
   /** Ratio of alphabetic characters to total characters (0 for empty). */
   def alphaRatio(c: Column): Column =
     when(length(c) === 0, lit(0.0))

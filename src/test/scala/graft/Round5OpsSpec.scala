@@ -239,6 +239,23 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(kept(150000) === kept(150000), "deterministic")
   }
 
+  test("langIdMarginPpm: decisive text scores high, ambiguous low, empty zero") {
+    import spark.implicits._
+    import graft.functions.Text
+    val df = Seq(
+      // en hits: the, the, and = 3; 0 for others; 8 tokens -> 3e6/8 = 375000
+      (1L, "the cat sat on the mat and slept"),
+      // 'un' hits BOTH fr and es lists -> margin 0 despite a prediction
+      (2L, "un moment"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), Text.langIdMarginPpm(col("text")).as("m"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) === 375000L)
+    assert(r(2L) === 0L, "tie between fr and es -> zero confidence margin")
+    assert(r(3L) === 0L)
+  }
+
   // ── Similarity.filteredTopK ────────────────────────────────────────
 
   test("filteredTopK only matches rows sharing the filter value") {
