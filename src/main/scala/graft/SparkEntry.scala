@@ -1657,6 +1657,31 @@ object SparkEntry {
     // candidates bounded at window-1 per row; see the operator scaladoc.
     "d18_sorted_neighborhood" -> ((s, dir) =>
       Dedup.sortedNeighborhoodPairs(augmentedDocs(s, dir))),
+    // Weekly-seasonality strength per event type: exact integer
+    // chi-square against a uniform day-of-week split —
+    // χ² = Σ_d (7·o_d − n)² / (7n), micro-quantized; dows with zero
+    // events contribute their (0 − n/7)² term via the missing-cell
+    // correction (7 − observed_dows)·n². One shuffle to the
+    // (type, dow) cells; everything after runs on ≤ 7·|types| rows.
+    "u31_seasonality" -> ((s, dir) => {
+      val byDow = tbl(s, dir, "events")
+        .groupBy(col("event_type"), dayofweek(col("ts")).as("_dow"))
+        .agg(count(lit(1)).as("_o"))
+      val tot = byDow.groupBy(col("event_type"))
+        .agg(sum(col("_o")).as("_n"), count(lit(1)).as("_ndows"))
+      byDow.join(broadcast(tot), Seq("event_type"))
+        .withColumn("_t", lit(7) * col("_o") - col("_n"))
+        .groupBy(col("event_type"))
+        .agg(max(col("_n")).as("n_events"),
+          max(col("_ndows")).as("_nd"),
+          sum(col("_t").cast("decimal(38,0)") * col("_t").cast("decimal(38,0)"))
+            .as("_ss"))
+        .select(col("event_type"), col("n_events"),
+          expr("""CAST((CAST(_ss AS DECIMAL(38,0)) +
+                  CAST(7 - _nd AS DECIMAL(38,0)) * n_events * n_events) * 1000000
+                  div (CAST(7 AS DECIMAL(38,0)) * n_events) AS BIGINT)""")
+            .as("chi2_micro"))
+    }),
     // Language-ID with confidence margins (CCNet-style "how sure was
     // the classifier" filter signal): predicted language + the
     // winner-vs-runner-up stopword-hit margin in ppm of tokens.
@@ -4374,6 +4399,22 @@ object SparkEntry {
            |SELECT least(id, id2) AS doc_lo, greatest(id, id2) AS doc_hi,
            |  CAST(levenshtein(pfx, pfx2) AS BIGINT) AS dist
            |FROM ex WHERE levenshtein(pfx, pfx2) <= 12""".stripMargin,
+      "u31_seasonality" ->
+        """WITH c AS (
+          |  SELECT event_type, dayofweek(ts) AS dow, CAST(count(*) AS BIGINT) AS o
+          |  FROM events GROUP BY 1, 2
+          |), t AS (
+          |  SELECT event_type, CAST(sum(o) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS nd
+          |  FROM c GROUP BY 1
+          |), ss AS (
+          |  SELECT c.event_type, t.n, t.nd,
+          |    sum(CAST(7 * c.o - t.n AS HUGEINT) * CAST(7 * c.o - t.n AS HUGEINT)) AS s2
+          |  FROM c JOIN t USING (event_type) GROUP BY 1, 2, 3
+          |)
+          |SELECT event_type, n AS n_events,
+          |  CAST((s2 + CAST(7 - nd AS HUGEINT) * n * n) * 1000000
+          |       // (CAST(7 AS HUGEINT) * n) AS BIGINT) AS chi2_micro
+          |FROM ss""".stripMargin,
       "t30_langid_margin" ->
         """WITH t AS (
           |  SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-Z0-9'']+') AS ltoks,

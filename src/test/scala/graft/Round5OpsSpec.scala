@@ -239,6 +239,20 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(kept(150000) === kept(150000), "deterministic")
   }
 
+  test("u31 seasonality chi-square: all-one-dow spike scores exactly 42 (missing-cell correction)") {
+    import spark.implicits._
+    // 7 events on one weekday: chi2 = (7-1)^2/1 + 6*(0-1)^2/1 = 42, and
+    // the 6 empty dows only enter via the missing-cell term
+    val ev = (1L to 7L).map(i => (i, 1L, "x", 0.0, s"2024-01-01 0$i:00:00", "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "ts_s", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val dir = java.nio.file.Files.createTempDirectory("graft_season").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("u31_seasonality")(spark, dir).collect().head
+    assert(r.getString(0) === "x" && r.getLong(1) === 7L)
+    assert(r.getLong(2) === 42000000L)
+  }
+
   test("langIdMarginPpm: decisive text scores high, ambiguous low, empty zero") {
     import spark.implicits._
     import graft.functions.Text
