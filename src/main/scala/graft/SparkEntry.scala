@@ -1657,6 +1657,40 @@ object SparkEntry {
     // candidates bounded at window-1 per row; see the operator scaladoc.
     "d18_sorted_neighborhood" -> ((s, dir) =>
       Dedup.sortedNeighborhoodPairs(augmentedDocs(s, dir))),
+    // Corpus-wide inter-arrival percentiles: exact p50/p90/p99 of the
+    // per-user floor-second event gaps (the latency-profile complement
+    // of u26's per-user moments). Same one-shuffle gap projection; the
+    // exact percentile sorts |gaps| values in one final buffer — swap
+    // approx_percentile in beyond ~1e7 gaps (the Rfm/Latency switch).
+    "u32_gap_percentiles" -> ((s, dir) => {
+      val gaps = tbl(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("_us"), col("event_id"))
+        .withColumn("_prev", lag(col("_us"), 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("_us"), col("event_id"))))
+        .where(col("_prev").isNotNull)
+        .select(expr("(_us - _prev) div 1000000").as("_g"))
+      gaps.agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(_g, 0.5)"), 6).as("p50_s"),
+        round(expr("percentile(_g, 0.9)"), 6).as("p90_s"),
+        round(expr("percentile(_g, 0.99)"), 6).as("p99_s"))
+    }),
+    // Referential-integrity audit: orphan counts per foreign-key
+    // relationship (anti-joins, dims broadcast) — the pre-flight data-
+    // quality gate before any join-heavy pipeline trusts its keys.
+    "q38_ri_audit" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val l = tbl(s, dir, "lineitem")
+      val c = tbl(s, dir, "customer")
+      val su = tbl(s, dir, "supplier")
+      def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String) =
+        fact.join(dim.select(col(pk)), fact(fk) === dim(pk), "left_anti")
+          .agg(count(lit(1)))
+      orphans(o, "o_custkey", c, "c_custkey")
+        .crossJoin(orphans(l, "l_orderkey", o, "o_orderkey"))
+        .crossJoin(orphans(l, "l_suppkey", su, "s_suppkey"))
+        .toDF("orphan_orders", "orphan_lineitem_orders", "orphan_lineitem_suppliers")
+    }),
     // Weekly-seasonality strength per event type: exact integer
     // chi-square against a uniform day-of-week split —
     // χ² = Σ_d (7·o_d − n)² / (7n), micro-quantized; dows with zero
@@ -4399,6 +4433,24 @@ object SparkEntry {
            |SELECT least(id, id2) AS doc_lo, greatest(id, id2) AS doc_hi,
            |  CAST(levenshtein(pfx, pfx2) AS BIGINT) AS dist
            |FROM ex WHERE levenshtein(pfx, pfx2) <= 12""".stripMargin,
+      "u32_gap_percentiles" ->
+        """WITH g AS (
+          |  SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap
+          |  FROM events
+          |), gg AS (SELECT gap FROM g WHERE gap IS NOT NULL)
+          |SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+          |  round(quantile_cont(CAST(gap AS DOUBLE), 0.5), 6) AS p50_s,
+          |  round(quantile_cont(CAST(gap AS DOUBLE), 0.9), 6) AS p90_s,
+          |  round(quantile_cont(CAST(gap AS DOUBLE), 0.99), 6) AS p99_s
+          |FROM gg""".stripMargin,
+      "q38_ri_audit" ->
+        """SELECT
+          |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+          |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS orphan_orders,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+          |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitem_orders,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+          |   WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS orphan_lineitem_suppliers""".stripMargin,
       "u31_seasonality" ->
         """WITH c AS (
           |  SELECT event_type, dayofweek(ts) AS dow, CAST(count(*) AS BIGINT) AS o
