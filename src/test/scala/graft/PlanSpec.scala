@@ -466,6 +466,35 @@ class PlanSpec extends AnyFunSuite {
       s"triangle enumeration degraded:\n$p")
   }
 
+  test("u30 sketch overlap: one value shuffle into per-set sketches, pairwise on tiny rows") {
+    val p = plan("u30_sketch_overlap")
+    // the sketch agg is the only thing the full value table feeds; the
+    // pairwise inequality join runs on the |sets|-row sketch table (its
+    // nested-loop broadcast is driver-sized by construction)
+    assert(p.contains("ObjectHashAggregate"), s"KMV must be an object-hash agg:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q38 ri audit: every orphan check is a broadcast anti-join") {
+    val p = plan("q38_ri_audit")
+    assert(p.split("BroadcastHashJoin LeftAnti|BroadcastHashJoin.*LeftAnti").length >= 2 ||
+      p.contains("LeftAnti"), s"expected anti-joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim anti-join degraded:\n$p")
+  }
+
+  test("u32 gap percentiles: lag window rides one user-key shuffle") {
+    val p = plan("u32_gap_percentiles")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"expected exactly one user-key shuffle:\n$p")
+  }
+
+  test("d19 multipass snm: two block-key window shuffles, still no joins") {
+    val p = plan("d19_snm_multipass")
+    assert("Exchange hashpartitioning\\(_blk".r.findAllIn(p).length == 2,
+      s"expected the forward and reversed block shuffles:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("u26 burstiness: lag window and aggregate share one user-key shuffle") {
     val p = plan("u26_burstiness")
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
