@@ -1663,21 +1663,17 @@ object SparkEntry {
     // exact percentile sorts |gaps| values in one final buffer — swap
     // approx_percentile in beyond ~1e7 gaps (the Rfm/Latency switch).
     "u32_gap_percentiles" -> ((s, dir) => {
-      val gaps = tbl(s, dir, "events")
-        .select(col("user_id"), unix_micros(col("ts")).as("_us"), col("event_id"))
-        .withColumn("_prev", lag(col("_us"), 1).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-            .orderBy(col("_us"), col("event_id"))))
-        .where(col("_prev").isNotNull)
-        .select(expr("(_us - _prev) div 1000000").as("_g"))
-      gaps.agg(count(lit(1)).as("n_gaps"),
+      Sessions.gaps(tbl(s, dir, "events")).agg(count(lit(1)).as("n_gaps"),
         round(expr("percentile(_g, 0.5)"), 6).as("p50_s"),
         round(expr("percentile(_g, 0.9)"), 6).as("p90_s"),
         round(expr("percentile(_g, 0.99)"), 6).as("p99_s"))
     }),
     // Referential-integrity audit: orphan counts per foreign-key
-    // relationship (anti-joins, dims broadcast) — the pre-flight data-
-    // quality gate before any join-heavy pipeline trusts its keys.
+    // relationship — the pre-flight data-quality gate before any
+    // join-heavy pipeline trusts its keys. Dim-sized parents (customer,
+    // supplier) anti-join by BROADCAST; the fact-sized parent (orders,
+    // not broadcastable at scale) by a co-partitioned shuffled
+    // anti-join, hinted shuffle_hash per the band-join convention.
     "q38_ri_audit" -> ((s, dir) => {
       val o = tbl(s, dir, "orders")
       val l = tbl(s, dir, "lineitem")
@@ -1686,9 +1682,10 @@ object SparkEntry {
       def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String) =
         fact.join(dim.select(col(pk)), fact(fk) === dim(pk), "left_anti")
           .agg(count(lit(1)))
-      orphans(o, "o_custkey", c, "c_custkey")
-        .crossJoin(orphans(l, "l_orderkey", o, "o_orderkey"))
-        .crossJoin(orphans(l, "l_suppkey", su, "s_suppkey"))
+      orphans(o, "o_custkey", broadcast(c), "c_custkey")
+        .crossJoin(orphans(l, "l_orderkey",
+          o.select(col("o_orderkey")).hint("shuffle_hash"), "o_orderkey"))
+        .crossJoin(orphans(l, "l_suppkey", broadcast(su), "s_suppkey"))
         .toDF("orphan_orders", "orphan_lineitem_orders", "orphan_lineitem_suppliers")
     }),
     // Weekly-seasonality strength per event type: exact integer

@@ -113,19 +113,28 @@ object Sessions {
     * per-partition window state = one user's events. Output is |users|
     * rows.
     */
-  def interEventStats(
+  /** Per-user floor-second inter-event gaps: `(user_id, _g)`, one row
+    * per consecutive event pair in `(ts, id)` order — THE single gap
+    * definition shared by [[interEventStats]] and the corpus-wide
+    * percentile profile (u32), so the two views cannot diverge. */
+  def gaps(
       events: DataFrame, userCol: String = "user_id", tsCol: String = "ts",
-      idCol: String = "event_id", minGaps: Int = 2): DataFrame = {
-    require(minGaps >= 1, s"minGaps must be >= 1, got $minGaps")
-    val gaps = events
+      idCol: String = "event_id"): DataFrame =
+    events
       .select(col(userCol).as("user_id"), unix_micros(col(tsCol)).as("_us"),
         col(idCol).as("_id"))
       .withColumn("_prev", lag(col("_us"), 1).over(
         Window.partitionBy(col("user_id")).orderBy(col("_us"), col("_id"))))
       .where(col("_prev").isNotNull)
       .select(col("user_id"), expr("(_us - _prev) div 1000000").as("_g"))
+
+  def interEventStats(
+      events: DataFrame, userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", minGaps: Int = 2): DataFrame = {
+    require(minGaps >= 1, s"minGaps must be >= 1, got $minGaps")
+    val gapsDf = gaps(events, userCol, tsCol, idCol)
     val dec = col("_g").cast("decimal(20,0)")
-    gaps.groupBy(col("user_id"))
+    gapsDf.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_gaps"), sum(col("_g")).as("sum_gap_s"),
         sum(dec * dec).as("_s2"))
       .where(col("n_gaps") >= minGaps && col("sum_gap_s") > 0)

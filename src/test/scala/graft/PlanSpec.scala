@@ -475,11 +475,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q38 ri audit: every orphan check is a broadcast anti-join") {
+  test("q38 ri audit: dim parents broadcast-anti, fact parent shuffled-hash-anti") {
     val p = plan("q38_ri_audit")
-    assert(p.split("BroadcastHashJoin LeftAnti|BroadcastHashJoin.*LeftAnti").length >= 2 ||
-      p.contains("LeftAnti"), s"expected anti-joins:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"dim anti-join degraded:\n$p")
+    assert("BroadcastHashJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftAnti".r
+      .findAllIn(p).length == 2,
+      s"customer and supplier checks must be broadcast anti-joins:\n$p")
+    assert("ShuffledHashJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftAnti".r
+      .findAllIn(p).length == 1,
+      s"the orders (fact-sized) check must be a shuffled anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"anti-join degraded:\n$p")
   }
 
   test("u32 gap percentiles: lag window rides one user-key shuffle") {
