@@ -1657,6 +1657,27 @@ object SparkEntry {
     // candidates bounded at window-1 per row; see the operator scaladoc.
     "d18_sorted_neighborhood" -> ((s, dir) =>
       Dedup.sortedNeighborhoodPairs(augmentedDocs(s, dir))),
+    // RFM segment-migration matrix (customer-lifecycle churn): each
+    // user's RF segment (r_score·10 + f_score, quartiles within the
+    // period) in window half A vs half B, full-outer joined so users
+    // present in only one period land in segment 0 — the "who moved
+    // from loyal to at-risk" report. Two Rfm passes + one user-key
+    // full-outer join; output ≤ 17² rows.
+    "u33_rfm_migration" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val split = date_add(lit(winStart).cast("date"), 15)
+      def seg(df: DataFrame) = Rfm.segments(df)
+        .select(col("user_id"),
+          (col("r_score") * 10 + col("f_score")).cast("long").as("seg"))
+      val a = seg(ev.where(to_date(col("ts")) < split))
+        .withColumnRenamed("seg", "_sa")
+      val b = seg(ev.where(to_date(col("ts")) >= split))
+        .withColumnRenamed("seg", "_sb")
+      a.join(b, Seq("user_id"), "full_outer")
+        .groupBy(coalesce(col("_sa"), lit(0L)).as("seg_from"),
+          coalesce(col("_sb"), lit(0L)).as("seg_to"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
     // Corpus-wide inter-arrival percentiles: exact p50/p90/p99 of the
     // per-user floor-second event gaps (the latency-profile complement
     // of u26's per-user moments). Same one-shuffle gap projection; the
@@ -4430,6 +4451,34 @@ object SparkEntry {
            |SELECT least(id, id2) AS doc_lo, greatest(id, id2) AS doc_hi,
            |  CAST(levenshtein(pfx, pfx2) AS BIGINT) AS dist
            |FROM ex WHERE levenshtein(pfx, pfx2) <= 12""".stripMargin,
+      "u33_rfm_migration" -> {
+        def seg(sfx: String, where: String) =
+          s"""pu$sfx AS (
+             |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day, count(*) AS f
+             |  FROM events WHERE event_type = 'purchase' AND $where GROUP BY user_id
+             |), ao$sfx AS (SELECT max(CAST(ts AS DATE)) AS asof_day FROM events WHERE $where),
+             |rfm$sfx AS (
+             |  SELECT user_id, date_diff('day', last_day, asof_day) AS r_days, f
+             |  FROM pu$sfx CROSS JOIN ao$sfx
+             |), cuts$sfx AS (
+             |  SELECT quantile_cont(CAST(r_days AS DOUBLE), [0.25, 0.5, 0.75]) AS rc,
+             |         quantile_cont(CAST(f AS DOUBLE), [0.25, 0.5, 0.75]) AS fc
+             |  FROM rfm$sfx
+             |), seg$sfx AS (
+             |  SELECT user_id, CAST(
+             |    (4 - ((CAST(r_days AS DOUBLE) > rc[1])::INT + (CAST(r_days AS DOUBLE) > rc[2])::INT
+             |          + (CAST(r_days AS DOUBLE) > rc[3])::INT)) * 10
+             |    + 1 + (CAST(f AS DOUBLE) > fc[1])::INT + (CAST(f AS DOUBLE) > fc[2])::INT
+             |          + (CAST(f AS DOUBLE) > fc[3])::INT AS BIGINT) AS seg
+             |  FROM rfm$sfx CROSS JOIN cuts$sfx
+             |)""".stripMargin
+        s"""WITH ${seg("A", "CAST(ts AS DATE) < DATE '2024-01-16'")},
+           |${seg("B", "CAST(ts AS DATE) >= DATE '2024-01-16'")}
+           |SELECT coalesce(a.seg, 0) AS seg_from, coalesce(b.seg, 0) AS seg_to,
+           |  CAST(count(*) AS BIGINT) AS n_users
+           |FROM segA a FULL OUTER JOIN segB b USING (user_id)
+           |GROUP BY 1, 2""".stripMargin
+      },
       "u32_gap_percentiles" ->
         """WITH g AS (
           |  SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap
