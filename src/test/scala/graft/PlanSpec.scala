@@ -492,6 +492,12 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one user-key shuffle:\n$p")
   }
 
+  test("u33 rfm migration: the period segments meet in one user-key outer join") {
+    val p = plan("u33_rfm_migration")
+    assert(p.contains("FullOuter"), s"expected a full-outer user join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d19 multipass snm: two block-key window shuffles, still no joins") {
     val p = plan("d19_snm_multipass")
     assert("Exchange hashpartitioning\\(_blk".r.findAllIn(p).length == 2,
