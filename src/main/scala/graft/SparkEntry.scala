@@ -46,6 +46,23 @@ object SparkEntry {
       }
     } else s.read.parquet(s"$dir/$name.parquet")
 
+  /** Memoized 6-round BPE merge list (the t18/t19/t22 model), keyed on
+    * (session identity, data dir) so a sweep trains ONCE per corpus per
+    * session instead of once per query — training is deterministic, so
+    * sharing cannot change any result, and queries stay self-contained
+    * (a cold call trains inline exactly as before). Keying on the
+    * session's identity hash is the "clear on session change" rule:
+    * a new session never sees a stale entry; dead-session entries are
+    * 6 string pairs each, not worth an eviction hook. */
+  @transient private lazy val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Seq[(String, String)]]()
+
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergesCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+      Bpe.trainMerges(par(tbl(s, dir, "documents")), "text", rounds = 6)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the composed
     * retention pipeline (the reference's one real product query,
     * examples/retention.rs:22-46).
@@ -576,12 +593,11 @@ object SparkEntry {
     // feeds packing/mixture/billing. The 6 learned merges come back to
     // the driver (6 rows, the same role as a broadcast model) and fold
     // into one chained-replace projection over the distinct-word table.
+    // The model comes from the memoized bpeMerges — one training per
+    // (session, corpus) shared with t22.
     "t19_bpe_encode" -> ((s, dir) => {
       val docs = par(tbl(s, dir, "documents"))
-      val merges = Bpe.trainMerges(docs, "text", rounds = 6)
-        .collect().sortBy(_.getInt(0))
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      Bpe.encodeStats(docs, "doc_id", "text", merges)
+      Bpe.encodeStats(docs, "doc_id", "text", bpeMerges(s, dir))
     }),
     // Tokenizer fertility by language: subword-per-token ratio of the
     // trained BPE over each language's documents — the "how expensive is
@@ -590,10 +606,7 @@ object SparkEntry {
     // aggregate over the doc-level stats.
     "t22_bpe_fertility" -> ((s, dir) => {
       val docs = par(tbl(s, dir, "documents"))
-      val merges = Bpe.trainMerges(docs, "text", rounds = 6)
-        .collect().sortBy(_.getInt(0))
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      Bpe.encodeStats(docs, "doc_id", "text", merges)
+      Bpe.encodeStats(docs, "doc_id", "text", bpeMerges(s, dir))
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -712,6 +725,16 @@ object SparkEntry {
     "d17_minhash_error" -> ((s, dir) => {
       Graft.registerAll(s)
       Dedup.minhashErrorAudit(augmentedDocs(s, dir))
+    }),
+    // Cap-exposure audit over the same augmented corpus as d2/d17: per
+    // guarded stage (LSH band buckets, shingle document frequency), how
+    // many groups a cap of this size would drop and how many member
+    // rows ride them — the CapStats recall-exposure numbers as a
+    // first-class oracle-checked artifact. Deliberately tight caps
+    // (4 / 8) so BOTH stages exercise their hot branch on testdata.
+    "d20_cap_audit" -> ((s, dir) => {
+      Graft.registerAll(s)
+      Dedup.capExposureReport(augmentedDocs(s, dir), bucketCap = 4, dfCap = 8)
     }),
     // Per-document 32-bit SimHash.
     "d3_simhash" -> ((s, dir) => {
@@ -1400,7 +1423,10 @@ object SparkEntry {
     // window count as surviving at every t rather than leaving the risk
     // set at their observation horizon, so S(t) sits above a
     // Kaplan-Meier estimate at large t. KM semantics would cap each
-    // user's contribution at datediff(max_event_date, t0).
+    // user's contribution at datediff(max_event_date, t0). The output
+    // column is named `survival_naive` (not `surv`/`km`) so no
+    // downstream user mistakes it for Kaplan-Meier — the censored form
+    // ships as u18_km_lifetable (Survival.lifeTable).
     "u17_survival" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val ev = tbl(s, dir, "events")
@@ -1424,7 +1450,7 @@ object SparkEntry {
         .select(col("t"), col("n_conv"),
           (col("n_users") - col("cum_conv")).as("n_surviving"),
           round((col("n_users") - col("cum_conv")).cast("double") /
-            col("n_users").cast("double"), 6).as("surv"))
+            col("n_users").cast("double"), 6).as("survival_naive"))
     }),
     // Incremental rollup maintenance: a deterministic shard of the
     // event stream (event_id % 10 == 7) plays the "late-arriving
@@ -1780,7 +1806,11 @@ object SparkEntry {
           org.apache.spark.sql.expressions.Window.partitionBy(col("m"))))
         .select(col("o_orderkey"), col("m"),
           when(col("n") === 1, 0L)
-            .otherwise(expr("((r - 1) * 1000000) div (n - 1)")).as("pr_ppm"))
+            // widen BEFORE the multiply: row_number is IntegerType, and
+            // int*1000000 wraps once a group holds >= 2149 rows (~sf0.2)
+            // while the DuckDB oracle does the same math in BIGINT
+            .otherwise(expr("((CAST(r AS BIGINT) - 1) * 1000000) div (n - 1)"))
+            .as("pr_ppm"))
     }),
     // Market-basket pair association over (user, day) baskets:
     // support/confidence/lift in exact integer ppm. Co-partitioned
@@ -2796,6 +2826,26 @@ object SparkEntry {
            |  CAST(sum(err) // count(*) AS BIGINT) AS mean_abs_err_ppm,
            |  CAST(max(err) AS BIGINT) AS max_abs_err_ppm
            |FROM e""".stripMargin,
+      "d20_cap_audit" ->
+        s"""WITH $augDocsSql, $minhashParamsSql, ${lshSideSql("aug", "")}, bsz AS (
+           |  SELECT band, bkey, CAST(count(*) AS BIGINT) AS m FROM band GROUP BY 1, 2
+           |), dfs AS (
+           |  SELECT s, CAST(count(*) AS BIGINT) AS m
+           |  FROM (SELECT id, unnest(sh) AS s FROM shs) GROUP BY 1
+           |)
+           |SELECT 'lsh_band' AS stage, CAST(4 AS BIGINT) AS cap,
+           |  CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(coalesce(sum(CASE WHEN m > 4 THEN 1 END), 0) AS BIGINT) AS n_hot_groups,
+           |  CAST(coalesce(sum(CASE WHEN m > 4 THEN m END), 0) AS BIGINT) AS dropped_rows,
+           |  CAST(max(m) AS BIGINT) AS max_group
+           |FROM bsz
+           |UNION ALL
+           |SELECT 'shingle_df', CAST(8 AS BIGINT),
+           |  CAST(count(*) AS BIGINT),
+           |  CAST(coalesce(sum(CASE WHEN m > 8 THEN 1 END), 0) AS BIGINT),
+           |  CAST(coalesce(sum(CASE WHEN m > 8 THEN m END), 0) AS BIGINT),
+           |  CAST(max(m) AS BIGINT)
+           |FROM dfs""".stripMargin,
       "d3_simhash" ->
         s"""WITH n AS (
            |  SELECT doc_id, list_distinct($normToksSql) AS toks FROM documents
@@ -4066,7 +4116,7 @@ object SparkEntry {
           |)
           |SELECT t, n_conv,
           |  n_users - CAST(cc AS BIGINT) AS n_surviving,
-          |  round(CAST(n_users - cc AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS surv
+          |  round(CAST(n_users - cc AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS survival_naive
           |FROM cum CROSS JOIN tot""".stripMargin,
       // u20's oracle deliberately recomputes from scratch — hash
       // equality IS the incremental==batch proof.
@@ -4673,13 +4723,13 @@ object SparkEntry {
           |prs AS (SELECT a.t AS set_a, b.t AS set_b FROM tt a, tt b WHERE a.t < b.t),
           |sr AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn,
           |       count(*) OVER (PARTITION BY t) AS n FROM h),
-          |se AS (SELECT t, CAST(CASE WHEN max(n) < 64 THEN max(n)
+          |se AS (SELECT t, CAST(CASE WHEN max(n) < 64 OR max(CASE WHEN rn = 64 THEN h END) <= 0 THEN least(max(n), 64)
           |       ELSE (CAST(63 AS HUGEINT) * 1152921504606846976) // max(CASE WHEN rn = 64 THEN h END)
           |       END AS BIGINT) AS est FROM sr GROUP BY t),
           |uh AS (SELECT p.set_a, p.set_b, h.h FROM prs p JOIN h ON h.t IN (p.set_a, p.set_b) GROUP BY 1, 2, 3),
           |ur AS (SELECT set_a, set_b, h, row_number() OVER (PARTITION BY set_a, set_b ORDER BY h) AS rn,
           |       count(*) OVER (PARTITION BY set_a, set_b) AS n FROM uh),
-          |ue AS (SELECT set_a, set_b, CAST(CASE WHEN max(n) < 64 THEN max(n)
+          |ue AS (SELECT set_a, set_b, CAST(CASE WHEN max(n) < 64 OR max(CASE WHEN rn = 64 THEN h END) <= 0 THEN least(max(n), 64)
           |       ELSE (CAST(63 AS HUGEINT) * 1152921504606846976) // max(CASE WHEN rn = 64 THEN h END)
           |       END AS BIGINT) AS est_union FROM ur GROUP BY 1, 2),
           |ex AS (SELECT a.t AS set_a, b.t AS set_b, CAST(count(*) AS BIGINT) AS n_exact_overlap
@@ -4696,7 +4746,7 @@ object SparkEntry {
           |), k AS (SELECT h FROM h ORDER BY h LIMIT 1 OFFSET 255),
           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_raw FROM h)
           |SELECT CAST(least(n.n_raw, 256) AS BIGINT) AS n_distinct_hashes,
-          |  CAST(CASE WHEN n.n_raw < 256 THEN n.n_raw
+          |  CAST(CASE WHEN n.n_raw < 256 OR (SELECT h FROM k) <= 0 THEN least(n.n_raw, 256)
           |       ELSE (CAST(255 AS HUGEINT) * 1152921504606846976) // (SELECT h FROM k) END AS BIGINT) AS est_distinct,
           |  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS n_exact
           |FROM n""".stripMargin,
@@ -4736,7 +4786,8 @@ object SparkEntry {
            |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
       "t28_mutual_info" ->
         """WITH cells AS (
-          |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ab FROM documents GROUP BY 1, 2
+          |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ab FROM documents
+          |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
           |), ma AS (SELECT lang, CAST(sum(n_ab) AS BIGINT) AS n_a FROM cells GROUP BY 1),
           |mb AS (SELECT source, CAST(sum(n_ab) AS BIGINT) AS n_b FROM cells GROUP BY 1),
           |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_tot FROM cells)

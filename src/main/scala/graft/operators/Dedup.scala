@@ -289,6 +289,62 @@ object Dedup {
         max(col("_err")).as("max_abs_err_ppm"))
   }
 
+  /** Cap-exposure audit — the recall-loss numbers the [[CapStats]]
+    * accumulators tally, surfaced as a first-class one-aggregate-per-
+    * stage report instead of a driver-side counter read, so a
+    * production run's exposure lands in the output artifact. One row
+    * per guarded stage:
+    *
+    *   - `lsh_band`: (band, key) bucket population under `bucketCap`
+    *     (the [[minhashLshPairs]]/[[minhashErrorAudit]] guard). Band
+    *     keys are the raw signature-slice form (the d17 rule: a pure
+    *     function of signature equality, so an external engine can
+    *     reproduce the bucket sizes exactly).
+    *   - `shingle_df`: shingle document frequency under `dfCap` (the
+    *     [[ngramJaccardPairs]] inverted-index guard).
+    *
+    * Columns: `(stage, cap, n_groups, n_hot_groups, dropped_rows,
+    * max_group)` — `n_hot_groups`/`dropped_rows` are exactly what
+    * [[capBuckets]] would report via CapStats at the same cap; zero
+    * means the guarded operators are exact on this corpus, and
+    * `max_group` says how much cap headroom remains. All counters are
+    * integers, so the report is bit-identical across engines.
+    *
+    * Scale shape: two group-by-key aggregates over the exploded
+    * band-key / shingle tables (the same shuffles the guarded operators
+    * already do), each collapsing to one row — strictly cheaper than
+    * any candidate join it audits. */
+  def capExposureReport(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 32, bands: Int = 8, bucketCap: Int = 4,
+      dfCap: Int = 16): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val sh = docs
+      .select(col(idCol).as("_id"), hashedShingleSetNative(col(textCol)).as("_sh"))
+      .localCheckpoint() // feeds both stages; see shingleBandKeys scaladoc
+    val sig = sh.withColumn("_sig", minhashSignatureNative(col("_sh"), k))
+    val bandCols = array((0 until bands).map { j =>
+      concat_ws(",", (j * r until (j + 1) * r)
+        .map(i => element_at(col("_sig"), i + 1).cast("string")): _*)
+    }: _*)
+    def stageReport(stage: String, cap: Int, sizes: DataFrame): DataFrame =
+      sizes.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_m") > cap, 1L).otherwise(0L)).as("n_hot_groups"),
+        sum(when(col("_m") > cap, col("_m")).otherwise(0L)).as("dropped_rows"),
+        max(col("_m")).as("max_group"))
+        .select(lit(stage).as("stage"), lit(cap.toLong).as("cap"),
+          col("n_groups"), col("n_hot_groups"), col("dropped_rows"),
+          col("max_group"))
+    val bandSizes = sig.select(col("_id"), posexplode(bandCols))
+      .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("_m"))
+    val dfSizes = sh.select(explode(col("_sh")).as("_s"))
+      .groupBy(col("_s")).agg(count(lit(1)).as("_m"))
+    stageReport("lsh_band", bucketCap, bandSizes)
+      .unionByName(stageReport("shingle_df", dfCap, dfSizes))
+  }
+
   /** Shared front half of the MinHash-LSH operators: hashed shingle sets
     * and capped (band, key) rows for every document.
     *

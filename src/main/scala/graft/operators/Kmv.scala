@@ -16,10 +16,34 @@ class KmvAgg(k: Int)
 
   override def zero: Seq[Long] = Vector.empty
 
-  override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
-    if (buf.size >= k && h >= buf.last) buf // O(1) reject path
-    else if (buf.contains(h)) buf
-    else (buf :+ h).sorted.take(k)
+  /** O(1) reject in the steady state, O(log n) duplicate check +
+    * O(n) single-shift insert otherwise (vs the old linear `contains`
+    * + full re-sort) — the win is the warm-up of each partition's
+    * first k distinct values. The buffer invariant (sorted ascending,
+    * distinct) is both assumed and preserved. */
+  override def reduce(buf: Seq[Long], h: Long): Seq[Long] = {
+    val n = buf.size
+    if (n >= k && h >= buf(n - 1)) buf // O(1) reject path
+    else {
+      var lo = 0
+      var hi = n
+      while (lo < hi) { // binary search; an exact hit is a duplicate
+        val mid = (lo + hi) >>> 1
+        val m = buf(mid)
+        if (m == h) return buf
+        else if (m < h) lo = mid + 1
+        else hi = mid
+      }
+      val size2 = math.min(n + 1, k)
+      val b = new Array[Long](size2)
+      var i = 0
+      while (i < lo) { b(i) = buf(i); i += 1 }
+      b(lo) = h // lo < size2 always: a full buffer rejected h >= last above
+      i = lo + 1
+      while (i < size2) { b(i) = buf(i - 1); i += 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    }
+  }
 
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
     (a ++ b).distinct.sorted.take(k)
@@ -56,9 +80,18 @@ object Kmv {
     * SQL text): exact fill while the buffer holds < k hashes, the
     * unbiased estimator otherwise. THE single definition of the
     * estimate — batch [[distinctEstimate]] and the streaming windowed
-    * form share it, so stream==batch parity cannot drift. */
+    * form share it, so stream==batch parity cannot drift.
+    *
+    * Guarded against h_k == 0 (hash60 CAN yield 0, p ≈ k/2⁶⁰): an
+    * unguarded divide is NULL under Spark's non-ANSI integral divide
+    * but a hard error under DuckDB's `//` — a cross-engine divergence.
+    * h_k = 0 means the sketch holds the hash-space minimum, i.e. the
+    * estimator is unboundedly large; fall back to the fill count (the
+    * only defensible lower bound) on BOTH engines. */
   def estimate(bufColName: String, k: Int): Column =
-    when(size(col(bufColName)) < k, size(col(bufColName)).cast("long"))
+    when(size(col(bufColName)) < k ||
+        element_at(col(bufColName), k) <= lit(0L),
+      size(col(bufColName)).cast("long"))
       .otherwise(expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976" +
         s" div element_at($bufColName, $k)"))
 

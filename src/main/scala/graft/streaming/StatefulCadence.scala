@@ -30,10 +30,13 @@ case class CadenceRow(user_id: Long, n_gaps: Long, sum_gap_s: Long,
   * the running `(n, Σg, Σg²)`. Because the moment sums are associative
   * integers, an in-order stream reproduces the batch operator EXACTLY
   * (the parity test's contract) regardless of how events split across
-  * micro-batches. An out-of-order event under-states its true gap (it
-  * measures against the latest seen, not its true predecessor) — bound
-  * that with a watermark + upstream sort if late data matters; the
-  * state itself never corrupts (gaps are clamped at 0).
+  * micro-batches. The `(last_us, last_id)` pair is the guard that makes
+  * that contract explicit: an event at or before the latest folded one
+  * (a late arrival, or a replayed duplicate) is SKIPPED rather than
+  * folded, so the state is monotone — a straggler can neither rewind
+  * `last_us` (which would inflate the next gap) nor double-count a
+  * duplicate delivery. Bound late data with a watermark + upstream sort
+  * if its gaps must count; the state itself never corrupts.
   *
   * State is O(1) per user. At production scale pair with
   * `GroupStateTimeout.EventTimeTimeout` to evict idle users — kept
@@ -69,10 +72,11 @@ object StatefulCadence {
             CadenceState(Long.MinValue, Long.MinValue, -1L, 0L, 0L))
           sorted.foreach { e =>
             if (st.n < 0) st = CadenceState(e.t_us, e.event_id, 0L, 0L, 0L)
-            else {
-              val g = math.max(0L, (e.t_us - st.last_us) / 1000000L)
+            else if (e.t_us > st.last_us ||
+                (e.t_us == st.last_us && e.event_id > st.last_id)) {
+              val g = (e.t_us - st.last_us) / 1000000L
               st = CadenceState(e.t_us, e.event_id, st.n + 1, st.s1 + g, st.s2 + g * g)
-            }
+            } // else: late or duplicate vs (last_us, last_id) — skip, see scaladoc
           }
           state.update(st)
           if (st.n >= minGaps && st.s1 > 0) {

@@ -222,6 +222,22 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(r2.getLong(5) <= 60L, s"disjoint overlap ~0, got ${r2.getLong(5)}")
   }
 
+  test("KmvAgg.reduce: insertion-order invariant, sorted+distinct, capped at k") {
+    // pure Aggregator micro-property (no Spark): folding any permutation
+    // of any multiset must yield the identical buffer — the k smallest
+    // distinct values, ascending
+    val agg = new graft.operators.KmvAgg(8)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 50) {
+      val vals = Vector.fill(3 + rnd.nextInt(40))(rnd.nextInt(20).toLong)
+      val sortedFold = vals.sorted.foldLeft(agg.zero)(agg.reduce)
+      val shuffledFold = rnd.shuffle(vals).foldLeft(agg.zero)(agg.reduce)
+      val expect = vals.distinct.sorted.take(8)
+      assert(sortedFold === expect, s"trial $trial sorted-fold")
+      assert(shuffledFold === expect, s"trial $trial shuffled-fold")
+    }
+  }
+
   // ── Text.dropoutTokens ─────────────────────────────────────────────
 
   test("word dropout: rate endpoints, determinism, and plausible keep rate") {
