@@ -750,11 +750,18 @@ object SparkEntry {
       Graft.registerAll(s) // hashed_shingles codegen expression
       Dedup.ngramJaccardPairs(augmentedDocs(s, dir), n = 5, threshold = 0.3)
     }),
-    // Embedding-cosine near-dup pairs (brute force baseline) over a corpus
-    // with constructed near-dups (affine-perturbed copies).
+    // Embedding-cosine near-dup pairs over a corpus with constructed
+    // near-dups (affine-perturbed copies); the oracle is the brute-force
+    // all-pairs ground truth, so this is also d5's recall gate. Uses the
+    // AUTO banding (threshold 0.95, miss ≤ 1e-3 → 35 bands × 16 planes):
+    // deep bands keep bucket occupancy CONSTANT as the corpus grows —
+    // the round-6 10× rehearsal measured the old fixed 8×8 grid going
+    // 13× (in-bucket candidates are quadratic in occupancy), while the
+    // deep grid stays linear; sketch compute grows 8.75× but is
+    // scan-stage and codegen'd.
     "d5_embedding_neardup" -> ((s, dir) => {
       Graft.registerAll(s)
-      Dedup.embeddingNearDupPairs(augmentedEmb(s, dir), threshold = 0.95)
+      Dedup.embeddingNearDupPairsAuto(augmentedEmb(s, dir), threshold = 0.95)
     }),
 
     // ── Similarity search ────────────────────────────────────────────────
@@ -1906,7 +1913,29 @@ object SparkEntry {
     // construction as g1_pagerank) — degree-oriented node-iterator, no
     // cartesian; see Graph.triangleCounts.
     "g2_triangles" -> ((s, dir) =>
-      Graph.triangleCounts(tradeEdges(s, dir)))
+      Graph.triangleCounts(tradeEdges(s, dir))),
+    // Degree assortativity of the same nation trade graph: do hubs link
+    // to hubs? One number, exact integer moment sums, symmetric edge
+    // orientation (see Graph.degreeAssortativity). The join-skew
+    // diagnostic companion to g2.
+    "g4_assortativity" -> ((s, dir) =>
+      Graph.degreeAssortativity(tradeEdges(s, dir))),
+    // First-order Markov transition matrix over per-user event streams:
+    // (prev → next) counts, source margins re-aggregated from the cell
+    // table, probability in exact integer ppm. One user-key shuffle.
+    "u34_markov_transitions" -> ((s, dir) =>
+      Sessions.markovTransitions(tbl(s, dir, "events"))),
+    // Leakage-safe temporal split with a 2-day embargo: train < day 12,
+    // embargo [day 12, day 14) dropped, valid >= day 14 — row-level
+    // assignment (the p1 contract shape), pure scan-stage projection +
+    // filter; the time-series complement of p1's hash split.
+    "p14_temporal_split" -> ((s, dir) => {
+      val cut = lit(winStart).cast("date")
+      Split.temporalSplit(tbl(s, dir, "events"), "ts",
+        trainEnd = date_add(cut, 12).cast("timestamp"),
+        validStart = date_add(cut, 14).cast("timestamp"))
+        .select(col("event_id"), col("split"))
+    })
   )
 
   /** The testdata parquet files are single-row-group, so a scan is ONE
@@ -4802,6 +4831,53 @@ object SparkEntry {
         """SELECT o_orderkey,
           |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rank
           |FROM orders""".stripMargin,
+      "g4_assortativity" ->
+        """WITH edges AS (
+          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w
+          |  FROM lineitem l
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  GROUP BY 1, 2
+          |), und AS (
+          |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM edges WHERE src <> dst
+          |), deg AS (
+          |  SELECT n, CAST(count(*) AS BIGINT) AS d
+          |  FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY 1
+          |), pts AS (
+          |  SELECT du.d AS x, dv.d AS y
+          |  FROM und JOIN deg du ON und.u = du.n JOIN deg dv ON und.v = dv.n
+          |), sym AS (
+          |  SELECT x, y FROM pts UNION ALL SELECT y AS x, x AS y FROM pts
+          |), s AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx,
+          |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+          |  FROM sym
+          |)
+          |SELECT m AS n_points,
+          |  CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+          |       ELSE round(CAST(m * sxy - sx * sx AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE), 6)
+          |  END AS assortativity
+          |FROM s""".stripMargin,
+      "u34_markov_transitions" ->
+        """WITH o AS (
+          |  SELECT event_type AS t,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM events
+          |), cells AS (
+          |  SELECT prev AS prev_type, t AS next_type, CAST(count(*) AS BIGINT) AS n
+          |  FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+          |), m AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_prev FROM cells GROUP BY 1)
+          |SELECT prev_type, next_type, n, n_prev,
+          |  CAST(n * 1000000 // n_prev AS BIGINT) AS p_ppm
+          |FROM cells JOIN m USING (prev_type)""".stripMargin,
+      "p14_temporal_split" ->
+        s"""SELECT event_id,
+           |  CASE WHEN ts < TIMESTAMP '$winStart 00:00:00' + INTERVAL 12 DAY THEN 'train'
+           |       WHEN ts >= TIMESTAMP '$winStart 00:00:00' + INTERVAL 14 DAY THEN 'valid' END AS split
+           |FROM events
+           |WHERE ts < TIMESTAMP '$winStart 00:00:00' + INTERVAL 12 DAY
+           |   OR ts >= TIMESTAMP '$winStart 00:00:00' + INTERVAL 14 DAY""".stripMargin,
       "g2_triangles" ->
         """WITH edges AS (
           |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w

@@ -161,4 +161,54 @@ object Graph {
     tri.select(explode(array(col("_a"), col("_b"), col("_c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Degree assortativity (Newman's r): the Pearson correlation of the
+    * endpoint degrees over all undirected edges — positive means hubs
+    * link to hubs (social graphs), negative means hubs link to leaves
+    * (the typical web/interaction shape). The one-number summary that
+    * says whether a graph's heavy keys will COLLIDE in a join
+    * (assortative graphs put both heavy endpoints on the same shuffle
+    * key; disassortative ones spread them).
+    *
+    * Determinism: each undirected edge contributes its degree pair in
+    * BOTH orientations (the standard symmetric definition, which also
+    * makes Σx = Σy and Σx² = Σy², so the Pearson collapses to
+    * `(m·Σxy − Sx²) / (m·Σxx − Sx²)`). All sums are exact integers in
+    * decimal; doubles appear only at the final division (the cv2 rule),
+    * so the result is bit-identical across engines and partitionings.
+    * A degree-regular graph has zero variance → NULL, not a crash.
+    *
+    * Scale shape: dedup + degree count are the same two exchanges
+    * [[triangleCounts]] opens with; the degree table joins back by node
+    * key (never broadcast — |V| scales with the corpus); the symmetric
+    * union is a projection; the final aggregate is one row. */
+  def degreeAssortativity(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("_u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("_v"))
+      .where(col("_u") =!= col("_v"))
+      .distinct()
+    val deg = und.select(col("_u").as("_n")).union(und.select(col("_v").as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    val pts = und
+      .join(deg.select(col("_n").as("_u"), col("_d").as("_du")), Seq("_u"))
+      .join(deg.select(col("_n").as("_v"), col("_d").as("_dv")), Seq("_v"))
+    val sym = pts.select(col("_du").as("_x"), col("_dv").as("_y"))
+      .union(pts.select(col("_dv").as("_x"), col("_du").as("_y")))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    sym
+      .agg(count(lit(1)).as("m"), sum(col("_x")).as("_sx"),
+        sum(dec(col("_x")) * dec(col("_x"))).as("_sxx"),
+        sum(dec(col("_x")) * dec(col("_y"))).as("_sxy"))
+      .select(col("m").as("n_points"),
+        when(dec(col("m")) * col("_sxx") - dec(col("_sx")) * dec(col("_sx")) === 0,
+          lit(null))
+          .otherwise(round(
+            (dec(col("m")) * col("_sxy") - dec(col("_sx")) * dec(col("_sx")))
+              .cast("double") /
+              (dec(col("m")) * col("_sxx") - dec(col("_sx")) * dec(col("_sx")))
+                .cast("double"),
+            6)).as("assortativity"))
+  }
 }

@@ -128,6 +128,40 @@ object Sessions {
       .where(col("_prev").isNotNull)
       .select(col("user_id"), expr("(_us - _prev) div 1000000").as("_g"))
 
+  /** First-order Markov transition matrix over each user's time-ordered
+    * event stream: for every (prev_type → next_type) pair, the observed
+    * count, the source-state margin, and the transition probability in
+    * exact integer ppm (`floor(n·1e6 / n_prev)`) — the behavioral model
+    * behind next-action prediction, anomaly scoring ("this transition
+    * has p < 1e-4"), and synthetic-journey generation.
+    *
+    * Determinism: successor pairs come from a `(ts, id)`-ordered `lag`,
+    * so equal timestamps tie-break identically on any engine, and the
+    * ppm floor-division keeps the matrix bit-identical across
+    * partitionings (the attribution/surprisal quantization rule).
+    *
+    * Scale shape: ONE user-key shuffle for the per-user ordering (the
+    * same exchange every sessionization op here rides), then the cell
+    * aggregate collapses to |types|² rows, and the source margins are
+    * RE-AGGREGATED from that tiny cell table (the t28/mutualInfo rule:
+    * never a second pass over the events) and broadcast back. */
+  def markovTransitions(
+      events: DataFrame, userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    val cells = events
+      .select(col(userCol).as("user_id"), col(typeCol).as("_t"),
+        unix_micros(col(tsCol)).as("_us"), col(idCol).as("_id"))
+      .withColumn("_prev", lag(col("_t"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("_us"), col("_id"))))
+      .where(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("prev_type"), col("_t").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val margins = cells.groupBy(col("prev_type")).agg(sum(col("n")).as("n_prev"))
+    cells.join(broadcast(margins), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"), col("n_prev"),
+        expr("(n * 1000000) div n_prev").as("p_ppm"))
+  }
+
   def interEventStats(
       events: DataFrame, userCol: String = "user_id", tsCol: String = "ts",
       idCol: String = "event_id", minGaps: Int = 2): DataFrame = {

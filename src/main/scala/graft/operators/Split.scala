@@ -38,6 +38,28 @@ object Split {
     df.withColumn("bucket", b).withColumn("split", assign)
   }
 
+  /** Leakage-safe temporal train/valid split with an embargo gap — the
+    * time-series counterpart of [[assignSplit]]: rows strictly before
+    * `trainEnd` are `train`, rows at/after `validStart` are `valid`,
+    * and rows INSIDE `[trainEnd, validStart)` (the embargo) are dropped
+    * so windowed features computed over train rows cannot overlap the
+    * validation period (the classic boundary leak: a trailing 7-day
+    * aggregate at the last train timestamp reads validation events
+    * unless the embargo is at least the feature window).
+    *
+    * A pure scan-stage projection + filter — no shuffle, no state; the
+    * assignment is a function of the row's own timestamp, so any
+    * engine, partitioning, or incremental re-run reproduces it, and
+    * partition pruning on a date-partitioned 100 TB table serves each
+    * split from its own partitions. */
+  def temporalSplit(
+      df: DataFrame, tsCol: String,
+      trainEnd: Column, validStart: Column): DataFrame =
+    df.withColumn("split",
+        when(col(tsCol) < trainEnd, "train")
+          .when(col(tsCol) >= validStart, "valid"))
+      .where(col("split").isNotNull)
+
   /** Deterministic stratified sampling: keeps a row iff the md5 of
     * ("smp" ∥ stratum ∥ id), reduced to parts-per-million, falls under the
     * stratum's rate. A pure filter — no RNG, no shuffle, no state; the

@@ -349,6 +349,35 @@ class PlanSpec extends AnyFunSuite {
       s"the only window is the cumsum over the bounded day axis:\n$p")
   }
 
+  test("u34 markov: one user-key shuffle for the lag, margins broadcast back") {
+    val p = plan("u34_markov_transitions")
+    assert(p.contains("Exchange hashpartitioning(user_id"),
+      s"per-user ordering must shuffle on user_id:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the |types|-row margin table must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"margins must not plan as a shuffled join:\n$p")
+  }
+
+  test("p14 temporal split: pure scan-stage projection + filter, no exchange") {
+    val p = plan("p14_temporal_split")
+    assert(!p.contains("Exchange"),
+      s"temporal assignment must not shuffle:\n$p")
+    // pushdown reaches the scan only when the generation ships ts as a
+    // plain timestamp (the nanos-as-long generations normalize ts in a
+    // projection, which legitimately blocks pushdown)
+    val rawTs = spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType
+    if (rawTs == org.apache.spark.sql.types.TimestampType)
+      assert(p.contains("PushedFilters:") && p.contains("Or(LessThan(ts,"),
+        s"the split window filter should push to the scan:\n$p")
+  }
+
+  test("g4 assortativity: degree table equi-joins on node key, no broadcast of corpus-scaled sides") {
+    val p = plan("g4_assortativity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no cartesian anywhere in the moment pipeline:\n$p")
+  }
+
   test("p11 curriculum: percentile cutoffs broadcast, no window, no range partitioning") {
     val p = plan("p11_curriculum")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

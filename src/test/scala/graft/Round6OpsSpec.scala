@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Graph, Sessions, Split}
+
+/** Behavior specs for the round-6 additions: Markov transitions,
+  * temporal embargo split, degree assortativity, and the cap-exposure
+  * audit.
+  */
+class Round6OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("round6-ops-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    Graft.registerAll(s)
+    s
+  }
+
+  // ── Sessions.markovTransitions ─────────────────────────────────────
+
+  test("markov transitions: counts, margins, ppm floor, tie order, cross-user isolation") {
+    import spark.implicits._
+    // user 1: a->b->a->c (transitions a->b, b->a, a->c)
+    // user 2: b->b (one self-transition); first events produce no pair
+    // two equal timestamps on user 1 tie-break by event_id (3 before 4)
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "a"),
+      (2L, 1L, "2024-01-01 00:01:00", "b"),
+      (3L, 1L, "2024-01-01 00:02:00", "a"),
+      (4L, 1L, "2024-01-01 00:02:00", "c"),
+      (5L, 2L, "2024-01-01 00:00:00", "b"),
+      (6L, 2L, "2024-01-01 00:05:00", "b"))
+      .toDF("event_id", "user_id", "s", "event_type")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val r = Sessions.markovTransitions(ev).collect()
+      .map(x => ((x.getString(0), x.getString(1)), (x.getLong(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    assert(r === Map(
+      ("a", "b") -> ((1L, 2L, 500000L)),
+      ("a", "c") -> ((1L, 2L, 500000L)),
+      ("b", "a") -> ((1L, 2L, 500000L)),
+      ("b", "b") -> ((1L, 2L, 500000L))))
+    // partition invariance: integer state, any layout
+    val r1 = Sessions.markovTransitions(ev.repartition(7)).collect()
+      .map(x => ((x.getString(0), x.getString(1)), (x.getLong(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    assert(r1 === r)
+  }
+
+  // ── Split.temporalSplit ────────────────────────────────────────────
+
+  test("temporal split: boundaries half-open, embargo rows dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-12 23:59:59"), // train (strictly before trainEnd)
+      (2L, "2024-01-13 00:00:00"), // embargo (at trainEnd)
+      (3L, "2024-01-14 23:59:59"), // embargo
+      (4L, "2024-01-15 00:00:00"), // valid (at validStart)
+      (5L, "2024-01-20 12:00:00")) // valid
+      .toDF("event_id", "s")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val r = Split.temporalSplit(rows, "ts",
+      lit("2024-01-13 00:00:00").cast("timestamp"),
+      lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("split")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r === Map(1L -> "train", 4L -> "valid", 5L -> "valid"))
+  }
+
+  // ── Graph.degreeAssortativity ──────────────────────────────────────
+
+  test("assortativity: star is -1, regular graph is NULL, messy edges dedup") {
+    import spark.implicits._
+    // star K1,3: every edge joins deg-3 hub to deg-1 leaf -> r = -1
+    // edges given messy: duplicate, reversed, self-loop
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 3L))
+      .toDF("src", "dst")
+    val rs = Graph.degreeAssortativity(star).collect().head
+    assert(rs.getLong(0) === 6L) // 3 undirected edges x 2 orientations
+    assert(rs.getDouble(1) === -1.0)
+    // triangle: 2-regular, zero degree variance -> NULL (not a crash)
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val rt = Graph.degreeAssortativity(tri).collect().head
+    assert(rt.getLong(0) === 6L && rt.isNullAt(1))
+  }
+
+  // ── Dedup.capExposureReport ────────────────────────────────────────
+
+  test("cap exposure: identical docs form one hot band bucket; big caps report zero") {
+    import spark.implicits._
+    // 6 identical docs: every band bucket holds all 6 members
+    val docs = (1L to 6L).map(i => (i, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val hot = Dedup.capExposureReport(docs, bucketCap = 4, dfCap = 100).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // 8 bands, each one bucket of 6 members > cap 4 -> all dropped
+    assert(hot("lsh_band") === ((8L, 8L, 48L, 6L)))
+    // each shingle appears in all 6 docs, under dfCap 100 -> no drops
+    assert(hot("shingle_df")._2 === 0L && hot("shingle_df")._4 === 6L)
+    // generous caps: zero exposure, counters all zero
+    val cold = Dedup.capExposureReport(docs, bucketCap = 100, dfCap = 100).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(cold("lsh_band") === ((0L, 0L)) && cold("shingle_df") === ((0L, 0L)))
+  }
+}
