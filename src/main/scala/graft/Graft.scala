@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{Fingerprint64, HashedShingles, LongArrayDot, MinhashSig, Simhash32, SqlFunctions}
+import graft.functions.{Fingerprint64, HashedLinearScore, HashedShingles, LongArrayDot, MinhashSig, Simhash32, SqlFunctions}
 import graft.operators.Retention
 
 /** Session facade for the graft engine — the analogue of the reference's
@@ -44,6 +44,7 @@ object Graft {
     HashedShingles.register(spark)
     Simhash32.register(spark)
     Fingerprint64.register(spark)
+    HashedLinearScore.register(spark)
     SqlFunctions.registerAll(spark)
   }
 

@@ -736,6 +736,15 @@ object SparkEntry {
       Graft.registerAll(s)
       Dedup.capExposureReport(augmentedDocs(s, dir), bucketCap = 4, dfCap = 8)
     }),
+    // Embedding sibling of d20 over the d5 corpus: (band, bucket)
+    // occupancy of the PRODUCTION sign-LSH banding (the Auto-derived
+    // 35×16 grid d5 runs) — the direct monitor for the quadratic-
+    // occupancy failure class the round-6 scale rehearsal caught.
+    // max_group near the cap = time to add planes.
+    "d21_emb_cap_audit" -> ((s, dir) => {
+      Graft.registerAll(s)
+      Dedup.embeddingCapExposureReport(augmentedEmb(s, dir), bucketCap = 4)
+    }),
     // Per-document 32-bit SimHash.
     "d3_simhash" -> ((s, dir) => {
       Graft.registerAll(s) // simhash32 codegen expression
@@ -1539,12 +1548,14 @@ object SparkEntry {
     // Hashed-feature linear quality model (the fastText-filter stage of
     // a corpus pipeline): one codegen'd pass per document, exact integer
     // score, keep/drop decision inline. See Text.hashedLinearScore.
-    "t25_quality_model" -> ((s, dir) =>
+    "t25_quality_model" -> ((s, dir) => {
+      Graft.registerAll(s) // hashed_linear_score codegen expression
       par(tbl(s, dir, "documents"))
         .select(col("doc_id"),
           graft.functions.Text.tokenCount(col("text")).cast("long").as("n_tokens"),
-          graft.functions.Text.hashedLinearScore(col("text")).as("score"))
-        .withColumn("kept", when(col("score") >= 0, 1).otherwise(0))),
+          graft.functions.Text.hashedLinearScoreNative(col("text")).as("score"))
+        .withColumn("kept", when(col("score") >= 0, 1).otherwise(0))
+    }),
     // Behavioral cohort selection (the UBA "users who did X ≥ n times in
     // window A — did they do Y in window B" question): week-1 engagement
     // cohorts (≥3 views vs fewer) × week-2 purchase conversion, rate in
@@ -2875,6 +2886,33 @@ object SparkEntry {
            |  CAST(coalesce(sum(CASE WHEN m > 8 THEN m END), 0) AS BIGINT),
            |  CAST(max(m) AS BIGINT)
            |FROM dfs""".stripMargin,
+      // 35/16 hardcoded = bandingForTargetMiss(0.95, 1e-3), the grid the
+      // d5 query derives; plane weights recomputed from the same
+      // 'nd<band>:<p>,<d>' md5 seeds.
+      "d21_emb_cap_audit" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1 + 0.01)
+           |  FROM embeddings
+           |), $quantEmbSql, w AS (
+           |  SELECT band, p, list_transform(range(64), d ->
+           |    ((('0x' || substr(md5('nd' || CAST(band AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15))::BIGINT) % 2001) - 1000) AS wv
+           |  FROM (SELECT CAST(range AS BIGINT) AS band FROM range(35))
+           |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS p FROM range(16))
+           |), b AS (
+           |  SELECT q.vec_id, w.band,
+           |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+           |      d -> q.qv[CAST(d AS INT)] * w.wv[CAST(d AS INT)])) >= 0
+           |      THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM q CROSS JOIN w GROUP BY 1, 2
+           |), bsz AS (SELECT band, bucket, CAST(count(*) AS BIGINT) AS m FROM b GROUP BY 1, 2)
+           |SELECT 'emb_lsh_band' AS stage, CAST(4 AS BIGINT) AS cap,
+           |  CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(coalesce(sum(CASE WHEN m > 4 THEN 1 END), 0) AS BIGINT) AS n_hot_groups,
+           |  CAST(coalesce(sum(CASE WHEN m > 4 THEN m END), 0) AS BIGINT) AS dropped_rows,
+           |  CAST(max(m) AS BIGINT) AS max_group
+           |FROM bsz""".stripMargin,
       "d3_simhash" ->
         s"""WITH n AS (
            |  SELECT doc_id, list_distinct($normToksSql) AS toks FROM documents

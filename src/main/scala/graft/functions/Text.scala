@@ -42,6 +42,14 @@ object Text {
       acc + (conv(substring(md5(concat(lit("qw|"), t)), 1, 15), 16, 10)
         .cast("long") % 2001 - 1000))
 
+  /** [[hashedLinearScore]] via the fused one-pass expression — requires
+    * [[graft.Graft.registerAll]] on the session. Identical output; the
+    * composable `aggregate` HOF evaluates the md5 expression tree
+    * interpreted once per token (measured 15.8× vs ~2× scaling at the
+    * round-6 10× rehearsal). */
+  def hashedLinearScoreNative(c: Column): Column =
+    call_function(graft.functions.HashedLinearScore.name, c)
+
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "that", "it", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),

@@ -314,6 +314,19 @@ object Dedup {
     * band-key / shingle tables (the same shuffles the guarded operators
     * already do), each collapsing to one row — strictly cheaper than
     * any candidate join it audits. */
+  /** One-row exposure summary over a `_m`-sized group table — the shared
+    * output shape of the cap audits ([[capExposureReport]] /
+    * [[embeddingCapExposureReport]]). */
+  private def stageReport(stage: String, cap: Int, sizes: DataFrame): DataFrame =
+    sizes.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("_m") > cap, 1L).otherwise(0L)).as("n_hot_groups"),
+      sum(when(col("_m") > cap, col("_m")).otherwise(0L)).as("dropped_rows"),
+      max(col("_m")).as("max_group"))
+      .select(lit(stage).as("stage"), lit(cap.toLong).as("cap"),
+        col("n_groups"), col("n_hot_groups"), col("dropped_rows"),
+        col("max_group"))
+
   def capExposureReport(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k: Int = 32, bands: Int = 8, bucketCap: Int = 4,
@@ -328,21 +341,39 @@ object Dedup {
       concat_ws(",", (j * r until (j + 1) * r)
         .map(i => element_at(col("_sig"), i + 1).cast("string")): _*)
     }: _*)
-    def stageReport(stage: String, cap: Int, sizes: DataFrame): DataFrame =
-      sizes.agg(
-        count(lit(1)).as("n_groups"),
-        sum(when(col("_m") > cap, 1L).otherwise(0L)).as("n_hot_groups"),
-        sum(when(col("_m") > cap, col("_m")).otherwise(0L)).as("dropped_rows"),
-        max(col("_m")).as("max_group"))
-        .select(lit(stage).as("stage"), lit(cap.toLong).as("cap"),
-          col("n_groups"), col("n_hot_groups"), col("dropped_rows"),
-          col("max_group"))
     val bandSizes = sig.select(col("_id"), posexplode(bandCols))
       .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("_m"))
     val dfSizes = sh.select(explode(col("_sh")).as("_s"))
       .groupBy(col("_s")).agg(count(lit(1)).as("_m"))
     stageReport("lsh_band", bucketCap, bandSizes)
       .unionByName(stageReport("shingle_df", dfCap, dfSizes))
+  }
+
+  /** [[capExposureReport]]'s embedding sibling: (band, bucket) occupancy
+    * of the SIGN-LSH banding that [[embeddingNearDupPairsAuto]] /
+    * [[embeddingNearDupPairs]] generate candidates from, under
+    * `bucketCap` — the direct monitor for the failure class the round-6
+    * scale rehearsal caught (fixed bucket grids make in-bucket
+    * candidates quadratic in occupancy as the corpus grows). The
+    * banding audited is exactly the production one: derived from
+    * (threshold, targetMiss) by [[bandingForTargetMiss]], same `nd$b:`
+    * plane seeds. `max_group` is the early-warning number — when it
+    * approaches `bucketCap`, add planes (or raise the cap consciously).
+    *
+    * Scale shape: the sketch projection is scan-stage codegen; one
+    * (band, bucket) group aggregate collapsing to one row. */
+  def embeddingCapExposureReport(
+      emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.95, targetMiss: Double = 1e-3,
+      bucketCap: Int = 4): DataFrame = {
+    val (bands, planes) = bandingForTargetMiss(threshold, targetMiss)
+    val q = Similarity.prepare(emb, idCol, vecCol)
+    val bandCols = array((0 until bands).map { b =>
+      Similarity.lshBucketSeeded(col("_q"), s"nd$b:", planes)
+    }: _*)
+    val sizes = q.select(col("_id"), posexplode(bandCols))
+      .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("_m"))
+    stageReport("emb_lsh_band", bucketCap, sizes)
   }
 
   /** Shared front half of the MinHash-LSH operators: hashed shingle sets

@@ -211,8 +211,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
         Dedup.simhash32(col("text")).as("sa"),
         Dedup.simhash32Native(col("text")).as("sb"),
         Text.fingerprint64(col("text")).as("fa"),
-        Text.fingerprint64Native(col("text")).as("fb"))
-      assert(both.where(col("sa") =!= col("sb") || col("fa") =!= col("fb")).count() === 0)
+        Text.fingerprint64Native(col("text")).as("fb"),
+        Text.hashedLinearScore(col("text")).as("qa"),
+        Text.hashedLinearScoreNative(col("text")).as("qb"))
+      assert(both.where(col("sa") =!= col("sb") || col("fa") =!= col("fb") ||
+        col("qa") =!= col("qb")).count() === 0)
       assert(both.count() > 0)
     }
   }

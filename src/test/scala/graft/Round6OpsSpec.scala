@@ -112,4 +112,19 @@ class Round6OpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
     assert(cold("lsh_band") === ((0L, 0L)) && cold("shingle_df") === ((0L, 0L)))
   }
+
+  test("embedding cap exposure: identical vectors fill every band bucket; audit matches banding") {
+    import spark.implicits._
+    // 6 identical vectors land in the same bucket of EVERY band
+    val v = (1 to 64).map(_.toFloat / 64f)
+    val emb = (1L to 6L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val (bands, planes) = Dedup.bandingForTargetMiss(0.95, 1e-3)
+    assert((bands, planes) === ((35, 16))) // the grid d5/d21 audit
+    val r = Dedup.embeddingCapExposureReport(emb, bucketCap = 4).collect().head
+    assert(r.getString(0) === "emb_lsh_band")
+    assert(r.getLong(2) === bands.toLong, "one bucket per band")
+    assert(r.getLong(3) === bands.toLong && r.getLong(4) === 6L * bands,
+      "every band bucket is hot at cap 4")
+    assert(r.getLong(5) === 6L)
+  }
 }
