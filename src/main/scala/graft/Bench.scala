@@ -317,11 +317,13 @@ object Bench {
     }
   }
 
-  /** Round to ≤2 decimals and strip trailing zeros — the compact-line
-    * number format (10 ms precision; the full-precision values are on
-    * the line above). */
-  private def fmt2(v: Double): String =
-    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+  /** Round to ≤1 decimal and strip trailing zeros — the compact-line
+    * number format. Deciseconds is deliberate: the compact line must
+    * FIT the driver's ~2 KB tail capture whole at 160+ queries (at
+    * 2 dp the worst case already brushed the limit and each round adds
+    * ~10 queries); the full-precision values are on the line above. */
+  private def fmt1(v: Double): String =
+    BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
       .bigDecimal.stripTrailingZeros.toPlainString
 
   /** Emits the aggregate artifact as TWO JSON lines, engineered for the
@@ -334,7 +336,7 @@ object Bench {
     *     end), so even a mid-line cut preserves the timed numbers;
     *  2. a compact final line that FITS the tail whole: query names
     *     shortened to their unique id prefix (`d16_dup_stats` → `d16`;
-    *     names whose prefix collides stay full), seconds at 2 dp,
+    *     names whose prefix collides stay full), seconds at 1 dp,
     *     `sf` as a basename, and `"value"` (total timed sec) as the
     *     very last key.
     */
@@ -354,9 +356,9 @@ object Bench {
       val p = n.split("_")(0)
       if (prefixCount.getOrElse(p, 0) > 1) n else p
     }
-    val cq = results.map { case (k, v) => s"${jstr(sid(k))}:${fmt2(v)}" }
+    val cq = results.map { case (k, v) => s"${jstr(sid(k))}:${fmt1(v)}" }
       .mkString("{", ",", "}")
     val sfBase = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfBase","nq":${results.size},"nerr":${errors.size},"queries":$cq,"value":${fmt2(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfBase","nq":${results.size},"nerr":${errors.size},"queries":$cq,"value":${fmt1(total)}}""")
   }
 }
