@@ -1936,6 +1936,36 @@ object SparkEntry {
     // table, probability in exact integer ppm. One user-key shuffle.
     "u34_markov_transitions" -> ((s, dir) =>
       Sessions.markovTransitions(tbl(s, dir, "events"))),
+    // Per-document shingle novelty: fraction of a doc's distinct
+    // 3-gram shingles with corpus document-frequency 1, exact ppm —
+    // the memorization/novelty curation signal. Inverted index without
+    // pair fan-out; see Dedup.shingleNovelty.
+    "t31_novelty" -> ((s, dir) => {
+      Graft.registerAll(s)
+      Dedup.shingleNovelty(par(tbl(s, dir, "documents")))
+    }),
+    // One-sided CUSUM change-point detection over daily purchase
+    // revenue (cents): running max(0, s + x − μ − k) with integer
+    // μ/k/h derived from the data, alarm when s > h. The sequential
+    // recurrence runs over the calendar-bounded day axis only; the
+    // stream is touched by ONE day-key aggregate. See Anomaly.cusumDaily.
+    "u35_cusum" -> ((s, dir) => {
+      val daily = tbl(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("rev_cents"))
+      Anomaly.cusumDaily(daily, "day", "rev_cents")
+    }),
+    // Temperature-flattened language mixture (share ∝ √n, the n^α
+    // multilingual rebalancing rule): shares DERIVED from the skewed
+    // lang counts (vs p4's given shares), sampling by the same exact
+    // rational cut. en (~44% of docs) gets thinned hardest; the tail
+    // langs keep proportionally more. See Split.temperatureMixture.
+    "p15_temperature_mix" -> ((s, dir) =>
+      Split.temperatureMixture(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang")
+        .select(col("doc_id"), col("lang"))),
     // Leakage-safe temporal split with a 2-day embargo: train < day 12,
     // embargo [day 12, day 14) dropped, valid >= day 14 — row-level
     // assignment (the p1 contract shape), pure scan-stage projection +
@@ -4000,6 +4030,75 @@ object SparkEntry {
           |WHERE CAST(('0x' || substr(md5('mix|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
           |        % 1000000 AS HUGEINT) * s_bind * n
           |      < CAST(1000000 AS HUGEINT) * share_ppm * n_bind""".stripMargin,
+      // shares derived in-SQL from the same quantized-sqrt rule
+      // (q = floor(sqrt(n)·1e6), share = max(1, q·1e6 // Σq)); the cut
+      // is p4's exact rational binding-domain filter.
+      "p15_temperature_mix" ->
+        """WITH c AS (
+          |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+          |), q AS (
+          |  SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS q FROM c
+          |), j AS (
+          |  SELECT lang, n,
+          |    greatest(CAST(1 AS BIGINT),
+          |      CAST(CAST(q AS HUGEINT) * 1000000 // (SELECT sum(q) FROM q) AS BIGINT)) AS share_ppm
+          |  FROM q
+          |), bind AS (
+          |  SELECT a.n AS n_bind, a.share_ppm AS s_bind FROM j a
+          |  WHERE NOT EXISTS (
+          |    SELECT 1 FROM j b
+          |    WHERE CAST(b.n AS HUGEINT) * a.share_ppm < CAST(a.n AS HUGEINT) * b.share_ppm
+          |       OR (CAST(b.n AS HUGEINT) * a.share_ppm = CAST(a.n AS HUGEINT) * b.share_ppm
+          |           AND b.lang < a.lang))
+          |)
+          |SELECT d.doc_id, d.lang FROM documents d JOIN j USING (lang) CROSS JOIN bind
+          |WHERE CAST(('0x' || substr(md5('mix|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          |        % 1000000 AS HUGEINT) * s_bind * n
+          |      < CAST(1000000 AS HUGEINT) * share_ppm * n_bind""".stripMargin,
+      "t31_novelty" ->
+        s"""WITH norm AS (
+           |  SELECT doc_id, $normToksSql AS toks FROM documents
+           |), shs AS (
+           |  SELECT doc_id, list_distinct(list_transform(${shingleSql(3)},
+           |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+           |  FROM norm
+           |), e AS (
+           |  SELECT doc_id, unnest(sh) AS s FROM shs
+           |), df AS (
+           |  SELECT s, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY 1
+           |)
+           |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(coalesce(sum(CASE WHEN df.df = 1 THEN 1 END), 0) AS BIGINT) AS n_novel,
+           |  CAST(coalesce(sum(CASE WHEN df.df = 1 THEN 1 END), 0) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+           |FROM e JOIN df USING (s) GROUP BY e.doc_id""".stripMargin,
+      "u35_cusum" ->
+        """WITH RECURSIVE p AS (
+          |  SELECT CAST(ts AS DATE) AS day, CAST(round(value * 100) AS BIGINT) AS c
+          |  FROM events WHERE event_type = 'purchase'
+          |), d AS (
+          |  SELECT day, CAST(sum(c) AS BIGINT) AS rev FROM p GROUP BY 1
+          |), ax AS (
+          |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+          |  FROM (SELECT min(day) AS mn, max(day) AS mx FROM d)
+          |), r AS (
+          |  SELECT ax.day, coalesce(d.rev, 0) AS rev,
+          |    row_number() OVER (ORDER BY ax.day) AS rn
+          |  FROM ax LEFT JOIN d USING (day)
+          |), pk AS (
+          |  SELECT mu, mu // 20 AS k, mu // 1 AS h
+          |  FROM (SELECT CAST(sum(rev) // count(*) AS BIGINT) AS mu FROM r)
+          |), cu AS (
+          |  SELECT r.rn, r.day, r.rev,
+          |    greatest(CAST(0 AS BIGINT), r.rev - pk.mu - pk.k) AS s
+          |  FROM r, pk WHERE r.rn = 1
+          |  UNION ALL
+          |  SELECT r.rn, r.day, r.rev,
+          |    greatest(CAST(0 AS BIGINT), cu.s + r.rev - pk.mu - pk.k)
+          |  FROM cu, pk, r WHERE r.rn = cu.rn + 1
+          |)
+          |SELECT cu.day, cu.rev AS rev_cents, cu.s AS cusum, cu.s > pk.h AS alarm,
+          |  pk.mu, pk.k, pk.h
+          |FROM cu, pk""".stripMargin,
       "p6_deterministic_shuffle" ->
         """SELECT doc_id, shard, CAST(rn - 1 AS BIGINT) AS pos FROM (
           |  SELECT doc_id, shard,

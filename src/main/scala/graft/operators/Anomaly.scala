@@ -91,4 +91,57 @@ object Anomaly {
       .select(col("_k").as(keyCol), col("n"), round(col("_m"), 6).as("med"),
         round(col("_d"), 6).as("mad"), col("n_outliers"))
   }
+
+  /** One-sided CUSUM change-point detection over a daily integer metric
+    * (Page 1954) — the sequential drift detector behind "did this
+    * metric shift upward, and on which day": per day, the running
+    * statistic `s_d = max(0, s_{d−1} + (x_d − μ − k))` with reference
+    * `μ = ⌊Σx / n_days⌋`, allowance `k = ⌊μ / slackDiv⌋`, and an alarm
+    * when `s_d > h = ⌊μ / threshDiv⌋`. Gap days count as zeros (a dense
+    * calendar axis is part of the semantics: a silent day PULLS the
+    * statistic down). Complements [[dailySpikes]] (point anomalies) and
+    * `Snapshot.psiDrift` (distribution drift): CUSUM accumulates many
+    * small same-direction deviations a z-test misses.
+    *
+    * Exactness: all state is integer (the metric is integer, μ/k/h are
+    * floor divisions), so the recurrence is engine- and partitioning-
+    * exact. The recurrence is inherently sequential, which is FINE at
+    * any corpus scale: the heavy stage is the one day-key aggregate
+    * over the raw stream; the recurrence then runs inside ONE
+    * `aggregate` higher-order call over the collected day axis — a
+    * calendar-bounded (≤366/year) model-constant-sized array, the same
+    * bounded-axis rule as the u17/u18 survival curves. */
+  def cusumDaily(
+      daily: DataFrame, dayCol: String, valCol: String,
+      slackDiv: Int = 20, threshDiv: Int = 1): DataFrame = {
+    require(slackDiv > 0 && threshDiv > 0,
+      s"divisors must be positive: slackDiv=$slackDiv threshDiv=$threshDiv")
+    val d = daily.select(col(dayCol).cast("date").as("_d"),
+      col(valCol).cast("long").as("_v"))
+    val axis = d.agg(min(col("_d")).as("_mn"), max(col("_d")).as("_mx"))
+      .select(explode(sequence(col("_mn"), col("_mx"))).as("_d"))
+    val dense = axis.join(d, Seq("_d"), "left")
+      .select(col("_d"), coalesce(col("_v"), lit(0L)).as("_v"))
+    // one row: the sorted (day, value) axis plus the integer params
+    val one = dense.agg(
+      sort_array(collect_list(struct(col("_d"), col("_v")))).as("_rows"),
+      expr("sum(_v) div count(1)").as("_mu"))
+      .withColumn("_k", expr(s"_mu div $slackDiv"))
+      .withColumn("_h", expr(s"_mu div $threshDiv"))
+    one.select(col("_mu").as("mu"), col("_k").as("k"), col("_h").as("h"),
+        explode(expr(
+          """aggregate(
+            |  _rows,
+            |  named_struct('s', 0L, 'out',
+            |    cast(array() as array<struct<day:date,v:bigint,cusum:bigint>>)),
+            |  (acc, x) -> named_struct(
+            |    's', greatest(0L, acc.s + x._v - _mu - _k),
+            |    'out', array_append(acc.out, named_struct(
+            |      'day', x._d, 'v', x._v,
+            |      'cusum', greatest(0L, acc.s + x._v - _mu - _k)))),
+            |  acc -> acc.out)""".stripMargin)).as("_r"))
+      .select(col("_r.day").as("day"), col("_r.v").as(valCol),
+        col("_r.cusum").as("cusum"), (col("_r.cusum") > col("h")).as("alarm"),
+        col("mu"), col("k"), col("h"))
+  }
 }

@@ -349,6 +349,31 @@ object Dedup {
       .unionByName(stageReport("shingle_df", dfCap, dfSizes))
   }
 
+  /** Per-document n-gram novelty: what fraction of a document's distinct
+    * shingles appear NOWHERE else in the corpus (document frequency 1) —
+    * the memorization/novelty curation signal: near-zero novelty means
+    * the document is assembled from corpus-common text (template,
+    * boilerplate, near-dup survivor), high novelty means it contributes
+    * genuinely new n-grams to the training mix. Exact integer ppm.
+    *
+    * Scale shape: the same inverted index [[ngramJaccardPairs]] builds,
+    * WITHOUT the pair fan-out — one shingle-key shuffle for the df
+    * table, one shingle-key join back, one doc-key rollup. No caps
+    * needed: per-shingle work is O(df), never O(df²). */
+  def shingleNovelty(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("_id"), explode(hashedShingleSetNative(col(textCol))).as("_s"))
+      .localCheckpoint() // feeds the df build AND the join back
+    val dfTab = sh.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+    sh.join(dfTab.hint("shuffle_hash"), "_s")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("_id").as(idCol), col("n_shingles"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_shingles").as("novelty_ppm"))
+  }
+
   /** [[capExposureReport]]'s embedding sibling: (band, bucket) occupancy
     * of the SIGN-LSH banding that [[embeddingNearDupPairsAuto]] /
     * [[embeddingNearDupPairs]] generate candidates from, under

@@ -172,6 +172,35 @@ object Split {
       .drop("_n", "_share_ppm", "_n_bind", "_s_bind")
   }
 
+  /** Temperature-flattened mixture (the multilingual-corpus `n^α`
+    * rebalancing rule with α = 1/2): target shares are derived FROM the
+    * per-domain counts — share ∝ √n — so over-represented domains are
+    * thinned and the tail keeps proportionally more of its data, then
+    * the sampling itself delegates to [[mixtureResample]]'s exact
+    * rational binding-domain cut. Shares are quantized exactly:
+    * `q = ⌊√n · 1e6⌋` (IEEE sqrt is correctly rounded, so q is
+    * bit-identical on any engine), `share_ppm = max(1, q·1e6 div Σq)`
+    * in BigInt — no double summation anywhere.
+    *
+    * The |domains|-row count table comes back to the driver (the same
+    * model-constant rule as the BPE merges): shares are MODEL, not
+    * data. One count aggregate + [[mixtureResample]]'s one broadcast
+    * join — two corpus scans, one shuffle. */
+  def temperatureMixture(
+      df: DataFrame, idCol: String, domainCol: String): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMixture needs at least one domain")
+    val qs = counts.map { case (d, n) =>
+      (d, BigInt(math.floor(math.sqrt(n.toDouble) * 1e6).toLong))
+    }
+    val tot = qs.map(_._2).sum
+    val shares = qs.map { case (d, q) =>
+      d -> (q * 1000000 / tot).toLong.max(1L)
+    }.toMap
+    mixtureResample(df, idCol, domainCol, shares)
+  }
+
   /** Deterministic global shuffle for training-data ordering: every row
     * gets a (shard, pos) such that reading shards in order and rows by
     * `pos` within each shard is a reproducible pseudo-uniform permutation

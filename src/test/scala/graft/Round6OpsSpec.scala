@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Graph, Sessions, Split}
+import graft.operators.{Anomaly, Dedup, Graph, Sessions, Split}
 
 /** Behavior specs for the round-6 additions: Markov transitions,
   * temporal embargo split, degree assortativity, and the cap-exposure
@@ -111,6 +111,64 @@ class Round6OpsSpec extends AnyFunSuite {
     val cold = Dedup.capExposureReport(docs, bucketCap = 100, dfCap = 100).collect()
       .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
     assert(cold("lsh_band") === ((0L, 0L)) && cold("shingle_df") === ((0L, 0L)))
+  }
+
+  // ── Anomaly.cusumDaily ─────────────────────────────────────────────
+
+  test("cusum: hand-computed recurrence, gap day counts as zero, alarm past h") {
+    import spark.implicits._
+    // days 1,2,4,5 (Jan 3 is a calendar gap -> 0): values 10,10,30,30
+    // sum=80 over 5 axis days -> mu=16, k=16 div 20=0, h=16
+    // s: max(0,10-16)=0; 0; gap: 0; max(0,30-16)=14; max(0,14+30-16)=28>16
+    val daily = Seq(("2024-01-01", 10L), ("2024-01-02", 10L),
+      ("2024-01-04", 30L), ("2024-01-05", 30L))
+      .toDF("d", "v").withColumn("day", col("d").cast("date")).drop("d")
+    val r = Anomaly.cusumDaily(daily, "day", "v").collect()
+      .map(x => x.getDate(0).toString ->
+        ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r.size === 5, "dense calendar axis")
+    assert(r("2024-01-01") === ((10L, 0L, false)))
+    assert(r("2024-01-03") === ((0L, 0L, false)), "gap day is zero")
+    assert(r("2024-01-04") === ((30L, 14L, false)))
+    assert(r("2024-01-05") === ((30L, 28L, true)), "alarm above h")
+    // partition invariance: the recurrence folds one sorted bounded array
+    val r7 = Anomaly.cusumDaily(daily.repartition(7), "day", "v").collect()
+      .map(x => x.getDate(0).toString -> x.getLong(2)).toMap
+    assert(r7 === r.map { case (k, v) => k -> v._2 })
+  }
+
+  // ── Split.temperatureMixture ───────────────────────────────────────
+
+  test("temperature mixture: uniform is identity, 4:1 skew flattens to ~2:1, binding kept whole") {
+    import spark.implicits._
+    val skew = ((1 to 400).map(i => (i.toLong, "A")) ++
+      (1001 to 1100).map(i => (i.toLong, "B"))).toDF("doc_id", "dom")
+    val kept = Split.temperatureMixture(skew, "doc_id", "dom")
+      .groupBy(col("dom")).count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // shares: q_A=2e7, q_B=1e7 -> 666666/333333 ppm; B binds (kept whole),
+    // A thins to ~ n_B * s_A/s_B = ~200 (md5 sampling noise around the cut)
+    assert(kept("B") === 100L, "binding domain survives whole")
+    assert(kept("A") > 150L && kept("A") < 250L, s"A flattened to ~200, got ${kept("A")}")
+    // uniform domains: temperature is an exact no-op
+    val unif = ((1 to 50).map(i => (i.toLong, "X")) ++
+      (51 to 100).map(i => (i.toLong, "Y"))).toDF("doc_id", "dom")
+    assert(Split.temperatureMixture(unif, "doc_id", "dom").count() === 100L)
+  }
+
+  // ── Dedup.shingleNovelty ───────────────────────────────────────────
+
+  test("novelty: duplicated docs score 0, unique doc scores 1e6") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact copy: df 2 everywhere
+      (3L, "zeta eta theta iota kappa")) // fully unique
+      .toDF("doc_id", "text")
+    val r = Dedup.shingleNovelty(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) === ((3L, 0L, 0L)) && r(2L) === ((3L, 0L, 0L)))
+    assert(r(3L) === ((3L, 3L, 1000000L)))
   }
 
   test("embedding cap exposure: identical vectors fill every band bucket; audit matches banding") {
