@@ -540,4 +540,50 @@ class StreamingSpec extends AnyFunSuite {
       assert(stateful.nonEmpty)
     } finally q.stop()
   }
+
+  test("stateful cusum: gap days decay across micro-batches; stream == batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulCusum
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val mem = MemoryStream[(String, java.sql.Date, Long)]
+    val daily = mem.toDF.toDF("key", "day", "v")
+    // mu=16, k=0, h=16: the u35 fixture constants
+    val q = StatefulCusum.cusum(daily, "key", "day", "v", mu = 16L, k = 0L, h = 16L)
+      .writeStream.format("memory").queryName("cus").outputMode("update").start()
+    try {
+      mem.addData(("m", d("2024-01-01"), 10L), ("m", d("2024-01-02"), 10L))
+      q.processAllAvailable()
+      // Jan 3 is a calendar gap: the Jan 4 fold must first decay one
+      // zero-value step ACROSS the micro-batch boundary
+      mem.addData(("m", d("2024-01-04"), 30L), ("m", d("2024-01-05"), 30L))
+      q.processAllAvailable()
+      mem.addData(("m", d("2024-01-03"), 999L)) // late day: skipped, monotone state
+      q.processAllAvailable()
+      val rows = spark.table("cus").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+      val byDay = rows.groupBy(_._2).map { case (dn, v) => dn -> v.last }
+      val day0 = d("2024-01-01").toLocalDate.toEpochDay
+      assert(byDay(day0) === (("m", day0, 0L, false)))
+      assert(byDay(day0 + 3) === (("m", day0 + 3, 14L, false)))
+      assert(byDay(day0 + 4) === (("m", day0 + 4, 28L, true)), "alarm crosses h")
+      assert(!byDay.contains(day0 + 2), "late gap-day point was skipped")
+      // batch parity: the same (mu,k,h) on the static dense frame equals
+      // Anomaly.cusumDaily's statistic day for day
+      val dense = Seq(("2024-01-01", 10L), ("2024-01-02", 10L),
+        ("2024-01-04", 30L), ("2024-01-05", 30L))
+        .toDF("ds", "v").withColumn("day", col("ds").cast("date")).drop("ds")
+      val batch = graft.operators.Anomaly.cusumDaily(dense, "day", "v").collect()
+        .map(r => r.getDate(0).toLocalDate.toEpochDay -> ((r.getLong(2), r.getBoolean(3))))
+        .toMap
+      val stream = StatefulCusum.cusum(dense.withColumn("key", lit("m")),
+          "key", "day", "v", mu = 16L, k = 0L, h = 16L)
+        .collect().map(r => r.day_n -> ((r.cusum, r.alarm))).toMap
+      // the stream emits only observed days; on those days the statistic
+      // and alarm must be bit-equal to the dense batch axis
+      stream.foreach { case (dn, sa) => assert(batch(dn) === sa, s"day $dn") }
+      assert(stream.size === 4)
+    } finally q.stop()
+  }
 }
