@@ -1931,6 +1931,28 @@ object SparkEntry {
     // diagnostic companion to g2.
     "g4_assortativity" -> ((s, dir) =>
       Graph.degreeAssortativity(tradeEdges(s, dir))),
+    // Deterministic weighted label propagation over the trade graph's
+    // BACKBONE (undirected edges above the mean weight — the raw
+    // nation graph is near-complete, which LPA correctly collapses to
+    // one community; the backbone keeps only above-average trade
+    // relationships, where community structure lives): 4 synchronous
+    // rounds, heaviest-neighbor-label argmax with min-label ties — the
+    // community sketch that splits what connected components would
+    // merge. The mean cut is the exact rational compare
+    // w·|E| > Σw (no division). See Graph.labelPropagation.
+    "g5_label_propagation" -> ((s, dir) => {
+      val und = tradeEdges(s, dir)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"), col("w"))
+        .where(col("u") =!= col("v"))
+        .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      val tot = und.agg(count(lit(1)).as("ne"), sum(col("w")).as("tw"))
+      val backbone = und.crossJoin(broadcast(tot))
+        .where(col("w").cast("decimal(38,0)") * col("ne") >
+          col("tw").cast("decimal(38,0)"))
+        .select(col("u").as("src"), col("v").as("dst"), col("w"))
+      Graph.labelPropagation(backbone, iters = 4)
+    }),
     // First-order Markov transition matrix over per-user event streams:
     // (prev → next) counts, source margins re-aggregated from the cell
     // table, probability in exact integer ppm. One user-key shuffle.
@@ -4968,6 +4990,43 @@ object SparkEntry {
         """SELECT o_orderkey,
           |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rank
           |FROM orders""".stripMargin,
+      // unrolls Graph.labelPropagation's 4 synchronous rounds as chained
+      // CTEs (the pagerank/BPE oracle technique): per round, the
+      // (node, label) weight aggregate and the (wt DESC, lbl) argmax.
+      "g5_label_propagation" -> {
+        val iters = 4
+        val base =
+          """WITH edges AS (
+            |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w
+            |  FROM lineitem l
+            |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+            |  JOIN customer c ON o.o_custkey = c.c_custkey
+            |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            |  GROUP BY 1, 2
+            |), und0 AS (
+            |  SELECT least(src, dst) AS u, greatest(src, dst) AS v, CAST(sum(w) AS BIGINT) AS w
+            |  FROM edges WHERE src <> dst GROUP BY 1, 2
+            |), und AS (
+            |  SELECT u, v, w FROM und0
+            |  WHERE CAST(w AS HUGEINT) * (SELECT count(*) FROM und0) > (SELECT sum(w) FROM und0)
+            |), nb AS (
+            |  SELECT u AS n, v AS nbr, w FROM und UNION ALL SELECT v AS n, u AS nbr, w FROM und
+            |), l0 AS (
+            |  SELECT DISTINCT n AS node, n AS lbl FROM nb
+            |)""".stripMargin
+        val its = (1 to iters).map { i =>
+          s""", c$i AS (
+             |  SELECT nb.n AS node, l.lbl, CAST(sum(nb.w) AS BIGINT) AS wt
+             |  FROM nb JOIN l${i - 1} l ON nb.nbr = l.node GROUP BY 1, 2
+             |), l$i AS (
+             |  SELECT node, lbl FROM (
+             |    SELECT node, lbl,
+             |      row_number() OVER (PARTITION BY node ORDER BY wt DESC, lbl) AS rn
+             |    FROM c$i) WHERE rn = 1
+             |)""".stripMargin
+        }.mkString
+        base + its + s"\nSELECT node, lbl AS label FROM l$iters"
+      },
       "g4_assortativity" ->
         """WITH edges AS (
           |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w

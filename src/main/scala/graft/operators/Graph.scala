@@ -162,6 +162,55 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Synchronous weighted label propagation (Raghavan et al. 2007) for
+    * community detection, run a FIXED `iters` iterations: labels start
+    * as node ids; each round every node adopts the label with the
+    * largest total incident edge weight among its neighbors, ties to
+    * the SMALLEST label — both rules deterministic, so unlike classic
+    * randomized LPA the result is bit-identical on any engine and any
+    * partitioning (the same fixed-iteration determinism contract as
+    * [[pageRankPpm]]; synchronous updates can oscillate on bipartite
+    * structures, which fixed iterations simply freeze — acceptable for
+    * a deterministic community sketch, and the oracle reproduces the
+    * identical trajectory). Communities complement connected
+    * components: CC merges everything reachable, LPA splits a connected
+    * graph into densely-linked groups.
+    *
+    * Scale shape: the doubled neighbor table is built once and pinned
+    * ([[pageRankPpm]]'s edge-pinning rule); per iteration one
+    * neighbor-key equi-join + two grouped aggregates — the argmax rides
+    * the (node, label) aggregate as a struct max, never a window over
+    * the edge table; labels (|V| rows) are the only per-round
+    * reshuffle, with per-iteration lineage cuts. */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      weightCol: String = "w", iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("_u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("_v"),
+        col(weightCol).cast("long").as("_w"))
+      .where(col("_u") =!= col("_v"))
+      .groupBy(col("_u"), col("_v")).agg(sum(col("_w")).as("_w"))
+    val nb = und.select(col("_u").as("_n"), col("_v").as("_nbr"), col("_w"))
+      .unionByName(und.select(col("_v").as("_n"), col("_u").as("_nbr"), col("_w")))
+      .localCheckpoint()
+    // every node in nb has >= 1 neighbor by construction (isolated nodes
+    // have no edges and no label), so the update covers all nodes
+    var labels = nb.select(col("_n")).distinct()
+      .select(col("_n"), col("_n").as("_lbl")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      labels = nb
+        .join(labels.select(col("_n").as("_nbr"), col("_lbl")), "_nbr")
+        .groupBy(col("_n"), col("_lbl")).agg(sum(col("_w")).as("_wt"))
+        .groupBy(col("_n"))
+        .agg(max(struct(col("_wt"), (-col("_lbl")).as("_neg"))).as("_m"))
+        .select(col("_n"), (-col("_m._neg")).as("_lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("_n").as("node"), col("_lbl").as("label"))
+  }
+
   /** Degree assortativity (Newman's r): the Pearson correlation of the
     * endpoint degrees over all undirected edges — positive means hubs
     * link to hubs (social graphs), negative means hubs link to leaves

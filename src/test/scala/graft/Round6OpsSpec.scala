@@ -113,6 +113,32 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(cold("lsh_band") === ((0L, 0L)) && cold("shingle_df") === ((0L, 0L)))
   }
 
+  // ── Graph.labelPropagation ─────────────────────────────────────────
+
+  test("label propagation: disjoint triangles converge to min labels; weights break ties") {
+    import spark.implicits._
+    // two disjoint triangles: each converges to its min node id by iter 3
+    val twoTri = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L))
+      .toDF("src", "dst").withColumn("w", lit(1L))
+    val r = Graph.labelPropagation(twoTri, iters = 4).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // weighted argmax: center 0 with leaves 1 (w=5), 2, 3 — one round
+    // adopts the HEAVIEST neighbor label, not the smallest
+    val star = Seq((0L, 1L, 5L), (0L, 2L, 1L), (0L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val r1 = Graph.labelPropagation(star, iters = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1(0L) === 1L, "heaviest edge wins")
+    assert(r1(1L) === 0L && r1(2L) === 0L && r1(3L) === 0L)
+    // determinism under repartitioning
+    val r7 = Graph.labelPropagation(twoTri.repartition(7), iters = 4).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r7 === r)
+  }
+
   // ── Anomaly.cusumDaily ─────────────────────────────────────────────
 
   test("cusum: hand-computed recurrence, gap day counts as zero, alarm past h") {
