@@ -1998,7 +1998,25 @@ object SparkEntry {
         trainEnd = date_add(cut, 12).cast("timestamp"),
         validStart = date_add(cut, 14).cast("timestamp"))
         .select(col("event_id"), col("split"))
-    })
+    }),
+    // UNPIVOT (the inverse of q15's PIVOT): wide metric columns to long
+    // (metric, value) rows via the stack generator — a pure scan-stage
+    // explode, no shuffle.
+    "q39_unpivot" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .where(col("l_orderkey") % 100 === 0) // bound the long output
+        .selectExpr("l_orderkey", "l_linenumber",
+          "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice," +
+            " 'discount', l_discount) AS (metric, value)")),
+    // Order-independent table checksum over lineitem's canonical
+    // columns — the migration parity audit (see Profile.tableChecksum):
+    // one engine-exact (n_rows, checksum) pair per table/system.
+    "q40_table_checksum" -> ((s, dir) =>
+      Profile.tableChecksum(
+        tbl(s, dir, "lineitem")
+          .withColumn("l_shipdate", to_date(col("l_shipdate")).cast("string")),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus", "l_shipdate")))
   )
 
   /** The testdata parquet files are single-row-group, so a scan is ONE
@@ -5067,6 +5085,21 @@ object SparkEntry {
           |SELECT prev_type, next_type, n, n_prev,
           |  CAST(n * 1000000 // n_prev AS BIGINT) AS p_ppm
           |FROM cells JOIN m USING (prev_type)""".stripMargin,
+      "q39_unpivot" ->
+        """WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
+          |SELECT l_orderkey, l_linenumber, 'quantity' AS metric, CAST(l_quantity AS DOUBLE) AS value FROM f
+          |UNION ALL
+          |SELECT l_orderkey, l_linenumber, 'extendedprice', CAST(l_extendedprice AS DOUBLE) FROM f
+          |UNION ALL
+          |SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DOUBLE) FROM f""".stripMargin,
+      "q40_table_checksum" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(('0x' || substr(md5('cks|' || CAST(l_orderkey AS VARCHAR) || '|' ||
+          |    CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR) || '|' ||
+          |    CAST(l_linenumber AS VARCHAR) || '|' || l_returnflag || '|' || l_linestatus || '|' ||
+          |    CAST(CAST(l_shipdate AS DATE) AS VARCHAR)), 1, 15))::BIGINT)
+          |    % 1000000000000000000 AS BIGINT) AS checksum
+          |FROM lineitem""".stripMargin,
       "p14_temporal_split" ->
         s"""SELECT event_id,
            |  CASE WHEN ts < TIMESTAMP '$winStart 00:00:00' + INTERVAL 12 DAY THEN 'train'

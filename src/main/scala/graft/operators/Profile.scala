@@ -119,4 +119,32 @@ object Profile {
             (d(col("n_a")) * d(col("n_b")))) * 1e6).cast("long")
           .as("mi_contrib_micro"))
   }
+
+  /** Order-independent table checksum — the migration/replication
+    * parity audit: `(n_rows, checksum)` where the checksum is the sum
+    * of each row's 60-bit md5 over its '|'-joined canonical column
+    * rendering, reduced mod 1e18 so it stays a BIGINT on every engine.
+    * Two tables hold identical content (as rendered) iff both numbers
+    * match, regardless of row order, partitioning, file layout, or
+    * engine — the per-row hash-multiset equality the oracle harness
+    * checks, packaged as one first-class aggregate any pair of systems
+    * can compute independently.
+    *
+    * Callers pass CANONICAL columns (integers, strings, dates rendered
+    * `yyyy-MM-dd`): raw doubles render differently across engines —
+    * quantize or cast them first. `concat_ws` skips NULLs on both
+    * engines, so NULL and absent collapse (sufficient for an equality
+    * audit; add explicit `coalesce` markers if NULL-vs-empty must
+    * distinguish). Scale shape: one scan, a map-side-partial sum —
+    * nothing crosses the shuffle but per-partition (count, sum). */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableChecksum needs at least one column")
+    df.select(Dedup.hash60(
+        concat_ws("|", (lit("cks") +: cols.map(col)): _*)).as("_h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_h").cast("decimal(38,0)")).as("_s"))
+      .select(col("n_rows"),
+        pmod(col("_s"), lit(1000000000000000000L).cast("decimal(38,0)"))
+          .cast("long").as("checksum"))
+  }
 }

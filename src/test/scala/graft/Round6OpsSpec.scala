@@ -113,6 +113,22 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(cold("lsh_band") === ((0L, 0L)) && cold("shingle_df") === ((0L, 0L)))
   }
 
+  // ── Profile.tableChecksum ──────────────────────────────────────────
+
+  test("table checksum: order/partition invariant, any single cell change moves it") {
+    import graft.operators.Profile
+    import spark.implicits._
+    val t = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    def cks(df: org.apache.spark.sql.DataFrame) =
+      Profile.tableChecksum(df, Seq("id", "s")).collect().head
+    val base = cks(t)
+    assert(base.getLong(0) === 3L)
+    assert(cks(t.repartition(7)).getLong(1) === base.getLong(1), "partition invariant")
+    assert(cks(t.orderBy(col("s").desc)).getLong(1) === base.getLong(1), "order invariant")
+    val changed = Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "s")
+    assert(cks(changed).getLong(1) !== base.getLong(1), "cell change detected")
+  }
+
   // ── Graph.labelPropagation ─────────────────────────────────────────
 
   test("label propagation: disjoint triangles converge to min labels; weights break ties") {
