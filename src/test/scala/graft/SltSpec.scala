@@ -52,9 +52,15 @@ class SltSpec extends AnyFunSuite {
     assert(n === 5)
   }
 
+  test("native_functions.slt (SQL surface of the codegen sketch expressions)") {
+    val n = SltRunner.runDir(spark, sltDir, filters = Seq("native_functions"))
+    assert(n === 4)
+  }
+
   test("discovery walks the whole corpus; filters by substring") {
-    // retention(3) + scalar(5) + text_functions(5) + relational(5)
-    assert(SltRunner.runDir(spark, sltDir) === 18)
+    // retention(3) + scalar(5) + text_functions(5) + relational(5) +
+    // native_functions(4)
+    assert(SltRunner.runDir(spark, sltDir) === 22)
     assert(SltRunner.discover(sltDir, Seq("no_such_file")).isEmpty)
   }
 
