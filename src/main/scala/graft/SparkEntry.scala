@@ -1999,6 +1999,21 @@ object SparkEntry {
         validStart = date_add(cut, 14).cast("timestamp"))
         .select(col("event_id"), col("split"))
     }),
+    // Exact media dedup over the BINARY column (the multimodal twin of
+    // d1): identical payloads collapse to the min id, one shuffle on
+    // the content key. The key here is the payload's own hex (the fake
+    // payload is already a 32-byte digest; for real media swap in
+    // md5(bytes) — the binary-through-parquet grouping shape is
+    // identical). Corpus doubled with id-shifted copies so every
+    // payload has a duplicate.
+    "m4_media_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      def m(off: Long) = d.select((col("doc_id") + off).as("media_id"),
+        Multimodal.fakeMediaBytes(col("text")).as("bytes"))
+      par(m(0L).unionByName(m(2000000L)))
+        .groupBy(lower(hex(col("bytes"))).as("content_hex"))
+        .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
     // UNPIVOT (the inverse of q15's PIVOT): wide metric columns to long
     // (metric, value) rows via the stack generator — a pure scan-stage
     // explode, no shuffle.
@@ -5085,6 +5100,15 @@ object SparkEntry {
           |SELECT prev_type, next_type, n, n_prev,
           |  CAST(n * 1000000 // n_prev AS BIGINT) AS p_ppm
           |FROM cells JOIN m USING (prev_type)""".stripMargin,
+      "m4_media_dedup" ->
+        """WITH m AS (
+          |  SELECT doc_id AS media_id, md5(text) || md5(text || '2') AS content_hex FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, md5(text) || md5(text || '2') FROM documents
+          |)
+          |SELECT content_hex, CAST(min(media_id) AS BIGINT) AS keep_id,
+          |  CAST(count(*) AS BIGINT) AS n_copies
+          |FROM m GROUP BY 1""".stripMargin,
       "q39_unpivot" ->
         """WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
           |SELECT l_orderkey, l_linenumber, 'quantity' AS metric, CAST(l_quantity AS DOUBLE) AS value FROM f
