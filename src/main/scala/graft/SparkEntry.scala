@@ -1953,6 +1953,22 @@ object SparkEntry {
         .select(col("u").as("src"), col("v").as("dst"), col("w"))
       Graph.labelPropagation(backbone, iters = 4)
     }),
+    // k-core of the part co-purchase graph (parts co-bought in the
+    // same order ≥ 2 times — the w≥2 floor drops single-co-occurrence
+    // noise): fixed 8-round synchronous peel at k=3, which reaches the
+    // fixpoint on this corpus (multi-round: the peel cascades — nodes
+    // whose degree only drops below 3 after a neighbor is peeled fall
+    // in later rounds). The dense co-purchase kernel, the graph twin
+    // of u28's pairwise lift. See Graph.kCore.
+    "g6_kcore" -> ((s, dir) =>
+      Graph.kCore(partCoEdges(s, dir), k = 3, rounds = 8)),
+    // Resource-Allocation link prediction over the same co-purchase
+    // graph: non-adjacent part pairs with ≥ 2 common neighbors scored
+    // Σ ⌊1e6/deg(z)⌋ over shared neighbors z — "parts likely to be
+    // co-bought next", exact integer micro-units (RA over Adamic–Adar
+    // precisely to avoid ln; see Graph.resourceAllocationLinks).
+    "g7_link_prediction" -> ((s, dir) =>
+      Graph.resourceAllocationLinks(partCoEdges(s, dir), minCommon = 2)),
     // First-order Markov transition matrix over per-user event streams:
     // (prev → next) counts, source margins re-aggregated from the cell
     // table, probability in exact integer ppm. One user-key shuffle.
@@ -2061,6 +2077,23 @@ object SparkEntry {
       .select(col("c_nationkey").cast("long").as("src"),
         col("s_nationkey").cast("long").as("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+  }
+
+  /** Part co-purchase graph: undirected (part, part) edges weighted by
+    * the number of orders containing both parts, kept at w ≥ 2 (one
+    * shared order is noise). The self-join key is l_orderkey, whose
+    * fan-out is bounded by lineitems-per-order (≤ 7 here) — Σ m² with
+    * tiny per-key m, i.e. LINEAR in the fact table, never quadratic in
+    * parts; the w ≥ 2 floor then cuts the edge table ~30× before any
+    * graph iteration touches it. */
+  private def partCoEdges(s: SparkSession, dir: String): DataFrame = {
+    val l = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val a = l.select(col("l_orderkey").as("_ok"), col("l_partkey").cast("long").as("u"))
+    val b = l.select(col("l_orderkey").as("_ok"), col("l_partkey").cast("long").as("v"))
+    a.join(b, Seq("_ok")).where(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select(col("u").as("src"), col("v").as("dst"), col("w"))
   }
 
   /** Documents with constructed near-duplicates: each doc plus a
@@ -5060,6 +5093,58 @@ object SparkEntry {
         }.mkString
         base + its + s"\nSELECT node, lbl AS label FROM l$iters"
       },
+      // unrolls Graph.kCore's 8 synchronous peel rounds as chained CTEs
+      // (the g5/pagerank oracle technique): per round the >= k degree
+      // survivor list and the both-endpoints-survive edge filter. Every
+      // CTE is MATERIALIZED: each round references the previous ~3
+      // times, so DuckDB's default inlining would expand the chain
+      // 3^rounds-fold and exhaust file descriptors on the base scans.
+      "g6_kcore" -> {
+        val rounds = 8
+        val base =
+          """WITH co AS MATERIALIZED (
+            |  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(count(*) AS BIGINT) AS w
+            |  FROM lineitem a JOIN lineitem b
+            |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            |  GROUP BY 1, 2
+            |), e0 AS MATERIALIZED (SELECT u, v FROM co WHERE w >= 2)""".stripMargin
+        val its = (1 to rounds).map { i =>
+          s""", k$i AS MATERIALIZED (
+             |  SELECT n FROM (
+             |    SELECT u AS n FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+             |  GROUP BY 1 HAVING count(*) >= 3
+             |), e$i AS MATERIALIZED (
+             |  SELECT e.u, e.v FROM e${i - 1} e
+             |  JOIN k$i a ON e.u = a.n JOIN k$i b ON e.v = b.n
+             |)""".stripMargin
+        }.mkString
+        base + its +
+          s"""\nSELECT n AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+             |  SELECT u AS n FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+             |GROUP BY 1""".stripMargin
+      },
+      "g7_link_prediction" ->
+        """WITH co AS (
+          |  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(count(*) AS BIGINT) AS w
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2
+          |), e AS (SELECT u, v FROM co WHERE w >= 2
+          |), nb AS (SELECT u AS n, v AS nbr FROM e UNION ALL SELECT v, u FROM e
+          |), deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY 1
+          |), ctr AS (
+          |  SELECT nb.n, nb.nbr, deg.d FROM nb JOIN deg ON nb.n = deg.n
+          |  WHERE deg.d <= 10000
+          |), sc AS (
+          |  SELECT a.nbr AS node_a, b.nbr AS node_b,
+          |    CAST(count(*) AS BIGINT) AS common_neighbors,
+          |    CAST(sum(1000000 // a.d) AS BIGINT) AS ra_micro
+          |  FROM ctr a JOIN ctr b ON a.n = b.n AND a.nbr < b.nbr
+          |  GROUP BY 1, 2
+          |)
+          |SELECT s.node_a, s.node_b, s.common_neighbors, s.ra_micro
+          |FROM sc s LEFT JOIN e ON s.node_a = e.u AND s.node_b = e.v
+          |WHERE e.u IS NULL AND s.common_neighbors >= 2""".stripMargin,
       "g4_assortativity" ->
         """WITH edges AS (
           |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w

@@ -211,6 +211,112 @@ object Graph {
     labels.select(col("_n").as("node"), col("_lbl").as("label"))
   }
 
+  /** k-core membership by fixed-round peeling (Seidman 1983; the
+    * distributed peel is Montresor et al. 2013's round structure):
+    * repeatedly delete every node of degree < k (together with its
+    * edges) for `rounds` synchronous rounds. At a fixpoint the
+    * survivors are exactly the k-core — the unique maximal subgraph of
+    * minimum degree ≥ k, the standard "dense kernel" screen for
+    * community seeds and spam/bot rings. Fixed rounds (not
+    * run-to-convergence) for the same reason as [[pageRankPpm]]: the
+    * trajectory — and therefore the result at ANY round count — is
+    * deterministic and oracle-unrollable; a non-converged prefix is a
+    * well-defined partial peel (supergraph of the k-core), never
+    * garbage. Peeling removes ≥1 node per non-fixpoint round, so
+    * `rounds = |V|` is always exact; in practice cores stabilize in
+    * O(log |V|) rounds on real sparse graphs.
+    *
+    * Scale shape: per round ONE degree aggregate (map-side partial
+    * count over the doubled endpoint projection) and two semi-joins of
+    * the edge table against the ≥k survivor list — all equi-joins on
+    * node keys, nothing broadcast (survivors are |V|-sized and scale
+    * with the corpus), with per-round lineage cuts. The edge table
+    * strictly shrinks each round, so later rounds get cheaper, not
+    * costlier.
+    *
+    * Output: `(node, degree)` for surviving nodes — `degree` is the
+    * node's degree inside the surviving subgraph (≥ k iff converged).
+    */
+  def kCore(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("_u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("_v"))
+      .where(col("_u") =!= col("_v"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.select(col("_u").as("_n")).union(e.select(col("_v").as("_n")))
+        .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+        .where(col("_d") >= k)
+        .select(col("_n"))
+      e = e.join(keep.select(col("_n").as("_u")), Seq("_u"), "left_semi")
+        .join(keep.select(col("_n").as("_v")), Seq("_v"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(col("_u").as("_n")).union(e.select(col("_v").as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("degree"))
+      .select(col("_n").as("node"), col("degree"))
+  }
+
+  /** Link prediction by the Resource-Allocation index (Zhou, Lü &
+    * Zhang 2009): for every NON-adjacent pair {x, y} with at least
+    * `minCommon` common neighbors, `RA(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/deg(z)`
+    * — common neighbors weighted down by how promiscuous they are (a
+    * shared hub says little; a shared degree-2 node says a lot).
+    * Chosen over the near-equivalent Adamic–Adar (1/log deg) because
+    * 1/deg is EXACT in integers: each term is quantized as
+    * `⌊1e6 / deg(z)⌋` micro-units and summed — no transcendental
+    * function, so the score is bit-identical on any engine and any
+    * partitioning (the ppm/micro-nat discipline of [[pageRankPpm]]).
+    *
+    * Scale shape: the wedge enumeration is the same center-keyed
+    * self-join as [[triangleCounts]]'s first hop — fan-out Σ deg(z)²,
+    * so a single hub is the quadratic hazard. `degCap` drops wedge
+    * CENTERS with degree > cap before the self-join (a hub shared by
+    * everyone carries ~zero RA mass per pair anyway — 1/deg ≤ 1/cap —
+    * so the cap's score error is bounded by `missingPairs/cap` micro
+    * units, the same documented-recall-contract pattern as the dedup
+    * dfCap). The adjacency anti-join and all candidate joins are
+    * node-key equi-joins; nothing corpus-sized is broadcast.
+    *
+    * Output: `(node_a, node_b, common_neighbors, ra_micro)` with
+    * node_a < node_b, only non-adjacent pairs, `common_neighbors >=
+    * minCommon`.
+    */
+  def resourceAllocationLinks(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      minCommon: Int = 2, degCap: Int = 10000): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    require(degCap >= 1, s"degCap must be >= 1, got $degCap")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("_u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("_v"))
+      .where(col("_u") =!= col("_v"))
+      .distinct()
+      .localCheckpoint()
+    val nb = und.select(col("_u").as("_n"), col("_v").as("_nbr"))
+      .union(und.select(col("_v").as("_n"), col("_u").as("_nbr")))
+    val deg = nb.groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    // wedge centers carry their degree; hub centers are dropped pre-join
+    val ctr = nb.join(deg.where(col("_d") <= degCap), Seq("_n"))
+    val wedges = ctr.as("a")
+      .join(ctr.as("b"),
+        col("a._n") === col("b._n") && col("a._nbr") < col("b._nbr"))
+      .select(col("a._nbr").as("node_a"), col("b._nbr").as("node_b"),
+        col("a._d").as("_dz"))
+    wedges
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000L div _dz")).as("ra_micro"))
+      .where(col("common_neighbors") >= minCommon)
+      .join(und.select(col("_u").as("node_a"), col("_v").as("node_b")),
+        Seq("node_a", "node_b"), "left_anti")
+  }
+
   /** Degree assortativity (Newman's r): the Pearson correlation of the
     * endpoint degrees over all undirected edges — positive means hubs
     * link to hubs (social graphs), negative means hubs link to leaves

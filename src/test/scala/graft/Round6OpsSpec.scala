@@ -227,4 +227,50 @@ class Round6OpsSpec extends AnyFunSuite {
       "every band bucket is hot at cap 4")
     assert(r.getLong(5) === 6L)
   }
+
+  // ── Graph.kCore ────────────────────────────────────────────────────
+
+  test("kCore: peel cascades down a tail; converged core is the triangle") {
+    import spark.implicits._
+    // triangle {1,2,3} with a path tail 3-4-5: k=2 peels 5 (deg 1) in
+    // round 1, which drops 4 to deg 1 and peels it in round 2 — the
+    // cascade a single round cannot see
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val core = Graph.kCore(g, k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // one round is a well-defined partial peel: only 5 gone, 4 hangs on
+    val partial = Graph.kCore(g, k = 2, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    // no 3-core in a triangle (max degree 2)
+    assert(Graph.kCore(g, k = 3, rounds = 3).count() === 0L)
+    // partition invariance: exact integer state, any layout
+    val core7 = Graph.kCore(g.repartition(7), k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core7 === core)
+  }
+
+  // ── Graph.resourceAllocationLinks ──────────────────────────────────
+
+  test("RA links: square diagonals score 1e6; adjacency and hubs excluded") {
+    import spark.implicits._
+    // 4-cycle: the two diagonals each share both degree-2 corners
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r = Graph.resourceAllocationLinks(sq, minCommon = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r === Map((1L, 3L) -> ((2L, 1000000L)), (2L, 4L) -> ((2L, 1000000L))))
+    // path 1-2-3: one shared neighbor of degree 2 -> 500000 micro
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Graph.resourceAllocationLinks(path, minCommon = 1).collect()
+    assert(p.length === 1 &&
+      (p.head.getLong(0), p.head.getLong(1), p.head.getLong(3)) === ((1L, 3L, 500000L)))
+    // adjacent pairs never appear: a triangle predicts nothing
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.resourceAllocationLinks(tri, minCommon = 1).count() === 0L)
+    // degCap drops hub centers: star center deg 3 > cap 2 -> no wedges
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("src", "dst")
+    assert(Graph.resourceAllocationLinks(star, minCommon = 1, degCap = 2).count() === 0L)
+    assert(Graph.resourceAllocationLinks(star, minCommon = 1).count() === 3L)
+  }
 }
