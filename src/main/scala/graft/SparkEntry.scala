@@ -745,6 +745,16 @@ object SparkEntry {
       Graft.registerAll(s)
       Dedup.embeddingCapExposureReport(augmentedEmb(s, dir), bucketCap = 4)
     }),
+    // Exact τ=0.6 Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin):
+    // only each doc's RAREST ~40% of shingles are indexed (global
+    // df-ascending order), yet the result is provably identical to the
+    // full inverted index — the oracle is the brute-force all-pairs
+    // truth, so the hash gate doubles as the losslessness proof. The
+    // deterministic exact-join complement to d2's probabilistic LSH.
+    "d22_prefix_filter" -> ((s, dir) => {
+      Graft.registerAll(s)
+      Dedup.prefixFilterJaccardPairs(augmentedDocs(s, dir), n = 5, threshold = 0.6)
+    }),
     // Per-document 32-bit SimHash.
     "d3_simhash" -> ((s, dir) => {
       Graft.registerAll(s) // simhash32 codegen expression
@@ -3053,6 +3063,20 @@ object SparkEntry {
            |  round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
            |FROM pairs
            |WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.3""".stripMargin,
+      // brute-force all-pairs truth at τ=0.6 — the prefix filter is
+      // lossless, so the full inverted index IS its ground truth
+      "d22_prefix_filter" ->
+        s"""WITH ${augShinglesSql(5)}, ex AS (
+           |  SELECT id, len(sh) AS n, unnest(sh) AS s FROM shs
+           |), pairs AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, count(*) AS inter
+           |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+           |  GROUP BY 1, 2, 3, 4
+           |)
+           |SELECT id_a, id_b,
+           |  round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+           |FROM pairs
+           |WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.6""".stripMargin,
       "d5_embedding_neardup" ->
         s"""WITH eIn AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings

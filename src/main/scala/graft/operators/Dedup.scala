@@ -513,6 +513,66 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
+  /** Exact Jaccard-threshold pairs via PREFIX FILTERING — the
+    * AllPairs/PPJoin candidate rule (Bayardo, Ma & Srikant, WWW'07;
+    * Xiao et al., WWW'08): under any global token order, two sets with
+    * `|A∩B| ≥ α` must share a token inside their first
+    * `|X| − α + 1` tokens (pigeonhole), and `J(A,B) ≥ τ` implies
+    * `|A∩B| ≥ ⌈τ·max(|A|,|B|)⌉`. So indexing only each document's
+    * `|S| − ⌈τ|S|⌉ + 1` RAREST shingles (global df-ascending order,
+    * ties by shingle hash) and equi-joining on those is LOSSLESS for
+    * pairs at or above τ — unlike MinHash-LSH there is no recall
+    * contract to audit, and unlike the full inverted index
+    * ([[ngramJaccardPairs]]) only a (1−τ) fraction of each document is
+    * indexed, and it is precisely the low-df fraction, so join fan-out
+    * is bounded by RARE-token document frequencies. The higher the
+    * threshold, the shorter the prefix — at τ=0.9 only ~10% of each
+    * set is indexed. The oracle for this operator is the brute-force
+    * all-pairs truth, so the hash gate doubles as the losslessness
+    * proof.
+    *
+    * The prefix length `|S| − ⌈τ|S|⌉ + 1` is computed in exact integer
+    * arithmetic (`⌈τn⌉ = (τ_micro·n + 999999) div 1e6` with τ
+    * micro-quantized), so both engines cut identical prefixes.
+    *
+    * Scale shape: one df aggregate (vocabulary-sized, shingle-key
+    * equi-join back — never broadcast), per-doc array sort (bounded by
+    * document length), prefix equi-join with the shuffle-hash hint
+    * ([[shinglePairCounts]]'s rule), then exact verification of the
+    * distinct candidates against the checkpointed shingle sets.
+    */
+  def prefixFilterJaccardPairs(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 5, threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val tauMicro = math.round(threshold * 1000000)
+    val sh = docs.select(col(idCol).as("_id"),
+        hashedShingleSetNative(col(textCol), n).as("_sh"))
+      .localCheckpoint()
+    val ex = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+    val dfreq = ex.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+    // per-doc tokens in (df asc, hash asc) global rarity order; the
+    // struct sort is deterministic because shingles are unique per doc
+    val sorted = ex.join(dfreq, Seq("_s"))
+      .groupBy(col("_id"))
+      .agg(array_sort(collect_list(struct(col("_df"), col("_s")))).as("_ts"))
+      .select(col("_id"), expr("transform(_ts, x -> x._s)").as("_toks"))
+    val pex = sorted
+      .select(col("_id"), expr(
+        s"slice(_toks, 1, CAST(size(_toks) - ((CAST(size(_toks) AS BIGINT)" +
+          s" * $tauMicro + 999999) div 1000000) + 1 AS INT))").as("_pfx"))
+      .select(col("_id"), explode(col("_pfx")).as("_s"))
+    val cand = pex.as("a")
+      .join(pex.as("b").hint("shuffle_hash"),
+        col("a._s") === col("b._s") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, sh, sh)
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Asymmetric containment near-dup pairs: score = |A ∩ B| / min(|A|, |B|)
     * — the shingle containment of the SMALLER document in the larger.
     * Catches excerpt/quote/prefix duplication that symmetric Jaccard

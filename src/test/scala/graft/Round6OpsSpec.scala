@@ -228,6 +228,37 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(r.getLong(5) === 6L)
   }
 
+  // ── Dedup.prefixFilterJaccardPairs ─────────────────────────────────
+
+  test("prefix filter join: lossless vs full inverted index at the same threshold") {
+    import spark.implicits._
+    // near-dup pairs (doc + truncated copy), an unrelated doc, and an
+    // exact duplicate — spans jaccard 1.0, mid, and ~0 cases
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with no overlap whatsoever in here"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    for (tau <- Seq(0.3, 0.6, 0.9)) {
+      val pf = Dedup.prefixFilterJaccardPairs(docs, n = 5, threshold = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val full = Dedup.ngramJaccardPairs(docs, n = 5, threshold = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pf === full, s"prefix filter diverged from ground truth at tau=$tau")
+    }
+    // exact duplicates survive any threshold, including tau = 1.0
+    val dup = Dedup.prefixFilterJaccardPairs(docs, n = 5, threshold = 1.0).collect()
+    assert(dup.length === 1 &&
+      (dup.head.getLong(0), dup.head.getLong(1), dup.head.getDouble(2)) === ((1L, 4L, 1.0)))
+    // partition invariance
+    val p7 = Dedup.prefixFilterJaccardPairs(docs.repartition(7), n = 5, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val p1 = Dedup.prefixFilterJaccardPairs(docs, n = 5, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(p7 === p1)
+  }
+
   // ── Graph.kCore ────────────────────────────────────────────────────
 
   test("kCore: peel cascades down a tail; converged core is the triangle") {
