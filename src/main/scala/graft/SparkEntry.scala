@@ -2004,6 +2004,23 @@ object SparkEntry {
         .agg(sum(round(col("value") * 100).cast("long")).as("rev_cents"))
       Anomaly.cusumDaily(daily, "day", "rev_cents")
     }),
+    // Gini concentration of per-user event volume — the "how skewed is
+    // this corpus" one-number audit (0 = even, →1 = one user is the
+    // dataset). Exact rank-form Gini in integer micro-units; ranks via
+    // the bucketed two-phase global rank (no global sort). See
+    // Profile.giniConcentration.
+    "u36_gini" -> ((s, dir) =>
+      Profile.giniConcentration(
+        tbl(s, dir, "events").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events")),
+        "user_id", "n_events")),
+    // Benford first-digit audit of order totals: observed vs expected
+    // log10(1+1/d) shares in ppm — the fabricated/degenerate-magnitude
+    // screen. Digit by integer-part string head (no log on data);
+    // expected ppm generated from the SAME Scala constant as the
+    // oracle's VALUES list. See Profile.benfordAudit.
+    "u37_benford" -> ((s, dir) =>
+      Profile.benfordAudit(tbl(s, dir, "orders"), "o_totalprice")),
     // Temperature-flattened language mixture (share ∝ √n, the n^α
     // multilingual rebalancing rule): shares DERIVED from the skewed
     // lang counts (vs p4's given shares), sampling by the same exact
@@ -5169,6 +5186,35 @@ object SparkEntry {
           |SELECT s.node_a, s.node_b, s.common_neighbors, s.ra_micro
           |FROM sc s LEFT JOIN e ON s.node_a = e.u AND s.node_b = e.v
           |WHERE e.u IS NULL AND s.common_neighbors >= 2""".stripMargin,
+      "u36_gini" ->
+        """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+          |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM c),
+          |a AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS s,
+          |  CAST(sum(CAST(i AS HUGEINT) * x) AS HUGEINT) AS sx FROM r)
+          |SELECT CAST(n AS BIGINT) AS n_keys, CAST(s AS BIGINT) AS total,
+          |  CASE WHEN s = 0 THEN NULL
+          |    ELSE CAST(((2 * sx - (n + 1) * s) * 1000000) // (n * s) AS BIGINT)
+          |  END AS gini_micro
+          |FROM a""".stripMargin,
+      // the expected-ppm VALUES list is generated from the SAME
+      // Profile.benfordExpectedPpm constant the operator uses
+      "u37_benford" -> {
+        val vals = Profile.benfordExpectedPpm
+          .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+        s"""WITH f AS (
+           |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS iv FROM orders
+           |  WHERE o_totalprice >= 1
+           |), dg AS (
+           |  SELECT CAST(substr(CAST(iv AS VARCHAR), 1, 1) AS INT) AS digit FROM f
+           |), c AS (SELECT digit, CAST(count(*) AS BIGINT) AS nd FROM dg GROUP BY 1
+           |), tot AS (SELECT CAST(sum(nd) AS HUGEINT) AS nt FROM c
+           |), e AS (SELECT * FROM (VALUES $vals) AS t(digit, exp_ppm))
+           |SELECT e.digit, CAST(coalesce(c.nd, 0) AS BIGINT) AS n,
+           |  CAST(CAST(coalesce(c.nd, 0) AS HUGEINT) * 1000000 // nt AS BIGINT) AS obs_ppm,
+           |  CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           |  CAST(CAST(coalesce(c.nd, 0) AS HUGEINT) * 1000000 // nt - e.exp_ppm AS BIGINT) AS dev_ppm
+           |FROM e LEFT JOIN c ON e.digit = c.digit CROSS JOIN tot""".stripMargin
+      },
       "g4_assortativity" ->
         """WITH edges AS (
           |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w

@@ -147,4 +147,82 @@ object Profile {
         pmod(col("_s"), lit(1000000000000000000L).cast("decimal(38,0)"))
           .cast("long").as("checksum"))
   }
+
+  /** Gini coefficient of a keyed non-negative weight column — the
+    * one-number concentration audit ("do 1% of users generate 90% of
+    * events?", "is one source dominating the token budget?"). Uses the
+    * rank form over ascending weights, `G = (2·Σ i·xᵢ − (n+1)·Σx) /
+    * (n·Σx)`, in exact DECIMAL integer arithmetic with floor division
+    * at micro precision — bit-identical on any engine and any
+    * partitioning. Ties cannot perturb the result: permuting equal
+    * weights leaves `Σ i·xᵢ` unchanged, so the (weight, key) total
+    * order is for engine determinism of the ranks only.
+    *
+    * Scale shape: the ranks come from [[Layout.globalRank]]'s bucketed
+    * two-phase composite — two scans + one bin-key shuffle, NO global
+    * sort and no one-reducer window — then one map-side-partial
+    * moment aggregate. 0 = perfectly even, (n−1)/n → 1 = fully
+    * concentrated. NULL when the weight sum is zero.
+    *
+    * Input is the already-aggregated `(key, weight)` table (build it
+    * with the natural `groupBy(key).count()`); `weightCol` must be
+    * non-negative, `keyCol` unique. */
+  def giniConcentration(
+      df: DataFrame, keyCol: String, weightCol: String): DataFrame = {
+    val keyed = df.select(col(keyCol).as("_k"),
+      col(weightCol).cast("long").as("_x"))
+    val ranked = Layout.globalRank(keyed, "_x", "_k")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    ranked
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
+        sum(dec(col("rank")) * dec(col("_x"))).as("_sx"))
+      .select(col("_n").as("n_keys"), col("_s").cast("long").as("total"),
+        when(coalesce(col("_s"), lit(0L)) === 0, lit(null))
+          .otherwise(expr(
+            """CAST(((2 * _sx - (CAST(_n AS DECIMAL(38,0)) + 1) * _s) * 1000000)
+              | div (CAST(_n AS DECIMAL(38,0)) * _s) AS BIGINT)""".stripMargin))
+          .as("gini_micro"))
+  }
+
+  /** Benford first-digit expectation, parts-per-million: `round(1e6 ·
+    * log₁₀(1 + 1/d))`. THE single source for operator and oracle (the
+    * SQL VALUES list is generated from this constant), so the contract
+    * cannot drift. Sums to exactly 1,000,000. */
+  val benfordExpectedPpm: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1000000))
+
+  /** Benford's-law first-digit audit of a positive numeric column —
+    * the classic fabricated-/degenerate-data screen for financial-ish
+    * magnitudes (naturally-growing quantities follow
+    * `P(d) = log₁₀(1+1/d)`; uniform or constructed data do not).
+    * Rows with value < 1 are excluded (no first significant digit in
+    * the integer part — the documented contract; scale sub-unit
+    * columns up before auditing).
+    *
+    * Engine-exact: the digit is the first character of the BIGINT
+    * integer part rendered as a string (no log₁₀ on data — floor +
+    * string, identical everywhere); observed shares are integer ppm by
+    * DECIMAL floor division; the expected shares are the
+    * [[benfordExpectedPpm]] constants. Scale shape: one scan-stage
+    * projection, one 9-key aggregate, a 1-row total broadcast, and a
+    * 9-row expected table — nothing data-sized shuffles twice.
+    *
+    * Output: 9 rows `(digit, n, obs_ppm, exp_ppm, dev_ppm)` with
+    * `dev_ppm = obs_ppm − exp_ppm` (zero-count digits included).
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val s = df.sparkSession
+    val f = df.where(col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val c = f.groupBy(col("digit")).agg(count(lit(1)).as("_nd"))
+    val tot = c.agg(sum(col("_nd")).as("_nt"))
+    val exp = s.createDataFrame(benfordExpectedPpm).toDF("digit", "exp_ppm")
+    val obsPpm =
+      expr("CAST(CAST(coalesce(_nd, 0) AS DECIMAL(38,0)) * 1000000 div _nt AS BIGINT)")
+    broadcast(exp).join(c, Seq("digit"), "left").crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("_nd"), lit(0L)).as("n"),
+        obsPpm.as("obs_ppm"), col("exp_ppm"),
+        (obsPpm - col("exp_ppm")).as("dev_ppm"))
+  }
 }

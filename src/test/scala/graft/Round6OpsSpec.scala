@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Anomaly, Dedup, Graph, Sessions, Split}
+import graft.operators.{Anomaly, Dedup, Graph, Profile, Sessions, Split}
 
 /** Behavior specs for the round-6 additions: Markov transitions,
   * temporal embargo split, degree assortativity, and the cap-exposure
@@ -226,6 +226,37 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(r.getLong(3) === bands.toLong && r.getLong(4) === 6L * bands,
       "every band bucket is hot at cap 4")
     assert(r.getLong(5) === 6L)
+  }
+
+  // ── Profile.giniConcentration ──────────────────────────────────────
+
+  test("gini: even weights 0, one-key concentration (n-1)/n, zero sum NULL") {
+    import spark.implicits._
+    val even = Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 5L)).toDF("k", "x")
+    val g0 = Profile.giniConcentration(even, "k", "x").collect().head
+    assert((g0.getLong(0), g0.getLong(1), g0.getLong(2)) === ((4L, 20L, 0L)))
+    val conc = Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 10L)).toDF("k", "x")
+    val g1 = Profile.giniConcentration(conc, "k", "x").collect().head
+    assert(g1.getLong(2) === 750000L, "(n-1)/n for full concentration")
+    val zero = Seq(("a", 0L), ("b", 0L)).toDF("k", "x")
+    assert(Profile.giniConcentration(zero, "k", "x").collect().head.isNullAt(2))
+    // partition invariance: exact integer state
+    val g7 = Profile.giniConcentration(conc.repartition(7), "k", "x").collect().head
+    assert(g7.getLong(2) === 750000L)
+  }
+
+  // ── Profile.benfordAudit ───────────────────────────────────────────
+
+  test("benford: digit from integer-part head, <1 excluded, expected sums to 1e6") {
+    import spark.implicits._
+    assert(Profile.benfordExpectedPpm.map(_._2).sum === 1000000L)
+    val vals = Seq(1.5, 19.0, 2.0, 0.5).toDF("v") // 0.5 excluded
+    val r = Profile.benfordAudit(vals, "v").collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2), x.getLong(4)))).toMap
+    assert(r.size === 9, "all nine digits present")
+    assert(r(1) === ((2L, 666666L, 666666L - 301030L)))
+    assert(r(2) === ((1L, 333333L, 333333L - 176091L)))
+    assert(r(9) === ((0L, 0L, -45757L)))
   }
 
   // ── Dedup.prefixFilterJaccardPairs ─────────────────────────────────
