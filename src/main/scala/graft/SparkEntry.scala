@@ -2057,6 +2057,14 @@ object SparkEntry {
         .groupBy(lower(hex(col("bytes"))).as("content_hex"))
         .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     }),
+    // Media QA-gate report (the multimodal q34): per-ingest-check pass
+    // rates in ppm over DECODED metadata — container length, RGB,
+    // orientation, minimum resolution. Scan-stage decode + stack melt
+    // + one checks-sized aggregate. See Multimodal.qaReport.
+    "m5_media_qa" -> ((s, dir) =>
+      Multimodal.qaReport(par(tbl(s, dir, "documents"))
+        .select(col("doc_id").as("media_id"),
+          Multimodal.fakeMediaBytes(col("text")).as("bytes")))),
     // UNPIVOT (the inverse of q15's PIVOT): wide metric columns to long
     // (metric, value) rows via the stack generator — a pure scan-stage
     // explode, no shuffle.
@@ -3552,6 +3560,26 @@ object SparkEntry {
           |SELECT media_id, clip_id, CAST(16 AS BIGINT) AS n_bytes,
           |  substr(hx, CAST(clip_id * 16 + 1 AS INT), 32) AS clip_hex
           |FROM c""".stripMargin,
+      "m5_media_qa" ->
+        """WITH h AS (
+          |  SELECT md5(text) AS h1 FROM documents
+          |), m AS (
+          |  SELECT ('0x' || substr(h1, 1, 2))::INT % 64 + 1 AS width,
+          |    ('0x' || substr(h1, 3, 2))::INT % 64 + 1 AS height,
+          |    ('0x' || substr(h1, 5, 2))::INT % 3 + 1 AS channels
+          |  FROM h
+          |), c AS (
+          |  SELECT 'payload_nonempty' AS check_name, TRUE AS passed FROM m
+          |  UNION ALL SELECT 'bytes_match_meta', TRUE FROM m
+          |  UNION ALL SELECT 'rgb_channels', channels = 3 FROM m
+          |  UNION ALL SELECT 'landscape', width >= height FROM m
+          |  UNION ALL SELECT 'min_resolution', width * height >= 256 FROM m
+          |)
+          |SELECT check_name, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(coalesce(sum(CASE WHEN passed THEN 1 END), 0) AS BIGINT) AS n_pass,
+          |  CAST(CAST(coalesce(sum(CASE WHEN passed THEN 1 END), 0) AS HUGEINT)
+          |    * 1000000 // count(*) AS BIGINT) AS pass_ppm
+          |FROM c GROUP BY 1""".stripMargin,
       "m2_multimodal_features" ->
         """SELECT doc_id AS media_id, CAST(i AS INT) AS idx,
           |  CAST(('0x' || substr(md5(text), CAST(i AS INT) * 2 + 1, 2))::INT AS DOUBLE) / 256.0 AS feat_val

@@ -76,6 +76,40 @@ object Multimodal {
           (acc, f) => concat(acc, f))))
   }
 
+  /** Media QA-gate report — the multimodal twin of the q34 relational
+    * expectations audit: each ingest gate (payload present, container
+    * length matches metadata, RGB, orientation, minimum resolution)
+    * evaluated over the DECODED metadata, reported as per-check pass
+    * rates in integer ppm. In a real pipeline failing rows are
+    * quarantined; the report is what pages you when a scraper starts
+    * shipping truncated or grayscale payloads.
+    *
+    * Scale shape: decode is a scan-stage projection; the checks melt
+    * through `stack` (a Generate, no Expand/shuffle duplication —
+    * [[Profile.numericProfile]]'s rule) and aggregate on a
+    * checks-count-sized key space. One shuffle of (check, partial
+    * counts).
+    *
+    * Output: one row per check, `(check_name, n, n_pass, pass_ppm)`.
+    */
+  def qaReport(media: DataFrame, binCol: String = "bytes"): DataFrame = {
+    val m = media.withColumn("_meta", decodeImageMeta(col(binCol)))
+    val melted = m.select(expr(
+      """stack(5,
+        |  'payload_nonempty', _meta.n_bytes > 0,
+        |  'bytes_match_meta', _meta.n_bytes = 32,
+        |  'rgb_channels', _meta.channels = 3,
+        |  'landscape', _meta.width >= _meta.height,
+        |  'min_resolution', _meta.width * _meta.height >= 256
+        |) AS (check_name, passed)""".stripMargin))
+    melted.groupBy(col("check_name"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("passed"), 1L)), lit(0L)).as("n_pass"))
+      .select(col("check_name"), col("n"), col("n_pass"),
+        expr("CAST(CAST(n_pass AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)")
+          .as("pass_ppm"))
+  }
+
   /** Per-partition imperative feature extraction over the binary payload
     * (first `dim` bytes scaled to [0,1)). Runs as one JVM loop per
     * partition — the pattern a real decoder/featurizer plugs into. */

@@ -259,6 +259,27 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(r(9) === ((0L, 0L, -45757L)))
   }
 
+  // ── Multimodal.qaReport ────────────────────────────────────────────
+
+  test("media QA report: per-check pass rates over decoded headers") {
+    import spark.implicits._
+    // header bytes (w-1, h-1, c) chosen per check:
+    //   payload A: 01 40 02 -> w=2,  h=1,  ch=3 (landscape, rgb, tiny)
+    //   payload B: 3f 3f 00 -> w=64, h=64, ch=1 (square, gray, large)
+    val pad = "00" * 29
+    val media = Seq(1L -> ("014002" + pad), 2L -> ("3f3f00" + pad))
+      .toDF("media_id", "hex")
+      .select(col("media_id"), unhex(col("hex")).as("bytes"))
+    val r = graft.operators.Multimodal.qaReport(media).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r === Map(
+      "payload_nonempty" -> ((2L, 2L, 1000000L)),
+      "bytes_match_meta" -> ((2L, 2L, 1000000L)),
+      "rgb_channels" -> ((2L, 1L, 500000L)),
+      "landscape" -> ((2L, 2L, 1000000L)),
+      "min_resolution" -> ((2L, 1L, 500000L))))
+  }
+
   // ── Dedup.prefixFilterJaccardPairs ─────────────────────────────────
 
   test("prefix filter join: lossless vs full inverted index at the same threshold") {
