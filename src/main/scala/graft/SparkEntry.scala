@@ -791,6 +791,17 @@ object SparkEntry {
       Similarity.bruteForceTopK(par(e), e.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5)
     }),
+    // MMR diverse top-5 from the brute top-10 (λ=70%): greedy
+    // λ·rel − (1−λ)·max-sim-to-picked argmax in exact integer micro
+    // units — the de-crowding post-stage production retrieval runs
+    // after ANN, here with a bit-identical oracle-unrollable
+    // trajectory. See Similarity.mmrRerank.
+    "s17_mmr_rerank" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.mmrRerank(par(e), e.where(col("vec_id") < 20),
+        "vec_id", "embedding", m = 10, k = 5, lambdaPct = 70)
+    }),
     // LSH-bucketed variant: candidates restricted to the sign-sketch
     // bucket. 6 hyperplanes = 64 buckets, sized to the testdata corpus so
     // buckets are populated; at production scale use 16+ planes and
@@ -3125,6 +3136,65 @@ object SparkEntry {
            |  FROM scored
            |)
            |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+      // unrolls mmrRerank's greedy: top-10 candidates (the s1 ranking),
+      // micro-quantized candidate and pairwise cosines, then k−1 steps of
+      // (remaining ⋈ max-sim-to-selected → integer-score argmax).
+      // MATERIALIZED throughout: each step references the accumulator
+      // twice, so default inlining would expand the chain exponentially
+      // (the g6 lesson).
+      "s17_mmr_rerank" -> {
+        val k = 5; val lam = 70; val m = 10
+        val base =
+          s"""WITH eIn AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |), $quantEmbSql, scored AS (
+             |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dotCosSql AS cos
+             |  FROM qn a JOIN qn b ON a.vec_id < 20 AND b.vec_id != a.vec_id
+             |), cand AS MATERIALIZED (
+             |  SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+             |    CAST(round(round(cos, 6) * 1000000) AS BIGINT) AS cosm, rn
+             |  FROM (
+             |    SELECT query_id, neighbor_id, cos,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+             |    FROM scored)
+             |  WHERE rn <= $m
+             |), pv AS MATERIALIZED (
+             |  SELECT c.query_id, c.neighbor_id AS cid, qn.qv, qn.n2
+             |  FROM cand c JOIN qn ON qn.vec_id = c.neighbor_id
+             |), ps AS MATERIALIZED (
+             |  SELECT a.query_id, a.cid AS a_id, b.cid AS b_id,
+             |    CAST(round(round($dotCosSql, 6) * 1000000) AS BIGINT) AS simm
+             |  FROM pv a JOIN pv b ON a.query_id = b.query_id AND a.cid != b.cid
+             |), sacc1 AS MATERIALIZED (
+             |  SELECT query_id, neighbor_id, 1 AS pick_rank FROM cand WHERE rn = 1
+             |)""".stripMargin
+        val steps = (2 to k).map { i =>
+          s""", rem$i AS MATERIALIZED (
+             |  SELECT c.* FROM cand c LEFT JOIN sacc${i - 1} s
+             |    ON c.query_id = s.query_id AND c.neighbor_id = s.neighbor_id
+             |  WHERE s.neighbor_id IS NULL
+             |), ms$i AS MATERIALIZED (
+             |  SELECT ps.query_id, ps.a_id, max(ps.simm) AS ms
+             |  FROM ps JOIN sacc${i - 1} s
+             |    ON ps.query_id = s.query_id AND ps.b_id = s.neighbor_id
+             |  GROUP BY 1, 2
+             |), win$i AS MATERIALIZED (
+             |  SELECT query_id, neighbor_id, $i AS pick_rank FROM (
+             |    SELECT r.query_id, r.neighbor_id,
+             |      row_number() OVER (PARTITION BY r.query_id
+             |        ORDER BY ($lam * r.cosm - ${100 - lam} * m.ms) DESC, r.neighbor_id) AS wrn
+             |    FROM rem$i r JOIN ms$i m
+             |      ON r.query_id = m.query_id AND r.neighbor_id = m.a_id)
+             |  WHERE wrn = 1
+             |), sacc$i AS MATERIALIZED (
+             |  SELECT * FROM sacc${i - 1} UNION ALL SELECT * FROM win$i
+             |)""".stripMargin
+        }.mkString
+        base + steps +
+          s"""\nSELECT s.query_id, s.neighbor_id, s.pick_rank, c.cos
+             |FROM sacc$k s JOIN cand c
+             |  ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id""".stripMargin
+      },
       "s2_ann_lsh" ->
         s"""WITH eIn AS (
            |  SELECT vec_id, embedding FROM embeddings

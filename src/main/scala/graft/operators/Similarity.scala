@@ -124,6 +124,82 @@ object Similarity {
       .where(col("margin") >= minMargin)
   }
 
+  /** Maximal-Marginal-Relevance diverse re-ranking (Carbonell &
+    * Goldstein, SIGIR'98) — the production post-stage after ANN
+    * retrieval: from each query's top-`m` candidates, greedily pick
+    * `k` results maximizing `λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s)`,
+    * so near-duplicate hits don't crowd the result list (the
+    * similarity-search twin of the dedup keepers).
+    *
+    * Engine-exact greedy: cosines are rounded to 6 dp then
+    * micro-quantized to integers, λ is an integer percent, so every
+    * step's argmax is an integer compare with ties to the smallest
+    * neighbor id — the trajectory is bit-identical on any engine and
+    * any partitioning, and the oracle unrolls the same k steps.
+    *
+    * Scale shape: candidate generation rides [[bruteForceTopK]]
+    * (corpus never shuffled, queries broadcast, bounded top-m
+    * partial aggregate); everything after operates on the
+    * |queries|·m candidate table and its |queries|·m² pair-sim table
+    * — query-set-sized, not corpus-sized. The k−1 greedy steps are
+    * fixed-count query-key equi-joins with per-step lineage cuts
+    * ([[graft.operators.Graph.kCore]]'s loop rule). Queries with
+    * fewer than k candidates simply yield fewer picks.
+    *
+    * Output: `(query_id, neighbor_id, pick_rank, cos)`, k rows per
+    * query, pick_rank 1..k in greedy order.
+    */
+  def mmrRerank(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      m: Int = 10, k: Int = 5, lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1 && m >= k, s"need m >= k >= 1, got m=$m k=$k")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"lambdaPct must be in [0,100], got $lambdaPct")
+    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, m)
+      .withColumn("_cosm", expr("CAST(round(cos * 1000000) AS BIGINT)"))
+      .localCheckpoint()
+    // candidate vectors: the cand side is queries·m rows — broadcast it
+    // against the corpus-sized prepared table, never the reverse
+    val prep = prepare(corpus, idCol, vecCol)
+    val pv = prep.join(
+        broadcast(cand.select(col("query_id"), col("neighbor_id").as("_cid"))),
+        col("_id") === col("_cid"))
+      .select(col("query_id"), col("_cid"), col("_q"), col("_n2"))
+    val a = pv.select(col("query_id"), col("_cid").as("a_id"),
+      col("_q").as("_qa"), col("_n2").as("_na"))
+    val b = pv.select(col("query_id"), col("_cid").as("b_id"),
+      col("_q").as("_qb"), col("_n2").as("_nb"))
+    val ps = a.join(b, Seq("query_id")).where(col("a_id") =!= col("b_id"))
+      .withColumn("_sim", cosineFrom(dotQ(col("_qa"), col("_qb")), col("_na"), col("_nb")))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        expr("CAST(round(round(_sim, 6) * 1000000) AS BIGINT)").as("sim_micro"))
+      .localCheckpoint()
+    var sel = cand.where(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("pick_rank"))
+      .localCheckpoint()
+    for (step <- 2 to k) {
+      val remaining = cand.join(sel.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val maxSel = ps.join(
+          sel.select(col("query_id"), col("neighbor_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id")).agg(max(col("sim_micro")).as("_ms"))
+        .withColumnRenamed("a_id", "neighbor_id")
+      val win = remaining.join(maxSel, Seq("query_id", "neighbor_id"))
+        .withColumn("_score",
+          lit(lambdaPct.toLong) * col("_cosm") - lit((100 - lambdaPct).toLong) * col("_ms"))
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("_score"), (-col("neighbor_id")).as("_neg"))).as("_w"))
+        .select(col("query_id"), (-col("_w._neg")).as("neighbor_id"),
+          lit(step).as("pick_rank"))
+      sel = sel.unionByName(win).localCheckpoint()
+    }
+    sel.join(cand.select(col("query_id"), col("neighbor_id"), col("cos")),
+        Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("pick_rank"), col("cos"))
+  }
+
   /** IVF top-k: an inverted-file index over coarse cells. The cell
     * assignment of the corpus comes from `cellCol` (an externally trained
     * quantizer — here the dataset's cluster label; k-means training is an

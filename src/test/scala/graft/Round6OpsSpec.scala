@@ -259,6 +259,28 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(r(9) === ((0L, 0L, -45757L)))
   }
 
+  // ── Similarity.mmrRerank ───────────────────────────────────────────
+
+  test("mmr: near-duplicate of the first pick is demoted below a diverse hit") {
+    import spark.implicits._
+    // query (1,1,0,0); corpus: 1 and 2 identical (1,0,0,0), 3 orthogonal
+    // to them (0,1,0,0) — all three at cos .7071 to the query. Pure
+    // relevance order is 1,2,3 (id tie-break); MMR must pick 3 second.
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(1f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity
+      .mmrRerank(corpus, q, "vec_id", "embedding", m = 3, k = 3, lambdaPct = 70)
+      .collect().map(x => x.getInt(2) -> x.getLong(1)).toMap
+    assert(r === Map(1 -> 1L, 2 -> 3L, 3 -> 2L))
+    // lambda = 100 is pure relevance: id order on the cosine tie
+    val rel = graft.operators.Similarity
+      .mmrRerank(corpus, q, "vec_id", "embedding", m = 3, k = 3, lambdaPct = 100)
+      .collect().map(x => x.getInt(2) -> x.getLong(1)).toMap
+    assert(rel === Map(1 -> 1L, 2 -> 2L, 3 -> 3L))
+  }
+
   // ── Multimodal.qaReport ────────────────────────────────────────────
 
   test("media QA report: per-check pass rates over decoded headers") {
