@@ -2076,6 +2076,38 @@ object SparkEntry {
       Multimodal.qaReport(par(tbl(s, dir, "documents"))
         .select(col("doc_id").as("media_id"),
           Multimodal.fakeMediaBytes(col("text")).as("bytes")))),
+    // Recursive CTE (Spark 4 relational surface): shortest-hop
+    // reachability from nation 0 over the g5 trade backbone — ≤3-hop
+    // paths enumerated by the recursion, min-hop aggregated after
+    // (SQL forbids aggregates in the recursive term). Path fan-out is
+    // bounded by backbone-degree³ on a dimension-sized graph; for
+    // corpus-scale closures use the dedup-per-iteration Pregel loops
+    // (Graph.pageRankPpm / Dedup.connectedComponents) — recursion is
+    // the SQL surface, the iterative joins are the 100 TB shape.
+    "q41_recursive_reach" -> ((s, dir) => {
+      val und = tradeEdges(s, dir)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"), col("w"))
+        .where(col("u") =!= col("v"))
+        .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      val tot = und.agg(count(lit(1)).as("ne"), sum(col("w")).as("tw"))
+      val backbone = und.crossJoin(broadcast(tot))
+        .where(col("w").cast("decimal(38,0)") * col("ne") >
+          col("tw").cast("decimal(38,0)"))
+      val nb = backbone.select(col("u").as("n"), col("v").as("nbr"))
+        .unionByName(backbone.select(col("v").as("n"), col("u").as("nbr")))
+      nb.createOrReplaceTempView("g41_nb")
+      try s.sql("""
+        WITH RECURSIVE reach(node, hops) AS (
+          SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+          UNION ALL
+          SELECT nb.nbr, r.hops + 1
+          FROM reach r JOIN g41_nb nb ON nb.n = r.node
+          WHERE r.hops < 3
+        )
+        SELECT node, min(hops) AS hops FROM reach GROUP BY node""")
+      finally s.catalog.dropTempView("g41_nb")
+    }),
     // UNPIVOT (the inverse of q15's PIVOT): wide metric columns to long
     // (metric, value) rows via the stack generator — a pure scan-stage
     // explode, no shuffle.
@@ -5284,6 +5316,30 @@ object SparkEntry {
           |SELECT s.node_a, s.node_b, s.common_neighbors, s.ra_micro
           |FROM sc s LEFT JOIN e ON s.node_a = e.u AND s.node_b = e.v
           |WHERE e.u IS NULL AND s.common_neighbors >= 2""".stripMargin,
+      "q41_recursive_reach" ->
+        """WITH RECURSIVE edges AS (
+          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w
+          |  FROM lineitem l
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  GROUP BY 1, 2
+          |), und0 AS (
+          |  SELECT least(src, dst) AS u, greatest(src, dst) AS v, CAST(sum(w) AS BIGINT) AS w
+          |  FROM edges WHERE src <> dst GROUP BY 1, 2
+          |), und AS (
+          |  SELECT u, v FROM und0
+          |  WHERE CAST(w AS HUGEINT) * (SELECT count(*) FROM und0) > (SELECT sum(w) FROM und0)
+          |), nb AS MATERIALIZED (
+          |  SELECT u AS n, v AS nbr FROM und UNION ALL SELECT v, u FROM und
+          |), reach(node, hops) AS (
+          |  SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+          |  UNION ALL
+          |  SELECT nb.nbr, r.hops + 1
+          |  FROM reach r JOIN nb ON nb.n = r.node
+          |  WHERE r.hops < 3
+          |)
+          |SELECT node, min(hops) AS hops FROM reach GROUP BY node""".stripMargin,
       "u36_gini" ->
         """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
           |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM c),
