@@ -551,7 +551,10 @@ object Dedup {
         hashedShingleSetNative(col(textCol), n).as("_sh"))
       .localCheckpoint()
     val ex = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+    // vocabulary-sized df table: shuffle-hash on the shingle key, never
+    // broadcast (the t9/t10 rule — vocabulary grows with the corpus)
     val dfreq = ex.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+      .hint("shuffle_hash")
     // per-doc tokens in (df asc, hash asc) global rarity order; the
     // struct sort is deterministic because shingles are unique per doc
     val sorted = ex.join(dfreq, Seq("_s"))

@@ -301,8 +301,11 @@ object Graph {
     val nb = und.select(col("_u").as("_n"), col("_v").as("_nbr"))
       .union(und.select(col("_v").as("_n"), col("_u").as("_nbr")))
     val deg = nb.groupBy(col("_n")).agg(count(lit(1)).as("_d"))
-    // wedge centers carry their degree; hub centers are dropped pre-join
+    // wedge centers carry their degree; hub centers are dropped pre-join.
+    // Checkpointed: both sides of the wedge self-join read this table, and
+    // without the cut each side re-derives the degree aggregate.
     val ctr = nb.join(deg.where(col("_d") <= degCap), Seq("_n"))
+      .localCheckpoint()
     val wedges = ctr.as("a")
       .join(ctr.as("b"),
         col("a._n") === col("b._n") && col("a._nbr") < col("b._nbr"))

@@ -568,6 +568,47 @@ class PlanSpec extends AnyFunSuite {
       s"corpus side must stream:\n$p")
   }
 
+  test("g7 link prediction: wedge and anti joins are equi-joins, no cartesian") {
+    val p = plan("g7_link_prediction")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge enumeration degraded to a non-equi join:\n$p")
+    assert(p.contains("LeftAnti"), s"adjacency must be excluded by anti-join:\n$p")
+  }
+
+  test("d22 prefix filter: df and prefix joins shuffled-hash, no nested loop") {
+    val p = plan("d22_prefix_filter")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in d22:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"prefix-token self-join should shuffle on the token key:\n$p")
+    assert(!p.contains("BroadcastExchange HashedRelationBroadcastMode(List(input[0, bigint, false])") ||
+      "ShuffledHashJoin".r.findAllIn(p).length >= 3,
+      s"vocabulary df join must not broadcast (t9/t10 rule):\n$p")
+  }
+
+  test("u36 gini: ranks come from bin-partitioned windows, moments partial-aggregate") {
+    val p = plan("u36_gini")
+    assert(p.contains("Exchange hashpartitioning(_bin"),
+      s"rank window must partition on the bin id:\n$p")
+    assert(p.contains("partial_sum"),
+      s"moment sums must combine map-side:\n$p")
+  }
+
+  test("u37 benford: 9-key aggregate with broadcast total, no sort-merge join") {
+    val p = plan("u37_benford")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"benford joins must stay broadcast-sized:\n$p")
+    assert(p.contains("partial_count"),
+      s"digit counts must combine map-side:\n$p")
+  }
+
+  test("m5 media qa: one checks-key aggregate, no joins at all") {
+    val p = plan("m5_media_qa")
+    assert(!p.contains("Join"), s"the QA melt must not join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"exactly one shuffle, on the check key:\n$p")
+  }
+
   test("s15 pca top: moment pass is a partial object-hash aggregate; result is a model constant") {
     // the registry query returns the trained model (a LocalTableScan of
     // 64 loadings) because the power iteration is driver arithmetic —
