@@ -2015,6 +2015,18 @@ object SparkEntry {
         .agg(sum(round(col("value") * 100).cast("long")).as("rev_cents"))
       Anomaly.cusumDaily(daily, "day", "rev_cents")
     }),
+    // EWMA drifting baseline + deviation over daily purchase revenue —
+    // the smoothing complement of u35's fixed-mean CUSUM (α=1/4,
+    // non-negative-operand integer update so truncating and flooring
+    // divides agree; signed ppm deviation vs the prior baseline with
+    // an explicit sign split). See Anomaly.ewmaDaily.
+    "u38_ewma" -> ((s, dir) => {
+      val daily = tbl(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("rev_cents"))
+      Anomaly.ewmaDaily(daily, "day", "rev_cents")
+    }),
     // Gini concentration of per-user event volume — the "how skewed is
     // this corpus" one-number audit (0 = even, →1 = one user is the
     // dataset). Exact rank-form Gini in integer micro-units; ranks via
@@ -5340,6 +5352,36 @@ object SparkEntry {
           |  WHERE r.hops < 3
           |)
           |SELECT node, min(hops) AS hops FROM reach GROUP BY node""".stripMargin,
+      "u38_ewma" ->
+        """WITH RECURSIVE p AS (
+          |  SELECT CAST(ts AS DATE) AS day, CAST(round(value * 100) AS BIGINT) AS c
+          |  FROM events WHERE event_type = 'purchase'
+          |), d AS (
+          |  SELECT day, CAST(sum(c) AS BIGINT) AS rev FROM p GROUP BY 1
+          |), ax AS (
+          |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+          |  FROM (SELECT min(day) AS mn, max(day) AS mx FROM d)
+          |), r AS (
+          |  SELECT ax.day, coalesce(d.rev, 0) AS rev,
+          |    row_number() OVER (ORDER BY ax.day) AS rn
+          |  FROM ax LEFT JOIN d USING (day)
+          |), e AS (
+          |  SELECT r.rn, r.day, r.rev, r.rev AS s,
+          |    CAST(0 AS BIGINT) AS dev, CAST(0 AS BIGINT) AS dev_ppm
+          |  FROM r WHERE r.rn = 1
+          |  UNION ALL
+          |  SELECT r.rn, r.day, r.rev,
+          |    CAST((3 * e.s + r.rev) // 4 AS BIGINT),
+          |    r.rev - e.s,
+          |    CASE WHEN r.rev = e.s THEN CAST(0 AS BIGINT)
+          |      WHEN e.s > 0 AND r.rev > e.s
+          |        THEN CAST((CAST(r.rev - e.s AS HUGEINT) * 1000000) // e.s AS BIGINT)
+          |      WHEN e.s > 0
+          |        THEN CAST(-((CAST(e.s - r.rev AS HUGEINT) * 1000000) // e.s) AS BIGINT)
+          |      ELSE NULL END
+          |  FROM e, r WHERE r.rn = e.rn + 1
+          |)
+          |SELECT day, rev AS rev_cents, s AS ewma, dev, dev_ppm FROM e""".stripMargin,
       "u36_gini" ->
         """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
           |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM c),

@@ -111,6 +111,67 @@ object Anomaly {
     * `aggregate` higher-order call over the collected day axis — a
     * calendar-bounded (≤366/year) model-constant-sized array, the same
     * bounded-axis rule as the u17/u18 survival curves. */
+  /** EWMA baseline + deviation over the dense daily axis — the
+    * drifting-baseline complement of [[cusumDaily]] (CUSUM accumulates
+    * small shifts against a FIXED mean; EWMA tracks a moving one, so a
+    * slow organic trend doesn't page anyone while a step change shows
+    * up as deviation-vs-yesterday's-baseline). α = 1/alphaDiv with the
+    * update written as `s_d = ((alphaDiv−1)·s_{d−1} + x_d) div
+    * alphaDiv`, `s_1 = x_1`: every operand is NON-NEGATIVE, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree and the
+    * trajectory is engine-exact (a `(x − s) div k` form would diverge
+    * on negative deviations). The relative deviation is ppm against
+    * the PRIOR baseline with an explicit sign split for the same
+    * reason, DECIMAL-widened before the multiply (the q35 overflow
+    * rule); baseline 0 with nonzero volume → NULL (no meaningful
+    * relative form). Missing calendar days count as zero volume.
+    *
+    * Scale shape: identical to [[cusumDaily]] — one day-key aggregate
+    * over the stream, then the recurrence folds ONE `aggregate` HOF
+    * over the calendar-bounded collected axis.
+    *
+    * Output: `(day, <valCol>, ewma, dev, dev_ppm)`, ewma AFTER the
+    * day's update, dev/dev_ppm against the pre-update baseline.
+    */
+  def ewmaDaily(
+      daily: DataFrame, dayCol: String, valCol: String,
+      alphaDiv: Int = 4): DataFrame = {
+    require(alphaDiv >= 2, s"alphaDiv must be >= 2, got $alphaDiv")
+    val a1 = alphaDiv - 1
+    val d = daily.select(col(dayCol).cast("date").as("_d"),
+      col(valCol).cast("long").as("_v"))
+    val axis = d.agg(min(col("_d")).as("_mn"), max(col("_d")).as("_mx"))
+      .select(explode(sequence(col("_mn"), col("_mx"))).as("_d"))
+    val dense = axis.join(d, Seq("_d"), "left")
+      .select(col("_d"), coalesce(col("_v"), lit(0L)).as("_v"))
+    dense
+      .agg(sort_array(collect_list(struct(col("_d"), col("_v")))).as("_rows"))
+      .select(explode(expr(
+        s"""aggregate(
+           |  _rows,
+           |  named_struct('first', true, 's', 0L, 'out',
+           |    cast(array() as array<struct<day:date,v:bigint,ewma:bigint,dev:bigint,dev_ppm:bigint>>)),
+           |  (acc, x) -> named_struct(
+           |    'first', false,
+           |    's', CASE WHEN acc.first THEN x._v ELSE ($a1 * acc.s + x._v) div $alphaDiv END,
+           |    'out', array_append(acc.out, named_struct(
+           |      'day', x._d,
+           |      'v', x._v,
+           |      'ewma', CASE WHEN acc.first THEN x._v ELSE ($a1 * acc.s + x._v) div $alphaDiv END,
+           |      'dev', CASE WHEN acc.first THEN 0L ELSE x._v - acc.s END,
+           |      'dev_ppm', CASE WHEN acc.first THEN 0L
+           |        WHEN x._v = acc.s THEN 0L
+           |        WHEN acc.s > 0 AND x._v > acc.s
+           |          THEN CAST((CAST(x._v - acc.s AS DECIMAL(38,0)) * 1000000) div acc.s AS BIGINT)
+           |        WHEN acc.s > 0
+           |          THEN CAST(-((CAST(acc.s - x._v AS DECIMAL(38,0)) * 1000000) div acc.s) AS BIGINT)
+           |        ELSE CAST(NULL AS BIGINT) END))),
+           |  acc -> acc.out)""".stripMargin)).as("_r"))
+      .select(col("_r.day").as("day"), col("_r.v").as(valCol),
+        col("_r.ewma").as("ewma"), col("_r.dev").as("dev"),
+        col("_r.dev_ppm").as("dev_ppm"))
+  }
+
   def cusumDaily(
       daily: DataFrame, dayCol: String, valCol: String,
       slackDiv: Int = 20, threshDiv: Int = 1): DataFrame = {

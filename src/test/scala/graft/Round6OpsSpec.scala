@@ -228,6 +228,36 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(r.getLong(5) === 6L)
   }
 
+  // ── Anomaly.ewmaDaily ──────────────────────────────────────────────
+
+  test("ewma: hand-computed trajectory, gap day decays, zero-baseline NULL ppm") {
+    import spark.implicits._
+    val daily = Seq(("2024-01-01", 8L), ("2024-01-03", 4L), ("2024-01-04", 16L))
+      .toDF("d", "v").withColumn("d", col("d").cast("date"))
+    val r = Anomaly.ewmaDaily(daily, "d", "v").collect()
+      .map(x => x.getDate(0).toString ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3),
+          if (x.isNullAt(4)) null else x.getLong(4)))).toMap
+    // s1=8; gap day v=0: dev -8 (-1e6 ppm), s=(24+0)/4=6; d3: v=4 dev -2
+    // ppm -(2e6//6)=-333333, s=(18+4)/4=5; d4: v=16 dev 11 ppm 2.2e6, s=7
+    assert(r === Map(
+      "2024-01-01" -> ((8L, 8L, 0L, 0L)),
+      "2024-01-02" -> ((0L, 6L, -8L, -1000000L)),
+      "2024-01-03" -> ((4L, 5L, -2L, -333333L)),
+      "2024-01-04" -> ((16L, 7L, 11L, 2200000L))))
+    // zero baseline with nonzero volume has no relative form -> NULL
+    val z = Seq(("2024-01-01", 0L), ("2024-01-02", 0L), ("2024-01-03", 5L))
+      .toDF("d", "v").withColumn("d", col("d").cast("date"))
+    val zr = Anomaly.ewmaDaily(z, "d", "v").collect()
+      .map(x => x.getDate(0).toString -> x.isNullAt(4)).toMap
+    assert(zr === Map("2024-01-01" -> false, "2024-01-02" -> false,
+      "2024-01-03" -> true))
+    // partition invariance: the fold runs over one sorted collected axis
+    val r7 = Anomaly.ewmaDaily(daily.repartition(7), "d", "v").collect()
+      .map(x => x.getDate(0).toString -> x.getLong(2)).toMap
+    assert(r7 === r.map { case (k, v) => k -> v._2 })
+  }
+
   // ── Profile.giniConcentration ──────────────────────────────────────
 
   test("gini: even weights 0, one-key concentration (n-1)/n, zero sum NULL") {
