@@ -586,4 +586,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(stream.size === 4)
     } finally q.stop()
   }
+
+  test("stateful ewma: gap decay across micro-batches; stream == batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulEwma
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val mem = MemoryStream[(String, java.sql.Date, Long)]
+    val daily = mem.toDF.toDF("key", "day", "v")
+    val q = StatefulEwma.ewma(daily, "key", "day", "v")
+      .writeStream.format("memory").queryName("ewm").outputMode("update").start()
+    try {
+      mem.addData(("m", d("2024-01-01"), 8L))
+      q.processAllAvailable()
+      // Jan 2 is a calendar gap: the Jan 3 fold must decay one zero-value
+      // step ACROSS the micro-batch boundary (s: 8 -> 6), then update
+      mem.addData(("m", d("2024-01-03"), 4L), ("m", d("2024-01-04"), 16L))
+      q.processAllAvailable()
+      mem.addData(("m", d("2024-01-02"), 999L)) // late gap day: skipped
+      q.processAllAvailable()
+      val rows = spark.table("ewm").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null else r.getLong(5))))
+      val byDay = rows.groupBy(_._1).map { case (dn, v) => dn -> v.last._2 }
+      val day0 = d("2024-01-01").toLocalDate.toEpochDay
+      assert(byDay(day0) === ((8L, 0L, 0L)))
+      assert(byDay(day0 + 2) === ((5L, -2L, -333333L)), "gap decayed 8->6 first")
+      assert(byDay(day0 + 3) === ((7L, 11L, 2200000L)))
+      assert(!byDay.contains(day0 + 1), "late gap-day point was skipped")
+      // batch parity: ewmaDaily on the dense frame equals the stream on
+      // every observed day (ewma, dev, dev_ppm all bit-equal)
+      val dense = Seq(("2024-01-01", 8L), ("2024-01-03", 4L), ("2024-01-04", 16L))
+        .toDF("ds", "v").withColumn("day", col("ds").cast("date")).drop("ds")
+      val batch = graft.operators.Anomaly.ewmaDaily(dense, "day", "v").collect()
+        .map(r => r.getDate(0).toLocalDate.toEpochDay ->
+          ((r.getLong(2), r.getLong(3), if (r.isNullAt(4)) null else r.getLong(4))))
+        .toMap
+      val stream = StatefulEwma.ewma(dense.withColumn("key", lit("m")),
+          "key", "day", "v")
+        .collect()
+        .map(r => r.day_n ->
+          ((r.ewma, r.dev, r.dev_ppm.map(l => l: Any).getOrElse(null))))
+        .toMap
+      stream.foreach { case (dn, x) => assert(batch(dn) === x, s"day $dn") }
+      assert(stream.size === 3)
+    } finally q.stop()
+  }
 }
