@@ -2015,6 +2015,21 @@ object SparkEntry {
         .agg(sum(round(col("value") * 100).cast("long")).as("rev_cents"))
       Anomaly.cusumDaily(daily, "day", "rev_cents")
     }),
+    // SCD2 validity intervals from the purchase change log: per-user
+    // price versions with no-change rows collapsed, each surviving
+    // version closed at the next one's timestamp (NULL = current) —
+    // the dimension-history complement of q32's latest-only CDC apply,
+    // one user-key window pass. See Incremental.scd2Intervals.
+    "q42_scd2_intervals" -> ((s, dir) =>
+      Incremental.scd2Intervals(
+        tbl(s, dir, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "user_id", "ts", "event_id", Seq("cents"))
+        .select(col("user_id"), col("cents"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))),
     // EWMA drifting baseline + deviation over daily purchase revenue —
     // the smoothing complement of u35's fixed-mean CUSUM (α=1/4,
     // non-negative-operand integer update so truncating and flooring
@@ -5352,6 +5367,23 @@ object SparkEntry {
           |  WHERE r.hops < 3
           |)
           |SELECT node, min(hops) AS hops FROM reach GROUP BY node""".stripMargin,
+      "q42_scd2_intervals" ->
+        """WITH c AS (
+          |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events WHERE event_type = 'purchase'
+          |), l AS (
+          |  SELECT *, lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM c
+          |), ch AS (
+          |  SELECT user_id, event_id, ts, cents FROM l WHERE prev IS NULL OR prev <> cents
+          |), iv AS (
+          |  SELECT user_id, cents, epoch_us(ts) AS valid_from_us,
+          |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+          |  FROM ch
+          |)
+          |SELECT user_id, cents, valid_from_us, valid_to_us,
+          |  valid_to_us IS NULL AS is_current
+          |FROM iv""".stripMargin,
       "u38_ewma" ->
         """WITH RECURSIVE p AS (
           |  SELECT CAST(ts AS DATE) AS day, CAST(round(value * 100) AS BIGINT) AS c

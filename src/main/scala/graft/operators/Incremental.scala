@@ -68,4 +68,45 @@ object Incremental {
       .select(keys.map(col) ++ orderCols.map(c => col(s"_m.$c").as(c)) ++
         payload.map(c => col(s"_m.$c").as(c)): _*)
   }
+
+  /** Slowly-changing-dimension type-2 interval build from a change log
+    * — the dimension-table side of the CDC story ([[applyChangelog]]
+    * keeps only the LATEST version; SCD2 keeps them ALL, each with its
+    * validity window, which is what point-in-time joins and training
+    *-data as-of reconstruction consume). Two steps, both riding ONE
+    * key-partitioned window pass:
+    *
+    *  1. collapse no-change rows — a version whose attribute equals the
+    *     previous version's is noise, not history (`lag` compare on the
+    *     attribute struct);
+    *  2. close each surviving version at the NEXT surviving version's
+    *     timestamp (`lead`), NULL meaning "current".
+    *
+    * `tieCol` must make (tsCol, tieCol) a unique total order per key —
+    * the same determinism contract as [[applyChangelog]]'s orderCols.
+    * Both windows partition on the key: one shuffle, per-partition
+    * state bounded by a key's version chain. Validity is the standard
+    * half-open `[valid_from, valid_to)`.
+    *
+    * Output: key, attrs, `valid_from`, `valid_to` (NULL = open),
+    * `is_current`.
+    */
+  def scd2Intervals(
+      changes: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2Intervals needs at least one attribute")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val attrs = struct(attrCols.map(col): _*)
+    val changed = changes
+      .withColumn("_prev", lag(attrs, 1).over(w))
+      .where(col("_prev").isNull || col("_prev") =!= attrs)
+      .drop("_prev")
+    changed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((col(keyCol) +: attrCols.map(col)) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
 }

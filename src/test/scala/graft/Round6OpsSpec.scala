@@ -228,6 +228,38 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(r.getLong(5) === 6L)
   }
 
+  // ── Incremental.scd2Intervals ──────────────────────────────────────
+
+  test("scd2: no-change rows collapse, intervals chain, last version open") {
+    import spark.implicits._
+    // user 1: price 10 -> 10 (collapsed) -> 20 -> 10; user 2: single version
+    val log = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", 10L),
+      (1L, 2L, "2024-01-02 00:00:00", 10L), // same attr: not history
+      (1L, 3L, "2024-01-03 00:00:00", 20L),
+      (1L, 4L, "2024-01-04 00:00:00", 10L), // back to 10: IS history
+      (2L, 5L, "2024-01-01 00:00:00", 7L))
+      .toDF("user_id", "event_id", "s", "cents")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val r = graft.operators.Incremental
+      .scd2Intervals(log, "user_id", "ts", "event_id", Seq("cents"))
+      .collect()
+      .map(x => (x.getLong(0), x.getTimestamp(2).toString) ->
+        ((x.getLong(1), Option(x.getTimestamp(3)).map(_.toString).orNull,
+          x.getBoolean(4))))
+      .toMap
+    assert(r === Map(
+      (1L, "2024-01-01 00:00:00.0") -> ((10L, "2024-01-03 00:00:00.0", false)),
+      (1L, "2024-01-03 00:00:00.0") -> ((20L, "2024-01-04 00:00:00.0", false)),
+      (1L, "2024-01-04 00:00:00.0") -> ((10L, null, true)),
+      (2L, "2024-01-01 00:00:00.0") -> ((7L, null, true))))
+    // partition invariance
+    val r7 = graft.operators.Incremental
+      .scd2Intervals(log.repartition(7), "user_id", "ts", "event_id", Seq("cents"))
+      .collect().length
+    assert(r7 === 4)
+  }
+
   // ── Anomaly.ewmaDaily ──────────────────────────────────────────────
 
   test("ewma: hand-computed trajectory, gap day decays, zero-baseline NULL ppm") {
