@@ -745,6 +745,16 @@ object SparkEntry {
       Graft.registerAll(s)
       Dedup.embeddingCapExposureReport(augmentedEmb(s, dir), bucketCap = 4)
     }),
+    // TF-IDF cosine similarity pairs over the augmented corpus — the
+    // WEIGHTED complement of d4's unweighted Jaccard (shared rare
+    // terms count, boilerplate terms don't). Integer micro-quantized
+    // weights, exact DECIMAL dots/norms, doubles only at the final
+    // division. See Vocab.tfIdfCosinePairs.
+    // τ=0.9: on this low-entropy corpus a 0.6 cosine still matches
+    // ~220k topically-similar pairs; 0.9 is the near-dup regime (433
+    // pairs at sf0.01, the d4/d22 size class).
+    "d23_tfidf_cosine" -> ((s, dir) =>
+      Vocab.tfIdfCosinePairs(augmentedDocs(s, dir), threshold = 0.9)),
     // Exact τ=0.6 Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin):
     // only each doc's RAREST ~40% of shingles are indexed (global
     // df-ascending order), yet the result is provably identical to the
@@ -3158,6 +3168,33 @@ object SparkEntry {
            |  round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
            |FROM pairs
            |WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.3""".stripMargin,
+      "d23_tfidf_cosine" ->
+        s"""WITH $augDocsSql, tok AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS term
+           |  FROM aug
+           |), tf AS (
+           |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+           |), dfs AS (
+           |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+           |), nd AS (
+           |  SELECT count(DISTINCT doc_id) AS n_docs FROM aug
+           |), wt AS (
+           |  SELECT doc_id, term, df,
+           |    CAST(round(round(CAST(tf AS DOUBLE) * (ln((CAST(n_docs AS DOUBLE) + 1)
+           |      / (CAST(df AS DOUBLE) + 1)) + 1), 6) * 1000000) AS BIGINT) AS w
+           |  FROM tf JOIN dfs USING (term) CROSS JOIN nd
+           |), nrm AS (
+           |  SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM wt GROUP BY 1
+           |), pr AS (SELECT * FROM wt WHERE df <= 100000
+           |), dots AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+           |  FROM pr a JOIN pr b ON a.term = b.term AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT id_a, id_b,
+           |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos_sim
+           |FROM dots JOIN nrm na ON dots.id_a = na.doc_id JOIN nrm nb ON dots.id_b = nb.doc_id
+           |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.9""".stripMargin,
       // brute-force all-pairs truth at τ=0.6 — the prefix filter is
       // lossless, so the full inverted index IS its ground truth
       "d22_prefix_filter" ->

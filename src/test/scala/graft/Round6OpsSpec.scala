@@ -228,6 +228,33 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(r.getLong(5) === 6L)
   }
 
+  // ── Vocab.tfIdfCosinePairs ─────────────────────────────────────────
+
+  test("tfidf cosine: exact dup scores 1.0, shared-boilerplate pair scores below rare-term pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "zephyr quokka obelisk rotunda"),
+      (2L, "zephyr quokka obelisk rotunda"), // exact dup of 1
+      (3L, "the and of alpha beta"), // shares ONLY boilerplate with 4
+      (4L, "the and of gamma delta"))
+      .toDF("doc_id", "text")
+    val all = graft.operators.Vocab.tfIdfCosinePairs(docs, threshold = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(all((1L, 2L)) === 1.0)
+    // 3 and 4 overlap only on high-df boilerplate: idf keeps them well
+    // below the dup pair, and zero-overlap pairs never appear at all
+    assert(all((3L, 4L)) < 0.9 && all((3L, 4L)) > 0.2)
+    assert(!all.contains((1L, 3L)), "no shared terms, no candidate")
+    // near-dup threshold keeps only the exact dup
+    val strict = graft.operators.Vocab.tfIdfCosinePairs(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict === Set((1L, 2L)))
+    // partition invariance: integer dots and norms
+    val p7 = graft.operators.Vocab.tfIdfCosinePairs(docs.repartition(7), threshold = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(p7 === all)
+  }
+
   // ── Incremental.scd2Intervals ──────────────────────────────────────
 
   test("scd2: no-change rows collapse, intervals chain, last version open") {
