@@ -745,16 +745,18 @@ object SparkEntry {
       Graft.registerAll(s)
       Dedup.embeddingCapExposureReport(augmentedEmb(s, dir), bucketCap = 4)
     }),
-    // TF-IDF cosine similarity pairs over the augmented corpus — the
-    // WEIGHTED complement of d4's unweighted Jaccard (shared rare
-    // terms count, boilerplate terms don't). Integer micro-quantized
-    // weights, exact DECIMAL dots/norms, doubles only at the final
-    // division. See Vocab.tfIdfCosinePairs.
-    // τ=0.9: on this low-entropy corpus a 0.6 cosine still matches
-    // ~220k topically-similar pairs; 0.9 is the near-dup regime (433
-    // pairs at sf0.01, the d4/d22 size class).
-    "d23_tfidf_cosine" -> ((s, dir) =>
-      Vocab.tfIdfCosinePairs(augmentedDocs(s, dir), threshold = 0.9)),
+    // IDF-weighted shingle-cosine pairs — the WEIGHTED complement of
+    // d4's unweighted Jaccard (shared rare shingles count, boilerplate
+    // shingles don't). Weighted at the SHINGLE level, not unigrams:
+    // this corpus's word vocabulary is 118 terms, so a unigram
+    // inverted index fans out quadratically on every term (measured
+    // ~220k candidate pairs at sf0.01, corpus² at 10×) while 5-gram
+    // shingles are near-unique (max df 6, 646 candidates). See
+    // Dedup.idfCosinePairs.
+    "d23_idf_cosine" -> ((s, dir) => {
+      Graft.registerAll(s)
+      Dedup.idfCosinePairs(augmentedDocs(s, dir), n = 5, threshold = 0.8)
+    }),
     // Exact τ=0.6 Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin):
     // only each doc's RAREST ~40% of shingles are indexed (global
     // df-ascending order), yet the result is provably identical to the
@@ -3168,33 +3170,30 @@ object SparkEntry {
            |  round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
            |FROM pairs
            |WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.3""".stripMargin,
-      "d23_tfidf_cosine" ->
-        s"""WITH $augDocsSql, tok AS (
-           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS term
-           |  FROM aug
-           |), tf AS (
-           |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+      "d23_idf_cosine" ->
+        s"""WITH ${augShinglesSql(5)}, ex AS (
+           |  SELECT id, unnest(sh) AS s FROM shs
            |), dfs AS (
-           |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+           |  SELECT s, count(*) AS df FROM ex GROUP BY 1
            |), nd AS (
-           |  SELECT count(DISTINCT doc_id) AS n_docs FROM aug
+           |  SELECT count(DISTINCT id) AS n_docs FROM shs
            |), wt AS (
-           |  SELECT doc_id, term, df,
-           |    CAST(round(round(CAST(tf AS DOUBLE) * (ln((CAST(n_docs AS DOUBLE) + 1)
-           |      / (CAST(df AS DOUBLE) + 1)) + 1), 6) * 1000000) AS BIGINT) AS w
-           |  FROM tf JOIN dfs USING (term) CROSS JOIN nd
+           |  SELECT id, ex.s, df,
+           |    CAST(round(round(ln((CAST(n_docs AS DOUBLE) + 1)
+           |      / (CAST(df AS DOUBLE) + 1)) + 1, 6) * 1000000) AS BIGINT) AS w
+           |  FROM ex JOIN dfs USING (s) CROSS JOIN nd
            |), nrm AS (
-           |  SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM wt GROUP BY 1
+           |  SELECT id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM wt GROUP BY 1
            |), pr AS (SELECT * FROM wt WHERE df <= 100000
            |), dots AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(CAST(a.w AS HUGEINT) * b.w) AS dot
-           |  FROM pr a JOIN pr b ON a.term = b.term AND a.doc_id < b.doc_id
+           |  SELECT a.id AS id_a, b.id AS id_b, sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+           |  FROM pr a JOIN pr b ON a.s = b.s AND a.id < b.id
            |  GROUP BY 1, 2
            |)
            |SELECT id_a, id_b,
            |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos_sim
-           |FROM dots JOIN nrm na ON dots.id_a = na.doc_id JOIN nrm nb ON dots.id_b = nb.doc_id
-           |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.9""".stripMargin,
+           |FROM dots JOIN nrm na ON dots.id_a = na.id JOIN nrm nb ON dots.id_b = nb.id
+           |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.8""".stripMargin,
       // brute-force all-pairs truth at τ=0.6 — the prefix filter is
       // lossless, so the full inverted index IS its ground truth
       "d22_prefix_filter" ->

@@ -576,6 +576,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** IDF-weighted shingle-cosine similarity pairs — the WEIGHTED
+    * complement of [[ngramJaccardPairs]]: Jaccard counts every shared
+    * shingle equally; idf-weighted cosine scores overlap by how
+    * DISCRIMINATIVE the shared shingles are, so two docs sharing a
+    * site-wide boilerplate paragraph (high-df shingles) rank below two
+    * docs sharing rare content. Weighting at the SHINGLE level (not
+    * unigram terms) is what keeps the inverted index scale-safe: word
+    * vocabularies are small and Zipfian — a unigram index fans out
+    * quadratically on "the" — while n-gram shingles are near-unique,
+    * so join fan-out tracks true near-dup structure (the d4 lesson,
+    * now weighted).
+    *
+    * Engine-exact: per (doc, shingle) weight is
+    * `round₆(ln((N+1)/(df+1)) + 1)` micro-quantized to an integer, so
+    * dots and squared norms are exact DECIMAL sums; doubles appear
+    * only in the final `dot/(√n2a·√n2b)` and the threshold compares
+    * the ROUNDED cosine.
+    *
+    * Scale shape: one shingle pass (checkpointed, shared by df and
+    * join sides), df table joins back shuffle-hash (vocabulary-sized,
+    * never broadcast), inverted-index self-join with the
+    * [[shinglePairCounts]] hot-key discipline — shingles with
+    * df > dfCap are dropped from the DOT while norms keep every
+    * shingle, so a capped pair's cosine is a (tight) lower bound.
+    *
+    * Output: `(id_a, id_b, cos_sim)` for pairs at or above `threshold`.
+    */
+  def idfCosinePairs(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 5, threshold: Double = 0.8, dfCap: Int = 100000): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val sh = docs.select(col(idCol).as("_id"),
+        hashedShingleSetNative(col(textCol), n).as("_sh"))
+      .localCheckpoint()
+    val ex = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+    val dfs = ex.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+    val nDocs = sh.select(countDistinct(col("_id")).as("_nd"))
+    val wt = ex.join(dfs.hint("shuffle_hash"), "_s")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("_w", expr(
+        "CAST(round(round(ln((CAST(_nd AS DOUBLE) + 1)" +
+          " / (CAST(_df AS DOUBLE) + 1)) + 1, 6) * 1000000) AS BIGINT)"))
+      .select(col("_id"), col("_s"), col("_df"), col("_w"))
+      .localCheckpoint()
+    val norms = wt.groupBy(col("_id"))
+      .agg(sum(col("_w").cast("decimal(38,0)") * col("_w")).as("_n2"))
+    val pruned = wt.where(col("_df") <= dfCap)
+    val dots = pruned.as("a")
+      .join(pruned.as("b").hint("shuffle_hash"),
+        col("a._s") === col("b._s") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(sum(col("a._w").cast("decimal(38,0)") * col("b._w")).as("_dot"))
+    dots
+      .join(norms.select(col("_id").as("id_a"), col("_n2").as("_na")), "id_a")
+      .join(norms.select(col("_id").as("id_b"), col("_n2").as("_nb")), "id_b")
+      .withColumn("cos_sim", round(col("_dot").cast("double") /
+        (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))), 6))
+      .where(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** Asymmetric containment near-dup pairs: score = |A ∩ B| / min(|A|, |B|)
     * — the shingle containment of the SMALLER document in the larger.
     * Catches excerpt/quote/prefix duplication that symmetric Jaccard

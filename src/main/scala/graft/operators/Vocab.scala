@@ -83,64 +83,6 @@ object Vocab {
         col("tfidf"), col("rank"))
   }
 
-  /** TF-IDF cosine document-similarity pairs — the WEIGHTED complement
-    * of the shingle Jaccard detectors ([[Dedup.ngramJaccardPairs]]):
-    * set overlap treats every token equally, cosine over tf-idf weights
-    * scores overlap by how discriminative the shared terms are, which
-    * is the signal topical-duplicate and template-page screens need.
-    *
-    * Engine-exact: each (doc, term) weight is the t9 tf-idf rounded to
-    * 6 dp then micro-quantized to an integer, so dots and squared norms
-    * are exact DECIMAL integer sums (partitioning-independent); doubles
-    * appear only in the final `dot/(√n2a·√n2b)` — identical IEEE ops on
-    * both engines — and the threshold compares the ROUNDED cosine.
-    *
-    * Scale shape: tokenize once (checkpointed tf table shared by the df
-    * aggregate and the join side), vocabulary df table joins back
-    * shuffle-hash (never broadcast), inverted-index self-join on the
-    * term with the [[Dedup.shinglePairCounts]] hot-key discipline —
-    * terms with df > dfCap are dropped from the DOT (ubiquitous terms
-    * carry near-zero idf weight anyway) while norms keep every term, so
-    * a capped pair's cosine is a tight lower bound. Fan-out is bounded
-    * by rare-term document frequencies.
-    *
-    * Output: `(id_a, id_b, cos_sim)` for pairs at or above `threshold`.
-    */
-  def tfIdfCosinePairs(
-      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.6, dfCap: Int = 100000): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"threshold must be in (0,1], got $threshold")
-    val tf = docs.select(col(idCol).as("_id"),
-        explode(Text.tokens(lower(col(textCol)))).as("_t"))
-      .groupBy(col("_id"), col("_t")).agg(count(lit(1)).as("_tf"))
-      .localCheckpoint()
-    val dfs = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
-    val nDocs = docs.select(countDistinct(col(idCol)).as("_nd"))
-    val weighted = tf.join(dfs.hint("shuffle_hash"), "_t")
-      .crossJoin(broadcast(nDocs))
-      .withColumn("_w", expr(
-        "CAST(round(round(CAST(_tf AS DOUBLE) * (ln((CAST(_nd AS DOUBLE) + 1)" +
-          " / (CAST(_df AS DOUBLE) + 1)) + 1), 6) * 1000000) AS BIGINT)"))
-      .select(col("_id"), col("_t"), col("_df"), col("_w"))
-      .localCheckpoint()
-    val norms = weighted.groupBy(col("_id"))
-      .agg(sum(col("_w").cast("decimal(38,0)") * col("_w")).as("_n2"))
-    val pruned = weighted.where(col("_df") <= dfCap)
-    val dots = pruned.as("a")
-      .join(pruned.as("b").hint("shuffle_hash"),
-        col("a._t") === col("b._t") && col("a._id") < col("b._id"))
-      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .agg(sum(col("a._w").cast("decimal(38,0)") * col("b._w")).as("_dot"))
-    dots
-      .join(norms.select(col("_id").as("id_a"), col("_n2").as("_na")), "id_a")
-      .join(norms.select(col("_id").as("id_b"), col("_n2").as("_nb")), "id_b")
-      .withColumn("cos_sim", round(col("_dot").cast("double") /
-        (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))), 6))
-      .where(col("cos_sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos_sim"))
-  }
-
   /** Per-document mean token surprisal under the corpus unigram model
     * (`-ln(cf(t)/total)`, in nats) — the cheap perplexity proxy used as
     * a model-free quality signal: very low surprisal = boilerplate /

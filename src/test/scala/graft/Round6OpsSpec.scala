@@ -228,29 +228,31 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(r.getLong(5) === 6L)
   }
 
-  // ── Vocab.tfIdfCosinePairs ─────────────────────────────────────────
+  // ── Dedup.idfCosinePairs ───────────────────────────────────────────
 
-  test("tfidf cosine: exact dup scores 1.0, shared-boilerplate pair scores below rare-term pair") {
+  test("idf cosine: exact dup 1.0, common-shingle pair below rare-shingle pair") {
     import spark.implicits._
+    // docs 1/2: exact dup. 3 shares one shingle with 1 ("a b c d e"),
+    // which is COMMON (df 3); 4 shares one with 1 ("b c d e f"), which
+    // is rarer (df 2) — idf must rank (1,4) above (1,3).
     val docs = Seq(
-      (1L, "zephyr quokka obelisk rotunda"),
-      (2L, "zephyr quokka obelisk rotunda"), // exact dup of 1
-      (3L, "the and of alpha beta"), // shares ONLY boilerplate with 4
-      (4L, "the and of gamma delta"))
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"), // exact dup of 1
+      (3L, "a b c d e x"),
+      (5L, "a b c d e y"), // makes "a b c d e" df 4 vs "b c d e f" df 3
+      (4L, "b c d e f z"))
       .toDF("doc_id", "text")
-    val all = graft.operators.Vocab.tfIdfCosinePairs(docs, threshold = 0.01)
+    val all = Dedup.idfCosinePairs(docs, threshold = 0.01)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(all((1L, 2L)) === 1.0)
-    // 3 and 4 overlap only on high-df boilerplate: idf keeps them well
-    // below the dup pair, and zero-overlap pairs never appear at all
-    assert(all((3L, 4L)) < 0.9 && all((3L, 4L)) > 0.2)
-    assert(!all.contains((1L, 3L)), "no shared terms, no candidate")
+    assert(all((1L, 4L)) > all((1L, 3L)),
+      "the rarer shared shingle must outscore the common one")
     // near-dup threshold keeps only the exact dup
-    val strict = graft.operators.Vocab.tfIdfCosinePairs(docs, threshold = 0.9)
+    val strict = Dedup.idfCosinePairs(docs, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(strict === Set((1L, 2L)))
     // partition invariance: integer dots and norms
-    val p7 = graft.operators.Vocab.tfIdfCosinePairs(docs.repartition(7), threshold = 0.01)
+    val p7 = Dedup.idfCosinePairs(docs.repartition(7), threshold = 0.01)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(p7 === all)
   }
