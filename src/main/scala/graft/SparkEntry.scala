@@ -803,6 +803,17 @@ object SparkEntry {
       Similarity.bruteForceTopK(par(e), e.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5)
     }),
+    // Hard-negative mining for contrastive training: per labeled
+    // anchor, the top-5 most-similar vectors with a DIFFERENT label —
+    // the label predicate runs during candidate generation (s14's
+    // rule, polarity inverted), corpus never shuffled. See
+    // Similarity.hardNegatives.
+    "s18_hard_negatives" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.hardNegatives(par(e), e.where(col("vec_id") < 20),
+        "vec_id", "embedding", "label", k = 5)
+    }),
     // MMR diverse top-5 from the brute top-10 (λ=70%): greedy
     // λ·rel − (1−λ)·max-sim-to-picked argmax in exact integer micro
     // units — the de-crowding post-stage production retrieval runs
@@ -1323,6 +1334,16 @@ object SparkEntry {
       Split.stratifiedSample(
         tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "lang", rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)),
+    // Exact-total stratified sample: exactly 300 documents allocated
+    // across languages by largest-remainder (Hamilton) apportionment,
+    // selected within each stratum by md5-hash rank — the fixed-budget
+    // contract p2's per-stratum rates cannot express. All-integer
+    // allocation on the |strata|-row count table. See
+    // Split.exactAllocationSample.
+    "p16_exact_allocation" -> ((s, dir) =>
+      Split.exactAllocationSample(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", k = 300)),
     // Quality-weighted sampling: survival probability proportional to a
     // length-capped quality weight — a pure hash-threshold filter in the
     // scan stage, no RNG, no shuffle.
@@ -3231,6 +3252,46 @@ object SparkEntry {
            |  FROM scored
            |)
            |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+      "s18_hard_negatives" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |), $quantEmbSql, lbl AS (
+           |  SELECT vec_id, label FROM embeddings
+           |), scored AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dotCosSql AS cos
+           |  FROM qn a
+           |  JOIN lbl la ON la.vec_id = a.vec_id
+           |  JOIN qn b ON a.vec_id < 20 AND b.vec_id != a.vec_id
+           |  JOIN lbl lb ON lb.vec_id = b.vec_id
+           |  WHERE la.label != lb.label
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored
+           |)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+      "p16_exact_allocation" ->
+        """WITH c AS (
+          |  SELECT lang, CAST(count(*) AS BIGINT) AS nh FROM documents GROUP BY 1
+          |), t AS (
+          |  SELECT CAST(sum(nh) AS BIGINT) AS n FROM c
+          |), a0 AS (
+          |  SELECT lang, nh, (300 * nh) // n AS base, (300 * nh) % n AS rem FROM c, t
+          |), e AS (
+          |  SELECT 300 - CAST(sum(base) AS BIGINT) AS extra FROM a0
+          |), a AS (
+          |  SELECT lang, CAST(base + CASE
+          |      WHEN row_number() OVER (ORDER BY rem DESC, lang) <= extra THEN 1
+          |      ELSE 0 END AS BIGINT) AS alloc
+          |  FROM a0, e
+          |), r AS (
+          |  SELECT doc_id, lang,
+          |    row_number() OVER (PARTITION BY lang ORDER BY
+          |      ('0x' || substr(md5('alloc|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+          |      doc_id) AS rk
+          |  FROM documents
+          |)
+          |SELECT r.lang, r.doc_id, a.alloc FROM r JOIN a USING (lang) WHERE r.rk <= a.alloc""".stripMargin,
       // unrolls mmrRerank's greedy: top-10 candidates (the s1 ranking),
       // micro-quantized candidate and pairwise cosines, then k−1 steps of
       // (remaining ⋈ max-sim-to-selected → integer-score argmax).

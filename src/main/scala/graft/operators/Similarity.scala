@@ -124,6 +124,39 @@ object Similarity {
       .where(col("margin") >= minMargin)
   }
 
+  /** Hard-negative mining — the contrastive-training data stage: for
+    * each labeled query (anchor), the top-k most-similar corpus rows
+    * with a DIFFERENT label. These maximally-confusable negatives are
+    * what two-tower/embedding trainers pair with the anchor's positives
+    * (random negatives are too easy to teach the margin). The label
+    * predicate runs DURING candidate generation, not as a post-filter
+    * that would under-fill k — the s14 filtered-ANN rule with the
+    * polarity inverted.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the corpus is
+    * scanned, never shuffled; queries (with their labels) broadcast;
+    * the per-query result is a bounded partial top-k aggregate. Swap in
+    * the IVF probe join for corpora where brute force is too hot; the
+    * label test rides along unchanged.
+    *
+    * Output: `(query_id, neighbor_id, cos, rn)`, rn 1..k per query.
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("_id"),
+        quantize(col(vecCol)).as("_q"), col(labelCol).as("_lbl"))
+      .withColumn("_n2", dotQ(col("_q"), col("_q")))
+    val q = queries.select(col(idCol).as("_qid"),
+        quantize(col(vecCol)).as("_qq"), col(labelCol).as("_qlbl"))
+      .withColumn("_qn2", dotQ(col("_qq"), col("_qq")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("_id") =!= col("_qid") && col("_lbl") =!= col("_qlbl"))
+      .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
+        cosineFrom(dotQ(col("_q"), col("_qq")), col("_n2"), col("_qn2")).as("cos"))
+    TopK.perQuery(scored, k)
+  }
+
   /** Maximal-Marginal-Relevance diverse re-ranking (Carbonell &
     * Goldstein, SIGIR'98) — the production post-stage after ANN
     * retrieval: from each query's top-`m` candidates, greedily pick

@@ -348,4 +348,56 @@ object Split {
       .withColumn("file_seq", expr(s"_before div ${targetBytes}L"))
       .drop("_key", "_bkt", "_boff", "_before")
   }
+
+  /** Proportional stratified sample with an EXACT total — the
+    * fixed-budget contract [[stratifiedSample]]'s per-stratum rates
+    * cannot express ("give me exactly 100k eval documents, stratified
+    * by language"). Stratum h of size N_h gets
+    * `n_h = ⌊k·N_h/N⌋` rows plus one of the `k − Σ⌊·⌋` leftovers by
+    * LARGEST REMAINDER (Hamilton apportionment; ties on the remainder
+    * break to the smaller stratum key) — Σ n_h = k exactly, every
+    * computation integer. Within a stratum the selected rows are the
+    * first n_h in md5-hash order (ties by id): no RNG, reproducible,
+    * and whenever a stratum's allocation grows its sample EXTENDS
+    * rather than re-deals. (Hamilton apportionment is not strictly
+    * monotone in k — the Alabama paradox can shrink one stratum's
+    * allocation as the total grows; use a divisor method if strict
+    * per-stratum monotonicity matters more than exact
+    * proportionality.)
+    *
+    * Scale shape: one stratum-count aggregate (|strata| rows — the
+    * allocation math, including its rank window, runs on that bounded
+    * table); the selection is one stratum-key window over hash order,
+    * per-partition state one stratum's rows. A stratum with fewer than
+    * n_h rows keeps them all and the realized total falls short —
+    * validate `k ≤ N` upstream (enforced here by require on the
+    * caller's k only).
+    *
+    * Output: the sampled rows of `df` (id + stratum), `n_h` per row as
+    * `alloc` for auditability.
+    */
+  def exactAllocationSample(
+      df: DataFrame, idCol: String, stratumCol: String, k: Long): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_nh"))
+    val tot = counts.agg(sum(col("_nh")).as("_n"), count(lit(1)).as("_ns"))
+    // |strata|-row table: the unpartitioned rank window is bounded by
+    // construction (the q36 offsets-table rule)
+    val alloc = counts.crossJoin(broadcast(tot))
+      .withColumn("_base", expr(s"(${k}L * _nh) div _n"))
+      .withColumn("_rem", expr(s"(${k}L * _nh) % _n"))
+      .withColumn("_extra", expr(s"${k}L - sum(_base) OVER ()"))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("_rem").desc, col(stratumCol))))
+      .withColumn("alloc",
+        col("_base") + when(col("_rk") <= col("_extra"), 1L).otherwise(0L))
+      .select(col(stratumCol), col("alloc"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", Dedup.hash60(
+        concat_ws("|", lit("alloc"), col(stratumCol), col(idCol).cast("string"))))
+      .withColumn("_rk", row_number().over(w))
+      .join(broadcast(alloc), Seq(stratumCol))
+      .where(col("_rk") <= col("alloc"))
+      .drop("_h", "_rk")
+  }
 }

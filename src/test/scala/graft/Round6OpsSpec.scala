@@ -350,6 +350,46 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(r(9) === ((0L, 0L, -45757L)))
   }
 
+  // ── Split.exactAllocationSample ────────────────────────────────────
+
+  test("exact allocation: total is exactly k, largest remainder wins the leftovers") {
+    import spark.implicits._
+    // strata sizes 6/3/1 with k=5: quotas 3.0/1.5/0.5 -> base 3/1/0,
+    // one leftover goes to the larger remainder ('b' .5 ties 'c' .5?
+    // no: b rem = 5*3 % 10 = 5, c rem = 5*1 % 10 = 5 -> tie breaks to
+    // the smaller stratum key, so b gets it)
+    val rows = (1L to 6L).map(i => (i, "a")) ++
+      (7L to 9L).map(i => (i, "b")) ++ Seq((10L, "c"))
+    val df = rows.toDF("id", "s")
+    val r = graft.operators.Split.exactAllocationSample(df, "id", "s", k = 5)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.length === 5, "exact total")
+    val byStratum = r.groupBy(_._1).map { case (k2, v) => k2 -> v.length }
+    assert(byStratum === Map("a" -> 3, "b" -> 2))
+    assert(r.filter(_._1 == "a").forall(_._3 == 3L), "alloc column audits n_h")
+    // determinism + extension: k=7 keeps every k=5 pick
+    val r5 = r.map(x => (x._1, x._2)).toSet
+    val r7 = graft.operators.Split.exactAllocationSample(df, "id", "s", k = 7)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(r5.subsetOf(r7), "larger k extends, never re-deals")
+  }
+
+  // ── Similarity.hardNegatives ───────────────────────────────────────
+
+  test("hard negatives: same-label rows never appear, ranking is cosine-desc") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0), // same label as query
+      (3L, Seq(0.8f, 0.2f), 1), (4L, Seq(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq((10L, Seq(1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val r = graft.operators.Similarity
+      .hardNegatives(corpus, q, "vec_id", "embedding", "label", k = 3)
+      .collect().sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+    // only label-1 rows survive, nearest first: 3 (cos .97) then 4 (0)
+    assert(r === Seq(3L, 4L))
+  }
+
   // ── Similarity.mmrRerank ───────────────────────────────────────────
 
   test("mmr: near-duplicate of the first pick is demoted below a diverse hit") {
