@@ -1100,6 +1100,17 @@ object SparkEntry {
     "u8_experiment_lift" -> ((s, dir) =>
       Experiment.liftReport(tbl(s, dir, "events"),
         col("event_type") === "purchase" && col("value") > 180)),
+    // CUPED variance-reduced experiment readout: per-user purchase
+    // cents split into a pre-period covariate (first 7 days) and the
+    // experiment metric (rest); θ fit pooled from exact DECIMAL
+    // moments, per-variant adjusted means by linearity — no per-user
+    // adjusted rows ever materialize. See Experiment.cupedReport.
+    "u39_cuped" -> ((s, dir) =>
+      Experiment.cupedReport(tbl(s, dir, "events"),
+        metric = when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(lit(0L)),
+        isPre = col("ts") < date_add(lit(winStart).cast("date"), 7)
+          .cast("timestamp"))),
     // No-equi-key range join: shipments against urgent orders' 3-day
     // windows, bucketized into a plain equi-join on the day-bucket id —
     // no nested loop, both sides shuffle once. Aggregated per order.
@@ -4130,6 +4141,52 @@ object SparkEntry {
           |  round(pv, 6) AS cvr,
           |  round(CASE WHEN pc = 0 THEN 0 ELSE (pv - pc) / pc END, 6) AS lift,
           |  round(CASE WHEN se = 0 THEN 0 ELSE (pv - pc) / se END, 6) AS z_score
+          |FROM calc""".stripMargin,
+      "u39_cuped" ->
+        """WITH per_user AS (
+          |  SELECT user_id,
+          |    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00'
+          |      THEN CASE WHEN event_type = 'purchase'
+          |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END END), 0) AS BIGINT) AS x,
+          |    CAST(coalesce(sum(CASE WHEN NOT (ts < TIMESTAMP '2024-01-08 00:00:00')
+          |      THEN CASE WHEN event_type = 'purchase'
+          |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END END), 0) AS BIGINT) AS y
+          |  FROM events GROUP BY 1
+          |), u AS (
+          |  SELECT CASE WHEN ('0x' || substr(md5('exp|exp1|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+          |           % 100 < 50
+          |      THEN 'treatment' ELSE 'control' END AS variant, x, y
+          |  FROM per_user
+          |), pooled AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+          |    CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+          |      - CAST(sum(x) AS HUGEINT) * sum(x) AS Sxx,
+          |    CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y)
+          |      - CAST(sum(x) AS HUGEINT) * sum(y) AS Sxy,
+          |    CAST(count(*) AS HUGEINT) * sum(CAST(y AS HUGEINT) * y)
+          |      - CAST(sum(y) AS HUGEINT) * sum(y) AS Syy
+          |  FROM u
+          |), by_var AS (
+          |  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+          |    CAST(sum(x) AS BIGINT) AS vx, CAST(sum(y) AS BIGINT) AS vy
+          |  FROM u GROUP BY 1
+          |), calc AS (
+          |  SELECT variant, n_users,
+          |    CAST(vy AS DOUBLE) / n_users AS mean_y,
+          |    CAST(vx AS DOUBLE) / n_users AS xbar_v,
+          |    CAST(sx AS DOUBLE) / n AS xbar,
+          |    CASE WHEN Sxx = 0 THEN 0.0
+          |      ELSE CAST(Sxy AS DOUBLE) / CAST(Sxx AS DOUBLE) END AS theta,
+          |    CASE WHEN Sxx = 0 OR Syy = 0 THEN 0.0
+          |      ELSE CAST(Sxy AS DOUBLE) * CAST(Sxy AS DOUBLE)
+          |        / (CAST(Sxx AS DOUBLE) * CAST(Syy AS DOUBLE)) END AS rho2
+          |  FROM by_var CROSS JOIN pooled
+          |)
+          |SELECT variant, n_users,
+          |  round(mean_y, 6) AS mean_y,
+          |  round(mean_y - theta * (xbar_v - xbar), 6) AS mean_y_adj,
+          |  round(theta, 6) AS theta,
+          |  round(rho2 * 100, 6) AS var_reduction_pct
           |FROM calc""".stripMargin,
       "u7_range_join" ->
         """WITH p AS (

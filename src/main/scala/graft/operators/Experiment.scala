@@ -72,4 +72,72 @@ object Experiment {
         round(when(pc === 0.0, lit(0.0)).otherwise((pv - pc) / pc), 6).as("lift"),
         round(when(se === 0.0, lit(0.0)).otherwise((pv - pc) / se), 6).as("z_score"))
   }
+
+  /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    * Walker, WSDM'13 — the industry-standard "Controlled experiments
+    * Using Pre-Experiment Data" adjustment): per user, the experiment
+    * metric `y` is debiased by the pre-period covariate `x` via
+    * `y_adj = y − θ(x − x̄)` with `θ = Cov(x,y)/Var(x)`, shrinking
+    * metric variance by the squared correlation ρ² without touching
+    * the expected lift (θ is fit POOLED across variants; x predates
+    * assignment, so the adjustment is unbiased).
+    *
+    * Per-variant adjusted means need no per-user adjusted rows:
+    * `mean_adj_v = ȳ_v − θ(x̄_v − x̄)` follows from linearity, so the
+    * whole report reads the per-user table twice-aggregated — one
+    * user-key shuffle over the events (partial sums map-side), then
+    * one |variants|-row aggregate plus a 1-row pooled-moment
+    * broadcast.
+    *
+    * Engine-exact: all second moments are DECIMAL integer sums
+    * (metric must be integer, e.g. cents); `n·Σxy − ΣxΣy`-style
+    * centered moments stay in DECIMAL; doubles appear in one fixed
+    * expression order for θ, means, and ρ² (the liftReport rule), so
+    * rounded outputs are bit-reproducible. Zero pre-period variance →
+    * θ = 0 (the report degrades to the unadjusted means); ρ² = 0 when
+    * either variance is zero.
+    *
+    * Output: one row per variant —
+    * `(variant, n_users, mean_y, mean_y_adj, theta, var_reduction_pct)`
+    * with theta/ρ²·100 identical on every row (pooled constants).
+    */
+  def cupedReport(
+      events: DataFrame, metric: Column, isPre: Column,
+      userCol: String = "user_id", name: String = "exp1",
+      treatedPct: Int = 50): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("user"))
+      .agg(coalesce(sum(when(isPre, metric)), lit(0L)).as("_x"),
+        coalesce(sum(when(!isPre, metric)), lit(0L)).as("_y"))
+    val u = perUser.select(
+      variant(name, col("user"), treatedPct).as("variant"),
+      col("_x").cast("long").as("_x"), col("_y").cast("long").as("_y"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val pooled = u
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(dec(col("_x")) * col("_x")).as("_xx"),
+        sum(dec(col("_x")) * col("_y")).as("_xy"),
+        sum(dec(col("_y")) * col("_y")).as("_yy"))
+      .select(col("_n"), col("_sx"),
+        (dec(col("_n")) * col("_xx") - dec(col("_sx")) * col("_sx")).as("_Sxx"),
+        (dec(col("_n")) * col("_xy") - dec(col("_sx")) * col("_sy")).as("_Sxy"),
+        (dec(col("_n")) * col("_yy") - dec(col("_sy")) * col("_sy")).as("_Syy"))
+    val byVar = u.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("_x")).as("_vx"), sum(col("_y")).as("_vy"))
+    val theta = when(col("_Sxx") === 0, lit(0.0))
+      .otherwise(col("_Sxy").cast("double") / col("_Sxx").cast("double"))
+    val xbar = col("_sx").cast("double") / col("_n")
+    val meanY = col("_vy").cast("double") / col("n_users")
+    val xbarV = col("_vx").cast("double") / col("n_users")
+    val rho2 = when(col("_Sxx") === 0 || col("_Syy") === 0, lit(0.0))
+      .otherwise(col("_Sxy").cast("double") * col("_Sxy").cast("double") /
+        (col("_Sxx").cast("double") * col("_Syy").cast("double")))
+    byVar.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n_users"),
+        round(meanY, 6).as("mean_y"),
+        round(meanY - theta * (xbarV - xbar), 6).as("mean_y_adj"),
+        round(theta, 6).as("theta"),
+        round(rho2 * 100, 6).as("var_reduction_pct"))
+  }
 }

@@ -350,6 +350,43 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(r(9) === ((0L, 0L, -45757L)))
   }
 
+  // ── Experiment.cupedReport ─────────────────────────────────────────
+
+  test("cuped: zero pre-variance degrades to raw means; y==x collapses to the global mean") {
+    import spark.implicits._
+    def ev(u: Long, day: Int, v: Double) =
+      (u * 100 + day, u, f"2024-01-$day%02d 00:00:00", "purchase", v)
+    // case A: constant pre-covariate -> theta 0, adjustment is a no-op
+    val a = (1L to 20L).flatMap(u => Seq(ev(u, 2, 5.0), ev(u, 10, u.toDouble)))
+      .toDF("event_id", "user_id", "s", "event_type", "value")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val cut = col("ts") < lit("2024-01-08").cast("timestamp")
+    val cents = when(col("event_type") === "purchase",
+      round(col("value") * 100).cast("long")).otherwise(lit(0L))
+    val ra = graft.operators.Experiment.cupedReport(a, cents, cut).collect()
+    assert(ra.nonEmpty)
+    ra.foreach { r =>
+      assert(r.getDouble(4) === 0.0, "theta 0 under zero pre-variance")
+      assert(r.getDouble(3) === r.getDouble(2), "adjusted == raw")
+      assert(r.getDouble(5) === 0.0, "no variance reduction")
+    }
+    // case B: y == x exactly -> rho2 100%, every variant's adjusted
+    // mean collapses to the GLOBAL mean (the covariate explains all
+    // between-variant imbalance)
+    val b = (1L to 20L).flatMap(u => Seq(ev(u, 2, u.toDouble), ev(u, 10, u.toDouble)))
+      .toDF("event_id", "user_id", "s", "event_type", "value")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val rb = graft.operators.Experiment.cupedReport(b, cents, cut).collect()
+    assert(rb.length === 2, "both variants populated at n=20")
+    val globalMean = 100.0 * (1 to 20).sum / 20
+    rb.foreach { r =>
+      assert(r.getDouble(4) === 1.0, "theta 1 when y == x")
+      assert(math.abs(r.getDouble(3) - globalMean) < 1e-6,
+        s"adjusted mean must collapse to the global mean, got ${r.getDouble(3)}")
+      assert(r.getDouble(5) === 100.0, "full variance reduction")
+    }
+  }
+
   // ── Split.exactAllocationSample ────────────────────────────────────
 
   test("exact allocation: total is exactly k, largest remainder wins the leftovers") {
