@@ -3287,7 +3287,10 @@ object SparkEntry {
           |), t AS (
           |  SELECT CAST(sum(nh) AS BIGINT) AS n FROM c
           |), a0 AS (
-          |  SELECT lang, nh, (300 * nh) // n AS base, (300 * nh) % n AS rem FROM c, t
+          |  SELECT lang, nh,
+          |    CAST((CAST(300 AS HUGEINT) * nh) // n AS BIGINT) AS base,
+          |    CAST(CAST(300 AS HUGEINT) * nh % n AS BIGINT) AS rem
+          |  FROM c, t
           |), e AS (
           |  SELECT 300 - CAST(sum(base) AS BIGINT) AS extra FROM a0
           |), a AS (

@@ -84,6 +84,10 @@ object Incremental {
     *
     * `tieCol` must make (tsCol, tieCol) a unique total order per key —
     * the same determinism contract as [[applyChangelog]]'s orderCols.
+    * `attrCols` must be non-null (struct comparison against a
+    * null-bearing previous version is three-valued and would silently
+    * keep the row — coalesce to a sentinel upstream if attributes can
+    * be null).
     * Both windows partition on the key: one shuffle, per-partition
     * state bounded by a key's version chain. Validity is the standard
     * half-open `[valid_from, valid_to)`.

@@ -137,7 +137,9 @@ object Similarity {
     * scanned, never shuffled; queries (with their labels) broadcast;
     * the per-query result is a bounded partial top-k aggregate. Swap in
     * the IVF probe join for corpora where brute force is too hot; the
-    * label test rides along unchanged.
+    * label test rides along unchanged. Labels must be non-null (a null
+    * label three-values the inequality and silently drops the row —
+    * coalesce to a sentinel upstream).
     *
     * Output: `(query_id, neighbor_id, cos, rn)`, rn 1..k per query.
     */

@@ -383,9 +383,13 @@ object Split {
     val tot = counts.agg(sum(col("_nh")).as("_n"), count(lit(1)).as("_ns"))
     // |strata|-row table: the unpartitioned rank window is bounded by
     // construction (the q36 offsets-table rule)
+    // k·N_h widened to DECIMAL before the multiply (the q35 overflow
+    // rule): at corpus scale the product exceeds BIGINT long before
+    // either factor does
     val alloc = counts.crossJoin(broadcast(tot))
-      .withColumn("_base", expr(s"(${k}L * _nh) div _n"))
-      .withColumn("_rem", expr(s"(${k}L * _nh) % _n"))
+      .withColumn("_base",
+        expr(s"CAST((CAST(${k} AS DECIMAL(38,0)) * _nh) div _n AS BIGINT)"))
+      .withColumn("_rem", expr(s"CAST(CAST(${k} AS DECIMAL(38,0)) * _nh % _n AS BIGINT)"))
       .withColumn("_extra", expr(s"${k}L - sum(_base) OVER ()"))
       .withColumn("_rk", row_number().over(
         Window.orderBy(col("_rem").desc, col(stratumCol))))
