@@ -1613,6 +1613,19 @@ object SparkEntry {
     // Hashed-feature linear quality model (the fastText-filter stage of
     // a corpus pipeline): one codegen'd pass per document, exact integer
     // score, keep/drop decision inline. See Text.hashedLinearScore.
+    // Exact tie-aware AUC of the t25 quality score against an
+    // is-English label — the threshold-free eval every filter
+    // classifier ships with. Mann–Whitney rank-sum with average ranks
+    // via (min+max)/2 over globalRank's contiguous tie groups; pure
+    // integer micro arithmetic. See Profile.aucExact.
+    "t33_auc" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val scored = par(tbl(s, dir, "documents")).select(
+        col("doc_id"),
+        graft.functions.Text.hashedLinearScoreNative(col("text")).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("label"))
+      Profile.aucExact(scored, "score", "label", "doc_id")
+    }),
     "t25_quality_model" -> ((s, dir) => {
       Graft.registerAll(s) // hashed_linear_score codegen expression
       par(tbl(s, dir, "documents"))
@@ -4792,6 +4805,33 @@ object SparkEntry {
           |  h.h_start_us, h.h_events
           |FROM sess s JOIN hours h
           |  ON s.s_start_us < h.h_end_us AND h.h_start_us < s.s_end_us""".stripMargin,
+      "t33_auc" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS token
+          |  FROM documents
+          |), w AS (
+          |  SELECT doc_id,
+          |    CAST(sum((('0x' || substr(md5('qw|' || token), 1, 15))::BIGINT % 2001) - 1000)
+          |      AS BIGINT) AS score
+          |  FROM tok GROUP BY doc_id
+          |), sc AS (
+          |  SELECT d.doc_id, coalesce(w.score, 0) AS s,
+          |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lb
+          |  FROM documents d LEFT JOIN w USING (doc_id)
+          |), r AS (
+          |  SELECT s, lb, row_number() OVER (ORDER BY s, doc_id) AS rk FROM sc
+          |), g AS (
+          |  SELECT s, CAST(min(rk) AS HUGEINT) AS mn, CAST(max(rk) AS HUGEINT) AS mx,
+          |    CAST(sum(lb) AS HUGEINT) AS p, CAST(count(*) AS HUGEINT) AS m
+          |  FROM r GROUP BY 1
+          |), t AS (
+          |  SELECT sum((mn + mx) * p) AS s2, sum(p) AS np, sum(m) AS n FROM g
+          |)
+          |SELECT CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg,
+          |  CASE WHEN np = 0 OR n - np = 0 THEN NULL
+          |    ELSE CAST(((s2 - np * (np + 1)) * 1000000) // (2 * np * (n - np)) AS BIGINT)
+          |  END AS auc_micro
+          |FROM t""".stripMargin,
       "t25_quality_model" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS token

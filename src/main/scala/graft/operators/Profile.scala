@@ -184,6 +184,48 @@ object Profile {
           .as("gini_micro"))
   }
 
+  /** Exact tie-aware AUC of an integer score against a binary label —
+    * THE threshold-free metric for the filter classifiers a curation
+    * pipeline trains (quality models, language ID, toxicity screens):
+    * the probability a random positive outscores a random negative,
+    * ties counting half. Uses the rank-sum (Mann–Whitney) identity
+    * with AVERAGE ranks for ties; because [[Layout.globalRank]] gives
+    * a tie group CONTIGUOUS ranks, its average rank is
+    * `(min+max)/2`, so `2·Σ avgrank_pos = Σ_groups (min+max)·p_g` and
+    * `AUC = (2R⁺ − n⁺(n⁺+1)) / (2 n⁺ n⁻)` is EXACT INTEGER
+    * arithmetic end to end — micro-quantized by floor division,
+    * bit-identical on any engine and partitioning.
+    *
+    * Scale shape: ranks from the bucketed two-phase global rank (no
+    * global sort), one score-group aggregate, one 1-row total — the
+    * score column is ranked once however many rows share a value.
+    * NULL when either class is empty. `labelCol` must be 0/1,
+    * `tieCol` unique, `scoreCol` integer (quantize doubles first —
+    * micro-quantization is this library's standard score shape).
+    *
+    * Output: one row `(n_pos, n_neg, auc_micro)`.
+    */
+  def aucExact(
+      df: DataFrame, scoreCol: String, labelCol: String, tieCol: String,
+      buckets: Int = 256): DataFrame = {
+    val keyed = df.select(col(scoreCol).cast("long").as("_sc"),
+      col(labelCol).cast("long").as("_lb"), col(tieCol).as("_tie"))
+    val ranked = Layout.globalRank(keyed, "_sc", "_tie", buckets)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    ranked.groupBy(col("_sc"))
+      .agg(min(col("rank")).as("_mn"), max(col("rank")).as("_mx"),
+        sum(col("_lb")).as("_p"), count(lit(1)).as("_m"))
+      .agg(sum((dec(col("_mn")) + dec(col("_mx"))) * dec(col("_p"))).as("_s2"),
+        sum(col("_p")).as("_np"), sum(col("_m")).as("_n"))
+      .select(col("_np").cast("long").as("n_pos"),
+        (col("_n") - col("_np")).cast("long").as("n_neg"),
+        when(col("_np") === 0 || col("_n") === col("_np"), lit(null))
+          .otherwise(expr(
+            """CAST(((_s2 - CAST(_np AS DECIMAL(38,0)) * (_np + 1)) * 1000000)
+              | div (2 * CAST(_np AS DECIMAL(38,0)) * (_n - _np)) AS BIGINT)""".stripMargin))
+          .as("auc_micro"))
+  }
+
   /** Benford first-digit expectation, parts-per-million: `round(1e6 ·
     * log₁₀(1 + 1/d))`. THE single source for operator and oracle (the
     * SQL VALUES list is generated from this constant), so the contract

@@ -350,6 +350,34 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(r(9) === ((0L, 0L, -45757L)))
   }
 
+  // ── Profile.aucExact ───────────────────────────────────────────────
+
+  test("auc: separation 1.0, reversal 0, all-tied 0.5, mixed 0.75, empty class NULL") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Long, Long)]): Option[Long] = {
+      val r = Profile.aucExact(rows.toDF("id", "s", "lb"), "s", "lb", "id")
+        .collect().head
+      if (r.isNullAt(2)) None else Some(r.getLong(2))
+    }
+    assert(auc(Seq((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 1L), (4L, 4L, 1L)))
+      === Some(1000000L))
+    assert(auc(Seq((1L, 4L, 0L), (2L, 3L, 0L), (3L, 2L, 1L), (4L, 1L, 1L)))
+      === Some(0L))
+    assert(auc(Seq((1L, 5L, 0L), (2L, 5L, 0L), (3L, 5L, 1L), (4L, 5L, 1L)))
+      === Some(500000L), "all ties = coin flip")
+    // interleaved: positive pairs beat 3 of 4 negative pairings
+    assert(auc(Seq((1L, 1L, 0L), (2L, 2L, 1L), (3L, 3L, 0L), (4L, 4L, 1L)))
+      === Some(750000L))
+    assert(auc(Seq((1L, 1L, 1L), (2L, 2L, 1L))) === None, "no negatives")
+    // partition invariance: bucketed rank + integer sums
+    val big = (1L to 200L).map(i => (i, i % 37, i % 3 min 1))
+    val a1 = Profile.aucExact(big.toDF("id", "s", "lb"), "s", "lb", "id")
+      .collect().head.getLong(2)
+    val a7 = Profile.aucExact(big.toDF("id", "s", "lb").repartition(7),
+      "s", "lb", "id").collect().head.getLong(2)
+    assert(a1 === a7)
+  }
+
   // ── Experiment.cupedReport ─────────────────────────────────────────
 
   test("cuped: zero pre-variance degrades to raw means; y==x collapses to the global mean") {
