@@ -1916,6 +1916,20 @@ object SparkEntry {
     // PSI drift of purchase values, week 1 vs week 2 — the standard
     // distribution-shift monitor between dataset versions; per-bin
     // contributions in exact micro-nats. See Snapshot.psiDrift.
+    // Exact two-sample KS drift on week-1 vs week-2 purchase cents —
+    // the binless complement of u29's PSI (no edges, no smoothing,
+    // catches shifts wide bins wash out). Cross-multiplied integer CDF
+    // gap, no doubles anywhere. See Snapshot.ksDrift.
+    "u40_ks_drift" -> ((s, dir) => {
+      val p = tbl(s, dir, "events").where(col("event_type") === "purchase")
+        .select(round(col("value") * 100).cast("long").as("cents"),
+          to_date(col("ts")).as("_d"))
+      val d0 = lit(winStart).cast("date")
+      Snapshot.ksDrift(
+        p.where(col("_d") >= d0 && col("_d") < date_add(d0, 7)),
+        p.where(col("_d") >= date_add(d0, 7) && col("_d") < date_add(d0, 14)),
+        "cents")
+    }),
     "u29_psi_drift" -> ((s, dir) => {
       val p = tbl(s, dir, "events").where(col("event_type") === "purchase")
         .select(col("value"), to_date(col("ts")).as("_d"))
@@ -4158,6 +4172,30 @@ object SparkEntry {
           |  round(CASE WHEN pc = 0 THEN 0 ELSE (pv - pc) / pc END, 6) AS lift,
           |  round(CASE WHEN se = 0 THEN 0 ELSE (pv - pc) / se END, 6) AS z_score
           |FROM calc""".stripMargin,
+      "u40_ks_drift" ->
+        """WITH p AS (
+          |  SELECT CAST(round(value * 100) AS BIGINT) AS v, CAST(ts AS DATE) AS d
+          |  FROM events WHERE event_type = 'purchase'
+          |), r AS (SELECT v FROM p WHERE d >= DATE '2024-01-01' AND d < DATE '2024-01-08'
+          |), c AS (SELECT v FROM p WHERE d >= DATE '2024-01-08' AND d < DATE '2024-01-15'
+          |), a AS (SELECT v, CAST(count(*) AS BIGINT) AS c1 FROM r GROUP BY 1
+          |), b AS (SELECT v, CAST(count(*) AS BIGINT) AS c2 FROM c GROUP BY 1
+          |), m AS (
+          |  SELECT coalesce(a.v, b.v) AS v, coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+          |  FROM a FULL OUTER JOIN b ON a.v = b.v
+          |), f AS (
+          |  SELECT v, sum(c1) OVER (ORDER BY v) AS f1, sum(c2) OVER (ORDER BY v) AS f2
+          |  FROM m
+          |), t AS (
+          |  SELECT CAST(sum(c1) AS HUGEINT) AS n1, CAST(sum(c2) AS HUGEINT) AS n2 FROM m
+          |), mx AS (
+          |  SELECT max(abs(CAST(f1 AS HUGEINT) * n2 - CAST(f2 AS HUGEINT) * n1)) AS dd
+          |  FROM f, t
+          |)
+          |SELECT CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
+          |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+          |    ELSE CAST((dd * 1000000) // (n1 * n2) AS BIGINT) END AS d_micro
+          |FROM mx, t""".stripMargin,
       "u39_cuped" ->
         """WITH per_user AS (
           |  SELECT user_id,

@@ -93,4 +93,56 @@ object Snapshot {
           log((d(col("n1")) / d(col("t1"))) / (d(col("n2")) / d(col("t2")))) * 1e6)
           .cast("long").as("psi_contrib_micro"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic — the BINLESS
+    * complement of [[psiDrift]] (PSI needs an edge/bin choice and
+    * smoothing; KS is `D = max_x |F_ref(x) − F_cur(x)|` over the raw
+    * empirical CDFs, sensitive to any distributional change, including
+    * shifts PSI's wide bins wash out). Computed EXACTLY in integers:
+    * the per-value cross-multiplied gap `|c_ref(x)·n_cur −
+    * c_cur(x)·n_ref|` is maximized in DECIMAL, and
+    * `d_micro = ⌊max · 1e6 / (n_ref·n_cur)⌋` — no doubles anywhere,
+    * bit-identical on any engine and partitioning.
+    *
+    * `valueCol` must be integer-quantized (cents/micro — the library's
+    * standard score shape) with a DOMAIN-BOUNDED value range: the
+    * cumulative sums run in one window over the DISTINCT-value table,
+    * which is legitimate only when that table is bounded (the
+    * calendar-axis rule — quantized money, day indexes, scores; NOT
+    * free-form doubles). For unbounded domains, pre-bucket with
+    * [[Profile.equiDepthHistogram]] cutoffs and accept the binning.
+    *
+    * Plan shape: one count aggregate per side, a full-outer merge on
+    * the value (both sides distinct-value-sized), the bounded-domain
+    * cumulative window, a 1-row broadcast of the totals, one max.
+    *
+    * Output: one row `(n_ref, n_cur, d_micro)`; NULL d when either
+    * side is empty.
+    */
+  def ksDrift(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = ref.select(col(valueCol).cast("long").as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_c1"))
+    val b = cur.select(col(valueCol).cast("long").as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_c2"))
+    val m = a.join(b, Seq("_v"), "full_outer")
+      .select(col("_v"), coalesce(col("_c1"), lit(0L)).as("_c1"),
+        coalesce(col("_c2"), lit(0L)).as("_c2"))
+    val t = m.agg(sum(col("_c1")).as("_n1"), sum(col("_c2")).as("_n2"))
+    // bounded-domain window (see scaladoc): |distinct values| rows
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    m.withColumn("_f1", sum(col("_c1")).over(w))
+      .withColumn("_f2", sum(col("_c2")).over(w))
+      .crossJoin(broadcast(t))
+      .agg(max(abs(dec(col("_f1")) * col("_n2") - dec(col("_f2")) * col("_n1")))
+        .as("_d"), first(col("_n1")).as("_n1"), first(col("_n2")).as("_n2"))
+      .select(col("_n1").cast("long").as("n_ref"),
+        col("_n2").cast("long").as("n_cur"),
+        when(col("_n1") === 0 || col("_n2") === 0, lit(null))
+          .otherwise(expr(
+            "CAST((_d * 1000000) div (CAST(_n1 AS DECIMAL(38,0)) * _n2) AS BIGINT)"))
+          .as("d_micro"))
+  }
 }

@@ -350,6 +350,26 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(r(9) === ((0L, 0L, -45757L)))
   }
 
+  // ── Snapshot.ksDrift ───────────────────────────────────────────────
+
+  test("ks drift: identical 0, disjoint 1e6, hand-computed half overlap") {
+    import spark.implicits._
+    import graft.operators.Snapshot
+    def ks(r: Seq[Long], c: Seq[Long]): Long =
+      Snapshot.ksDrift(r.toDF("v"), c.toDF("v"), "v").collect().head.getLong(2)
+    assert(ks(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) === 0L)
+    assert(ks(Seq(1L, 2L), Seq(10L, 11L)) === 1000000L, "fully separated CDFs")
+    // ref {1,2} vs cur {2,3}: max gap at v=1 (or 2) is 1/2
+    assert(ks(Seq(1L, 2L), Seq(2L, 3L)) === 500000L)
+    // partition invariance: pure integer state
+    val big = (1L to 500L).map(i => i % 97)
+    val shifted = big.map(_ + 13)
+    val d1 = ks(big, shifted)
+    val d7 = Snapshot.ksDrift(big.toDF("v").repartition(7),
+      shifted.toDF("v").repartition(5), "v").collect().head.getLong(2)
+    assert(d1 === d7)
+  }
+
   // ── Profile.aucExact ───────────────────────────────────────────────
 
   test("auc: separation 1.0, reversal 0, all-tied 0.5, mixed 0.75, empty class NULL") {
