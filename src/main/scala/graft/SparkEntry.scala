@@ -1100,6 +1100,13 @@ object SparkEntry {
     "u8_experiment_lift" -> ((s, dir) =>
       Experiment.liftReport(tbl(s, dir, "events"),
         col("event_type") === "purchase" && col("value") > 180)),
+    // Sample-ratio-mismatch guardrail: chi-square of observed variant
+    // counts vs the configured 50/50 split, exact integer micro via
+    // cross-multiplication (no doubles), flagged at the χ²₁ 95th
+    // percentile. The check that must pass before u8/u39 mean
+    // anything. See Experiment.srmReport.
+    "u41_srm" -> ((s, dir) =>
+      Experiment.srmReport(tbl(s, dir, "events"))),
     // CUPED variance-reduced experiment readout: per-user purchase
     // cents split into a pre-period covariate (first 7 days) and the
     // experiment metric (rest); θ fit pooled from exact DECIMAL
@@ -1613,6 +1620,19 @@ object SparkEntry {
     // Hashed-feature linear quality model (the fastText-filter stage of
     // a corpus pipeline): one codegen'd pass per document, exact integer
     // score, keep/drop decision inline. See Text.hashedLinearScore.
+    // Decile-lift / capture table for the same score-vs-label pair as
+    // t33: ten equal-population score buckets (decile 1 = best), per-
+    // bucket positive rate and cumulative capture — the budget-gating
+    // report ("the top 2 deciles hold 70% of the good docs"). See
+    // Profile.decileLift.
+    "t34_decile_lift" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val scored = par(tbl(s, dir, "documents")).select(
+        col("doc_id"),
+        graft.functions.Text.hashedLinearScoreNative(col("text")).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("label"))
+      Profile.decileLift(scored, "score", "label", "doc_id")
+    }),
     // Exact tie-aware AUC of the t25 quality score against an
     // is-English label — the threshold-free eval every filter
     // classifier ships with. Mann–Whitney rank-sum with average ranks
@@ -4172,6 +4192,55 @@ object SparkEntry {
           |  round(CASE WHEN pc = 0 THEN 0 ELSE (pv - pc) / pc END, 6) AS lift,
           |  round(CASE WHEN se = 0 THEN 0 ELSE (pv - pc) / se END, 6) AS z_score
           |FROM calc""".stripMargin,
+      "u41_srm" ->
+        """WITH u AS (SELECT DISTINCT user_id FROM events),
+          |c AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(coalesce(sum(CASE WHEN
+          |      ('0x' || substr(md5('exp|exp1|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+          |        % 100 < 50 THEN 1 END), 0) AS BIGINT) AS ot
+          |  FROM u
+          |)
+          |SELECT n AS n_users, ot AS n_treatment, n - ot AS n_control,
+          |  CAST((100 * (100 * CAST(ot AS HUGEINT) - CAST(n AS HUGEINT) * 50)
+          |    * (100 * CAST(ot AS HUGEINT) - CAST(n AS HUGEINT) * 50)
+          |    * 1000000) // (CAST(n AS HUGEINT) * 50 * 50) AS BIGINT) AS chi2_micro,
+          |  CAST((100 * (100 * CAST(ot AS HUGEINT) - CAST(n AS HUGEINT) * 50)
+          |    * (100 * CAST(ot AS HUGEINT) - CAST(n AS HUGEINT) * 50)
+          |    * 1000000) // (CAST(n AS HUGEINT) * 50 * 50) AS BIGINT) > 3841459 AS srm
+          |FROM c""".stripMargin,
+      "t34_decile_lift" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS token
+          |  FROM documents
+          |), w AS (
+          |  SELECT doc_id,
+          |    CAST(sum((('0x' || substr(md5('qw|' || token), 1, 15))::BIGINT % 2001) - 1000)
+          |      AS BIGINT) AS score
+          |  FROM tok GROUP BY doc_id
+          |), sc AS (
+          |  SELECT d.doc_id, coalesce(w.score, 0) AS s,
+          |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lb
+          |  FROM documents d LEFT JOIN w USING (doc_id)
+          |), r AS (
+          |  SELECT s, lb, row_number() OVER (ORDER BY s, doc_id) AS rk,
+          |    count(*) OVER () AS n FROM sc
+          |), dd AS (
+          |  SELECT CAST(((n - rk) * 10) // n AS INT) + 1 AS decile, lb FROM r
+          |), g AS (
+          |  SELECT decile, CAST(count(*) AS BIGINT) AS n, CAST(sum(lb) AS BIGINT) AS n_pos
+          |  FROM dd GROUP BY 1
+          |), t AS (SELECT CAST(sum(n_pos) AS HUGEINT) AS np FROM g
+          |), f AS (
+          |  SELECT decile, n, n_pos,
+          |    CAST(sum(n_pos) OVER (ORDER BY decile) AS HUGEINT) AS cum
+          |  FROM g
+          |)
+          |SELECT f.decile, f.n, f.n_pos,
+          |  CAST(CAST(f.n_pos AS HUGEINT) * 1000000 // f.n AS BIGINT) AS pos_rate_ppm,
+          |  CASE WHEN t.np = 0 THEN NULL
+          |    ELSE CAST(f.cum * 1000000 // t.np AS BIGINT) END AS cum_capture_ppm
+          |FROM f, t""".stripMargin,
       "u40_ks_drift" ->
         """WITH p AS (
           |  SELECT CAST(round(value * 100) AS BIGINT) AS v, CAST(ts AS DATE) AS d

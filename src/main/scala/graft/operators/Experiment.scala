@@ -73,6 +73,44 @@ object Experiment {
         round(when(se === 0.0, lit(0.0)).otherwise((pv - pc) / se), 6).as("z_score"))
   }
 
+  /** Sample-ratio-mismatch (SRM) guardrail — the first check every
+    * experiment platform runs before trusting a readout: a chi-square
+    * test of the OBSERVED variant counts against the configured split.
+    * A significant mismatch means assignment, logging, or filtering is
+    * broken and every downstream metric is suspect (Fabijan et al.,
+    * KDD'19 diagnosis taxonomy). For a two-cell split p:q (percent),
+    * the statistic collapses to `χ² = 100·d²/(n·p·q)` with
+    * `d = 100·o_t − n·p` — EXACT integer micro arithmetic by DECIMAL
+    * cross-multiplication, no doubles at all. Flagged against the
+    * χ²₁ 95th percentile (3.841459, as the integer micro literal).
+    *
+    * Scale shape: one user-distinct aggregate (the variant is a pure
+    * row-local hash — no assignment join), then arithmetic on a 1-row
+    * table.
+    *
+    * Output: one row
+    * `(n_users, n_treatment, n_control, chi2_micro, srm)`.
+    */
+  def srmReport(
+      events: DataFrame, userCol: String = "user_id",
+      name: String = "exp1", treatedPct: Int = 50): DataFrame = {
+    val p = treatedPct
+    val q = 100 - treatedPct
+    val users = events.select(col(userCol).as("user")).distinct()
+    users
+      .agg(count(lit(1)).as("_n"),
+        coalesce(sum(when(
+          variant(name, col("user"), treatedPct) === "treatment", 1L)), lit(0L))
+          .as("_ot"))
+      .select(col("_n").as("n_users"), col("_ot").as("n_treatment"),
+        (col("_n") - col("_ot")).as("n_control"),
+        expr(s"""CAST((100 * (100 * CAST(_ot AS DECIMAL(38,0)) - CAST(_n AS DECIMAL(38,0)) * $p)
+                |  * (100 * CAST(_ot AS DECIMAL(38,0)) - CAST(_n AS DECIMAL(38,0)) * $p)
+                |  * 1000000) div (CAST(_n AS DECIMAL(38,0)) * $p * $q) AS BIGINT)""".stripMargin)
+          .as("chi2_micro"))
+      .withColumn("srm", col("chi2_micro") > lit(3841459L))
+  }
+
   /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
     * Walker, WSDM'13 — the industry-standard "Controlled experiments
     * Using Pre-Experiment Data" adjustment): per user, the experiment

@@ -226,6 +226,52 @@ object Profile {
           .as("auc_micro"))
   }
 
+  /** Decile-lift / capture table — the ranking-quality report that
+    * accompanies [[aucExact]] when the score gates a BUDGET ("keep the
+    * top 10%"): rows are ranked by score DESCENDING into `deciles`
+    * equal-population buckets (decile 1 = best scores), and each
+    * bucket reports its positive rate plus the CUMULATIVE share of all
+    * positives captured down to it — "the top 2 deciles capture 70% of
+    * the good documents" is the sentence this table produces.
+    *
+    * Exactness: buckets come from [[Layout.globalRank]]'s exact ranks
+    * (`decile = ⌊(n − rank)·d/n⌋ + 1` — from-top indexing in pure
+    * integers, ties split deterministically by the rank's tie column);
+    * rates and captures are DECIMAL floor-division ppm. The cumulative
+    * window runs over the `deciles`-row table (bounded by
+    * construction).
+    *
+    * Output: `deciles` rows
+    * `(decile, n, n_pos, pos_rate_ppm, cum_capture_ppm)`;
+    * cum_capture_ppm NULL when there are no positives at all.
+    */
+  def decileLift(
+      df: DataFrame, scoreCol: String, labelCol: String, tieCol: String,
+      deciles: Int = 10, buckets: Int = 256): DataFrame = {
+    require(deciles >= 1, s"deciles must be >= 1, got $deciles")
+    val keyed = df.select(col(scoreCol).cast("long").as("_sc"),
+      col(labelCol).cast("long").as("_lb"), col(tieCol).as("_tie"))
+    val ranked = Layout.globalRank(keyed, "_sc", "_tie", buckets)
+    val tot = ranked.agg(count(lit(1)).as("_n"), sum(col("_lb")).as("_np"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("decile",
+        expr(s"CAST(((_n - rank) * $deciles) div _n AS INT) + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("_lb")).as("n_pos"),
+        first(col("_np")).as("_np"))
+      // deciles-row table: the cumulative window is bounded by construction
+      .withColumn("_cum", sum(col("n_pos")).over(w))
+      .select(col("decile"), col("n"), col("n_pos"),
+        expr("CAST(CAST(n_pos AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)")
+          .as("pos_rate_ppm"),
+        when(col("_np") === 0, lit(null))
+          .otherwise(expr(
+            "CAST(CAST(_cum AS DECIMAL(38,0)) * 1000000 div _np AS BIGINT)"))
+          .as("cum_capture_ppm"))
+  }
+
   /** Benford first-digit expectation, parts-per-million: `round(1e6 ·
     * log₁₀(1 + 1/d))`. THE single source for operator and oracle (the
     * SQL VALUES list is generated from this constant), so the contract

@@ -350,6 +350,43 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(r(9) === ((0L, 0L, -45757L)))
   }
 
+  // ── Experiment.srmReport ───────────────────────────────────────────
+
+  test("srm: chi2 matches the driver formula on the hash assignment; counts add up") {
+    import spark.implicits._
+    val ev = (1L to 400L).map(u => (u, u)).toDF("event_id", "user_id")
+    val r = graft.operators.Experiment.srmReport(ev).collect().head
+    val (n, ot) = (r.getLong(0), r.getLong(1))
+    assert(n === 400L && ot + r.getLong(2) === n)
+    val d = BigInt(100) * ot - BigInt(n) * 50
+    val expected = (BigInt(100) * d * d * 1000000 / (BigInt(n) * 50 * 50)).toLong
+    assert(r.getLong(3) === expected)
+    assert(r.getBoolean(4) === (expected > 3841459L))
+    // a wildly imbalanced observed split must flag (simulate by feeding
+    // users known to land in one variant: filter on the operator's own
+    // hash so the fixture can't drift from the assignment rule)
+    val treatedOnly = ev.where(
+      graft.operators.Experiment.variant("exp1", col("user_id"), 50) === "treatment")
+    val r2 = graft.operators.Experiment.srmReport(treatedOnly).collect().head
+    assert(r2.getLong(2) === 0L && r2.getBoolean(4), "all-treatment must flag SRM")
+  }
+
+  // ── Profile.decileLift ─────────────────────────────────────────────
+
+  test("decile lift: equal buckets, top-decile rate, monotone cumulative capture") {
+    import spark.implicits._
+    // scores 1..20, positives = scores 16..20 (5 of 20)
+    val df = (1L to 20L).map(i => (i, i, if (i > 15) 1L else 0L)).toDF("id", "s", "lb")
+    val r = Profile.decileLift(df, "s", "lb", "id").collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    assert(r.size === 10 && r.values.forall(_._1 == 2L), "equal population")
+    assert(r(1) === ((2L, 2L, 1000000L, 400000L)), "top decile all positive")
+    assert(r(2) === ((2L, 2L, 1000000L, 800000L)))
+    assert(r(3) === ((2L, 1L, 500000L, 1000000L)), "capture saturates at decile 3")
+    (4 to 10).foreach(d => assert(r(d)._2 === 0L && r(d)._4 === 1000000L))
+  }
+
   // ── Snapshot.ksDrift ───────────────────────────────────────────────
 
   test("ks drift: identical 0, disjoint 1e6, hand-computed half overlap") {
