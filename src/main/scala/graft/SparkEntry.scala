@@ -1107,6 +1107,23 @@ object SparkEntry {
     // anything. See Experiment.srmReport.
     "u41_srm" -> ((s, dir) =>
       Experiment.srmReport(tbl(s, dir, "events"))),
+    // Uplift-by-decile / Qini table: users ranked by week-1 engagement
+    // (the "targeting score"), per-decile treatment-vs-control purchase
+    // conversion in the post period, cumulative Qini in exact
+    // micro-conversions. The heterogeneous-treatment-effect companion
+    // to u8's average lift. See Experiment.upliftDeciles.
+    "u42_uplift_deciles" -> ((s, dir) => {
+      val wk2 = date_add(lit(winStart).cast("date"), 7).cast("timestamp")
+      val perUser = tbl(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("ts") < wk2, 1L)), lit(0L)).as("score"),
+          max(when(col("event_type") === "purchase" && col("ts") >= wk2, 1L)
+            .otherwise(0L)).as("label"))
+      Experiment.upliftDeciles(
+        perUser.withColumn("variant",
+          Experiment.variant("exp1", col("user_id"), 50)),
+        "score", "label", "variant", "user_id")
+    }),
     // CUPED variance-reduced experiment readout: per-user purchase
     // cents split into a pre-period covariate (first 7 days) and the
     // experiment metric (rest); θ fit pooled from exact DECIMAL
@@ -1632,6 +1649,15 @@ object SparkEntry {
         graft.functions.Text.hashedLinearScoreNative(col("text")).as("score"),
         when(col("lang") === "en", 1L).otherwise(0L).as("label"))
       Profile.decileLift(scored, "score", "label", "doc_id")
+    }),
+    // Per-document duplicated-n-gram coverage (Gopher-style repetition
+    // screen lifted across the corpus): share of each doc's 5-gram
+    // shingles appearing in >= 2 documents, exact integer ppm. Runs on
+    // the augmented corpus so the constructed truncated copies produce
+    // real duplicated mass. See Dedup.dupShingleCoverage.
+    "t35_dup_ngrams" -> ((s, dir) => {
+      Graft.registerAll(s) // hashed_shingles codegen expression
+      Dedup.dupShingleCoverage(augmentedDocs(s, dir), n = 5, minDf = 2)
     }),
     // Exact tie-aware AUC of the t25 quality score against an
     // is-English label — the threshold-free eval every filter
@@ -4209,6 +4235,46 @@ object SparkEntry {
           |    * (100 * CAST(ot AS HUGEINT) - CAST(n AS HUGEINT) * 50)
           |    * 1000000) // (CAST(n AS HUGEINT) * 50 * 50) AS BIGINT) > 3841459 AS srm
           |FROM c""".stripMargin,
+      "u42_uplift_deciles" ->
+        """WITH pu AS (
+          |  SELECT user_id,
+          |    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 END), 0)
+          |      AS BIGINT) AS s,
+          |    CAST(max(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-08'
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS lb,
+          |    CASE WHEN ('0x' || substr(md5('exp|exp1|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+          |      % 100 < 50 THEN 1 ELSE 0 END AS tr
+          |  FROM events GROUP BY 1
+          |), r AS (
+          |  SELECT s, lb, tr, row_number() OVER (ORDER BY s, user_id) AS rk,
+          |    count(*) OVER () AS n FROM pu
+          |), dd AS (
+          |  SELECT CAST(((n - rk) * 10) // n AS INT) + 1 AS decile, lb, tr FROM r
+          |), g AS (
+          |  SELECT decile, CAST(sum(tr) AS BIGINT) AS n_treat,
+          |    CAST(count(*) - sum(tr) AS BIGINT) AS n_ctrl,
+          |    CAST(coalesce(sum(lb * tr), 0) AS BIGINT) AS pos_treat,
+          |    CAST(coalesce(sum(lb * (1 - tr)), 0) AS BIGINT) AS pos_ctrl
+          |  FROM dd GROUP BY 1
+          |), c AS (
+          |  SELECT *, sum(pos_treat) OVER (ORDER BY decile) AS ct,
+          |    sum(pos_ctrl) OVER (ORDER BY decile) AS cc,
+          |    sum(n_treat) OVER (ORDER BY decile) AS nt,
+          |    sum(n_ctrl) OVER (ORDER BY decile) AS nc
+          |  FROM g
+          |)
+          |SELECT decile, n_treat, n_ctrl, pos_treat, pos_ctrl,
+          |  CASE WHEN n_treat = 0 THEN NULL
+          |    ELSE CAST(CAST(pos_treat AS HUGEINT) * 1000000 // n_treat AS BIGINT) END AS rate_t_ppm,
+          |  CASE WHEN n_ctrl = 0 THEN NULL
+          |    ELSE CAST(CAST(pos_ctrl AS HUGEINT) * 1000000 // n_ctrl AS BIGINT) END AS rate_c_ppm,
+          |  CASE WHEN n_treat = 0 OR n_ctrl = 0 THEN NULL
+          |    ELSE CAST(CAST(pos_treat AS HUGEINT) * 1000000 // n_treat
+          |      - CAST(pos_ctrl AS HUGEINT) * 1000000 // n_ctrl AS BIGINT) END AS uplift_ppm,
+          |  CASE WHEN nc = 0 THEN NULL
+          |    ELSE CAST(CAST(ct AS HUGEINT) * 1000000
+          |      - CAST(cc AS HUGEINT) * nt * 1000000 // nc AS BIGINT) END AS qini_micro
+          |FROM c""".stripMargin,
       "t34_decile_lift" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS token
@@ -4241,6 +4307,17 @@ object SparkEntry {
           |  CASE WHEN t.np = 0 THEN NULL
           |    ELSE CAST(f.cum * 1000000 // t.np AS BIGINT) END AS cum_capture_ppm
           |FROM f, t""".stripMargin,
+      "t35_dup_ngrams" ->
+        s"""WITH ${augShinglesSql(5)}, ex AS (
+           |  SELECT id, unnest(sh) AS s FROM shs
+           |), dfs AS (
+           |  SELECT s, count(*) AS df FROM ex GROUP BY 1
+           |)
+           |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(coalesce(sum(CASE WHEN df >= 2 THEN 1 END), 0) AS BIGINT) AS n_dup,
+           |  CAST(CAST(coalesce(sum(CASE WHEN df >= 2 THEN 1 END), 0) AS HUGEINT)
+           |    * 1000000 // count(*) AS BIGINT) AS dup_frac_ppm
+           |FROM ex JOIN dfs USING (s) GROUP BY 1""".stripMargin,
       "u40_ks_drift" ->
         """WITH p AS (
           |  SELECT CAST(round(value * 100) AS BIGINT) AS v, CAST(ts AS DATE) AS d

@@ -1178,4 +1178,52 @@ object Dedup {
     fwd.unionByName(rev)
       .groupBy(col("doc_lo"), col("doc_hi")).agg(min(col("dist")).as("dist"))
   }
+
+  /** Per-document duplicated-n-gram coverage — the Gopher/MassiveText
+    * "fraction of the document made of corpus-repeated n-grams" screen
+    * (Rae et al. 2021 repetition filters, lifted from within-doc to
+    * ACROSS-corpus): for each document, the share of its distinct
+    * n-gram shingles that appear in at least `minDf` documents. A high
+    * share marks boilerplate, templated, or memorization-risk text
+    * even when no single pair crosses a near-dup threshold — the
+    * document-granular complement of [[ngramJaccardPairs]] (which
+    * reports pairs, not exposure).
+    *
+    * Exactness: the shingles are the same codegen'd
+    * [[hashedShingleSetNative]] sets the pair operators use (distinct
+    * per document, so df counts DOCUMENTS); the coverage is integer
+    * ppm by DECIMAL floor division — bit-identical on any engine.
+    * Every document emits ≥ 1 shingle (short texts collapse to the
+    * whole-text shingle), so the division is total.
+    *
+    * Scale shape: the t9/t10 inverted-index rule — the shingle set is
+    * computed ONCE (checkpointed doc→set table), the df table is
+    * vocabulary-sized and equi-joined back on the shingle key with the
+    * shuffle-hash hint (NEVER broadcast — vocabulary grows with the
+    * corpus), then one doc-key aggregate. Two shuffles total, nothing
+    * quadratic: unlike the pair operators there is no candidate join
+    * at all, so no df cap is needed — a hot shingle costs one counter,
+    * not fan-out².
+    *
+    * Output: one row per document
+    * `(doc_id, n_shingles, n_dup, dup_frac_ppm)`.
+    */
+  def dupShingleCoverage(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 5, minDf: Int = 2): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val sh = docs.select(col(idCol).as("doc_id"),
+        hashedShingleSetNative(col(textCol), n).as("_sh"))
+      .localCheckpoint()
+    val ex = sh.select(col("doc_id"), explode(col("_sh")).as("_s"))
+    val dfreq = ex.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+      .hint("shuffle_hash")
+    ex.join(dfreq, Seq("_s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(when(col("_df") >= minDf, 1L)), lit(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        expr("CAST(CAST(n_dup AS DECIMAL(38,0)) * 1000000 div n_shingles AS BIGINT)")
+          .as("dup_frac_ppm"))
+  }
 }

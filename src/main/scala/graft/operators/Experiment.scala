@@ -178,4 +178,80 @@ object Experiment {
         round(theta, 6).as("theta"),
         round(rho2 * 100, 6).as("var_reduction_pct"))
   }
+
+  /** Uplift-by-decile / Qini table (Radcliffe's Qini curve discretized
+    * to equal-population score deciles) — the evaluation report for a
+    * TARGETING model: rank every subject by the model score
+    * (descending; decile 1 = most-targeted), then within each decile
+    * compare the treatment and control arms' conversion rates. The
+    * per-decile difference is the heterogenous treatment effect the
+    * model claims to rank by; the cumulative Qini value
+    * `Q(k) = cumPos_T(k) − cumPos_C(k)·cumN_T(k)/cumN_C(k)` is the
+    * incremental conversions earned by treating only the top k
+    * deciles — a good uplift model makes Q(k) rise steeply then
+    * flatten.
+    *
+    * Exactness: deciles come from [[Layout.globalRank]]'s exact ranks
+    * (the [[Profile.decileLift]] from-top indexing, ties split by the
+    * tie column); rates are DECIMAL floor-division ppm and the Qini
+    * value is micro-conversions via
+    * `cumPos_T·10⁶ − (cumPos_C·cumN_T·10⁶ div cumN_C)` — written as a
+    * DIFFERENCE OF NON-NEGATIVE floor divisions because Spark's `div`
+    * truncates while DuckDB's `//` floors (they agree only on
+    * non-negative operands). Bit-identical on any engine/partitioning.
+    *
+    * Scale shape: ranks from the bucketed two-phase global rank (no
+    * global sort), one decile-key aggregate, and cumulative windows
+    * over the `deciles`-row table (bounded by construction). The
+    * variant never joins — it is either a row-local hash upstream or
+    * a column already on the per-user table.
+    *
+    * Output: `deciles` rows `(decile, n_treat, n_ctrl, pos_treat,
+    * pos_ctrl, rate_t_ppm, rate_c_ppm, uplift_ppm, qini_micro)`;
+    * rate/uplift NULL when an arm is empty in the decile, qini NULL
+    * while the cumulative control arm is empty.
+    */
+  def upliftDeciles(
+      users: DataFrame, scoreCol: String, labelCol: String,
+      variantCol: String, tieCol: String,
+      deciles: Int = 10, buckets: Int = 256): DataFrame = {
+    require(deciles >= 1, s"deciles must be >= 1, got $deciles")
+    val keyed = users.select(col(scoreCol).cast("long").as("_sc"),
+      col(labelCol).cast("long").as("_lb"),
+      when(col(variantCol) === "treatment", 1L).otherwise(0L).as("_tr"),
+      col(tieCol).as("_tie"))
+    val ranked = Layout.globalRank(keyed, "_sc", "_tie", buckets)
+    val tot = ranked.agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("decile",
+        expr(s"CAST(((_n - rank) * $deciles) div _n AS INT) + 1"))
+      .groupBy(col("decile"))
+      .agg(sum(col("_tr")).as("n_treat"),
+        (count(lit(1)) - sum(col("_tr"))).as("n_ctrl"),
+        coalesce(sum(col("_lb") * col("_tr")), lit(0L)).as("pos_treat"),
+        coalesce(sum(col("_lb") * (lit(1L) - col("_tr"))), lit(0L)).as("pos_ctrl"))
+      // deciles-row table: the cumulative windows are bounded by construction
+      .withColumn("_ct", sum(col("pos_treat")).over(w))
+      .withColumn("_cc", sum(col("pos_ctrl")).over(w))
+      .withColumn("_nt", sum(col("n_treat")).over(w))
+      .withColumn("_nc", sum(col("n_ctrl")).over(w))
+      .select(col("decile"), col("n_treat"), col("n_ctrl"),
+        col("pos_treat"), col("pos_ctrl"),
+        when(col("n_treat") === 0, lit(null)).otherwise(expr(
+          "CAST(CAST(pos_treat AS DECIMAL(38,0)) * 1000000 div n_treat AS BIGINT)"))
+          .as("rate_t_ppm"),
+        when(col("n_ctrl") === 0, lit(null)).otherwise(expr(
+          "CAST(CAST(pos_ctrl AS DECIMAL(38,0)) * 1000000 div n_ctrl AS BIGINT)"))
+          .as("rate_c_ppm"),
+        when(col("n_treat") === 0 || col("n_ctrl") === 0, lit(null)).otherwise(expr(
+          """CAST(CAST(pos_treat AS DECIMAL(38,0)) * 1000000 div n_treat
+            | - CAST(pos_ctrl AS DECIMAL(38,0)) * 1000000 div n_ctrl AS BIGINT)""".stripMargin))
+          .as("uplift_ppm"),
+        when(col("_nc") === 0, lit(null)).otherwise(expr(
+          """CAST(CAST(_ct AS DECIMAL(38,0)) * 1000000
+            | - CAST(_cc AS DECIMAL(38,0)) * _nt * 1000000 div _nc AS BIGINT)""".stripMargin))
+          .as("qini_micro"))
+  }
 }

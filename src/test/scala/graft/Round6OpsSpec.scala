@@ -631,4 +631,61 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(Graph.resourceAllocationLinks(star, minCommon = 1, degCap = 2).count() === 0L)
     assert(Graph.resourceAllocationLinks(star, minCommon = 1).count() === 3L)
   }
+
+  // ── Experiment.upliftDeciles ───────────────────────────────────────
+
+  test("uplift deciles: per-decile arm rates, qini cumulative, empty-arm NULLs") {
+    import spark.implicits._
+    // 8 users, 2 deciles. Top half (score 10): treat {u1:1, u2:0},
+    // ctrl {u3:0, u4:0}. Bottom half (score 1): treat {u5:0, u6:1},
+    // ctrl {u7:1, u8:0}.
+    val users = Seq(
+      (1L, 10L, 1L, "treatment"), (2L, 10L, 0L, "treatment"),
+      (3L, 10L, 0L, "control"), (4L, 10L, 0L, "control"),
+      (5L, 1L, 0L, "treatment"), (6L, 1L, 1L, "treatment"),
+      (7L, 1L, 1L, "control"), (8L, 1L, 0L, "control"))
+      .toDF("id", "s", "lb", "variant")
+    val r = graft.operators.Experiment
+      .upliftDeciles(users, "s", "lb", "variant", "id", deciles = 2)
+      .collect()
+      .map(x => x.getInt(0) -> x).toMap
+    assert(r.size === 2)
+    // decile 1 = top scores: uplift 50% - 0%, qini = 1 incremental conv
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3), r(1).getLong(4))
+      === ((2L, 2L, 1L, 0L)))
+    assert((r(1).getLong(5), r(1).getLong(6), r(1).getLong(7), r(1).getLong(8))
+      === ((500000L, 0L, 500000L, 1000000L)))
+    // decile 2: arms tie (1/2 each), uplift 0; cumulative qini
+    // 2e6 - 1*4e6//4 = 1e6 (the curve flattens)
+    assert((r(2).getLong(5), r(2).getLong(6), r(2).getLong(7), r(2).getLong(8))
+      === ((500000L, 500000L, 0L, 1000000L)))
+    // all-treatment input: control-side rates and qini are NULL
+    val t = graft.operators.Experiment
+      .upliftDeciles(users.where(col("variant") === "treatment"),
+        "s", "lb", "variant", "id", deciles = 1)
+      .collect().head
+    assert(t.getLong(2) === 0L && t.isNullAt(6) && t.isNullAt(7) && t.isNullAt(8))
+  }
+
+  // ── Dedup.dupShingleCoverage ───────────────────────────────────────
+
+  test("dup ngram coverage: exact dup 1e6, unique 0, shared prefix partial") {
+    import spark.implicits._
+    // n=3 word shingles: a has 4, the first two shared with d (df 2),
+    // the last two unique; c shares nothing.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"), // a
+      (2L, "x1 x2 x3 x4"), // c: fully unique
+      (3L, "w1 w2 w3 w4")) // d: strict prefix of a
+      .toDF("doc_id", "text")
+    val r = Dedup.dupShingleCoverage(docs, n = 3, minDf = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) === ((4L, 2L, 500000L)), "half of a's shingles are shared")
+    assert(r(2L) === ((2L, 0L, 0L)), "unique doc has zero duplicated mass")
+    assert(r(3L) === ((2L, 2L, 1000000L)), "a prefix copy is fully covered")
+    // exact duplicate pair: both sides fully covered
+    val dup = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val d2 = Dedup.dupShingleCoverage(dup, n = 3, minDf = 2).collect()
+    assert(d2.forall(_.getLong(3) === 1000000L))
+  }
 }
