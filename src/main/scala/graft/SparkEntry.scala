@@ -689,6 +689,11 @@ object SparkEntry {
     // aggregates ((doc, term) then doc), no joins or windows.
     "t20_lexical_diversity" -> ((s, dir) =>
       Vocab.lexicalDiversity(par(tbl(s, dir, "documents")))),
+    // Per-doc token-distribution Shannon entropy in exact micro-nats:
+    // the information-density gate that catches keyword-stuffing TTR
+    // cannot (balance, not just type counts). See Vocab.tokenEntropy.
+    "t36_token_entropy" -> ((s, dir) =>
+      Vocab.tokenEntropy(par(tbl(s, dir, "documents")))),
     // Zipf rank-frequency fit over the top-1000 vocabulary: micro-nat
     // integer sums + decimal(38,0) normal equations — an engine-exact
     // least-squares regression (natural text ≈ slope −1).
@@ -2107,6 +2112,12 @@ object SparkEntry {
     // precisely to avoid ln; see Graph.resourceAllocationLinks).
     "g7_link_prediction" -> ((s, dir) =>
       Graph.resourceAllocationLinks(partCoEdges(s, dir), minCommon = 2)),
+    // Two-hop reach over the co-purchase graph: per part, the distinct
+    // parts within <= 2 co-purchase hops next to its plain degree —
+    // the friend-of-friend audience / traversal-fan-out forecast.
+    // Wedge self-join hub-capped like g7. See Graph.twoHopReach.
+    "g8_two_hop_reach" -> ((s, dir) =>
+      Graph.twoHopReach(partCoEdges(s, dir))),
     // First-order Markov transition matrix over per-user event streams:
     // (prev → next) counts, source margins re-aggregated from the cell
     // table, probability in exact integer ppm. One user-key shuffle.
@@ -3083,6 +3094,19 @@ object SparkEntry {
           |  CAST(count(*) FILTER (WHERE tf = 1) AS BIGINT) AS n_hapax,
           |  round(CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS ttr
           |FROM tf GROUP BY doc_id""".stripMargin,
+      "t36_token_entropy" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS term
+          |  FROM documents
+          |), tf AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+          |), nn AS (
+          |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1
+          |)
+          |SELECT tf.doc_id, nn.n AS n_tokens, count(*) AS n_types,
+          |  CAST(CAST(sum(tf * CAST(round(round(ln(CAST(nn.n AS DOUBLE) / CAST(tf AS DOUBLE)), 6)
+          |    * 1000000) AS BIGINT)) AS HUGEINT) // nn.n AS BIGINT) AS entropy_micro_nats
+          |FROM tf JOIN nn ON tf.doc_id = nn.doc_id GROUP BY 1, 2""".stripMargin,
       "t21_zipf_fit" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS token
@@ -5724,6 +5748,26 @@ object SparkEntry {
           |SELECT s.node_a, s.node_b, s.common_neighbors, s.ra_micro
           |FROM sc s LEFT JOIN e ON s.node_a = e.u AND s.node_b = e.v
           |WHERE e.u IS NULL AND s.common_neighbors >= 2""".stripMargin,
+      "g8_two_hop_reach" ->
+        """WITH co AS (
+          |  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(count(*) AS BIGINT) AS w
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2
+          |), e AS (SELECT u, v FROM co WHERE w >= 2
+          |), nb AS (SELECT u AS n, v AS nbr FROM e UNION ALL SELECT v, u FROM e
+          |), deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY 1
+          |), ctr AS (
+          |  SELECT nb.n, nb.nbr FROM nb JOIN deg ON nb.n = deg.n
+          |  WHERE deg.d <= 10000
+          |), two AS (
+          |  SELECT a.nbr AS x, b.nbr AS y FROM ctr a JOIN ctr b
+          |  ON a.n = b.n AND a.nbr <> b.nbr
+          |), rc AS (
+          |  SELECT n AS x, nbr AS y FROM nb UNION SELECT x, y FROM two
+          |)
+          |SELECT rc.x AS node, deg.d AS degree, CAST(count(*) AS BIGINT) AS n_reach2
+          |FROM rc JOIN deg ON rc.x = deg.n GROUP BY 1, 2""".stripMargin,
       "q41_recursive_reach" ->
         """WITH RECURSIVE edges AS (
           |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w

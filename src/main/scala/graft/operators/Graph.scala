@@ -320,6 +320,59 @@ object Graph {
         Seq("node_a", "node_b"), "left_anti")
   }
 
+  /** Two-hop reach: for every node, the number of DISTINCT nodes
+    * within ≤ 2 hops (self excluded) — the friend-of-friend audience
+    * size behind "people you may know" fan-out estimates, influence
+    * screens, and join-fan-out forecasting (a node's 2-hop reach is
+    * exactly how many rows a 2-step traversal from it will touch).
+    * Reported next to the plain degree so the 1-hop → 2-hop expansion
+    * ratio is read directly off the row.
+    *
+    * Scale shape: the 2-hop pairs come from the same center-keyed
+    * wedge self-join as [[resourceAllocationLinks]] — fan-out Σ
+    * deg(z)², so `degCap` drops wedge CENTERS with degree > cap before
+    * the join (reach through a dropped hub is undercounted; the result
+    * is a documented LOWER BOUND, the same bounded-error contract as
+    * the RA cap — and a hub's neighborhood is better summarized by its
+    * own degree row than by exploding it into everyone's reach).
+    * Direct neighbors come from the uncapped doubled edge table, so
+    * degree is always exact. The distinct over direct ∪ 2-hop pairs is
+    * the dominant shuffle, bounded by Σ min(deg, cap)² — never |V|².
+    *
+    * Output: `(node, degree, n_reach2)` with
+    * `degree <= n_reach2 <= |V| − 1`.
+    */
+  def twoHopReach(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      degCap: Int = 10000): DataFrame = {
+    require(degCap >= 1, s"degCap must be >= 1, got $degCap")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("_u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("_v"))
+      .where(col("_u") =!= col("_v"))
+      .distinct()
+      .localCheckpoint()
+    val nb = und.select(col("_u").as("_n"), col("_v").as("_nbr"))
+      .union(und.select(col("_v").as("_n"), col("_u").as("_nbr")))
+    val deg = nb.groupBy(col("_n")).agg(count(lit(1)).as("degree"))
+    // wedge centers are hub-capped pre-join (the RA-links rule);
+    // checkpointed because both sides of the self-join read it
+    val ctr = nb.join(deg.where(col("degree") <= degCap), Seq("_n"))
+      .select(col("_n"), col("_nbr"))
+      .localCheckpoint()
+    // both orientations: x reaches y AND y reaches x through center n
+    val two = ctr.as("a")
+      .join(ctr.as("b"),
+        col("a._n") === col("b._n") && col("a._nbr") =!= col("b._nbr"))
+      .select(col("a._nbr").as("_x"), col("b._nbr").as("_y"))
+    val reach = nb.select(col("_n").as("_x"), col("_nbr").as("_y"))
+      .unionByName(two)
+      .distinct()
+    reach.groupBy(col("_x")).agg(count(lit(1)).as("n_reach2"))
+      .join(deg.select(col("_n").as("_x"), col("degree")), Seq("_x"))
+      .select(col("_x").as("node"), col("degree"), col("n_reach2"))
+  }
+
   /** Degree assortativity (Newman's r): the Pearson correlation of the
     * endpoint degrees over all undirected edges — positive means hubs
     * link to hubs (social graphs), negative means hubs link to leaves

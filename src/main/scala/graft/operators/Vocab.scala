@@ -290,6 +290,50 @@ object Vocab {
         .as("ttr"))
   }
 
+  /** Per-document token-distribution Shannon entropy in micro-nats —
+    * the information-density quality signal between [[lexicalDiversity]]
+    * (which counts types but ignores their balance) and `Repetition`
+    * (which only sees adjacency): `H = Σ_t (tf_t/N)·ln(N/tf_t)`. A
+    * document that repeats one token scores 0; a document of N
+    * distinct tokens scores ln N. Low entropy at high token count is
+    * the keyword-stuffing / template signature that TTR alone misses
+    * (100 types × 100 repeats each has a healthy-looking TTR of 0.01
+    * shared with natural text of the same length, but entropy pins the
+    * uniformity).
+    *
+    * Engine-exact: each `ln(N/tf)` is quantized to integer micro-nats
+    * by the library's standard double-rounding
+    * (`round(round(ln(x), 6)·10⁶)` — the d23/t21 pattern, identical
+    * IEEE ops on both engines), then `H_micro = Σ tf·lnMicro div N` is
+    * pure integer arithmetic with non-negative operands (ln(N/tf) ≥ 0
+    * always), so truncating `div` and flooring `//` agree.
+    *
+    * Plan shape at 100 TB: the [[lexicalDiversity]] two-aggregate
+    * shape plus one doc-key equi-join to bring N back to the tf rows —
+    * the join key equals the aggregate key, so it reuses the same
+    * co-partitioning. No windows, nothing corpus-sized broadcast.
+    * Zero-token documents drop out (no rows to aggregate).
+    *
+    * Output: `(doc_id, n_tokens, n_types, entropy_micro_nats)`.
+    */
+  def tokenEntropy(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(Text.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val n = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("_n"))
+    tf.join(n, Seq("doc_id"))
+      .withColumn("_lnm", expr(
+        "CAST(round(round(ln(CAST(_n AS DOUBLE) / CAST(tf AS DOUBLE)), 6)" +
+          " * 1000000) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("_n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("tf") * col("_lnm")).as("_s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("CAST(CAST(_s AS DECIMAL(38,0)) div n_tokens AS BIGINT)")
+          .as("entropy_micro_nats"))
+  }
+
   /** Deterministic token-id assignment over a trained vocabulary (e.g.
     * [[topTerms]] output): ids are dense ranks 0..k-1 by (cf desc,
     * token), the same total order topTerms truncates by. The global-sort

@@ -688,4 +688,46 @@ class Round6OpsSpec extends AnyFunSuite {
     val d2 = Dedup.dupShingleCoverage(dup, n = 3, minDf = 2).collect()
     assert(d2.forall(_.getLong(3) === 1000000L))
   }
+
+  // ── Graph.twoHopReach ──────────────────────────────────────────────
+
+  test("two-hop reach: path counts, star, hub cap lower-bounds leaves only") {
+    import spark.implicits._
+    // path 1-2-3-4: ends reach 2, middles reach 3
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.twoHopReach(path).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r === Map(1L -> ((1L, 2L)), 2L -> ((2L, 3L)),
+      3L -> ((2L, 3L)), 4L -> ((1L, 2L))))
+    // star: every node reaches all 3 others through the center
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("src", "dst")
+    val s1 = Graph.twoHopReach(star).collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(s1 === Map(10L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // capping the center (deg 3 > cap 2) drops leaf 2-hop reach to the
+    // documented lower bound (direct only); the center's own row is exact
+    val s2 = Graph.twoHopReach(star, degCap = 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(s2 === Map(10L -> 3L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // triangle: reach equals degree (nothing new at hop 2)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.twoHopReach(tri).collect().forall(x => x.getLong(2) === 2L))
+  }
+
+  // ── Vocab.tokenEntropy ─────────────────────────────────────────────
+
+  test("token entropy: repeated 0, uniform lnN, skew hand-computed micro-nats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"), // degenerate: H = 0
+      (2L, "a b c d"), // uniform: H = ln 4
+      (3L, "a a b b"), // uniform over 2: H = ln 2
+      (4L, "a a a b")) // skew: 0.75*ln(4/3) + 0.25*ln4
+      .toDF("doc_id", "text")
+    val r = graft.operators.Vocab.tokenEntropy(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) === ((4L, 1L, 0L)))
+    assert(r(2L) === ((4L, 4L, 1386294L)))
+    assert(r(3L) === ((4L, 2L, 693147L)))
+    assert(r(4L) === ((4L, 2L, 562335L)))
+  }
 }
