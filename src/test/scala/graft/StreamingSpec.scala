@@ -633,4 +633,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(stream.size === 3)
     } finally q.stop()
   }
+
+  test("stateful packing: online seq assembly across micro-batches == batch packSequences") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulPacking
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val docs = mem.toDF.toDF("doc_id", "toks")
+    // bins=1: one bin, so the monotone-id rule is global and deterministic
+    val q = StatefulPacking.pack(docs, "doc_id", "toks", budget = 100, bins = 1)
+      .writeStream.format("memory").queryName("pck").outputMode("update").start()
+    try {
+      mem.addData((1L, 60L), (2L, 60L), (3L, 60L))
+      q.processAllAvailable()
+      // the running total carries ACROSS the micro-batch boundary:
+      // doc 5 starts at cum 180 -> seq 1, doc 6 at 240 -> seq 2
+      mem.addData((5L, 60L), (6L, 60L))
+      q.processAllAvailable()
+      mem.addData((4L, 999L)) // late id: skipped, state is monotone
+      q.processAllAvailable()
+      val rows = spark.table("pck").collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(rows === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 5L -> 1L, 6L -> 2L))
+      assert(!rows.contains(4L), "late doc cannot re-open a sequence")
+      // batch parity: the same operator on a static frame (all rows fold
+      // in one group call) equals Split.packSequences row for row,
+      // including the hash bin routing at bins=8
+      val ids = Seq(11L, 23L, 35L, 47L, 59L, 61L, 72L, 88L, 94L, 105L)
+      val static = ids.map(i => (i, 40L + (i % 7) * 10L)).toDF("doc_id", "toks")
+      val batch = graft.operators.Split
+        .packSequences(static, "doc_id", "toks", budget = 100, bins = 8)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val stream = StatefulPacking.pack(static, "doc_id", "toks", budget = 100, bins = 8)
+        .collect().map(r => r.doc_id -> ((r.bin, r.toks, r.seq_id))).toMap
+      assert(stream === batch)
+      assert(stream.size === ids.size)
+    } finally q.stop()
+  }
 }
