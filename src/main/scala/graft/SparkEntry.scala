@@ -808,6 +808,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(par(e), e.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5)
     }),
+    // Range (radius) search at cosine >= 0.3: everything actually
+    // similar to each query, not a fixed k — the recall-safe retrieval
+    // primitive. Corpus scanned never shuffled, queries broadcast.
+    // See Similarity.rangeSearch.
+    "s19_range_search" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.rangeSearch(par(e), e.where(col("vec_id") < 20),
+        "vec_id", "embedding", threshold = 0.3)
+    }),
     // Hard-negative mining for contrastive training: per labeled
     // anchor, the top-5 most-similar vectors with a DIFFERENT label —
     // the label predicate runs during candidate generation (s14's
@@ -2223,6 +2233,24 @@ object SparkEntry {
         .groupBy(lower(hex(col("bytes"))).as("content_hex"))
         .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     }),
+    // Media shard plan (webdataset/tar sizing): pack media into
+    // ~64 KiB shards by DECODED pixel volume (w*h*channels — the
+    // uncompressed size a loader pays), via the p3 packing operator on
+    // the media table: hash-bin routing + per-bin running byte total.
+    // Scan-stage decode, one bin-key shuffle.
+    "m6_shard_plan" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val media = par(d).select(col("doc_id").as("media_id"),
+        Multimodal.fakeMediaBytes(col("text")).as("bytes"))
+      val sized = media
+        .withColumn("_m", Multimodal.decodeImageMeta(col("bytes")))
+        .select(col("media_id"),
+          (col("_m.width").cast("long") * col("_m.height") * col("_m.channels"))
+            .as("px_bytes"))
+      Split.packSequences(sized, "media_id", "px_bytes",
+        budget = 65536, bins = 8)
+        .withColumnRenamed("seq_id", "shard_id")
+    }),
     // Media QA-gate report (the multimodal q34): per-ingest-check pass
     // rates in ppm over DECODED metadata — container length, RGB,
     // orientation, minimum resolution. Scan-stage decode + stack melt
@@ -3360,6 +3388,15 @@ object SparkEntry {
            |  FROM scored
            |)
            |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+      "s19_range_search" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |), $quantEmbSql, sc AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dotCosSql AS cos
+           |  FROM qn a JOIN qn b ON a.vec_id < 20 AND b.vec_id != a.vec_id
+           |)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cos
+           |FROM sc WHERE cos >= 0.3""".stripMargin,
       "s18_hard_negatives" ->
         s"""WITH eIn AS (
            |  SELECT vec_id, embedding FROM embeddings
@@ -5917,6 +5954,22 @@ object SparkEntry {
           |SELECT content_hex, CAST(min(media_id) AS BIGINT) AS keep_id,
           |  CAST(count(*) AS BIGINT) AS n_copies
           |FROM m GROUP BY 1""".stripMargin,
+      "m6_shard_plan" ->
+        """WITH m AS (
+          |  SELECT doc_id AS media_id, md5(text) || md5(text || '2') AS content_hex
+          |  FROM documents
+          |), px AS (
+          |  SELECT media_id,
+          |    CAST((('0x' || substr(content_hex, 1, 2))::INT % 64 + 1) AS BIGINT)
+          |    * (('0x' || substr(content_hex, 3, 2))::INT % 64 + 1)
+          |    * (('0x' || substr(content_hex, 5, 2))::INT % 3 + 1) AS px_bytes,
+          |    ('0x' || substr(md5('pack|' || CAST(media_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS bin
+          |  FROM m
+          |)
+          |SELECT media_id, bin, px_bytes,
+          |  CAST(floor(CAST(sum(px_bytes) OVER (PARTITION BY bin ORDER BY media_id)
+          |                  - px_bytes AS DOUBLE) / 65536) AS BIGINT) AS shard_id
+          |FROM px""".stripMargin,
       "q39_unpivot" ->
         """WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
           |SELECT l_orderkey, l_linenumber, 'quantity' AS metric, CAST(l_quantity AS DOUBLE) AS value FROM f

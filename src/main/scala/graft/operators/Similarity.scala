@@ -92,6 +92,42 @@ object Similarity {
     TopK.perQuery(scored, k)
   }
 
+  /** Range (radius) search — every corpus vector with cosine ≥
+    * `threshold` of each query, the fixed-radius complement of
+    * [[bruteForceTopK]]: top-k answers "the k nearest whatever their
+    * quality", range search answers "everything actually similar" —
+    * the right primitive when downstream consumes ALL qualifying
+    * matches (dedup candidate pull for one new document, recall-safe
+    * retrieval feeding a reranker) and an empty result is meaningful.
+    *
+    * Engine-exact: the cosine is [[cosineFrom]]'s fixed IEEE
+    * expression over exact integer dots/norms (the d5 rule — the
+    * threshold compare happens on bit-identical doubles on both
+    * engines), rounded to 6 decimals only at output.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the corpus is
+    * scanned, never shuffled; queries broadcast. Output is
+    * result-sized (no bounded-k guarantee, by definition): a
+    * too-low threshold on a huge corpus returns a huge answer, which
+    * is the caller's contract to own. Swap in the IVF probe join for
+    * corpora where the brute scan is too hot.
+    */
+  def rangeSearch(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val c = prepare(corpus, idCol, vecCol)
+    val q = prepare(queries, idCol, vecCol)
+      .withColumnRenamed("_id", "_qid").withColumnRenamed("_q", "_qq")
+      .withColumnRenamed("_n2", "_qn2")
+    c.crossJoin(broadcast(q))
+      .where(col("_id") =!= col("_qid"))
+      .withColumn("cos",
+        cosineFrom(dotQ(col("_q"), col("_qq")), col("_n2"), col("_qn2")))
+      .where(col("cos") >= threshold)
+      .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Bitext-style margin mining (parallel-corpus construction): match
     * each `queries` vector to its best `corpus` vector by cosine and
     * keep the match only when its margin over the runner-up clears

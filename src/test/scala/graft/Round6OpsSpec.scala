@@ -689,6 +689,29 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(d2.forall(_.getLong(3) === 1000000L))
   }
 
+  // ── Similarity.rangeSearch ─────────────────────────────────────────
+
+  test("range search: threshold keeps exactly the qualifying vectors, self excluded") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.8, 0.6)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") === 1L)
+    val r = graft.operators.Similarity
+      .rangeSearch(corpus, queries, "vec_id", "embedding", threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq === Seq((1L, 2L, 0.8)), "only the cos-0.8 vector qualifies")
+    // radius widens monotonically; the exact-match self row never appears
+    val all = graft.operators.Similarity
+      .rangeSearch(corpus, queries, "vec_id", "embedding", threshold = -1.1)
+      .collect().map(_.getLong(1)).toSet
+    assert(all === Set(2L, 3L, 4L))
+    assert(graft.operators.Similarity
+      .rangeSearch(corpus, queries, "vec_id", "embedding", threshold = 0.99)
+      .count() === 0L)
+  }
+
   // ── Graph.twoHopReach ──────────────────────────────────────────────
 
   test("two-hop reach: path counts, star, hub cap lower-bounds leaves only") {
