@@ -326,6 +326,11 @@ object Bench {
     BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
       .bigDecimal.stripTrailingZeros.toPlainString
 
+  /** Whole-second fallback format for the compact line (see [[emit]]). */
+  private def fmt0(v: Double): String =
+    BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+
   /** Emits the aggregate artifact as TWO JSON lines, engineered for the
     * driver's ~2 KB stdout TAIL capture (BENCH_r05 lost every timed
     * `sec` value to it — only the boot-inflated `wall` map survived):
@@ -356,9 +361,17 @@ object Bench {
       val p = n.split("_")(0)
       if (prefixCount.getOrElse(p, 0) > 1) n else p
     }
-    val cq = results.map { case (k, v) => s"${jstr(sid(k))}:${fmt1(v)}" }
-      .mkString("{", ",", "}")
     val sfBase = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfBase","nq":${results.size},"nerr":${errors.size},"queries":$cq,"value":${fmt1(total)}}""")
+    def compactLine(fmt: Double => String): String = {
+      val cq = results.map { case (k, v) => s"${jstr(sid(k))}:${fmt(v)}" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","unit":"sec","sf":"$sfBase","nq":${results.size},"nerr":${errors.size},"queries":$cq,"value":${fmt1(total)}}"""
+    }
+    // adaptive precision: 1 dp while the whole line fits the driver's
+    // ~2 KB tail capture with slack, whole seconds past ~190 queries —
+    // a cruder-but-complete map beats a truncated precise one (the
+    // BENCH_r05 lesson); full-precision values are on the line above
+    val l1 = compactLine(fmt1)
+    println(if (l1.length <= 1900) l1 else compactLine(fmt0))
   }
 }
