@@ -1509,6 +1509,24 @@ object SparkEntry {
     // EXISTS decorrelate to semi/anti hash joins and the correlated
     // scalar max-subquery to an aggregate-then-join — one pass over
     // orders, no per-row re-execution in the physical plan.
+    // Correlated LATERAL subquery (Spark 4 relational surface): top-2
+    // orders per customer via LATERAL (ORDER BY ... LIMIT 2) — the SQL
+    // spelling of q11's window-top-n, planned as a broadcast-able
+    // correlated join. Views dropped after analysis (the q28 rule).
+    "q43_lateral_topn" -> ((s, dir) => {
+      tbl(s, dir, "customer").createOrReplaceTempView("g43_customer")
+      tbl(s, dir, "orders").createOrReplaceTempView("g43_orders")
+      try s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM g43_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM g43_orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""")
+      finally {
+        s.catalog.dropTempView("g43_customer")
+        s.catalog.dropTempView("g43_orders")
+      }
+    }),
     "q28_exists_subquery" -> ((s, dir) => {
       // The views exist only long enough for sql() to analyze the plan
       // (analysis is eager; the returned Dataset holds resolved
@@ -2093,19 +2111,16 @@ object SparkEntry {
     // community sketch that splits what connected components would
     // merge. The mean cut is the exact rational compare
     // w·|E| > Σw (no division). See Graph.labelPropagation.
-    "g5_label_propagation" -> ((s, dir) => {
-      val und = tradeEdges(s, dir)
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"), col("w"))
-        .where(col("u") =!= col("v"))
-        .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
-      val tot = und.agg(count(lit(1)).as("ne"), sum(col("w")).as("tw"))
-      val backbone = und.crossJoin(broadcast(tot))
-        .where(col("w").cast("decimal(38,0)") * col("ne") >
-          col("tw").cast("decimal(38,0)"))
-        .select(col("u").as("src"), col("v").as("dst"), col("w"))
-      Graph.labelPropagation(backbone, iters = 4)
-    }),
+    "g5_label_propagation" -> ((s, dir) =>
+      Graph.labelPropagation(tradeBackbone(s, dir), iters = 4)),
+    // All-pairs harmonic centrality on the same dimension-sized trade
+    // backbone: Σ 1/hops over reachable peers in exact integer micro —
+    // "which nation sits closest to the whole trade web". BFS-by-join
+    // with per-round min-hop dedup; dimension-graph contract (the q41
+    // rule — corpus-scale closures belong to the Pregel/sketch loops).
+    // See Graph.harmonicCentrality.
+    "g9_harmonic_centrality" -> ((s, dir) =>
+      Graph.harmonicCentrality(tradeBackbone(s, dir), rounds = 6)),
     // k-core of the part co-purchase graph (parts co-bought in the
     // same order ≥ 2 times — the w≥2 floor drops single-co-occurrence
     // noise): fixed 8-round synchronous peel at k=3, which reaches the
@@ -2354,6 +2369,25 @@ object SparkEntry {
     a.join(b, Seq("_ok")).where(col("u") < col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
       .where(col("w") >= 2)
+      .select(col("u").as("src"), col("v").as("dst"), col("w"))
+  }
+
+  /** The trade graph's BACKBONE: undirected edges strictly above the
+    * mean weight, by the exact rational compare `w·|E| > Σw` (no
+    * division). The raw nation graph is near-complete; community and
+    * centrality structure lives in the above-average relationships.
+    * Shared by g5 (label propagation) and g9 (harmonic centrality);
+    * q41's oracle unrolls the identical SQL. */
+  private def tradeBackbone(s: SparkSession, dir: String): DataFrame = {
+    val und = tradeEdges(s, dir)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("w"))
+      .where(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+    val tot = und.agg(count(lit(1)).as("ne"), sum(col("w")).as("tw"))
+    und.crossJoin(broadcast(tot))
+      .where(col("w").cast("decimal(38,0)") * col("ne") >
+        col("tw").cast("decimal(38,0)"))
       .select(col("u").as("src"), col("v").as("dst"), col("w"))
   }
 
@@ -5805,6 +5839,40 @@ object SparkEntry {
           |)
           |SELECT rc.x AS node, deg.d AS degree, CAST(count(*) AS BIGINT) AS n_reach2
           |FROM rc JOIN deg ON rc.x = deg.n GROUP BY 1, 2""".stripMargin,
+      "q43_lateral_topn" ->
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+          |          WHERE o.o_custkey = c.c_custkey
+          |          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin,
+      "g9_harmonic_centrality" ->
+        """WITH RECURSIVE edges AS (
+          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w
+          |  FROM lineitem l
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  GROUP BY 1, 2
+          |), und0 AS (
+          |  SELECT least(src, dst) AS u, greatest(src, dst) AS v, CAST(sum(w) AS BIGINT) AS w
+          |  FROM edges WHERE src <> dst GROUP BY 1, 2
+          |), und AS (
+          |  SELECT u, v FROM und0
+          |  WHERE CAST(w AS HUGEINT) * (SELECT count(*) FROM und0) > (SELECT sum(w) FROM und0)
+          |), nb AS MATERIALIZED (
+          |  SELECT u AS n, v AS nbr FROM und UNION ALL SELECT v, u FROM und
+          |), walk(src, node, h) AS (
+          |  SELECT n, n, 0 FROM (SELECT DISTINCT n FROM nb)
+          |  UNION
+          |  SELECT w.src, nb.nbr, w.h + 1
+          |  FROM walk w JOIN nb ON nb.n = w.node
+          |  WHERE w.h < 6
+          |), d AS (
+          |  SELECT src, node, min(h) AS h FROM walk GROUP BY 1, 2
+          |)
+          |SELECT CAST(src AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS n_reachable,
+          |  CAST(sum(1000000 // h) AS BIGINT) AS harmonic_micro
+          |FROM d WHERE node <> src GROUP BY 1""".stripMargin,
       "q41_recursive_reach" ->
         """WITH RECURSIVE edges AS (
           |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w

@@ -736,6 +736,27 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(Graph.twoHopReach(tri).collect().forall(x => x.getLong(2) === 2L))
   }
 
+  // ── Graph.harmonicCentrality ───────────────────────────────────────
+
+  test("harmonic centrality: path reciprocals, disconnection, radius truncation") {
+    import spark.implicits._
+    // path 1-2-3-4: H(end) = 1 + 1/2 + 1/3, H(mid) = 1 + 1 + 1/2
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.harmonicCentrality(path).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r === Map(1L -> ((3L, 1833333L)), 2L -> ((3L, 2500000L)),
+      3L -> ((3L, 2500000L)), 4L -> ((3L, 1833333L))))
+    // disconnected pairs: unreachable nodes contribute 0, not infinity
+    val two = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val d = Graph.harmonicCentrality(two).collect()
+    assert(d.length === 4 &&
+      d.forall(x => x.getLong(1) === 1L && x.getLong(2) === 1000000L))
+    // rounds=1 truncates the radius: ends see only their neighbor
+    val t = Graph.harmonicCentrality(path, rounds = 1).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(t(1L) === ((1L, 1000000L)) && t(2L) === ((2L, 2000000L)))
+  }
+
   // ── Vocab.tokenEntropy ─────────────────────────────────────────────
 
   test("token entropy: repeated 0, uniform lnN, skew hand-computed micro-nats") {
