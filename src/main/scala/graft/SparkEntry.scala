@@ -668,6 +668,20 @@ object SparkEntry {
       f.select(col("doc_id") +:
         f.columns.tail.toIndexedSeq.map(n => col(n).cast("int").as(n)): _*)
     }),
+    // Encoding-health report (the mojibake screen that runs BEFORE
+    // content quality): C0 control chars, U+FFFD replacement chars,
+    // non-ASCII count + ppm per doc — scan-stage codegen'd char
+    // counts, no explode. See QualityRules.controlCharCount.
+    "t37_encoding_report" -> ((s, dir) =>
+      par(tbl(s, dir, "documents")).select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          QualityRules.controlCharCount(col("text")).as("n_ctrl"),
+          QualityRules.replacementCharCount(col("text")).as("n_repl"),
+          QualityRules.nonAsciiCount(col("text")).as("n_nonascii"))
+        .withColumn("nonascii_ppm", expr(
+          """CAST(CASE WHEN n_chars = 0 THEN 0
+            | ELSE CAST(n_nonascii AS DECIMAL(38,0)) * 1000000 div n_chars
+            | END AS BIGINT)""".stripMargin))),
     // Per-document top-3 tf-idf terms: explode → (doc,term) partial agg
     // → term-df agg → shuffle join on term → per-doc row_number. Scores
     // are rounded before ranking so ranks are engine-deterministic.
@@ -1780,6 +1794,13 @@ object SparkEntry {
     // calendar-bounded axis windows).
     "u18_km_lifetable" -> ((s, dir) =>
       Survival.lifeTable(tbl(s, dir, "events"), "signup", "purchase")),
+    // Power-law fit of the day-0 cohort's retention curve: ln(r_ppm)
+    // vs ln(day) over days 1..28 — the log-log slope every retention
+    // plot eyeballs, made engine-exact by the zipfFit micro-nat +
+    // DECIMAL normal-equation discipline. See Survival.retentionDecayFit.
+    "u43_retention_decay" -> ((s, dir) =>
+      Survival.retentionDecayFit(tbl(s, dir, "events"), winStart,
+        horizon = 28)),
     // Curriculum staging for training runs: documents bucketed into four
     // length-quartile stages (short→long) plus a deterministic within-
     // stage shuffle key. Cutoffs are one tiny exact-percentile row
@@ -2222,6 +2243,15 @@ object SparkEntry {
         tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "lang")
         .select(col("doc_id"), col("lang"))),
+    // Recency-decayed deterministic sampling: keep probability
+    // h/(h+age) — exactly 1/2 at the 7-day half-life, hyperbolic tail
+    // so old strata keep coverage; hash-coin vs the row's own integer
+    // keep-ppm, pure scan-stage filter. See Split.recencySample.
+    "p17_recency_sample" -> ((s, dir) =>
+      Split.recencySample(tbl(s, dir, "events"), "event_id", "ts",
+          asOf = date_add(lit(winStart).cast("date"), 29),
+          halfLifeDays = 7)
+        .select(col("event_id"), col("age_days"), col("keep_ppm"))),
     // Leakage-safe temporal split with a 2-day embargo: train < day 12,
     // embargo [day 12, day 14) dropped, valid >= day 14 — row-level
     // assignment (the p1 contract shape), pure scan-stage projection +
@@ -3121,6 +3151,18 @@ object SparkEntry {
           |            AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ell_frac <= 0.3
           |            AND alpha_frac >= 0.8 AND req_hits >= 2 THEN 1 ELSE 0 END AS passes_quality
           |FROM m""".stripMargin,
+      "t37_encoding_report" ->
+        """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          |  CAST(length(text) - length(regexp_replace(text,
+          |    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS n_ctrl,
+          |  CAST(length(text) - length(regexp_replace(text, chr(65533), '', 'g'))
+          |    AS BIGINT) AS n_repl,
+          |  CAST(length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
+          |    AS BIGINT) AS n_nonascii,
+          |  CAST(CASE WHEN length(text) = 0 THEN 0
+          |    ELSE CAST(length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
+          |      AS HUGEINT) * 1000000 // length(text) END AS BIGINT) AS nonascii_ppm
+          |FROM documents""".stripMargin,
       "t9_tfidf" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS term
@@ -4413,6 +4455,50 @@ object SparkEntry {
            |  CAST(CAST(coalesce(sum(CASE WHEN df >= 2 THEN 1 END), 0) AS HUGEINT)
            |    * 1000000 // count(*) AS BIGINT) AS dup_frac_ppm
            |FROM ex JOIN dfs USING (s) GROUP BY 1""".stripMargin,
+      "u43_retention_decay" ->
+        """WITH coh AS (
+          |  SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+          |), act AS (
+          |  SELECT DISTINCT user_id, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS k
+          |  FROM events
+          |), nc AS (SELECT CAST(count(*) AS HUGEINT) AS n0 FROM coh
+          |), ret AS (
+          |  SELECT k, CAST(count(*) AS BIGINT) AS nret
+          |  FROM act JOIN coh USING (user_id)
+          |  WHERE k >= 1 AND k <= 28 GROUP BY 1
+          |), rp AS (
+          |  SELECT k, CAST(CAST(nret AS HUGEINT) * 1000000 // n0 AS BIGINT) AS rppm
+          |  FROM ret, nc
+          |), xy AS (
+          |  SELECT CAST(round(ln(CAST(k AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+          |    CAST(round(ln(CAST(rppm AS DOUBLE)) * 1000000) AS BIGINT) AS y
+          |  FROM rp WHERE rppm > 0
+          |), agg AS (
+          |  SELECT CAST(count(*) AS HUGEINT) AS n,
+          |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+          |    CAST(sum(x * x) AS HUGEINT) AS sxx, CAST(sum(y * y) AS HUGEINT) AS syy,
+          |    CAST(sum(x * y) AS HUGEINT) AS sxy
+          |  FROM xy
+          |)
+          |SELECT CAST(n AS BIGINT) AS n_days,
+          |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+          |  round(pow(CAST(n * sxy - sx * sy AS DOUBLE), 2) /
+          |        (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+          |FROM agg""".stripMargin,
+      "p17_recency_sample" ->
+        """WITH a AS (
+          |  SELECT event_id,
+          |    CAST(greatest(0, date_diff('day', CAST(ts AS DATE), DATE '2024-01-30'))
+          |      AS BIGINT) AS age_days
+          |  FROM events
+          |), k AS (
+          |  SELECT event_id, age_days,
+          |    CAST(7 * 1000000 // (7 + age_days) AS BIGINT) AS keep_ppm
+          |  FROM a
+          |)
+          |SELECT event_id, age_days, keep_ppm FROM k
+          |WHERE ('0x' || substr(md5('rec|' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+          |  % 1000000 < keep_ppm""".stripMargin,
       "u40_ks_drift" ->
         """WITH p AS (
           |  SELECT CAST(round(value * 100) AS BIGINT) AS v, CAST(ts AS DATE) AS d

@@ -50,6 +50,29 @@ object QualityRules {
     safeFrac(hashes + ellipses, Text.tokenCount(c))
   }
 
+  /** Encoding-health counters — the mojibake/corruption screen that
+    * runs BEFORE content-quality gates (garbled bytes poison every
+    * downstream token statistic): C0 control characters (minus
+    * tab/newline/CR, which are legitimate layout), U+FFFD replacement
+    * characters (the smoking gun of a wrong-charset decode), and
+    * non-ASCII character count (not a defect — the multilingual-share
+    * signal that contextualizes the other two). All are
+    * `length − length(strip)` char counts — codegen'd, scan-stage, no
+    * explode. Counts are in UTF-16 code units (= code points on the
+    * BMP; astral-plane text counts surrogate pairs as 2 — the
+    * documented cross-engine contract is BMP text). */
+  def controlCharCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
+
+  /** U+FFFD replacement-character count (see [[controlCharCount]]). */
+  def replacementCharCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "�", ""))).cast("long")
+
+  /** Non-ASCII character count (see [[controlCharCount]]). */
+  def nonAsciiCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[^\\x00-\\x7F]", ""))).cast("long")
+
   /** Distinct required-word hits (see [[RequiredWords]]). */
   def requiredWordHits(c: Column): Column =
     size(array_intersect(

@@ -404,4 +404,38 @@ object Split {
       .where(col("_rk") <= col("alloc"))
       .drop("_h", "_rk")
   }
+
+  /** Recency-decayed deterministic sampling — "prefer fresh data
+    * without discarding history": a row of age `a` days (relative to
+    * `asOf`) is kept with probability `h/(h+a)` — exactly ½ at the
+    * half-life `h`, ⅓ at 2h, hyperbolic tail so even old strata retain
+    * coverage (the heavy-tailed alternative to exponential decay, whose
+    * `exp()` would also break the no-transcendentals-on-data
+    * exactness discipline: `h·10⁶ div (h+a)` is pure integer
+    * arithmetic with non-negative operands).
+    *
+    * Deterministic like every sampler here ([[stratifiedSample]]'s
+    * contract): the coin is `hash60("rec|" ∥ id) mod 10⁶` compared to
+    * the row's own keep-ppm — no RNG, re-runs and engines agree
+    * bit-for-bit, and a row's fate is stable as the corpus grows.
+    * Future rows (age < 0) clamp to age 0 (always-keep-eligible).
+    *
+    * A pure scan-stage filter — no shuffle, no state; on a
+    * date-partitioned 100 TB table the age is constant per partition,
+    * so partition-level stats make the decayed volume predictable
+    * before the scan. Output: the kept rows plus `(age_days,
+    * keep_ppm)` for auditing the realized decay curve.
+    */
+  def recencySample(
+      df: DataFrame, idCol: String, tsCol: String, asOf: Column,
+      halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    df.withColumn("age_days",
+        greatest(lit(0L), datediff(asOf, col(tsCol).cast("date")).cast("long")))
+      .withColumn("keep_ppm", expr(
+        s"CAST(CAST($halfLifeDays AS BIGINT) * 1000000" +
+          s" div ($halfLifeDays + age_days) AS BIGINT)"))
+      .where(pmod(Dedup.hash60(concat(lit("rec|"), col(idCol).cast("string"))),
+        lit(1000000L)) < col("keep_ppm"))
+  }
 }

@@ -87,4 +87,68 @@ object Survival {
       .select(col("t"), col("n_at_risk"), col("n_conv"),
         col("n_censored"), col("hazard_ppm"))
   }
+
+  /** Power-law fit of the day-0 cohort's retention curve — "does
+    * retention decay like t^(−α), and how fast": least-squares slope
+    * and r² of ln(retention_ppm) against ln(day offset) over days
+    * 1..`horizon`, the log-log regression practitioners eyeball on
+    * every retention plot made quantitative (shallow slope = sticky
+    * habit product, steep slope = leaky funnel; r² says whether
+    * power-law is even the right family vs an exponential cliff).
+    *
+    * Engine-exact despite being a regression — the [[Vocab.zipfFit]]
+    * discipline verbatim: the per-day retention rate is integer ppm by
+    * DECIMAL floor division, (x, y) = (ln k, ln r_ppm) are quantized
+    * to integer micro-nats, all sums and the normal equations run in
+    * decimal(38,0), and doubles appear only in the final two
+    * divisions. Zero-retention days drop out (ln undefined — and a
+    * zero breaks the power-law family anyway).
+    *
+    * Plan shape at 100 TB: the cohort (distinct day-0 users) joins the
+    * distinct (user, offset) activity table on the USER key with the
+    * shuffle-hash hint — never broadcast, cohorts scale with the
+    * corpus; per-offset counts collapse to ≤ `horizon` rows and the
+    * regression aggregates a `horizon`-row table. Two user-key
+    * shuffles total.
+    *
+    * Output: one row `(n_days, slope, r2)`.
+    */
+  def retentionDecayFit(
+      events: DataFrame, cohortDay: String, horizon: Int = 28,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(horizon >= 2, s"horizon must be >= 2, got $horizon")
+    val day0 = lit(cohortDay).cast("date")
+    val coh = events.where(col(tsCol).cast("date") === day0)
+      .select(col(userCol).as("_u")).distinct()
+    val act = events.select(col(userCol).as("_u"),
+        datediff(col(tsCol).cast("date"), day0).cast("long").as("_k"))
+      .where(col("_k") >= 1 && col("_k") <= horizon)
+      .distinct()
+    val nc = coh.agg(count(lit(1)).as("_n0"))
+    val ret = act.join(coh.hint("shuffle_hash"), Seq("_u"))
+      .groupBy(col("_k")).agg(count(lit(1)).as("_nret"))
+      .crossJoin(broadcast(nc))
+      .withColumn("_rppm",
+        expr("CAST(CAST(_nret AS DECIMAL(38,0)) * 1000000 div _n0 AS BIGINT)"))
+      .where(col("_rppm") > 0)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val t = ret.select(
+      dec(round(log(col("_k").cast("double")) * 1e6).cast("long")).as("_x"),
+      dec(round(log(col("_rppm").cast("double")) * 1e6).cast("long")).as("_y"))
+    t.agg(
+      count(lit(1)).as("_n"), sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_x") * col("_x")).as("_sxx"), sum(col("_y") * col("_y")).as("_syy"),
+      sum(col("_x") * col("_y")).as("_sxy"))
+      .select(col("_n").as("n_days"),
+        round((dec(col("_n")) * dec(col("_sxy")) - dec(col("_sx")) * dec(col("_sy")))
+          .cast("double") /
+          (dec(col("_n")) * dec(col("_sxx")) - dec(col("_sx")) * dec(col("_sx")))
+            .cast("double"), 6).as("slope"),
+        round(pow((dec(col("_n")) * dec(col("_sxy")) - dec(col("_sx")) * dec(col("_sy")))
+          .cast("double"), 2) /
+          ((dec(col("_n")) * dec(col("_sxx")) - dec(col("_sx")) * dec(col("_sx")))
+            .cast("double") *
+           (dec(col("_n")) * dec(col("_syy")) - dec(col("_sy")) * dec(col("_sy")))
+            .cast("double")), 6).as("r2"))
+  }
 }

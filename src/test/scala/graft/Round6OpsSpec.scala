@@ -689,6 +689,89 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(d2.forall(_.getLong(3) === 1000000L))
   }
 
+  // ── QualityRules encoding counters ─────────────────────────────────
+
+  test("encoding report: control/replacement/non-ascii counts, layout chars exempt") {
+    import spark.implicits._
+    import graft.functions.QualityRules
+    val docs = Seq(
+      (1L, "abc"), // clean ascii
+      (2L, "a\u0001b\uFFFDc"), // one C0 control, one replacement char
+      (3L, "中文ab"), // two CJK chars
+      (4L, "a\tb\nc\rd")) // tab/newline/CR are layout, not corruption
+      .toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+        QualityRules.controlCharCount(col("text")).as("c"),
+        QualityRules.replacementCharCount(col("text")).as("rp"),
+        QualityRules.nonAsciiCount(col("text")).as("na"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r(1L) === ((0L, 0L, 0L)))
+    assert(r(2L) === ((1L, 1L, 1L)), "U+FFFD is both replacement and non-ascii")
+    assert(r(3L) === ((0L, 0L, 2L)))
+    assert(r(4L) === ((0L, 0L, 0L)), "tab/newline/CR exempt from the control count")
+  }
+
+  // ── Split.recencySample ────────────────────────────────────────────
+
+  test("recency sample: age-0 always kept, half-life keeps the sub-500k hashes, future clamps") {
+    import spark.implicits._
+    val asOf = lit("2024-01-30").cast("date")
+    def ev(ds: String) = (1L to 50L).map(i => (i, ds)).toDF("event_id", "s")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    // age 0: keep_ppm = 1e6, every row survives
+    val a0 = Split.recencySample(ev("2024-01-30 12:00:00"), "event_id", "ts", asOf, 7)
+    assert(a0.count() === 50L)
+    assert(a0.select("keep_ppm").distinct().collect().map(_.getLong(0)).toSeq === Seq(1000000L))
+    // age = half-life: keep_ppm = 500000, kept iff the operator's own
+    // hash coin lands under it (recomputed driver-side, no drift)
+    val ah = Split.recencySample(ev("2024-01-23 12:00:00"), "event_id", "ts", asOf, 7)
+      .collect().map(_.getLong(0)).toSet
+    val expected = (1L to 50L)
+      .filter(i => graft.operators.Similarity.hexHash60(s"rec|$i") % 1000000L < 500000L)
+      .toSet
+    assert(ah === expected && ah.nonEmpty && ah.size < 50)
+    // future timestamps clamp to age 0 (always-keep-eligible)
+    val f = Split.recencySample(ev("2024-02-15 00:00:00"), "event_id", "ts", asOf, 7)
+    assert(f.count() === 50L &&
+      f.select("age_days").distinct().collect().map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
+  // ── Survival.retentionDecayFit ─────────────────────────────────────
+
+  test("retention decay: exact power-law cohort fits slope -1 with r2 1") {
+    import spark.implicits._
+    // cohort day 0: users 1-4; day 1 all 4, day 2 two, day 4 one —
+    // r_k = 1e6/k exactly; non-cohort user 9 must not count
+    val rows = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-01"), (4L, "2024-01-01"),
+      (1L, "2024-01-02"), (2L, "2024-01-02"), (3L, "2024-01-02"), (4L, "2024-01-02"),
+      (1L, "2024-01-03"), (2L, "2024-01-03"),
+      (1L, "2024-01-05"),
+      (9L, "2024-01-02"))
+      .toDF("user_id", "s")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val r = graft.operators.Survival
+      .retentionDecayFit(rows, "2024-01-01", horizon = 28).collect().head
+    assert(r.getLong(0) === 3L)
+    // expected from the operator's own quantization replayed driver-side
+    val xs = Seq(1L, 2L, 4L).map(k => BigInt(math.round(math.log(k.toDouble) * 1e6)))
+    val ys = Seq(1000000L, 500000L, 250000L)
+      .map(v => BigInt(math.round(math.log(v.toDouble) * 1e6)))
+    val n = BigInt(3)
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val syy = ys.map(y => y * y).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val slope = r6((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)
+    val r2e = r6(math.pow((n * sxy - sx * sy).toDouble, 2) /
+      ((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble))
+    assert(r.getDouble(1) === slope && math.abs(slope + 1.0) < 1e-5)
+    assert(r.getDouble(2) === r2e && r2e > 0.999999)
+  }
+
   // ── Similarity.rangeSearch ─────────────────────────────────────────
 
   test("range search: threshold keeps exactly the qualifying vectors, self excluded") {
