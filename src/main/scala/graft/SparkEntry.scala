@@ -2169,6 +2169,13 @@ object SparkEntry {
     // table, probability in exact integer ppm. One user-key shuffle.
     "u34_markov_transitions" -> ((s, dir) =>
       Sessions.markovTransitions(tbl(s, dir, "events"))),
+    // Per-user time-weighted average value (TWAP / time-in-state mean):
+    // each event's cents weighted by the duration until the user's
+    // next event — the exposure/dwell statistic an event-weighted mean
+    // over-counts bursts on. One user-key window pass + the group agg
+    // on the same partitioning. See Sessions.timeWeightedValue.
+    "u44_time_weighted_value" -> ((s, dir) =>
+      Sessions.timeWeightedValue(tbl(s, dir, "events"))),
     // Per-document shingle novelty: fraction of a doc's distinct
     // 3-gram shingles with corpus document-frequency 1, exact ppm —
     // the memorization/novelty curation signal. Inverted index without
@@ -6087,6 +6094,24 @@ object SparkEntry {
           |       ELSE round(CAST(m * sxy - sx * sx AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE), 6)
           |  END AS assortativity
           |FROM s""".stripMargin,
+      "u44_time_weighted_value" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS t, event_id,
+          |    CAST(round(value * 100) AS BIGINT) AS c
+          |  FROM events
+          |), l AS (
+          |  SELECT user_id, c, t,
+          |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nt
+          |  FROM e
+          |), d AS (
+          |  SELECT user_id, c, nt - t AS dur FROM l WHERE nt IS NOT NULL
+          |)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+          |  CAST(sum(dur) AS BIGINT) AS total_dur_us,
+          |  CASE WHEN sum(dur) = 0 THEN NULL
+          |    ELSE CAST(sum(CAST(c AS HUGEINT) * dur) // sum(dur) AS BIGINT)
+          |  END AS twa_cents
+          |FROM d GROUP BY 1""".stripMargin,
       "u34_markov_transitions" ->
         """WITH o AS (
           |  SELECT event_type AS t,

@@ -182,4 +182,43 @@ object Sessions {
               .cast("double")),
           6).as("cv2"))
   }
+
+  /** Per-user TIME-WEIGHTED average of a metric — the "what value was
+    * this user holding, averaged over wall-clock" statistic (TWAP in
+    * finance, time-in-state mean in process mining): each observation's
+    * value is weighted by how long it stood, i.e. the duration until
+    * the user's NEXT event. An event-weighted mean over-counts bursts
+    * (ten ticks in a minute ≠ ten hours at that level); the
+    * time-weighted mean is what billing, exposure, and dwell analyses
+    * actually want. The user's last event has no successor and carries
+    * no weight (the half-open-interval convention; feed a synthetic
+    * as-of event per user to close the tail if needed).
+    *
+    * Engine-exact: values are integer cents, durations integer
+    * microseconds from the (ts, id)-ordered lead; the weighted mean is
+    * `Σ c·dur div Σ dur` in DECIMAL floor division (operands
+    * non-negative); zero total duration (all events simultaneous) →
+    * NULL. One user-key window pass + the group aggregate riding the
+    * same partitioning — a single shuffle at any scale.
+    *
+    * Output: `(user_id, n_intervals, total_dur_us, twa_cents)` for
+    * users with ≥ 1 closed interval.
+    */
+  def timeWeightedValue(
+      events: DataFrame, userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col("_u")).orderBy(col("_t"), col("_id"))
+    events.select(col(userCol).as("_u"), unix_micros(col(tsCol)).as("_t"),
+        col(idCol).as("_id"), round(col(valueCol) * 100).cast("long").as("_c"))
+      .withColumn("_nt", lead(col("_t"), 1).over(w))
+      .where(col("_nt").isNotNull)
+      .withColumn("_dur", col("_nt") - col("_t"))
+      .groupBy(col("_u"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("_dur")).as("total_dur_us"),
+        sum(col("_c").cast("decimal(38,0)") * col("_dur")).as("_cd"))
+      .select(col("_u").as("user_id"), col("n_intervals"), col("total_dur_us"),
+        when(col("total_dur_us") === 0, lit(null)).otherwise(
+          expr("CAST(_cd div total_dur_us AS BIGINT)")).as("twa_cents"))
+  }
 }

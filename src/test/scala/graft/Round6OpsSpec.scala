@@ -689,6 +689,30 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(d2.forall(_.getLong(3) === 1000000L))
   }
 
+  // ── Sessions.timeWeightedValue ─────────────────────────────────────
+
+  test("time-weighted value: durations weight cents, open tail dropped, zero-span NULL") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: 100c held 10s, 300c held 30s -> twa 250c; last event open
+      (1L, 1L, "2024-01-01 00:00:00", 1.0),
+      (2L, 1L, "2024-01-01 00:00:10", 3.0),
+      (3L, 1L, "2024-01-01 00:00:40", 2.0),
+      // user 2: single event, no closed interval -> no row
+      (4L, 2L, "2024-01-01 00:00:00", 9.0),
+      // user 3: two simultaneous events -> zero total duration -> NULL
+      (5L, 3L, "2024-01-01 00:00:00", 1.0),
+      (6L, 3L, "2024-01-01 00:00:00", 2.0))
+      .toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val r = Sessions.timeWeightedValue(ev).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) null else x.getLong(3)))).toMap
+    assert(r.keySet === Set(1L, 3L))
+    assert(r(1L) === ((2L, 40000000L, 250L)))
+    assert(r(3L) === ((1L, 0L, null)))
+  }
+
   // ── QualityRules encoding counters ─────────────────────────────────
 
   test("encoding report: control/replacement/non-ascii counts, layout chars exempt") {
