@@ -682,6 +682,13 @@ object SparkEntry {
           """CAST(CASE WHEN n_chars = 0 THEN 0
             | ELSE CAST(n_nonascii AS DECIMAL(38,0)) * 1000000 div n_chars
             | END AS BIGINT)""".stripMargin))),
+    // Pairwise token-distribution KL divergence between sources (the
+    // "can I swap source B in for A" mixture diagnostic): add-one
+    // smoothed unigram distributions over the union vocab, per-term
+    // micro-nat contributions integer-summed, both directions
+    // reported. See Vocab.sourceKl.
+    "t38_source_kl" -> ((s, dir) =>
+      Vocab.sourceKl(par(tbl(s, dir, "documents")))),
     // Per-document top-3 tf-idf terms: explode → (doc,term) partial agg
     // → term-df agg → shuffle join on term → per-doc row_number. Scores
     // are rounded before ranking so ranks are engine-deterministic.
@@ -3158,6 +3165,34 @@ object SparkEntry {
           |            AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ell_frac <= 0.3
           |            AND alpha_frac >= 0.8 AND req_hits >= 2 THEN 1 ELSE 0 END AS passes_quality
           |FROM m""".stripMargin,
+      "t38_source_kl" ->
+        """WITH tok AS (
+          |  SELECT source AS g, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS t
+          |  FROM documents WHERE source IS NOT NULL
+          |), cells AS (
+          |  SELECT g, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+          |), vocab AS (SELECT DISTINCT t FROM cells
+          |), grps AS (SELECT DISTINCT g FROM cells
+          |), vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab
+          |), tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1
+          |), dense AS (
+          |  SELECT vocab.t, grps.g, coalesce(cells.c, 0) AS c, tot.n, vs.v
+          |  FROM vocab CROSS JOIN grps
+          |  LEFT JOIN cells ON cells.g = grps.g AND cells.t = vocab.t
+          |  JOIN tot ON tot.g = grps.g
+          |  CROSS JOIN vs
+          |), pr AS (
+          |  SELECT a.g AS src_a, b.g AS src_b,
+          |    CAST(round(
+          |      (CAST(a.c AS DOUBLE) + 1.0) / (CAST(a.n AS DOUBLE) + CAST(a.v AS DOUBLE)) *
+          |      ln(((CAST(a.c AS DOUBLE) + 1.0) * (CAST(b.n AS DOUBLE) + CAST(a.v AS DOUBLE))) /
+          |         ((CAST(b.c AS DOUBLE) + 1.0) * (CAST(a.n AS DOUBLE) + CAST(a.v AS DOUBLE))))
+          |      * 1e6) AS BIGINT) AS kl
+          |  FROM dense a JOIN dense b ON a.t = b.t AND a.g <> b.g
+          |)
+          |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_terms,
+          |  CAST(sum(kl) AS BIGINT) AS kl_micro
+          |FROM pr GROUP BY 1, 2""".stripMargin,
       "t37_encoding_report" ->
         """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
           |  CAST(length(text) - length(regexp_replace(text,

@@ -334,6 +334,69 @@ object Vocab {
           .as("entropy_micro_nats"))
   }
 
+  /** Pairwise token-distribution KL divergence between corpus groups —
+    * "how different is source A's language from source B's": for every
+    * ordered group pair, `KL(a‖b) = Σ_t p_a(t)·ln(p_a(t)/p_b(t))` over
+    * the UNION vocabulary with add-one smoothing (`p_g(t) =
+    * (c_g(t)+1)/(N_g+V)`), so a term absent from one side contributes
+    * a finite penalty instead of ∞. The text-distribution twin of the
+    * u29 PSI monitor and the divergence companion to t28's mutual
+    * information: PSI watches a numeric feed, KL watches the language
+    * itself — the mixture-design diagnostic for "can I swap source B
+    * in for A". Asymmetric by design (KL(a‖b) ≠ KL(b‖a)); both
+    * directions are rows.
+    *
+    * Determinism: per-term contributions are computed in ONE fixed
+    * double expression (the mutualInfo rule — identical op order on
+    * both engines), rounded to integer micro-nats, and integer-summed;
+    * the sum order cannot change the result.
+    *
+    * Scale shape: the cell table is vocabulary-sized (explode feeds a
+    * partial-combined (group, term) hash aggregate); the dense
+    * vocab × groups completion joins cells back on the (group, term)
+    * key with the shuffle-hash hint (never broadcast — vocabulary
+    * grows with the corpus) while the |groups|-row lists/totals DO
+    * broadcast; the pair self-join fans out |V|·|G|², linear in the
+    * vocabulary for the handful of sources a mixture has.
+    *
+    * Output: one row per ordered pair
+    * `(src_a, src_b, n_terms, kl_micro)`.
+    */
+  def sourceKl(
+      docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val cells = docs
+      .select(col(groupCol).as("_g"),
+        explode(Text.tokens(lower(col(textCol)))).as("_t"))
+      .where(col("_g").isNotNull)
+      .groupBy(col("_g"), col("_t")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val vocab = cells.select(col("_t")).distinct()
+    val groups = cells.select(col("_g")).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("_v"))
+    val totals = cells.groupBy(col("_g")).agg(sum(col("_c")).as("_n"))
+    val dense = vocab.crossJoin(broadcast(groups))
+      .join(cells.hint("shuffle_hash"), Seq("_g", "_t"), "left")
+      .na.fill(0L, Seq("_c"))
+      .join(broadcast(totals), Seq("_g"))
+      .crossJoin(broadcast(vsize))
+    val a = dense.select(col("_t"), col("_g").as("src_a"),
+      col("_c").as("_ca"), col("_n").as("_na"), col("_v"))
+    val b = dense.select(col("_t"), col("_g").as("src_b"),
+      col("_c").as("_cb"), col("_n").as("_nb"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    a.join(b.hint("shuffle_hash"), Seq("_t"))
+      .where(col("src_a") =!= col("src_b"))
+      // one fixed double expression (the mutualInfo determinism rule)
+      .withColumn("_kl", round(
+        (d(col("_ca")) + 1.0) / (d(col("_na")) + d(col("_v"))) *
+          log(((d(col("_ca")) + 1.0) * (d(col("_nb")) + d(col("_v")))) /
+            ((d(col("_cb")) + 1.0) * (d(col("_na")) + d(col("_v"))))) * 1e6)
+        .cast("long"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("_kl")).as("kl_micro"))
+  }
+
   /** Deterministic token-id assignment over a trained vocabulary (e.g.
     * [[topTerms]] output): ids are dense ranks 0..k-1 by (cf desc,
     * token), the same total order topTerms truncates by. The global-sort

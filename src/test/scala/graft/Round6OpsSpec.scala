@@ -689,6 +689,30 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(d2.forall(_.getLong(3) === 1000000L))
   }
 
+  // ── Vocab.sourceKl ─────────────────────────────────────────────────
+
+  test("source KL: identical distributions 0, skew positive and asymmetric, nulls excluded") {
+    import spark.implicits._
+    val same = Seq((1L, "A", "x y"), (2L, "B", "x y")).toDF("doc_id", "source", "text")
+    val r0 = graft.operators.Vocab.sourceKl(same).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r0 === Map(("A", "B") -> ((2L, 0L)), ("B", "A") -> ((2L, 0L))))
+    // A = "x x x", B = "y": expected from the operator's own expression
+    // order replayed driver-side (smoothed over V=2)
+    val skew = Seq((1L, "A", "x x x"), (2L, "B", "y"), (3L, null.asInstanceOf[String], "z z"))
+      .toDF("doc_id", "source", "text")
+    def contrib(ca: Long, na: Long, cb: Long, nb: Long, v: Long): Long =
+      math.round((ca + 1.0) / (na + v.toDouble) *
+        math.log(((ca + 1.0) * (nb + v.toDouble)) / ((cb + 1.0) * (na + v.toDouble))) * 1e6)
+    val expAB = contrib(3, 3, 0, 1, 2) + contrib(0, 3, 1, 1, 2)
+    val expBA = contrib(0, 1, 3, 3, 2) + contrib(1, 1, 0, 3, 2)
+    val r1 = graft.operators.Vocab.sourceKl(skew).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(3)).toMap
+    assert(r1 === Map(("A", "B") -> expAB, ("B", "A") -> expBA),
+      "null-source docs excluded; both directions reported")
+    assert(expAB > 0 && expBA > 0 && expAB != expBA, "KL is positive and asymmetric")
+  }
+
   // ── Sessions.timeWeightedValue ─────────────────────────────────────
 
   test("time-weighted value: durations weight cents, open tail dropped, zero-span NULL") {

@@ -634,6 +634,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful dwell: intervals close across micro-batches; fold == batch timeWeightedValue") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulDwell
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val ev = mem.toDF.toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val q = StatefulDwell.intervals(ev)
+      .writeStream.format("memory").queryName("dwl").outputMode("update").start()
+    try {
+      mem.addData((1L, 1L, "2024-01-01 00:00:00", 1.0))
+      q.processAllAvailable()
+      // the open interval closes ACROSS the micro-batch boundary
+      mem.addData((2L, 1L, "2024-01-01 00:00:10", 3.0),
+        (3L, 1L, "2024-01-01 00:00:40", 2.0))
+      q.processAllAvailable()
+      mem.addData((9L, 1L, "2024-01-01 00:00:05", 99.0)) // late: skipped
+      q.processAllAvailable()
+      val rows = spark.table("dwl").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).sorted
+      assert(rows.toSeq === Seq((10000000L, 100L), (30000000L, 300L)))
+      // batch parity: folding the operator's intervals on the static
+      // events table reproduces Sessions.timeWeightedValue row for row
+      val events = SparkEntry.tbl(spark, TestData.dir("0.001"), "events")
+      val folded = StatefulDwell.intervals(events).collect()
+        .groupBy(_.user_id).map { case (u, iv) =>
+          val td = iv.map(_.dur_us).sum
+          val cd = iv.map(i => BigInt(i.cents) * i.dur_us).sum
+          u -> ((iv.length.toLong, td,
+            if (td == 0) null else (cd / td).toLong))
+        }
+      val batch = graft.operators.Sessions.timeWeightedValue(events).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3)))).toMap
+      assert(folded === batch)
+      assert(folded.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful packing: online seq assembly across micro-batches == batch packSequences") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
