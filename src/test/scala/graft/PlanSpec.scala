@@ -627,4 +627,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_momentagg$") || p.toLowerCase.contains("partial"),
       s"moments must combine map-side:\n$p")
   }
+
+  test("q43 lateral top-n: rank pushdown (WindowGroupLimit), no cartesian") {
+    val p = plan("q43_lateral_topn")
+    assert(p.contains("WindowGroupLimit"),
+      s"LATERAL LIMIT should rewrite to a rank pushdown:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated lateral must stay an equi-join:\n$p")
+  }
+
+  test("t35 dup coverage: df table joined by shuffle, never broadcast") {
+    val p = plan("t35_dup_ngrams")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"shingle-df join must shuffle on the key:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"vocabulary-sized df table must never broadcast:\n$p")
+  }
+
+  test("s19 range search: corpus scanned with broadcast queries, no corpus exchange") {
+    val p = plan("s19_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    // the only exchange allowed is the broadcast of the tiny query side
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus must not shuffle in a brute radius scan:\n$p")
+  }
+
+  test("u44 time-weighted value: one user-key shuffle shared by window and aggregate") {
+    val p = plan("u44_time_weighted_value")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"window and group-by must ride ONE user-key exchange, found $exchanges:\n$p")
+  }
 }

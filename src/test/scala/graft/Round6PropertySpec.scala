@@ -225,4 +225,140 @@ class Round6PropertySpec extends AnyFunSuite {
       assert(rows.nonEmpty)
     }
   }
+
+  test("two-hop reach and harmonic centrality equal the driver BFS on random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val n = 12
+      val edges = (0 until 26).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val nodes = adj.keySet
+      def hops(src: Long): Map[Long, Int] = { // driver BFS
+        var dist = Map(src -> 0)
+        var frontier = Set(src)
+        var d = 0
+        while (frontier.nonEmpty) {
+          d += 1
+          frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+          dist ++= frontier.map(_ -> d)
+        }
+        dist
+      }
+      val df = edges.toDF("src", "dst")
+      val reach = Graph.twoHopReach(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val harm = Graph.harmonicCentrality(df, rounds = n).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      nodes.foreach { u =>
+        val h = hops(u)
+        assert(reach(u) === h.count { case (v, d) => v != u && d <= 2 }.toLong,
+          s"seed=$seed node=$u reach")
+        assert(harm(u) === h.collect { case (v, d) if v != u => 1000000L / d }.sum,
+          s"seed=$seed node=$u harmonic")
+      }
+    }
+  }
+
+  test("token entropy equals the driver quantized computation on random docs") {
+    import spark.implicits._
+    val tokRe = "[a-zA-Z0-9']+".r
+    for (seed <- 1 to 3) {
+      val docs = randomDocs(new Random(seed))
+      val r = graft.operators.Vocab.tokenEntropy(docs.toDF("doc_id", "text"))
+        .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+      docs.foreach { case (id, text) =>
+        val toks = tokRe.findAllIn(text.toLowerCase).toSeq
+        if (toks.nonEmpty) {
+          val nTok = toks.size.toLong
+          def r6(v: Double) =
+            BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val s = toks.groupBy(identity).values.map { g =>
+            val tf = g.size.toLong
+            tf * math.round(r6(math.log(nTok.toDouble / tf)) * 1e6)
+          }.sum
+          assert(r(id) === s / nTok, s"seed=$seed doc=$id")
+        }
+      }
+    }
+  }
+
+  test("time-weighted value equals the driver fold; repartition invariant") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val rows = (1L to 60L).map { i =>
+        (i, (rnd.nextInt(5) + 1).toLong,
+          1700000000000000L + rnd.nextInt(100000) * 1000000L,
+          (rnd.nextInt(500) + 1) / 100.0)
+      }
+      val df = rows.toDF("event_id", "user_id", "us", "value")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      val got = graft.operators.Sessions.timeWeightedValue(df).collect()
+        .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) null else x.getLong(3)))).toMap
+      val exp = rows.groupBy(_._2).flatMap { case (u, ev) =>
+        val sorted = ev.sortBy(e => (e._3, e._1))
+        val ivs = sorted.sliding(2).collect { case Seq(a, b) =>
+          (b._3 - a._3, math.round(a._4 * 100)) }.toSeq
+        if (ivs.isEmpty) None
+        else {
+          val td = ivs.map(_._1).sum
+          val cd = ivs.map(i => BigInt(i._2) * i._1).sum
+          Some(u -> ((ivs.size.toLong, td, if (td == 0) null else (cd / td).toLong)))
+        }
+      }
+      assert(got === exp, s"seed=$seed")
+      val rep = graft.operators.Sessions.timeWeightedValue(df.repartition(7)).collect()
+        .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) null else x.getLong(3)))).toMap
+      assert(rep === got, s"seed=$seed repartition")
+    }
+  }
+
+  test("coverage/uplift/recency invariants hold on random inputs") {
+    import spark.implicits._
+    for (seed <- 1 to 2) {
+      val rnd = new Random(seed)
+      // dup coverage: exact copies are fully covered; repartition invariant
+      val base = randomDocs(rnd)
+      val withDup = base ++ base.take(4).map { case (id, t) => (id + 200L, t) }
+      val cov = Dedup.dupShingleCoverage(withDup.toDF("doc_id", "text"), n = 3)
+        .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+        .toMap
+      withDup.foreach { case (id, _) =>
+        val (ns, nd, ppm) = cov(id)
+        assert(nd <= ns && ppm >= 0 && ppm <= 1000000L, s"seed=$seed doc=$id bounds")
+      }
+      base.take(4).foreach { case (id, _) =>
+        assert(cov(id)._3 === 1000000L && cov(id + 200L)._3 === 1000000L,
+          s"seed=$seed exact copy fully covered")
+      }
+      val cov7 = Dedup.dupShingleCoverage(
+        withDup.toDF("doc_id", "text").repartition(7), n = 3)
+        .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+      assert(cov7 === cov.map { case (k, v) => k -> v._3 }, s"seed=$seed repartition")
+      // uplift deciles: populations and positives add up per decile
+      val users = (1L to 80L).map(i =>
+        (i, rnd.nextInt(50).toLong, rnd.nextInt(2).toLong,
+          if (rnd.nextBoolean()) "treatment" else "control"))
+        .toDF("id", "s", "lb", "variant")
+      val ud = graft.operators.Experiment
+        .upliftDeciles(users, "s", "lb", "variant", "id", deciles = 4).collect()
+      assert(ud.map(r => r.getLong(1) + r.getLong(2)).sum === 80L, s"seed=$seed pop")
+      assert(ud.map(_.getLong(1)).sum > 0 && ud.map(_.getLong(2)).sum > 0)
+      // recency sampling: a longer half-life keeps a superset
+      val ev = (1L to 100L).map(i => (i, f"2024-01-${1 + rnd.nextInt(28)}%02d"))
+        .toDF("event_id", "ds")
+        .withColumn("ts", col("ds").cast("timestamp")).drop("ds")
+      val asOf = lit("2024-01-30").cast("date")
+      val keep3 = graft.operators.Split.recencySample(ev, "event_id", "ts", asOf, 3)
+        .collect().map(_.getLong(0)).toSet
+      val keep14 = graft.operators.Split.recencySample(ev, "event_id", "ts", asOf, 14)
+        .collect().map(_.getLong(0)).toSet
+      assert(keep3.subsetOf(keep14), s"seed=$seed half-life monotone")
+    }
+  }
 }
