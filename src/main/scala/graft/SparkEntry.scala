@@ -1200,6 +1200,17 @@ object SparkEntry {
       Dedup.connectedComponents(
         Dedup.minhashLshPairs(augmentedDocs(s, dir), k = 32, bands = 8, threshold = 0.4))
     }),
+    // Dedup cluster-size histogram: the one-glance audit of d6's
+    // connected components ("mostly pairs, or a few giant blobs?") —
+    // a giant component is the signature of boilerplate gluing
+    // unrelated docs together. Two tiny rollups over the CC output.
+    "d24_cluster_sizes" -> ((s, dir) => {
+      Graft.registerAll(s)
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(augmentedDocs(s, dir), k = 32, bands = 8, threshold = 0.4))
+        .groupBy(col("group_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    }),
     // Benchmark decontamination: training documents sharing any hashed
     // 4-gram with the (broadcast) eval split. The train corpus is never
     // shuffled — the collision screen is a broadcast hash join inside
@@ -2176,6 +2187,13 @@ object SparkEntry {
     // table, probability in exact integer ppm. One user-key shuffle.
     "u34_markov_transitions" -> ((s, dir) =>
       Sessions.markovTransitions(tbl(s, dir, "events"))),
+    // Churn label builder (the supervised-training-data op for churn
+    // models): one row per (user, week 0..2) with n_events and the
+    // "absent next week" target — only weeks whose successor lies
+    // fully inside the horizon are labeled, so the dataset boundary
+    // never masquerades as churn. See Lifecycle.churnLabels.
+    "u45_churn_labels" -> ((s, dir) =>
+      Lifecycle.churnLabels(tbl(s, dir, "events"), winStart, maxWeek = 3)),
     // Per-user time-weighted average value (TWAP / time-in-state mean):
     // each event's cents weighted by the duration until the user's
     // next event — the exposure/dwell statistic an event-weighted mean
@@ -4141,6 +4159,26 @@ object SparkEntry {
            |)
            |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS group_id
            |FROM cc GROUP BY id""".stripMargin,
+      "d24_cluster_sizes" ->
+        s"""WITH RECURSIVE prs AS (
+           |$d2PairsSql
+           |), edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM prs
+           |  UNION
+           |  SELECT id_b, id_a FROM prs
+           |), nodes AS (
+           |  SELECT DISTINCT src AS id FROM edges
+           |), cc(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT cc.id, e.dst FROM cc JOIN edges e ON cc.r = e.src
+           |), grp AS (
+           |  SELECT id, min(r) AS g FROM cc GROUP BY id
+           |), sz AS (
+           |  SELECT g, CAST(count(*) AS BIGINT) AS cluster_size FROM grp GROUP BY g
+           |)
+           |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+           |FROM sz GROUP BY 1""".stripMargin,
       "d7_decontaminate" ->
         s"""WITH norm AS (
            |  SELECT doc_id, $normToksSql AS toks FROM documents
@@ -6129,6 +6167,20 @@ object SparkEntry {
           |       ELSE round(CAST(m * sxy - sx * sx AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE), 6)
           |  END AS assortativity
           |FROM s""".stripMargin,
+      "u45_churn_labels" ->
+        """WITH wk AS (
+          |  SELECT user_id,
+          |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) // 7 AS week
+          |  FROM events
+          |), act AS (
+          |  SELECT user_id, week, CAST(count(*) AS BIGINT) AS n_events
+          |  FROM wk WHERE week >= 0 AND week <= 3 GROUP BY 1, 2
+          |)
+          |SELECT a.user_id, a.week, a.n_events,
+          |  CAST(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS churned_next
+          |FROM act a LEFT JOIN act b
+          |  ON b.user_id = a.user_id AND b.week = a.week + 1
+          |WHERE a.week <= 2""".stripMargin,
       "u44_time_weighted_value" ->
         """WITH e AS (
           |  SELECT user_id, epoch_us(ts) AS t, event_id,

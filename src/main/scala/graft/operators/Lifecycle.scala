@@ -59,4 +59,42 @@ object Lifecycle {
         count(when(col("status") === "resurrected", 1)).as("resurrected_users"),
         count(when(col("status") === "churned", 1)).as("churned_users"))
   }
+
+  /** Churn LABEL builder — the supervised-training-data op behind every
+    * churn model: one row per (user, week) with that week's activity
+    * features and the binary target "was the user absent the FOLLOWING
+    * week". Weeks are fixed calendar offsets from `startDay`
+    * (`⌊days/7⌋`), and only weeks whose successor lies fully inside
+    * the data horizon are labeled (`week ≤ maxWeek − 1`) — labeling
+    * the last observable week would encode the dataset boundary as
+    * churn, the classic target-leakage-by-truncation bug this operator
+    * exists to prevent.
+    *
+    * Determinism: pure integer week arithmetic (`div 7` on day
+    * offsets), label by the presence of the (user, week+1) activity
+    * row — no timestamps in the output.
+    *
+    * Scale shape: one (user, week)-key aggregate over the events, then
+    * a self left-join on the SAME (user, week) key (the shifted
+    * successor table is a projection of the aggregate — the join
+    * reuses its partitioning, no second corpus shuffle).
+    *
+    * Output: `(user_id, week, n_events, churned_next)`.
+    */
+  def churnLabels(
+      events: DataFrame, startDay: String, maxWeek: Int,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(maxWeek >= 1, s"maxWeek must be >= 1, got $maxWeek")
+    val wk = events.select(col(userCol).as("user_id"),
+        expr(s"CAST(datediff(CAST(${tsCol} AS DATE), CAST('$startDay' AS DATE))" +
+          s" AS BIGINT) div 7").as("week"))
+      .where(col("week") >= 0 && col("week") <= maxWeek)
+      .groupBy(col("user_id"), col("week")).agg(count(lit(1)).as("n_events"))
+    val next = wk.select(col("user_id"), (col("week") - 1).as("week"),
+      lit(1L).as("_active_next"))
+    wk.where(col("week") <= maxWeek - 1)
+      .join(next, Seq("user_id", "week"), "left")
+      .select(col("user_id"), col("week"), col("n_events"),
+        when(col("_active_next").isNull, 1L).otherwise(0L).as("churned_next"))
+  }
 }

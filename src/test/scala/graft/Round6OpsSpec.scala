@@ -689,6 +689,26 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(d2.forall(_.getLong(3) === 1000000L))
   }
 
+  // ── Lifecycle.churnLabels ──────────────────────────────────────────
+
+  test("churn labels: next-week presence, boundary week never labeled") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-02"), (1L, "2024-01-03"), (1L, "2024-01-09"), // wk0 x2, wk1
+      (2L, "2024-01-16"), (2L, "2024-01-23"), // wk2, wk3
+      (3L, "2024-01-23")) // wk3 only: boundary, never labeled
+      .toDF("user_id", "ds")
+      .withColumn("ts", col("ds").cast("timestamp")).drop("ds")
+    val r = graft.operators.Lifecycle.churnLabels(ev, "2024-01-01", maxWeek = 3)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r === Map(
+      (1L, 0L) -> ((2L, 0L)), // active wk1 -> retained
+      (1L, 1L) -> ((1L, 1L)), // absent wk2 -> churned
+      (2L, 2L) -> ((1L, 0L))), // active wk3 -> retained; wk3 itself unlabeled
+      "only weeks with an observable successor get labels")
+  }
+
   // ── Vocab.sourceKl ─────────────────────────────────────────────────
 
   test("source KL: identical distributions 0, skew positive and asymmetric, nulls excluded") {
