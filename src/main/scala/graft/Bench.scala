@@ -61,7 +61,7 @@ object Bench {
     *
     * Fork policy — two passes:
     *  1. GROUP pass: queries run in fresh child JVMs of
-    *     `SPARK_GRAFT_BENCH_GROUP` (default 5) queries each, with
+    *     `SPARK_GRAFT_BENCH_GROUP` (default 9) queries each, with
     *     cached/checkpointed state released between queries. This
     *     amortizes the ~10-15 s JVM-boot + session + parquet-init cost
     *     that made one-JVM-per-query unaffordable at 100+ queries
@@ -92,7 +92,12 @@ object Bench {
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
     val cp = sys.props("java.class.path")
     val group =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUP", "6").toInt)
+      // 9 per child at 200+ queries: the round-6 dress rehearsal hit
+      // 1,226 s of the 1,250 s budget at group=6 (~34 JVM boots); fewer
+      // boots buy the wall headroom new queries need, and the >3 s
+      // suspicious-observation re-fork keeps shared-JVM inflation out
+      // of the recorded numbers either way
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUP", "9").toInt)
     val maxForks =
       math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXFORKS", "3").toInt)
     val budgetSec =

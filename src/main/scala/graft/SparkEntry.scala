@@ -829,6 +829,26 @@ object SparkEntry {
       Similarity.bruteForceTopK(par(e), e.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5)
     }),
+    // Mean reciprocal rank of the retrieval stack: each original's
+    // constructed near-dup twin (+1M, affine-perturbed) is the ground
+    // truth; MRR@10 = mean of floor(1e6/rank of the twin), misses
+    // contribute 0 — the rank-weighted companion to s12's recall.
+    // Rides bruteForceTopK (corpus never shuffled, queries broadcast).
+    "s20_mrr" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val emb = augmentedEmb(s, dir)
+      val top = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 10)
+      val hits = top.where(col("neighbor_id") === col("query_id") + 1000000L)
+        .select(col("query_id"), col("rn"))
+      val nq = emb.where(col("vec_id") < 20).agg(count(lit(1)).as("n_queries"))
+      hits.agg(count(lit(1)).as("n_hits"),
+          sum(expr("1000000L div rn")).as("_s"))
+        .crossJoin(broadcast(nq))
+        .select(col("n_queries"), col("n_hits"),
+          expr("CAST(CAST(coalesce(_s, 0) AS DECIMAL(38,0)) div n_queries AS BIGINT)")
+            .as("mrr_micro"))
+    }),
     // Range (radius) search at cosine >= 0.3: everything actually
     // similar to each query, not a fixed k — the recall-safe retrieval
     // primitive. Corpus scanned never shuffled, queries broadcast.
@@ -2187,6 +2207,12 @@ object SparkEntry {
     // table, probability in exact integer ppm. One user-key shuffle.
     "u34_markov_transitions" -> ((s, dir) =>
       Sessions.markovTransitions(tbl(s, dir, "events"))),
+    // Per-user spend-trajectory slope in exact micro-cents-per-day:
+    // the "growing or declining customer" regression feature — one
+    // user-key moment aggregate, sign-split quantization so Spark div
+    // and DuckDB // agree on negative slopes. See Rfm.spendTrend.
+    "u46_spend_trend" -> ((s, dir) =>
+      Rfm.spendTrend(tbl(s, dir, "events"), winStart)),
     // Churn label builder (the supervised-training-data op for churn
     // models): one row per (user, week 0..2) with n_events and the
     // "absent next week" target — only weeks whose successor lies
@@ -3524,6 +3550,27 @@ object SparkEntry {
            |  FROM scored
            |)
            |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+      "s20_mrr" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1 + 0.01)
+           |  FROM embeddings
+           |), $quantEmbSql, scored AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dotCosSql AS cos
+           |  FROM qn a JOIN qn b ON a.vec_id < 20 AND b.vec_id != a.vec_id
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored
+           |), hits AS (
+           |  SELECT query_id, rn FROM ranked
+           |  WHERE rn <= 10 AND neighbor_id = query_id + 1000000
+           |), nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM eIn WHERE vec_id < 20)
+           |SELECT nq.n_queries, CAST(count(*) AS BIGINT) AS n_hits,
+           |  CAST(CAST(coalesce(sum(1000000 // rn), 0) AS HUGEINT) // nq.n_queries AS BIGINT)
+           |    AS mrr_micro
+           |FROM hits, nq GROUP BY nq.n_queries""".stripMargin,
       "s19_range_search" ->
         s"""WITH eIn AS (
            |  SELECT vec_id, embedding FROM embeddings
@@ -6167,6 +6214,27 @@ object SparkEntry {
           |       ELSE round(CAST(m * sxy - sx * sx AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE), 6)
           |  END AS assortativity
           |FROM s""".stripMargin,
+      "u46_spend_trend" ->
+        """WITH p AS (
+          |  SELECT user_id,
+          |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+          |    CAST(round(value * 100) AS BIGINT) AS y
+          |  FROM events WHERE event_type = 'purchase'
+          |), m AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+          |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+          |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+          |  FROM p GROUP BY 1
+          |), d AS (
+          |  SELECT user_id, n, CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+          |    CAST(n AS HUGEINT) * sxx - sx * sx AS den
+          |  FROM m
+          |)
+          |SELECT user_id, n AS n_purchases,
+          |  CAST(CASE WHEN num >= 0 THEN num * 1000000 // den
+          |    ELSE -((-num) * 1000000 // den) END AS BIGINT) AS slope_micro
+          |FROM d WHERE den > 0""".stripMargin,
       "u45_churn_labels" ->
         """WITH wk AS (
           |  SELECT user_id,

@@ -66,4 +66,52 @@ object Rfm {
         (lit(1) + above(col("f").cast("double"), col("_fc"))).as("f_score"),
         (lit(1) + above(col("m"), col("_mc"))).as("m_score"))
   }
+
+  /** Per-user spend-trajectory slope — "is this customer's spend
+    * growing or declining": the least-squares slope of purchase cents
+    * against day offset, in exact integer micro-cents-per-day. The
+    * per-user regression complement of [[segments]]' point-in-time
+    * scores (RFM says where a user IS; the slope says where they're
+    * HEADING — the feature churn and LTV models actually want).
+    *
+    * Engine-exact: the slope is the pure rational
+    * `(n·Σxy − Σx·Σy) / (n·Σxx − Σx·Σx)` on integer (day, cents)
+    * pairs, micro-quantized by floor division — and because the
+    * numerator is SIGNED (declining spend) while Spark's `div`
+    * truncates and DuckDB's `//` floors, the quantization is
+    * sign-split (`sign · (|num|·10⁶ div den)`, truncation toward zero
+    * on both engines). DECIMAL(38,0) moments (the zipfFit overflow
+    * rule). Users whose purchases all land on one day have zero
+    * x-variance → dropped (slope undefined).
+    *
+    * Scale shape: ONE user-key hash aggregate over the purchase rows —
+    * the moments are plain sums, no window, no join, map-side
+    * combined. Output: `(user_id, n_purchases, slope_micro)`.
+    */
+  def spendTrend(
+      events: DataFrame, startDay: String, userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val p = events.where(col("event_type") === "purchase")
+      .select(col(userCol).as("user_id"),
+        datediff(col(tsCol).cast("date"), lit(startDay).cast("date"))
+          .cast("long").as("_x"),
+        round(col(valueCol) * 100).cast("long").as("_y"))
+    p.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(dec(col("_x")) * col("_x")).as("_sxx"),
+        sum(dec(col("_x")) * col("_y")).as("_sxy"))
+      .withColumn("_den",
+        dec(col("n_purchases")) * col("_sxx") - dec(col("_sx")) * col("_sx"))
+      .where(col("_den") > 0)
+      .withColumn("_num",
+        dec(col("n_purchases")) * col("_sxy") - dec(col("_sx")) * col("_sy"))
+      .select(col("user_id"), col("n_purchases"),
+        // sign-split quantization: truncation toward zero on both engines
+        when(col("_num") >= 0,
+          expr("CAST(_num * 1000000 div _den AS BIGINT)"))
+          .otherwise(-expr("CAST((-_num) * 1000000 div _den AS BIGINT)"))
+          .as("slope_micro"))
+  }
 }

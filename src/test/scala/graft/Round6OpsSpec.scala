@@ -689,6 +689,30 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(d2.forall(_.getLong(3) === 1000000L))
   }
 
+  // ── Rfm.spendTrend ─────────────────────────────────────────────────
+
+  test("spend trend: rising and declining slopes exact, single-day users dropped") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: +100 c/day exactly
+      (1L, "2024-01-01", 1.00), (1L, "2024-01-02", 2.00), (1L, "2024-01-03", 3.00),
+      // user 2: -100 c/day (negative path must truncate toward zero too)
+      (2L, "2024-01-01", 3.00), (2L, "2024-01-02", 2.00), (2L, "2024-01-03", 1.00),
+      // user 3: non-exact slope 9/6 c/day -> 1500000 micro
+      (3L, "2024-01-01", 1.00), (3L, "2024-01-02", 1.01), (3L, "2024-01-03", 1.03),
+      // user 4: both purchases on one day -> zero x-variance, dropped
+      (4L, "2024-01-05", 1.00), (4L, "2024-01-05", 9.00))
+      .toDF("user_id", "ds", "value")
+      .withColumn("ts", col("ds").cast("timestamp")).drop("ds")
+      .withColumn("event_type", lit("purchase"))
+    val r = graft.operators.Rfm.spendTrend(ev, "2024-01-01").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r === Map(
+      1L -> ((3L, 100000000L)),
+      2L -> ((3L, -100000000L)),
+      3L -> ((3L, 1500000L))))
+  }
+
   // ── Lifecycle.churnLabels ──────────────────────────────────────────
 
   test("churn labels: next-week presence, boundary week never labeled") {
