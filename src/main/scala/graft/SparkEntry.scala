@@ -2180,6 +2180,14 @@ object SparkEntry {
     // See Graph.harmonicCentrality.
     "g9_harmonic_centrality" -> ((s, dir) =>
       Graph.harmonicCentrality(tradeBackbone(s, dir), rounds = 6)),
+    // Newman-Girvan modularity of g5's communities on the same
+    // backbone — the partition-quality score that says whether LPA
+    // found real structure (Q ≈ 0 = random wiring). One sign-split
+    // exact floor division. See Graph.modularity.
+    "g10_modularity" -> ((s, dir) => {
+      val backbone = tradeBackbone(s, dir).localCheckpoint()
+      Graph.modularity(backbone, Graph.labelPropagation(backbone, iters = 4))
+    }),
     // k-core of the part co-purchase graph (parts co-bought in the
     // same order ≥ 2 times — the w≥2 floor drops single-co-occurrence
     // noise): fixed 8-round synchronous peel at k=3, which reaches the
@@ -2506,6 +2514,43 @@ object SparkEntry {
     par(e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       .unionByName(e.select((col("vec_id") + 1000000).as("vec_id"),
         transform(col("embedding"), x => x.cast("double") * 1.1 + 0.01).as("embedding"))))
+  }
+
+  /** Unrolled synchronous weighted LPA over the trade backbone as
+    * chained CTEs (`l0..l<iters>` labels) — shared by the g5 and g10
+    * oracles. */
+  private def lpaChainSql(iters: Int): String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2
+        |), und0 AS (
+        |  SELECT least(src, dst) AS u, greatest(src, dst) AS v, CAST(sum(w) AS BIGINT) AS w
+        |  FROM edges WHERE src <> dst GROUP BY 1, 2
+        |), und AS (
+        |  SELECT u, v, w FROM und0
+        |  WHERE CAST(w AS HUGEINT) * (SELECT count(*) FROM und0) > (SELECT sum(w) FROM und0)
+        |), nb AS (
+        |  SELECT u AS n, v AS nbr, w FROM und UNION ALL SELECT v AS n, u AS nbr, w FROM und
+        |), l0 AS (
+        |  SELECT DISTINCT n AS node, n AS lbl FROM nb
+        |)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s""", c$i AS (
+         |  SELECT nb.n AS node, l.lbl, CAST(sum(nb.w) AS BIGINT) AS wt
+         |  FROM nb JOIN l${i - 1} l ON nb.nbr = l.node GROUP BY 1, 2
+         |), l$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY wt DESC, lbl) AS rn
+         |    FROM c$i) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString
+    base + its
   }
 
   // Shared DuckDB fragments for the dedup/similarity oracles.
@@ -5946,40 +5991,39 @@ object SparkEntry {
       // unrolls Graph.labelPropagation's 4 synchronous rounds as chained
       // CTEs (the pagerank/BPE oracle technique): per round, the
       // (node, label) weight aggregate and the (wt DESC, lbl) argmax.
-      "g5_label_propagation" -> {
-        val iters = 4
-        val base =
-          """WITH edges AS (
-            |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w
-            |  FROM lineitem l
-            |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-            |  JOIN customer c ON o.o_custkey = c.c_custkey
-            |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-            |  GROUP BY 1, 2
-            |), und0 AS (
-            |  SELECT least(src, dst) AS u, greatest(src, dst) AS v, CAST(sum(w) AS BIGINT) AS w
-            |  FROM edges WHERE src <> dst GROUP BY 1, 2
-            |), und AS (
-            |  SELECT u, v, w FROM und0
-            |  WHERE CAST(w AS HUGEINT) * (SELECT count(*) FROM und0) > (SELECT sum(w) FROM und0)
-            |), nb AS (
-            |  SELECT u AS n, v AS nbr, w FROM und UNION ALL SELECT v AS n, u AS nbr, w FROM und
-            |), l0 AS (
-            |  SELECT DISTINCT n AS node, n AS lbl FROM nb
-            |)""".stripMargin
-        val its = (1 to iters).map { i =>
-          s""", c$i AS (
-             |  SELECT nb.n AS node, l.lbl, CAST(sum(nb.w) AS BIGINT) AS wt
-             |  FROM nb JOIN l${i - 1} l ON nb.nbr = l.node GROUP BY 1, 2
-             |), l$i AS (
-             |  SELECT node, lbl FROM (
-             |    SELECT node, lbl,
-             |      row_number() OVER (PARTITION BY node ORDER BY wt DESC, lbl) AS rn
-             |    FROM c$i) WHERE rn = 1
-             |)""".stripMargin
-        }.mkString
-        base + its + s"\nSELECT node, lbl AS label FROM l$iters"
-      },
+      "g5_label_propagation" ->
+        (lpaChainSql(4) + "\nSELECT node, lbl AS label FROM l4"),
+      // g5's unrolled LPA labels + the Newman-Girvan Q rollup over the
+      // same backbone: per-community degree/intra sums via the doubled
+      // endpoint projection, one sign-split floor division at the end
+      "g10_modularity" ->
+        (lpaChainSql(4) +
+          """, lab AS (SELECT node, lbl FROM l4
+            |), st AS (
+            |  SELECT und.w, lu.lbl AS clu, lv.lbl AS clv
+            |  FROM und JOIN lab lu ON lu.node = und.u JOIN lab lv ON lv.node = und.v
+            |), byc AS (
+            |  SELECT c, CAST(sum(w) AS HUGEINT) AS deg,
+            |    CAST(sum(inw) AS HUGEINT) // 2 AS win
+            |  FROM (
+            |    SELECT clu AS c, w, CASE WHEN clu = clv THEN w ELSE 0 END AS inw FROM st
+            |    UNION ALL
+            |    SELECT clv, w, CASE WHEN clu = clv THEN w ELSE 0 END FROM st
+            |  ) GROUP BY 1
+            |), mm AS (SELECT CAST(sum(w) AS HUGEINT) AS m FROM und
+            |), fin AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+            |    CAST(max(m) AS BIGINT) AS m_weight,
+            |    sum(4 * m * win - deg * deg) AS num
+            |  FROM byc, mm
+            |)
+            |SELECT n_communities, m_weight,
+            |  CASE WHEN m_weight = 0 THEN NULL
+            |    WHEN num >= 0 THEN
+            |      CAST(num * 1000000 // (4 * CAST(m_weight AS HUGEINT) * m_weight) AS BIGINT)
+            |    ELSE CAST(-((-num) * 1000000 // (4 * CAST(m_weight AS HUGEINT) * m_weight)) AS BIGINT)
+            |  END AS q_micro
+            |FROM fin""".stripMargin),
       // unrolls Graph.kCore's 8 synchronous peel rounds as chained CTEs
       // (the g5/pagerank oracle technique): per round the >= k degree
       // survivor list and the both-endpoints-survive edge filter. Every

@@ -911,6 +911,29 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(Graph.twoHopReach(tri).collect().forall(x => x.getLong(2) === 2L))
   }
 
+  // ── Graph.modularity ───────────────────────────────────────────────
+
+  test("modularity: two clean triangles 0.5, one blob 0, split edge -0.5") {
+    import spark.implicits._
+    val twoTri = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L))
+      .toDF("src", "dst").withColumn("w", lit(1L))
+    def lab(m: (Long, Long)*) = m.toSeq.toDF("node", "label")
+    val good = Graph.modularity(twoTri,
+      lab(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+      .collect().head
+    assert((good.getLong(0), good.getLong(1), good.getLong(2)) === ((2L, 6L, 500000L)))
+    // everything in one community scores exactly 0
+    val blob = Graph.modularity(twoTri,
+      lab(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L))
+      .collect().head
+    assert(blob.getLong(2) === 0L)
+    // cutting a single edge in two scores -0.5 (sign-split division)
+    val split = Graph.modularity(Seq((1L, 2L)).toDF("src", "dst")
+      .withColumn("w", lit(1L)), lab(1L -> 1L, 2L -> 2L)).collect().head
+    assert(split.getLong(2) === -500000L)
+  }
+
   // ── Graph.harmonicCentrality ───────────────────────────────────────
 
   test("harmonic centrality: path reciprocals, disconnection, radius truncation") {
