@@ -2188,6 +2188,18 @@ object SparkEntry {
       val backbone = tradeBackbone(s, dir).localCheckpoint()
       Graph.modularity(backbone, Graph.labelPropagation(backbone, iters = 4))
     }),
+    // Degree-distribution power-law fit of the co-purchase graph ("is
+    // it scale-free"): degree histogram -> the shared log-log micro-nat
+    // regression. Slope near -2..-3 = heavy-tailed hub structure, the
+    // skew forecast for every join on this graph's keys.
+    "g11_degree_powerlaw" -> ((s, dir) => {
+      val e = partCoEdges(s, dir)
+      val deg = e.select(col("src").as("n")).unionByName(e.select(col("dst").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+      Profile.logLogFit(
+        deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes")),
+        "degree", "n_nodes")
+    }),
     // k-core of the part co-purchase graph (parts co-bought in the
     // same order ≥ 2 times — the w≥2 floor drops single-co-occurrence
     // noise): fixed 8-round synchronous peel at k=3, which reaches the
@@ -2309,6 +2321,23 @@ object SparkEntry {
         tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "lang")
         .select(col("doc_id"), col("lang"))),
+    // Shard release manifest: per packed training shard (p3's bins ×
+    // sequences) the doc count, token sum, and an order-independent
+    // content checksum (sum of purpose-hashed doc ids mod 1e18 — the
+    // q40 rule) — the reproducibility record a dataset release ships.
+    "p18_shard_manifest" -> ((s, dir) => {
+      val packed = Split.packSequences(
+        par(tbl(s, dir, "documents"))
+          .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512, bins = 8)
+      packed.groupBy(col("bin"), col("seq_id").as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_toks"),
+          sum(Dedup.hash60(concat(lit("shard|"), col("doc_id").cast("string")))
+            .cast("decimal(38,0)")).as("_hs"))
+        .select(col("bin"), col("shard_id"), col("n_docs"),
+          col("n_toks").cast("long").as("n_toks"),
+          expr("CAST(_hs % 1000000000000000000 AS BIGINT)").as("checksum"))
+    }),
     // Recency-decayed deterministic sampling: keep probability
     // h/(h+age) — exactly 1/2 at the 7-day half-life, hyperbolic tail
     // so old strata keep coverage; hash-coin vs the row's own integer
@@ -4657,6 +4686,22 @@ object SparkEntry {
           |  round(pow(CAST(n * sxy - sx * sy AS DOUBLE), 2) /
           |        (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
           |FROM agg""".stripMargin,
+      "p18_shard_manifest" ->
+        """WITH t AS (
+          |  SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z0-9'']+')) AS n_tokens,
+          |    ('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS bin
+          |  FROM documents
+          |), p AS (
+          |  SELECT doc_id, bin, n_tokens,
+          |    CAST(floor(CAST(sum(n_tokens) OVER (PARTITION BY bin ORDER BY doc_id)
+          |                    - n_tokens AS DOUBLE) / 512) AS BIGINT) AS shard_id
+          |  FROM t
+          |)
+          |SELECT bin, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS n_toks,
+          |  CAST(CAST(sum(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+          |    AS HUGEINT) % 1000000000000000000 AS BIGINT) AS checksum
+          |FROM p GROUP BY 1, 2""".stripMargin,
       "p17_recency_sample" ->
         """WITH a AS (
           |  SELECT event_id,
@@ -6130,6 +6175,32 @@ object SparkEntry {
           |SELECT CAST(src AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS n_reachable,
           |  CAST(sum(1000000 // h) AS BIGINT) AS harmonic_micro
           |FROM d WHERE node <> src GROUP BY 1""".stripMargin,
+      "g11_degree_powerlaw" ->
+        """WITH co AS (
+          |  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(count(*) AS BIGINT) AS w
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2
+          |), e AS (SELECT u, v FROM co WHERE w >= 2
+          |), nb AS (SELECT u AS n FROM e UNION ALL SELECT v FROM e
+          |), deg AS (SELECT n, count(*) AS degree FROM nb GROUP BY 1
+          |), hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1
+          |), xy AS (
+          |  SELECT CAST(round(ln(CAST(degree AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+          |    CAST(round(ln(CAST(n_nodes AS DOUBLE)) * 1000000) AS BIGINT) AS y
+          |  FROM hist
+          |), agg AS (
+          |  SELECT CAST(count(*) AS HUGEINT) AS n,
+          |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+          |    CAST(sum(x * x) AS HUGEINT) AS sxx, CAST(sum(y * y) AS HUGEINT) AS syy,
+          |    CAST(sum(x * y) AS HUGEINT) AS sxy
+          |  FROM xy
+          |)
+          |SELECT CAST(n AS BIGINT) AS n_points,
+          |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+          |  round(pow(CAST(n * sxy - sx * sy AS DOUBLE), 2) /
+          |        (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+          |FROM agg""".stripMargin,
       "q41_recursive_reach" ->
         """WITH RECURSIVE edges AS (
           |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w

@@ -148,6 +148,49 @@ object Profile {
           .cast("long").as("checksum"))
   }
 
+  /** Log-log least-squares fit — THE shared power-law regression
+    * behind [[Vocab.zipfFit]] (rank–frequency), [[Survival.retentionDecayFit]]
+    * (retention decay), and the g11 degree-distribution fit: slope and
+    * r² of `ln(y) ~ ln(x)` over a table of POSITIVE (x, y) pairs.
+    *
+    * Engine-exact despite being a regression: (x, y) are quantized to
+    * integer micro-nats (`round(ln·10⁶)`), every sum and the normal
+    * equations `n·Σxy − Σx·Σy` run in decimal(38,0) (micro-nat x
+    * reaches ~1.4e7, so Σx² passes the long range near 5·10⁴ rows and
+    * cross-products near 1e20 at 10⁶ — 38-digit decimals hold both),
+    * and doubles appear only in the final two divisions, identical on
+    * any engine. Zero x-variance → NaN slope/r² (the standard
+    * undefined-regression answer).
+    *
+    * Callers own positivity (filter zeros first — ln is undefined) and
+    * the input's size contract: this aggregates whatever it is given,
+    * so feed it the already-reduced table (a vocabulary, a histogram,
+    * a retention curve), not the corpus. Output: one row
+    * `(<nName>, slope, r2)`. */
+  def logLogFit(
+      df: DataFrame, xCol: String, yCol: String,
+      nName: String = "n_points"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val t = df.select(
+      dec(round(log(col(xCol).cast("double")) * 1e6).cast("long")).as("_x"),
+      dec(round(log(col(yCol).cast("double")) * 1e6).cast("long")).as("_y"))
+    t.agg(
+      count(lit(1)).as("_n"), sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_x") * col("_x")).as("_sxx"), sum(col("_y") * col("_y")).as("_syy"),
+      sum(col("_x") * col("_y")).as("_sxy"))
+      .select(col("_n").as(nName),
+        round((dec(col("_n")) * dec(col("_sxy")) - dec(col("_sx")) * dec(col("_sy")))
+          .cast("double") /
+          (dec(col("_n")) * dec(col("_sxx")) - dec(col("_sx")) * dec(col("_sx")))
+            .cast("double"), 6).as("slope"),
+        round(pow((dec(col("_n")) * dec(col("_sxy")) - dec(col("_sx")) * dec(col("_sy")))
+          .cast("double"), 2) /
+          ((dec(col("_n")) * dec(col("_sxx")) - dec(col("_sx")) * dec(col("_sx")))
+            .cast("double") *
+           (dec(col("_n")) * dec(col("_syy")) - dec(col("_sy")) * dec(col("_sy")))
+            .cast("double")), 6).as("r2"))
+  }
+
   /** Gini coefficient of a keyed non-negative weight column — the
     * one-number concentration audit ("do 1% of users generate 90% of
     * events?", "is one source dominating the token budget?"). Uses the

@@ -131,24 +131,6 @@ object Survival {
       .withColumn("_rppm",
         expr("CAST(CAST(_nret AS DECIMAL(38,0)) * 1000000 div _n0 AS BIGINT)"))
       .where(col("_rppm") > 0)
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    val t = ret.select(
-      dec(round(log(col("_k").cast("double")) * 1e6).cast("long")).as("_x"),
-      dec(round(log(col("_rppm").cast("double")) * 1e6).cast("long")).as("_y"))
-    t.agg(
-      count(lit(1)).as("_n"), sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
-      sum(col("_x") * col("_x")).as("_sxx"), sum(col("_y") * col("_y")).as("_syy"),
-      sum(col("_x") * col("_y")).as("_sxy"))
-      .select(col("_n").as("n_days"),
-        round((dec(col("_n")) * dec(col("_sxy")) - dec(col("_sx")) * dec(col("_sy")))
-          .cast("double") /
-          (dec(col("_n")) * dec(col("_sxx")) - dec(col("_sx")) * dec(col("_sx")))
-            .cast("double"), 6).as("slope"),
-        round(pow((dec(col("_n")) * dec(col("_sxy")) - dec(col("_sx")) * dec(col("_sy")))
-          .cast("double"), 2) /
-          ((dec(col("_n")) * dec(col("_sxx")) - dec(col("_sx")) * dec(col("_sx")))
-            .cast("double") *
-           (dec(col("_n")) * dec(col("_syy")) - dec(col("_sy")) * dec(col("_sy")))
-            .cast("double")), 6).as("r2"))
+    Profile.logLogFit(ret, "_k", "_rppm", nName = "n_days")
   }
 }

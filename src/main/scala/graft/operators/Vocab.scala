@@ -240,28 +240,11 @@ object Vocab {
     * undefined-regression answer — gate on n_terms if that matters. */
   def zipfFit(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 1000): DataFrame = {
-    val v = assignIds(topTerms(docs, idCol, textCol, k))
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    val t = v.select(
-      dec(round(log(col("token_id").cast("double") + 1) * 1e6).cast("long")).as("_x"),
-      dec(round(log(col("cf").cast("double")) * 1e6).cast("long")).as("_y"))
-    t.agg(
-      count(lit(1)).as("_n"), sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
-      sum(col("_x") * col("_x")).as("_sxx"), sum(col("_y") * col("_y")).as("_syy"),
-      sum(col("_x") * col("_y")).as("_sxy"))
-      .select(col("_n").as("n_terms"),
-        round((dec(col("_n")) * dec(col("_sxy")) - dec(col("_sx")) * dec(col("_sy")))
-          .cast("double") /
-          (dec(col("_n")) * dec(col("_sxx")) - dec(col("_sx")) * dec(col("_sx")))
-            .cast("double"), 6).as("slope"),
-        round(pow((dec(col("_n")) * dec(col("_sxy")) - dec(col("_sx")) * dec(col("_sy")))
-          .cast("double"), 2) /
-          ((dec(col("_n")) * dec(col("_sxx")) - dec(col("_sx")) * dec(col("_sx")))
-            .cast("double") *
-           (dec(col("_n")) * dec(col("_syy")) - dec(col("_sy")) * dec(col("_sy")))
-            .cast("double")), 6).as("r2"))
-  }
+      k: Int = 1000): DataFrame =
+    Profile.logLogFit(
+      assignIds(topTerms(docs, idCol, textCol, k))
+        .select((col("token_id").cast("double") + 1).as("rank"), col("cf")),
+      "rank", "cf", nName = "n_terms")
 
   /** Per-document lexical-diversity profile — the vocabulary-richness
     * quality signal complementary to [[meanSurprisal]] (which needs a
