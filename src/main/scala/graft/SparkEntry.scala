@@ -668,6 +668,24 @@ object SparkEntry {
       f.select(col("doc_id") +:
         f.columns.tail.toIndexedSeq.map(n => col(n).cast("int").as(n)): _*)
     }),
+    // Document length profile (the context-length planning report:
+    // token/char percentiles + the share of docs overflowing a
+    // 512-token window) — one global aggregate, exact percentile
+    // (quantile_cont parity), ppm by DECIMAL floor division.
+    "t39_length_profile" -> ((s, dir) => {
+      Graft.registerAll(s)
+      par(tbl(s, dir, "documents"))
+        .select(length(col("text")).cast("long").as("_c"),
+          Text.tokenCount(col("text")).cast("long").as("_t"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("total_tokens"),
+          round(expr("percentile(_t, 0.5)"), 6).as("p50_tokens"),
+          round(expr("percentile(_t, 0.9)"), 6).as("p90_tokens"),
+          round(expr("percentile(_t, 0.99)"), 6).as("p99_tokens"),
+          round(expr("percentile(_c, 0.5)"), 6).as("p50_chars"),
+          coalesce(sum(when(col("_t") > 512, 1L)), lit(0L)).as("n_over_512"))
+        .withColumn("over_512_ppm", expr(
+          "CAST(CAST(n_over_512 AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)"))
+    }),
     // Encoding-health report (the mojibake screen that runs BEFORE
     // content quality): C0 control chars, U+FFFD replacement chars,
     // non-ASCII count + ppm per doc — scan-stage codegen'd char
@@ -2227,6 +2245,18 @@ object SparkEntry {
     // table, probability in exact integer ppm. One user-key shuffle.
     "u34_markov_transitions" -> ((s, dir) =>
       Sessions.markovTransitions(tbl(s, dir, "events"))),
+    // Day-of-week activity mix in exact ppm (ISO weekday 1=Monday):
+    // the weekly-rhythm companion to u31's seasonality chi-square —
+    // one 7-key aggregate, 1-row total broadcast back.
+    "u47_dow_mix" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      e.groupBy(expr("CAST(weekday(ts) + 1 AS BIGINT)").as("isodow"))
+        .agg(count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("_n"))))
+        .select(col("isodow"), col("n_events"),
+          expr("CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000 div _n AS BIGINT)")
+            .as("share_ppm"))
+    }),
     // Per-user spend-trajectory slope in exact micro-cents-per-day:
     // the "growing or declining customer" regression feature — one
     // user-key moment aggregate, sign-split quantization so Spark div
@@ -3311,6 +3341,22 @@ object SparkEntry {
           |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_terms,
           |  CAST(sum(kl) AS BIGINT) AS kl_micro
           |FROM pr GROUP BY 1, 2""".stripMargin,
+      "t39_length_profile" ->
+        """WITH d AS (
+          |  SELECT CAST(length(text) AS BIGINT) AS c,
+          |    CAST(len(regexp_extract_all(text, '[a-zA-Z0-9'']+')) AS BIGINT) AS t
+          |  FROM documents
+          |)
+          |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(t) AS BIGINT) AS total_tokens,
+          |  round(quantile_cont(CAST(t AS DOUBLE), 0.5), 6) AS p50_tokens,
+          |  round(quantile_cont(CAST(t AS DOUBLE), 0.9), 6) AS p90_tokens,
+          |  round(quantile_cont(CAST(t AS DOUBLE), 0.99), 6) AS p99_tokens,
+          |  round(quantile_cont(CAST(c AS DOUBLE), 0.5), 6) AS p50_chars,
+          |  CAST(coalesce(sum(CASE WHEN t > 512 THEN 1 END), 0) AS BIGINT) AS n_over_512,
+          |  CAST(CAST(coalesce(sum(CASE WHEN t > 512 THEN 1 END), 0) AS HUGEINT)
+          |    * 1000000 // count(*) AS BIGINT) AS over_512_ppm
+          |FROM d""".stripMargin,
       "t37_encoding_report" ->
         """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
           |  CAST(length(text) - length(regexp_replace(text,
@@ -6329,6 +6375,14 @@ object SparkEntry {
           |       ELSE round(CAST(m * sxy - sx * sx AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE), 6)
           |  END AS assortativity
           |FROM s""".stripMargin,
+      "u47_dow_mix" ->
+        """WITH e AS (
+          |  SELECT CAST(date_part('isodow', CAST(ts AS DATE)) AS BIGINT) AS isodow
+          |  FROM events
+          |), t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+          |SELECT isodow, CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(CAST(count(*) AS HUGEINT) * 1000000 // t.n AS BIGINT) AS share_ppm
+          |FROM e, t GROUP BY isodow, t.n""".stripMargin,
       "u46_spend_trend" ->
         """WITH p AS (
           |  SELECT user_id,
