@@ -3546,6 +3546,14 @@ object SparkEntry {
            |), dfs AS (
            |  SELECT s, CAST(count(*) AS BIGINT) AS m
            |  FROM (SELECT id, unnest(sh) AS s FROM shs) GROUP BY 1
+           |), shs5 AS (
+           |  SELECT doc_id AS id,
+           |    list_distinct(list_transform(${shingleSql(5)},
+           |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+           |  FROM norm
+           |), dfs5 AS (
+           |  SELECT s, CAST(count(*) AS BIGINT) AS m
+           |  FROM (SELECT id, unnest(sh) AS s FROM shs5) GROUP BY 1
            |)
            |SELECT 'lsh_band' AS stage, CAST(4 AS BIGINT) AS cap,
            |  CAST(count(*) AS BIGINT) AS n_groups,
@@ -3559,7 +3567,14 @@ object SparkEntry {
            |  CAST(coalesce(sum(CASE WHEN m > 8 THEN 1 END), 0) AS BIGINT),
            |  CAST(coalesce(sum(CASE WHEN m > 8 THEN m END), 0) AS BIGINT),
            |  CAST(max(m) AS BIGINT)
-           |FROM dfs""".stripMargin,
+           |FROM dfs
+           |UNION ALL
+           |SELECT 'idf_shingle_df', CAST(16 AS BIGINT),
+           |  CAST(count(*) AS BIGINT),
+           |  CAST(coalesce(sum(CASE WHEN m > 16 THEN 1 END), 0) AS BIGINT),
+           |  CAST(coalesce(sum(CASE WHEN m > 16 THEN m END), 0) AS BIGINT),
+           |  CAST(max(m) AS BIGINT)
+           |FROM dfs5""".stripMargin,
       // 35/16 hardcoded = bandingForTargetMiss(0.95, 1e-3), the grid the
       // d5 query derives; plane weights recomputed from the same
       // 'nd<band>:<p>,<d>' md5 seeds.
@@ -3623,7 +3638,7 @@ object SparkEntry {
            |  FROM ex JOIN dfs USING (s) CROSS JOIN nd
            |), nrm AS (
            |  SELECT id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM wt GROUP BY 1
-           |), pr AS (SELECT * FROM wt WHERE df <= 100000
+           |), pr AS (SELECT * FROM wt WHERE df <= 16
            |), dots AS (
            |  SELECT a.id AS id_a, b.id AS id_b, sum(CAST(a.w AS HUGEINT) * b.w) AS dot
            |  FROM pr a JOIN pr b ON a.s = b.s AND a.id < b.id
@@ -4612,10 +4627,10 @@ object SparkEntry {
           |  FROM u
           |)
           |SELECT n AS n_users, ot AS n_treatment, n - ot AS n_control,
-          |  CAST((100 * (100 * CAST(ot AS HUGEINT) - CAST(n AS HUGEINT) * 50)
+          |  CAST(((100 * CAST(ot AS HUGEINT) - CAST(n AS HUGEINT) * 50)
           |    * (100 * CAST(ot AS HUGEINT) - CAST(n AS HUGEINT) * 50)
           |    * 1000000) // (CAST(n AS HUGEINT) * 50 * 50) AS BIGINT) AS chi2_micro,
-          |  CAST((100 * (100 * CAST(ot AS HUGEINT) - CAST(n AS HUGEINT) * 50)
+          |  CAST(((100 * CAST(ot AS HUGEINT) - CAST(n AS HUGEINT) * 50)
           |    * (100 * CAST(ot AS HUGEINT) - CAST(n AS HUGEINT) * 50)
           |    * 1000000) // (CAST(n AS HUGEINT) * 50 * 50) AS BIGINT) > 3841459 AS srm
           |FROM c""".stripMargin,
@@ -6433,7 +6448,9 @@ object SparkEntry {
           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
           |  CAST(sum(dur) AS BIGINT) AS total_dur_us,
           |  CASE WHEN sum(dur) = 0 THEN NULL
-          |    ELSE CAST(sum(CAST(c AS HUGEINT) * dur) // sum(dur) AS BIGINT)
+          |    WHEN sum(CAST(c AS HUGEINT) * dur) >= 0
+          |    THEN CAST(sum(CAST(c AS HUGEINT) * dur) // sum(dur) AS BIGINT)
+          |    ELSE -CAST((-sum(CAST(c AS HUGEINT) * dur)) // sum(dur) AS BIGINT)
           |  END AS twa_cents
           |FROM d GROUP BY 1""".stripMargin,
       "u34_markov_transitions" ->

@@ -302,6 +302,10 @@ object Dedup {
     *     reproduce the bucket sizes exactly).
     *   - `shingle_df`: shingle document frequency under `dfCap` (the
     *     [[ngramJaccardPairs]] inverted-index guard).
+    *   - `idf_shingle_df`: `idfN`-gram shingle document frequency under
+    *     `idfDfCap` — the [[idfCosinePairs]] dot-join guard at ITS
+    *     defaults (5-gram, cap 16), so the d23 pipeline's recall
+    *     exposure is monitored by the same report.
     *
     * Columns: `(stage, cap, n_groups, n_hot_groups, dropped_rows,
     * max_group)` — `n_hot_groups`/`dropped_rows` are exactly what
@@ -330,7 +334,7 @@ object Dedup {
   def capExposureReport(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k: Int = 32, bands: Int = 8, bucketCap: Int = 4,
-      dfCap: Int = 16): DataFrame = {
+      dfCap: Int = 16, idfN: Int = 5, idfDfCap: Int = 16): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val sh = docs
@@ -345,8 +349,12 @@ object Dedup {
       .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("_m"))
     val dfSizes = sh.select(explode(col("_sh")).as("_s"))
       .groupBy(col("_s")).agg(count(lit(1)).as("_m"))
+    val df5Sizes = docs
+      .select(explode(hashedShingleSetNative(col(textCol), idfN)).as("_s"))
+      .groupBy(col("_s")).agg(count(lit(1)).as("_m"))
     stageReport("lsh_band", bucketCap, bandSizes)
       .unionByName(stageReport("shingle_df", dfCap, dfSizes))
+      .unionByName(stageReport("idf_shingle_df", idfDfCap, df5Sizes))
   }
 
   /** Per-document n-gram novelty: what fraction of a document's distinct
@@ -599,13 +607,22 @@ object Dedup {
     * never broadcast), inverted-index self-join with the
     * [[shinglePairCounts]] hot-key discipline — shingles with
     * df > dfCap are dropped from the DOT while norms keep every
-    * shingle, so a capped pair's cosine is a (tight) lower bound.
+    * shingle, so a capped pair's cosine is a (tight) lower bound; the
+    * bound is TIGHT precisely because a high-df shingle's idf weight is
+    * the smallest in the vector, so the default cap sits at the
+    * [[capExposureReport]] audit's 16 (at production scale a single
+    * boilerplate shingle near a loose cap contributes df² candidate
+    * pairs — 10¹⁰ at df=10⁵). Drops are OBSERVABLE, not silent: pass a
+    * [[CapStats]] and each hot shingle tallies (1 bucket, df rows)
+    * exactly once at construction time, same contract as
+    * [[ngramJaccardPairs]].
     *
     * Output: `(id_a, id_b, cos_sim)` for pairs at or above `threshold`.
     */
   def idfCosinePairs(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 5, threshold: Double = 0.8, dfCap: Int = 100000): DataFrame = {
+      n: Int = 5, threshold: Double = 0.8, dfCap: Int = 16,
+      capStats: Option[CapStats] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1], got $threshold")
     val sh = docs.select(col(idCol).as("_id"),
@@ -623,6 +640,14 @@ object Dedup {
       .localCheckpoint()
     val norms = wt.groupBy(col("_id"))
       .agg(sum(col("_w").cast("decimal(38,0)") * col("_w")).as("_n2"))
+    // observability for the hot-shingle drop: tally each shingle over
+    // the cap exactly once (eager localCheckpoint, the shinglePairCounts
+    // pattern) before the cheap column-predicate prune below runs
+    capStats.foreach { cs =>
+      val tally = udf { d: Long => cs.buckets.add(1L); cs.rows.add(d); true }
+      dfs.where(col("_df") > dfCap).where(tally(col("_df")))
+        .select(col("_s")).localCheckpoint()
+    }
     val pruned = wt.where(col("_df") <= dfCap)
     val dots = pruned.as("a")
       .join(pruned.as("b").hint("shuffle_hash"),
@@ -803,13 +828,33 @@ object Dedup {
     * broadcast+2-agg per iteration; the candidate step is a self-join on
     * the cell id (shuffle-hash — a cluster never broadcasts its own
     * corpus); the anti-join drops dups without moving survivors' vectors.
-    * `k` bounds the expected cluster size — at production scale pick
-    * k ≈ N/⟨cell⟩ for the target in-cell pair budget (the SemDeDup paper
+    * `k` bounds the expected cluster size — at production scale use
+    * [[semDedupByCellSize]], which derives k ≈ N/⟨cell⟩ from one count
+    * so the in-cell pair budget holds as N grows (the SemDeDup paper
     * uses tens of thousands of clusters for web-scale corpora), and cap
     * runaway cells the same way [[embeddingNearDupPairs]] caps hot
     * buckets.
     *
     * Returns the survivors as `(idCol, cell)`. */
+  def semDedupByCellSize(
+      emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      targetCellSize: Long = 1024, iters: Int = 2,
+      threshold: Double = 0.95): DataFrame = {
+    require(targetCellSize > 0,
+      s"targetCellSize must be positive, got $targetCellSize")
+    // k ∝ N: one count derives k = ⌈N/targetCellSize⌉, so the expected
+    // cell occupancy — and with it the in-cell pair work Σ n_c² ≈ N·⟨cell⟩
+    // — stays CONSTANT per document as the corpus grows (the pinned-k
+    // form measured 4.5× at 10× data in the round-6 rehearsal precisely
+    // because occupancy grew 10×). This is the production rule the
+    // fixed-k scaladoc documents; the fixed-k form remains for
+    // oracle-pinned comparisons.
+    val n = emb.count()
+    val k = math.min(((n + targetCellSize - 1) / targetCellSize).max(1L),
+      Int.MaxValue.toLong).toInt
+    semDedup(emb, idCol, vecCol, k, iters, threshold)
+  }
+
   def semDedup(
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       k: Int = 8, iters: Int = 2, threshold: Double = 0.95): DataFrame = {

@@ -79,7 +79,7 @@ object Experiment {
     * A significant mismatch means assignment, logging, or filtering is
     * broken and every downstream metric is suspect (Fabijan et al.,
     * KDD'19 diagnosis taxonomy). For a two-cell split p:q (percent),
-    * the statistic collapses to `χ² = 100·d²/(n·p·q)` with
+    * the statistic collapses to `χ² = d²/(n·p·q)` with
     * `d = 100·o_t − n·p` — EXACT integer micro arithmetic by DECIMAL
     * cross-multiplication, no doubles at all. Flagged against the
     * χ²₁ 95th percentile (3.841459, as the integer micro literal).
@@ -104,7 +104,7 @@ object Experiment {
           .as("_ot"))
       .select(col("_n").as("n_users"), col("_ot").as("n_treatment"),
         (col("_n") - col("_ot")).as("n_control"),
-        expr(s"""CAST((100 * (100 * CAST(_ot AS DECIMAL(38,0)) - CAST(_n AS DECIMAL(38,0)) * $p)
+        expr(s"""CAST(((100 * CAST(_ot AS DECIMAL(38,0)) - CAST(_n AS DECIMAL(38,0)) * $p)
                 |  * (100 * CAST(_ot AS DECIMAL(38,0)) - CAST(_n AS DECIMAL(38,0)) * $p)
                 |  * 1000000) div (CAST(_n AS DECIMAL(38,0)) * $p * $q) AS BIGINT)""".stripMargin)
           .as("chi2_micro"))

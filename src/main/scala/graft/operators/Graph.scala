@@ -437,7 +437,11 @@ object Graph {
     * any) communities are real structure or noise:
     * `Q = Σ_c [ w_in(c)/m − (deg(c)/2m)² ]` with `m` the total edge
     * weight, `w_in(c)` the intra-community weight, and `deg(c)` the
-    * community's weighted degree sum. Q ≈ 0 means the partition does
+    * community's weighted degree sum. `m` is computed over the
+    * LABEL-COVERED edges (both endpoints labeled) — edges the labels
+    * table does not cover are outside the partition being scored, and
+    * counting them in m while excluding them from w_in/deg would
+    * silently mis-scale Q. Q ≈ 0 means the partition does
     * no better than random wiring; Q ≳ 0.3 is conventional "real
     * communities". The evaluation companion to g5 the same way t33's
     * AUC evaluates t25's classifier.
@@ -486,7 +490,11 @@ object Graph {
       .agg(sum(col("_w")).as("_deg"), sum(col("_in")).as("_in2"))
       // the doubled intra sum is even by construction; exact halving
       .withColumn("_win", expr("_in2 div 2"))
-    val m = und.agg(sum(col("_w")).as("_m"))
+    // m over the STAMPED edge table, not the raw one: if the labels
+    // table does not cover every endpoint, the uncovered edges are out
+    // of the partition being scored, and a total over them would
+    // silently mis-scale Q (deg/win sums only see covered edges).
+    val m = stamped.agg(sum(col("_w")).as("_m"))
     byC.crossJoin(broadcast(m))
       .agg(count(lit(1)).as("n_communities"), max(col("_m")).as("m_weight"),
         sum(dec(lit(4)) * dec(col("_m")) * col("_win") -

@@ -196,8 +196,10 @@ object Sessions {
     *
     * Engine-exact: values are integer cents, durations integer
     * microseconds from the (ts, id)-ordered lead; the weighted mean is
-    * `Σ c·dur div Σ dur` in DECIMAL floor division (operands
-    * non-negative); zero total duration (all events simultaneous) →
+    * `sign(Σ c·dur) · (|Σ c·dur| div Σ dur)` in DECIMAL division —
+    * sign-split so negative values (refunds/adjustments) quantize
+    * identically on truncating (Spark `div`) and flooring (DuckDB
+    * `//`) engines; zero total duration (all events simultaneous) →
     * NULL. One user-key window pass + the group aggregate riding the
     * same partitioning — a single shuffle at any scale.
     *
@@ -218,7 +220,14 @@ object Sessions {
         sum(col("_dur")).as("total_dur_us"),
         sum(col("_c").cast("decimal(38,0)") * col("_dur")).as("_cd"))
       .select(col("_u").as("user_id"), col("n_intervals"), col("total_dur_us"),
+        // sign-split: Spark `div` truncates, DuckDB `//` floors — they
+        // agree only on non-negative operands, and a refund/adjustment
+        // event can make _cd negative. Both engines therefore compute
+        // sign(_cd) * (|_cd| div dur) explicitly (the spendTrend /
+        // modularity quantization pattern).
         when(col("total_dur_us") === 0, lit(null)).otherwise(
-          expr("CAST(_cd div total_dur_us AS BIGINT)")).as("twa_cents"))
+          when(col("_cd") >= 0, expr("CAST(_cd div total_dur_us AS BIGINT)"))
+            .otherwise(-expr("CAST((-_cd) div total_dur_us AS BIGINT)")))
+          .as("twa_cents"))
   }
 }

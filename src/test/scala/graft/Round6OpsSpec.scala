@@ -359,9 +359,16 @@ class Round6OpsSpec extends AnyFunSuite {
     val (n, ot) = (r.getLong(0), r.getLong(1))
     assert(n === 400L && ot + r.getLong(2) === n)
     val d = BigInt(100) * ot - BigInt(n) * 50
-    val expected = (BigInt(100) * d * d * 1000000 / (BigInt(n) * 50 * 50)).toLong
+    val expected = (d * d * 1000000 / (BigInt(n) * 50 * 50)).toLong
     assert(r.getLong(3) === expected)
     assert(r.getBoolean(4) === (expected > 3841459L))
+    // non-circular calibration: a hash split of 400 users is near-50/50
+    // (binomial sd ≈ 10), so the true chi-square is O(1) — chi2_micro
+    // must sit in the ~1e6 ballpark and the guardrail must NOT fire.
+    // Under the former 100x-inflated formula this assertion fails for
+    // any |ot - 200| > 1, so it pins the scale, not just self-parity.
+    assert(r.getLong(3) < 3841459L, s"healthy split flagged: chi2_micro=${r.getLong(3)}")
+    assert(!r.getBoolean(4), "srm must be false on a healthy hash split")
     // a wildly imbalanced observed split must flag (simulate by feeding
     // users known to land in one variant: filter on the operator's own
     // hash so the fixture can't drift from the assignment rule)
