@@ -42,6 +42,68 @@ object Bench {
   private def sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private def cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** Last-round per-query seconds (round-6 artifact, with the judge's
+    * isolated re-bench numbers overriding the handful of
+    * confirm-starved inflated entries and the budget-skipped tail).
+    * Keyed by the query's unique id prefix; queries added after round 6
+    * default to [[DefaultExpectedSec]]. This drives HEAVIEST-FIRST
+    * scheduling: BENCH_r06 ran groups alphabetically, hit the budget
+    * deadline, and skipped the alphabetical tail (u44-u47, u4-u9) —
+    * ordering by descending expected cost makes any residual shortfall
+    * land on the cheapest queries instead, and those are exactly the
+    * ones the fast-mode fallback measures accurately in one run. */
+  private val lastRoundSec: Map[String, Double] =
+    Map(
+      "d1" -> 0.4, "d10" -> 4.0, "d11" -> 4.0, "d12" -> 4.0, "d13" -> 2.0, "d14" -> 2.0,
+      "d15" -> 5.0, "d16" -> 3.0, "d17" -> 2.0, "d18" -> 1.0, "d19" -> 2.0, "d2" -> 2.0,
+      "d20" -> 1.0, "d21" -> 4.0, "d22" -> 1.5, "d23" -> 1.7, "d24" -> 4.0, "d3" -> 1.0,
+      "d4" -> 4.0, "d5" -> 5.1, "d6" -> 4.0, "d7" -> 1.0, "d8" -> 4.0, "d9" -> 2.0,
+      "g1" -> 3.0, "g10" -> 2.0, "g11" -> 3.0, "g2" -> 2.0, "g3" -> 4.0, "g4" -> 1.0,
+      "g5" -> 2.0, "g6" -> 3.0, "g7" -> 3.0, "g8" -> 3.0, "g9" -> 2.0, "m1" -> 0.4,
+      "m2" -> 1.0, "m3" -> 0.4, "m4" -> 1.0, "m5" -> 0.4, "m6" -> 0.4, "p1" -> 0.4,
+      "p10" -> 0.4, "p11" -> 0.4, "p12" -> 4.0, "p13" -> 1.0, "p14" -> 0.4, "p15" -> 1.0,
+      "p16" -> 1.0, "p17" -> 0.4, "p18" -> 0.4, "p2" -> 0.4, "p3" -> 0.4, "p4" -> 0.4,
+      "p5" -> 1.0, "p6" -> 0.4, "p7" -> 2.0, "p8" -> 3.0, "p9" -> 0.4, "q1" -> 0.4,
+      "q10" -> 0.4, "q11" -> 1.0, "q12" -> 0.4, "q13" -> 0.4, "q14" -> 1.0, "q15" -> 0.4,
+      "q16" -> 0.4, "q17" -> 0.4, "q18" -> 0.4, "q19" -> 0.4, "q2" -> 0.4, "q20" -> 0.4,
+      "q21" -> 0.4, "q22" -> 0.4, "q23" -> 1.0, "q24" -> 0.4, "q25" -> 0.4, "q26" -> 0.4,
+      "q27" -> 0.4, "q28" -> 0.4, "q29" -> 0.4, "q3" -> 0.4, "q30" -> 0.4, "q31" -> 0.4,
+      "q32" -> 1.0, "q33" -> 0.4, "q34" -> 0.4, "q35" -> 0.4, "q36" -> 1.0, "q37" -> 0.4,
+      "q38" -> 1.0, "q39" -> 0.4, "q4" -> 0.4, "q40" -> 0.4, "q41" -> 3.1, "q42" -> 0.4,
+      "q43" -> 0.4, "q5" -> 0.4, "q6" -> 0.4, "q7" -> 1.0, "q8" -> 0.4, "q9" -> 0.4,
+      "retention_count" -> 0.4, "retention_sum" -> 0.4, "s1" -> 1.0, "s10" -> 3.0, "s11" -> 1.0, "s12" -> 1.0,
+      "s13" -> 1.0, "s14" -> 1.0, "s15" -> 1.0, "s16" -> 0.4, "s17" -> 3.0, "s18" -> 1.0,
+      "s19" -> 0.4, "s2" -> 1.0, "s20" -> 1.0, "s3" -> 2.0, "s4" -> 1.0, "s5" -> 3.0,
+      "s6" -> 1.0, "s7" -> 1.0, "s8" -> 2.8, "s9" -> 4.6, "t1" -> 0.4, "t10" -> 1.0,
+      "t11" -> 1.0, "t12" -> 1.0, "t13" -> 1.0, "t14" -> 0.4, "t15" -> 1.0, "t16" -> 2.0,
+      "t17" -> 1.0, "t18" -> 2.0, "t19" -> 1.0, "t2" -> 0.4, "t20" -> 1.0, "t21" -> 1.0,
+      "t22" -> 1.0, "t23" -> 1.0, "t24" -> 1.0, "t25" -> 0.4, "t26" -> 2.0, "t27" -> 1.0,
+      "t28" -> 0.4, "t29" -> 1.0, "t3" -> 0.4, "t30" -> 0.4, "t31" -> 1.0, "t33" -> 1.0,
+      "t34" -> 2.0, "t35" -> 1.0, "t36" -> 1.0, "t37" -> 0.4, "t38" -> 1.0, "t39" -> 0.4,
+      "t4" -> 0.4, "t5" -> 0.4, "t6" -> 1.0, "t7" -> 0.4, "t8" -> 0.4, "t9" -> 2.0,
+      "u1" -> 0.4, "u10" -> 1.0, "u11" -> 1.0, "u12" -> 1.0, "u13" -> 0.4, "u14" -> 0.4,
+      "u15" -> 0.4, "u16" -> 0.4, "u17" -> 1.0, "u18" -> 0.4, "u19" -> 1.0, "u2" -> 0.4,
+      "u20" -> 0.4, "u21" -> 0.4, "u23" -> 0.4, "u24" -> 0.4, "u25" -> 0.4, "u26" -> 0.4,
+      "u27" -> 1.0, "u28" -> 1.0, "u29" -> 1.0, "u3" -> 0.4, "u30" -> 1.0, "u31" -> 0.4,
+      "u32" -> 0.4, "u33" -> 1.0, "u34" -> 0.4, "u35" -> 0.4, "u36" -> 1.0, "u37" -> 0.4,
+      "u38" -> 0.4, "u39" -> 0.4, "u4" -> 2.0, "u40" -> 1.0, "u41" -> 0.4, "u42" -> 1.0,
+      "u43" -> 0.4, "u44" -> 2.0, "u45" -> 2.0, "u46" -> 2.0, "u47" -> 2.0, "u5" -> 2.0,
+      "u6" -> 2.0, "u7" -> 3.7, "u8" -> 2.0, "u9" -> 2.0)
+
+  /** New queries (no last-round number) are assumed mid-weight so they
+    * schedule early enough to always get measured. */
+  private val DefaultExpectedSec = 2.0
+
+  /** Estimated child-JVM overhead (boot + session + parquet init),
+    * deliberately a shade high: over-estimating boots escalates to
+    * bigger groups a little early (harmless — fidelity is preserved),
+    * under-estimating risks the fast-mode cliff. */
+  private val BootSec = 20.0
+
+  private def expectedSec(n: String): Double =
+    lastRoundSec.getOrElse(n.split("_")(0),
+      lastRoundSec.getOrElse(n, DefaultExpectedSec))
+
   def main(args: Array[String]): Unit = {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -59,28 +121,34 @@ object Bench {
     * add-opens) and classpath, so its environment is exactly the one
     * build.sbt configures.
     *
-    * Fork policy — two passes:
-    *  1. GROUP pass: queries run in fresh child JVMs of
+    * Fork policy — two passes, COMPLETENESS FIRST (round-6 lesson: the
+    * alphabetical group pass hit the budget deadline with 10 queries
+    * still queued and the confirm pass starved, leaving skips plus
+    * unmarked inflated numbers):
+    *  1. GROUP pass, heaviest-first: queries run in descending
+    *     last-round cost ([[lastRoundSec]]) in fresh child JVMs of
     *     `SPARK_GRAFT_BENCH_GROUP` (default 9) queries each, with
     *     cached/checkpointed state released between queries. This
-    *     amortizes the ~10-15 s JVM-boot + session + parquet-init cost
-    *     that made one-JVM-per-query unaffordable at 100+ queries
-    *     (105 × ~19 s ≈ 2,000 s vs the ~1,500 s wall budget). Groups
-    *     are small and short-lived, so the round-2 shared-JVM
+    *     amortizes the ~18 s JVM-boot + session + parquet-init cost
+    *     that made one-JVM-per-query unaffordable at 100+ queries.
+    *     Groups are small and short-lived, so the round-2 shared-JVM
     *     contamination (30+ heavy queries in ONE JVM inflating later
-    *     ones 7-40×) cannot accumulate.
-    *  2. CONFIRM pass: any query whose group observation is suspicious
-    *     (> 3 s — possibly group debris or this VM's documented
-    *     transient-degradation windows) is re-forked ISOLATED, up to
-    *     `SPARK_GRAFT_BENCH_MAXFORKS` (default 3) total observations
-    *     while they disagree > 2×, and the min is recorded. Isolated
-    *     min-of-honest-runs equals the per-query-fork fidelity of the
-    *     old design exactly where it matters.
+    *     ones 7-40×) cannot accumulate. Before each fork the parent
+    *     projects the cost of finishing; when the projection outgrows
+    *     the remaining budget it ESCALATES — fast children (one run per
+    *     query), then doubled groups, then one emergency sweep — so
+    *     every query gets an observation before any budget goes to
+    *     confirmation.
+    *  2. CONFIRM pass, worst-first: any query whose group observation is
+    *     suspicious (> 3 s — possibly group debris or this VM's
+    *     documented transient-degradation windows) is re-forked
+    *     ISOLATED, up to `SPARK_GRAFT_BENCH_MAXFORKS` (default 3) total
+    *     observations while they disagree > 2×, and the min is recorded.
+    *     Suspicious observations that never got a confirm are emitted
+    *     under `"suspect"` so no reader trusts them at face value.
     * Both passes respect the global `SPARK_GRAFT_BENCH_BUDGET_SEC`
-    * deadline (default 1250): when it is spent, remaining work is
-    * recorded as skipped and whatever was measured is emitted. A
-    * shutdown hook emits the partial artifact if the driver SIGTERMs
-    * the run. */
+    * deadline (default 1250). A shutdown hook emits the partial
+    * artifact if the driver SIGTERMs the run. */
   private def runForked(): Unit = {
     // SPARK_GRAFT_BENCH_FILTER: comma-separated names to subset the forked
     // run (local iteration only; the driver runs the full set).
@@ -108,31 +176,44 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // All three maps are mutated by the fork loop and read by the
+    // isolated-confirmed queries: their recorded number came from (or
+    // was validated by) a single-query fork, so it is trustworthy at
+    // face value. Group observations > 3 s that never got an isolated
+    // run are emitted under "suspect" — the round-6 artifact recorded
+    // up-to-9x-inflated unconfirmed group numbers with no marker.
+    val confirmed = scala.collection.mutable.HashSet[String]()
+    // All four are mutated by the fork loop and read by the
     // shutdown hook, which runs CONCURRENTLY with it on SIGTERM —
     // unsynchronized LinkedHashMap iteration mid-insert can throw and
     // kill the very partial-artifact emit the hook exists for. Every
     // mutation and the hook's snapshot share the object monitor
     // (emitOnce's lock).
     def record(f: => Unit): Unit = synchronized(f)
-    def snapshot(): (Seq[(String, Double)], Map[String, String], Map[String, Double]) =
-      synchronized((results.toSeq, errors.toMap, walls.toMap))
+    def snapshot(): (Seq[(String, Double)], Map[String, String], Map[String, Double], Set[String]) =
+      synchronized((results.toSeq, errors.toMap, walls.toMap, confirmed.toSet))
+    def suspectsOf(r: Seq[(String, Double)], conf: Set[String]): Seq[String] =
+      r.collect { case (n, v) if v > 3.0 && !conf(n) => n }.sorted
     // If the driver SIGTERMs the run (external timeout), emit whatever
     // was measured so the round still has a performance artifact.
     val hook = new Thread(() => {
-      val (r, e, w) = snapshot()
-      emitOnce(r, e, w)
+      val (r, e, w, c) = snapshot()
+      emitOnce(r, e, w, suspectsOf(r, c))
     })
     Runtime.getRuntime.addShutdownHook(hook)
 
-    /** Forks one child JVM over `qs`, returns per-query results. */
-    def fork(qs: Seq[String]): Map[String, Either[String, Double]] = {
+    /** Forks one child JVM over `qs`, returns per-query results. In
+      * `fast` mode the child runs each query ONCE, untimed-warmup
+      * skipped — a deadline fallback that trades steady-state fidelity
+      * for completeness (the single observation includes codegen/JIT,
+      * an overestimate, never an understatement of health). */
+    def fork(qs: Seq[String], fast: Boolean = false): Map[String, Either[String, Double]] = {
       val cmd = new java.util.ArrayList[String]()
       cmd.add(javaBin)
       jvmArgs.forEach(a => cmd.add(a))
       cmd.add("-cp"); cmd.add(cp); cmd.add("graft.Bench")
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_BENCH_ONLY", qs.mkString(","))
+      if (fast) pb.environment().put("SPARK_GRAFT_BENCH_FAST", "1")
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
@@ -171,14 +252,67 @@ object Bench {
       }.toMap
     }
 
-    // ── pass 1: grouped measurement ──────────────────────────────────
-    val groups = names.grouped(group).toSeq
-    groups.zipWithIndex.foreach { case (qs, gi) =>
-      if (elapsed > budgetSec) {
-        record { qs.foreach(n => errors(n) = "skipped: bench budget exhausted") }
+    // ── pass 1: grouped measurement, HEAVIEST FIRST with adaptive
+    // escalation ──────────────────────────────────────────────────────
+    // Round-6 failure mode: alphabetical order + a slower-than-rehearsal
+    // host burned the budget with 10 queries still queued → "skipped".
+    // Now (a) queries run in descending last-round cost, so a shortfall
+    // can only ever threaten the CHEAPEST tail; (b) before each fork the
+    // parent projects the cost of finishing at the current policy
+    // (boots + expected query seconds × runs-per-query) and, when the
+    // projection no longer fits the remaining budget, escalates — first
+    // to FAST children (one run per query, no warmup: 3× fewer
+    // executions), then to doubled group sizes (fewer boots) — rather
+    // than ever skipping; (c) if the budget is somehow spent anyway,
+    // ONE emergency fast mega-fork sweeps everything left (the fork cap
+    // keeps it inside the driver-kill slack), and only queries that
+    // fork could not reach are recorded as skipped.
+    val queue = scala.collection.mutable.Queue(
+      names.sortBy(n => (-expectedSec(n), n)): _*)
+    val confirmReserveSec = 120.0
+    val maxGroup = 4 * group
+    var fast = false
+    var gSize = group
+    var emergencySpent = false
+    var gi = 0
+    while (queue.nonEmpty) {
+      def projected(runsPerQuery: Double): Double =
+        math.ceil(queue.size.toDouble / gSize) * BootSec +
+          queue.iterator.map(expectedSec).sum * runsPerQuery
+      val rem = budgetSec - elapsed
+      // Escalation order matters for fidelity: JVM boots dominate the
+      // projection (~24 boots × 18 s at 200+ queries), so GROW THE
+      // GROUPS first — full warmup + 2 timed runs are preserved and the
+      // >3 s confirm pass still catches any extra shared-JVM debris.
+      // Only when max-size groups still don't fit does the pass drop to
+      // FAST children (1 run, JIT included — an overestimate for
+      // sub-second queries, which is why it's last).
+      while (!fast && projected(3.0) > rem - confirmReserveSec && gSize < maxGroup) {
+        gSize = math.min(maxGroup, gSize * 2)
+        System.err.println(f"[bench] escalating group size to $gSize: ${queue.size} queries left, remaining budget ${rem - confirmReserveSec}%.0f s")
+      }
+      if (!fast && projected(3.0) > rem - confirmReserveSec) {
+        fast = true
+        System.err.println(f"[bench] escalating to FAST mode: ${queue.size} queries left, projected ${projected(3.0)}%.0f s > remaining ${rem - confirmReserveSec}%.0f s")
+      }
+      if (fast && projected(1.0) > rem && gSize < maxGroup) {
+        gSize = math.min(maxGroup, gSize * 2)
+        System.err.println(s"[bench] escalating group size to $gSize (${queue.size} queries left)")
+      }
+      if (elapsed >= budgetSec && emergencySpent) {
+        record { queue.foreach(n => errors(n) = "skipped: bench budget exhausted") }
+        queue.clear()
       } else {
+        val qs =
+          if (elapsed >= budgetSec) { // one emergency sweep of the rest
+            emergencySpent = true; fast = true
+            System.err.println(s"[bench] budget spent with ${queue.size} unmeasured — emergency fast sweep")
+            queue.dequeueAll(_ => true).toSeq
+          } else (1 to gSize).flatMap(_ =>
+            if (queue.nonEmpty) Some(queue.dequeue()) else None)
+        gi += 1
         val w0 = System.nanoTime()
-        val r = fork(qs)
+        val r = fork(qs, fast)
         val dw = (System.nanoTime() - w0) / 1e9
         qs.foreach { n =>
           record {
@@ -187,12 +321,13 @@ object Bench {
               case Right(sec) => results(n) = sec
               case Left(err)  => errors(n) = err
             }
+            if (qs.size == 1) confirmed += n
           }
           r(n) match {
             case Right(sec) =>
-              System.err.println(f"[bench] $n group ${gi + 1}/${groups.size}: $sec%.3f s (wall $elapsed%.0f/$budgetSec%.0f)")
+              System.err.println(f"[bench] $n group $gi (${if (fast) "fast" else "full"}): $sec%.3f s (wall $elapsed%.0f/$budgetSec%.0f)")
             case Left(err) =>
-              System.err.println(s"[bench] $n group ${gi + 1}/${groups.size} FAILED: $err")
+              System.err.println(s"[bench] $n group $gi FAILED: $err")
           }
         }
       }
@@ -200,10 +335,14 @@ object Bench {
     // ── pass 2: isolated confirmation of suspicious observations ─────
     // A >3 s group observation may be group debris or a degradation
     // window; a group-failed query deserves one isolated retry. Spend
-    // isolated forks while the budget holds, min over observations.
+    // isolated forks while the budget holds, min over observations,
+    // WORST OBSERVATION FIRST so a starved pass still confirms the
+    // numbers most likely to be inflated (round 6 recorded d23 at 16 s
+    // vs 1.73 s isolated with the confirm pass starved).
     val suspects = names.filter(n =>
-      results.get(n).exists(_ > 3.0) ||
+      (results.get(n).exists(_ > 3.0) && !confirmed(n)) ||
         errors.get(n).exists(!_.startsWith("skipped")))
+      .sortBy(n => -results.getOrElse(n, Double.MaxValue))
     suspects.foreach { n =>
       val obs = scala.collection.mutable.ArrayBuffer[Double]()
       results.get(n).foreach(obs += _)
@@ -221,6 +360,7 @@ object Bench {
         r(n) match {
           case Right(sec) =>
             obs += sec
+            record { confirmed += n }
             System.err.println(f"[bench] $n isolated $forks/$maxForks: $sec%.3f s (wall $elapsed%.0f/$budgetSec%.0f)")
           case Left(err) =>
             record { if (obs.isEmpty) errors(n) = err }
@@ -229,8 +369,8 @@ object Bench {
       }
       record { if (obs.nonEmpty) { results(n) = obs.min; errors.remove(n) } }
     }
-    val (fr, fe, fw) = snapshot()
-    emitOnce(fr.sortBy(_._1), fe, fw)
+    val (fr, fe, fw, fc) = snapshot()
+    emitOnce(fr.sortBy(_._1), fe, fw, suspectsOf(fr, fc))
     try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: IllegalStateException => () }
   }
 
@@ -262,6 +402,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Graft.registerAll(spark)
+    // FAST mode (parent deadline fallback): one timed run per query,
+    // no untimed warmup — 3× fewer executions. The observation includes
+    // codegen/JIT, i.e. an honest overestimate of steady-state cost.
+    val fastMode = sys.env.get("SPARK_GRAFT_BENCH_FAST").contains("1")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
@@ -269,11 +413,13 @@ object Bench {
       // parquet init AND this query's codegen/JIT, so the timed runs
       // measure steady-state cost. (No separate cross-query warmup — it
       // cost ~2-3 s per fork and the target's own run subsumes it.)
-      try {
-        fn(spark, sfDir).count()
-        release(spark)
-      } catch { case _: Throwable => () }
-      val times = (1 to 2).map { _ =>
+      if (!fastMode) {
+        try {
+          fn(spark, sfDir).count()
+          release(spark)
+        } catch { case _: Throwable => () }
+      }
+      val times = (1 to (if (fastMode) 1 else 2)).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -314,10 +460,11 @@ object Bench {
     * (partial) artifact and a normal run never prints two. */
   private def emitOnce(results: Seq[(String, Double)],
       errors: scala.collection.Map[String, String],
-      walls: scala.collection.Map[String, Double]): Unit = synchronized {
+      walls: scala.collection.Map[String, Double],
+      suspect: Seq[String]): Unit = synchronized {
     if (!emitted) {
       emitted = true
-      emit(results, errors, walls)
+      emit(results, errors, walls, suspect)
       System.out.flush()
     }
   }
@@ -342,41 +489,66 @@ object Bench {
     *
     *  1. the complete line — full-precision name→seconds `queries` map
     *     (the driver's parse contract) with the most diagnostic bytes
-    *     LAST (`wall`/`errors` first, `queries` then `value` at the
-    *     end), so even a mid-line cut preserves the timed numbers;
-    *  2. a compact final line that FITS the tail whole: query names
-    *     shortened to their unique id prefix (`d16_dup_stats` → `d16`;
-    *     names whose prefix collides stay full), seconds at 1 dp,
-    *     `sf` as a basename, and `"value"` (total timed sec) as the
-    *     very last key.
+    *     LAST (`wall`/`errors` first, then `suspect` — recorded values
+    *     over 3 s that never got an isolated confirmation, so a reader
+    *     knows which numbers may carry group debris — then `queries`
+    *     and `value` at the end), so even a mid-line cut preserves the
+    *     timed numbers;
+    *  2. a compact final line that FITS the tail whole — see
+    *     [[compactArtifactLine]] for the three degradation levels.
     */
   private def emit(results: Seq[(String, Double)],
       errors: scala.collection.Map[String, String],
-      walls: scala.collection.Map[String, Double] = Map.empty): Unit = {
+      walls: scala.collection.Map[String, Double] = Map.empty,
+      suspect: Seq[String] = Nil): Unit = {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val wallJson = walls.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
+    val susJson = suspect.map(jstr).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","wall":$wallJson,"errors":$errJson,"queries":$qs,"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","wall":$wallJson,"errors":$errJson,"suspect":$susJson,"queries":$qs,"value":$total}""")
+    println(compactArtifactLine(results, errors, new java.io.File(sfDir).getName))
+  }
+
+  /** The compact final line, guaranteed ≤ `limit` bytes so the driver's
+    * ~2 KB stdout tail always captures it WHOLE. Three degradation
+    * levels — a cruder-but-complete artifact beats a truncated precise
+    * one (the BENCH_r05 lesson; full-precision values are always on the
+    * line above):
+    *
+    *  1. all queries at 1 dp, names shortened to their unique id prefix
+    *     (`d16_dup_stats` → `d16`; colliding prefixes stay full);
+    *  2. all queries at whole seconds (engages ~190 queries);
+    *  3. past ~260 queries even that overflows: drop the per-query map
+    *     and keep `nq`/`nerr` + the 10 slowest queries (1 dp) + the
+    *     total — the TOTALS ARE NEVER LOST, and the slowest-10 are the
+    *     only per-query numbers a 2 KB tail reader can act on anyway.
+    */
+  private[graft] def compactArtifactLine(results: Seq[(String, Double)],
+      errors: scala.collection.Map[String, String], sfBase: String,
+      limit: Int = 1900): String = {
     val prefixCount = results.map(_._1.split("_")(0))
       .groupBy(identity).map { case (p, v) => (p, v.size) }
     def sid(n: String): String = {
       val p = n.split("_")(0)
       if (prefixCount.getOrElse(p, 0) > 1) n else p
     }
-    val sfBase = new java.io.File(sfDir).getName
-    def compactLine(fmt: Double => String): String = {
-      val cq = results.map { case (k, v) => s"${jstr(sid(k))}:${fmt(v)}" }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","unit":"sec","sf":"$sfBase","nq":${results.size},"nerr":${errors.size},"queries":$cq,"value":${fmt1(total)}}"""
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def line(qJson: String, qKey: String): String =
+      s"""{"metric":"total","unit":"sec","sf":"$sfBase","nq":${results.size},"nerr":${errors.size},"$qKey":$qJson,"value":${fmt1(total)}}"""
+    def full(fmt: Double => String): String =
+      line(results.map { case (k, v) => s"${jstr(sid(k))}:${fmt(v)}" }
+        .mkString("{", ",", "}"), "queries")
+    val l1 = full(fmt1)
+    if (l1.length <= limit) l1
+    else {
+      val l0 = full(fmt0)
+      if (l0.length <= limit) l0
+      else line(results.sortBy(-_._2).take(10)
+        .map { case (k, v) => s"${jstr(sid(k))}:${fmt1(v)}" }
+        .mkString("{", ",", "}"), "slowest")
     }
-    // adaptive precision: 1 dp while the whole line fits the driver's
-    // ~2 KB tail capture with slack, whole seconds past ~190 queries —
-    // a cruder-but-complete map beats a truncated precise one (the
-    // BENCH_r05 lesson); full-precision values are on the line above
-    val l1 = compactLine(fmt1)
-    println(if (l1.length <= 1900) l1 else compactLine(fmt0))
   }
 }
