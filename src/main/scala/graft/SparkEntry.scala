@@ -738,6 +738,12 @@ object SparkEntry {
     // least-squares regression (natural text ≈ slope −1).
     "t21_zipf_fit" -> ((s, dir) =>
       Vocab.zipfFit(par(tbl(s, dir, "documents")), k = 1000)),
+    // Heaps'-law vocabulary growth over the corpus in doc-id order:
+    // cumulative (tokens, types) points from per-doc deltas via the
+    // two-phase bucketed cumsum (no corpus-wide window), micro-nat
+    // integer regression. slope = β ≈ 0.4-0.6 for natural text.
+    "t40_heaps_law" -> ((s, dir) =>
+      Vocab.heapsFit(par(tbl(s, dir, "documents")))),
     // Corpus boilerplate coverage: fraction of each document's distinct
     // 3-gram shingles that appear in >= 3 documents. Shingle-df agg +
     // shuffle-hash join back + doc agg — never broadcasts the
@@ -1718,6 +1724,13 @@ object SparkEntry {
     // distance from the seeds. See Graph.personalizedPageRankPpm.
     "g3_ppr" -> ((s, dir) =>
       Graph.personalizedPageRankPpm(tradeEdges(s, dir), pprSeeds, iters = 10)),
+    // HITS hub/authority over the same trade graph — buyers that buy
+    // from authoritative producers vs producers bought by good buyers.
+    // 3 exact integer rounds, ppm-by-max normalization inside the loop
+    // (unnormalized HITS squares total edge weight per round and
+    // overflows decimal(38,0) by round three). See Graph.hitsPpm.
+    "g12_hits" -> ((s, dir) =>
+      Graph.hitsPpm(tradeEdges(s, dir), iters = 3)),
     // Sessions of the first 50 users that overlap the platform's 10
     // busiest hours — an interval×interval join with NO equi key,
     // bucket-tiled into an hour-wide equi-join (RangeJoin scaladoc).
@@ -2248,6 +2261,11 @@ object SparkEntry {
     // Day-of-week activity mix in exact ppm (ISO weekday 1=Monday):
     // the weekly-rhythm companion to u31's seasonality chi-square —
     // one 7-key aggregate, 1-row total broadcast back.
+    // DAU/MAU stickiness per active day: trailing-30d distinct users
+    // via a calendar-bounded sequence-explode (never a range join),
+    // floor-ppm ratio. See Lifecycle.stickiness.
+    "u48_stickiness" -> ((s, dir) =>
+      Lifecycle.stickiness(tbl(s, dir, "events"))),
     "u47_dow_mix" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
       e.groupBy(expr("CAST(weekday(ts) + 1 AS BIGINT)").as("isodow"))
@@ -2833,6 +2851,51 @@ object SparkEntry {
            |  ON nodes.node = c.node)""".stripMargin
       }.mkString
       s"$base$iters\nSELECT node, r AS rank_ppm FROM r$pagerankIters"
+    }
+    // HITS unrolled the same way: per round, a = A'h then h = A·a, each
+    // followed by the exact ppm-by-max renormalization x*1e6 // max(x)
+    // (the in-loop normalization that keeps HITS integer-exact — see
+    // Graph.hitsPpm). HUGEINT sums; all divisions are non-negative
+    // floors, so // here and DECIMAL div in Spark agree.
+    val hitsIters = 3
+    val hitsSql: String = {
+      val base =
+        """WITH edges AS (
+          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+          |    CAST(count(*) AS BIGINT) AS w
+          |  FROM lineitem l
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  GROUP BY 1, 2
+          |), nodes AS (
+          |  SELECT DISTINCT src AS node FROM edges
+          |  UNION SELECT DISTINCT dst FROM edges
+          |), h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS h FROM nodes)""".stripMargin
+      val iters = (1 to hitsIters).map { i =>
+        s""", a${i}r AS (
+           |  SELECT nodes.node, coalesce(c.s, 0) AS a
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS node, sum(CAST(e.w AS HUGEINT) * p.h) AS s
+           |    FROM edges e JOIN h${i - 1} p ON e.src = p.node GROUP BY e.dst) c
+           |  ON nodes.node = c.node
+           |), a$i AS (
+           |  SELECT node, CASE WHEN m.m = 0 THEN 0 ELSE a * 1000000 // m.m END AS a
+           |  FROM a${i}r, (SELECT max(a) AS m FROM a${i}r) m
+           |), h${i}r AS (
+           |  SELECT nodes.node, coalesce(c.s, 0) AS h
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.src AS node, sum(CAST(e.w AS HUGEINT) * p.a) AS s
+           |    FROM edges e JOIN a$i p ON e.dst = p.node GROUP BY e.src) c
+           |  ON nodes.node = c.node
+           |), h$i AS (
+           |  SELECT node, CASE WHEN m.m = 0 THEN 0 ELSE h * 1000000 // m.m END AS h
+           |  FROM h${i}r, (SELECT max(h) AS m FROM h${i}r) m
+           |)""".stripMargin
+      }.mkString
+      s"""$base$iters
+         |SELECT h.node, CAST(h.h AS BIGINT) AS hub_ppm, CAST(a.a AS BIGINT) AS auth_ppm
+         |FROM h$hitsIters h JOIN a$hitsIters a USING (node)""".stripMargin
     }
     Map(
       "retention_count" ->
@@ -3438,6 +3501,39 @@ object SparkEntry {
           |  FROM xy
           |)
           |SELECT CAST(n AS BIGINT) AS n_terms,
+          |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+          |  round(pow(CAST(n * sxy - sx * sy AS DOUBLE), 2) /
+          |        (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+          |FROM agg""".stripMargin,
+      // Heaps' law: cumulative (tokens, types) in doc-id order — the
+      // running window here IS the engine-exact twin of the operator's
+      // two-phase bucketed cumsum (both are exact integer prefix sums).
+      "t40_heaps_law" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS t
+          |  FROM documents
+          |), pd AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM tok GROUP BY 1
+          |), nv AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nv
+          |  FROM (SELECT min(doc_id) AS doc_id FROM tok GROUP BY t) GROUP BY 1
+          |), cum AS (
+          |  SELECT sum(pd.nt) OVER w AS ct, sum(coalesce(nv.nv, 0)) OVER w AS cv
+          |  FROM pd LEFT JOIN nv USING (doc_id)
+          |  WINDOW w AS (ORDER BY pd.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |), xy AS (
+          |  SELECT CAST(round(ln(CAST(ct AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+          |         CAST(round(ln(CAST(cv AS DOUBLE)) * 1000000) AS BIGINT) AS y
+          |  FROM cum WHERE ct > 0 AND cv > 0
+          |), agg AS (
+          |  SELECT CAST(count(*) AS HUGEINT) AS n,
+          |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+          |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+          |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+          |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+          |  FROM xy
+          |)
+          |SELECT CAST(n AS BIGINT) AS n_docs,
           |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
           |  round(pow(CAST(n * sxy - sx * sy AS DOUBLE), 2) /
           |        (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
@@ -5415,6 +5511,7 @@ object SparkEntry {
           |  AND e.event_type = m2.event_type AND e.event_id = m2.mid""".stripMargin,
       "g1_pagerank" -> pagerankSql,
       "g3_ppr" -> pprSql,
+      "g12_hits" -> hitsSql,
       "u23_interval_overlap" ->
         """WITH r AS (
           |  SELECT user_id, ts, event_id,
@@ -6390,6 +6487,23 @@ object SparkEntry {
           |       ELSE round(CAST(m * sxy - sx * sx AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE), 6)
           |  END AS assortativity
           |FROM s""".stripMargin,
+      "u48_stickiness" ->
+        """WITH ud AS (
+          |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+          |), dau AS (
+          |  SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+          |), mau AS (
+          |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+          |  FROM (
+          |    SELECT user_id,
+          |      CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+          |        CAST(d AS TIMESTAMP) + INTERVAL 29 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+          |    FROM ud
+          |  ) GROUP BY 1
+          |)
+          |SELECT dau.day AS day, dau, mau,
+          |  CAST(CAST(dau AS HUGEINT) * 1000000 // mau AS BIGINT) AS stickiness_ppm
+          |FROM dau JOIN mau USING (day)""".stripMargin,
       "u47_dow_mix" ->
         """WITH e AS (
           |  SELECT CAST(date_part('isodow', CAST(ts AS DATE)) AS BIGINT) AS isodow

@@ -557,4 +557,71 @@ object Graph {
                 .cast("double"),
             6)).as("assortativity"))
   }
+
+  /** HITS hub/authority scores (Kleinberg's mutual-reinforcement pair —
+    * the directed complement to [[pageRankPpm]]: PageRank finds
+    * IMPORTANT nodes, HITS separates nodes that POINT WELL (hubs: a
+    * customer nation that buys from the authoritative producers) from
+    * nodes that ARE POINTED AT well (authorities)). Fixed `iters`
+    * rounds over weighted `(src, dst, w)` edges:
+    * `a ← Aᵀh`, `h ← A·a`, each followed by an exact integer ppm
+    * re-normalization `x ← ⌊x·1e6 / max(x)⌋`.
+    *
+    * Normalizing INSIDE the loop (by max, in floor division) is what
+    * keeps the arithmetic exact at any scale: un-normalized HITS values
+    * square the total edge weight every iteration (overflowing even
+    * decimal(38,0) in three rounds on a mid-size graph), while the
+    * ppm-by-max form keeps every intermediate ≤ 1e6·w·deg and — unlike
+    * the conventional float L2 norm — is bit-reproducible on any
+    * engine. The fixpoint direction is preserved (scaling is what HITS
+    * quotients out); floor-vs-exact drift is ≤ 1 ppm per round by the
+    * same argument as [[pageRankPpm]]'s.
+    *
+    * Scale shape: identical to the PageRank loop — the edge table is
+    * touched twice per round by node-key equi-joins with map-side
+    * partial sums; the score tables (|V| rows) are the only per-round
+    * reshuffles; the max is a 1-row broadcast. Eager per-round
+    * materialization cuts the doubling lineage. Output:
+    * `(node, hub_ppm, auth_ppm)`, both BIGINT in [0, 1e6]. */
+  def hitsPpm(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      weightCol: String = "w", iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
+      col(weightCol).cast("long").as("_w")).localCheckpoint()
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node"))).distinct().localCheckpoint()
+    def ppmByMax(scored: DataFrame, c: String): DataFrame = {
+      val m = scored.agg(max(col(c)).as("_m"))
+      scored.crossJoin(broadcast(m))
+        .select(col("node"),
+          when(col("_m") === 0, lit(0L).cast("decimal(38,0)"))
+            .otherwise(expr(s"($c * 1000000) div _m")).as(c))
+    }
+    var h = nodes.withColumn("_h", lit(1000000L).cast("decimal(38,0)"))
+      .localCheckpoint()
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = nodes.join(
+        e.join(h.withColumnRenamed("node", "_src"), Seq("_src"))
+          .groupBy(col("_dst").as("node"))
+          .agg(sum(dec(col("_w")) * col("_h")).as("_a0")),
+        Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("_a0"), lit(0L).cast("decimal(38,0)")).as("_a"))
+      a = ppmByMax(aRaw, "_a").localCheckpoint()
+      val hRaw = nodes.join(
+        e.join(a.withColumnRenamed("node", "_dst"), Seq("_dst"))
+          .groupBy(col("_src").as("node"))
+          .agg(sum(dec(col("_w")) * col("_a")).as("_h0")),
+        Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("_h0"), lit(0L).cast("decimal(38,0)")).as("_h"))
+      h = ppmByMax(hRaw, "_h").localCheckpoint()
+    }
+    h.join(a, Seq("node"))
+      .select(col("node"), col("_h").cast("long").as("hub_ppm"),
+        col("_a").cast("long").as("auth_ppm"))
+  }
 }

@@ -246,6 +246,67 @@ object Vocab {
         .select((col("token_id").cast("double") + 1).as("rank"), col("cf")),
       "rank", "cf", nName = "n_terms")
 
+  /** Heaps'-law vocabulary-growth fit — `V(n) ≈ K·nᵝ` with `n` the
+    * cumulative token count and `V` the cumulative distinct-type count
+    * over the corpus read in `idCol` order. Natural text sits at
+    * β ≈ 0.4–0.6; β → 1 means the vocabulary never saturates
+    * (character soup, random ids — each doc brings mostly-new "types"),
+    * β → 0 means a closed template vocabulary. The corpus-level
+    * companion to [[zipfFit]] (they are asymptotically linked) and the
+    * one-number answer to "is more data still buying new vocabulary?"
+    * when sizing a tokenizer or dedup budget.
+    *
+    * Exactness: each document contributes its token count and its
+    * NEW-TYPE count (types whose corpus-first occurrence, in id order,
+    * is this document — one `min(doc_id)` aggregate per type, no
+    * ordered scan); cumulative sums are exact integers, and the
+    * regression is [[Profile.logLogFit]]'s micro-nat integer form, so
+    * any engine reproduces the bits.
+    *
+    * Plan shape at 100 TB: explode feeds two hash aggregates (per-doc
+    * token counts; per-type min-id, re-aggregated to per-doc new-type
+    * counts) — all map-side combined, never materializing the explode.
+    * The cumulative sum is two-phase: per-doc deltas roll up to
+    * id-range buckets (`bucketWidth` ids per bucket), ONE ordered
+    * window runs over the bucket aggregate (corpus/bucketWidth rows —
+    * size bucketWidth so that table is ~10⁴–10⁶ rows), and each
+    * bucket's prefix broadcasts back onto an in-bucket window
+    * partitioned by bucket. No corpus-wide unpartitioned window, no
+    * driver loop. Output: one row (n_docs, slope, r2) — slope = β. */
+  def heapsFit(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      bucketWidth: Long = 1024L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val tok = docs.select(col(idCol).cast("long").as("_id"),
+      explode(Text.tokens(lower(col(textCol)))).as("_t"))
+    val perDoc = tok.groupBy(col("_id")).agg(count(lit(1)).as("_nt"))
+    val newTypes = tok.groupBy(col("_t")).agg(min(col("_id")).as("_id"))
+      .groupBy(col("_id")).agg(count(lit(1)).as("_nv"))
+    val deltas = perDoc.join(newTypes, Seq("_id"), "left")
+      .select(col("_id"), col("_nt"), coalesce(col("_nv"), lit(0L)).as("_nv"),
+        expr(s"_id div $bucketWidth").as("_b"))
+    // phase 1: per-bucket totals, then EXCLUSIVE prefix over the small
+    // bucket table (the only ordered window, corpus/bucketWidth rows)
+    val wb = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = deltas.groupBy(col("_b"))
+      .agg(sum(col("_nt")).as("_bt"), sum(col("_nv")).as("_bv"))
+      .select(col("_b"),
+        coalesce(sum(col("_bt")).over(wb), lit(0L)).as("_pt"),
+        coalesce(sum(col("_bv")).over(wb), lit(0L)).as("_pv"))
+    // phase 2: in-bucket inclusive cumsum rides a bucket-partitioned
+    // window; bucket prefix joins back by the bucket key
+    val wi = Window.partitionBy(col("_b")).orderBy(col("_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = deltas.join(prefixes, Seq("_b"))
+      .select(
+        (col("_pt") + sum(col("_nt")).over(wi)).as("cum_tokens"),
+        (col("_pv") + sum(col("_nv")).over(wi)).as("cum_types"))
+    Profile.logLogFit(
+      cum.where(col("cum_tokens") > 0 && col("cum_types") > 0),
+      "cum_tokens", "cum_types", nName = "n_docs")
+  }
+
   /** Per-document lexical-diversity profile — the vocabulary-richness
     * quality signal complementary to [[meanSurprisal]] (which needs a
     * corpus model) and `Repetition` (which looks at adjacent structure):

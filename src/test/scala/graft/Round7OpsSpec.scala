@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Graph, Sessions}
+import graft.operators.{Dedup, Graph, Lifecycle, Sessions, Vocab}
 
 /** Behavior specs for the round-7 fixes: modularity under partial label
   * coverage, sign-split TWAP quantization, the idf-cosine hot-shingle
@@ -149,5 +149,86 @@ class Round7OpsSpec extends AnyFunSuite {
     // near-dups (cos ≥ 0.95 within a cluster) collapse to the min id:
     // survivors are exactly one keeper per tight cluster
     assert(byCell.map(_._1) === Set(0L, 5L))
+  }
+
+  // ── Vocab.heapsFit ─────────────────────────────────────────────────
+
+  test("heaps fit: cumulative token/type points in id order, exact regression") {
+    import spark.implicits._
+    // doc 1 "a b a" -> (3 tokens, 2 new types); doc 2 "b c" -> (5, 3);
+    // doc 3 "a c d d" -> (9, 4): fit over (3,2),(5,3),(9,4) in log-log.
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a c d d"))
+      .toDF("doc_id", "text")
+    val r = Vocab.heapsFit(docs).collect().head
+    assert(r.getLong(0) === 3L)
+    // driver replicate of the micro-nat integer regression
+    val pts = Seq((3L, 2L), (5L, 3L), (9L, 4L)).map { case (x, y) =>
+      (BigInt(math.round(math.log(x.toDouble) * 1e6)),
+        BigInt(math.round(math.log(y.toDouble) * 1e6)))
+    }
+    val n = BigInt(pts.size)
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val num = (n * sxy - sx * sy).toDouble
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(1) === r6(num / (n * sxx - sx * sx).toDouble))
+    assert(r.getDouble(2) === r6(num * num /
+      ((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)))
+    // β for a vocabulary still growing sublinearly sits in (0, 1)
+    assert(r.getDouble(1) > 0 && r.getDouble(1) < 1)
+  }
+
+  // ── Graph.hitsPpm ──────────────────────────────────────────────────
+
+  test("hits: hub/authority structure on a directed star, exact ppm loop") {
+    import spark.implicits._
+    // 1 -> {2, 3}, 4 -> 3: node 1 is the best hub (points at both
+    // authorities), node 3 the best authority (pointed at by both hubs);
+    // nodes 2/3 have no out-edges (hub 0), 1/4 no in-edges (auth 0).
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (4L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.hitsPpm(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // driver replicate of the exact integer loop
+    val e = Seq((1L, 2L, 1L), (1L, 3L, 1L), (4L, 3L, 1L))
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    def ppm(m: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val mx = m.values.max
+      m.map { case (k, v) => k -> (if (mx == 0) BigInt(0) else v * 1000000 / mx) }
+    }
+    var h = nodes.map(_ -> BigInt(1000000)).toMap
+    var a = Map.empty[Long, BigInt]
+    for (_ <- 1 to 3) {
+      a = ppm(nodes.map(v =>
+        v -> e.filter(_._2 == v).map(x => BigInt(x._3) * h(x._1)).sum).toMap)
+      h = ppm(nodes.map(u =>
+        u -> e.filter(_._1 == u).map(x => BigInt(x._3) * a(x._2)).sum).toMap)
+    }
+    val want = nodes.map(v => v -> ((h(v).toLong, a(v).toLong))).toMap
+    assert(got === want)
+    assert(got(1L)._1 === 1000000L && got(3L)._2 === 1000000L)
+    assert(got(4L)._1 > 0 && got(4L)._1 < 1000000L)
+    assert(got(2L)._1 === 0L && got(1L)._2 === 0L)
+  }
+
+  // ── Lifecycle.stickiness ───────────────────────────────────────────
+
+  test("stickiness: trailing-window MAU via sequence explode, floor ppm") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    // window 2 days: d1 {u1,u2}, d2 {u1}, d3 {u3}
+    // MAU: d1 <- {u1,u2}; d2 <- {u1,u2}; d3 <- {u1(d2),u3} = 2 each
+    val ev = Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (1L, "2024-01-01"),
+      (1L, "2024-01-02"), (3L, "2024-01-03"))
+      .map { case (u, d) => (u, t(d)) }.toDF("user_id", "ts")
+    val got = Lifecycle.stickiness(ev, windowDays = 2).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      "2024-01-01" -> ((2L, 2L, 1000000L)),
+      "2024-01-02" -> ((1L, 2L, 500000L)),
+      "2024-01-03" -> ((1L, 2L, 500000L))))
   }
 }

@@ -415,4 +415,33 @@ class ScaleSpec extends AnyFunSuite {
       assert((r(d)._2, r(d)._3) === su(g))
     }
   }
+
+  test("semDedup k ∝ N holds in-cell pair work per vector constant at 10x") {
+    // gated on the 10x scale-rehearsal blow-up (regenerate with
+    // `runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sf1 10`)
+    assume(new java.io.File("/tmp/sf1/embeddings.parquet").exists(),
+      "10x rehearsal data absent")
+    Graft.registerAll(spark) // trainIvfCells uses the long_dot native fn
+    // the in-cell candidate join costs Σ n_c² rows; with the
+    // targetCellSize rule k = ⌈N/cell⌉ the expected per-vector cost
+    // Σn_c²/N ≈ ⟨cell⟩ stays CONSTANT as the corpus grows (a pinned k
+    // would grow it linearly — 10x here, measured 4.5x wall in the
+    // round-6 rehearsal)
+    def pairWorkPerVec(dir: String, target: Long): Double = {
+      val emb = SparkEntry.tbl(spark, dir, "embeddings")
+      val n = emb.count()
+      val k = math.ceil(n.toDouble / target).toInt
+      val sizes = graft.operators.Similarity
+        .trainIvfCells(emb, "vec_id", "embedding", k, iters = 2)
+        .groupBy(col("_cell")).agg(count(lit(1)).as("c"))
+        .collect().map(_.getLong(1))
+      assert(sizes.length === k)
+      sizes.map(c => c.toDouble * c).sum / n
+    }
+    val w1 = pairWorkPerVec(TestData.dir("0.1"), 256L)
+    val w10 = pairWorkPerVec("/tmp/sf1", 256L)
+    // constant modulo k-means imbalance: nowhere near the 10x a pinned
+    // k would show
+    assert(w10 < 4.0 * w1, s"per-vector pair work grew $w1 -> $w10")
+  }
 }
