@@ -42,11 +42,10 @@ object Bench {
   private def sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private def cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-  /** Last-round per-query seconds (round-6 artifact, with the judge's
-    * isolated re-bench numbers overriding the handful of
-    * confirm-starved inflated entries and the budget-skipped tail).
-    * Keyed by the query's unique id prefix; queries added after round 6
-    * default to [[DefaultExpectedSec]]. This drives HEAVIEST-FIRST
+  /** Last-round per-query seconds (the round-7 dress rehearsal:
+    * 211/211 measured, 0 errors, 0 suspects, 1,121 s wall under the
+    * 1,250 s budget). Keyed by the query's unique id prefix; queries
+    * added later default to [[DefaultExpectedSec]]. This drives HEAVIEST-FIRST
     * scheduling: BENCH_r06 ran groups alphabetically, hit the budget
     * deadline, and skipped the alphabetical tail (u44-u47, u4-u9) —
     * ordering by descending expected cost makes any residual shortfall
@@ -54,41 +53,42 @@ object Bench {
     * ones the fast-mode fallback measures accurately in one run. */
   private val lastRoundSec: Map[String, Double] =
     Map(
-      "d1" -> 0.4, "d10" -> 4.0, "d11" -> 4.0, "d12" -> 4.0, "d13" -> 2.0, "d14" -> 2.0,
-      "d15" -> 5.0, "d16" -> 3.0, "d17" -> 2.0, "d18" -> 1.0, "d19" -> 2.0, "d2" -> 2.0,
-      "d20" -> 1.0, "d21" -> 4.0, "d22" -> 1.5, "d23" -> 1.7, "d24" -> 4.0, "d3" -> 1.0,
-      "d4" -> 4.0, "d5" -> 5.1, "d6" -> 4.0, "d7" -> 1.0, "d8" -> 4.0, "d9" -> 2.0,
-      "g1" -> 3.0, "g10" -> 2.0, "g11" -> 3.0, "g2" -> 2.0, "g3" -> 4.0, "g4" -> 1.0,
-      "g5" -> 2.0, "g6" -> 3.0, "g7" -> 3.0, "g8" -> 3.0, "g9" -> 2.0, "m1" -> 0.4,
-      "m2" -> 1.0, "m3" -> 0.4, "m4" -> 1.0, "m5" -> 0.4, "m6" -> 0.4, "p1" -> 0.4,
-      "p10" -> 0.4, "p11" -> 0.4, "p12" -> 4.0, "p13" -> 1.0, "p14" -> 0.4, "p15" -> 1.0,
-      "p16" -> 1.0, "p17" -> 0.4, "p18" -> 0.4, "p2" -> 0.4, "p3" -> 0.4, "p4" -> 0.4,
-      "p5" -> 1.0, "p6" -> 0.4, "p7" -> 2.0, "p8" -> 3.0, "p9" -> 0.4, "q1" -> 0.4,
-      "q10" -> 0.4, "q11" -> 1.0, "q12" -> 0.4, "q13" -> 0.4, "q14" -> 1.0, "q15" -> 0.4,
-      "q16" -> 0.4, "q17" -> 0.4, "q18" -> 0.4, "q19" -> 0.4, "q2" -> 0.4, "q20" -> 0.4,
-      "q21" -> 0.4, "q22" -> 0.4, "q23" -> 1.0, "q24" -> 0.4, "q25" -> 0.4, "q26" -> 0.4,
-      "q27" -> 0.4, "q28" -> 0.4, "q29" -> 0.4, "q3" -> 0.4, "q30" -> 0.4, "q31" -> 0.4,
-      "q32" -> 1.0, "q33" -> 0.4, "q34" -> 0.4, "q35" -> 0.4, "q36" -> 1.0, "q37" -> 0.4,
-      "q38" -> 1.0, "q39" -> 0.4, "q4" -> 0.4, "q40" -> 0.4, "q41" -> 3.1, "q42" -> 0.4,
-      "q43" -> 0.4, "q5" -> 0.4, "q6" -> 0.4, "q7" -> 1.0, "q8" -> 0.4, "q9" -> 0.4,
-      "retention_count" -> 0.4, "retention_sum" -> 0.4, "s1" -> 1.0, "s10" -> 3.0, "s11" -> 1.0, "s12" -> 1.0,
-      "s13" -> 1.0, "s14" -> 1.0, "s15" -> 1.0, "s16" -> 0.4, "s17" -> 3.0, "s18" -> 1.0,
-      "s19" -> 0.4, "s2" -> 1.0, "s20" -> 1.0, "s3" -> 2.0, "s4" -> 1.0, "s5" -> 3.0,
-      "s6" -> 1.0, "s7" -> 1.0, "s8" -> 2.8, "s9" -> 4.6, "t1" -> 0.4, "t10" -> 1.0,
-      "t11" -> 1.0, "t12" -> 1.0, "t13" -> 1.0, "t14" -> 0.4, "t15" -> 1.0, "t16" -> 2.0,
-      "t17" -> 1.0, "t18" -> 2.0, "t19" -> 1.0, "t2" -> 0.4, "t20" -> 1.0, "t21" -> 1.0,
-      "t22" -> 1.0, "t23" -> 1.0, "t24" -> 1.0, "t25" -> 0.4, "t26" -> 2.0, "t27" -> 1.0,
-      "t28" -> 0.4, "t29" -> 1.0, "t3" -> 0.4, "t30" -> 0.4, "t31" -> 1.0, "t33" -> 1.0,
-      "t34" -> 2.0, "t35" -> 1.0, "t36" -> 1.0, "t37" -> 0.4, "t38" -> 1.0, "t39" -> 0.4,
-      "t4" -> 0.4, "t5" -> 0.4, "t6" -> 1.0, "t7" -> 0.4, "t8" -> 0.4, "t9" -> 2.0,
-      "u1" -> 0.4, "u10" -> 1.0, "u11" -> 1.0, "u12" -> 1.0, "u13" -> 0.4, "u14" -> 0.4,
-      "u15" -> 0.4, "u16" -> 0.4, "u17" -> 1.0, "u18" -> 0.4, "u19" -> 1.0, "u2" -> 0.4,
-      "u20" -> 0.4, "u21" -> 0.4, "u23" -> 0.4, "u24" -> 0.4, "u25" -> 0.4, "u26" -> 0.4,
-      "u27" -> 1.0, "u28" -> 1.0, "u29" -> 1.0, "u3" -> 0.4, "u30" -> 1.0, "u31" -> 0.4,
-      "u32" -> 0.4, "u33" -> 1.0, "u34" -> 0.4, "u35" -> 0.4, "u36" -> 1.0, "u37" -> 0.4,
-      "u38" -> 0.4, "u39" -> 0.4, "u4" -> 2.0, "u40" -> 1.0, "u41" -> 0.4, "u42" -> 1.0,
-      "u43" -> 0.4, "u44" -> 2.0, "u45" -> 2.0, "u46" -> 2.0, "u47" -> 2.0, "u5" -> 2.0,
-      "u6" -> 2.0, "u7" -> 3.7, "u8" -> 2.0, "u9" -> 2.0)
+      "d1" -> 0.3, "d10" -> 2.8, "d11" -> 2.3, "d12" -> 2.4, "d13" -> 1.7, "d14" -> 1.7,
+      "d15" -> 5.6, "d16" -> 2.7, "d17" -> 1.9, "d18" -> 0.7, "d19" -> 1.1, "d2" -> 1.3,
+      "d20" -> 0.6, "d21" -> 2.2, "d22" -> 1.4, "d23" -> 1.8, "d24" -> 2.6, "d3" -> 0.3,
+      "d4" -> 1.1, "d5" -> 5.5, "d6" -> 2.6, "d7" -> 0.8, "d8" -> 0.6, "d9" -> 1.0,
+      "g1" -> 2.8, "g10" -> 1.9, "g11" -> 2.7, "g12" -> 2.8, "g2" -> 1.1, "g3" -> 3.9,
+      "g4" -> 1.2, "g5" -> 1.6, "g6" -> 3.4, "g7" -> 2.8, "g8" -> 2.7, "g9" -> 2.5,
+      "m1" -> 0.3, "m2" -> 0.3, "m3" -> 0.3, "m4" -> 0.4, "m5" -> 0.3, "m6" -> 0.3,
+      "p1" -> 0.3, "p10" -> 0.3, "p11" -> 0.4, "p12" -> 2.7, "p13" -> 0.5, "p14" -> 0.3,
+      "p15" -> 0.4, "p16" -> 0.5, "p17" -> 0.3, "p18" -> 0.6, "p2" -> 0.3, "p3" -> 0.3,
+      "p4" -> 0.5, "p5" -> 0.3, "p6" -> 0.3, "p7" -> 1.0, "p8" -> 2.7, "p9" -> 0.3,
+      "q1" -> 0.6, "q10" -> 0.3, "q11" -> 0.7, "q12" -> 0.3, "q13" -> 0.3, "q14" -> 0.4,
+      "q15" -> 0.3, "q16" -> 0.4, "q17" -> 0.3, "q18" -> 0.4, "q19" -> 0.4, "q2" -> 0.3,
+      "q20" -> 0.3, "q21" -> 0.5, "q22" -> 0.3, "q23" -> 0.5, "q24" -> 0.4, "q25" -> 0.4,
+      "q26" -> 0.3, "q27" -> 0.3, "q28" -> 0.5, "q29" -> 0.3, "q3" -> 0.3, "q30" -> 0.3,
+      "q31" -> 0.4, "q32" -> 0.3, "q33" -> 0.3, "q34" -> 0.3, "q35" -> 0.3, "q36" -> 0.9,
+      "q37" -> 0.3, "q38" -> 0.8, "q39" -> 0.3, "q4" -> 0.3, "q40" -> 0.3, "q41" -> 3.1,
+      "q42" -> 0.6, "q43" -> 0.6, "q5" -> 0.3, "q6" -> 0.5, "q7" -> 0.8, "q8" -> 0.3,
+      "q9" -> 0.3, "retention_count" -> 0.3, "retention_sum" -> 0.3, "s1" -> 0.5, "s10" -> 1.6, "s11" -> 1.0,
+      "s12" -> 1.2, "s13" -> 1.2, "s14" -> 0.4, "s15" -> 0.3, "s16" -> 0.4, "s17" -> 2.2,
+      "s18" -> 0.4, "s19" -> 0.3, "s2" -> 0.5, "s20" -> 0.7, "s3" -> 1.5, "s4" -> 0.5,
+      "s5" -> 2.6, "s6" -> 1.2, "s7" -> 0.4, "s8" -> 4.4, "s9" -> 5.7, "t1" -> 0.3,
+      "t10" -> 0.7, "t11" -> 0.7, "t12" -> 0.6, "t13" -> 0.8, "t14" -> 0.3, "t15" -> 0.7,
+      "t16" -> 1.2, "t17" -> 0.6, "t18" -> 1.2, "t19" -> 0.7, "t2" -> 0.3, "t20" -> 0.4,
+      "t21" -> 0.6, "t22" -> 0.8, "t23" -> 0.3, "t24" -> 0.5, "t25" -> 0.3, "t26" -> 1.4,
+      "t27" -> 0.4, "t28" -> 0.3, "t29" -> 0.3, "t3" -> 0.3, "t30" -> 0.5, "t31" -> 0.7,
+      "t33" -> 0.6, "t34" -> 1.1, "t35" -> 0.7, "t36" -> 0.6, "t37" -> 0.3, "t38" -> 0.7,
+      "t39" -> 0.3, "t4" -> 0.3, "t40" -> 0.8, "t5" -> 0.3, "t6" -> 0.4, "t7" -> 0.3,
+      "t8" -> 0.3, "t9" -> 1.0, "u1" -> 0.3, "u10" -> 0.4, "u11" -> 0.8, "u12" -> 0.8,
+      "u13" -> 0.4, "u14" -> 0.3, "u15" -> 0.4, "u16" -> 0.4, "u17" -> 0.7, "u18" -> 0.4,
+      "u19" -> 0.6, "u2" -> 0.4, "u20" -> 0.3, "u21" -> 0.3, "u23" -> 0.5, "u24" -> 0.3,
+      "u25" -> 0.7, "u26" -> 0.6, "u27" -> 0.7, "u28" -> 0.7, "u29" -> 0.3, "u3" -> 0.3,
+      "u30" -> 0.4, "u31" -> 0.4, "u32" -> 0.4, "u33" -> 0.8, "u34" -> 0.5, "u35" -> 0.4,
+      "u36" -> 0.4, "u37" -> 0.3, "u38" -> 0.3, "u39" -> 0.3, "u4" -> 0.3, "u40" -> 0.4,
+      "u41" -> 0.3, "u42" -> 0.8, "u43" -> 0.5, "u44" -> 0.3, "u45" -> 0.4, "u46" -> 0.3,
+      "u47" -> 0.3, "u5" -> 0.3, "u6" -> 0.3, "u7" -> 3.3, "u8" -> 0.4,
+      "u9" -> 0.7)
 
   /** New queries (no last-round number) are assumed mid-weight so they
     * schedule early enough to always get measured. */

@@ -2261,11 +2261,6 @@ object SparkEntry {
     // Day-of-week activity mix in exact ppm (ISO weekday 1=Monday):
     // the weekly-rhythm companion to u31's seasonality chi-square —
     // one 7-key aggregate, 1-row total broadcast back.
-    // DAU/MAU stickiness per active day: trailing-30d distinct users
-    // via a calendar-bounded sequence-explode (never a range join),
-    // floor-ppm ratio. See Lifecycle.stickiness.
-    "u48_stickiness" -> ((s, dir) =>
-      Lifecycle.stickiness(tbl(s, dir, "events"))),
     "u47_dow_mix" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
       e.groupBy(expr("CAST(weekday(ts) + 1 AS BIGINT)").as("isodow"))
@@ -6487,23 +6482,6 @@ object SparkEntry {
           |       ELSE round(CAST(m * sxy - sx * sx AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE), 6)
           |  END AS assortativity
           |FROM s""".stripMargin,
-      "u48_stickiness" ->
-        """WITH ud AS (
-          |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
-          |), dau AS (
-          |  SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
-          |), mau AS (
-          |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
-          |  FROM (
-          |    SELECT user_id,
-          |      CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
-          |        CAST(d AS TIMESTAMP) + INTERVAL 29 DAY, INTERVAL 1 DAY)) AS DATE) AS day
-          |    FROM ud
-          |  ) GROUP BY 1
-          |)
-          |SELECT dau.day AS day, dau, mau,
-          |  CAST(CAST(dau AS HUGEINT) * 1000000 // mau AS BIGINT) AS stickiness_ppm
-          |FROM dau JOIN mau USING (day)""".stripMargin,
       "u47_dow_mix" ->
         """WITH e AS (
           |  SELECT CAST(date_part('isodow', CAST(ts AS DATE)) AS BIGINT) AS isodow

@@ -97,40 +97,4 @@ object Lifecycle {
       .select(col("user_id"), col("week"), col("n_events"),
         when(col("_active_next").isNull, 1L).otherwise(0L).as("churned_next"))
   }
-
-  /** DAU/MAU stickiness — the engagement-frequency ratio product teams
-    * track weekly: for each day with activity, the distinct users that
-    * day (DAU), the distinct users over the trailing `windowDays`
-    * window ending that day (MAU), and `stickiness_ppm = ⌊DAU·1e6 /
-    * MAU⌋`. 1e6 means everyone active this month was active today
-    * (daily habit); ~33,333 ppm (1/30) is the monthly-visitor floor.
-    *
-    * Plan shape at 100 TB: the raw stream shuffles ONCE into the
-    * distinct (user, day) table with map-side partials (the
-    * [[growthAccounting]] scale argument). The trailing window is NOT
-    * a range join: each user-day row projects the `windowDays` future
-    * days it supports via `explode(sequence(...))` — a calendar-bounded
-    * ×`windowDays` fanout inside the scan stage — and the (day, user)
-    * distinct + per-day count is one more combined aggregate. Days with
-    * no activity anywhere contribute and receive nothing; MAU counts a
-    * user once however many active days they had in the window.
-    * Exact integers throughout; floor division in ppm. */
-  def stickiness(
-      events: DataFrame, userCol: String = "user_id", tsCol: String = "ts",
-      windowDays: Int = 30): DataFrame = {
-    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
-    val ud = events
-      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_d"))
-      .distinct()
-    val dau = ud.groupBy(col("_d").as("day")).agg(count(lit(1)).as("dau"))
-    val mau = ud
-      .select(col("_u"), explode(
-        sequence(col("_d"), date_add(col("_d"), windowDays - 1)))
-        .as("day"))
-      .distinct()
-      .groupBy(col("day")).agg(count(lit(1)).as("mau"))
-    dau.join(mau, Seq("day"))
-      .select(col("day"), col("dau"), col("mau"),
-        expr("(dau * 1000000L) div mau").cast("long").as("stickiness_ppm"))
-  }
 }

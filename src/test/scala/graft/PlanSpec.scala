@@ -659,4 +659,17 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges === 1,
       s"window and group-by must ride ONE user-key exchange, found $exchanges:\n$p")
   }
+
+  test("t40 heaps fit: per-doc cumsum windows partition by bucket, no nested loop") {
+    val p = plan("t40_heaps_law")
+    // the two-phase cumsum's in-bucket window must be PARTITIONED by the
+    // bucket key — only the tiny bucket-aggregate prefix may run in a
+    // single ordered partition
+    assert(p.contains("windowspecdefinition(_b"),
+      s"in-bucket cumsum must partition by the bucket key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"heaps fit must be joins/aggregates only:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"token aggregates must map-side combine:\n$p")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Graph, Lifecycle, Sessions, Vocab}
+import graft.operators.{Dedup, Graph, Sessions, Vocab}
 
 /** Behavior specs for the round-7 fixes: modularity under partial label
   * coverage, sign-split TWAP quantization, the idf-cosine hot-shingle
@@ -213,22 +213,4 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got(2L)._1 === 0L && got(1L)._2 === 0L)
   }
 
-  // ── Lifecycle.stickiness ───────────────────────────────────────────
-
-  test("stickiness: trailing-window MAU via sequence explode, floor ppm") {
-    import spark.implicits._
-    def t(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
-    // window 2 days: d1 {u1,u2}, d2 {u1}, d3 {u3}
-    // MAU: d1 <- {u1,u2}; d2 <- {u1,u2}; d3 <- {u1(d2),u3} = 2 each
-    val ev = Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (1L, "2024-01-01"),
-      (1L, "2024-01-02"), (3L, "2024-01-03"))
-      .map { case (u, d) => (u, t(d)) }.toDF("user_id", "ts")
-    val got = Lifecycle.stickiness(ev, windowDays = 2).collect()
-      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
-      .toMap
-    assert(got === Map(
-      "2024-01-01" -> ((2L, 2L, 1000000L)),
-      "2024-01-02" -> ((1L, 2L, 500000L)),
-      "2024-01-03" -> ((1L, 2L, 500000L))))
-  }
 }
