@@ -100,6 +100,15 @@ object Bench {
     * under-estimating risks the fast-mode cliff. */
   private val BootSec = 20.0
 
+  /** Per-query child overhead beyond the timed runs themselves (plan
+    * compile, codegen, the release() unpersist sweep): the round-7
+    * dress rehearsal measured ~1.7 s/query of child wall not explained
+    * by boots + 3× the timed minimum. Omitting it made the projection
+    * optimistic by ~25% — enough to hold group=9 at 210 queries and
+    * hit the deadline mid-pass, exactly the cliff the projection
+    * exists to avoid. */
+  private val PerQueryOverheadSec = 1.7
+
   private def expectedSec(n: String): Double =
     lastRoundSec.getOrElse(n.split("_")(0),
       lastRoundSec.getOrElse(n, DefaultExpectedSec))
@@ -269,7 +278,14 @@ object Bench {
     // fork could not reach are recorded as skipped.
     val queue = scala.collection.mutable.Queue(
       names.sortBy(n => (-expectedSec(n), n)): _*)
-    val confirmReserveSec = 120.0
+    // Reserve for the confirm pass: ~3 isolated forks. Kept modest —
+    // the round-7 dress rehearsal (group=18, 211 queries) finished its
+    // group pass AND all confirm forks in 1,121 s of the 1,250 budget,
+    // and the projection priced that group pass at 1,131 s; a 120 s
+    // reserve would push the escalation one doubling further (36-query
+    // children) and trade measured fidelity for slack the pass
+    // demonstrably doesn't need.
+    val confirmReserveSec = 60.0
     val maxGroup = 4 * group
     var fast = false
     var gSize = group
@@ -278,7 +294,8 @@ object Bench {
     while (queue.nonEmpty) {
       def projected(runsPerQuery: Double): Double =
         math.ceil(queue.size.toDouble / gSize) * BootSec +
-          queue.iterator.map(expectedSec).sum * runsPerQuery
+          queue.iterator.map(expectedSec).sum * runsPerQuery +
+          queue.size * PerQueryOverheadSec
       val rem = budgetSec - elapsed
       // Escalation order matters for fidelity: JVM boots dominate the
       // projection (~24 boots × 18 s at 200+ queries), so GROW THE
