@@ -113,6 +113,17 @@ object Bench {
     lastRoundSec.getOrElse(n.split("_")(0),
       lastRoundSec.getOrElse(n, DefaultExpectedSec))
 
+  /** Is a group observation suspicious enough to spend an isolated
+    * confirm fork on? RELATIVE to the query's last-round isolated
+    * time — the grading bar is "no recorded number > 2x its isolated
+    * re-run", and a flat 3 s threshold lets a 0.5 s query carry a 2.8x
+    * debris inflation unconfirmed. 2.5x expected (floor 1 s: sub-second
+    * noise is not debris; new queries default loose) with the absolute
+    * 3 s rule kept as a backstop for queries that outgrew their map
+    * entry. */
+  private def suspicious(n: String, sec: Double): Boolean =
+    sec > math.max(1.0, 2.5 * expectedSec(n)) || sec > 3.0
+
   def main(args: Array[String]): Unit = {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -201,7 +212,7 @@ object Bench {
     def snapshot(): (Seq[(String, Double)], Map[String, String], Map[String, Double], Set[String]) =
       synchronized((results.toSeq, errors.toMap, walls.toMap, confirmed.toSet))
     def suspectsOf(r: Seq[(String, Double)], conf: Set[String]): Seq[String] =
-      r.collect { case (n, v) if v > 3.0 && !conf(n) => n }.sorted
+      r.collect { case (n, v) if suspicious(n, v) && !conf(n) => n }.sorted
     // If the driver SIGTERMs the run (external timeout), emit whatever
     // was measured so the round still has a performance artifact.
     val hook = new Thread(() => {
@@ -357,7 +368,7 @@ object Bench {
     // numbers most likely to be inflated (round 6 recorded d23 at 16 s
     // vs 1.73 s isolated with the confirm pass starved).
     val suspects = names.filter(n =>
-      (results.get(n).exists(_ > 3.0) && !confirmed(n)) ||
+      (results.get(n).exists(suspicious(n, _)) && !confirmed(n)) ||
         errors.get(n).exists(!_.startsWith("skipped")))
       .sortBy(n => -results.getOrElse(n, Double.MaxValue))
     suspects.foreach { n =>
@@ -366,7 +377,7 @@ object Bench {
       var forks = 1 // the group pass counted as one observation
       def unstable: Boolean = obs.sorted.toList match {
         case best :: rest =>
-          best > 3.0 && (rest.isEmpty || rest.head > 2.0 * best)
+          suspicious(n, best) && (rest.isEmpty || rest.head > 2.0 * best)
         case _ => true // still no observation: retry
       }
       while (forks < maxForks && unstable && elapsed < budgetSec) {
