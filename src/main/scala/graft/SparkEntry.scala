@@ -1173,6 +1173,13 @@ object SparkEntry {
     // TakeOrderedAndProject. Ties break on the path string.
     "u9_top_paths" -> ((s, dir) =>
       Paths.topPaths(tbl(s, dir, "events"), k = 5, topN = 20)),
+    // Behavioral twins: top-5 lookalike users per query user by exact
+    // Jaccard over journey trigrams. The trigram key domain is bounded
+    // (|event types|³), so the tiny query side broadcasts and the
+    // corpus trigram table is probed in place — never shuffled on the
+    // hot gram key. See Paths.behaviorTwins.
+    "u49_behavior_twins" -> ((s, dir) =>
+      Paths.behaviorTwins(tbl(s, dir, "events"), queryUsers = Seq(1L, 2L, 3L, 4L, 5L))),
     // A/B experiment lift: hash-derived variant (no assignment join),
     // one user-key shuffle for the conversion flag, then a 2-row variant
     // summary with the 1-row control side broadcast back. lift and z are
@@ -6482,6 +6489,36 @@ object SparkEntry {
           |       ELSE round(CAST(m * sxy - sx * sx AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE), 6)
           |  END AS assortativity
           |FROM s""".stripMargin,
+      "u49_behavior_twins" ->
+        """WITH ev AS (
+          |  SELECT user_id AS u, event_type AS e,
+          |    lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+          |), tri AS (
+          |  SELECT DISTINCT u, e || '>' || e2 || '>' || e3 AS g
+          |  FROM ev WHERE e3 IS NOT NULL
+          |), sz AS (
+          |  SELECT u, CAST(count(*) AS BIGINT) AS n FROM tri GROUP BY 1
+          |), q AS (SELECT u AS qu, g FROM tri WHERE u IN (1, 2, 3, 4, 5)
+          |), qn AS (SELECT u AS qu, n AS qn FROM sz WHERE u IN (1, 2, 3, 4, 5)
+          |), inter AS (
+          |  SELECT q.qu, t.u, CAST(count(*) AS BIGINT) AS i
+          |  FROM tri t JOIN q ON t.g = q.g AND t.u <> q.qu
+          |  GROUP BY 1, 2
+          |), scored AS (
+          |  SELECT inter.qu AS query_user, inter.u AS neighbor_user,
+          |    inter.i AS n_shared,
+          |    CAST(CAST(inter.i AS HUGEINT) * 1000000
+          |      // (qn.qn + sz.n - inter.i) AS BIGINT) AS jaccard_ppm
+          |  FROM inter JOIN qn USING (qu) JOIN sz ON inter.u = sz.u
+          |)
+          |SELECT query_user, neighbor_user, n_shared, jaccard_ppm,
+          |  CAST(row_number() OVER (
+          |    PARTITION BY query_user
+          |    ORDER BY jaccard_ppm DESC, neighbor_user) AS BIGINT) AS rank
+          |FROM scored
+          |QUALIFY rank <= 5""".stripMargin,
       "u47_dow_mix" ->
         """WITH e AS (
           |  SELECT CAST(date_part('isodow', CAST(ts AS DATE)) AS BIGINT) AS isodow

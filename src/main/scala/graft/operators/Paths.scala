@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** One event inside a per-user journey buffer: event-time micros, the
@@ -81,5 +81,64 @@ object Paths {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path"))
       .limit(topN)
+  }
+
+  /** Behavioral twins — top-k LOOKALIKE users per query user, ranked by
+    * exact Jaccard over journey trigrams (consecutive event-type
+    * triples in event-time order). "Find users who behave like these"
+    * is the audience-expansion / churn-lookalike primitive; [[topPaths]]
+    * mines what journeys exist, this finds WHO shares them.
+    *
+    * Exactness: trigram sets are distinct (user, e₁>e₂>e₃) rows from an
+    * (ts, event_id)-ordered double-`lead`; `jaccard_ppm =
+    * ⌊|A∩B|·1e6 / |A∪B|⌋` in integer arithmetic; ranking ties break on
+    * neighbor id, so the report is total-ordered on any engine.
+    *
+    * Scale shape: the trigram key has a BOUNDED domain (|event types|³),
+    * so an inverted-index self-join on it would skew onto a handful of
+    * hot keys — instead the tiny query side (|Q| users × ≤ that domain)
+    * BROADCASTS and the corpus trigram table is probed in place, the
+    * s1-ann discipline: the corpus is never shuffled on the gram key.
+    * Candidates are bounded by |Q|·|users|; the (query, neighbor)
+    * intersection aggregate and the per-query top-k window both run on
+    * that query-bounded table. One user-key shuffle builds trigrams
+    * (the lead window) and the distinct + size aggregates ride it.
+    *
+    * Output: (query_user, neighbor_user, n_shared, jaccard_ppm, rank)
+    * for rank ≤ k. Users with < 3 events have no trigrams and appear on
+    * neither side. */
+  def behaviorTwins(
+      events: DataFrame, queryUsers: Seq[Long], k: Int = 5,
+      userCol: String = "user_id", eventCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(queryUsers.nonEmpty, "behaviorTwins needs at least one query user")
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col("_u")).orderBy(col("_t"), col("_id"))
+    val tri = events.select(col(userCol).cast("long").as("_u"),
+        unix_micros(col(tsCol)).as("_t"), col(idCol).cast("long").as("_id"),
+        col(eventCol).as("_e"))
+      .select(col("_u"), col("_e"),
+        lead(col("_e"), 1).over(w).as("_e2"), lead(col("_e"), 2).over(w).as("_e3"))
+      .where(col("_e3").isNotNull)
+      .select(col("_u"), concat_ws(">", col("_e"), col("_e2"), col("_e3")).as("_g"))
+      .distinct()
+    val sizes = tri.groupBy(col("_u")).agg(count(lit(1)).as("_n"))
+    val inQ = col("_u").isin(queryUsers: _*)
+    val q = tri.where(inQ).select(col("_u").as("_qu"), col("_g"))
+    val qn = sizes.where(inQ).select(col("_u").as("_qu"), col("_n").as("_qn"))
+    val inter = tri.join(broadcast(q), Seq("_g"))
+      .where(col("_u") =!= col("_qu"))
+      .groupBy(col("_qu"), col("_u")).agg(count(lit(1)).as("_i"))
+    val scored = inter
+      .join(broadcast(qn), Seq("_qu"))
+      .join(sizes, Seq("_u"))
+      .select(col("_qu").as("query_user"), col("_u").as("neighbor_user"),
+        col("_i").as("n_shared"),
+        expr("CAST((_i * CAST(1000000 AS BIGINT)) div (_qn + _n - _i) AS BIGINT)")
+          .as("jaccard_ppm"))
+    val wr = Window.partitionBy(col("query_user"))
+      .orderBy(col("jaccard_ppm").desc, col("neighbor_user"))
+    scored.withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= k)
   }
 }

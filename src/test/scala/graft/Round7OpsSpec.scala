@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Graph, Sessions, Vocab}
+import graft.operators.{Dedup, Graph, Paths, Sessions, Vocab}
 
 /** Behavior specs for the round-7 fixes: modularity under partial label
   * coverage, sign-split TWAP quantization, the idf-cosine hot-shingle
@@ -213,4 +213,29 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got(2L)._1 === 0L && got(1L)._2 === 0L)
   }
 
+  // ── Paths.behaviorTwins ────────────────────────────────────────────
+
+  test("behavior twins: exact trigram jaccard, deterministic rank, no-overlap excluded") {
+    import spark.implicits._
+    def evs(u: Long, base: Long, types: String*) = types.zipWithIndex.map {
+      case (t, i) => (base + i, u, t,
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"))
+    }
+    // u1 {ABC,BCD}; u2 {ABC,BCD,CDE}; u3 {ABC}; u5 {ABC}; u4 {XYZ,YZW}
+    val ev = (evs(1L, 100, "A", "B", "C", "D") ++
+      evs(2L, 200, "A", "B", "C", "D", "E") ++
+      evs(3L, 300, "A", "B", "C") ++
+      evs(5L, 500, "A", "B", "C") ++
+      evs(4L, 400, "X", "Y", "Z", "W"))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Paths.behaviorTwins(ev, queryUsers = Seq(1L), k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList.sortBy(_._5)
+    // u2: |∩|=2, |∪|=3 → 666666; u3/u5: |∩|=1, |∪|=2 → 500000, tie
+    // broken by neighbor id; u4 shares nothing → absent entirely
+    assert(got === List(
+      (1L, 2L, 2L, 666666L, 1L),
+      (1L, 3L, 1L, 500000L, 2L),
+      (1L, 5L, 1L, 500000L, 3L)))
+  }
 }
