@@ -57,7 +57,7 @@ object Bench {
       "d15" -> 5.6, "d16" -> 2.7, "d17" -> 1.9, "d18" -> 0.7, "d19" -> 1.1, "d2" -> 1.3,
       "d20" -> 0.6, "d21" -> 2.2, "d22" -> 1.4, "d23" -> 1.8, "d24" -> 2.6, "d3" -> 0.3,
       "d4" -> 1.1, "d5" -> 5.5, "d6" -> 2.6, "d7" -> 0.8, "d8" -> 0.6, "d9" -> 1.0,
-      "g1" -> 2.8, "g10" -> 1.9, "g11" -> 2.7, "g12" -> 2.8, "g2" -> 1.1, "g3" -> 3.9,
+      "g1" -> 2.8, "g10" -> 1.9, "g11" -> 2.7, "g12" -> 2.1, "g2" -> 1.1, "g3" -> 3.9,
       "g4" -> 1.2, "g5" -> 1.6, "g6" -> 3.4, "g7" -> 2.8, "g8" -> 2.7, "g9" -> 2.5,
       "m1" -> 0.3, "m2" -> 0.3, "m3" -> 0.3, "m4" -> 0.4, "m5" -> 0.3, "m6" -> 0.3,
       "p1" -> 0.3, "p10" -> 0.3, "p11" -> 0.4, "p12" -> 2.7, "p13" -> 0.5, "p14" -> 0.3,
@@ -79,7 +79,7 @@ object Bench {
       "t21" -> 0.6, "t22" -> 0.8, "t23" -> 0.3, "t24" -> 0.5, "t25" -> 0.3, "t26" -> 1.4,
       "t27" -> 0.4, "t28" -> 0.3, "t29" -> 0.3, "t3" -> 0.3, "t30" -> 0.5, "t31" -> 0.7,
       "t33" -> 0.6, "t34" -> 1.1, "t35" -> 0.7, "t36" -> 0.6, "t37" -> 0.3, "t38" -> 0.7,
-      "t39" -> 0.3, "t4" -> 0.3, "t40" -> 0.8, "t5" -> 0.3, "t6" -> 0.4, "t7" -> 0.3,
+      "t39" -> 0.3, "t4" -> 0.3, "t40" -> 1.0, "t5" -> 0.3, "t6" -> 0.4, "t7" -> 0.3,
       "t8" -> 0.3, "t9" -> 1.0, "u1" -> 0.3, "u10" -> 0.4, "u11" -> 0.8, "u12" -> 0.8,
       "u13" -> 0.4, "u14" -> 0.3, "u15" -> 0.4, "u16" -> 0.4, "u17" -> 0.7, "u18" -> 0.4,
       "u19" -> 0.6, "u2" -> 0.4, "u20" -> 0.3, "u21" -> 0.3, "u23" -> 0.5, "u24" -> 0.3,
@@ -87,7 +87,7 @@ object Bench {
       "u30" -> 0.4, "u31" -> 0.4, "u32" -> 0.4, "u33" -> 0.8, "u34" -> 0.5, "u35" -> 0.4,
       "u36" -> 0.4, "u37" -> 0.3, "u38" -> 0.3, "u39" -> 0.3, "u4" -> 0.3, "u40" -> 0.4,
       "u41" -> 0.3, "u42" -> 0.8, "u43" -> 0.5, "u44" -> 0.3, "u45" -> 0.4, "u46" -> 0.3,
-      "u47" -> 0.3, "u5" -> 0.3, "u6" -> 0.3, "u7" -> 3.3, "u8" -> 0.4,
+      "u47" -> 0.3, "u49" -> 0.6, "u5" -> 0.3, "u6" -> 0.3, "u7" -> 3.3, "u8" -> 0.4,
       "u9" -> 0.7)
 
   /** New queries (no last-round number) are assumed mid-weight so they
