@@ -2860,9 +2860,13 @@ object SparkEntry {
     // Graph.hitsPpm). HUGEINT sums; all divisions are non-negative
     // floors, so // here and DECIMAL div in Spark agree.
     val hitsIters = 3
+    // MATERIALIZED on every round CTE: a{i} reads a{i}r twice (rows +
+    // the max() scalar) and each round references the previous one, so
+    // DuckDB's default inlining would expand the chain ~4^rounds-fold —
+    // the g6_kcore lesson applied here.
     val hitsSql: String = {
       val base =
-        """WITH edges AS (
+        """WITH edges AS MATERIALIZED (
           |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
           |    CAST(count(*) AS BIGINT) AS w
           |  FROM lineitem l
@@ -2870,27 +2874,27 @@ object SparkEntry {
           |  JOIN customer c ON o.o_custkey = c.c_custkey
           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
           |  GROUP BY 1, 2
-          |), nodes AS (
+          |), nodes AS MATERIALIZED (
           |  SELECT DISTINCT src AS node FROM edges
           |  UNION SELECT DISTINCT dst FROM edges
           |), h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS h FROM nodes)""".stripMargin
       val iters = (1 to hitsIters).map { i =>
-        s""", a${i}r AS (
+        s""", a${i}r AS MATERIALIZED (
            |  SELECT nodes.node, coalesce(c.s, 0) AS a
            |  FROM nodes LEFT JOIN (
            |    SELECT e.dst AS node, sum(CAST(e.w AS HUGEINT) * p.h) AS s
            |    FROM edges e JOIN h${i - 1} p ON e.src = p.node GROUP BY e.dst) c
            |  ON nodes.node = c.node
-           |), a$i AS (
+           |), a$i AS MATERIALIZED (
            |  SELECT node, CASE WHEN m.m = 0 THEN 0 ELSE a * 1000000 // m.m END AS a
            |  FROM a${i}r, (SELECT max(a) AS m FROM a${i}r) m
-           |), h${i}r AS (
+           |), h${i}r AS MATERIALIZED (
            |  SELECT nodes.node, coalesce(c.s, 0) AS h
            |  FROM nodes LEFT JOIN (
            |    SELECT e.src AS node, sum(CAST(e.w AS HUGEINT) * p.a) AS s
            |    FROM edges e JOIN a$i p ON e.dst = p.node GROUP BY e.src) c
            |  ON nodes.node = c.node
-           |), h$i AS (
+           |), h$i AS MATERIALIZED (
            |  SELECT node, CASE WHEN m.m = 0 THEN 0 ELSE h * 1000000 // m.m END AS h
            |  FROM h${i}r, (SELECT max(h) AS m FROM h${i}r) m
            |)""".stripMargin

@@ -641,11 +641,18 @@ object Dedup {
     val norms = wt.groupBy(col("_id"))
       .agg(sum(col("_w").cast("decimal(38,0)") * col("_w")).as("_n2"))
     // observability for the hot-shingle drop: tally each shingle over
-    // the cap exactly once (eager localCheckpoint, the shinglePairCounts
-    // pattern) before the cheap column-predicate prune below runs
+    // the cap exactly once. Reads the CHECKPOINTED wt (dfs is not
+    // checkpointed — filtering it would replay the full corpus df
+    // aggregate just to bump two counters); the re-aggregate on _s
+    // collapses wt's per-(doc, shingle) rows back to one row per hot
+    // shingle, and the nondeterministic filter cannot be pushed below
+    // it, so the accumulators fire exactly once per shingle.
     capStats.foreach { cs =>
       val tally = udf { d: Long => cs.buckets.add(1L); cs.rows.add(d); true }
-      dfs.where(col("_df") > dfCap).where(tally(col("_df")))
+        .asNondeterministic()
+      wt.where(col("_df") > dfCap)
+        .groupBy(col("_s")).agg(first(col("_df")).as("_hdf"))
+        .where(tally(col("_hdf")))
         .select(col("_s")).localCheckpoint()
     }
     val pruned = wt.where(col("_df") <= dfCap)

@@ -267,24 +267,37 @@ object Vocab {
     * token counts; per-type min-id, re-aggregated to per-doc new-type
     * counts) — all map-side combined, never materializing the explode.
     * The cumulative sum is two-phase: per-doc deltas roll up to
-    * id-range buckets (`bucketWidth` ids per bucket), ONE ordered
-    * window runs over the bucket aggregate (corpus/bucketWidth rows —
-    * size bucketWidth so that table is ~10⁴–10⁶ rows), and each
-    * bucket's prefix broadcasts back onto an in-bucket window
-    * partitioned by bucket. No corpus-wide unpartitioned window, no
-    * driver loop. Output: one row (n_docs, slope, r2) — slope = β. */
+    * id-range buckets, ONE ordered window runs over the bucket
+    * aggregate (≤ `targetBuckets` rows), and each bucket's prefix
+    * broadcasts back onto an in-bucket window partitioned by bucket.
+    * The bucket width is derived IN-PLAN from the observed id range
+    * (`⌈(max−min+1)/targetBuckets⌉`, one 1-row broadcast), so sparse or
+    * hashed 64-bit ids cannot silently blow the bucket table up to
+    * corpus size and re-create the single-partition global window this
+    * structure exists to avoid — bucket count is bounded by
+    * construction, id DENSITY only affects per-bucket balance. No
+    * corpus-wide unpartitioned window, no driver loop. Output: one row
+    * (n_docs, slope, r2) — slope = β. */
   def heapsFit(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      bucketWidth: Long = 1024L): DataFrame = {
-    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+      targetBuckets: Int = 16384): DataFrame = {
+    require(targetBuckets > 0, s"targetBuckets must be positive: $targetBuckets")
     val tok = docs.select(col(idCol).cast("long").as("_id"),
       explode(Text.tokens(lower(col(textCol)))).as("_t"))
     val perDoc = tok.groupBy(col("_id")).agg(count(lit(1)).as("_nt"))
     val newTypes = tok.groupBy(col("_t")).agg(min(col("_id")).as("_id"))
       .groupBy(col("_id")).agg(count(lit(1)).as("_nv"))
-    val deltas = perDoc.join(newTypes, Seq("_id"), "left")
+    val joined = perDoc.join(newTypes, Seq("_id"), "left")
+    val idRange = joined.agg(min(col("_id")).as("_lo"), max(col("_id")).as("_hi"))
+    // eagerly materialized: BOTH cumsum phases read the delta table, and
+    // without the cut each would recompute the token explode + three
+    // aggregates upstream (|docs| rows pinned — doc counts, not tokens)
+    val deltas = joined.crossJoin(broadcast(idRange))
       .select(col("_id"), col("_nt"), coalesce(col("_nv"), lit(0L)).as("_nv"),
-        expr(s"_id div $bucketWidth").as("_b"))
+        expr(s"(_id - _lo) div greatest(CAST(1 AS BIGINT)," +
+          s" (_hi - _lo + CAST($targetBuckets AS BIGINT)) div $targetBuckets)")
+          .as("_b"))
+      .localCheckpoint()
     // phase 1: per-bucket totals, then EXCLUSIVE prefix over the small
     // bucket table (the only ordered window, corpus/bucketWidth rows)
     val wb = Window.orderBy(col("_b"))

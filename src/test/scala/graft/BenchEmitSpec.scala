@@ -53,11 +53,13 @@ class BenchEmitSpec extends AnyFunSuite {
 
   test("degradation is monotone in the limit: tighter limits never overflow") {
     val rs = synth(300)
-    Seq(4000, 1900, 800).foreach { lim =>
+    // the slowest-N list shrinks until the line fits — the guarantee
+    // holds at any limit down to the totals-only floor
+    Seq(4000, 1900, 800, 400, 150).foreach { lim =>
       val line = Bench.compactArtifactLine(rs, Map.empty, "sf0.1", limit = lim)
-      // level 3 is ~350 bytes; any limit above that must be respected
-      assert(line.length <= math.max(lim, 400), s"limit $lim -> len ${line.length}")
+      assert(line.length <= lim, s"limit $lim -> len ${line.length}: $line")
       assert(line.contains(""""value":"""))
+      assert(line.contains(""""nq":300"""))
     }
   }
 }

@@ -667,8 +667,13 @@ class PlanSpec extends AnyFunSuite {
     // single ordered partition
     assert(p.contains("windowspecdefinition(_b"),
       s"in-bucket cumsum must partition by the bucket key:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"heaps fit must be joins/aggregates only:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the delta table (which carries the one bounded id-range broadcast)
+    // is materialized once — neither cumsum phase may replay its
+    // explode+aggregate upstream, so no nested-loop join survives into
+    // the executed plan
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"delta upstream must be materialized once:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"token aggregates must map-side combine:\n$p")
   }
