@@ -238,4 +238,13 @@ class Round7OpsSpec extends AnyFunSuite {
       (1L, 3L, 1L, 500000L, 2L),
       (1L, 5L, 1L, 500000L, 3L)))
   }
+
+  // ── driver contract ────────────────────────────────────────────────
+
+  test("SparkEntry.entry: the driver smoke contract returns rows on sf0.001") {
+    // the driver calls entry(spark) and checks rows > 0 each round —
+    // keep that exact call covered so a registerAll/delegation
+    // regression fails here, not in the round artifact
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }
