@@ -1,0 +1,200 @@
+package graft.sources.avro
+
+import java.util
+
+import scala.collection.JavaConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.avro.util.Utf8
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal self-contained Avro READER as a Spark DataSource V2 — the
+  * §2.2 "Avro source" row, built directly on the BUNDLED
+  * `avro-1.12.1` + `avro-mapred` jars (the spark-avro connector module
+  * is absent in this zero-egress build; the reference's own avro
+  * support is a feature-gated table registration over a directory of
+  * container files — `/root/reference/tests/sqllogictests/src/setup.rs:32-62`,
+  * gate `main.rs:258-270` — which this re-expresses Spark-first).
+  *
+  * Scope (documented, mirroring the reference's `alltypes_plain`
+  * surface): Avro container files of records over the primitive types
+  * — boolean, int, long, float, double, string/Utf8, bytes — plus
+  * `union[null, T]` nullability. Logical types read as their base
+  * primitive; nested records/arrays/maps/enums are rejected at schema
+  * inference with a clear error rather than mis-read.
+  *
+  * Scale shape: schema comes from ONE driver-side file open; each
+  * `.avro` file is one [[InputPartition]] (Avro container blocks are
+  * not split — files from a well-formed ingest are bounded, and a
+  * multi-file directory parallelizes across files exactly like the
+  * reference's multi-file registration); readers stream records
+  * through `DataFileReader` with no buffering beyond the container
+  * block. Paths resolve through Hadoop's FileSystem (`FsInput`), so
+  * any configured scheme works, not just `file://`.
+  *
+  * Usage: `spark.read.format("graft-avro").load(dir)` (registered via
+  * the DataSourceRegister service loader).
+  */
+class AvroDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-avro"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = AvroDataSource.listFiles(AvroDataSource.paths(options))
+    require(files.nonEmpty, s"no .avro files under ${AvroDataSource.paths(options)}")
+    AvroDataSource.sparkSchema(AvroDataSource.avroSchema(files.head))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val files = AvroDataSource.listFiles(
+      AvroDataSource.paths(new CaseInsensitiveStringMap(properties)))
+    new AvroTable(schema, files)
+  }
+}
+
+private[avro] object AvroDataSource {
+
+  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    // multiple .load(paths: _*) arrive as a JSON-ish list; the single
+    // form covers the reference's directory registration
+    require(single.nonEmpty, "graft-avro requires a path")
+    single
+  }
+
+  /** Driver-side listing: a path is a file or a directory of *.avro. */
+  def listFiles(roots: Seq[String]): Seq[String] = {
+    val conf = new Configuration()
+    roots.flatMap { r =>
+      val p = new Path(r)
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.filter(_.isFile)
+          .map(_.getPath.toString).filter(_.endsWith(".avro")).sorted
+      else Seq(p.toString)
+    }
+  }
+
+  def avroSchema(file: String): Schema = {
+    val in = new FsInput(new Path(file), new Configuration())
+    val rd = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    try rd.getSchema finally { rd.close() }
+  }
+
+  /** union[null, T] → (T, nullable); anything else must be primitive. */
+  private def unwrap(s: Schema): (Schema, Boolean) =
+    if (s.getType == Schema.Type.UNION) {
+      val branches = s.getTypes.asScala.toSeq
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1 && branches.size <= 2,
+        s"unsupported avro union (only [null, T]): $s")
+      (nonNull.head, branches.size == 2)
+    } else (s, false)
+
+  def sparkSchema(avro: Schema): StructType = {
+    require(avro.getType == Schema.Type.RECORD,
+      s"graft-avro reads record container files, got ${avro.getType}")
+    StructType(avro.getFields.asScala.toSeq.map { f =>
+      val (t, nullable) = unwrap(f.schema())
+      val dt = t.getType match {
+        case Schema.Type.BOOLEAN => BooleanType
+        case Schema.Type.INT     => IntegerType
+        case Schema.Type.LONG    => LongType
+        case Schema.Type.FLOAT   => FloatType
+        case Schema.Type.DOUBLE  => DoubleType
+        case Schema.Type.STRING  => StringType
+        case Schema.Type.BYTES   => BinaryType
+        case other => throw new IllegalArgumentException(
+          s"unsupported avro type $other for field ${f.name()} " +
+            "(graft-avro reads the reference's primitive surface)")
+      }
+      StructField(f.name(), dt, nullable)
+    })
+  }
+
+  /** Avro runtime value → Catalyst value for the supported primitives. */
+  def toCatalyst(v: Any): Any = v match {
+    case null                     => null
+    case u: Utf8                  => UTF8String.fromString(u.toString)
+    case s: String                => UTF8String.fromString(s)
+    case b: java.nio.ByteBuffer   =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case other                    => other // boolean/int/long/float/double box
+  }
+}
+
+private[avro] class AvroTable(schema: StructType, files: Seq[String])
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  override def name(): String = s"graft-avro(${files.size} files)"
+
+  override def schema(): StructType = schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def toBatch: Batch = new AvroBatch(schema, files)
+        override def description(): String = name()
+      }
+    }
+}
+
+private[avro] case class AvroInputPartition(file: String) extends InputPartition
+
+private[avro] class AvroBatch(schema: StructType, files: Seq[String]) extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(AvroInputPartition(_): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(schema)
+}
+
+private[avro] class AvroReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new AvroPartitionReader(schema, partition.asInstanceOf[AvroInputPartition].file)
+}
+
+/** Streams one container file; field order follows the inferred Spark
+  * schema (names resolved against the file's own record schema, so a
+  * same-shape file with reordered fields still reads correctly). */
+private[avro] class AvroPartitionReader(schema: StructType, file: String)
+    extends PartitionReader[InternalRow] {
+
+  private val reader = new DataFileReader[GenericRecord](
+    new FsInput(new Path(file), new Configuration()),
+    new GenericDatumReader[GenericRecord]())
+  private val names = schema.fields.map(_.name)
+
+  override def next(): Boolean = reader.hasNext
+
+  override def get(): InternalRow = {
+    val rec = reader.next()
+    new GenericInternalRow(
+      names.map(n => AvroDataSource.toCatalyst(rec.get(n))).asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = reader.close()
+}
