@@ -113,15 +113,21 @@ private[avro] object AvroDataSource {
       s"graft-avro reads record container files, got ${avro.getType}")
     StructType(avro.getFields.asScala.toSeq.map { f =>
       val (t, nullable) = unwrap(f.schema())
-      val dt = t.getType match {
-        case Schema.Type.BOOLEAN => BooleanType
-        case Schema.Type.INT     => IntegerType
-        case Schema.Type.LONG    => LongType
-        case Schema.Type.FLOAT   => FloatType
-        case Schema.Type.DOUBLE  => DoubleType
-        case Schema.Type.STRING  => StringType
-        case Schema.Type.BYTES   => BinaryType
-        case other => throw new IllegalArgumentException(
+      val logical = Option(t.getLogicalType).map(_.getName).getOrElse("")
+      // timestamp-micros and date share Catalyst's physical encoding
+      // (micros-since-epoch long / days-since-epoch int), so mapping
+      // the logical type is a pure schema relabel — values pass through
+      val dt = (t.getType, logical) match {
+        case (Schema.Type.LONG, "timestamp-micros") => TimestampType
+        case (Schema.Type.INT, "date")              => DateType
+        case (Schema.Type.BOOLEAN, _) => BooleanType
+        case (Schema.Type.INT, _)     => IntegerType
+        case (Schema.Type.LONG, _)    => LongType
+        case (Schema.Type.FLOAT, _)   => FloatType
+        case (Schema.Type.DOUBLE, _)  => DoubleType
+        case (Schema.Type.STRING, _)  => StringType
+        case (Schema.Type.BYTES, _)   => BinaryType
+        case (other, _) => throw new IllegalArgumentException(
           s"unsupported avro type $other for field ${f.name()} " +
             "(graft-avro reads the reference's primitive surface)")
       }

@@ -9,11 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Source/sink surface from SURVEY §2.2: parquet scan, partitioned CSV
   * directory with explicit schema, in-memory tables with explicit
-  * partitioning, VALUES relations, limit/show/collect sinks, and the
+  * partitioning, VALUES relations, limit/show/collect sinks, the
   * S3A object-store conf wiring ([[Graft.s3aConf]] — the store itself is
-  * unreachable zero-egress, so the test asserts the Hadoop conf contract;
-  * Avro needs the spark-avro connector which is not bundled, mirroring
-  * the reference's dormant avro feature gate).
+  * unreachable zero-egress, so the test asserts the Hadoop conf
+  * contract), and the multi-file Avro directory read through the
+  * bundled [[graft.sources.avro.AvroDataSource]].
   */
 class SourcesSpec extends AnyFunSuite {
 
@@ -171,10 +171,14 @@ class SourcesSpec extends AnyFunSuite {
     import org.apache.avro.{Schema, SchemaBuilder}
     import org.apache.avro.file.DataFileWriter
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.LogicalTypes
+    val tsMicros = LogicalTypes.timestampMicros()
+      .addToSchema(Schema.create(Schema.Type.LONG))
     val avroSchema: Schema = SchemaBuilder.record("nation").fields()
       .requiredLong("n_nationkey")
       .name("n_name").`type`().unionOf().nullType().and().stringType().endUnion().nullDefault()
       .requiredLong("n_regionkey")
+      .name("loaded_at").`type`(tsMicros).noDefault()
       .endRecord()
     val src = SparkEntry.tbl(spark, sf, "nation")
       .select(col("n_nationkey").cast("long"), col("n_name"),
@@ -190,6 +194,7 @@ class SourcesSpec extends AnyFunSuite {
         rec.put("n_nationkey", k)
         rec.put("n_name", if (k == 0) null else n) // exercise the null union
         rec.put("n_regionkey", r)
+        rec.put("loaded_at", 1704067200000000L + k) // 2024-01-01 + k µs
         w.append(rec)
       }
       w.close()
@@ -197,7 +202,11 @@ class SourcesSpec extends AnyFunSuite {
     val back = spark.read.format("graft-avro").load(dir.toString)
     assert(back.schema.map(f => (f.name, f.dataType.typeName, f.nullable)) ===
       Seq(("n_nationkey", "long", false), ("n_name", "string", true),
-        ("n_regionkey", "long", false)))
+        ("n_regionkey", "long", false), ("loaded_at", "timestamp", false)))
+    // timestamp-micros logical type relabels to a real Catalyst timestamp
+    assert(back.where(col("n_nationkey") === 0)
+      .select(date_format(col("loaded_at"), "yyyy-MM-dd HH:mm:ss"))
+      .head.getString(0) === "2024-01-01 00:00:00")
     assert(back.count() === src.length)
     assert(back.where(col("n_name").isNull).count() === 1)
     assert(back.agg(sum("n_nationkey")).head.getLong(0) === src.map(_._1).sum)
