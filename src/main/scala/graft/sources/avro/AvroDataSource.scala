@@ -42,8 +42,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * multi-file directory parallelizes across files exactly like the
   * reference's multi-file registration); readers stream records
   * through `DataFileReader` with no buffering beyond the container
-  * block. Paths resolve through Hadoop's FileSystem (`FsInput`), so
-  * any configured scheme works, not just `file://`.
+  * block. Paths resolve through Hadoop's FileSystem (`FsInput`) with
+  * the DEFAULT configuration (site configs on the classpath) — local
+  * and HDFS schemes work out of the box; for credentialed object
+  * stores, ship the full spark-avro connector instead.
   *
   * Usage: `spark.read.format("graft-avro").load(dir)` (registered via
   * the DataSourceRegister service loader).
@@ -193,14 +195,17 @@ private[avro] class AvroPartitionReader(schema: StructType, file: String)
     new FsInput(new Path(file), new Configuration()),
     new GenericDatumReader[GenericRecord]())
   private val names = schema.fields.map(_.name)
+  private var current: GenericRecord = _
 
-  override def next(): Boolean = reader.hasNext
+  // PartitionReader contract: next() ADVANCES, get() returns the
+  // current record (and may in principle be skipped or repeated)
+  override def next(): Boolean =
+    if (reader.hasNext) { current = reader.next(); true } else false
 
-  override def get(): InternalRow = {
-    val rec = reader.next()
+  override def get(): InternalRow =
     new GenericInternalRow(
-      names.map(n => AvroDataSource.toCatalyst(rec.get(n))).asInstanceOf[Array[Any]])
-  }
+      names.map(n => AvroDataSource.toCatalyst(current.get(n)))
+        .asInstanceOf[Array[Any]])
 
   override def close(): Unit = reader.close()
 }
