@@ -517,37 +517,79 @@ object Bench {
     BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP)
       .bigDecimal.stripTrailingZeros.toPlainString
 
+  /** Median observed/expected ratio over the queries that have a
+    * last-round isolated number — ONE number separating "the host was
+    * loaded during the run" from "the engine regressed". BENCH_r07
+    * recorded a uniform ~2.3× host degradation (412 s total vs the
+    * same-code rehearsal's 182 s) that a reader could only diagnose by
+    * re-benching; with `"slow"` on the artifact the next judge reads it
+    * off the line (dress-rehearsal value ≈ 1.0). Median, not mean, so a
+    * handful of genuine outliers (group debris, new heavy queries)
+    * cannot fake a host-wide slowdown. None under 5 mapped
+    * observations — a tiny SPARK_GRAFT_BENCH_FILTER run has no
+    * meaningful host signal. */
+  private[graft] def slowFactor(results: Seq[(String, Double)]): Option[Double] = {
+    val ratios = results.flatMap { case (n, v) =>
+      lastRoundSec.get(n.split("_")(0)).orElse(lastRoundSec.get(n))
+        .map(e => v / e)
+    }.sorted
+    if (ratios.size < 5) None else Some(ratios(ratios.size / 2))
+  }
+
+  /** Two-decimal format for the slowdown factor. */
+  private def fmt2(v: Double): String =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+
   /** Emits the aggregate artifact as TWO JSON lines, engineered for the
     * driver's ~2 KB stdout TAIL capture (BENCH_r05 lost every timed
-    * `sec` value to it — only the boot-inflated `wall` map survived):
+    * `sec` value to it — only the boot-inflated `wall` map survived;
+    * BENCH_r07 lost the `suspect` array because it sat at the HEAD of
+    * the oversized full-precision line):
     *
     *  1. the complete line — full-precision name→seconds `queries` map
     *     (the driver's parse contract) with the most diagnostic bytes
-    *     LAST (`wall`/`errors` first, then `suspect` — recorded values
-    *     over 3 s that never got an isolated confirmation, so a reader
-    *     knows which numbers may carry group debris — then `queries`
-    *     and `value` at the end), so even a mid-line cut preserves the
-    *     timed numbers;
+    *     LAST: `wall`/`errors` first, then `queries`, then `suspect`
+    *     (recorded values over their suspicious() threshold that never
+    *     got an isolated confirmation, so a reader knows which numbers
+    *     may carry group debris), `slow` (the host-degradation factor,
+    *     [[slowFactor]]) and `value` at the very end — so a mid-line
+    *     tail cut preserves the trust markers and the total even when
+    *     the head of the queries map is gone;
     *  2. a compact final line that FITS the tail whole — see
-    *     [[compactArtifactLine]] for the three degradation levels.
+    *     [[compactArtifactLine]] for the degradation levels; it carries
+    *     `nsus`/`sus`/`slow` too, so the trust markers survive even if
+    *     the full line is lost entirely.
     */
   private def emit(results: Seq[(String, Double)],
       errors: scala.collection.Map[String, String],
       walls: scala.collection.Map[String, Double] = Map.empty,
       suspect: Seq[String] = Nil): Unit = {
+    println(fullArtifactLine(results, errors, walls, suspect))
+    println(compactArtifactLine(results, errors,
+      new java.io.File(sfDir).getName, suspect, slowFactor(results)))
+  }
+
+  /** The full-precision artifact line (see [[emit]] for field order
+    * rationale). Package-visible so BenchEmitSpec can assert the trust
+    * markers survive a simulated driver tail cut. */
+  private[graft] def fullArtifactLine(results: Seq[(String, Double)],
+      errors: scala.collection.Map[String, String],
+      walls: scala.collection.Map[String, Double],
+      suspect: Seq[String]): String = {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val wallJson = walls.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
     val susJson = suspect.map(jstr).mkString("[", ",", "]")
+    val slowJson = slowFactor(results).map(fmt2).getOrElse("null")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","wall":$wallJson,"errors":$errJson,"suspect":$susJson,"queries":$qs,"value":$total}""")
-    println(compactArtifactLine(results, errors, new java.io.File(sfDir).getName))
+    s"""{"metric":"total","unit":"sec","sf":"$sfDir","wall":$wallJson,"errors":$errJson,"queries":$qs,"suspect":$susJson,"slow":$slowJson,"value":$total}"""
   }
 
   /** The compact final line, ≤ `limit` bytes (for any limit that fits
-    * the ~120-byte totals-only floor) so the driver's
+    * the ~140-byte totals-only floor) so the driver's
     * ~2 KB stdout tail always captures it WHOLE. Three degradation
     * levels — a cruder-but-complete artifact beats a truncated precise
     * one (the BENCH_r05 lesson; full-precision values are always on the
@@ -560,9 +602,20 @@ object Bench {
     *     and keep `nq`/`nerr` + the 10 slowest queries (1 dp) + the
     *     total — the TOTALS ARE NEVER LOST, and the slowest-10 are the
     *     only per-query numbers a 2 KB tail reader can act on anyway.
-    */
+    *
+    * TRUST MARKERS ride every level (the BENCH_r07 lesson — the
+    * suspect array lived only at the head of the oversized full line
+    * and the driver's tail cut destroyed it, leaving 4-19× inflated
+    * unconfirmed numbers indistinguishable from confirmed ones):
+    * `"nsus"` (count of suspicious-and-unconfirmed observations) is
+    * ALWAYS present, `"sus"` lists the worst ≤12 of them by recorded
+    * seconds (shortened ids, ≤~110 bytes — inside the 1,900-byte guard
+    * at 211 queries), and `"slow"` carries the [[slowFactor]] host-
+    * degradation median when computable. At pathologically tiny limits
+    * the sus list is dropped before the totals (nsus stays). */
   private[graft] def compactArtifactLine(results: Seq[(String, Double)],
       errors: scala.collection.Map[String, String], sfBase: String,
+      suspects: Seq[String] = Nil, slow: Option[Double] = None,
       limit: Int = 1900): String = {
     val prefixCount = results.map(_._1.split("_")(0))
       .groupBy(identity).map { case (p, v) => (p, v.size) }
@@ -571,11 +624,21 @@ object Bench {
       if (prefixCount.getOrElse(p, 0) > 1) n else p
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def line(qJson: String, qKey: String): String =
-      s"""{"metric":"total","unit":"sec","sf":"$sfBase","nq":${results.size},"nerr":${errors.size},"$qKey":$qJson,"value":${fmt1(total)}}"""
+    val resMap = results.toMap
+    // worst-first: the biggest recorded numbers are the ones a reader
+    // most needs to know are unconfirmed
+    val susSorted = suspects.sortBy(n => (-resMap.getOrElse(n, Double.MaxValue), n))
+    val slowJson = slow.map(s => s""""slow":${fmt2(s)},""").getOrElse("")
+    def line(qJson: String, qKey: String, susShown: Int): String = {
+      val sus =
+        if (susShown <= 0 || susSorted.isEmpty) ""
+        else susSorted.take(susShown).map(n => jstr(sid(n)))
+          .mkString(""""sus":[""", ",", "],")
+      s"""{"metric":"total","unit":"sec","sf":"$sfBase","nq":${results.size},"nerr":${errors.size},"nsus":${suspects.size},$sus$slowJson"$qKey":$qJson,"value":${fmt1(total)}}"""
+    }
     def full(fmt: Double => String): String =
       line(results.map { case (k, v) => s"${jstr(sid(k))}:${fmt(v)}" }
-        .mkString("{", ",", "}"), "queries")
+        .mkString("{", ",", "}"), "queries", 12)
     val l1 = full(fmt1)
     if (l1.length <= limit) l1
     else {
@@ -585,14 +648,19 @@ object Bench {
         // level 3: shrink the slowest-N list until the line fits, down
         // to totals-only — the guarantee must hold at ANY limit, not
         // just realistic ones (colliding prefixes keep full names, so
-        // ten entries are not a fixed byte count)
+        // ten entries are not a fixed byte count). The sus list is the
+        // LAST thing dropped before the floor: unconfirmed-observation
+        // markers outrank per-query seconds a reader can't trust anyway.
         val slowest = results.sortBy(-_._2)
-        (10 to 0 by -1).iterator.map { n =>
-          line(slowest.take(n)
-            .map { case (k, v) => s"${jstr(sid(k))}:${fmt1(v)}" }
-            .mkString("{", ",", "}"), "slowest")
-        }.find(_.length <= limit)
-          .getOrElse(line("{}", "slowest"))
+        def slowestJson(n: Int): String = slowest.take(n)
+          .map { case (k, v) => s"${jstr(sid(k))}:${fmt1(v)}" }
+          .mkString("{", ",", "}")
+        (for {
+          susShown <- Iterator(12, 0)
+          n <- (10 to 0 by -1).iterator
+        } yield line(slowestJson(n), "slowest", susShown))
+          .find(_.length <= limit)
+          .getOrElse(line("{}", "slowest", 0))
       }
     }
   }

@@ -55,11 +55,76 @@ class BenchEmitSpec extends AnyFunSuite {
     val rs = synth(300)
     // the slowest-N list shrinks until the line fits — the guarantee
     // holds at any limit down to the totals-only floor
-    Seq(4000, 1900, 800, 400, 150).foreach { lim =>
+    Seq(4000, 1900, 800, 400, 160).foreach { lim =>
       val line = Bench.compactArtifactLine(rs, Map.empty, "sf0.1", limit = lim)
       assert(line.length <= lim, s"limit $lim -> len ${line.length}: $line")
       assert(line.contains(""""value":"""))
       assert(line.contains(""""nq":300"""))
+      // the unconfirmed-observation count is never lost either
+      assert(line.contains(""""nsus":0"""))
     }
+  }
+
+  // ── trust markers (the BENCH_r07 lesson: the suspect array sat at the
+  // head of the oversized full-precision line, the driver keeps only the
+  // stdout TAIL, and the stored artifact carried 4-19× inflated
+  // unconfirmed numbers with no surviving marker) ──────────────────────
+
+  test("suspect ids survive a simulated 2.5 KB driver tail cut of a 211-query emit") {
+    // 211 queries at full double precision ≈ 7+ KB — guaranteed to
+    // overflow the driver's ~2.5 KB tail, exactly the BENCH_r07 regime
+    val rs = synth(211)
+    val walls = rs.map { case (n, v) => n -> (v + 19.0) }.toMap
+    val suspects = Seq("q13_synthetic_name_013", "q207_synthetic_name_207")
+    val full = Bench.fullArtifactLine(rs, Map("q9_synthetic_name_009" -> "boom"),
+      walls, suspects)
+    assert(full.length > 2500, s"fixture must overflow the tail (len ${full.length})")
+    val tail = full.takeRight(2500)
+    // the trust markers and the total trail the queries map, so they
+    // live in the tail a mid-map cut preserves
+    assert(tail.contains(""""suspect":["q13_synthetic_name_013","q207_synthetic_name_207"]"""),
+      s"suspect array must survive the tail cut:\n...${tail.take(200)}")
+    assert(tail.contains(""""slow":"""), "host-slowdown factor must survive the tail cut")
+    assert(tail.contains(""""value":"""), "the total must survive the tail cut")
+  }
+
+  test("compact line carries nsus, worst-first sus ids, and the slow factor") {
+    val rs = synth(100)
+    val suspects = Seq("q3_synthetic_name_003", "q90_synthetic_name_090",
+      "q50_synthetic_name_050")
+    val line = Bench.compactArtifactLine(rs, Map.empty, "sf0.1",
+      suspects, Some(2.27))
+    assert(line.length <= 1900)
+    assert(line.contains(""""nsus":3"""))
+    // worst recorded seconds first: q90 (12.33 s) > q50 > q3
+    assert(line.contains(""""sus":["q90","q50","q3"]"""), line)
+    assert(line.contains(""""slow":2.27"""), line)
+  }
+
+  test("sus list caps at the worst 12 but nsus keeps the true count") {
+    val rs = synth(211)
+    val suspects = (1 to 40).map(i => f"q${i}_synthetic_name_$i%03d")
+    val line = Bench.compactArtifactLine(rs, Map.empty, "sf0.1",
+      suspects, Some(2.3))
+    assert(line.length <= 1900, s"len ${line.length}")
+    assert(line.contains(""""nsus":40"""))
+    // worst-first: q40 (5.48 s) leads; exactly 12 shown
+    val sus = """"sus":\[([^\]]*)\]""".r.findFirstMatchIn(line)
+      .map(_.group(1).split(",").toSeq).getOrElse(Nil)
+    assert(sus.size === 12, line)
+    assert(sus.head === "\"q40\"", line)
+  }
+
+  test("slowFactor is the median observed/expected over mapped queries") {
+    // 6 queries with last-round entries, uniformly 2x their expected
+    val rs = Seq("q1_agg", "q2_x", "q3_x", "q4_x", "q5_x", "q6_x")
+      .map(n => n -> 0.6) // expected 0.3-0.5 in the last-round map
+    val f = Bench.slowFactor(rs)
+    assert(f.isDefined)
+    assert(f.get > 1.0 && f.get < 3.0, s"factor ${f.get}")
+    // under 5 mapped observations there is no meaningful host signal
+    assert(Bench.slowFactor(rs.take(3)).isEmpty)
+    // unmapped query names contribute nothing
+    assert(Bench.slowFactor((1 to 50).map(i => s"zz$i" -> 9.9)).isEmpty)
   }
 }
