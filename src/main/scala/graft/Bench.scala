@@ -53,9 +53,10 @@ object Bench {
     * ones the fast-mode fallback measures accurately in one run. */
   private val lastRoundSec: Map[String, Double] =
     Map(
+      "a1" -> 0.3,
       "d1" -> 0.3, "d10" -> 2.8, "d11" -> 2.3, "d12" -> 2.4, "d13" -> 1.7, "d14" -> 1.7,
       "d15" -> 5.6, "d16" -> 2.7, "d17" -> 1.9, "d18" -> 0.7, "d19" -> 1.1, "d2" -> 1.3,
-      "d20" -> 0.6, "d21" -> 2.2, "d22" -> 1.4, "d23" -> 1.8, "d24" -> 2.6, "d3" -> 0.3,
+      "d20" -> 0.6, "d21" -> 2.2, "d22" -> 1.4, "d23" -> 1.8, "d24" -> 2.6, "d25" -> 5.0, "d3" -> 0.3,
       "d4" -> 1.1, "d5" -> 5.5, "d6" -> 2.6, "d7" -> 0.8, "d8" -> 0.6, "d9" -> 1.0,
       "g1" -> 2.8, "g10" -> 1.9, "g11" -> 2.7, "g12" -> 2.1, "g2" -> 1.1, "g3" -> 3.9,
       "g4" -> 1.2, "g5" -> 1.6, "g6" -> 3.4, "g7" -> 2.8, "g8" -> 2.7, "g9" -> 2.5,

@@ -2498,8 +2498,94 @@ object SparkEntry {
         tbl(s, dir, "lineitem")
           .withColumn("l_shipdate", to_date(col("l_shipdate")).cast("string")),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-          "l_returnflag", "l_linestatus", "l_shipdate")))
+          "l_returnflag", "l_linestatus", "l_shipdate"))),
+    // Avro ingest round-trip through the self-contained graft-avro DSv2
+    // reader (SURVEY §2.2's Avro row; reference registration shape
+    // /root/reference/tests/sqllogictests/src/setup.rs:32-62): a
+    // two-container-file directory derived deterministically from the
+    // nation table exercises the FULL supported surface — long, nullable
+    // string union, boolean, int, float, double, and the date /
+    // timestamp-micros logical-type mappings — and must hash-match the
+    // same derivation computed by the oracle directly over the parquet
+    // table. Temporal columns are emitted as epoch days/µs longs (raw
+    // timestamps never cross the oracle hash — u24/q42 convention).
+    "a1_avro_roundtrip" -> ((s, dir) =>
+      s.read.format("graft-avro").load(avroFixtureDir(s, dir))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("n_flag"), col("n_small"), col("n_ratio"), col("weight"),
+          datediff(col("joined_date"), lit("1970-01-01")).as("joined_days"),
+          unix_micros(col("loaded_at")).as("loaded_us"))),
+    // The PRODUCTION SemDeDup rule: k derived in-plan as ⌈N/cell⌉ from
+    // one count, so expected cell occupancy — and the in-cell pair work
+    // Σ n_c² ≈ N·⟨cell⟩ — stays constant per document as the corpus
+    // grows (the pinned-k d12 measured 22.1× at 30× data precisely
+    // because occupancy grew with N). Same keeper rule and oracle shape
+    // as d12, k = ⌈1000/64⌉ = 16 at sf0.01 instead of the pinned 8.
+    "d25_semdedup_cellsize" -> ((s, dir) => {
+      Graft.registerAll(s)
+      Dedup.semDedupByCellSize(augmentedEmb(s, dir), targetCellSize = 64,
+        iters = 2, threshold = 0.95)
+    })
   )
+
+  /** Memoized deterministic Avro fixture for a1: the nation table
+    * re-encoded as TWO Avro container files (multi-file directory = the
+    * reference's registration shape) covering every type the
+    * [[graft.sources.avro.AvroDataSource]] scope documents. Keyed by
+    * data dir; the write is a 25-row driver-side fixture (dimension
+    * table), not a data path — the QUERY under test is the read. */
+  @transient private lazy val avroFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def avroFixtureDir(s: SparkSession, dir: String): String =
+    avroFixtureCache.computeIfAbsent(dir, _ => {
+      import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+      import org.apache.avro.file.DataFileWriter
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      val tsMicros = LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+      val dateDays = LogicalTypes.date()
+        .addToSchema(Schema.create(Schema.Type.INT))
+      val schema: Schema = SchemaBuilder.record("nation_export").fields()
+        .requiredLong("n_nationkey")
+        .name("n_name").`type`().unionOf().nullType().and().stringType()
+          .endUnion().nullDefault()
+        .requiredLong("n_regionkey")
+        .requiredBoolean("n_flag")
+        .requiredInt("n_small")
+        .requiredFloat("n_ratio")
+        .requiredDouble("weight")
+        .name("joined_date").`type`(dateDays).noDefault()
+        .name("loaded_at").`type`(tsMicros).noDefault()
+        .endRecord()
+      val rows = tbl(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+        .orderBy("n_nationkey").collect()
+      val out = java.nio.file.Files.createTempDirectory("graft_avro_a1")
+      rows.grouped(math.max(1, (rows.length + 1) / 2)).zipWithIndex.foreach {
+        case (chunk, i) =>
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+          w.create(schema, out.resolve(s"part$i.avro").toFile)
+          chunk.foreach { r =>
+            val k = r.getLong(0)
+            val rec = new GenericData.Record(schema)
+            rec.put("n_nationkey", k)
+            rec.put("n_name", if (k % 3 == 0) null else r.getString(1))
+            rec.put("n_regionkey", r.getLong(2))
+            rec.put("n_flag", k % 2 == 0)
+            rec.put("n_small", (k * 7).toInt)
+            rec.put("n_ratio", (k * 0.5).toFloat) // exact halves in float
+            rec.put("weight", k * 0.25)           // exact quarters in double
+            rec.put("joined_date", k.toInt)       // days since epoch
+            rec.put("loaded_at", 1704067200000000L + k * 1000000L) // 2024-01-01 + k s
+            w.append(rec)
+          }
+          w.close()
+      }
+      out.toString
+    })
 
   /** The testdata parquet files are single-row-group, so a scan is ONE
     * split and everything narrow downstream of it runs on one core. Fan
@@ -2669,15 +2755,36 @@ object SparkEntry {
   // md5-seeded initial centroids (k smallest by hash60('ivf|'||id)),
   // assignment by exact integer L2 with a (dist2, cell) tie-break,
   // elementwise rounded-mean centroids. Yields `a2` = (vec_id, cell).
-  // Shared by the s5 and d12 oracles.
-  private def ivfLloyd2Sql(k: Int) =
+  // Shared by the s5 and d12 oracles (pinned k) and, via the derived-k
+  // seeds variant, the d25 oracle.
+  private def ivfLloyd2Sql(k: Int): String = ivfLloyd2From(
     s"""seeds AS (
        |  SELECT qv, row_number() OVER (ORDER BY hkey, vec_id) - 1 AS cell FROM (
        |    SELECT vec_id, qv,
        |      ('0x' || substr(md5('ivf|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
        |    FROM qn)
        |  ORDER BY hkey, vec_id LIMIT $k
-       |), c0 AS (
+       |)""".stripMargin)
+
+  // Derived-k seeds (Dedup.semDedupByCellSize parity): k = ⌈N/cell⌉,
+  // computed from one count over `qn` exactly like the Scala side's
+  // `(n + cell - 1) / cell` Long division — DuckDB `//` floors, but all
+  // operands are non-negative here so floor == truncate (the div-vs-//
+  // rule). greatest(…, 1) mirrors `.max(1L)`.
+  private def ivfLloyd2DerivedKSql(cell: Int): String = ivfLloyd2From(
+    s"""kv AS (
+       |  SELECT greatest((count(*) + ${cell - 1}) // $cell, 1) AS kk FROM qn
+       |), seeds AS (
+       |  SELECT qv, cell FROM (
+       |    SELECT qv, row_number() OVER (ORDER BY hkey, vec_id) - 1 AS cell FROM (
+       |      SELECT vec_id, qv,
+       |        ('0x' || substr(md5('ivf|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
+       |      FROM qn)) s, kv
+       |  WHERE s.cell < kv.kk
+       |)""".stripMargin)
+
+  private def ivfLloyd2From(seedsCte: String) =
+    s"""$seedsCte, c0 AS (
        |  SELECT cell, qv AS cvec, list_sum(list_transform(qv, x -> x * x)) AS cn2 FROM seeds
        |), a1 AS (
        |  SELECT vec_id, cell FROM (
@@ -5135,6 +5242,24 @@ object SparkEntry {
            |)
            |SELECT l.vec_id, l.cell FROM lbl l LEFT JOIN dups d ON l.vec_id = d.vec_id
            |WHERE d.vec_id IS NULL""".stripMargin,
+      // d25 = d12's keeper rule with the PRODUCTION k: derived in-SQL as
+      // ⌈N/64⌉ from one count over the quantized corpus, exactly the
+      // Scala side's Dedup.semDedupByCellSize arithmetic.
+      "d25_semdedup_cellsize" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1 + 0.01)
+           |  FROM embeddings
+           |), $quantEmbSql, ${ivfLloyd2DerivedKSql(64)}, lbl AS (
+           |  SELECT qn.vec_id, a2.cell, qn.qv, qn.n2 FROM qn JOIN a2 USING (vec_id)
+           |), dups AS (
+           |  SELECT DISTINCT b.vec_id FROM lbl a JOIN lbl b
+           |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  AND $dotCosSql >= 0.95
+           |)
+           |SELECT l.vec_id, l.cell FROM lbl l LEFT JOIN dups d ON l.vec_id = d.vec_id
+           |WHERE d.vec_id IS NULL""".stripMargin,
       "d13_containment" ->
         s"""WITH exc AS (
            |  SELECT doc_id, text FROM documents
@@ -6669,7 +6794,22 @@ object SparkEntry {
           |)
           |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
           |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
-          |) GROUP BY 1""".stripMargin
+          |) GROUP BY 1""".stripMargin,
+      // a1: the avro fixture is DERIVED deterministically from nation
+      // (see avroFixtureDir), so the oracle computes the same derivation
+      // straight off the parquet table — a value mismatch anywhere in
+      // write→container→DSv2-read→Catalyst shows up as a hash miss.
+      "a1_avro_roundtrip" ->
+        """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+          |  CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_name END AS n_name,
+          |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+          |  n_nationkey % 2 = 0 AS n_flag,
+          |  CAST(n_nationkey * 7 AS INT) AS n_small,
+          |  CAST(CAST(n_nationkey AS DOUBLE) * 0.5 AS FLOAT) AS n_ratio,
+          |  CAST(n_nationkey AS DOUBLE) * 0.25 AS weight,
+          |  CAST(n_nationkey AS INT) AS joined_days,
+          |  CAST(1704067200000000 + CAST(n_nationkey AS BIGINT) * 1000000 AS BIGINT) AS loaded_us
+          |FROM nation""".stripMargin
     )
   }
 

@@ -613,9 +613,14 @@ object Dedup {
     * [[capExposureReport]] audit's 16 (at production scale a single
     * boilerplate shingle near a loose cap contributes df² candidate
     * pairs — 10¹⁰ at df=10⁵). Drops are OBSERVABLE, not silent: pass a
-    * [[CapStats]] and each hot shingle tallies (1 bucket, df rows)
-    * exactly once at construction time, same contract as
-    * [[ngramJaccardPairs]].
+    * [[CapStats]] and each hot shingle tallies (1 bucket, df rows) once
+    * per successful task at construction time, same contract as
+    * [[ngramJaccardPairs]]. Two caveats inherent to Spark accumulators:
+    * the tally is BEST-EFFORT under task retries/speculation (a retried
+    * task can double-count — use the numbers as an audit signal, not an
+    * exact ledger), and when `capStats` is set, CONSTRUCTING the
+    * returned DataFrame runs one small Spark job eagerly (the tally's
+    * localCheckpoint) before any action on the result.
     *
     * Output: `(id_a, id_b, cos_sim)` for pairs at or above `threshold`.
     */
@@ -641,12 +646,13 @@ object Dedup {
     val norms = wt.groupBy(col("_id"))
       .agg(sum(col("_w").cast("decimal(38,0)") * col("_w")).as("_n2"))
     // observability for the hot-shingle drop: tally each shingle over
-    // the cap exactly once. Reads the CHECKPOINTED wt (dfs is not
-    // checkpointed — filtering it would replay the full corpus df
+    // the cap once per successful task. Reads the CHECKPOINTED wt (dfs
+    // is not checkpointed — filtering it would replay the full corpus df
     // aggregate just to bump two counters); the re-aggregate on _s
     // collapses wt's per-(doc, shingle) rows back to one row per hot
     // shingle, and the nondeterministic filter cannot be pushed below
-    // it, so the accumulators fire exactly once per shingle.
+    // it. Like all Spark accumulators the count is best-effort under
+    // task retry/speculation — an audit signal, not an exact ledger.
     capStats.foreach { cs =>
       val tally = udf { d: Long => cs.buckets.add(1L); cs.rows.add(d); true }
         .asNondeterministic()

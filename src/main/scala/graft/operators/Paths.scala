@@ -65,6 +65,11 @@ class FirstKAgg(k: Int)
   */
 object Paths {
 
+  /** Hard ceiling on [[behaviorTwins]]' broadcast query side. 10⁴ query
+    * users × ≤ a few hundred trigrams each is tens of MB — comfortably
+    * inside executor broadcast budgets; anything bigger must batch. */
+  val MaxQueryUsers: Int = 10000
+
   def topPaths(
       events: DataFrame, k: Int = 5, topN: Int = 20,
       userCol: String = "user_id", eventCol: String = "event_type",
@@ -106,12 +111,23 @@ object Paths {
     *
     * Output: (query_user, neighbor_user, n_shared, jaccard_ppm, rank)
     * for rank ≤ k. Users with < 3 events have no trigrams and appear on
-    * neither side. */
+    * neither side.
+    *
+    * CONTRACT — `queryUsers` must be broadcast-small (≤ [[MaxQueryUsers]],
+    * enforced): the whole design rests on the query side fitting in an
+    * executor broadcast (|Q| × ≤|types|³ trigram rows). A caller with
+    * 10⁶ query users would broadcast a corpus-sized set and should
+    * instead run this in |Q|/10⁴ batches (results are per-query-user
+    * independent, so batching is embarrassingly parallel and exact). */
   def behaviorTwins(
       events: DataFrame, queryUsers: Seq[Long], k: Int = 5,
       userCol: String = "user_id", eventCol: String = "event_type",
       tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
     require(queryUsers.nonEmpty, "behaviorTwins needs at least one query user")
+    require(queryUsers.size <= MaxQueryUsers,
+      s"behaviorTwins broadcasts the query side: ${queryUsers.size} query " +
+        s"users exceeds MaxQueryUsers=$MaxQueryUsers — run in batches " +
+        "(per-query-user results are independent and exact under batching)")
     require(k > 0, s"k must be positive, got $k")
     val w = Window.partitionBy(col("_u")).orderBy(col("_t"), col("_id"))
     val tri = events.select(col(userCol).cast("long").as("_u"),

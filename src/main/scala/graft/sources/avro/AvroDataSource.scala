@@ -73,11 +73,20 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
 private[avro] object AvroDataSource {
 
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    // .load(p) arrives as "path"; .load(p1, p2, ...) arrives as a JSON
+    // string list under "paths" (Spark's DataFrameReader contract) —
+    // the multi form previously fell through to a misleading
+    // "requires a path" error. Both are supported now; each element
+    // may be a file or a directory of *.avro.
     val single = Option(options.get("path")).toSeq
-    // multiple .load(paths: _*) arrive as a JSON-ish list; the single
-    // form covers the reference's directory registration
-    require(single.nonEmpty, "graft-avro requires a path")
-    single
+    val multi = Option(options.get("paths")).toSeq.flatMap { js =>
+      """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(js)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    }
+    val all = (single ++ multi).distinct
+    require(all.nonEmpty,
+      "graft-avro requires a path (or paths): spark.read.format(\"graft-avro\").load(dir)")
+    all
   }
 
   /** Driver-side listing: a path is a file or a directory of *.avro. */
@@ -137,6 +146,42 @@ private[avro] object AvroDataSource {
     })
   }
 
+  /** Validates one container file's record schema against the schema
+    * inferred from the directory's first file. Field resolution is BY
+    * NAME ([[AvroPartitionReader.get]]), and `GenericRecord.get(name)`
+    * returns null for an absent field — so a directory mixing schemas
+    * would previously read silently as nulls (including for columns
+    * inferred non-nullable) instead of failing. Checked once per file
+    * at reader open (driver-inferred schema ships inside the reader
+    * factory); extra fields in the file are fine (ignored by name
+    * resolution), but every EXPECTED field must exist with the same
+    * Catalyst type, and a file may not relax a non-nullable inference
+    * to nullable. */
+  def validateFileSchema(expected: StructType, fileSchema: Schema, file: String): Unit = {
+    require(fileSchema.getType == Schema.Type.RECORD,
+      s"graft-avro: $file is not a record container file (${fileSchema.getType})")
+    expected.fields.foreach { ef =>
+      val af = Option(fileSchema.getField(ef.name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-avro: $file has no field '${ef.name}' expected by the " +
+            "directory schema (inferred from its first file) — mixed-schema " +
+            "directories are not supported"))
+      val actual =
+        try sparkSchema(Schema.createRecord("f", null, "ns", false,
+          util.Arrays.asList(new Schema.Field(af.name(), af.schema())))).head
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"graft-avro: $file field '${ef.name}': ${e.getMessage}", e)
+        }
+      require(actual.dataType == ef.dataType,
+        s"graft-avro: $file field '${ef.name}' is ${actual.dataType.simpleString}, " +
+          s"directory schema expects ${ef.dataType.simpleString}")
+      require(ef.nullable || !actual.nullable,
+        s"graft-avro: $file field '${ef.name}' is nullable but the directory " +
+          "schema inferred it non-nullable")
+    }
+  }
+
   /** Avro runtime value → Catalyst value for the supported primitives. */
   def toCatalyst(v: Any): Any = v match {
     case null                     => null
@@ -187,13 +232,17 @@ private[avro] class AvroReaderFactory(schema: StructType)
 
 /** Streams one container file; field order follows the inferred Spark
   * schema (names resolved against the file's own record schema, so a
-  * same-shape file with reordered fields still reads correctly). */
+  * same-shape file with reordered fields still reads correctly; a file
+  * whose schema is MISSING an expected field, or carries a different
+  * type, fails fast at open — see
+  * [[AvroDataSource.validateFileSchema]]). */
 private[avro] class AvroPartitionReader(schema: StructType, file: String)
     extends PartitionReader[InternalRow] {
 
   private val reader = new DataFileReader[GenericRecord](
     new FsInput(new Path(file), new Configuration()),
     new GenericDatumReader[GenericRecord]())
+  AvroDataSource.validateFileSchema(schema, reader.getSchema, file)
   private val names = schema.fields.map(_.name)
   private var current: GenericRecord = _
 

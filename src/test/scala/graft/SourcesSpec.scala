@@ -217,6 +217,63 @@ class SourcesSpec extends AnyFunSuite {
       .head.getLong(0) === src.count(_._3 == 0L))
   }
 
+  test("avro: multi-path load, mixed-schema rejection, and a missing-field fail-fast") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    def write(file: java.io.File, schema: Schema, rows: Seq[Map[String, Any]]): Unit = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, file)
+      rows.foreach { m =>
+        val rec = new GenericData.Record(schema)
+        m.foreach { case (k, v) => rec.put(k, v) }
+        w.append(rec)
+      }
+      w.close()
+    }
+    val sA: Schema = SchemaBuilder.record("r").fields()
+      .requiredLong("id").requiredString("name").endRecord()
+    // same field NAME, different type — the silent-null hazard shape
+    val sB: Schema = SchemaBuilder.record("r").fields()
+      .requiredLong("id").requiredDouble("name").endRecord()
+    // field simply absent
+    val sC: Schema = SchemaBuilder.record("r").fields()
+      .requiredLong("id").endRecord()
+    val d1 = Files.createTempDirectory("graft_avro_mp1")
+    val d2 = Files.createTempDirectory("graft_avro_mp2")
+    write(d1.resolve("a.avro").toFile, sA,
+      Seq(Map("id" -> 1L, "name" -> "x"), Map("id" -> 2L, "name" -> "y")))
+    write(d2.resolve("b.avro").toFile, sA, Seq(Map("id" -> 3L, "name" -> "z")))
+    // multiple .load(p1, p2) paths arrive as a JSON "paths" option — the
+    // source must read the union, not fail with "requires a path"
+    val multi = spark.read.format("graft-avro").load(d1.toString, d2.toString)
+    assert(multi.count() === 3)
+    assert(multi.agg(sum("id")).head.getLong(0) === 6L)
+    // mixed-schema directory: schema is inferred from the FIRST file;
+    // a later file with the same field at a different type (or missing
+    // the field) must fail loudly at read, never yield silent nulls
+    val mixed = Files.createTempDirectory("graft_avro_mixed")
+    write(mixed.resolve("0first.avro").toFile, sA, Seq(Map("id" -> 1L, "name" -> "x")))
+    write(mixed.resolve("1badtype.avro").toFile, sB, Seq(Map("id" -> 2L, "name" -> 9.9)))
+    def chainMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => String.valueOf(x.getMessage)).mkString(" | ")
+    val e1 = intercept[Exception] {
+      spark.read.format("graft-avro").load(mixed.toString).count()
+    }
+    assert(chainMsg(e1).contains("field 'name'"),
+      s"mixed-type read must name the offending field: ${chainMsg(e1)}")
+    val missing = Files.createTempDirectory("graft_avro_missing")
+    write(missing.resolve("0first.avro").toFile, sA, Seq(Map("id" -> 1L, "name" -> "x")))
+    write(missing.resolve("1nofield.avro").toFile, sC, Seq(Map("id" -> 2L)))
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-avro").load(missing.toString).count()
+    }
+    assert(chainMsg(e2).contains("no field 'name'"),
+      s"missing-field read must fail fast, not null-fill: ${chainMsg(e2)}")
+  }
+
   test("csv source: PERMISSIVE captures malformed rows, DROPMALFORMED removes them") {
     val dir = Files.createTempDirectory("graft_badcsv").toString
     Files.writeString(java.nio.file.Paths.get(dir, "part.csv"),
