@@ -80,7 +80,8 @@ object Bench {
       "t21" -> 0.6, "t22" -> 0.8, "t23" -> 0.3, "t24" -> 0.5, "t25" -> 0.3, "t26" -> 1.4,
       "t27" -> 0.4, "t28" -> 0.3, "t29" -> 0.3, "t3" -> 0.3, "t30" -> 0.5, "t31" -> 0.7,
       "t33" -> 0.6, "t34" -> 1.1, "t35" -> 0.7, "t36" -> 0.6, "t37" -> 0.3, "t38" -> 0.7,
-      "t39" -> 0.3, "t4" -> 0.3, "t40" -> 1.0, "t5" -> 0.3, "t6" -> 0.4, "t7" -> 0.3,
+      "t39" -> 0.3, "t4" -> 0.3, "t40" -> 1.0, "t41" -> 2.1, "t42" -> 1.4,
+      "t5" -> 0.3, "t6" -> 0.4, "t7" -> 0.3,
       "t8" -> 0.3, "t9" -> 1.0, "u1" -> 0.3, "u10" -> 0.4, "u11" -> 0.8, "u12" -> 0.8,
       "u13" -> 0.4, "u14" -> 0.3, "u15" -> 0.4, "u16" -> 0.4, "u17" -> 0.7, "u18" -> 0.4,
       "u19" -> 0.6, "u2" -> 0.4, "u20" -> 0.3, "u21" -> 0.3, "u23" -> 0.5, "u24" -> 0.3,

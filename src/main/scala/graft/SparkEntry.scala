@@ -2525,6 +2525,23 @@ object SparkEntry {
       Graft.registerAll(s)
       Dedup.semDedupByCellSize(augmentedEmb(s, dir), targetCellSize = 64,
         iters = 2, threshold = 0.95)
+    }),
+    // Okapi BM25 top-20 against a fixed query bag — the retrieval-based
+    // data-selection primitive ("pull the subset that matches this
+    // domain description"). Exact integer-rational scoring: k1=1.2,
+    // b=0.75 cleared of all fractions over DECIMAL(38,0), idf
+    // micro-quantized from ONE ln of an integer ratio; top-k rides
+    // TakeOrderedAndProject, never a corpus-wide ordered window.
+    "t41_bm25_topk" -> ((s, dir) =>
+      Vocab.bm25TopK(par(tbl(s, dir, "documents")),
+        Seq("spark", "window", "stream", "hash"), k = 20)),
+    // DSIR importance log-weights (target = the src7 slice): add-one
+    // unigram target/corpus models full-outer-merged into one vocab
+    // table, per-token log-likelihood-ratio micro-quantized BEFORE the
+    // per-doc sum so the weight is engine- and partition-exact.
+    "t42_dsir_weights" -> ((s, dir) => {
+      val d = par(tbl(s, dir, "documents"))
+      Vocab.dsirLogRatio(d, d.where(col("source") === "src7"))
     })
   )
 
@@ -3568,6 +3585,65 @@ object SparkEntry {
           |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
           |  tfidf, CAST(rank AS BIGINT) AS rank
           |FROM ranked WHERE rank <= 3""".stripMargin,
+      // t41 replays the cleared-fraction BM25 rational in HUGEINT: with
+      // k1=1.2 b=0.75, contribution = idf_micro·22·S·tf // (10·S·tf +
+      // 3·S + 9·dl·N); idf = Lucene's ln(1+(N−df+½)/(df+½)) =
+      // ln((2N+2)/(2df+1)), always positive so // == div.
+      "t41_bm25_topk" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS term
+          |  FROM documents
+          |), dl AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+          |), ns AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_tokens FROM dl
+          |), tf AS (
+          |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+          |  WHERE term IN ('spark', 'window', 'stream', 'hash') GROUP BY 1, 2
+          |), dfs AS (
+          |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+          |), idf AS (
+          |  SELECT term, CAST(round(ln(CAST(2 * n_docs + 2 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+          |  FROM dfs CROSS JOIN ns
+          |), scored AS (
+          |  SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+          |    CAST(sum(CAST((CAST(idf_micro AS HUGEINT) * 22 * s_tokens * tf)
+          |      // (CAST(10 AS HUGEINT) * s_tokens * tf + CAST(3 AS HUGEINT) * s_tokens
+          |         + CAST(9 AS HUGEINT) * dl.dl * n_docs) AS BIGINT)) AS BIGINT) AS score_micro
+          |  FROM tf JOIN idf USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN ns
+          |  GROUP BY 1
+          |), ranked AS (
+          |  SELECT doc_id, n_hits, score_micro,
+          |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+          |  FROM scored
+          |)
+          |SELECT doc_id, n_hits, score_micro, rank FROM ranked WHERE rank <= 20""".stripMargin,
+      // t42: add-one unigram importance ratio, one ln of an integer
+      // rational per token, micro-quantized before the HUGEINT sum
+      // (deltas may be negative — no floor division anywhere).
+      "t42_dsir_weights" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS term
+          |  FROM documents
+          |), cfc AS (
+          |  SELECT term, CAST(count(*) AS BIGINT) AS cf_c FROM tok GROUP BY 1
+          |), cft AS (
+          |  SELECT term, CAST(count(*) AS BIGINT) AS cf_t FROM (
+          |    SELECT unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS term
+          |    FROM documents WHERE source = 'src7') GROUP BY 1
+          |), model AS (
+          |  SELECT coalesce(c.term, t.term) AS term,
+          |    coalesce(c.cf_c, 0) AS cf_c, coalesce(t.cf_t, 0) AS cf_t
+          |  FROM cfc c FULL OUTER JOIN cft t ON c.term = t.term
+          |), sv AS (
+          |  SELECT CAST(sum(cf_c) AS BIGINT) AS s_c, CAST(sum(cf_t) AS BIGINT) AS s_t,
+          |    CAST(count(*) AS BIGINT) AS v FROM model
+          |)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(sum(CAST(round(ln(CAST((cf_t + 1) * (s_c + v) AS DOUBLE)
+          |    / CAST((cf_c + 1) * (s_t + v) AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS dsir_micro
+          |FROM tok JOIN model USING (term) CROSS JOIN sv
+          |GROUP BY 1""".stripMargin,
       "t20_lexical_diversity" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS term

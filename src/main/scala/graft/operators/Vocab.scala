@@ -493,4 +493,121 @@ object Vocab {
       array_join(transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
         x => x.getField("tid").cast("string")), " ").as("ids"))
   }
+
+  /** Okapi BM25 top-k retrieval over the corpus for a fixed bag of query
+    * terms (Robertson & Zaragoza 2009, k₁=1.2 b=0.75; Lucene's
+    * always-positive idf `ln(1 + (N−df+½)/(df+½))`) — the
+    * retrieval-based data-selection primitive: "rank the corpus against
+    * this query/domain description" is how targeted pretraining subsets
+    * and RAG evaluation sets get pulled from a 100 TB pool.
+    *
+    * EXACT cross-engine scoring: with k₁=1.2, b=0.75 every per-term
+    * contribution is the integer rational
+    * `idf_micro · 22·S·tf  div  (10·S·tf + 3·S + 9·dl·N)` — the BM25
+    * formula with avgdl = S/N cleared of all fractions (S = total corpus
+    * tokens, dl = doc length); `idf_micro = round(ln((2N+2)/(2df+1))·10⁶)`
+    * is the one double op, a single ln of an integer ratio (the t21/t28
+    * cross-engine-proven pattern). Products ride DECIMAL(38,0) — at
+    * 100 TB, S ~ 10¹⁴ puts `idf·22·S·tf` near 10²⁶, far past BIGINT.
+    * Contributions are integers before the sum, so scores are
+    * partition-order independent and engine-exact; ranking ties break
+    * on doc_id.
+    *
+    * Plan shape at 100 TB: the corpus explodes ONCE and is immediately
+    * filtered to the query terms (a literal IN over ≲dozens of terms —
+    * Catalyst folds it into the scan stage, so the (doc, term, tf)
+    * aggregate is query-sized, not corpus-sized); dl/N/S come from one
+    * separate corpus-level aggregate whose (1+|terms|)-row outputs
+    * broadcast. The only corpus-keyed shuffle is the per-doc dl
+    * aggregate; everything downstream is bounded by docs-matching-query.
+    * Top-k via the rounded-score window then rank ≤ k.
+    *
+    * Output: (doc_id, n_hits, score_micro, rank) for rank ≤ k. */
+  def bm25TopK(
+      docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(Text.tokens(lower(col(textCol)))).as("term"))
+    // corpus stats: per-doc length, then N/S on top of it (one pass)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint()
+    val ns = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tokens"))
+    // query-term postings: tf and df are aggregates over the FILTERED
+    // explode — the IN literal prunes in the scan stage
+    val tf = toks.where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = dfs.crossJoin(broadcast(ns))
+      .select(col("term"),
+        round(log((lit(2) * col("n_docs") + 2).cast("double") /
+          (lit(2) * col("df") + 1).cast("double")) * 1e6).cast("long")
+          .as("idf_micro"))
+    val scored = tf.join(broadcast(idf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(ns))
+      .withColumn("contrib", expr(
+        """CAST((CAST(idf_micro AS DECIMAL(38,0)) * 22 * s_tokens * tf)
+          |  div (CAST(10 AS DECIMAL(38,0)) * s_tokens * tf
+          |       + CAST(3 AS DECIMAL(38,0)) * s_tokens
+          |       + CAST(9 AS DECIMAL(38,0)) * dl * n_docs) AS BIGINT)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("contrib")).as("score_micro"))
+    // top-k FIRST via TakeOrderedAndProject (k rows per partition cross
+    // the final boundary — never a corpus-wide ordered window), then the
+    // rank window runs over k rows only
+    scored.orderBy(col("score_micro").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("n_hits"), col("score_micro"), col("rank"))
+  }
+
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per document, the
+    * summed log-likelihood ratio of its tokens under an add-one-smoothed
+    * TARGET unigram model vs the CORPUS unigram model —
+    * `Σ_tokens ln( ((cf_t+1)/(S_t+V)) / ((cf_c+1)/(S_c+V)) )`, V = the
+    * union vocabulary. High weights = "looks like the target domain";
+    * importance resampling then samples the raw pool proportionally.
+    * The SUM and token count are returned rather than the mean: the sum
+    * is exact integer micro-nats (each token's ratio is ONE ln of an
+    * integer rational, quantized before aggregation — negative deltas
+    * are fine because no floor division ever runs), while a mean would
+    * need sign-split floor-division conventions for zero gain.
+    *
+    * Plan shape at 100 TB: two vocabulary-sized count aggregates (corpus
+    * and target — the target SAMPLE is small by construction but the
+    * code never assumes it) full-outer-merged into one model table;
+    * the corpus token stream joins that table shuffle-hash on the term
+    * (a real vocabulary is never broadcast), then one per-doc aggregate.
+    * The corpus is tokenized once per model build and once for scoring.
+    *
+    * Output: (doc_id, n_tokens, dsir_micro) for every document with ≥1
+    * token. */
+  def dsirLogRatio(
+      docs: DataFrame, target: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def toks(d: DataFrame) = d.select(col(idCol).as("doc_id"),
+      explode(Text.tokens(lower(col(textCol)))).as("term"))
+    val corpusToks = toks(docs).localCheckpoint()
+    val cfC = corpusToks.groupBy(col("term")).agg(count(lit(1)).as("cf_c"))
+    val cfT = toks(target).groupBy(col("term")).agg(count(lit(1)).as("cf_t"))
+    val model = cfC.join(cfT.hint("shuffle_hash"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("cf_c"), lit(0L)).as("cf_c"),
+        coalesce(col("cf_t"), lit(0L)).as("cf_t"))
+      .localCheckpoint()
+    val sv = model.agg(sum(col("cf_c")).as("s_c"), sum(col("cf_t")).as("s_t"),
+      count(lit(1)).as("v"))
+    corpusToks.join(model.hint("shuffle_hash"), "term")
+      .crossJoin(broadcast(sv))
+      .select(col("doc_id"),
+        round(log(((col("cf_t") + 1) * (col("s_c") + col("v"))).cast("double") /
+          ((col("cf_c") + 1) * (col("s_t") + col("v"))).cast("double")) * 1e6)
+          .cast("long").as("delta_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("delta_micro")).as("dsir_micro"))
+  }
 }

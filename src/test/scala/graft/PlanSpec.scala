@@ -677,4 +677,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"token aggregates must map-side combine:\n$p")
   }
+
+  test("t41 bm25: top-k rides TakeOrderedAndProject, rank window post-limit only") {
+    val p = plan("t41_bm25_topk")
+    // the corpus-side ordering must be the per-partition top-k operator,
+    // never a full sort or a corpus-wide ordered window
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 top-k must use TakeOrderedAndProject:\n$p")
+    // the only ordered window allowed is the rank stamp AFTER the limit
+    // (k rows); a pre-limit global window would single-partition every
+    // matching document
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows <= 2, s"only the post-limit rank window is allowed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"postings aggregates must map-side combine:\n$p")
+  }
+
+  test("t42 dsir: vocabulary model joins back shuffle-hash, never broadcast") {
+    val p = plan("t42_dsir_weights")
+    // the merged vocab table is vocabulary-sized — at corpus scale it
+    // must co-partition on the term (the d23/t9 discipline); only the
+    // 1-row S/V constants may broadcast
+    assert(p.contains("ShuffledHashJoin"),
+      s"model join must be shuffle-hash on the term:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }

@@ -4,12 +4,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Paths
+import graft.operators.{Paths, Vocab}
 
-/** Behavior specs for the round-8 hardening: the behaviorTwins
+/** Behavior specs for the round-8 additions: the behaviorTwins
   * broadcast-side contract (the query-user set must stay
   * broadcast-small; a caller with a corpus-sized set must be refused,
-  * not silently broadcast it).
+  * not silently broadcast it), hand-computed BM25 retrieval scoring,
+  * and hand-computed DSIR importance log-weights.
   */
 class Round8OpsSpec extends AnyFunSuite {
 
@@ -41,5 +42,45 @@ class Round8OpsSpec extends AnyFunSuite {
     val ok = Paths.behaviorTwins(events, (1L to Paths.MaxQueryUsers.toLong).toSeq)
     assert(ok.columns.toSeq ===
       Seq("query_user", "neighbor_user", "n_shared", "jaccard_ppm", "rank"))
+  }
+
+  test("bm25: hand-computed integer-rational scores, deterministic ranking") {
+    import spark.implicits._
+    // N=3 docs, S=9 tokens; query {apple, banana}: df(apple)=2 (d1,d3),
+    // df(banana)=2 (d1,d2) → idf_micro = round(ln((2·3+2)/(2·2+1))·1e6)
+    // = round(ln(1.6)·1e6) = 470004 for both terms.
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry apple"))
+      .toDF("doc_id", "text")
+    val out = Vocab.bm25TopK(docs, Seq("apple", "banana"), k = 20)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // contribution = idf·22·S·tf div (10·S·tf + 3·S + 9·dl·N):
+    //   d1 apple  tf=2 dl=3: 470004·396 div (180+27+81)  = 646255
+    //   d1 banana tf=1 dl=3: 470004·198 div (90+27+81)   = 470004
+    //   d2 banana tf=1 dl=2: 470004·198 div (90+27+54)   = 544215
+    //   d3 apple  tf=1 dl=4: 470004·198 div (90+27+108)  = 413603
+    assert(out === Seq(
+      (1L, 2L, 1116259L, 1L),
+      (2L, 1L, 544215L, 2L),
+      (3L, 1L, 413603L, 3L)))
+  }
+
+  test("dsir: hand-computed add-one log-ratio micro-nats, negative deltas exact") {
+    import spark.implicits._
+    // corpus: d1 = "a a b", d2 = "b c"; target = d2.
+    // cf_c: a=2 b=2 c=1; cf_t: b=1 c=1; S_c=5 S_t=2 V=3.
+    // delta(a) = round(ln(1·8 / (3·5))·1e6)  = −628609
+    // delta(b) = round(ln(2·8 / (3·5))·1e6)  =   64539
+    // delta(c) = round(ln(2·8 / (2·5))·1e6)  =  470004
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Vocab.dsirLogRatio(docs, docs.where($"doc_id" === 2L))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Seq(
+      (1L, 3L, 2L * -628609L + 64539L),  // a a b
+      (2L, 2L, 64539L + 470004L)))       // b c
   }
 }
