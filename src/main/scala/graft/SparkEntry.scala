@@ -2526,6 +2526,18 @@ object SparkEntry {
       Dedup.semDedupByCellSize(augmentedEmb(s, dir), targetCellSize = 64,
         iters = 2, threshold = 0.95)
     }),
+    // Winnowing (MOSS) local-fingerprint overlap pairs over the excerpt
+    // corpus: k=8-char gram hashes, w=4 window minima, hot fingerprints
+    // (df > 64) dropped from matching, pairs kept at containment-style
+    // overlap ≥ 500,000 ppm — the LOCAL-overlap complement to d2/d4's
+    // whole-document similarity (the constructed 200-char excerpts score
+    // ≥ ~689k ppm against their sources; unrelated template docs p99.9
+    // ≈ 228k — probed in DuckDB before shipping).
+    "d26_winnowing" -> ((s, dir) => {
+      Graft.registerAll(s)
+      Dedup.winnowingPairs(excerptDocs(s, dir), k = 8, w = 4, dfCap = 64,
+        minOverlapPpm = 500000L)
+    }),
     // Okapi BM25 top-20 against a fixed query bag — the retrieval-based
     // data-selection primitive ("pull the subset that matches this
     // domain description"). Exact integer-rational scoring: k1=1.2,
@@ -3585,6 +3597,41 @@ object SparkEntry {
           |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
           |  tfidf, CAST(rank AS BIGINT) AS rank
           |FROM ranked WHERE rank <= 3""".stripMargin,
+      // d26 replays winnowing end-to-end: the t4 gram-hash idiom, window
+      // minima via list slicing, df-banded keep [2, 64], containment
+      // normalization with // (non-negative → matches Spark div).
+      "d26_winnowing" ->
+        """WITH exc AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, substr(text, 31, 200) FROM documents
+          |  WHERE length(text) >= 231
+          |), n AS (
+          |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM exc
+          |), g AS (
+          |  SELECT doc_id, list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+          |    i -> ('0x' || substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 15))::BIGINT) AS gh
+          |  FROM n
+          |), fp AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest(list_transform(range(1, greatest(len(gh) - 3, 1) + 1),
+          |      j -> list_min(gh[CAST(j AS INT):CAST(j AS INT) + 3]))) AS fp
+          |  FROM g
+          |), sizes AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM fp GROUP BY 1
+          |), dfs AS (
+          |  SELECT fp, count(*) AS df FROM fp GROUP BY 1
+          |), keep AS (
+          |  SELECT fp.doc_id, fp.fp FROM fp JOIN dfs USING (fp) WHERE df BETWEEN 2 AND 64
+          |), pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+          |  FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |)
+          |SELECT id_a, id_b, n_shared,
+          |  CAST(n_shared * 1000000 // least(sa.nf, sb.nf) AS BIGINT) AS overlap_ppm
+          |FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+          |WHERE n_shared * 1000000 // least(sa.nf, sb.nf) >= 500000""".stripMargin,
       // t41 replays the cleared-fraction BM25 rational in HUGEINT: with
       // k1=1.2 b=0.75, contribution = idf_micro·22·S·tf // (10·S·tf +
       // 3·S + 9·dl·N); idf = Lucene's ln(1+(N−df+½)/(df+½)) =

@@ -1149,6 +1149,100 @@ object Dedup {
           " ").as("text_dedup"))
   }
 
+  /** Winnowing fingerprint sets (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS scheme): per document, the k-char grams of the normalized text
+    * are hashed (the [[graft.functions.Text.fingerprint64]] md5-derived
+    * 60-bit gram hash — t4 parity) and the MINIMUM hash of every window
+    * of `w` consecutive grams is selected; the distinct selected values
+    * are the document's fingerprint set. Winnowing's guarantee: any
+    * shared substring of length ≥ k + w − 1 chars yields at least one
+    * SHARED fingerprint, so local overlap (plagiarism, quotation, span
+    * copying) is detectable from set intersection — the LOCAL complement
+    * to [[minhashLshPairs]]' whole-document similarity.
+    *
+    * Plan shape at 100 TB: grams, windows and per-window minima all form
+    * INSIDE the scan stage (`transform` over `sequence` + `slice` —
+    * array expressions, no window operator, no self-join; per-doc work
+    * is O(|text|·w)); one explode feeds the distinct. Output:
+    * `(doc_id, fp)`. */
+  def winnowingFingerprints(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2, w >= 1; got k=$k w=$w")
+    val t = Text.normalized(col(textCol))
+    // gram hashes: same md5-derived hash and 1-based substring windows
+    // as fingerprint64 (which is the w = ∞ degenerate case of this)
+    val grams = transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => conv(substring(md5(t.substr(i, lit(k)).cast("binary")), 1, 15), 16, 10)
+        .cast("long"))
+    docs.select(col(idCol).as("doc_id"), grams.as("_g"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(size(col("_g")) - (w - 1), lit(1))),
+        j => array_min(slice(col("_g"), j, lit(w))))).as("fp"))
+      .distinct()
+  }
+
+  /** Local-overlap pairs over [[winnowingFingerprints]]: documents
+    * sharing fingerprints, scored by
+    * `overlap_ppm = |A∩B|·10⁶ div min(|A|,|B|)` — the containment-style
+    * normalization, so a short excerpt of a long document still scores
+    * near 10⁶. The inverted-index self-join on the fingerprint follows
+    * the repo's hot-key discipline: fingerprints with document frequency
+    * over `dfCap` are dropped from MATCHING (a single boilerplate
+    * fingerprint near a loose cap contributes df² candidate pairs)
+    * while set sizes keep every fingerprint — a capped pair's score is
+    * a tight lower bound, and drops are observable via `capStats`
+    * (best-effort under task retries, like all Spark accumulators).
+    * Singleton fingerprints (df = 1) are pruned before the join — they
+    * cannot produce a pair.
+    *
+    * sf0.01 calibration (probed in DuckDB before shipping, the simhash
+    * lesson): the synthetic template corpus puts p99 fingerprint df at
+    * ~94 and max at 517; dfCap 64 bounds candidate work at Σdf² ≈ 2.2M
+    * while every constructed source→excerpt pair scores ≥ 689,189 ppm
+    * against a noise p99.9 of ~228k — `minOverlapPpm` = 500,000
+    * separates them cleanly.
+    *
+    * Output: `(id_a, id_b, n_shared, overlap_ppm)`. */
+  def winnowingPairs(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 8, w: Int = 4, dfCap: Int = 64, minOverlapPpm: Long = 500000L,
+      capStats: Option[CapStats] = None): DataFrame = {
+    val fps = winnowingFingerprints(docs, idCol, textCol, k, w)
+      .localCheckpoint() // shared by sizes, df table and both join sides
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("_nf"))
+    // vocabulary-sized df table, joined back shuffle-hash on the
+    // fingerprint (the prefixFilter/t9 rule — never broadcast); df = 1
+    // cannot pair, df > dfCap is the hot-key drop, both pruned in one
+    // pass. The tally reads the checkpointed df table so it fires once
+    // per call (idfCosinePairs' pattern).
+    val dfs0 = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+    val dfs = if (capStats.isDefined) dfs0.localCheckpoint() else dfs0
+    capStats.foreach { cs =>
+      val tally = udf { d: Long => cs.buckets.add(1L); cs.rows.add(d); true }
+        .asNondeterministic()
+      dfs.where(col("_df") > dfCap).where(tally(col("_df")))
+        .select(col("fp")).localCheckpoint()
+    }
+    val kept = fps.join(
+      dfs.where(col("_df") >= 2 && col("_df") <= dfCap)
+        .select(col("fp")).hint("shuffle_hash"), "fp")
+    val pairs = kept.as("a")
+      .join(kept.as("b").hint("shuffle_hash"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("_nf").as("_na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("_nf").as("_nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        expr("CAST(n_shared * CAST(1000000 AS BIGINT) div least(_na, _nb) AS BIGINT)")
+          .as("overlap_ppm"))
+      .where(col("overlap_ppm") >= minOverlapPpm)
+  }
+
   /** All-pairs brute-force variant of [[embeddingNearDupPairs]] — exact
     * recall oracle for tests; O(n²), never the shipped query path. */
   def embeddingNearDupPairsBrute(

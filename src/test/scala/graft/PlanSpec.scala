@@ -694,6 +694,18 @@ class PlanSpec extends AnyFunSuite {
       s"postings aggregates must map-side combine:\n$p")
   }
 
+  test("d26 winnowing: fingerprint index joins shuffle-hash, no cartesian, scan-stage arrays") {
+    val p = plan("d26_winnowing")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the fingerprint inverted-index self-join must be shuffle-hash:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$p")
+    // winnowing itself (grams, windows, minima) must be array
+    // expressions in the scan stage — no window operator anywhere
+    assert(!p.contains("windowspecdefinition"),
+      s"winnowing must not use a window operator:\n$p")
+  }
+
   test("t42 dsir: vocabulary model joins back shuffle-hash, never broadcast") {
     val p = plan("t42_dsir_weights")
     // the merged vocab table is vocabulary-sized — at corpus scale it

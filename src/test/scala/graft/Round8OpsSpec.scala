@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Paths, Vocab}
+import graft.operators.{Dedup, Paths, Vocab}
 
 /** Behavior specs for the round-8 additions: the behaviorTwins
   * broadcast-side contract (the query-user set must stay
@@ -42,6 +42,30 @@ class Round8OpsSpec extends AnyFunSuite {
     val ok = Paths.behaviorTwins(events, (1L to Paths.MaxQueryUsers.toLong).toSeq)
     assert(ok.columns.toSeq ===
       Seq("query_user", "neighbor_user", "n_shared", "jaccard_ppm", "rank"))
+  }
+
+  test("winnowing: shared substring >= k+w-1 yields shared fingerprints, local pair found") {
+    import spark.implicits._
+    // doc 2 is a verbatim ~100-char excerpt of doc 1 (the MOSS guarantee
+    // covers any shared run >= k+w-1 = 11 chars — here hundreds of
+    // interior grams are identical); doc 3 shares nothing
+    val core = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "astronauts recalibrate the antenna array"
+    val docs = Seq(
+      (1L, s"leading unrelated preamble text $core trailing epilogue words"),
+      (2L, core),
+      (3L, "entirely disjoint content talking about submarine hydraulics and citrus"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(docs)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "guarantee: excerpt shares fingerprints")
+    assert((byDoc(2L) & byDoc(3L)).isEmpty, "disjoint docs share nothing")
+    val pairs = Dedup.winnowingPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(pairs.length === 1, s"exactly the excerpt pair: ${pairs.mkString(",")}")
+    assert(pairs.head._1 === 1L && pairs.head._2 === 2L)
+    assert(pairs.head._3 >= 500000L, s"containment-normalized ppm: ${pairs.head._3}")
   }
 
   test("bm25: hand-computed integer-rational scores, deterministic ranking") {
