@@ -70,7 +70,8 @@ object Bench {
       "q23" -> 0.5, "q24" -> 0.3, "q25" -> 0.3, "q26" -> 0.5, "q27" -> 0.3, "q28" -> 0.4,
       "q29" -> 0.4, "q3" -> 0.3, "q30" -> 0.3, "q31" -> 0.3, "q32" -> 0.4, "q33" -> 0.3,
       "q34" -> 0.3, "q35" -> 0.3, "q36" -> 1.0, "q37" -> 0.3, "q38" -> 1.0, "q39" -> 0.3,
-      "q4" -> 0.3, "q40" -> 0.3, "q41" -> 2.7, "q42" -> 0.3, "q43" -> 0.5, "q5" -> 0.3,
+      "q4" -> 0.3, "q40" -> 0.3, "q41" -> 2.7, "q42" -> 0.3, "q43" -> 0.5,
+      "q44" -> 1.7, "q5" -> 0.3,
       "q6" -> 0.4, "q7" -> 0.8, "q8" -> 0.3, "q9" -> 0.3,
       "retention_count" -> 0.4, "retention_sum" -> 0.4, "s1" -> 0.6, "s10" -> 1.2,
       "s11" -> 0.4, "s12" -> 0.9, "s13" -> 1.0, "s14" -> 0.9, "s15" -> 0.7, "s16" -> 0.3,

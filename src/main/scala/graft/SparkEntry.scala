@@ -2526,6 +2526,50 @@ object SparkEntry {
       Dedup.semDedupByCellSize(augmentedEmb(s, dir), targetCellSize = 64,
         iters = 2, threshold = 0.95)
     }),
+    // End-to-end curation FUNNEL — the release report a training-data
+    // pipeline actually publishes: language gate (t3's heuristic) →
+    // quality gate (t2's score, micro-quantized ≥ 0.5) → exact dedup
+    // (min-id keeper per content hash AMONG gate survivors) → p1's
+    // deterministic 90/5/5 split, all ONE composed plan with fixed
+    // 7-row (stage, n_docs, n_tokens) output. Plan: one scan projection
+    // computes every per-doc signal, one content-hash window picks
+    // keepers, one global aggregate with conditional sums, stack()
+    // unpivots the 1-row result — two shuffles total regardless of
+    // corpus size.
+    "q44_curation_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val flags = Split.assignSplit(
+          par(tbl(s, dir, "documents")).select(col("doc_id"), col("text")),
+          "doc_id")
+        .select(col("doc_id"), col("split"),
+          Text.langId(col("text")).as("_lang"),
+          round(Text.qualityScore(col("text")) * 1e6).cast("long").as("_qm"),
+          Text.docHash(col("text")).as("_h"),
+          Text.tokenCount(col("text")).cast("long").as("_nt"))
+        .withColumn("_l2", col("_lang") === "en" && col("_qm") >= 500000L)
+        .withColumn("_keep",
+          min(when(col("_l2"), col("doc_id")))
+            .over(Window.partitionBy(col("_h"))))
+        .withColumn("_l3", col("_l2") && col("doc_id") === col("_keep"))
+      def stageAgg(cond: org.apache.spark.sql.Column, n: String, t: String) = Seq(
+        count(when(cond, 1)).as(n),
+        coalesce(sum(when(cond, col("_nt"))), lit(0L)).as(t))
+      val wide = flags.agg(
+        count(lit(1)).as("raw_n"),
+        (coalesce(sum(col("_nt")), lit(0L)).as("raw_t") +:
+          (stageAgg(col("_lang") === "en", "lang_n", "lang_t") ++
+            stageAgg(col("_l2"), "q_n", "q_t") ++
+            stageAgg(col("_l3"), "d_n", "d_t") ++
+            stageAgg(col("_l3") && col("split") === "train", "tr_n", "tr_t") ++
+            stageAgg(col("_l3") && col("split") === "val", "va_n", "va_t") ++
+            stageAgg(col("_l3") && col("split") === "test", "te_n", "te_t"))): _*)
+      wide.selectExpr(
+        """stack(7,
+          |  'raw', raw_n, raw_t, 'lang_en', lang_n, lang_t,
+          |  'quality', q_n, q_t, 'dedup', d_n, d_t,
+          |  'split_train', tr_n, tr_t, 'split_val', va_n, va_t,
+          |  'split_test', te_n, te_t) AS (stage, n_docs, n_tokens)""".stripMargin)
+    }),
     // Winnowing (MOSS) local-fingerprint overlap pairs over the excerpt
     // corpus: k=8-char gram hashes, w=4 window minima, hot fingerprints
     // (df > 64) dropped from matching, pairs kept at containment-style
@@ -3597,6 +3641,59 @@ object SparkEntry {
           |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
           |  tfidf, CAST(rank AS BIGINT) AS rank
           |FROM ranked WHERE rank <= 3""".stripMargin,
+      // q44 chains the PROVEN t3 (langid), t2/t23 (quality micro), d1
+      // (content-hash keeper) and p1 (md5 split bucket) fragments into
+      // one funnel; fixed 7-row shape via conditional aggregates (never
+      // GROUP BY a possibly-empty stage).
+      "q44_curation_funnel" ->
+        """WITH t AS (
+          |  SELECT doc_id, text,
+          |    regexp_extract_all(text, '[a-zA-Z0-9'']+') AS toks,
+          |    regexp_extract_all(lower(text), '[a-zA-Z0-9'']+') AS ltoks,
+          |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+          |  FROM documents
+          |), m AS (
+          |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt, md5(norm) AS h,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b,
+          |    len(list_filter(ltoks, x -> x IN ('the','a','of','to','and','in','is','that','it','for'))) AS s_en,
+          |    len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS s_de,
+          |    len(list_filter(ltoks, x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS s_fr,
+          |    len(list_filter(ltoks, x -> x IN ('el','los','las','y','es','un','una','que','de','por'))) AS s_es,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |         ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+          |    CASE WHEN len(toks) = 0 THEN 0.0
+          |         ELSE CAST(len(list_filter(ltoks, x -> x IN ('the','a','of','to','and','in','is','that','it','for'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+          |    CASE WHEN len(toks) = 0 THEN 0.0
+          |         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS awl
+          |  FROM t
+          |), f AS (
+          |  SELECT doc_id, nt, h,
+          |    CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+          |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+          |         WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred,
+          |    CAST(round(round(least(1.0, CAST(len(toks) AS DOUBLE) / 200.0) * 0.25 + alpha_ratio * 0.25 +
+          |      (1.0 - stop_ratio) * 0.2 + least(1.0, awl / 8.0) * 0.3, 6) * 1000000) AS BIGINT) AS qm,
+          |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+          |  FROM m JOIN t USING (doc_id)
+          |), g AS (
+          |  SELECT *, lang_pred = 'en' AND qm >= 500000 AS l2 FROM f
+          |), k AS (
+          |  SELECT *, l2 AND doc_id = min(CASE WHEN l2 THEN doc_id END) OVER (PARTITION BY h) AS l3 FROM g
+          |)
+          |SELECT 'raw' AS stage, count(*) AS n_docs, CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens FROM k
+          |UNION ALL SELECT 'lang_en', count(*) FILTER (WHERE lang_pred = 'en'),
+          |  CAST(coalesce(sum(nt) FILTER (WHERE lang_pred = 'en'), 0) AS BIGINT) FROM k
+          |UNION ALL SELECT 'quality', count(*) FILTER (WHERE l2),
+          |  CAST(coalesce(sum(nt) FILTER (WHERE l2), 0) AS BIGINT) FROM k
+          |UNION ALL SELECT 'dedup', count(*) FILTER (WHERE l3),
+          |  CAST(coalesce(sum(nt) FILTER (WHERE l3), 0) AS BIGINT) FROM k
+          |UNION ALL SELECT 'split_train', count(*) FILTER (WHERE l3 AND split = 'train'),
+          |  CAST(coalesce(sum(nt) FILTER (WHERE l3 AND split = 'train'), 0) AS BIGINT) FROM k
+          |UNION ALL SELECT 'split_val', count(*) FILTER (WHERE l3 AND split = 'val'),
+          |  CAST(coalesce(sum(nt) FILTER (WHERE l3 AND split = 'val'), 0) AS BIGINT) FROM k
+          |UNION ALL SELECT 'split_test', count(*) FILTER (WHERE l3 AND split = 'test'),
+          |  CAST(coalesce(sum(nt) FILTER (WHERE l3 AND split = 'test'), 0) AS BIGINT) FROM k""".stripMargin,
       // d26 replays winnowing end-to-end: the t4 gram-hash idiom, window
       // minima via list slicing, df-banded keep [2, 64], containment
       // normalization with // (non-negative → matches Spark div).

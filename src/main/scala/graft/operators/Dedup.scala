@@ -1198,6 +1198,11 @@ object Dedup {
     * Singleton fingerprints (df = 1) are pruned before the join — they
     * cannot produce a pair.
     *
+    * EAGER: the fingerprint table (and, with `capStats`, the df table)
+    * is `localCheckpoint()`ed, so constructing this DataFrame runs a
+    * Spark job — the [[minhashLshPairs]]/[[idfCosinePairs]] trade, same
+    * caveats.
+    *
     * sf0.01 calibration (probed in DuckDB before shipping, the simhash
     * lesson): the synthetic template corpus puts p99 fingerprint df at
     * ~94 and max at 517; dfCap 64 bounds candidate work at Σdf² ≈ 2.2M

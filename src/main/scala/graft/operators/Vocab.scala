@@ -522,6 +522,11 @@ object Vocab {
     * aggregate; everything downstream is bounded by docs-matching-query.
     * Top-k via the rounded-score window then rank ≤ k.
     *
+    * EAGER: the dl and postings tables are `localCheckpoint()`ed
+    * (each feeds two consumers), so constructing this DataFrame runs
+    * Spark jobs — the [[tfIdfTopTerms]]/[[graft.operators.Dedup.idfCosinePairs]]
+    * trade, same caveats.
+    *
     * Output: (doc_id, n_hits, score_micro, rank) for rank ≤ k. */
   def bm25TopK(
       docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
@@ -583,6 +588,11 @@ object Vocab {
     * the corpus token stream joins that table shuffle-hash on the term
     * (a real vocabulary is never broadcast), then one per-doc aggregate.
     * The corpus is tokenized once per model build and once for scoring.
+    *
+    * EAGER: the corpus token stream and the merged model table are
+    * `localCheckpoint()`ed (each feeds multiple consumers), so
+    * constructing this DataFrame runs Spark jobs — the
+    * [[tfIdfTopTerms]] trade, same caveats.
     *
     * Output: (doc_id, n_tokens, dsir_micro) for every document with ≥1
     * token. */

@@ -706,6 +706,18 @@ class PlanSpec extends AnyFunSuite {
       s"winnowing must not use a window operator:\n$p")
   }
 
+  test("q44 curation funnel: one content-hash shuffle carries the whole pipeline") {
+    val p = plan("q44_curation_funnel")
+    // lang/quality/token signals and the split are scan-stage
+    // projections; the ONLY hash exchange is the dedup-keeper window on
+    // the content hash (the global funnel aggregate is a single-
+    // partition exchange, not a hash shuffle)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"funnel must ride ONE content-hash exchange, found $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("t42 dsir: vocabulary model joins back shuffle-hash, never broadcast") {
     val p = plan("t42_dsir_weights")
     // the merged vocab table is vocabulary-sized — at corpus scale it
