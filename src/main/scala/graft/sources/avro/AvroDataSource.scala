@@ -242,7 +242,10 @@ private[avro] class AvroPartitionReader(schema: StructType, file: String)
   private val reader = new DataFileReader[GenericRecord](
     new FsInput(new Path(file), new Configuration()),
     new GenericDatumReader[GenericRecord]())
-  AvroDataSource.validateFileSchema(schema, reader.getSchema, file)
+  // validation failure aborts the task — close the container handle
+  // first or the executor leaks one fd per failed attempt
+  try AvroDataSource.validateFileSchema(schema, reader.getSchema, file)
+  catch { case e: Throwable => reader.close(); throw e }
   private val names = schema.fields.map(_.name)
   private var current: GenericRecord = _
 
