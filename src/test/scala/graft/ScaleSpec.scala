@@ -444,4 +444,31 @@ class ScaleSpec extends AnyFunSuite {
     // k would show
     assert(w10 < 4.0 * w1, s"per-vector pair work grew $w1 -> $w10")
   }
+
+  test("winnowing df-band keeps candidate pair work flat under 10x densification") {
+    // gated on the 10x scale-rehearsal blow-up (regenerate with
+    // `runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sf1 10`)
+    assume(new java.io.File("/tmp/sf1/documents.parquet").exists(),
+      "10x rehearsal data absent")
+    // the template corpus densifies fingerprint df ~10x with the corpus
+    // (the u7 fixed-domain effect); the inverted-index join's candidate
+    // volume is Σ df² over the df-band [2, dfCap] — the band must shed
+    // exactly the densified fingerprints, keeping pair work near-flat
+    // while uncapped work would grow ~100x for every surviving
+    // fingerprint. (DuckDB same-scheme measurement: 2.82M → 2.98M at
+    // 10x; this asserts the Spark implementation's own fp/df tables.)
+    def pairWork(dir: String): Double = {
+      val dfs = Dedup.winnowingFingerprints(
+          SparkEntry.tbl(spark, dir, "documents"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2 && col("df") <= 64)
+        .select(sum(col("df") * col("df")).cast("double"))
+        .head.getDouble(0)
+      dfs
+    }
+    val w1 = pairWork(TestData.dir("0.1"))
+    val w10 = pairWork("/tmp/sf1")
+    assert(w10 < 3.0 * w1,
+      s"df-banded winnowing pair work must stay near-flat at 10x: $w1 -> $w10")
+  }
 }
