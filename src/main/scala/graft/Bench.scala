@@ -91,7 +91,7 @@ object Bench {
       "u33" -> 1.0, "u34" -> 0.4, "u35" -> 0.4, "u36" -> 0.5, "u37" -> 0.3, "u38" -> 0.5,
       "u39" -> 0.4, "u4" -> 0.3, "u40" -> 0.4, "u41" -> 0.3, "u42" -> 1.0, "u43" -> 0.5,
       "u44" -> 0.4, "u45" -> 0.3, "u46" -> 0.3, "u47" -> 0.3, "u49" -> 0.9, "u5" -> 0.4,
-      "u6" -> 0.4, "u7" -> 2.9, "u8" -> 0.4, "u9" -> 0.4)
+      "u50" -> 0.7, "u6" -> 0.4, "u7" -> 2.9, "u8" -> 0.4, "u9" -> 0.4)
 
   /** New queries (no last-round number) are assumed mid-weight so they
     * schedule early enough to always get measured. */

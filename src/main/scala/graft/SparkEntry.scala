@@ -2297,6 +2297,12 @@ object SparkEntry {
     // on the same partitioning. See Sessions.timeWeightedValue.
     "u44_time_weighted_value" -> ((s, dir) =>
       Sessions.timeWeightedValue(tbl(s, dir, "events"))),
+    // Per-user burstiness B = (σ−μ)/(σ+μ) of inter-event gaps (Goh &
+    // Barabási): the rhythm signal separating metronome/bot regularity
+    // (B→−1) from organic bursts (B>0). Exact integer moments through
+    // DECIMAL(38,0), one IEEE sqrt, one user-key exchange.
+    "u50_burstiness" -> ((s, dir) =>
+      Sessions.burstiness(tbl(s, dir, "events"))),
     // Per-document shingle novelty: fraction of a doc's distinct
     // 3-gram shingles with corpus document-frequency 1, exact ppm —
     // the memorization/novelty curation signal. Inverted index without
@@ -6931,6 +6937,30 @@ object SparkEntry {
           |    ELSE -CAST((-sum(CAST(c AS HUGEINT) * dur)) // sum(dur) AS BIGINT)
           |  END AS twa_cents
           |FROM d GROUP BY 1""".stripMargin,
+      // u50 replays the cleared-fraction burstiness: nσ = sqrt(n·Σg²−S²),
+      // nμ = S, so B = (sqrt(D)−S)/(sqrt(D)+S) — exact HUGEINT moments,
+      // one IEEE sqrt, S=0 → NULL (0/0 guard on both engines).
+      "u50_burstiness" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+          |), l AS (
+          |  SELECT user_id,
+          |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS g
+          |  FROM e
+          |), d AS (
+          |  SELECT user_id, g FROM l WHERE g IS NOT NULL
+          |), m AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+          |    CAST(sum(g) AS BIGINT) AS s,
+          |    sum(CAST(g AS HUGEINT) * g) AS s2
+          |  FROM d GROUP BY 1
+          |)
+          |SELECT user_id, n_gaps,
+          |  CASE WHEN s = 0 THEN NULL ELSE
+          |    round((sqrt(CAST(n_gaps * s2 - CAST(s AS HUGEINT) * s AS DOUBLE)) - CAST(s AS DOUBLE))
+          |      / (sqrt(CAST(n_gaps * s2 - CAST(s AS HUGEINT) * s AS DOUBLE)) + CAST(s AS DOUBLE)), 6)
+          |  END AS burstiness
+          |FROM m WHERE n_gaps >= 2""".stripMargin,
       "u34_markov_transitions" ->
         """WITH o AS (
           |  SELECT event_type AS t,

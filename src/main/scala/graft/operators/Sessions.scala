@@ -230,4 +230,44 @@ object Sessions {
             .otherwise(-expr("CAST((-_cd) div total_dur_us AS BIGINT)")))
           .as("twa_cents"))
   }
+
+  /** Per-user burstiness of the inter-event time distribution (Goh &
+    * Barabási 2008, "Burstiness and memory in complex systems"):
+    * `B = (σ − μ)/(σ + μ)` over the user's µs gaps — B → −1 for a
+    * metronome (σ=0), ≈0 for Poisson arrivals, → +1 for extreme bursts.
+    * The behavioral-rhythm signal that separates bot-like regularity
+    * and binge usage from organic activity, complementing u15's
+    * stickiness (how often) and u31's seasonality (when in the week)
+    * with HOW CLUMPED.
+    *
+    * Engine-exact form: with S = Σg and D = n·Σg² − S² (both exact
+    * integers; Σg² rides DECIMAL(38,0) — a 30-day gap squares to ~7·10²⁴,
+    * past BIGINT), nσ = √D and nμ = S, so `B = (√D − S)/(√D + S)` — ONE
+    * IEEE sqrt of an exactly-computed integer (deterministic across
+    * engines, the d12-cosine precedent) and a final round(·, 6).
+    * Users need ≥ 2 gaps (≥ 3 events) for a defined spread.
+    *
+    * Plan shape: the u44 single-exchange shape — one user-key shuffle
+    * shared by the lead window and the moment aggregate; no joins. */
+  def burstiness(
+      events: DataFrame, userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col("_u")).orderBy(col("_t"), col("_id"))
+    events.select(col(userCol).as("_u"), unix_micros(col(tsCol)).as("_t"),
+        col(idCol).as("_id"))
+      .withColumn("_g", lead(col("_t"), 1).over(w) - col("_t"))
+      .where(col("_g").isNotNull)
+      .groupBy(col("_u"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_g")).as("_s"),
+        sum(col("_g").cast("decimal(38,0)") * col("_g")).as("_s2"))
+      .where(col("n_gaps") >= 2)
+      .select(col("_u").as("user_id"), col("n_gaps"),
+        // S = 0 (every gap zero — all events simultaneous) makes B the
+        // undefined 0/0; NULL, not NaN, so the output hashes stably
+        when(col("_s") === 0, lit(null)).otherwise(round(expr(
+          """(sqrt(CAST(n_gaps * _s2 - CAST(_s AS DECIMAL(38,0)) * _s AS DOUBLE)) - CAST(_s AS DOUBLE))
+            | / (sqrt(CAST(n_gaps * _s2 - CAST(_s AS DECIMAL(38,0)) * _s AS DOUBLE)) + CAST(_s AS DOUBLE))""".stripMargin),
+          6)).as("burstiness"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Paths, Vocab}
+import graft.operators.{Dedup, Paths, Sessions, Vocab}
 
 /** Behavior specs for the round-8 additions: the behaviorTwins
   * broadcast-side contract (the query-user set must stay
@@ -42,6 +42,29 @@ class Round8OpsSpec extends AnyFunSuite {
     val ok = Paths.behaviorTwins(events, (1L to Paths.MaxQueryUsers.toLong).toSeq)
     assert(ok.columns.toSeq ===
       Seq("query_user", "neighbor_user", "n_shared", "jaccard_ppm", "rank"))
+  }
+
+  test("burstiness: hand-computed B, metronome -1, zero-span null, 1-gap excluded") {
+    import spark.implicits._
+    // user 1: events at 0,1,2,6 s → gaps [1,1,4] s → B = −0.171573
+    // user 2: metronome 0,5,10 → gaps [5,5] → σ=0 → B = −1
+    // user 3: all simultaneous → gaps [0,0] → S=0 → NULL (0/0 guard)
+    // user 4: two events → one gap → excluded (spread undefined)
+    val ev = Seq(
+      (1L, 0L), (1L, 1L), (1L, 2L), (1L, 6L),
+      (2L, 0L), (2L, 5L), (2L, 10L),
+      (3L, 7L), (3L, 7L), (3L, 7L),
+      (4L, 0L), (4L, 9L))
+      .zipWithIndex.map { case ((u, sec), i) => (u, sec, i.toLong) }
+      .toDF("user_id", "sec", "event_id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Sessions.burstiness(ev).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out === Seq(
+      (1L, 3L, Some(-0.171573)),
+      (2L, 2L, Some(-1.0)),
+      (3L, 2L, None)))
   }
 
   test("winnowing: shared substring >= k+w-1 yields shared fingerprints, local pair found") {
