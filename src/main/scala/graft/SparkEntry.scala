@@ -2534,7 +2534,8 @@ object SparkEntry {
     }),
     // End-to-end curation FUNNEL — the release report a training-data
     // pipeline actually publishes: language gate (t3's heuristic) →
-    // quality gate (t2's score, micro-quantized ≥ 0.5) → exact dedup
+    // quality gate (t2's score, micro-quantized ≥ 0.6 — the corpus spans
+    // 0.52-0.70 with median 0.63, so the gate visibly bites) → exact dedup
     // (min-id keeper per content hash AMONG gate survivors) → p1's
     // deterministic 90/5/5 split, all ONE composed plan with fixed
     // 7-row (stage, n_docs, n_tokens) output. Plan: one scan projection
@@ -2552,7 +2553,7 @@ object SparkEntry {
           round(Text.qualityScore(col("text")) * 1e6).cast("long").as("_qm"),
           Text.docHash(col("text")).as("_h"),
           Text.tokenCount(col("text")).cast("long").as("_nt"))
-        .withColumn("_l2", col("_lang") === "en" && col("_qm") >= 500000L)
+        .withColumn("_l2", col("_lang") === "en" && col("_qm") >= 600000L)
         .withColumn("_keep",
           min(when(col("_l2"), col("doc_id")))
             .over(Window.partitionBy(col("_h"))))
@@ -3683,7 +3684,7 @@ object SparkEntry {
           |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
           |  FROM m JOIN t USING (doc_id)
           |), g AS (
-          |  SELECT *, lang_pred = 'en' AND qm >= 500000 AS l2 FROM f
+          |  SELECT *, lang_pred = 'en' AND qm >= 600000 AS l2 FROM f
           |), k AS (
           |  SELECT *, l2 AND doc_id = min(CASE WHEN l2 THEN doc_id END) OVER (PARTITION BY h) AS l3 FROM g
           |)
