@@ -3771,7 +3771,11 @@ object SparkEntry {
           |SELECT doc_id, n_hits, score_micro, rank FROM ranked WHERE rank <= 20""".stripMargin,
       // t42: add-one unigram importance ratio, one ln of an integer
       // rational per token, micro-quantized before the HUGEINT sum
-      // (deltas may be negative — no floor division anywhere).
+      // (deltas may be negative — no floor division anywhere). The
+      // ratio products ride HUGEINT before the DOUBLE cast, in lockstep
+      // with the Spark side's DECIMAL(38,0) widening (Vocab.dsirDeltaMicro):
+      // both sides round the EXACT integer product once, at the cast that
+      // feeds ln, so parity holds at any 64-bit count.
       "t42_dsir_weights" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS term
@@ -3791,8 +3795,8 @@ object SparkEntry {
           |    CAST(count(*) AS BIGINT) AS v FROM model
           |)
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-          |  CAST(sum(CAST(round(ln(CAST((cf_t + 1) * (s_c + v) AS DOUBLE)
-          |    / CAST((cf_c + 1) * (s_t + v) AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS dsir_micro
+          |  CAST(sum(CAST(round(ln(CAST((CAST(cf_t AS HUGEINT) + 1) * (CAST(s_c AS HUGEINT) + v) AS DOUBLE)
+          |    / CAST((CAST(cf_c AS HUGEINT) + 1) * (CAST(s_t AS HUGEINT) + v) AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS dsir_micro
           |FROM tok JOIN model USING (term) CROSS JOIN sv
           |GROUP BY 1""".stripMargin,
       "t20_lexical_diversity" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -596,6 +596,27 @@ object Vocab {
     *
     * Output: (doc_id, n_tokens, dsir_micro) for every document with ≥1
     * token. */
+  /** The per-token DSIR scoring expression, factored out so the
+    * arithmetic width is unit-testable at extreme counts: micro-nat
+    * `round(ln((cf_t+1)(S_c+V) / (cf_c+1)(S_t+V)) * 1e6)` with every
+    * operand widened to DECIMAL(38,0) BEFORE the multiply (the
+    * [[bm25TopK]] discipline). At genuine 100 TB token counts the raw
+    * LONG×LONG products leave 64-bit range (e.g. "the" at cf_c ≈ 10¹²
+    * against a 10⁷-token target sample pushes (cf_c+1)(S_t+V) past
+    * 2⁶³−1, an ANSI overflow error or a silent corruption); the widened
+    * products stay exact up to ~10³⁸, i.e. for any pair of 64-bit
+    * counts, and the single double rounding happens only at the cast
+    * that feeds `ln` — identical to the oracle's HUGEINT→DOUBLE cast. */
+  private[graft] def dsirDeltaMicro(
+      cfT: Column, sC: Column, cfC: Column, sT: Column, v: Column): Column = {
+    // widen BEFORE the +1/+V additions too: a count at Long.MaxValue
+    // must not wrap in the long domain on its way into the decimal
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    round(log(((dec(cfT) + 1) * (dec(sC) + dec(v))).cast("double") /
+        ((dec(cfC) + 1) * (dec(sT) + dec(v))).cast("double")) * 1e6)
+      .cast("long")
+  }
+
   def dsirLogRatio(
       docs: DataFrame, target: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -614,9 +635,8 @@ object Vocab {
     corpusToks.join(model.hint("shuffle_hash"), "term")
       .crossJoin(broadcast(sv))
       .select(col("doc_id"),
-        round(log(((col("cf_t") + 1) * (col("s_c") + col("v"))).cast("double") /
-          ((col("cf_c") + 1) * (col("s_t") + col("v"))).cast("double")) * 1e6)
-          .cast("long").as("delta_micro"))
+        dsirDeltaMicro(col("cf_t"), col("s_c"), col("cf_c"), col("s_t"),
+          col("v")).as("delta_micro"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("delta_micro")).as("dsir_micro"))
   }
