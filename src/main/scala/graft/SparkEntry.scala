@@ -545,7 +545,9 @@ object SparkEntry {
       val totals = preds.groupBy(col("lang_label")).agg(count(lit(1)).as("_tot"))
       cells.join(broadcast(totals), Seq("lang_label"))
         .select(col("lang_label"), col("lang_pred"), col("n"),
-          expr("(n * 1000000) div _tot").as("share_ppm"))
+          // n counts documents per confusion cell — DECIMAL(38,0)
+          // before the ppm multiply (the dsirDeltaMicro width rule)
+          expr("(CAST(n AS DECIMAL(38,0)) * 1000000) div _tot").as("share_ppm"))
     }),
     "t4_fingerprint" -> ((s, dir) => {
       Graft.registerAll(s) // fingerprint64 codegen expression
@@ -5008,16 +5010,17 @@ object SparkEntry {
           |  FROM events GROUP BY 1, 2
           |), st AS (
           |  SELECT user_id, day, c,
-          |    count(*) OVER w AS n, sum(c) OVER w AS s1, sum(c * c) OVER w AS s2
+          |    count(*) OVER w AS n, sum(c) OVER w AS s1,
+          |    sum(CAST(c AS HUGEINT) * c) OVER w AS s2
           |  FROM ud WINDOW w AS (PARTITION BY user_id)
           |)
           |SELECT user_id, day, c AS n_events,
           |  round((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
-          |        sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))), 6) AS z_score
+          |        sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / (n * (n - 1))), 6) AS z_score
           |FROM st
-          |WHERE n >= 3 AND n * s2 - s1 * s1 > 0
+          |WHERE n >= 3 AND n * s2 - CAST(s1 AS HUGEINT) * s1 > 0
           |  AND (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
-          |      sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))) > 2.0""".stripMargin,
+          |      sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / (n * (n - 1))) > 2.0""".stripMargin,
       "u9_top_paths" ->
         """WITH ranked AS (
           |  SELECT user_id, event_type,
@@ -6011,7 +6014,7 @@ object SparkEntry {
           |  SELECT lang_label, CAST(count(*) AS BIGINT) AS t FROM p GROUP BY 1
           |)
           |SELECT c.lang_label, c.lang_pred, c.n,
-          |  CAST(c.n * 1000000 // t.t AS BIGINT) AS share_ppm
+          |  CAST(CAST(c.n AS HUGEINT) * 1000000 // t.t AS BIGINT) AS share_ppm
           |FROM cells c JOIN tot t USING (lang_label)""".stripMargin,
       "q33_cube" ->
         """SELECT coalesce(o_orderstatus, '(all)') AS status,
@@ -6976,7 +6979,7 @@ object SparkEntry {
           |  FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
           |), m AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_prev FROM cells GROUP BY 1)
           |SELECT prev_type, next_type, n, n_prev,
-          |  CAST(n * 1000000 // n_prev AS BIGINT) AS p_ppm
+          |  CAST(CAST(n AS HUGEINT) * 1000000 // n_prev AS BIGINT) AS p_ppm
           |FROM cells JOIN m USING (prev_type)""".stripMargin,
       "m4_media_dedup" ->
         """WITH m AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -35,17 +35,22 @@ object Anomaly {
     val byDay = events
       .groupBy(col(userCol).as("user"), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("c"))
+    // moments ride DECIMAL(38,0): a bot user at ~3e6 events/day makes
+    // c² ≈ 1e13 and n·Σc² ≈ s1² ≈ 1e19 — past 2⁶³−1 in the long domain
+    // (the dsirDeltaMicro overflow class); 38-digit decimals hold any
+    // per-user daily-count profile a 100 TB stream can produce
+    def dc(c: Column) = c.cast("decimal(38,0)")
     val w = Window.partitionBy(col("user"))
     val st = byDay
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("s1", sum(col("c")).over(w))
-      .withColumn("s2", sum(col("c") * col("c")).over(w))
+      .withColumn("s2", sum(dc(col("c")) * col("c")).over(w))
       .where(col("n") >= minDays &&
-        col("n") * col("s2") - col("s1") * col("s1") > 0)
+        dc(col("n")) * col("s2") - dc(col("s1")) * col("s1") > 0)
     // identical op order as the oracle SQL: mean, then the integer
     // variance numerator over n(n-1), then one sqrt and one division
     val mean = col("s1").cast("double") / col("n")
-    val variance = (col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+    val variance = (dc(col("n")) * col("s2") - dc(col("s1")) * col("s1")).cast("double") /
       (col("n") * (col("n") - 1))
     val z = (col("c").cast("double") - mean) / sqrt(variance)
     st.where(z > zThreshold)

@@ -53,8 +53,11 @@ object Basket {
         Seq("item_b"))
       .crossJoin(broadcast(nb))
       .select(col("item_a"), col("item_b"), col("n_ab"),
-        expr("(n_ab * 1000000) div n_baskets").as("support_ppm"),
-        expr("(n_ab * 1000000) div _na").as("conf_a_to_b_ppm"),
+        // n_ab counts co-occurring baskets (session-scale, ~10¹²
+        // possible) — the ppm numerators ride DECIMAL(38,0) like
+        // lift_ppm below already does
+        expr("(CAST(n_ab AS DECIMAL(38,0)) * 1000000) div n_baskets").as("support_ppm"),
+        expr("(CAST(n_ab AS DECIMAL(38,0)) * 1000000) div _na").as("conf_a_to_b_ppm"),
         expr("""(CAST(n_ab AS DECIMAL(38,0)) * n_baskets * 1000000)
                 div (CAST(_na AS DECIMAL(38,0)) * _nb)""").as("lift_ppm"))
   }

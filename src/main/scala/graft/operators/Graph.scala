@@ -68,13 +68,22 @@ object Graph {
     require(n > 0, "pageRank: empty edge set")
     var ranks = nodes.withColumn("rank_ppm", init(n))
     for (_ <- 1 to iters) {
+      // rank mass is ppm-scaled (Σrank ≈ |V|·10⁶, so a mega-hub's
+      // rank_ppm can reach ~10¹⁶ at |V|=10¹⁰) and edge weights are
+      // data — the products ride DECIMAL(38,0) before the integer
+      // division, then come back to the long domain (positive
+      // operands: decimal div == long div exactly)
       val contrib = eo
         .join(ranks.withColumnRenamed("node", "_src"), Seq("_src"))
-        .select(col("_dst").as("node"), expr("(rank_ppm * _w) div _tw").as("_c"))
+        .select(col("_dst").as("node"),
+          expr("CAST((CAST(rank_ppm AS DECIMAL(38,0)) * _w) div _tw AS BIGINT)")
+            .as("_c"))
         .groupBy(col("node")).agg(sum(col("_c")).as("_in"))
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (teleport(n) + expr(s"(coalesce(_in, 0L) * $dampPct) div 100")).as("rank_ppm"))
+          (teleport(n) + expr(
+            s"CAST((CAST(coalesce(_in, 0L) AS DECIMAL(38,0)) * $dampPct) div 100 AS BIGINT)"))
+            .as("rank_ppm"))
         .localCheckpoint()
     }
     ranks

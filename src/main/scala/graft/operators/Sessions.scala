@@ -159,7 +159,9 @@ object Sessions {
     val margins = cells.groupBy(col("prev_type")).agg(sum(col("n")).as("n_prev"))
     cells.join(broadcast(margins), "prev_type")
       .select(col("prev_type"), col("next_type"), col("n"), col("n_prev"),
-        expr("(n * 1000000) div n_prev").as("p_ppm"))
+        // n counts raw transitions — at 10¹³ events n·10⁶ leaves the
+        // long range, so the ppm numerator rides DECIMAL(38,0)
+        expr("(CAST(n AS DECIMAL(38,0)) * 1000000) div n_prev").as("p_ppm"))
   }
 
   def interEventStats(
