@@ -629,8 +629,9 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val resMap = results.toMap
     // worst-first: the biggest recorded numbers are the ones a reader
-    // most needs to know are unconfirmed
-    val susSorted = suspects.sortBy(n => (-resMap.getOrElse(n, Double.MaxValue), n))
+    // most needs to know are unconfirmed (a suspect id with no recorded
+    // result sorts LAST, not first — default 0.0, not MaxValue)
+    val susSorted = suspects.sortBy(n => (-resMap.getOrElse(n, 0.0), n))
     val slowJson = slow.map(s => s""""slow":${fmt2(s)},""").getOrElse("")
     def line(qJson: String, qKey: String, susShown: Int): String = {
       val sus =

@@ -2644,7 +2644,19 @@ object SparkEntry {
         .select(col("n_nationkey").cast("long"), col("n_name"),
           col("n_regionkey").cast("long"))
         .orderBy("n_nationkey").collect()
-      val out = java.nio.file.Files.createTempDirectory("graft_avro_a1")
+      // deterministic per-data-dir location (reused across JVMs instead
+      // of accumulating one temp dir per run) + a shutdown-hook sweep so
+      // repeated driver runs leave nothing behind
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_avro_a1_${java.lang.Integer.toHexString(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(out)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }))
       rows.grouped(math.max(1, (rows.length + 1) / 2)).zipWithIndex.foreach {
         case (chunk, i) =>
           val w = new DataFileWriter[GenericRecord](

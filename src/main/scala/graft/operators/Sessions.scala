@@ -264,12 +264,25 @@ object Sessions {
         sum(col("_g")).as("_s"),
         sum(col("_g").cast("decimal(38,0)") * col("_g")).as("_s2"))
       .where(col("n_gaps") >= 2)
+      // the spread numerator n·Σg² − S² can exceed DECIMAL(38,0) for a
+      // pathological user (n·Σg² > 1e38 needs gaps summing past ~1e15 µs
+      // ≈ 30 years, but the bound is data-reachable in principle); under
+      // non-ANSI Spark the overflow silently NULLs while the DuckDB
+      // HUGEINT oracle errors loudly — so make it an error HERE too:
+      // _s2 is non-null by construction, so a NULL product means exactly
+      // one thing, overflow
+      .withColumn("_nm",
+        expr("n_gaps * _s2 - CAST(_s AS DECIMAL(38,0)) * _s"))
+      .withColumn("_nm", when(col("_nm").isNull, expr(
+        "raise_error('burstiness: n_gaps * sum(gap^2) overflowed DECIMAL(38,0) " +
+          "- rescale the gap unit before aggregating')"))
+        .otherwise(col("_nm")))
       .select(col("_u").as("user_id"), col("n_gaps"),
         // S = 0 (every gap zero — all events simultaneous) makes B the
         // undefined 0/0; NULL, not NaN, so the output hashes stably
-        when(col("_s") === 0, lit(null)).otherwise(round(expr(
-          """(sqrt(CAST(n_gaps * _s2 - CAST(_s AS DECIMAL(38,0)) * _s AS DOUBLE)) - CAST(_s AS DOUBLE))
-            | / (sqrt(CAST(n_gaps * _s2 - CAST(_s AS DECIMAL(38,0)) * _s AS DOUBLE)) + CAST(_s AS DOUBLE))""".stripMargin),
+        when(col("_s") === 0, lit(null)).otherwise(round(
+          (sqrt(col("_nm").cast("double")) - col("_s").cast("double")) /
+            (sqrt(col("_nm").cast("double")) + col("_s").cast("double")),
           6)).as("burstiness"))
   }
 }

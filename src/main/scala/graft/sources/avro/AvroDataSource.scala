@@ -80,8 +80,11 @@ private[avro] object AvroDataSource {
     // may be a file or a directory of *.avro.
     val single = Option(options.get("path")).toSeq
     val multi = Option(options.get("paths")).toSeq.flatMap { js =>
-      """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(js)
-        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+      // a real JSON parse (Jackson ships on the Spark classpath) — the
+      // earlier regex+replace only unescaped \" and \\, so paths with
+      // \uXXXX or \/ escapes failed to resolve
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(js, classOf[Array[String]]).toSeq
     }
     val all = (single ++ multi).distinct
     require(all.nonEmpty,

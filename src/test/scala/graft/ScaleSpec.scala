@@ -462,7 +462,9 @@ class ScaleSpec extends AnyFunSuite {
           SparkEntry.tbl(spark, dir, "documents"))
         .groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .where(col("df") >= 2 && col("df") <= 64)
-        .select(sum(col("df") * col("df")).cast("double"))
+        // coalesce: an empty df-band makes sum() NULL, and getDouble
+        // would throw an opaque NPE instead of the assert message below
+        .select(coalesce(sum(col("df") * col("df")).cast("double"), lit(0.0)))
         .head.getDouble(0)
       dfs
     }
