@@ -65,9 +65,11 @@ class FirstKAgg(k: Int)
   */
 object Paths {
 
-  /** Hard ceiling on [[behaviorTwins]]' broadcast query side. 10⁴ query
-    * users × ≤ a few hundred trigrams each is tens of MB — comfortably
-    * inside executor broadcast budgets; anything bigger must batch. */
+  /** Per-batch ceiling on [[behaviorTwins]]' broadcast query side. 10⁴
+    * query users × ≤ a few hundred trigrams each is tens of MB —
+    * comfortably inside executor broadcast budgets; bigger query sets
+    * are split into batches of this size and unioned (exact — results
+    * are per-query-user independent). */
   val MaxQueryUsers: Int = 10000
 
   def topPaths(
@@ -113,22 +115,30 @@ object Paths {
     * for rank ≤ k. Users with < 3 events have no trigrams and appear on
     * neither side.
     *
-    * CONTRACT — `queryUsers` must be broadcast-small (≤ [[MaxQueryUsers]],
-    * enforced): the whole design rests on the query side fitting in an
-    * executor broadcast (|Q| × ≤|types|³ trigram rows). A caller with
-    * 10⁶ query users would broadcast a corpus-sized set and should
-    * instead run this in |Q|/10⁴ batches (results are per-query-user
-    * independent, so batching is embarrassingly parallel and exact). */
+    * CONTRACT — each BROADCAST batch is ≤ [[MaxQueryUsers]] query users:
+    * the design rests on the query side fitting in an executor
+    * broadcast (|Q| × ≤|types|³ trigram rows). Callers may pass ANY
+    * query-user count: per-query-user results are independent and exact
+    * under batching, so an oversized set is split into
+    * ⌈|Q|/10⁴⌉ broadcast batches and unioned — identical rows to the
+    * single-batch plan, never a corpus-sized broadcast.
+    *
+    * EAGER when batching engages (|Q| > [[MaxQueryUsers]]): the corpus
+    * trigram and size tables are `localCheckpoint()`ed so the union
+    * probes ONE materialized corpus pass instead of re-deriving the
+    * lead-window per batch — constructing the DataFrame then runs Spark
+    * jobs (the [[graft.operators.Vocab.tfIdfTopTerms]] trade). On a
+    * cluster the analogue is a persisted/checkpointed trigram table
+    * shared by all batches. */
   def behaviorTwins(
       events: DataFrame, queryUsers: Seq[Long], k: Int = 5,
       userCol: String = "user_id", eventCol: String = "event_type",
       tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
     require(queryUsers.nonEmpty, "behaviorTwins needs at least one query user")
-    require(queryUsers.size <= MaxQueryUsers,
-      s"behaviorTwins broadcasts the query side: ${queryUsers.size} query " +
-        s"users exceeds MaxQueryUsers=$MaxQueryUsers — run in batches " +
-        "(per-query-user results are independent and exact under batching)")
     require(k > 0, s"k must be positive, got $k")
+    // dedupe first: a user repeated across batches would duplicate its
+    // output rows, where the single-batch isin treats it as a set
+    val qs = queryUsers.distinct
     val w = Window.partitionBy(col("_u")).orderBy(col("_t"), col("_id"))
     val tri = events.select(col(userCol).cast("long").as("_u"),
         unix_micros(col(tsCol)).as("_t"), col(idCol).cast("long").as("_id"),
@@ -139,7 +149,22 @@ object Paths {
       .select(col("_u"), concat_ws(">", col("_e"), col("_e2"), col("_e3")).as("_g"))
       .distinct()
     val sizes = tri.groupBy(col("_u")).agg(count(lit(1)).as("_n"))
-    val inQ = col("_u").isin(queryUsers: _*)
+    if (qs.size <= MaxQueryUsers) twinsBatch(tri, sizes, qs, k)
+    else {
+      val t = tri.localCheckpoint()
+      val sz = sizes.localCheckpoint()
+      qs.grouped(MaxQueryUsers)
+        .map(b => twinsBatch(t, sz, b, k))
+        .reduce(_ union _)
+    }
+  }
+
+  /** One broadcast batch of [[behaviorTwins]] over pre-built trigram
+    * (`_u`, `_g`) and size (`_u`, `_n`) tables. `batch.size` ≤
+    * [[MaxQueryUsers]] by construction. */
+  private def twinsBatch(
+      tri: DataFrame, sizes: DataFrame, batch: Seq[Long], k: Int): DataFrame = {
+    val inQ = col("_u").isin(batch: _*)
     val q = tri.where(inQ).select(col("_u").as("_qu"), col("_g"))
     val qn = sizes.where(inQ).select(col("_u").as("_qu"), col("_n").as("_qn"))
     val inter = tri.join(broadcast(q), Seq("_g"))

@@ -7,9 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Dedup, Paths, Sessions, Vocab}
 
 /** Behavior specs for the round-8 additions: the behaviorTwins
-  * broadcast-side contract (the query-user set must stay
-  * broadcast-small; a caller with a corpus-sized set must be refused,
-  * not silently broadcast it), hand-computed BM25 retrieval scoring,
+  * broadcast-side contract (every broadcast batch stays ≤ MaxQueryUsers;
+  * an oversized query set is auto-batched and unioned, exactly — never
+  * silently broadcast whole), hand-computed BM25 retrieval scoring,
   * and hand-computed DSIR importance log-weights.
   */
 class Round8OpsSpec extends AnyFunSuite {
@@ -26,22 +26,38 @@ class Round8OpsSpec extends AnyFunSuite {
     s
   }
 
-  test("behaviorTwins refuses a corpus-sized query-user set with batching advice") {
+  test("behaviorTwins auto-batches an oversized query-user set, exactly") {
     import spark.implicits._
-    val events = Seq((1L, "a", "2024-01-01 00:00:00", 1L))
-      .toDF("user_id", "event_type", "ts", "event_id")
-      .withColumn("ts", col("ts").cast("timestamp"))
-    val tooMany = (1L to (Paths.MaxQueryUsers + 1L)).toSeq
-    val e = intercept[IllegalArgumentException] {
-      Paths.behaviorTwins(events, tooMany)
-    }
-    assert(e.getMessage.contains("MaxQueryUsers"))
-    assert(e.getMessage.contains("batches"))
-    // at the cap the plan still constructs (no action run — just the
-    // contract boundary)
-    val ok = Paths.behaviorTwins(events, (1L to Paths.MaxQueryUsers.toLong).toSeq)
-    assert(ok.columns.toSeq ===
-      Seq("query_user", "neighbor_user", "n_shared", "jaccard_ppm", "rank"))
+    // four users sharing journey trigrams so every batch has real
+    // query-side rows; users 1 and 2 are twins, 3 overlaps partially
+    val evs = Seq(
+      (1L, Seq("a", "b", "c", "d")), (2L, Seq("a", "b", "c", "d")),
+      (3L, Seq("a", "b", "c", "x")), (4L, Seq("b", "c", "d", "e")))
+    val events = evs.flatMap { case (u, seq) =>
+      seq.zipWithIndex.map { case (e, i) => (u, e, i.toLong, u * 100 + i) }
+    }.toDF("user_id", "event_type", "sec", "event_id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    // > MaxQueryUsers: the 4 real users plus filler ids with no events
+    // (trigram-less users appear on neither side — exactness unchanged)
+    val oversized = (1L to (Paths.MaxQueryUsers + 1L)).toSeq
+    val auto = Paths.behaviorTwins(events, oversized)
+      .orderBy("query_user", "rank").collect().map(_.toSeq)
+    // identical rows to the batched-by-hand union over the same split
+    val byHand = oversized.grouped(Paths.MaxQueryUsers)
+      .map(b => Paths.behaviorTwins(events, b))
+      .reduce(_ union _)
+      .orderBy("query_user", "rank").collect().map(_.toSeq)
+    assert(auto.nonEmpty)
+    assert(auto.toSeq === byHand.toSeq)
+    // and to the single-batch plan over just the users that exist
+    val single = Paths.behaviorTwins(events, Seq(1L, 2L, 3L, 4L))
+      .orderBy("query_user", "rank").collect().map(_.toSeq)
+    assert(auto.toSeq === single.toSeq)
+    // a duplicated query user yields set semantics, not duplicate rows
+    val dup = Paths.behaviorTwins(events, Seq(1L, 1L, 2L))
+      .select(countDistinct(col("query_user")), count(lit(1))).collect().head
+    val clean = Paths.behaviorTwins(events, Seq(1L, 2L)).count()
+    assert(dup.getLong(1) === clean)
   }
 
   test("burstiness: hand-computed B, metronome -1, zero-span null, 1-gap excluded") {
