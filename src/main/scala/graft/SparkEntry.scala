@@ -2457,6 +2457,27 @@ object SparkEntry {
       Multimodal.qaReport(par(tbl(s, dir, "documents"))
         .select(col("doc_id").as("media_id"),
           Multimodal.fakeMediaBytes(col("text")).as("bytes")))),
+    // REAL image decode through javax.imageio (the a1-avro pattern: a
+    // deterministic driver-side fixture whose generating formulas the
+    // oracle recomputes relationally). Each nation key renders a real
+    // PNG/BMP/JPEG at formula-derived dimensions — and every 7th key a
+    // deliberately undecodable payload — then Multimodal.decodeImages
+    // reads the actual container headers back, distributed. The oracle
+    // hash-checks the full round-trip: encoder → bytes → header decode
+    // must land exactly on the formulas, NULLs for the corrupt rows.
+    "m7_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val df = imageFixtureRows(s, dir).toDF("media_id", "bytes")
+      // the operator's quarantine contract is NULL metadata (spec-
+      // asserted); for the hash gate the report coalesces to explicit
+      // sentinels because the compare harness sorts mixed-type rows
+      Multimodal.decodeImages(par(df))
+        .select(col("media_id"),
+          coalesce(col("format"), lit("(undecodable)")).as("format"),
+          coalesce(col("width"), lit(-1)).as("width"),
+          coalesce(col("height"), lit(-1)).as("height"),
+          coalesce(col("channels"), lit(-1)).as("channels"))
+    }),
     // Recursive CTE (Spark 4 relational surface): shortest-hop
     // reachability from nation 0 over the g5 trade backbone — ≤3-hop
     // paths enumerated by the recursion, min-hop aggregated after
@@ -2680,6 +2701,41 @@ object SparkEntry {
       }
       out.toString
     })
+
+  /** Deterministic REAL-image fixture for m7: each nation key rendered
+    * as an actual encoded image via the JDK's own writers — kind by
+    * k%5 (PNG-RGB / PNG-gray / PNG-RGBA / BMP / JPEG), width
+    * (k%13+1)·3, height (k%7+2)·4, and every k≡6 (mod 7) replaced by a
+    * deliberately undecodable text payload. A 25-row driver-side
+    * dimension fixture (the a1-avro shape) — the QUERY under test is
+    * the distributed [[graft.operators.Multimodal.decodeImages]]. */
+  private def imageFixtureRows(s: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    import java.awt.image.BufferedImage
+    val keys = tbl(s, dir, "nation").select(col("n_nationkey").cast("long"))
+      .orderBy("n_nationkey").collect().map(_.getLong(0)).toSeq
+    keys.map { k =>
+      val w = ((k % 13) + 1).toInt * 3
+      val h = ((k % 7) + 2).toInt * 4
+      val bytes: Array[Byte] =
+        if (k % 7 == 6) s"not an image $k, just bytes a scraper shipped".getBytes("UTF-8")
+        else {
+          val (fmt, imgType) = (k % 5) match {
+            case 0 => ("png", BufferedImage.TYPE_INT_RGB)
+            case 1 => ("png", BufferedImage.TYPE_BYTE_GRAY)
+            case 2 => ("png", BufferedImage.TYPE_INT_ARGB)
+            case 3 => ("bmp", BufferedImage.TYPE_3BYTE_BGR)
+            case _ => ("jpg", BufferedImage.TYPE_INT_RGB)
+          }
+          val img = new BufferedImage(w, h, imgType)
+          for (x <- 0 until w; y <- 0 until h)
+            img.setRGB(x, y, ((k * 2654435761L + x * 31 + y) & 0xffffffL).toInt)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, bos)
+          bos.toByteArray
+        }
+      (k, bytes)
+    }
+  }
 
   /** The testdata parquet files are single-row-group, so a scan is ONE
     * split and everything narrow downstream of it runs on one core. Fan
@@ -4730,6 +4786,26 @@ object SparkEntry {
         """SELECT doc_id AS media_id, CAST(i AS INT) AS idx,
           |  CAST(('0x' || substr(md5(text), CAST(i AS INT) * 2 + 1, 2))::INT AS DOUBLE) / 256.0 AS feat_val
           |FROM documents, (SELECT CAST(range AS BIGINT) AS i FROM range(8))""".stripMargin,
+      // m7: the Spark side encodes REAL images (JDK writers) from these
+      // same formulas, then header-decodes them back via javax.imageio;
+      // the oracle recomputes the formulas relationally — a hash match
+      // certifies the actual encoder→decoder round-trip, including the
+      // NULL quarantine rows for the undecodable payloads.
+      "m7_image_decode" ->
+        """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+          |  CASE WHEN n_nationkey % 7 = 6 THEN '(undecodable)'
+          |       WHEN n_nationkey % 5 = 3 THEN 'bmp'
+          |       WHEN n_nationkey % 5 = 4 THEN 'jpeg'
+          |       ELSE 'png' END AS format,
+          |  CASE WHEN n_nationkey % 7 = 6 THEN -1
+          |       ELSE CAST((n_nationkey % 13 + 1) * 3 AS INT) END AS width,
+          |  CASE WHEN n_nationkey % 7 = 6 THEN -1
+          |       ELSE CAST((n_nationkey % 7 + 2) * 4 AS INT) END AS height,
+          |  CASE WHEN n_nationkey % 7 = 6 THEN -1
+          |       WHEN n_nationkey % 5 = 1 THEN 1
+          |       WHEN n_nationkey % 5 = 2 THEN 4
+          |       ELSE 3 END AS channels
+          |FROM nation""".stripMargin,
       "u1_funnel_stages" ->
         s"""$funnelStagesSql
            |SELECT user_id, epoch_us(t0) AS t0_us, epoch_us(t1) AS t1_us,

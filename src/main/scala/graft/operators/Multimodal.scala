@@ -6,18 +6,28 @@ import org.apache.spark.sql.functions._
 /** One extracted feature row: fixed-dim vector per media item. */
 case class MediaFeature(media_id: Long, feat: Seq[Double])
 
+/** One REAL-decoded image row: container metadata read from the actual
+  * payload header, or all-NULL metadata for an undecodable payload. */
+case class DecodedImage(media_id: Long, format: Option[String],
+    width: Option[Int], height: Option[Int], channels: Option[Int],
+    n_bytes: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in this
-  * environment): metadata is parsed from the first header bytes and
-  * "frames"/"resize" are byte-range operations. Everything around the stub
-  * is the real production shape — binary columns flow through parquet,
-  * metadata is a typed struct, frame sampling is an array of binary
-  * slices, and feature extraction runs imperatively per partition over a
-  * typed Dataset (the JVM analogue of batched Python UDFs: one
-  * deserialization per partition, vectorizable inner loop, explicit output
-  * encoder).
+  * IMAGE decode is REAL: [[decodeImages]] reads PNG/JPEG/GIF/BMP headers
+  * through `javax.imageio` (ships with the JDK — zero added
+  * dependencies). The synthetic [[decodeImageMeta]] stays for payloads
+  * that are deterministic fakes by design (the benchmark corpus), and
+  * audio/video decode remains a clearly-marked STUB (no such codecs in
+  * the JDK): those metadata are parsed from the first header bytes and
+  * "frames"/"resize" are byte-range operations. Everything around the
+  * stubs is the real production shape — binary columns flow through
+  * parquet, metadata is a typed struct, frame sampling is an array of
+  * binary slices, and feature extraction runs imperatively per partition
+  * over a typed Dataset (the JVM analogue of batched Python UDFs: one
+  * deserialization per partition, vectorizable inner loop, explicit
+  * output encoder).
   */
 object Multimodal {
 
@@ -108,6 +118,65 @@ object Multimodal {
       .select(col("check_name"), col("n"), col("n_pass"),
         expr("CAST(CAST(n_pass AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)")
           .as("pass_ppm"))
+  }
+
+  /** REAL image decode — `javax.imageio`, which ships with the JDK, so
+    * PNG / JPEG / GIF / BMP metadata is decodable with zero added
+    * dependencies (this is the non-stub sibling of [[decodeImageMeta]];
+    * the synthetic path stays for payloads that are fakes by design).
+    *
+    * Header-only: `reader.getWidth/getHeight/getImageTypes` parse the
+    * container header and never materialize the raster, so the cost per
+    * item is O(header bytes), not O(pixels) — the property that makes a
+    * metadata sweep over billions of scraped images tractable.
+    * `channels` is the sample model's band count (3 for RGB, 1 for
+    * grayscale or palette GIF, 4 for RGBA), the raster-layout notion a
+    * training pipeline filters on. Undecodable payloads (no registered
+    * reader, or a reader that throws on a truncated header) yield NULL
+    * metadata — quarantine rows for the caller's QA gate — never a
+    * failed job: one corrupt scrape must not kill a 100 TB sweep.
+    *
+    * Scale shape: per-partition imperative loop over the binary column
+    * (the [[extractFeatures]] pattern) — a scan-stage projection, no
+    * shuffle; parallelism is the input's partitioning.
+    *
+    * Output: `(media_id, format, width, height, channels, n_bytes)`;
+    * format is the reader's name lowercased ("png", "jpeg", "bmp",
+    * "gif"). */
+  def decodeImages(
+      media: DataFrame, idCol: String = "media_id",
+      binCol: String = "bytes"): DataFrame = {
+    val in = media.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    in.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val decoded =
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) None
+              else {
+                val r = readers.next()
+                try {
+                  r.setInput(iis)
+                  val bands =
+                    r.getImageTypes(0).next().getSampleModel.getNumBands
+                  Some((r.getFormatName.toLowerCase, r.getWidth(0),
+                    r.getHeight(0), bands))
+                } finally r.dispose()
+              }
+            } finally if (iis != null) iis.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some((f, w, h, c)) =>
+            DecodedImage(id, Some(f), Some(w), Some(h), Some(c), bytes.length.toLong)
+          case None =>
+            DecodedImage(id, None, None, None, None, bytes.length.toLong)
+        }
+      }
+    }(Encoders.product[DecodedImage]).toDF()
   }
 
   /** Per-partition imperative feature extraction over the binary payload

@@ -71,6 +71,48 @@ class Round9OpsSpec extends AnyFunSuite {
       BigInt(Long.MaxValue))
   }
 
+  test("decodeImages reads real PNG/BMP/JPEG/GIF headers, quarantines garbage") {
+    import java.awt.image.BufferedImage
+    import spark.implicits._
+    def enc(fmt: String, imgType: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, imgType)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK lacks $fmt writer")
+      bos.toByteArray
+    }
+    val fixtures = Seq(
+      (1L, enc("png", BufferedImage.TYPE_INT_RGB, 17, 9)),
+      (2L, enc("png", BufferedImage.TYPE_BYTE_GRAY, 5, 40)),
+      (3L, enc("png", BufferedImage.TYPE_INT_ARGB, 8, 8)),
+      (4L, enc("bmp", BufferedImage.TYPE_3BYTE_BGR, 33, 2)),
+      (5L, enc("jpg", BufferedImage.TYPE_INT_RGB, 64, 48)),
+      (6L, enc("gif", BufferedImage.TYPE_INT_RGB, 12, 3)),
+      (7L, "definitely not an image".getBytes("UTF-8")),
+      (8L, Array.emptyByteArray))
+    val out = graft.operators.Multimodal
+      .decodeImages(fixtures.toDF("media_id", "bytes").repartition(3))
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0),
+        Option(r.getString(1)), Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4)), r.getLong(5)))
+    // precomputed constants: dims/bands from the real container headers
+    // (GIF encodes palette-indexed → 1 band; ARGB PNG → 4 bands)
+    assert(out.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq === Seq(
+      (1L, Some("png"), Some(17), Some(9), Some(3)),
+      (2L, Some("png"), Some(5), Some(40), Some(1)),
+      (3L, Some("png"), Some(8), Some(8), Some(4)),
+      (4L, Some("bmp"), Some(33), Some(2), Some(3)),
+      (5L, Some("jpeg"), Some(64), Some(48), Some(3)),
+      (6L, Some("gif"), Some(12), Some(3), Some(1)),
+      (7L, None, None, None, None),
+      (8L, None, None, None, None)))
+    // n_bytes is the raw payload length even for quarantined rows
+    assert(out.find(_._1 == 7L).get._6 === "definitely not an image".length.toLong)
+    assert(out.find(_._1 == 8L).get._6 === 0L)
+  }
+
   test("dsirDeltaMicro matches the hand-computed small-count fixture exactly") {
     import spark.implicits._
     // same arithmetic as the Round8OpsSpec end-to-end fixture:
