@@ -31,7 +31,9 @@ import org.apache.spark.sql.SparkSession
   * records the remaining queries as skipped rather than running over;
   * (c) registers a shutdown hook that emits whatever was measured if the
   * driver SIGTERMs the run — a partial artifact beats none. See
-  * [[runForked]] for the two-pass policy.
+  * [[runForked]] for the three-pass policy (host-aware grouped
+  * measurement → worst-first suspect confirmation → leftover-budget
+  * confirmation depth).
   *
   * `SPARK_GRAFT_BENCH_MODE=inproc` restores the single-JVM mode (useful
   * for quick local iteration); `SPARK_GRAFT_BENCH_ONLY=<name>[,<name>...]`
@@ -316,10 +318,21 @@ object Bench {
     var emergencySpent = false
     var gi = 0
     while (queue.nonEmpty) {
+      // HOST-AWARE projection: price the remaining queue at the pace
+      // this host is actually delivering, not the cost map's healthy-
+      // host pace. BENCH_r08 ran on a 1.43× window; healthy-rate
+      // projections under-predicted pass 1 by ~40%, so escalation came
+      // too late and the confirm pass starved with 48 observations
+      // unconfirmed. The live median observed/expected ratio (the same
+      // [[slowFactor]] the artifact publishes) scales the whole
+      // projection — boots included, a loaded host boots slowly too —
+      // so a degraded host escalates EARLIER and hands the saved wall
+      // to confirmation depth.
+      val liveSlow = math.max(1.0, slowFactor(snapshot()._1).getOrElse(1.0))
       def projected(runsPerQuery: Double): Double =
-        math.ceil(queue.size.toDouble / gSize) * BootSec +
+        (math.ceil(queue.size.toDouble / gSize) * BootSec +
           queue.iterator.map(expectedSec).sum * runsPerQuery +
-          queue.size * PerQueryOverheadSec
+          queue.size * PerQueryOverheadSec) * liveSlow
       val rem = budgetSec - elapsed
       // Escalation order matters for fidelity: JVM boots dominate the
       // projection (~24 boots × 18 s at 200+ queries), so GROW THE
@@ -405,6 +418,39 @@ object Bench {
         }
       }
       record { if (obs.nonEmpty) { results(n) = obs.min; errors.remove(n) } }
+    }
+    // ── pass 3: leftover budget → opportunistic confirmation depth ───
+    // On a healthy host passes 1+2 finish with budget to spare
+    // (round-7 rehearsal: 1,121 s of 1,250). Spend the remainder
+    // re-forking the BIGGEST still-unconfirmed observations isolated,
+    // worst-first — below the suspicion threshold, so pass 2 never
+    // funded them, but they dominate the total and are exactly the
+    // numbers a reader weighs most. Each fork either validates the
+    // group observation or replaces it with the smaller isolated one
+    // (the established min-over-observations protocol). A 25 s cushion
+    // stays unspent so the final emit never races the driver kill.
+    val passThreeCushionSec = 25.0
+    val leftovers = {
+      val (r3, _, _, c3) = snapshot()
+      r3.filter { case (n, _) => !c3(n) }.sortBy { case (n, v) => (-v, n) }
+        .map(_._1).iterator
+    }
+    while (leftovers.hasNext &&
+        elapsed < budgetSec - passThreeCushionSec - BootSec) {
+      val n = leftovers.next()
+      val w0 = System.nanoTime()
+      val r = fork(Seq(n))
+      record { walls(n) = walls.getOrElse(n, 0.0) + (System.nanoTime() - w0) / 1e9 }
+      r(n) match {
+        case Right(sec) =>
+          record {
+            results(n) = math.min(results.getOrElse(n, sec), sec)
+            confirmed += n
+          }
+          System.err.println(f"[bench] $n leftover-confirm: $sec%.3f s (wall $elapsed%.0f/$budgetSec%.0f)")
+        case Left(err) =>
+          System.err.println(s"[bench] $n leftover-confirm FAILED (group number kept): $err")
+      }
     }
     val (fr, fe, fw, fc) = snapshot()
     emitOnce(fr.sortBy(_._1), fe, fw, suspectsOf(fr, fc))
