@@ -44,9 +44,10 @@ object Bench {
   private def sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private def cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-  /** Last-round per-query seconds (the round-8 dress rehearsal:
-    * 215/215 measured, 0 errors, 0 suspects, slow=0.92, 179.2 s of
-    * query time under the 1,250 s budget). Keyed by the query's unique
+  /** Last-round per-query seconds (the round-9 dress rehearsal:
+    * 219/219 measured, 0 errors, 0 suspects, slow=0.75 vs the r8 map,
+    * 147.3 s of query time under the 1,250 s budget, and 22
+    * pass-3 leftover confirms). Keyed by the query's unique
     * id prefix; queries added later default to [[DefaultExpectedSec]].
     * This drives HEAVIEST-FIRST scheduling: BENCH_r06 ran groups
     * alphabetically, hit the budget deadline, and skipped the
@@ -56,44 +57,51 @@ object Bench {
     * fallback measures accurately in one run. */
   private val lastRoundSec: Map[String, Double] =
     Map(
-      "a1" -> 0.3, "d1" -> 0.3, "d10" -> 3.0, "d11" -> 2.8, "d12" -> 2.1, "d13" -> 0.8,
-      "d14" -> 1.0, "d15" -> 5.2, "d16" -> 3.1, "d17" -> 0.9, "d18" -> 0.8, "d19" -> 1.0,
-      "d2" -> 1.4, "d20" -> 0.8, "d21" -> 2.2, "d22" -> 1.0, "d23" -> 1.4, "d24" -> 2.9,
-      "d25" -> 3.1, "d26" -> 2.6, "d3" -> 0.3, "d4" -> 0.8, "d5" -> 5.0, "d6" -> 3.0,
-      "d7" -> 1.5, "d8" -> 0.7, "d9" -> 0.9, "g1" -> 2.8, "g10" -> 1.7, "g11" -> 2.1,
-      "g12" -> 2.4, "g2" -> 1.4, "g3" -> 2.7, "g4" -> 1.5, "g5" -> 1.5, "g6" -> 2.5,
-      "g7" -> 2.1, "g8" -> 2.2, "g9" -> 2.3, "m1" -> 0.3, "m2" -> 0.3, "m3" -> 0.6,
-      "m4" -> 0.9, "m5" -> 0.5, "m6" -> 0.3, "p1" -> 0.3, "p10" -> 0.4, "p11" -> 0.4,
-      "p12" -> 2.8, "p13" -> 0.7, "p14" -> 0.3, "p15" -> 0.8, "p16" -> 0.6, "p17" -> 0.4,
-      "p18" -> 0.4, "p2" -> 0.3, "p3" -> 0.3, "p4" -> 0.5, "p5" -> 0.4, "p6" -> 0.3,
-      "p7" -> 0.7, "p8" -> 1.2, "p9" -> 0.3, "q1" -> 0.3, "q10" -> 0.3, "q11" -> 0.6,
-      "q12" -> 0.3, "q13" -> 0.3, "q14" -> 0.6, "q15" -> 0.3, "q16" -> 0.5, "q17" -> 0.3,
-      "q18" -> 0.4, "q19" -> 0.4, "q2" -> 0.3, "q20" -> 0.3, "q21" -> 0.5, "q22" -> 0.4,
-      "q23" -> 0.5, "q24" -> 0.3, "q25" -> 0.3, "q26" -> 0.5, "q27" -> 0.3, "q28" -> 0.4,
-      "q29" -> 0.4, "q3" -> 0.3, "q30" -> 0.3, "q31" -> 0.3, "q32" -> 0.4, "q33" -> 0.3,
-      "q34" -> 0.3, "q35" -> 0.3, "q36" -> 1.0, "q37" -> 0.3, "q38" -> 1.0, "q39" -> 0.3,
-      "q4" -> 0.3, "q40" -> 0.3, "q41" -> 2.7, "q42" -> 0.3, "q43" -> 0.5,
-      "q44" -> 1.7, "q5" -> 0.3,
-      "q6" -> 0.4, "q7" -> 0.8, "q8" -> 0.3, "q9" -> 0.3,
-      "retention_count" -> 0.4, "retention_sum" -> 0.4, "s1" -> 0.6, "s10" -> 1.2,
-      "s11" -> 0.4, "s12" -> 0.9, "s13" -> 1.0, "s14" -> 0.9, "s15" -> 0.7, "s16" -> 0.3,
-      "s17" -> 2.1, "s18" -> 0.7, "s19" -> 0.5, "s2" -> 0.7, "s20" -> 0.6, "s3" -> 1.1,
-      "s4" -> 0.7, "s5" -> 2.9, "s6" -> 1.0, "s7" -> 0.4, "s8" -> 3.6, "s9" -> 7.0,
-      "t1" -> 0.3, "t10" -> 0.7, "t11" -> 0.8, "t12" -> 0.7, "t13" -> 0.5, "t14" -> 0.3,
-      "t15" -> 0.5, "t16" -> 1.0, "t17" -> 0.3, "t18" -> 1.1, "t19" -> 1.0, "t2" -> 0.3,
-      "t20" -> 0.4, "t21" -> 0.6, "t22" -> 0.7, "t23" -> 0.4, "t24" -> 0.5, "t25" -> 0.3,
-      "t26" -> 1.6, "t27" -> 0.4, "t28" -> 0.4, "t29" -> 0.3, "t3" -> 0.3, "t30" -> 0.3,
-      "t31" -> 0.8, "t33" -> 0.9, "t34" -> 1.0, "t35" -> 1.1, "t36" -> 0.8, "t37" -> 0.3,
-      "t38" -> 1.2, "t39" -> 0.3, "t4" -> 0.3, "t40" -> 0.7, "t41" -> 1.0, "t42" -> 1.2,
-      "t5" -> 0.3, "t6" -> 0.5, "t7" -> 0.3, "t8" -> 0.3, "t9" -> 0.9, "u1" -> 0.6,
-      "u10" -> 0.4, "u11" -> 0.5, "u12" -> 0.6, "u13" -> 0.6, "u14" -> 0.4, "u15" -> 0.6,
-      "u16" -> 0.4, "u17" -> 0.6, "u18" -> 0.5, "u19" -> 0.9, "u2" -> 0.3, "u20" -> 0.6,
-      "u21" -> 0.6, "u23" -> 0.4, "u24" -> 0.3, "u25" -> 0.4, "u26" -> 0.6, "u27" -> 0.6,
-      "u28" -> 0.6, "u29" -> 0.4, "u3" -> 0.3, "u30" -> 0.5, "u31" -> 0.4, "u32" -> 0.3,
-      "u33" -> 1.0, "u34" -> 0.4, "u35" -> 0.4, "u36" -> 0.5, "u37" -> 0.3, "u38" -> 0.5,
-      "u39" -> 0.4, "u4" -> 0.3, "u40" -> 0.4, "u41" -> 0.3, "u42" -> 1.0, "u43" -> 0.5,
-      "u44" -> 0.4, "u45" -> 0.3, "u46" -> 0.3, "u47" -> 0.3, "u49" -> 0.9, "u5" -> 0.4,
-      "u50" -> 0.7, "u6" -> 0.4, "u7" -> 2.9, "u8" -> 0.4, "u9" -> 0.4)
+      "a1" -> 0.3, "d1" -> 0.3, "d10" -> 2.2, "d11" -> 1.8, "d12" -> 1.8,
+      "d13" -> 0.7, "d14" -> 1.2, "d15" -> 3.6, "d16" -> 2.2, "d17" -> 0.9,
+      "d18" -> 0.6, "d19" -> 0.9, "d2" -> 0.8, "d20" -> 0.5, "d21" -> 1.9,
+      "d22" -> 1.1, "d23" -> 1.0, "d24" -> 1.9, "d25" -> 2.4, "d26" -> 2.0,
+      "d3" -> 0.3, "d4" -> 0.8, "d5" -> 3.9, "d6" -> 1.9, "d7" -> 0.5,
+      "d8" -> 0.7, "d9" -> 0.8, "g1" -> 2.8, "g10" -> 1.4, "g11" -> 1.8,
+      "g12" -> 1.7, "g2" -> 1.0, "g3" -> 2.7, "g4" -> 0.8, "g5" -> 1.3,
+      "g6" -> 2.2, "g7" -> 2.0, "g8" -> 1.9, "g9" -> 1.4, "m1" -> 0.3,
+      "m2" -> 0.3, "m3" -> 0.3, "m4" -> 0.3, "m5" -> 0.3, "m6" -> 0.3,
+      "m7" -> 0.3, "p1" -> 0.3, "p10" -> 0.3, "p11" -> 0.3, "p12" -> 2.1,
+      "p13" -> 0.5, "p14" -> 0.3, "p15" -> 0.4, "p16" -> 0.5, "p17" -> 0.3,
+      "p18" -> 0.3, "p2" -> 0.3, "p3" -> 0.3, "p4" -> 0.4, "p5" -> 0.3,
+      "p6" -> 0.3, "p7" -> 0.8, "p8" -> 2.0, "p9" -> 0.3, "q1" -> 0.3,
+      "q10" -> 0.3, "q11" -> 0.6, "q12" -> 0.3, "q13" -> 0.3, "q14" -> 0.4,
+      "q15" -> 0.3, "q16" -> 0.4, "q17" -> 0.3, "q18" -> 0.3, "q19" -> 0.3,
+      "q2" -> 0.3, "q20" -> 0.3, "q21" -> 0.3, "q22" -> 0.3, "q23" -> 0.4,
+      "q24" -> 0.3, "q25" -> 0.3, "q26" -> 0.5, "q27" -> 0.3, "q28" -> 0.3,
+      "q29" -> 0.3, "q3" -> 0.3, "q30" -> 0.3, "q31" -> 0.4, "q32" -> 0.3,
+      "q33" -> 0.4, "q34" -> 0.3, "q35" -> 0.3, "q36" -> 0.4, "q37" -> 0.3,
+      "q38" -> 0.5, "q39" -> 0.3, "q4" -> 0.3, "q40" -> 0.3, "q41" -> 2.8,
+      "q42" -> 0.4, "q43" -> 0.6, "q44" -> 0.7, "q5" -> 0.3, "q6" -> 0.3,
+      "q7" -> 0.4, "q8" -> 0.3, "q9" -> 0.3, "retention_count" -> 0.3,
+      "retention_sum" -> 0.3, "s1" -> 0.3, "s10" -> 1.7, "s11" -> 0.6,
+      "s12" -> 0.4, "s13" -> 0.7, "s14" -> 0.3, "s15" -> 0.3, "s16" -> 0.6,
+      "s17" -> 1.3, "s18" -> 0.5, "s19" -> 0.4, "s2" -> 0.6, "s20" -> 0.5,
+      "s3" -> 1.2, "s4" -> 0.7, "s5" -> 1.6, "s6" -> 1.1, "s7" -> 0.3,
+      "s8" -> 3.4, "s9" -> 6.0, "t1" -> 0.3, "t10" -> 0.7, "t11" -> 0.6,
+      "t12" -> 0.6, "t13" -> 0.5, "t14" -> 0.3, "t15" -> 0.6, "t16" -> 1.0,
+      "t17" -> 0.4, "t18" -> 1.1, "t19" -> 0.7, "t2" -> 0.3, "t20" -> 0.3,
+      "t21" -> 0.4, "t22" -> 0.7, "t23" -> 0.3, "t24" -> 0.5, "t25" -> 0.3,
+      "t26" -> 1.0, "t27" -> 0.3, "t28" -> 0.3, "t29" -> 0.3, "t3" -> 0.3,
+      "t30" -> 0.3, "t31" -> 1.1, "t33" -> 0.4, "t34" -> 0.9, "t35" -> 0.7,
+      "t36" -> 0.8, "t37" -> 0.3, "t38" -> 0.8, "t39" -> 0.3, "t4" -> 0.3,
+      "t40" -> 0.9, "t41" -> 0.8, "t42" -> 0.9, "t5" -> 0.3, "t6" -> 0.4,
+      "t7" -> 0.3, "t8" -> 0.3, "t9" -> 0.9, "u1" -> 0.3, "u10" -> 0.4,
+      "u11" -> 0.4, "u12" -> 0.4, "u13" -> 0.3, "u14" -> 0.3, "u15" -> 0.3,
+      "u16" -> 0.3, "u17" -> 0.3, "u18" -> 0.4, "u19" -> 0.3, "u2" -> 0.3,
+      "u20" -> 0.3, "u21" -> 0.3, "u23" -> 0.8, "u24" -> 0.3, "u25" -> 0.4,
+      "u26" -> 0.4, "u27" -> 0.4, "u28" -> 0.6, "u29" -> 0.4, "u3" -> 0.3,
+      "u30" -> 0.4, "u31" -> 0.4, "u32" -> 0.3, "u33" -> 0.6, "u34" -> 0.4,
+      "u35" -> 0.4, "u36" -> 0.5, "u37" -> 0.3, "u38" -> 0.4, "u39" -> 0.3,
+      "u4" -> 0.3, "u40" -> 0.4, "u41" -> 0.3, "u42" -> 0.7, "u43" -> 0.5,
+      "u44" -> 0.4, "u45" -> 0.3, "u46" -> 0.6, "u47" -> 0.4, "u49" -> 0.7,
+      "u5" -> 0.3, "u50" -> 0.4, "u6" -> 0.3, "u7" -> 3.2, "u8" -> 0.3,
+      "u9" -> 0.4)
 
   /** New queries (no last-round number) are assumed mid-weight so they
     * schedule early enough to always get measured. */
