@@ -2544,6 +2544,25 @@ object SparkEntry {
           col("n_flag"), col("n_small"), col("n_ratio"), col("weight"),
           datediff(col("joined_date"), lit("1970-01-01")).as("joined_days"),
           unix_micros(col("loaded_at")).as("loaded_us"))),
+    // JSONL round-trip — the LLM-pipeline ingestion lingua franca
+    // (WARC→WET extractions, scraped corpora, eval sets all ship as
+    // gzipped JSONL): the documents table is re-encoded as sharded
+    // .json.gz (Spark's writer, JSON string escaping exercised for
+    // real), read back with an EXPLICIT schema (never schema inference
+    // — at 100 TB an inference pass is a full extra scan), and reduced
+    // to a projection the oracle derives straight off the parquet
+    // table, so the hash match certifies encode→decode fidelity.
+    // Scale honesty: gzip is NOT splittable — parallelism is the shard
+    // count (here 4 files → 4 tasks), which is exactly how production
+    // lays out jsonl.gz corpora (many ~100 MB shards); splittable
+    // zstd/bzip2 or uncompressed relaxes that, the reader is identical.
+    "j1_jsonl_roundtrip" -> ((s, dir) =>
+      s.read
+        .schema("doc_id BIGINT, source STRING, lang STRING, text STRING")
+        .json(jsonlFixtureDir(s, dir))
+        .select(col("doc_id"), col("source"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          substring(col("text"), 1, 16).as("head16"))),
     // The PRODUCTION SemDeDup rule: k derived in-plan as ⌈N/cell⌉ from
     // one count, so expected cell occupancy — and the in-cell pair work
     // Σ n_c² ≈ N·⟨cell⟩ — stays constant per document as the corpus
@@ -2699,6 +2718,33 @@ object SparkEntry {
           }
           w.close()
       }
+      out.toString
+    })
+
+  /** Memoized gzipped-JSONL rendition of the documents table for j1:
+    * written once per (JVM, data dir) with Spark's own JSON writer —
+    * 4 shards, gzip — under a deterministic temp path (the avro-fixture
+    * reuse + shutdown-sweep discipline). The QUERY under test is the
+    * schema-explicit READ back. */
+  @transient private lazy val jsonlFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def jsonlFixtureDir(s: SparkSession, dir: String): String =
+    jsonlFixtureCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_jsonl_j1_${java.lang.Integer.toHexString(dir.hashCode)}")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .repartition(4)
+        .write.mode("overwrite").option("compression", "gzip")
+        .json(out.toString)
       out.toString
     })
 
@@ -7141,6 +7187,15 @@ object SparkEntry {
           |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
           |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
           |) GROUP BY 1""".stripMargin,
+      // j1: the jsonl.gz fixture is the documents table re-encoded by
+      // Spark's JSON writer (see jsonlFixtureDir); the oracle projects
+      // the same columns straight off the parquet table, so any
+      // escape/encoding loss in write→gzip→read shows as a hash miss.
+      "j1_jsonl_roundtrip" ->
+        """SELECT doc_id, source, lang,
+          |  CAST(length(text) AS BIGINT) AS n_chars,
+          |  substr(text, 1, 16) AS head16
+          |FROM documents""".stripMargin,
       // a1: the avro fixture is DERIVED deterministically from nation
       // (see avroFixtureDir), so the oracle computes the same derivation
       // straight off the parquet table — a value mismatch anywhere in

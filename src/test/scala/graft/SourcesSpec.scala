@@ -122,6 +122,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(orcBack.schema === src.schema)
   }
 
+  test("gzipped JSONL round-trips escape-heavy text exactly; parallelism = shard count") {
+    import spark.implicits._
+    // the characters JSONL must escape: raw newlines (forbidden in the
+    // line format), quotes, backslashes, tabs, control chars, non-ASCII
+    val docs = Seq(
+      (1L, "line1\nline2\twith \"quotes\" and \\backslash\\"),
+      (2L, "unicode: café ✓ ß 日本語"),
+      (3L, "ctl: end"),
+      (4L, "")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_jsonl_gz").toString
+    docs.repartition(2).write.mode("overwrite")
+      .option("compression", "gzip").json(dir)
+    val back = spark.read.schema("doc_id BIGINT, text STRING").json(dir)
+    assert(back.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === docs.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    // gzip is non-splittable: one task per shard file — the scan's
+    // partition count equals the shard count, which is why production
+    // jsonl.gz corpora ship as many moderate shards
+    assert(back.select(input_file_name()).distinct().count() === 2)
+    assert(back.rdd.getNumPartitions === 2)
+  }
+
   test("bucketed tables: co-located join with no exchange, bucket pruning on point lookups") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_bucketed").toFile.getAbsolutePath
