@@ -2302,9 +2302,15 @@ object SparkEntry {
     // Per-user burstiness B = (σ−μ)/(σ+μ) of inter-event gaps (Goh &
     // Barabási): the rhythm signal separating metronome/bot regularity
     // (B→−1) from organic bursts (B>0). Exact integer moments through
-    // DECIMAL(38,0), one IEEE sqrt, one user-key exchange.
+    // DECIMAL(38,0), one IEEE sqrt, one user-key exchange. The
+    // operator's undefined-spread answer is NULL (spec-pinned); the
+    // QUERY coalesces it to the out-of-range sentinel −2 because the
+    // compare harness can't sort rows that mix NULL and doubles (the
+    // m7 sentinel rule) — no S=0 user exists at sf0.01 today, so this
+    // guards against future testdata regenerations, not current rows.
     "u50_burstiness" -> ((s, dir) =>
-      Sessions.burstiness(tbl(s, dir, "events"))),
+      Sessions.burstiness(tbl(s, dir, "events"))
+        .withColumn("burstiness", coalesce(col("burstiness"), lit(-2.0)))),
     // Per-document shingle novelty: fraction of a doc's distinct
     // 3-gram shingles with corpus document-frequency 1, exact ppm —
     // the memorization/novelty curation signal. Inverted index without
@@ -7098,7 +7104,7 @@ object SparkEntry {
           |  FROM d GROUP BY 1
           |)
           |SELECT user_id, n_gaps,
-          |  CASE WHEN s = 0 THEN NULL ELSE
+          |  CASE WHEN s = 0 THEN -2.0 ELSE
           |    round((sqrt(CAST(n_gaps * s2 - CAST(s AS HUGEINT) * s AS DOUBLE)) - CAST(s AS DOUBLE))
           |      / (sqrt(CAST(n_gaps * s2 - CAST(s AS HUGEINT) * s AS DOUBLE)) + CAST(s AS DOUBLE)), 6)
           |  END AS burstiness
