@@ -2463,6 +2463,49 @@ object SparkEntry {
       Multimodal.qaReport(par(tbl(s, dir, "documents"))
         .select(col("doc_id").as("media_id"),
           Multimodal.fakeMediaBytes(col("text")).as("bytes")))),
+    // End-to-end MEDIA curation funnel — the multimodal twin of q44:
+    // ingest → decode (scan-stage) → QA gate (RGB + min resolution) →
+    // exact content dedup (keeper = min media_id per payload, riding
+    // ONE content-key window exchange — asserted in PlanSpec) → shard
+    // plan (⌈Σ pixel volume / 64 KiB⌉, the m6 budget), reported as one
+    // 4-row release summary with per-stage media counts and pixel
+    // volume. The whole pipeline is ONE plan: decode/QA never leave the
+    // scan stage, dedup is the only hash shuffle, the funnel aggregate
+    // collapses to a single partial+final pass (the q44 shape). The
+    // window key is the payload hex — fine here because the fake media
+    // is 32 bytes; real multi-MB payloads key on a 128-bit digest of
+    // the bytes instead (the spanDedup shuffle-bytes trade, same
+    // collision caveat), topology unchanged.
+    "m8_media_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = par(tbl(s, dir, "documents"))
+        .select(col("doc_id").as("media_id"),
+          Multimodal.fakeMediaBytes(col("text")).as("bytes"))
+        .withColumn("_meta", Multimodal.decodeImageMeta(col("bytes")))
+        .select(col("media_id"), hex(col("bytes")).as("_hex"),
+          (col("_meta.width").cast("long") * col("_meta.height") *
+            col("_meta.channels")).as("_px"),
+          (col("_meta.channels") === 3 &&
+            col("_meta.width") * col("_meta.height") >= 256).as("_qa"))
+        .withColumn("_keep",
+          min(when(col("_qa"), col("media_id")))
+            .over(Window.partitionBy(col("_hex"))))
+        .withColumn("_uniq", col("_qa") && col("media_id") === col("_keep"))
+      val wide = m.agg(
+        count(lit(1)).as("raw_n"),
+        coalesce(sum(col("_px")), lit(0L)).as("raw_px"),
+        count(when(col("_qa"), 1)).as("qa_n"),
+        coalesce(sum(when(col("_qa"), col("_px"))), lit(0L)).as("qa_px"),
+        count(when(col("_uniq"), 1)).as("u_n"),
+        coalesce(sum(when(col("_uniq"), col("_px"))), lit(0L)).as("u_px"))
+      wide.selectExpr(
+        """stack(4,
+          |  'ingested', raw_n, raw_px,
+          |  'qa_passed', qa_n, qa_px,
+          |  'unique_content', u_n, u_px,
+          |  'shards_planned', (u_px + 65535) div 65536, u_px
+          |) AS (stage, n_media, px_bytes)""".stripMargin)
+    }),
     // REAL image decode through javax.imageio (the a1-avro pattern: a
     // deterministic driver-side fixture whose generating formulas the
     // oracle recomputes relationally). Each nation key renders a real
@@ -7146,6 +7189,38 @@ object SparkEntry {
           |  CAST(floor(CAST(sum(px_bytes) OVER (PARTITION BY bin ORDER BY media_id)
           |                  - px_bytes AS DOUBLE) / 65536) AS BIGINT) AS shard_id
           |FROM px""".stripMargin,
+      // m8: same md5 header arithmetic as the m5/m6 oracles (bytes 1-3
+      // of md5(text) are width/height/channels), keeper-window dedup on
+      // the payload hex, ceil-division shard plan — all integer-exact.
+      "m8_media_funnel" ->
+        """WITH m AS (
+          |  SELECT doc_id AS media_id, md5(text) || md5(text || '2') AS hx FROM documents
+          |), px AS (
+          |  SELECT media_id, hx,
+          |    CAST((('0x' || substr(hx, 1, 2))::INT % 64 + 1) AS BIGINT)
+          |      * (('0x' || substr(hx, 3, 2))::INT % 64 + 1)
+          |      * (('0x' || substr(hx, 5, 2))::INT % 3 + 1) AS px,
+          |    (('0x' || substr(hx, 5, 2))::INT % 3 + 1) = 3
+          |      AND (('0x' || substr(hx, 1, 2))::INT % 64 + 1)
+          |          * (('0x' || substr(hx, 3, 2))::INT % 64 + 1) >= 256 AS qa
+          |  FROM m
+          |), k AS (
+          |  SELECT *, min(CASE WHEN qa THEN media_id END) OVER (PARTITION BY hx) AS keep FROM px
+          |), f AS (
+          |  SELECT *, qa AND media_id = keep AS uniq FROM k
+          |), w AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS raw_n,
+          |    CAST(coalesce(sum(px), 0) AS BIGINT) AS raw_px,
+          |    CAST(count(*) FILTER (WHERE qa) AS BIGINT) AS qa_n,
+          |    CAST(coalesce(sum(px) FILTER (WHERE qa), 0) AS BIGINT) AS qa_px,
+          |    CAST(count(*) FILTER (WHERE uniq) AS BIGINT) AS u_n,
+          |    CAST(coalesce(sum(px) FILTER (WHERE uniq), 0) AS BIGINT) AS u_px
+          |  FROM f
+          |)
+          |SELECT 'ingested' AS stage, raw_n AS n_media, raw_px AS px_bytes FROM w
+          |UNION ALL SELECT 'qa_passed', qa_n, qa_px FROM w
+          |UNION ALL SELECT 'unique_content', u_n, u_px FROM w
+          |UNION ALL SELECT 'shards_planned', (u_px + 65535) // 65536, u_px FROM w""".stripMargin,
       "q39_unpivot" ->
         """WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
           |SELECT l_orderkey, l_linenumber, 'quantity' AS metric, CAST(l_quantity AS DOUBLE) AS value FROM f

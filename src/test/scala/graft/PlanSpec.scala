@@ -718,6 +718,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("m8 media funnel: one content-key shuffle carries the whole pipeline") {
+    val p = plan("m8_media_funnel")
+    // decode and QA are scan-stage projections over the payload; the
+    // ONLY hash exchange is the dedup-keeper window on the content hex
+    // (the funnel aggregate is a single-partition exchange)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"media funnel must ride ONE content-key exchange, found $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("t42 dsir: vocabulary model joins back shuffle-hash, never broadcast") {
     val p = plan("t42_dsir_weights")
     // the merged vocab table is vocabulary-sized — at corpus scale it
