@@ -58,7 +58,7 @@ object Bench {
   private val lastRoundSec: Map[String, Double] =
     Map(
       "a1" -> 0.3, "d1" -> 0.3, "d10" -> 2.2, "d11" -> 1.8, "d12" -> 1.8,
-      "j1" -> 0.3, "m8" -> 0.9,
+      "j1" -> 0.3, "m8" -> 0.9, "d27" -> 0.7,
       "d13" -> 0.7, "d14" -> 1.2, "d15" -> 3.6, "d16" -> 2.2, "d17" -> 0.9,
       "d18" -> 0.6, "d19" -> 0.9, "d2" -> 0.8, "d20" -> 0.5, "d21" -> 1.9,
       "d22" -> 1.1, "d23" -> 1.0, "d24" -> 1.9, "d25" -> 2.4, "d26" -> 2.0,

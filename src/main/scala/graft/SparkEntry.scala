@@ -1276,6 +1276,17 @@ object SparkEntry {
         docs.where(col("doc_id") % 20 =!= 0),
         docs.where(col("doc_id") % 20 === 0), n = 4)
     }),
+    // EVAL-side contamination: per benchmark item, what fraction of ITS
+    // shingles leaked into the training corpus — the "is this eval score
+    // reportable" audit (d7 answers the train-side quarantine question).
+    // Same split and shingle width as d7; clean items (0 ppm) reported.
+    "d27_eval_coverage" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val docs = par(tbl(s, dir, "documents")).select(col("doc_id"), col("text"))
+      Decontaminate.evalCoverage(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0), n = 4)
+    }),
     // Bloom-prefiltered decontamination: identical exact output (the
     // bloom's false positives die in the exact join), but the train
     // side is screened by a ~10-bits/shingle filter before any join —
@@ -5004,6 +5015,29 @@ object SparkEntry {
            |  round(CAST(count(*) AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contam_frac
            |FROM trainx JOIN evals USING (s)
            |GROUP BY doc_id, n_shingles""".stripMargin,
+      // d27: the eval-side direction of d7 — same normalization/shingle
+      // recipe, LEFT join so clean eval items report 0 ppm; ppm rides
+      // HUGEINT ↔ DECIMAL(38,0).
+      "d27_eval_coverage" ->
+        s"""WITH norm AS (
+           |  SELECT doc_id, $normToksSql AS toks FROM documents
+           |), shs AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(${shingleSql(4)},
+           |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+           |  FROM norm
+           |), ev AS (
+           |  SELECT doc_id AS eval_id, len(sh) AS n_shingles, unnest(sh) AS s
+           |  FROM shs WHERE doc_id % 20 = 0 AND len(sh) > 0
+           |), tr AS (
+           |  SELECT DISTINCT unnest(sh) AS s, 1 AS hit
+           |  FROM shs WHERE doc_id % 20 <> 0
+           |)
+           |SELECT eval_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           |  CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hit,
+           |  CAST(CAST(coalesce(sum(hit), 0) AS HUGEINT) * 1000000 // n_shingles AS BIGINT) AS coverage_ppm
+           |FROM ev LEFT JOIN tr USING (s)
+           |GROUP BY eval_id, n_shingles""".stripMargin,
       // The bloom prefilter is cost-only: the oracle is the plain exact
       // screen at d9's split/width — any bloom false positive surviving
       // to the output would hash-mismatch here.

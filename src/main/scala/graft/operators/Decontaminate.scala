@@ -99,4 +99,50 @@ object Decontaminate {
       .withColumn("contam_frac",
         round(col("n_hit").cast("double") / col("n_shingles").cast("double"), 6))
   }
+
+  /** EVAL-side contamination coverage — the OTHER direction of
+    * [[report]] (the GPT-3 appendix-C / Pile "dirtiness" audit): for
+    * each EVAL item, the fraction of ITS n-gram shingles that appear
+    * anywhere in the training corpus — "which benchmark rows are
+    * compromised, and how much of each leaked", the number that decides
+    * whether a reported eval score is trustworthy. [[report]] answers
+    * the train-side question (which training docs to quarantine); this
+    * one is per-eval-item and stays meaningful even after the
+    * overlapping train docs have been dropped.
+    *
+    * Scale shape: the eval shingle set broadcasts (benchmarks are small
+    * by definition — the [[report]] contract); the TRAIN corpus is
+    * never shuffled — its exploded shingles are screened in the scan
+    * stage against the broadcast eval set, and only the MATCHED
+    * distinct shingles, a set bounded by the eval's own shingle count
+    * rather than the corpus, reach an exchange. Then one broadcast join
+    * back onto the eval shingle table and one eval-sized aggregate.
+    * Items with zero coverage are REPORTED (they are the clean ones),
+    * not dropped.
+    *
+    * Output: (eval_id, n_shingles, n_hit, coverage_ppm) — one row per
+    * eval item with ≥ 1 shingle; coverage_ppm = ⌊n_hit·10⁶/n_shingles⌋
+    * in exact integer arithmetic. */
+  def evalCoverage(
+      train: DataFrame, eval: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 8): DataFrame = {
+    val evalSh = eval
+      .select(col(idCol).as("eval_id"),
+        Dedup.hashedShingleSetNative(col(textCol), n).as("_sh"))
+      .select(col("eval_id"), size(col("_sh")).as("n_shingles"),
+        explode(col("_sh")).as("_s"))
+    val evalDistinct = evalSh.select(col("_s")).distinct()
+    val matched = train
+      .select(explode(Dedup.hashedShingleSetNative(col(textCol), n)).as("_s"))
+      .join(broadcast(evalDistinct), "_s")
+      .distinct()
+      .withColumn("_hit", lit(1L))
+    evalSh.join(broadcast(matched), Seq("_s"), "left")
+      .groupBy(col("eval_id"), col("n_shingles"))
+      .agg(coalesce(sum(col("_hit")), lit(0L)).as("n_hit"))
+      .select(col("eval_id"), col("n_shingles"), col("n_hit"),
+        expr("(CAST(n_hit AS DECIMAL(38,0)) * 1000000) div n_shingles")
+          .as("coverage_ppm"))
+  }
 }

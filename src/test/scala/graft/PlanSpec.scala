@@ -718,6 +718,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("d27 eval coverage: the train corpus is never join-shuffled") {
+    val p = plan("d27_eval_coverage")
+    // both joins ride broadcasts of eval-bounded sets (the screen on the
+    // train scan and the matched-set join back); every hash exchange in
+    // the plan carries eval-bounded data, never the corpus
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2,
+      s"both eval-coverage joins must broadcast:\n$p")
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      s"the train corpus must never be join-shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("m8 media funnel: one content-key shuffle carries the whole pipeline") {
     val p = plan("m8_media_funnel")
     // decode and QA are scan-stage projections over the payload; the
