@@ -2744,19 +2744,14 @@ object SparkEntry {
         .select(col("n_nationkey").cast("long"), col("n_name"),
           col("n_regionkey").cast("long"))
         .orderBy("n_nationkey").collect()
-      // deterministic per-data-dir location (reused across JVMs instead
-      // of accumulating one temp dir per run) + a shutdown-hook sweep so
-      // repeated driver runs leave nothing behind
-      val out = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_avro_a1_${java.lang.Integer.toHexString(dir.hashCode)}")
-      java.nio.file.Files.createDirectories(out)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Throwable => () }))
+      // per-(data dir, PROCESS) location + a shutdown-hook sweep: a
+      // path shared across JVMs raced — one JVM's sweep deleting the
+      // directory while another read it, and stale part files from a
+      // SIGKILLed run (whose hook never fired) being read as part of
+      // the table. The pid token makes the dir exclusively this JVM's;
+      // the pre-clean below clears any improbable leftover at the
+      // exact same path (pid reuse after a SIGKILL).
+      val out = fixtureDir("graft_avro_a1", dir)
       rows.grouped(math.max(1, (rows.length + 1) / 2)).zipWithIndex.foreach {
         case (chunk, i) =>
           val w = new DataFileWriter[GenericRecord](
@@ -2789,17 +2784,34 @@ object SparkEntry {
   @transient private lazy val jsonlFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def jsonlFixtureDir(s: SparkSession, dir: String): String =
-    jsonlFixtureCache.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_jsonl_j1_${java.lang.Integer.toHexString(dir.hashCode)}")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
+  /** Allocates a fixture scratch directory under the system temp root,
+    * keyed by (prefix, data dir, THIS PROCESS): the pid token means no
+    * two JVMs ever share one (the prior per-data-dir path raced — one
+    * JVM's shutdown sweep deleting what another was reading, and stale
+    * part files from a SIGKILLed run surviving into the next read).
+    * Any leftover content at the path (pid reuse) is cleared before
+    * use, and a shutdown hook sweeps it on clean exit. */
+  private def fixtureDir(prefix: String, dir: String): java.nio.file.Path = {
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"${prefix}_${java.lang.Integer.toHexString(dir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}")
+    def sweep(): Unit =
+      try {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(out))
           java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Throwable => () }))
+      } catch { case _: Throwable => () }
+    sweep() // pid-reuse leftovers: never read a stale layout
+    java.nio.file.Files.createDirectories(out)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => sweep()))
+    out
+  }
+
+  private def jsonlFixtureDir(s: SparkSession, dir: String): String =
+    jsonlFixtureCache.computeIfAbsent(dir, _ => {
+      val out = fixtureDir("graft_jsonl_j1", dir)
       tbl(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
         .repartition(4)

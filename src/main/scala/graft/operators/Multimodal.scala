@@ -146,10 +146,19 @@ object Multimodal {
   def decodeImages(
       media: DataFrame, idCol: String = "media_id",
       binCol: String = "bytes"): DataFrame = {
-    val in = media.select(col(idCol).cast("long"), col(binCol))
+    // null-id rows are dropped up front (an id-less media row is
+    // unaddressable downstream either way) — Encoders.scalaLong would
+    // otherwise NPE the task on an ordinary nullable parquet cell. A
+    // NULL *payload* is the quarantine case, handled per row below.
+    val in = media.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     in.mapPartitions { it =>
-      it.map { case (id, bytes) =>
+      it.map { case (id, rawBytes) =>
+        // a NULL binary cell is ordinary in scraped media: quarantine
+        // (n_bytes 0), never an NPE — one corrupt row must not kill a
+        // 100 TB sweep
+        val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
         val decoded =
           try {
             val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -185,10 +194,14 @@ object Multimodal {
   def extractFeatures(
       media: DataFrame, idCol: String = "media_id", binCol: String = "bytes",
       dim: Int = 8): DataFrame = {
-    val in = media.select(col(idCol).cast("long"), col(binCol))
+    // same null discipline as [[decodeImages]]: null ids dropped, a
+    // NULL payload treated as empty (zero-padded features)
+    val in = media.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     in.mapPartitions { it =>
-      it.map { case (id, bytes) =>
+      it.map { case (id, rawBytes) =>
+        val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
         // payloads shorter than `dim` are zero-padded
         MediaFeature(id, (0 until dim).map(i =>
           (if (i < bytes.length) bytes(i) & 0xff else 0) / 256.0))

@@ -161,12 +161,23 @@ object Paths {
 
   /** One broadcast batch of [[behaviorTwins]] over pre-built trigram
     * (`_u`, `_g`) and size (`_u`, `_n`) tables. `batch.size` ≤
-    * [[MaxQueryUsers]] by construction. */
+    * [[MaxQueryUsers]] by construction.
+    *
+    * The query-user screen is a broadcast semi-join against a local
+    * id relation, NOT an `isin` literal list: at the 10⁶-user scale
+    * batching exists for, ⌈|Q|/10⁴⌉ union branches × 10⁴ `In`-list
+    * literals each put ~10⁶ expression nodes in ONE plan — Catalyst
+    * analysis/codegen time and driver memory blow up even though every
+    * broadcast is bounded. A 10⁴-row broadcast relation per branch
+    * keeps the plan linear in the number of branches. */
   private def twinsBatch(
       tri: DataFrame, sizes: DataFrame, batch: Seq[Long], k: Int): DataFrame = {
-    val inQ = col("_u").isin(batch: _*)
-    val q = tri.where(inQ).select(col("_u").as("_qu"), col("_g"))
-    val qn = sizes.where(inQ).select(col("_u").as("_qu"), col("_n").as("_qn"))
+    import tri.sparkSession.implicits._
+    val ids = broadcast(batch.toDF("_u"))
+    val q = tri.join(ids, Seq("_u"), "left_semi")
+      .select(col("_u").as("_qu"), col("_g"))
+    val qn = sizes.join(ids, Seq("_u"), "left_semi")
+      .select(col("_u").as("_qu"), col("_n").as("_qn"))
     val inter = tri.join(broadcast(q), Seq("_g"))
       .where(col("_u") =!= col("_qu"))
       .groupBy(col("_qu"), col("_u")).agg(count(lit(1)).as("_i"))

@@ -90,9 +90,13 @@ class Round9OpsSpec extends AnyFunSuite {
       (5L, enc("jpg", BufferedImage.TYPE_INT_RGB, 64, 48)),
       (6L, enc("gif", BufferedImage.TYPE_INT_RGB, 12, 3)),
       (7L, "definitely not an image".getBytes("UTF-8")),
-      (8L, Array.emptyByteArray))
+      (8L, Array.emptyByteArray),
+      (9L, null: Array[Byte])) // NULL payload: quarantine, never an NPE
+    val withNullId = fixtures.toDF("media_id", "bytes")
+      .union(Seq((null.asInstanceOf[java.lang.Long], "x".getBytes("UTF-8")))
+        .toDF("media_id", "bytes")) // NULL id: dropped, never an NPE
     val out = graft.operators.Multimodal
-      .decodeImages(fixtures.toDF("media_id", "bytes").repartition(3))
+      .decodeImages(withNullId.repartition(3))
       .orderBy("media_id").collect()
       .map(r => (r.getLong(0),
         Option(r.getString(1)), Option(r.get(2)), Option(r.get(3)),
@@ -107,10 +111,12 @@ class Round9OpsSpec extends AnyFunSuite {
       (5L, Some("jpeg"), Some(64), Some(48), Some(3)),
       (6L, Some("gif"), Some(12), Some(3), Some(1)),
       (7L, None, None, None, None),
-      (8L, None, None, None, None)))
+      (8L, None, None, None, None),
+      (9L, None, None, None, None)))
     // n_bytes is the raw payload length even for quarantined rows
     assert(out.find(_._1 == 7L).get._6 === "definitely not an image".length.toLong)
     assert(out.find(_._1 == 8L).get._6 === 0L)
+    assert(out.find(_._1 == 9L).get._6 === 0L)
   }
 
   test("dsirDeltaMicro matches the hand-computed small-count fixture exactly") {
