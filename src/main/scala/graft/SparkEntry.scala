@@ -3034,22 +3034,98 @@ object SparkEntry {
        |  ORDER BY hkey, vec_id LIMIT $k
        |)""".stripMargin)
 
-  // Derived-k seeds (Dedup.semDedupByCellSize parity): k = ⌈N/cell⌉,
-  // computed from one count over `qn` exactly like the Scala side's
-  // `(n + cell - 1) / cell` Long division — DuckDB `//` floors, but all
-  // operands are non-negative here so floor == truncate (the div-vs-//
-  // rule). greatest(…, 1) mirrors `.max(1L)`.
-  private def ivfLloyd2DerivedKSql(cell: Int): String = ivfLloyd2From(
-    s"""kv AS (
-       |  SELECT greatest((count(*) + ${cell - 1}) // $cell, 1) AS kk FROM qn
-       |), seeds AS (
-       |  SELECT qv, cell FROM (
-       |    SELECT qv, row_number() OVER (ORDER BY hkey, vec_id) - 1 AS cell FROM (
+  // Two-level derived-k unroll (Similarity.trainTwoLevelCellsOn /
+  // Dedup.semDedupByCellSize parity): k = ⌈N/cell⌉ from one count
+  // (non-negative operands, so DuckDB `//` == Scala Long division),
+  // k1 = ⌈√k⌉ COARSE centers trained by the same 2-iteration
+  // md5-seeded Lloyd's as ivfLloyd2From under seed prefix 'ivfc|',
+  // then per-coarse-cell FINE seeds (the k2 = ⌈k/k1⌉ members smallest
+  // by hash60('ivff|'||id)) and two fine iterations whose candidate
+  // centers are restricted to each point's own coarse cell — the
+  // N·O(√k) ANN assignment, replayed exactly. Final cell id =
+  // coarse·k2 + fine, the composite both engines derive identically.
+  // ca2 / the fine center tables are MATERIALIZED: each is referenced
+  // by 2-3 downstream CTEs and DuckDB would inline (re-derive) the
+  // whole upstream Lloyd chain per reference (the g6/s17 lesson).
+  private def ivfTwoLevel2Sql(cell: Int): String =
+    s"""kp AS MATERIALIZED (
+       |  SELECT kk, k1, (kk + k1 - 1) // k1 AS k2 FROM (
+       |    SELECT kk, CAST(ceil(sqrt(CAST(kk AS DOUBLE))) AS BIGINT) AS k1 FROM (
+       |      SELECT greatest((count(*) + ${cell - 1}) // $cell, 1) AS kk FROM qn))
+       |), cseeds AS (
+       |  SELECT qv, cc FROM (
+       |    SELECT qv, row_number() OVER (ORDER BY hkey, vec_id) - 1 AS cc FROM (
        |      SELECT vec_id, qv,
-       |        ('0x' || substr(md5('ivf|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
-       |      FROM qn)) s, kv
-       |  WHERE s.cell < kv.kk
-       |)""".stripMargin)
+       |        ('0x' || substr(md5('ivfc|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
+       |      FROM qn)) s, kp
+       |  WHERE s.cc < kp.k1
+       |), cc0 AS (
+       |  SELECT cc, qv AS cvec, list_sum(list_transform(qv, x -> x * x)) AS cn2 FROM cseeds
+       |), ca1 AS (
+       |  SELECT vec_id, cc FROM (
+       |    SELECT q.vec_id, c.cc,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        q.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65),
+       |          d -> q.qv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.cc) AS rn
+       |    FROM qn q CROSS JOIN cc0 c)
+       |  WHERE rn = 1
+       |), cc1d AS (
+       |  SELECT a.cc, d, sum(q.qv[d]) AS sv, count(*) AS cnt
+       |  FROM ca1 a JOIN qn q USING (vec_id),
+       |       (SELECT CAST(range AS INT) + 1 AS d FROM range(64))
+       |  GROUP BY 1, 2
+       |), cc1 AS (
+       |  SELECT cc, list(CAST(round(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY d) AS cvec
+       |  FROM cc1d GROUP BY 1
+       |), cc1n AS (
+       |  SELECT cc, cvec, list_sum(list_transform(cvec, x -> x * x)) AS cn2 FROM cc1
+       |), ca2 AS MATERIALIZED (
+       |  SELECT vec_id, cc FROM (
+       |    SELECT q.vec_id, c.cc,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        q.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65),
+       |          d -> q.qv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.cc) AS rn
+       |    FROM qn q CROSS JOIN cc1n c)
+       |  WHERE rn = 1
+       |), fseeds AS (
+       |  SELECT cc, qv, ff FROM (
+       |    SELECT a.cc, q.qv,
+       |      row_number() OVER (PARTITION BY a.cc ORDER BY
+       |        ('0x' || substr(md5('ivff|' || CAST(q.vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |        q.vec_id) - 1 AS ff
+       |    FROM qn q JOIN ca2 a USING (vec_id)) s, kp
+       |  WHERE s.ff < kp.k2
+       |), ff0 AS MATERIALIZED (
+       |  SELECT cc, ff, qv AS cvec, list_sum(list_transform(qv, x -> x * x)) AS cn2 FROM fseeds
+       |), fa1 AS (
+       |  SELECT vec_id, cc, ff FROM (
+       |    SELECT q.vec_id, a.cc, c.ff,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        q.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65),
+       |          d -> q.qv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.ff) AS rn
+       |    FROM qn q JOIN ca2 a USING (vec_id) JOIN ff0 c ON a.cc = c.cc)
+       |  WHERE rn = 1
+       |), ff1d AS (
+       |  SELECT a.cc, a.ff, d, sum(q.qv[d]) AS sv, count(*) AS cnt
+       |  FROM fa1 a JOIN qn q USING (vec_id),
+       |       (SELECT CAST(range AS INT) + 1 AS d FROM range(64))
+       |  GROUP BY 1, 2, 3
+       |), ff1 AS (
+       |  SELECT cc, ff, list(CAST(round(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY d) AS cvec
+       |  FROM ff1d GROUP BY 1, 2
+       |), ff1n AS MATERIALIZED (
+       |  SELECT cc, ff, cvec, list_sum(list_transform(cvec, x -> x * x)) AS cn2 FROM ff1
+       |), fa2 AS (
+       |  SELECT vec_id, cc, ff FROM (
+       |    SELECT q.vec_id, a.cc, c.ff,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        q.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65),
+       |          d -> q.qv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.ff) AS rn
+       |    FROM qn q JOIN ca2 a USING (vec_id) JOIN ff1n c ON a.cc = c.cc)
+       |  WHERE rn = 1
+       |), a2 AS (
+       |  SELECT f.vec_id, f.cc * kp.k2 + f.ff AS cell FROM fa2 f, kp
+       |)""".stripMargin
 
   private def ivfLloyd2From(seedsCte: String) =
     s"""$seedsCte, c0 AS (
@@ -5705,16 +5781,19 @@ object SparkEntry {
            |)
            |SELECT l.vec_id, l.cell FROM lbl l LEFT JOIN dups d ON l.vec_id = d.vec_id
            |WHERE d.vec_id IS NULL""".stripMargin,
-      // d25 = d12's keeper rule with the PRODUCTION k: derived in-SQL as
-      // ⌈N/64⌉ from one count over the quantized corpus, exactly the
-      // Scala side's Dedup.semDedupByCellSize arithmetic.
+      // d25 = d12's keeper rule with the PRODUCTION k AND the
+      // production ASSIGNMENT: k derived in-SQL as ⌈N/64⌉ from one
+      // count, points assigned through the two-level ⌈√k⌉-coarse /
+      // ⌈k/⌈√k⌉⌉-fine Lloyd unroll — exactly the Scala side's
+      // Dedup.semDedupByCellSize → Similarity.trainTwoLevelCellsOn
+      // N·O(√k) arithmetic, cell ids and all.
       "d25_semdedup_cellsize" ->
         s"""WITH eIn AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
            |  UNION ALL
            |  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1 + 0.01)
            |  FROM embeddings
-           |), $quantEmbSql, ${ivfLloyd2DerivedKSql(64)}, lbl AS (
+           |), $quantEmbSql, ${ivfTwoLevel2Sql(64)}, lbl AS (
            |  SELECT qn.vec_id, a2.cell, qn.qv, qn.n2 FROM qn JOIN a2 USING (vec_id)
            |), dups AS (
            |  SELECT DISTINCT b.vec_id FROM lbl a JOIN lbl b

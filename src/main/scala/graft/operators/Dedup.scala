@@ -844,9 +844,11 @@ object Dedup {
     * `k` bounds the expected cluster size — at production scale use
     * [[semDedupByCellSize]], which derives k ≈ N/⟨cell⟩ from one count
     * so the in-cell pair budget holds as N grows (the SemDeDup paper
-    * uses tens of thousands of clusters for web-scale corpora), and cap
-    * runaway cells the same way [[embeddingNearDupPairs]] caps hot
-    * buckets.
+    * uses tens of thousands of clusters for web-scale corpora) AND
+    * assigns through [[Similarity.trainTwoLevelCellsOn]]'s hierarchical
+    * coarse→fine probe so assignment arithmetic is N·O(√k) instead of
+    * the flat trainer's N·k; cap runaway cells the same way
+    * [[embeddingNearDupPairs]] caps hot buckets.
     *
     * Returns the survivors as `(idCol, cell)`. */
   def semDedupByCellSize(
@@ -862,18 +864,44 @@ object Dedup {
     // because occupancy grew 10×). This is the production rule the
     // fixed-k scaladoc documents; the fixed-k form remains for
     // oracle-pinned comparisons.
-    val n = emb.count()
+    //
+    // ASSIGNMENT is two-level ([[Similarity.trainTwoLevelCellsOn]]):
+    // at derived k, FLAT Lloyd assignment is N·k = N²/⟨cell⟩ exact dot
+    // products — quadratic arithmetic the round-9 100× octave measured
+    // as the one plan in the repo that would not ship at scale (491.9 s
+    // at 100×, 21.7× wall for the 11.1×-arithmetic 30→100 step). The
+    // k1 = ⌈√k⌉ coarse / k2 = ⌈k/k1⌉ fine split keeps the cell-count
+    // rule (k1·k2 ≥ k cells, occupancy still ⟨cell⟩ in expectation, so
+    // the in-cell pair join stays corpus-linear) while assignment
+    // arithmetic drops to N·O(√k): at N = 10¹⁰, ~10¹² dots instead of
+    // ~10¹⁷. The prepared corpus is checkpointed once; the derived-k
+    // count rides that materialization.
+    val base = Similarity.prepare(emb, idCol, vecCol).localCheckpoint()
+    val n = base.count()
     val k = math.min(((n + targetCellSize - 1) / targetCellSize).max(1L),
       Int.MaxValue.toLong).toInt
-    semDedup(emb, idCol, vecCol, k, iters, threshold)
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val k2 = (k + k1 - 1) / k1
+    val cells = Similarity.trainTwoLevelCellsOn(base, k1, k2, iters)
+    semDedupInCells(base, cells, idCol, threshold)
   }
 
   def semDedup(
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       k: Int = 8, iters: Int = 2, threshold: Double = 0.95): DataFrame = {
     val cells = Similarity.trainIvfCells(emb, idCol, vecCol, k, iters)
-    val base = Similarity.prepare(emb, idCol, vecCol)
-      .join(cells, "_id").localCheckpoint()
+    semDedupInCells(Similarity.prepare(emb, idCol, vecCol), cells, idCol,
+      threshold)
+  }
+
+  /** The SemDeDup keeper rule over a prepared corpus and a cell
+    * assignment (shared by the flat-k and two-level forms): compare
+    * vectors only within their cell, drop every vector with a lower-id
+    * in-cell neighbor at cosine ≥ `threshold`. */
+  private def semDedupInCells(
+      prepared: DataFrame, cells: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val base = prepared.join(cells, "_id").localCheckpoint()
     val a = base.select(col("_cell"), col("_id").as("id_a"),
       col("_q").as("_qa"), col("_n2").as("_n2a"))
     val b = base.select(col("_cell"), col("_id").as("id_b"),

@@ -344,9 +344,11 @@ object Similarity {
     * anyway, and re-preparing would double the most expensive
     * materialization of the call (a second full-corpus quantize +
     * pinned checkpoint). */
-  private def trainIvfCellsOn(base: DataFrame, k: Int, iters: Int): DataFrame = {
+  private[operators] def trainIvfCellsOn(
+      base: DataFrame, k: Int, iters: Int,
+      seedPrefix: String = "ivf|"): DataFrame = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
-    val seedKey = Dedup.hash60(concat(lit("ivf|"), col("_id").cast("string")))
+    val seedKey = Dedup.hash60(concat(lit(seedPrefix), col("_id").cast("string")))
     var cents = base
       .orderBy(seedKey, col("_id"))
       .limit(k)
@@ -377,6 +379,84 @@ object Similarity {
       i += 1
     }
     assigned
+  }
+
+  /** Two-level (hierarchical) Lloyd's — the ANN ASSIGNMENT for
+    * derived-k clustering, where flat assignment is the scale-killer:
+    * at k ∝ N (SemDeDup's k = ⌈N/⟨cell⟩⌉ rule) flat Lloyd does
+    * N·k = N²/⟨cell⟩ exact dot products per iteration — ~10¹⁶-10¹⁸ ops
+    * at a 10⁹-10¹⁰-document corpus, which no executor count divides
+    * into a shippable plan (the round-9 100× octave measured the cliff:
+    * 21.7× wall for an 11.1× data step once the center table fell out
+    * of cache). Here every point is assigned in two bounded probes —
+    * first to one of `k1` COARSE centers (broadcast: k1 ≈ √k centers
+    * is MBs even at web-scale k), then, via an equi-join on its coarse
+    * cell, to one of the ≤ `k2` FINE centers trained WITHIN that cell —
+    * so per-point arithmetic is O(k1 + k2) = O(√k) dots and total
+    * assignment work is N·O(√k): corpus-linear growth at derived k
+    * instead of quadratic. This is the [[ivfTopK]] coarse-quantize/
+    * probe shape applied to training itself.
+    *
+    * Determinism (the cross-engine contract every consumer's oracle
+    * replays): the coarse level is [[trainIvfCellsOn]]'s exact
+    * md5-seeded Lloyd's under seed prefix `"ivfc|"`; fine seeds are,
+    * per coarse cell, the `k2` members with the smallest
+    * `(hash60("ivff|" ∥ id), id)` key; fine assignment minimizes exact
+    * integer L2 with a (dist2, fine-cell) tie-break; centroid updates
+    * are elementwise rounded means. All arithmetic is the same
+    * integer-exact kind as the flat trainer.
+    *
+    * Scale shape per fine iteration: one shuffle of the k1·k2 center
+    * table hash-partitioned by coarse cell (never broadcast — at
+    * derived k the FULL center table is corpus-sized/64, only the
+    * per-coarse-cell slice of ~k2 rows meets each point), against the
+    * corpus partitioned the same way; then the two-aggregation mean
+    * update. Empty fine cells disappear (standard Lloyd's).
+    *
+    * Returns `(_id, _cell)` with `_cell = coarse·k2 + fine` — a stable
+    * composite id both engines derive identically. */
+  private[operators] def trainTwoLevelCellsOn(
+      base: DataFrame, k1: Int, k2: Int, iters: Int): DataFrame = {
+    require(k1 > 0 && k2 > 0 && iters > 0,
+      s"need k1, k2, iters > 0, got k1=$k1 k2=$k2 iters=$iters")
+    val coarse = trainIvfCellsOn(base, k1, iters, "ivfc|")
+      .withColumnRenamed("_cell", "_cc")
+    // one materialized (id, vector, norm, coarse cell) table shared by
+    // fine seeding, every fine iteration, and the caller's downstream
+    // join — the coarse loop is never re-derived
+    val cbase = base.join(coarse, "_id").localCheckpoint()
+    val fseedKey = Dedup.hash60(concat(lit("ivff|"), col("_id").cast("string")))
+    var fcents = cbase
+      .withColumn("_ff",
+        (row_number().over(Window.partitionBy(col("_cc"))
+          .orderBy(fseedKey, col("_id"))) - 1).cast("long"))
+      .where(col("_ff") < k2)
+      .select(col("_cc"), col("_ff"), col("_q").as("_cvec"))
+      .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
+      .localCheckpoint()
+    var assigned: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val scored = cbase.join(fcents.hint("shuffle_hash"), Seq("_cc"))
+        .withColumn("_dist2",
+          col("_n2") + col("_cn2") - lit(2L) * dotQ(col("_q"), col("_cvec")))
+      assigned = scored.groupBy(col("_id"), col("_cc"))
+        .agg(min_by(col("_ff"), struct(col("_dist2"), col("_ff"))).as("_ff"))
+      fcents = cbase.join(assigned.select(col("_id"), col("_ff")), "_id")
+        .select(col("_cc"), col("_ff"), posexplode(col("_q")).as(Seq("_pos", "_v")))
+        .groupBy(col("_cc"), col("_ff"), col("_pos"))
+        .agg(sum(col("_v")).as("_sv"), count(lit(1)).as("_cnt"))
+        .groupBy(col("_cc"), col("_ff"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("_pos").as("p"),
+            round(col("_sv") / col("_cnt")).cast("long").as("v")))),
+          x => x.getField("v")).as("_cvec"))
+        .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
+        .localCheckpoint()
+      i += 1
+    }
+    assigned.select(col("_id"),
+      (col("_cc") * k2 + col("_ff")).as("_cell"))
   }
 
   /** LSH-bucketed top-k: candidates restricted to the query's sign-sketch

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Behavior specs for the round-10 work: the two-level (hierarchical)
+  * ANN assignment behind derived-k SemDeDup. Flat Lloyd assignment at
+  * k = ⌈N/⟨cell⟩⌉ is N·k = N²/⟨cell⟩ exact dot products — the round-9
+  * 100× octave measured it as the one plan that would not ship at
+  * scale — so `semDedupByCellSize` now assigns coarse-then-fine in
+  * N·O(√k) arithmetic. These specs pin the semantics the swap must
+  * preserve: on a corpus whose clusters are unambiguous, the two-level
+  * and flat assignments induce the SAME partition of the points (cell
+  * labels differ; the grouping does not) and therefore the same
+  * SemDeDup survivor set.
+  */
+class Round10OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("round10-ops-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    Graft.registerAll(s)
+    s
+  }
+
+  /** Hand-separable corpus, HIERARCHICALLY: two super-groups (strong
+    * unit component on axis 0 or 1), each holding two sub-clusters
+    * (0.6 on a dedicated axis), 16 members each. Cosines: ≈ 0.998
+    * within a sub-cluster (near-dups), ≈ 0.74 across sub-clusters of
+    * one super-group (same coarse cell, NOT near-dups), ≈ 0 across
+    * super-groups — so the ideal flat k=4 cells and the ideal
+    * 2-coarse × 2-fine cells are the same four sub-clusters. Ids start
+    * at 11392: for this range the md5 seeding puts the two coarse seeds
+    * in different super-groups and each super-group's two fine seeds
+    * in different sub-clusters (and the flat trainer's four seeds
+    * recover all four sub-clusters), so both schemes converge to the
+    * hand-separable truth rather than an artifact of seed placement.
+    * Within-cluster jitter lives on a dedicated far dimension so
+    * members are near-dups but not identical — the partition equality
+    * below is only meaningful if co-location is doing real work. */
+  private val IdBase = 11392L
+
+  private def separable(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rows = for (i <- 0 until 64) yield {
+      val id = IdBase + i
+      val c = (id % 4).toInt  // sub-cluster
+      val j = i / 4           // within-cluster jitter index
+      val v = Array.fill(64)(0.0f)
+      v(c / 2) = 1.0f         // super-group axis (0 or 1)
+      v(2 + c) = 0.6f         // sub-cluster axis
+      v(40 + c) = 0.02f * (j % 5) // ≤ 0.08 ⇒ cos ≥ 0.997 within
+      (id, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def partitionOf(df: org.apache.spark.sql.DataFrame,
+      idCol: String, cellCol: String): Set[Set[Long]] =
+    df.select(col(idCol), col(cellCol)).collect()
+      .groupBy(_.getLong(1)).values
+      .map(_.map(_.getLong(0)).toSet).toSet
+
+  test("two-level and flat assignment agree on a hand-separable corpus") {
+    val emb = separable()
+    // flat: pinned k=4; two-level: targetCellSize=16 over N=64 derives
+    // k=4 ⇒ k1=2 coarse, k2=2 fine — the same 4 cells, found
+    // hierarchically
+    val flat = Dedup.semDedup(emb, k = 4, iters = 2, threshold = 0.95)
+    val two = Dedup.semDedupByCellSize(emb, targetCellSize = 16,
+      iters = 2, threshold = 0.95)
+    // identical survivor sets (the user-visible contract)
+    val fs = flat.select("vec_id").collect().map(_.getLong(0)).toSet
+    val ts = two.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ts === fs)
+    // the separable corpus has exactly one keeper per sub-cluster: the
+    // minimum id of each residue class mod 4
+    assert(fs === Set(IdBase, IdBase + 1, IdBase + 2, IdBase + 3))
+    // identical partitions up to relabeling: survivors carry their
+    // cell, one survivor per cluster, so cells must separate the four
+    // clusters in both schemes
+    val fp = partitionOf(flat, "vec_id", "cell")
+    val tp = partitionOf(two, "vec_id", "cell")
+    assert(fp === tp)
+    assert(fp === Set(Set(IdBase), Set(IdBase + 1), Set(IdBase + 2),
+      Set(IdBase + 3)))
+  }
+
+  test("derived k1/k2 arithmetic: k1=ceil(sqrt(k)), k2=ceil(k/k1), k1*k2>=k") {
+    // the Scala-side rule the oracle replays in SQL — pinned here so a
+    // refactor cannot silently diverge the two engines
+    def split(k: Int): (Int, Int) = {
+      val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+      (k1, (k + k1 - 1) / k1)
+    }
+    assert(split(1) === ((1, 1)))
+    assert(split(4) === ((2, 2)))
+    assert(split(5) === ((3, 2)))
+    assert(split(16) === ((4, 4)))
+    assert(split(17) === ((5, 4)))
+    assert(split(1000000) === ((1000, 1000)))
+    for (k <- 1 to 2000) {
+      val (k1, k2) = split(k)
+      assert(k1.toLong * k2 >= k, s"k=$k k1=$k1 k2=$k2")
+      assert(k1 <= math.sqrt(k.toDouble).toInt + 1)
+    }
+  }
+
+  test("two-level survivors are partition-invariant") {
+    val emb = separable()
+    val a = Dedup.semDedupByCellSize(emb.repartition(1),
+        targetCellSize = 16, iters = 2, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Dedup.semDedupByCellSize(emb.repartition(7),
+        targetCellSize = 16, iters = 2, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a === b)
+  }
+}
