@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{Fingerprint64, HashedLinearScore, HashedShingles, LongArrayDot, MinhashSig, Simhash32, SqlFunctions}
+import graft.functions.{Fingerprint64, HashedLinearScore, HashedShingles, LongArrayDot, MinhashSig, PositionalGramHashes, Simhash32, SqlFunctions}
 import graft.operators.Retention
 
 /** Session facade for the graft engine — the analogue of the reference's
@@ -42,6 +42,7 @@ object Graft {
     LongArrayDot.register(spark)
     MinhashSig.register(spark)
     HashedShingles.register(spark)
+    PositionalGramHashes.register(spark)
     Simhash32.register(spark)
     Fingerprint64.register(spark)
     HashedLinearScore.register(spark)
@@ -98,6 +99,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.HashedShingles].getName, HashedShingles.name),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.HashedShingles(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier(PositionalGramHashes.name),
+      new ExpressionInfo(classOf[graft.functions.PositionalGramHashes].getName,
+        PositionalGramHashes.name),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.PositionalGramHashes(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((
       FunctionIdentifier(Simhash32.name),

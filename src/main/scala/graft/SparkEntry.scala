@@ -1264,6 +1264,24 @@ object SparkEntry {
         .groupBy(col("group_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
     }),
+    // Exact duplicate-substring dedup (Lee et al. 2022's ExactSubstr):
+    // every 8-token gram occurring ≥2× anywhere in the corpus marks its
+    // span; overlapping/adjacent marks merge into maximal excision
+    // intervals per doc. The corpus gets excerpt clones (the d13 aug
+    // shape) on top of the template corpus's natural repeats, so both
+    // cross-doc and boilerplate duplication are exercised. No pairwise
+    // step anywhere — work is occurrence-linear (frequency filter, not
+    // who-matches-whom), the property that distinguishes this from the
+    // df²-bounded fingerprint joins.
+    "d28_dup_substrings" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val docs = par(tbl(s, dir, "documents")).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.where(col("doc_id") % 7 === 2)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            substring(col("text"), 31, 400).as("text")))
+      Dedup.duplicateSubstringSpans(corpus, k = 8)
+    }),
     // Benchmark decontamination: training documents sharing any hashed
     // 4-gram with the (broadcast) eval split. The train corpus is never
     // shuffled — the collision screen is a broadcast hash join inside
@@ -5126,6 +5144,41 @@ object SparkEntry {
            |  CAST(CAST(coalesce(sum(hit), 0) AS HUGEINT) * 1000000 // n_shingles AS BIGINT) AS coverage_ppm
            |FROM ev LEFT JOIN tr USING (s)
            |GROUP BY eval_id, n_shingles""".stripMargin,
+      // d28: positional 8-gram hashes (zipped unnest = (pos, hash)
+      // pairs), corpus-wide frequency ≥ 2 marks [p, p+7] token spans,
+      // gaps-and-islands window merges them — the same normalization/
+      // tokenization/hash recipe as every shingle oracle, positional.
+      "d28_dup_substrings" ->
+        s"""WITH src AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 6000000, substr(text, 31, 400) FROM documents
+           |  WHERE doc_id % 7 = 2
+           |), norm AS (
+           |  SELECT doc_id, $normToksSql AS toks FROM src
+           |), g AS (
+           |  SELECT doc_id, unnest(range(1, len(toks) - 6)) AS p,
+           |    unnest(list_transform(range(1, len(toks) - 6),
+           |      i -> ('0x' || substr(md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 7], ' ')), 1, 15))::BIGINT)) AS h
+           |  FROM norm WHERE len(toks) >= 8
+           |), dup AS (
+           |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+           |), marks AS (
+           |  SELECT g.doc_id, g.p AS s, g.p + 7 AS e FROM g JOIN dup USING (h)
+           |), ord AS (
+           |  SELECT doc_id, s, e,
+           |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+           |  FROM marks
+           |), isl AS (
+           |  SELECT doc_id, s, e,
+           |    sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM ord
+           |)
+           |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+           |  CAST(max(e) AS BIGINT) AS span_end
+           |FROM isl GROUP BY doc_id, island""".stripMargin,
       // The bloom prefilter is cost-only: the oracle is the plain exact
       // screen at d9's split/width — any bloom false positive surviving
       // to the output would hash-mismatch here.

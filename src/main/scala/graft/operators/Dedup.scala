@@ -1276,6 +1276,78 @@ object Dedup {
       .where(col("overlap_ppm") >= minOverlapPpm)
   }
 
+  /** Exact duplicate-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * primitive behind most production LLM corpora): every word k-gram
+    * that occurs at least `minCount` times ANYWHERE in the corpus
+    * (across documents or repeated within one) marks its token span,
+    * and overlapping/adjacent marked spans merge into maximal excision
+    * intervals per document. The suffix-array formulation ("sort the
+    * corpus's gram stream, mark adjacent equal runs") is relational:
+    * the sort IS the group-by-hash shuffle, the equal-run mark IS the
+    * frequency filter, and the map-back is the join below.
+    *
+    * This is the span-level complement of the repo's other text-dedup
+    * modalities: d2/minhash finds near-dup DOCUMENTS, t12/t35 find
+    * spans by shingle document-frequency heuristics, d26/winnowing
+    * finds sampled local fingerprints — this finds EVERY exactly
+    * repeated ≥k-token substring, the Lee et al. contract. The shipped
+    * rule excises all occurrences (conservative: repeated boilerplate
+    * contributes zero training tokens); the keep-first variant is a
+    * one-line refinement (anti-join the corpus-wide min-(doc,pos)
+    * occurrence out of the mark set) that the conservative form
+    * dominates for memorization-risk screening.
+    *
+    * Plan shape at 100 TB: [[graft.functions.PositionalGramHashes]]
+    * computes each document's positional gram hashes in ONE
+    * normalize+tokenize pass (scan-stage, codegen'd); the exploded
+    * (gram, doc, pos) stream is corpus-token-sized and is shuffled
+    * exactly twice — once into the gram-frequency aggregate
+    * (map-side-combinable) and once joining the duplicated-gram set
+    * back (shuffle-hash on the gram — the winnowingPairs discipline;
+    * the duplicated-gram table is corpus-sized in the worst case, so
+    * it is never broadcast). Crucially there is NO pairwise step:
+    * work is linear in occurrences, never df², because the rule needs
+    * only "appears ≥ minCount", not who-matches-whom. The span merge
+    * is a per-document window (bounded by document length). Output is
+    * excision-sized.
+    *
+    * Output: `(doc_id, span_start, span_end)` — merged 1-based token
+    * intervals to excise, `span_end` inclusive. Documents with no
+    * duplicated k-gram emit nothing. */
+  def duplicateSubstringSpans(
+      docs: DataFrame, k: Int = 8, minCount: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(minCount >= 2, s"minCount must be at least 2, got $minCount")
+    val grams = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(call_function(
+          graft.functions.PositionalGramHashes.name, col(textCol), lit(k))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("_p"),
+        col("col").as("_h"))
+      .localCheckpoint() // shared by the frequency aggregate + mark join
+    val dups = grams.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+      .where(col("_df") >= minCount).select(col("_h"))
+    val marks = grams.join(dups.hint("shuffle_hash"), "_h")
+      .select(col("doc_id"), col("_p").as("_s"),
+        (col("_p") + (k - 1)).as("_e"))
+    // gaps-and-islands merge: an interval starts a new island iff it
+    // begins past every previous interval's end + 1 (adjacent spans
+    // merge — their union is contiguous tokens)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_s"), col("_e"))
+    marks
+      .withColumn("_pe",
+        max(col("_e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_isl",
+        sum(when(col("_pe").isNull || col("_s") > col("_pe") + 1, 1)
+          .otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("_s")).as("span_start"), max(col("_e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
   /** All-pairs brute-force variant of [[embeddingNearDupPairs]] — exact
     * recall oracle for tests; O(n²), never the shipped query path. */
   def embeddingNearDupPairsBrute(

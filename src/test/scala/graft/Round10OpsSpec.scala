@@ -115,6 +115,48 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicateSubstringSpans excises a 2x-repeated passage, unique text survives") {
+    import spark.implicits._
+    // a 10-token passage planted in two documents (different contexts)
+    val p = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      // P at token positions 4..13
+      (1L, s"one two three $p tail1a tail1b tail1c tail1d tail1e tail1f"),
+      // P at token positions 6..15
+      (2L, s"uno dos tres cuatro cinco $p fin2a fin2b fin2c fin2d fin2e fin2f"),
+      // all-unique document: must emit nothing
+      (3L, "solo unique words nothing repeated here at all ever once only " +
+        "more filler tokens keep this document long enough"),
+      // passage repeated WITHIN one document (positions 1..10 and 16..25)
+      (4L, "red orange yellow green blue indigo violet ultra infra xray " +
+        "mid4a mid4b mid4c mid4d mid4e " +
+        "red orange yellow green blue indigo violet ultra infra xray")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSubstringSpans(docs, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // only grams fully INSIDE the planted passage repeat (boundary grams
+    // carry unique context), so the merged span is exactly the passage
+    assert(spans === Seq(
+      (1L, 4L, 13L),
+      (2L, 6L, 15L),
+      (4L, 1L, 10L), (4L, 16L, 25L)))
+  }
+
+  test("duplicateSubstringSpans merges overlapping and adjacent marks") {
+    import spark.implicits._
+    // two copies of a 17-token text: every 8-gram duplicated, marks
+    // [1,8],[2,9],...,[10,17] must merge to ONE span [1,17] per doc
+    val t = (1 to 17).map(i => s"w$i").mkString(" ")
+    val docs = Seq((10L, t), (11L, t)).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSubstringSpans(docs, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((10L, 1L, 17L), (11L, 1L, 17L)))
+    // short documents (< k tokens) contribute nothing, even identical
+    val short = Seq((20L, "tiny doc"), (21L, "tiny doc")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSubstringSpans(short, k = 8).count() === 0L)
+  }
+
   test("two-level survivors are partition-invariant") {
     val emb = separable()
     val a = Dedup.semDedupByCellSize(emb.repartition(1),
