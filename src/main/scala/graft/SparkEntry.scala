@@ -2556,6 +2556,18 @@ object SparkEntry {
           coalesce(col("height"), lit(-1)).as("height"),
           coalesce(col("channels"), lit(-1)).as("channels"))
     }),
+    // Perceptual near-dup media dedup — the media twin of MinHash:
+    // dHash over REAL decoded rasters (ImageIO), banded 4×16-bit for
+    // Hamming-≤3 candidate pairs (pigeonhole-exact recall), verified by
+    // exact popcount. The fixture renders every content twice (PNG and
+    // BMP — lossless, same raster) from integer gradient formulas the
+    // oracle recomputes relationally: a hash match certifies the whole
+    // encode→decode→downsample→hash→band→pair chain.
+    "m9_perceptual_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val df = phashFixtureRows(s, dir).toDF("media_id", "bytes")
+      Multimodal.perceptualNearDupPairs(par(df), maxHamming = 3)
+    }),
     // Recursive CTE (Spark 4 relational surface): shortest-hop
     // reachability from nation 0 over the g5 trade backbone — ≤3-hop
     // paths enumerated by the recursion, min-hop aggregated after
@@ -2870,6 +2882,49 @@ object SparkEntry {
           bos.toByteArray
         }
       (k, bytes)
+    }
+  }
+
+  /** Deterministic perceptual-hash fixture for m9: each CONTENT c is a
+    * HIGH-FREQUENCY sawtooth `gray(x,y) = (a·x + b·y + off) % 256` with
+    * a = 41 + 17·(c%9), b = 29 + 23·(c%7), off = 11·c, at W = 9·(1 + c%3),
+    * H = 8·(1 + c%2) — rendered TWICE per content, as PNG
+    * (media_id = 2c) and BMP (media_id = 2c + 1): two LOSSLESS
+    * encodings of the same raster, so each pair must hash identically
+    * (Hamming 0) while distinct contents disagree in many gradient
+    * signs. The slopes wrap the 256-sawtooth within a block or two at
+    * content-dependent frequency, so gradient SIGN patterns decorrelate
+    * across contents — probed before shipping (the simhash lesson):
+    * this family yields ZERO accidental Hamming-≤3 cross-content pairs,
+    * where a slow linear ramp yields 45 (everything hashes near
+    * all-ones). Dimensions are multiples of (9, 8) so the oracle's 8×9
+    * block sums are exact integer formulas over the generator; content
+    * ids come from the nation table (the a1/m7 25-row fixture shape).
+    * JPEG is deliberately absent: a lossy codec breaks raster parity
+    * with the formula (its hashes are still fine in production — the
+    * operator hashes whatever pixels decode). */
+  private def phashFixtureRows(s: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    import java.awt.image.BufferedImage
+    val keys = tbl(s, dir, "nation").select(col("n_nationkey").cast("long"))
+      .orderBy("n_nationkey").collect().map(_.getLong(0)).toSeq
+    keys.map { k =>
+      val c = k / 2
+      val a = (41 + 17 * (c % 9)).toInt
+      val b = (29 + 23 * (c % 7)).toInt
+      val off = (11 * c).toInt
+      val w = (9 * (1 + c % 3)).toInt
+      val h = (8 * (1 + c % 2)).toInt
+      val (fmt, imgType) =
+        if (k % 2 == 0) ("png", BufferedImage.TYPE_INT_RGB)
+        else ("bmp", BufferedImage.TYPE_3BYTE_BGR)
+      val img = new BufferedImage(w, h, imgType)
+      for (x <- 0 until w; y <- 0 until h) {
+        val g = (a * x + b * y + off) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      (k, bos.toByteArray)
     }
   }
 
@@ -5018,6 +5073,55 @@ object SparkEntry {
           |       WHEN n_nationkey % 5 = 2 THEN 4
           |       ELSE 3 END AS channels
           |FROM nation""".stripMargin,
+      // m9: the Spark side renders each gradient content twice (PNG +
+      // BMP), decodes the real rasters back and dHashes them; the
+      // oracle recomputes the 8×9 block sums straight off the pixel
+      // FORMULA (dims are multiples of (9,8), so block boundaries are
+      // exact; equal per-block pixel counts reduce the operator's
+      // cross-multiplied mean compare to a plain sum compare; the
+      // operator's channel-sum luminance is 3·gray on these gray
+      // rasters — same ordering), then replays band keys, the
+      // ≥1-shared-band candidate rule, and exact Hamming.
+      "m9_perceptual_neardup" ->
+        """WITH keys AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+          |), prm AS (
+          |  SELECT k, 41 + 17 * ((k // 2) % 9) AS a, 29 + 23 * ((k // 2) % 7) AS b,
+          |    11 * (k // 2) AS off,
+          |    1 + (k // 2) % 3 AS sx, 1 + (k // 2) % 2 AS sy
+          |  FROM keys
+          |), cells AS (
+          |  SELECT p.k, rr.r, cc.cidx,
+          |    sum((p.a * (cc.cidx * p.sx + dx.i) + p.b * (rr.r * p.sy + dy.j) + p.off) % 256) AS s
+          |  FROM prm p,
+          |    (SELECT CAST(range AS BIGINT) AS r FROM range(8)) rr,
+          |    (SELECT CAST(range AS BIGINT) AS cidx FROM range(9)) cc,
+          |    (SELECT CAST(range AS BIGINT) AS i FROM range(3)) dx,
+          |    (SELECT CAST(range AS BIGINT) AS j FROM range(2)) dy
+          |  WHERE dx.i < p.sx AND dy.j < p.sy
+          |  GROUP BY 1, 2, 3
+          |), bits AS (
+          |  SELECT l.k, l.r, l.cidx,
+          |    CASE WHEN rt.s > l.s THEN 1 ELSE 0 END AS bit
+          |  FROM cells l JOIN cells rt
+          |    ON l.k = rt.k AND l.r = rt.r AND rt.cidx = l.cidx + 1
+          |  WHERE l.cidx < 8
+          |), hashes AS MATERIALIZED (
+          |  SELECT k,
+          |    CAST(sum(CASE WHEN r // 2 = 0 THEN bit * (1 << CAST((r % 2) * 8 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b0,
+          |    CAST(sum(CASE WHEN r // 2 = 1 THEN bit * (1 << CAST((r % 2) * 8 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b1,
+          |    CAST(sum(CASE WHEN r // 2 = 2 THEN bit * (1 << CAST((r % 2) * 8 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b2,
+          |    CAST(sum(CASE WHEN r // 2 = 3 THEN bit * (1 << CAST((r % 2) * 8 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b3
+          |  FROM bits GROUP BY k
+          |), pairs AS (
+          |  SELECT a.k AS id_a, c.k AS id_b,
+          |    bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1)) +
+          |    bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) AS hamming
+          |  FROM hashes a JOIN hashes c ON a.k < c.k
+          |    AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)
+          |)
+          |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+          |FROM pairs WHERE hamming <= 3""".stripMargin,
       "u1_funnel_stages" ->
         s"""$funnelStagesSql
            |SELECT user_id, epoch_us(t0) AS t0_us, epoch_us(t1) AS t1_us,

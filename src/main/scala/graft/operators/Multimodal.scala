@@ -12,6 +12,15 @@ case class DecodedImage(media_id: Long, format: Option[String],
     width: Option[Int], height: Option[Int], channels: Option[Int],
     n_bytes: Long)
 
+/** One perceptual-hash row: the 64-bit dHash of a decoded raster as
+  * FOUR 16-bit band keys (rows 0-1 → b0, … rows 6-7 → b3) — the
+  * representation the Hamming-banded pair join consumes directly, and
+  * one that never touches BIGINT bit 63 (DuckDB raises on `1 << 63`,
+  * so a single signed-64 hash column could not be oracle-replayed).
+  * All-NULL bands = quarantine (undecodable / sub-9×8 payload). */
+case class PerceptualHash(media_id: Long, b0: Option[Int], b1: Option[Int],
+    b2: Option[Int], b3: Option[Int])
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
@@ -207,5 +216,156 @@ object Multimodal {
           (if (i < bytes.length) bytes(i) & 0xff else 0) / 256.0))
       }
     }(Encoders.product[MediaFeature]).toDF()
+  }
+
+  /** Perceptual hash (difference hash / dHash) over REAL decoded
+    * rasters — the media twin of MinHash: byte-exact content dedup
+    * ([[Text.docHash]] on the payload) misses the same image
+    * re-encoded, resized, or slightly retouched; the dHash of the
+    * DECODED pixels survives exactly those transforms. Full-raster
+    * `ImageIO.read` (O(pixels) per item — unlike [[decodeImages]]'
+    * header-only scan, this is the step one budgets decode CPU for),
+    * then:
+    *
+    *  1. luminance signal = the raw r + g + b channel sum (3× mean
+    *     gray, summed WITHOUT per-pixel truncation) over the sRGB
+    *     channels `getRGB` returns for ANY source layout (palette,
+    *     gray, RGBA) — the hash is a function of rendered pixels, not
+    *     container encoding;
+    *  2. an 8-row × 9-column area downsample with floor boundaries
+    *     (block (r,c) covers x ∈ [⌊cW/9⌋, ⌊(c+1)W/9⌋), y likewise /8)
+    *     — all-integer, any W ≥ 9, H ≥ 8;
+    *  3. bit(r,c) = [mean(r,c+1) > mean(r,c)], compared
+    *     cross-multiplied (`s₂n₁ > s₁n₂`) so no division ever rounds —
+    *     64 bits of horizontal gradient signs, the classic dHash;
+    *  4. packed as four 16-bit band keys (two rows each) — directly
+    *     the LSH bands of [[perceptualNearDupPairs]], and exactly
+    *     replayable in any SQL engine (no signed-bit-63 hazard).
+    *
+    * Undecodable payloads, NULL payloads, and rasters smaller than the
+    * 9×8 grid quarantine (all-NULL bands) — the [[decodeImages]]
+    * contract: one corrupt scrape must not kill a 100 TB sweep.
+    *
+    * Scale shape: scan-stage mapPartitions projection, no shuffle;
+    * decode parallelism is the input's partitioning. */
+  def perceptualHashes(
+      media: DataFrame, idCol: String = "media_id",
+      binCol: String = "bytes"): DataFrame = {
+    val in = media.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    in.mapPartitions { it =>
+      it.map { case (id, rawBytes) =>
+        val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        img match {
+          case Some(im) if im.getWidth >= 9 && im.getHeight >= 8 =>
+            val w = im.getWidth
+            val h = im.getHeight
+            // block gray sums + pixel counts over the 8×9 grid
+            val s = Array.ofDim[Long](8, 9)
+            val n = Array.ofDim[Long](8, 9)
+            var r = 0
+            while (r < 8) {
+              val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+              var c = 0
+              while (c < 9) {
+                val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+                var acc = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val rgb = im.getRGB(x, y)
+                    acc += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                      (rgb & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                // gray sum: Σ⌊(r+g+b)/3⌋ would lose the remainder per
+                // pixel; summing the RAW channel total and comparing
+                // cross-multiplied is the same ordering with exact
+                // thirds (gray·3), and the oracle replays it as Σgray
+                // when r=g=b (the fixture's case: acc = 3·Σgray)
+                s(r)(c) = acc
+                n(r)(c) = (y1 - y0).toLong * (x1 - x0)
+                c += 1
+              }
+              r += 1
+            }
+            def band(b: Int): Int = {
+              var v = 0
+              var rr = 2 * b
+              while (rr <= 2 * b + 1) {
+                var c = 0
+                while (c < 8) {
+                  if (s(rr)(c + 1) * n(rr)(c) > s(rr)(c) * n(rr)(c + 1))
+                    v |= 1 << ((rr % 2) * 8 + c)
+                  c += 1
+                }
+                rr += 1
+              }
+              v
+            }
+            PerceptualHash(id, Some(band(0)), Some(band(1)), Some(band(2)),
+              Some(band(3)))
+          case _ => PerceptualHash(id, None, None, None, None)
+        }
+      }
+    }(Encoders.product[PerceptualHash]).toDF()
+  }
+
+  /** Hamming-banded perceptual near-dup pairs — the d2 MinHash+LSH
+    * discipline applied to [[perceptualHashes]]' bits: candidates are
+    * images sharing at least one of the four 16-bit bands (an equi-join
+    * per band — by pigeonhole EXACT recall for Hamming ≤ 3, since 4
+    * mismatching bands need ≥ 4 differing bits), verified by the exact
+    * Hamming distance over all 64 bits. Same image re-encoded
+    * (PNG↔BMP) hashes identically (Hamming 0); light retouches flip a
+    * few gradient signs and still pair; genuinely different images
+    * disagree in far more than `maxHamming` bits.
+    *
+    * Scale shape: the hash table is one 4-band explode (4 rows per
+    * image), the candidate join is an equi-join on (band, key) — hot
+    * monoculture keys (single-color thumbnails) are the caller's
+    * [[graft.operators.Dedup.CapStats]]-style concern at web scale;
+    * the verify join touches only candidate ids. The corpus's pixel
+    * payloads never move: hashing is scan-stage, everything after
+    * rides 4-integer rows.
+    *
+    * Output: `(id_a, id_b, hamming)`, `hamming ≤ maxHamming`. */
+  def perceptualNearDupPairs(
+      media: DataFrame, idCol: String = "media_id",
+      binCol: String = "bytes", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banded recall is exact only for maxHamming in [0, 3], got $maxHamming")
+    val hs = perceptualHashes(media, idCol, binCol)
+      .where(col("b0").isNotNull)
+      .localCheckpoint() // shared by the band explode and both verify sides
+    val bands = hs.select(col("media_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bk")
+    val cand = bands.as("x")
+      .join(bands.as("y").hint("shuffle_hash"),
+        col("x._band") === col("y._band") && col("x._bk") === col("y._bk") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+      .distinct()
+    val ha = hs.select(col("media_id").as("id_a"), col("b0").as("_a0"),
+      col("b1").as("_a1"), col("b2").as("_a2"), col("b3").as("_a3"))
+    val hb = hs.select(col("media_id").as("id_b"), col("b0").as("_c0"),
+      col("b1").as("_c1"), col("b2").as("_c2"), col("b3").as("_c3"))
+    cand.join(ha, "id_a").join(hb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("_a0").bitwiseXOR(col("_c0"))) +
+          bit_count(col("_a1").bitwiseXOR(col("_c1"))) +
+          bit_count(col("_a2").bitwiseXOR(col("_c2"))) +
+          bit_count(col("_a3").bitwiseXOR(col("_c3")))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 }

@@ -157,6 +157,75 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(Dedup.duplicateSubstringSpans(short, k = 8).count() === 0L)
   }
 
+  // ── perceptual-hash media dedup (m9) ────────────────────────────────
+
+  private def render(fmt: String, w: Int, h: Int)(
+      gray: (Int, Int) => Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val imgType = if (fmt == "bmp") BufferedImage.TYPE_3BYTE_BGR
+      else BufferedImage.TYPE_INT_RGB
+    val img = new BufferedImage(w, h, imgType)
+    for (x <- 0 until w; y <- 0 until h) {
+      val g = gray(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK lacks $fmt writer")
+    bos.toByteArray
+  }
+
+  test("perceptual near-dup: PNG/BMP re-encodes pair at Hamming 0, distinct images do not") {
+    import spark.implicits._
+    def a(x: Int, y: Int) = (57 * x + 43 * y + 7) % 256
+    def b(x: Int, y: Int) = (91 * x + 113 * y + 19) % 256 // different signs
+    // a retouch of content a: one block region brightened — a few
+    // gradient signs flip, the rest of the hash is intact
+    def a2(x: Int, y: Int) =
+      if (x >= 8 && x < 12 && y >= 6 && y < 8) math.min(a(x, y) + 90, 255)
+      else a(x, y)
+    val media = Seq(
+      (1L, render("png", 18, 16)(a)),
+      (2L, render("bmp", 18, 16)(a)),  // same raster, other codec
+      (3L, render("png", 18, 16)(b)),  // different image
+      (4L, render("png", 18, 16)(a2)), // light retouch of a
+      (5L, "not an image at all".getBytes("UTF-8")),
+      (6L, null: Array[Byte]),
+      (7L, render("png", 5, 4)(a))     // below the 9x8 grid: quarantine
+    ).toDF("media_id", "bytes")
+    val hs = graft.operators.Multimodal.perceptualHashes(media.repartition(3))
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(i =>
+        if (r.isNullAt(i)) None else Some(r.getInt(i)))).toMap
+    // re-encodes hash identically; garbage/null/tiny payloads quarantine
+    assert(hs(1L) === hs(2L))
+    assert(hs(1L).forall(_.isDefined))
+    Seq(5L, 6L, 7L).foreach(id => assert(hs(id).forall(_.isEmpty), s"id $id"))
+    assert(hs(1L) !== hs(3L))
+    val pairs = graft.operators.Multimodal
+      .perceptualNearDupPairs(media.repartition(3), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) === 0L)
+    // the retouch pairs with BOTH encodings of the original, within 3 bits
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) >= 1L)
+    assert(pairs.contains((2L, 4L)))
+    // the genuinely different image pairs with nothing
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // quarantined rows reach no pair
+    assert(!pairs.keys.exists(p => Set(p._1, p._2).exists(Set(5L, 6L, 7L))))
+  }
+
+  test("perceptual hash is invariant to raster partitioning and source layout") {
+    import spark.implicits._
+    def g(x: Int, y: Int) = (71 * x + 37 * y + 3) % 256
+    val one = Seq((1L, render("png", 27, 8)(g))).toDF("media_id", "bytes")
+    val h1 = graft.operators.Multimodal.perceptualHashes(one.repartition(1))
+      .collect().head
+    val h2 = graft.operators.Multimodal.perceptualHashes(one.repartition(4))
+      .collect().head
+    assert((1 to 4).map(h1.getInt) === (1 to 4).map(h2.getInt))
+    // bands are 16-bit values
+    (1 to 4).foreach(i => assert(h1.getInt(i) >= 0 && h1.getInt(i) <= 0xffff))
+  }
+
   test("two-level survivors are partition-invariant") {
     val emb = separable()
     val a = Dedup.semDedupByCellSize(emb.repartition(1),
