@@ -2644,8 +2644,10 @@ object SparkEntry {
     // table, so the hash match certifies encode→decode fidelity.
     // Scale honesty: gzip is NOT splittable — parallelism is the shard
     // count (here 4 files → 4 tasks), which is exactly how production
-    // lays out jsonl.gz corpora (many ~100 MB shards); splittable
-    // zstd/bzip2 or uncompressed relaxes that, the reader is identical.
+    // lays out jsonl.gz corpora (many ~100 MB shards); a splittable
+    // codec relaxes that with the IDENTICAL reader — proven in
+    // SourcesSpec's bzip2 test, where ONE shard fans out into more
+    // scan tasks than files.
     "j1_jsonl_roundtrip" -> ((s, dir) =>
       s.read
         .schema("doc_id BIGINT, source STRING, lang STRING, text STRING")

@@ -144,6 +144,49 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.rdd.getNumPartitions === 2)
   }
 
+  test("bzip2 JSONL: ONE shard splits into many scan tasks (layout-independent parallelism)") {
+    import spark.implicits._
+    // the production complement of the gzip test above: gzip parallelism
+    // is capped at the shard count, a SPLITTABLE codec (bzip2 — the one
+    // splittable compressor in stock Hadoop; zstd/gzip are not) lets the
+    // reader split a single large shard by byte ranges, so scan
+    // parallelism is layout-independent. Same reader path, only the
+    // codec changes — proving j1's schema-explicit read is not secretly
+    // relying on the shard layout for parallelism.
+    val docs = SparkEntry.tbl(spark, TestData.dir("0.01"), "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("graft_jsonl_bz2").toString
+    docs.coalesce(1).write.mode("overwrite")
+      .option("compression", "bzip2").json(dir)
+    val shards = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".json.bz2"))
+    assert(shards === 1, s"fixture must be a single shard, got $shards")
+    // force small splits so the single ~20 KB compressed shard fans out
+    val back = spark.read
+      .schema("doc_id BIGINT, source STRING, lang STRING, text STRING")
+      .option("multiLine", "false")
+      .json(dir)
+    val prev = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      val split = spark.read
+        .schema("doc_id BIGINT, source STRING, lang STRING, text STRING")
+        .json(dir)
+      assert(split.rdd.getNumPartitions > shards,
+        s"splittable codec must out-parallelize the shard count, got ${split.rdd.getNumPartitions}")
+      // content survives the split boundaries exactly
+      val want = docs.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val got = split.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(3))).toSeq
+      assert(got === want)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+    assert(back.count() === docs.count())
+  }
+
   test("bucketed tables: co-located join with no exchange, bucket pruning on point lookups") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_bucketed").toFile.getAbsolutePath
