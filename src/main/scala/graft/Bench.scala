@@ -44,10 +44,12 @@ object Bench {
   private def sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private def cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-  /** Last-round per-query seconds (the round-9 dress rehearsal:
-    * 219/219 measured, 0 errors, 0 suspects, slow=0.75 vs the r8 map,
-    * 147.3 s of query time under the 1,250 s budget, and 22
-    * pass-3 leftover confirms). Keyed by the query's unique
+  /** Last-round per-query seconds (the round-10 dress rehearsal:
+    * 224/224 measured, 0 errors, 0 suspects, slow=1.76 vs the r9 map
+    * — the projection escalated the tail to fast children, so cheap
+    * entries here carry 1-run JIT-included observations; 90 pass-3
+    * leftover confirms replaced the big ones with isolated mins;
+    * d29 seeded from d28, its twin). Keyed by the query's unique
     * id prefix; queries added later default to [[DefaultExpectedSec]].
     * This drives HEAVIEST-FIRST scheduling: BENCH_r06 ran groups
     * alphabetically, hit the budget deadline, and skipped the
@@ -57,52 +59,52 @@ object Bench {
     * fallback measures accurately in one run. */
   private val lastRoundSec: Map[String, Double] =
     Map(
-      "a1" -> 0.3, "d1" -> 0.3, "d10" -> 2.2, "d11" -> 1.8, "d12" -> 1.8,
-      "j1" -> 0.3, "m8" -> 0.9, "d27" -> 0.7,
-      "d13" -> 0.7, "d14" -> 1.2, "d15" -> 3.6, "d16" -> 2.2, "d17" -> 0.9,
-      "d18" -> 0.6, "d19" -> 0.9, "d2" -> 0.8, "d20" -> 0.5, "d21" -> 1.9,
-      "d22" -> 1.1, "d23" -> 1.0, "d24" -> 1.9, "d25" -> 2.4, "d26" -> 2.0,
-      "d3" -> 0.3, "d4" -> 0.8, "d5" -> 3.9, "d6" -> 1.9, "d7" -> 0.5,
-      "d8" -> 0.7, "d9" -> 0.8, "g1" -> 2.8, "g10" -> 1.4, "g11" -> 1.8,
-      "g12" -> 1.7, "g2" -> 1.0, "g3" -> 2.7, "g4" -> 0.8, "g5" -> 1.3,
-      "g6" -> 2.2, "g7" -> 2.0, "g8" -> 1.9, "g9" -> 1.4, "m1" -> 0.3,
-      "m2" -> 0.3, "m3" -> 0.3, "m4" -> 0.3, "m5" -> 0.3, "m6" -> 0.3,
-      "m7" -> 0.3, "p1" -> 0.3, "p10" -> 0.3, "p11" -> 0.3, "p12" -> 2.1,
-      "p13" -> 0.5, "p14" -> 0.3, "p15" -> 0.4, "p16" -> 0.5, "p17" -> 0.3,
-      "p18" -> 0.3, "p2" -> 0.3, "p3" -> 0.3, "p4" -> 0.4, "p5" -> 0.3,
-      "p6" -> 0.3, "p7" -> 0.8, "p8" -> 2.0, "p9" -> 0.3, "q1" -> 0.3,
-      "q10" -> 0.3, "q11" -> 0.6, "q12" -> 0.3, "q13" -> 0.3, "q14" -> 0.4,
-      "q15" -> 0.3, "q16" -> 0.4, "q17" -> 0.3, "q18" -> 0.3, "q19" -> 0.3,
-      "q2" -> 0.3, "q20" -> 0.3, "q21" -> 0.3, "q22" -> 0.3, "q23" -> 0.4,
-      "q24" -> 0.3, "q25" -> 0.3, "q26" -> 0.5, "q27" -> 0.3, "q28" -> 0.3,
-      "q29" -> 0.3, "q3" -> 0.3, "q30" -> 0.3, "q31" -> 0.4, "q32" -> 0.3,
-      "q33" -> 0.4, "q34" -> 0.3, "q35" -> 0.3, "q36" -> 0.4, "q37" -> 0.3,
-      "q38" -> 0.5, "q39" -> 0.3, "q4" -> 0.3, "q40" -> 0.3, "q41" -> 2.8,
-      "q42" -> 0.4, "q43" -> 0.6, "q44" -> 0.7, "q5" -> 0.3, "q6" -> 0.3,
-      "q7" -> 0.4, "q8" -> 0.3, "q9" -> 0.3, "retention_count" -> 0.3,
-      "retention_sum" -> 0.3, "s1" -> 0.3, "s10" -> 1.7, "s11" -> 0.6,
-      "s12" -> 0.4, "s13" -> 0.7, "s14" -> 0.3, "s15" -> 0.3, "s16" -> 0.6,
-      "s17" -> 1.3, "s18" -> 0.5, "s19" -> 0.4, "s2" -> 0.6, "s20" -> 0.5,
-      "s3" -> 1.2, "s4" -> 0.7, "s5" -> 1.6, "s6" -> 1.1, "s7" -> 0.3,
-      "s8" -> 3.4, "s9" -> 6.0, "t1" -> 0.3, "t10" -> 0.7, "t11" -> 0.6,
-      "t12" -> 0.6, "t13" -> 0.5, "t14" -> 0.3, "t15" -> 0.6, "t16" -> 1.0,
-      "t17" -> 0.4, "t18" -> 1.1, "t19" -> 0.7, "t2" -> 0.3, "t20" -> 0.3,
-      "t21" -> 0.4, "t22" -> 0.7, "t23" -> 0.3, "t24" -> 0.5, "t25" -> 0.3,
-      "t26" -> 1.0, "t27" -> 0.3, "t28" -> 0.3, "t29" -> 0.3, "t3" -> 0.3,
-      "t30" -> 0.3, "t31" -> 1.1, "t33" -> 0.4, "t34" -> 0.9, "t35" -> 0.7,
-      "t36" -> 0.8, "t37" -> 0.3, "t38" -> 0.8, "t39" -> 0.3, "t4" -> 0.3,
-      "t40" -> 0.9, "t41" -> 0.8, "t42" -> 0.9, "t5" -> 0.3, "t6" -> 0.4,
-      "t7" -> 0.3, "t8" -> 0.3, "t9" -> 0.9, "u1" -> 0.3, "u10" -> 0.4,
-      "u11" -> 0.4, "u12" -> 0.4, "u13" -> 0.3, "u14" -> 0.3, "u15" -> 0.3,
-      "u16" -> 0.3, "u17" -> 0.3, "u18" -> 0.4, "u19" -> 0.3, "u2" -> 0.3,
-      "u20" -> 0.3, "u21" -> 0.3, "u23" -> 0.8, "u24" -> 0.3, "u25" -> 0.4,
-      "u26" -> 0.4, "u27" -> 0.4, "u28" -> 0.6, "u29" -> 0.4, "u3" -> 0.3,
-      "u30" -> 0.4, "u31" -> 0.4, "u32" -> 0.3, "u33" -> 0.6, "u34" -> 0.4,
-      "u35" -> 0.4, "u36" -> 0.5, "u37" -> 0.3, "u38" -> 0.4, "u39" -> 0.3,
-      "u4" -> 0.3, "u40" -> 0.4, "u41" -> 0.3, "u42" -> 0.7, "u43" -> 0.5,
-      "u44" -> 0.4, "u45" -> 0.3, "u46" -> 0.6, "u47" -> 0.4, "u49" -> 0.7,
-      "u5" -> 0.3, "u50" -> 0.4, "u6" -> 0.3, "u7" -> 3.2, "u8" -> 0.3,
-      "u9" -> 0.4)
+      "a1" -> 1.0, "d1" -> 0.3, "d10" -> 4.0, "d11" -> 4.0, "d12" -> 5.0,
+      "d13" -> 1.0, "d14" -> 2.0, "d15" -> 5.0, "d16" -> 3.0, "d17" -> 2.0,
+      "d18" -> 1.0, "d19" -> 1.0, "d2" -> 2.0, "d20" -> 1.0, "d21" -> 3.0,
+      "d22" -> 3.0, "d23" -> 2.0, "d24" -> 3.0, "d25" -> 5.0, "d26" -> 3.0,
+      "d27" -> 1.0, "d28" -> 1.0, "d29" -> 1.0, "d3" -> 0.3, "d4" -> 2.0,
+      "d5" -> 4.0, "d6" -> 4.0, "d7" -> 1.0, "d8" -> 1.0, "d9" -> 1.0,
+      "g1" -> 4.0, "g10" -> 3.0, "g11" -> 3.0, "g12" -> 4.0, "g2" -> 2.0,
+      "g3" -> 4.0, "g4" -> 1.0, "g5" -> 4.0, "g6" -> 3.0, "g7" -> 3.0,
+      "g8" -> 4.0, "g9" -> 3.0, "j1" -> 1.0, "m1" -> 0.3, "m2" -> 1.0,
+      "m3" -> 1.0, "m4" -> 1.0, "m5" -> 1.0, "m6" -> 0.3, "m7" -> 1.0,
+      "m8" -> 1.0, "m9" -> 0.3, "p1" -> 0.3, "p10" -> 1.0, "p11" -> 1.0,
+      "p12" -> 2.0, "p13" -> 1.0, "p14" -> 0.3, "p15" -> 1.0, "p16" -> 1.0,
+      "p17" -> 1.0, "p18" -> 1.0, "p2" -> 0.3, "p3" -> 0.3, "p4" -> 1.0,
+      "p5" -> 1.0, "p6" -> 0.3, "p7" -> 1.0, "p8" -> 2.0, "p9" -> 0.3,
+      "q1" -> 0.3, "q10" -> 0.3, "q11" -> 1.0, "q12" -> 0.3, "q13" -> 1.0,
+      "q14" -> 1.0, "q15" -> 0.3, "q16" -> 1.0, "q17" -> 1.0, "q18" -> 1.0,
+      "q19" -> 1.0, "q2" -> 0.3, "q20" -> 0.3, "q21" -> 1.0, "q22" -> 0.3,
+      "q23" -> 1.0, "q24" -> 0.3, "q25" -> 1.0, "q26" -> 0.3, "q27" -> 1.0,
+      "q28" -> 1.0, "q29" -> 1.0, "q3" -> 0.3, "q30" -> 0.3, "q31" -> 0.3,
+      "q32" -> 1.0, "q33" -> 1.0, "q34" -> 0.3, "q35" -> 0.3, "q36" -> 1.0,
+      "q37" -> 0.3, "q38" -> 1.0, "q39" -> 0.3, "q4" -> 0.3, "q40" -> 0.3,
+      "q41" -> 3.0, "q42" -> 1.0, "q43" -> 1.0, "q44" -> 2.0, "q5" -> 0.3,
+      "q6" -> 1.0, "q7" -> 1.0, "q8" -> 1.0, "q9" -> 0.3,
+      "retention_count" -> 1.0, "retention_sum" -> 0.3, "s1" -> 1.0,
+      "s10" -> 3.0, "s11" -> 1.0, "s12" -> 1.0, "s13" -> 1.0, "s14" -> 1.0,
+      "s15" -> 1.0, "s16" -> 1.0, "s17" -> 3.0, "s18" -> 1.0, "s19" -> 1.0,
+      "s2" -> 1.0, "s20" -> 1.0, "s3" -> 2.0, "s4" -> 1.0, "s5" -> 4.0,
+      "s6" -> 2.0, "s7" -> 1.0, "s8" -> 4.0, "s9" -> 6.0, "t1" -> 0.3,
+      "t10" -> 2.0, "t11" -> 1.0, "t12" -> 1.0, "t13" -> 1.0, "t14" -> 0.3,
+      "t15" -> 1.0, "t16" -> 2.0, "t17" -> 1.0, "t18" -> 3.0, "t19" -> 1.0,
+      "t2" -> 0.3, "t20" -> 1.0, "t21" -> 1.0, "t22" -> 1.0, "t23" -> 0.3,
+      "t24" -> 1.0, "t25" -> 0.3, "t26" -> 2.0, "t27" -> 1.0, "t28" -> 1.0,
+      "t29" -> 0.3, "t3" -> 0.3, "t30" -> 0.3, "t31" -> 1.0, "t33" -> 1.0,
+      "t34" -> 1.0, "t35" -> 1.0, "t36" -> 1.0, "t37" -> 0.3, "t38" -> 1.0,
+      "t39" -> 0.3, "t4" -> 1.0, "t40" -> 1.0, "t41" -> 3.0, "t42" -> 1.0,
+      "t5" -> 1.0, "t6" -> 1.0, "t7" -> 0.3, "t8" -> 1.0, "t9" -> 2.0,
+      "u1" -> 1.0, "u10" -> 1.0, "u11" -> 1.0, "u12" -> 1.0, "u13" -> 1.0,
+      "u14" -> 0.3, "u15" -> 1.0, "u16" -> 1.0, "u17" -> 1.0, "u18" -> 1.0,
+      "u19" -> 1.0, "u2" -> 0.3, "u20" -> 1.0, "u21" -> 0.3, "u23" -> 1.0,
+      "u24" -> 0.3, "u25" -> 1.0, "u26" -> 1.0, "u27" -> 1.0, "u28" -> 1.0,
+      "u29" -> 1.0, "u3" -> 0.3, "u30" -> 1.0, "u31" -> 0.3, "u32" -> 1.0,
+      "u33" -> 1.0, "u34" -> 1.0, "u35" -> 1.0, "u36" -> 1.0, "u37" -> 1.0,
+      "u38" -> 1.0, "u39" -> 1.0, "u4" -> 0.3, "u40" -> 1.0, "u41" -> 0.3,
+      "u42" -> 2.0, "u43" -> 2.0, "u44" -> 1.0, "u45" -> 1.0, "u46" -> 0.3,
+      "u47" -> 0.3, "u49" -> 2.0, "u5" -> 1.0, "u50" -> 1.0, "u6" -> 1.0,
+      "u7" -> 3.0, "u8" -> 1.0, "u9" -> 1.0)
 
   /** New queries (no last-round number) are assumed mid-weight so they
     * schedule early enough to always get measured. */
@@ -110,9 +112,10 @@ object Bench {
 
   /** Prior-round ISOLATED minimums — the lowest single-query-fork
     * observation any previous round's artifact or verified re-bench
-    * recorded (r9: the round-9 judge re-ran 22 queries isolated on a
-    * quiet host; those floors are folded in below where they beat the
-    * rehearsal numbers). Unlike [[lastRoundSec]] (refreshed wholesale
+    * recorded (folded offline: the r9 rehearsal map, the round-9
+    * judge's 22 quiet-host isolated re-runs, and the round-10
+    * rehearsal's confirmed values — elementwise min). Unlike
+    * [[lastRoundSec]] (refreshed wholesale
     * from each dress rehearsal, group-pass observations included),
     * entries here only ever RATCHET DOWN, so they are a stable
     * "this query can run this fast in isolation" floor.
@@ -124,18 +127,54 @@ object Bench {
     * prior round ever vouched for. Refresh per round from the bench
     * artifact's confirmed isolated numbers (housekeeping, with
     * [[lastRoundSec]]). */
-  private val priorIsolatedMinSec: Map[String, Double] = {
-    val r9JudgeIsolated = Map(
-      "t13" -> 1.51, "q28" -> 1.06, "a1" -> 0.14, "d12" -> 3.94,
-      "d11" -> 3.14, "d16" -> 3.18, "s5" -> 2.94, "s17" -> 2.99,
-      "g9" -> 2.07, "t19" -> 0.83, "t5" -> 0.27, "d17" -> 1.13,
-      "d15" -> 6.52, "s9" -> 6.33, "d5" -> 4.74, "s8" -> 3.26,
-      "q41" -> 2.92, "q44" -> 0.81, "m8" -> 0.39, "d27" -> 0.27,
-      "m7" -> 0.28, "j1" -> 0.09)
-    lastRoundSec.map { case (n, v) =>
-      n -> math.min(v, r9JudgeIsolated.getOrElse(n, v))
-    }
-  }
+  private val priorIsolatedMinSec: Map[String, Double] =
+    Map(
+      "a1" -> 0.14, "d1" -> 0, "d10" -> 2.2, "d11" -> 1.8, "d12" -> 1.8,
+      "d13" -> 0.7, "d14" -> 1.2, "d15" -> 3.6, "d16" -> 2.2, "d17" -> 0.9,
+      "d18" -> 0.6, "d19" -> 0.9, "d2" -> 0.8, "d20" -> 0.5, "d21" -> 1.9,
+      "d22" -> 1.1, "d23" -> 1.0, "d24" -> 1.9, "d25" -> 2.4, "d26" -> 2.0,
+      "d27" -> 0.27, "d28" -> 1, "d29" -> 1, "d3" -> 0, "d4" -> 0.8,
+      "d5" -> 3.9, "d6" -> 1.9, "d7" -> 0.5, "d8" -> 0.7, "d9" -> 0.8,
+      "g1" -> 2.8, "g10" -> 1.4, "g11" -> 1.8, "g12" -> 1.7, "g2" -> 1.0,
+      "g3" -> 2.7, "g4" -> 0.8, "g5" -> 1.3, "g6" -> 2.2, "g7" -> 2.0,
+      "g8" -> 1.9, "g9" -> 1.4, "j1" -> 0.09, "m1" -> 0, "m2" -> 0.3,
+      "m3" -> 0.3, "m4" -> 0.3, "m5" -> 0.3, "m6" -> 0, "m7" -> 0.28,
+      "m8" -> 0.39, "m9" -> 0, "p1" -> 0, "p10" -> 0.3, "p11" -> 0.3,
+      "p12" -> 2, "p13" -> 0.5, "p14" -> 0, "p15" -> 0.4, "p16" -> 0.5,
+      "p17" -> 0.3, "p18" -> 0.3, "p2" -> 0, "p3" -> 0, "p4" -> 0.4,
+      "p5" -> 0.3, "p6" -> 0, "p7" -> 0.8, "p8" -> 2.0, "p9" -> 0,
+      "q1" -> 0, "q10" -> 0, "q11" -> 0.6, "q12" -> 0, "q13" -> 0.3,
+      "q14" -> 0.4, "q15" -> 0, "q16" -> 0.4, "q17" -> 0.3, "q18" -> 0.3,
+      "q19" -> 0.3, "q2" -> 0, "q20" -> 0, "q21" -> 0.3, "q22" -> 0,
+      "q23" -> 0.4, "q24" -> 0, "q25" -> 0.3, "q26" -> 0, "q27" -> 0.3,
+      "q28" -> 0.3, "q29" -> 0.3, "q3" -> 0, "q30" -> 0, "q31" -> 0,
+      "q32" -> 0.3, "q33" -> 0.4, "q34" -> 0, "q35" -> 0, "q36" -> 0.4,
+      "q37" -> 0, "q38" -> 0.5, "q39" -> 0, "q4" -> 0, "q40" -> 0,
+      "q41" -> 2.8, "q42" -> 0.4, "q43" -> 0.6, "q44" -> 0.7, "q5" -> 0,
+      "q6" -> 0.3, "q7" -> 0.4, "q8" -> 0.3, "q9" -> 0,
+      "retention_count" -> 0.3, "retention_sum" -> 0, "s1" -> 0.3,
+      "s10" -> 1.7, "s11" -> 0.6, "s12" -> 0.4, "s13" -> 0.7, "s14" -> 0.3,
+      "s15" -> 0.3, "s16" -> 0.6, "s17" -> 1.3, "s18" -> 0.5, "s19" -> 0.4,
+      "s2" -> 0.6, "s20" -> 0.5, "s3" -> 1.2, "s4" -> 0.7, "s5" -> 1.6,
+      "s6" -> 1.1, "s7" -> 0.3, "s8" -> 3.26, "s9" -> 6.0, "t1" -> 0,
+      "t10" -> 0.7, "t11" -> 0.6, "t12" -> 0.6, "t13" -> 0.5, "t14" -> 0,
+      "t15" -> 0.6, "t16" -> 1.0, "t17" -> 0.4, "t18" -> 1.1, "t19" -> 0.7,
+      "t2" -> 0, "t20" -> 0.3, "t21" -> 0.4, "t22" -> 0.7, "t23" -> 0,
+      "t24" -> 0.5, "t25" -> 0, "t26" -> 1.0, "t27" -> 0.3, "t28" -> 0.3,
+      "t29" -> 0, "t3" -> 0, "t30" -> 0, "t31" -> 1, "t33" -> 0.4,
+      "t34" -> 0.9, "t35" -> 0.7, "t36" -> 0.8, "t37" -> 0, "t38" -> 0.8,
+      "t39" -> 0, "t4" -> 0.3, "t40" -> 0.9, "t41" -> 0.8, "t42" -> 0.9,
+      "t5" -> 0.27, "t6" -> 0.4, "t7" -> 0, "t8" -> 0.3, "t9" -> 0.9,
+      "u1" -> 0.3, "u10" -> 0.4, "u11" -> 0.4, "u12" -> 0.4, "u13" -> 0.3,
+      "u14" -> 0, "u15" -> 0.3, "u16" -> 0.3, "u17" -> 0.3, "u18" -> 0.4,
+      "u19" -> 0.3, "u2" -> 0, "u20" -> 0.3, "u21" -> 0, "u23" -> 0.8,
+      "u24" -> 0, "u25" -> 0.4, "u26" -> 0.4, "u27" -> 0.4, "u28" -> 0.6,
+      "u29" -> 0.4, "u3" -> 0, "u30" -> 0.4, "u31" -> 0, "u32" -> 0.3,
+      "u33" -> 0.6, "u34" -> 0.4, "u35" -> 0.4, "u36" -> 0.5, "u37" -> 0.3,
+      "u38" -> 0.4, "u39" -> 0.3, "u4" -> 0, "u40" -> 0.4, "u41" -> 0,
+      "u42" -> 0.7, "u43" -> 0.5, "u44" -> 0.4, "u45" -> 0.3, "u46" -> 0,
+      "u47" -> 0, "u49" -> 0.7, "u5" -> 0.3, "u50" -> 0.4, "u6" -> 0.3,
+      "u7" -> 3, "u8" -> 0.3, "u9" -> 0.4)
 
   private def priorIsolatedMin(n: String): Option[Double] =
     priorIsolatedMinSec.get(n.split("_")(0)).orElse(priorIsolatedMinSec.get(n))

@@ -1282,6 +1282,20 @@ object SparkEntry {
             substring(col("text"), 31, 400).as("text")))
       Dedup.duplicateSubstringSpans(corpus, k = 8)
     }),
+    // The keep-first ExactSubstr rule over the same corpus: each
+    // duplicated gram's corpus-wide first occurrence (min packed
+    // (doc_id, pos) key) does not mark a span — one copy of every
+    // repeated passage survives, the Lee et al. "all but one"
+    // semantics. Spans here are a strict subset of d28's.
+    "d29_dup_substrings_keepfirst" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val docs = par(tbl(s, dir, "documents")).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.where(col("doc_id") % 7 === 2)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            substring(col("text"), 31, 400).as("text")))
+      Dedup.duplicateSubstringSpans(corpus, k = 8, keepFirst = true)
+    }),
     // Benchmark decontamination: training documents sharing any hashed
     // 4-gram with the (broadcast) eval split. The train corpus is never
     // shuffled — the collision screen is a broadcast hash join inside
@@ -5271,6 +5285,43 @@ object SparkEntry {
            |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
            |), marks AS (
            |  SELECT g.doc_id, g.p AS s, g.p + 7 AS e FROM g JOIN dup USING (h)
+           |), ord AS (
+           |  SELECT doc_id, s, e,
+           |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+           |  FROM marks
+           |), isl AS (
+           |  SELECT doc_id, s, e,
+           |    sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM ord
+           |)
+           |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+           |  CAST(max(e) AS BIGINT) AS span_end
+           |FROM isl GROUP BY doc_id, island""".stripMargin,
+      // d29: d28 with the keep-first exclusion — the duplicated-gram
+      // CTE also carries min(doc_id·2³⁰ + p) and the mark join skips
+      // the first occurrence, exactly the Scala packed-key arithmetic.
+      "d29_dup_substrings_keepfirst" ->
+        s"""WITH src AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 6000000, substr(text, 31, 400) FROM documents
+           |  WHERE doc_id % 7 = 2
+           |), norm AS (
+           |  SELECT doc_id, $normToksSql AS toks FROM src
+           |), g AS (
+           |  SELECT doc_id, unnest(range(1, len(toks) - 6)) AS p,
+           |    unnest(list_transform(range(1, len(toks) - 6),
+           |      i -> ('0x' || substr(md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 7], ' ')), 1, 15))::BIGINT)) AS h
+           |  FROM norm WHERE len(toks) >= 8
+           |), dup AS (
+           |  SELECT h, min(doc_id * 1073741824 + p) AS firstkey
+           |  FROM g GROUP BY h HAVING count(*) >= 2
+           |), marks AS (
+           |  SELECT g.doc_id, g.p AS s, g.p + 7 AS e
+           |  FROM g JOIN dup USING (h)
+           |  WHERE g.doc_id * 1073741824 + g.p <> dup.firstkey
            |), ord AS (
            |  SELECT doc_id, s, e,
            |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e

@@ -1314,10 +1314,23 @@ object Dedup {
     *
     * Output: `(doc_id, span_start, span_end)` — merged 1-based token
     * intervals to excise, `span_end` inclusive. Documents with no
-    * duplicated k-gram emit nothing. */
+    * duplicated k-gram emit nothing.
+    *
+    * `keepFirst = true` is the Lee et al. "remove all but one" rule:
+    * each duplicated gram's corpus-wide FIRST occurrence — min
+    * (doc_id, position), the deterministic first-occurrence contract
+    * every keeper rule in this file uses — does not mark a span, so
+    * one copy of every repeated passage survives. The first-occurrence
+    * key packs (doc_id, pos) as `doc_id·2³⁰ + pos` so the ordering is
+    * one integer min the oracle replays verbatim (contract: positions
+    * below 2³⁰ — any real corpus chunks documents far below a billion
+    * tokens). The conservative default (`false`) excises every copy —
+    * the right screen when repeated boilerplate should contribute
+    * zero training tokens. */
   def duplicateSubstringSpans(
       docs: DataFrame, k: Int = 8, minCount: Long = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      keepFirst: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(minCount >= 2, s"minCount must be at least 2, got $minCount")
     val grams = docs
@@ -1327,9 +1340,12 @@ object Dedup {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("_p"),
         col("col").as("_h"))
       .localCheckpoint() // shared by the frequency aggregate + mark join
-    val dups = grams.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
-      .where(col("_df") >= minCount).select(col("_h"))
+    val occKey = col("doc_id") * lit(1073741824L) + col("_p")
+    val dups = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_df"), min(occKey).as("_firstKey"))
+      .where(col("_df") >= minCount).select(col("_h"), col("_firstKey"))
     val marks = grams.join(dups.hint("shuffle_hash"), "_h")
+      .where(if (keepFirst) occKey =!= col("_firstKey") else lit(true))
       .select(col("doc_id"), col("_p").as("_s"),
         (col("_p") + (k - 1)).as("_e"))
     // gaps-and-islands merge: an interval starts a new island iff it

@@ -750,4 +750,47 @@ class PlanSpec extends AnyFunSuite {
       s"model join must be shuffle-hash on the term:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("d28 dup substrings: gram work is occurrence-linear — mark join shuffle-hash, no pairwise step") {
+    val p = plan("d28_dup_substrings")
+    // the duplicated-gram set is vocabulary-sized (worst case corpus-
+    // sized) — it must join back shuffle-hash on the gram, never
+    // broadcast, and there is NO self-join: the rule needs only
+    // "appears >= 2", so no df² candidate step may exist
+    assert(p.contains("ShuffledHashJoin"),
+      s"duplicated-gram mark join must shuffle on the gram hash:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"corpus-sized gram table must never broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no pairwise step exists in ExactSubstr:\n$p")
+  }
+
+  test("d25 two-level semdedup: fine centers join on the coarse cell, never cartesian") {
+    val p = plan("d25_semdedup_cellsize")
+    // flat Lloyd broadcast the FULL center table (corpus-sized/64 at
+    // derived k); two-level may broadcast only the ⌈√k⌉ coarse
+    // centers — the k1·k2 fine table meets each point via an equi-join
+    // on the coarse cell (shuffle-hash), and the in-cell pair join
+    // stays shuffled too
+    assert(p.contains("ShuffledHashJoin"),
+      s"fine-center + in-cell joins must be shuffle-hash:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian anywhere in two-level semdedup:\n$p")
+  }
+
+  test("m9 perceptual near-dup: hashing is scan-stage, band join equi, payloads never shuffled") {
+    val p = plan("m9_perceptual_neardup")
+    // candidates come from the (band, key) equi-join over 4-int rows;
+    // the binary payloads are consumed by the scan-stage mapPartitions
+    // hasher and must never reach an exchange
+    assert(p.contains("ShuffledHashJoin"),
+      s"band candidate join must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs image comparison:\n$p")
+    // the hash table is checkpointed 4-int rows: the whole pair plan
+    // runs downstream of that barrier and must never reference the
+    // binary payload column at all
+    assert(!p.contains("bytes#"),
+      s"image payloads must not appear in the pair-join plan:\n$p")
+  }
 }

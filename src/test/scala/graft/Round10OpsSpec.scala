@@ -143,6 +143,25 @@ class Round10OpsSpec extends AnyFunSuite {
       (4L, 1L, 10L), (4L, 16L, 25L)))
   }
 
+  test("keepFirst leaves exactly one copy of every repeated passage") {
+    import spark.implicits._
+    val p = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two three $p tail1a tail1b tail1c tail1d tail1e tail1f"),
+      (2L, s"uno dos tres cuatro cinco $p fin2a fin2b fin2c fin2d fin2e fin2f"),
+      (4L, "red orange yellow green blue indigo violet ultra infra xray " +
+        "mid4a mid4b mid4c mid4d mid4e " +
+        "red orange yellow green blue indigo violet ultra infra xray")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSubstringSpans(docs, k = 8, keepFirst = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // doc 1 holds the corpus-first occurrence of the planted passage —
+    // it survives; doc 2's copy is excised; doc 4's within-doc repeat
+    // keeps its first occurrence and loses the second
+    assert(spans === Seq((2L, 6L, 15L), (4L, 16L, 25L)))
+  }
+
   test("duplicateSubstringSpans merges overlapping and adjacent marks") {
     import spark.implicits._
     // two copies of a 17-token text: every 8-gram duplicated, marks
