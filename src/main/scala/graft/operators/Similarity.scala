@@ -415,7 +415,7 @@ object Similarity {
     *
     * Returns `(_id, _cell)` with `_cell = coarse·k2 + fine` — a stable
     * composite id both engines derive identically. */
-  private[operators] def trainTwoLevelCellsOn(
+  private[graft] def trainTwoLevelCellsOn(
       base: DataFrame, k1: Int, k2: Int, iters: Int): DataFrame = {
     require(k1 > 0 && k2 > 0 && iters > 0,
       s"need k1, k2, iters > 0, got k1=$k1 k2=$k2 iters=$iters")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, GroupSample, Skew, Split}
+import graft.operators.{Dedup, GroupSample, Similarity, Skew, Split}
 
 /** Scale-technique demonstrations as executable contracts: salted
   * aggregation equals its unsalted form (with the skewed key spread
@@ -473,4 +473,66 @@ class ScaleSpec extends AnyFunSuite {
     assert(w10 < 3.0 * w1,
       s"df-banded winnowing pair work must stay near-flat at 10x: $w1 -> $w10")
   }
+  test("two-level derived-k assignment keeps per-vector in-cell pair work constant at 10x") {
+    // gated on the 10x scale-rehearsal blow-up (regenerate with
+    // `runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sf1 10`)
+    assume(new java.io.File("/tmp/sf1/embeddings.parquet").exists(),
+      "10x rehearsal data absent")
+    Graft.registerAll(spark)
+    // the round-10 assignment swap must preserve the semDedupByCellSize
+    // contract the flat-trainer test above pins: expected occupancy --
+    // and with it Sigma n_c^2 / N -- stays constant as the corpus grows,
+    // now with N*O(sqrt(k)) assignment arithmetic and at most k1*k2
+    // cells
+    def pairWorkPerVec(dir: String, target: Long): Double = {
+      val emb = SparkEntry.tbl(spark, dir, "embeddings")
+      val base = Similarity.prepare(emb, "vec_id", "embedding").localCheckpoint()
+      val n = base.count()
+      val k = ((n + target - 1) / target).toInt
+      val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+      val k2 = (k + k1 - 1) / k1
+      val sizes = Similarity.trainTwoLevelCellsOn(base, k1, k2, iters = 2)
+        .groupBy(col("_cell")).agg(count(lit(1)).as("c"))
+        .collect().map(_.getLong(1))
+      assert(sizes.length <= k1 * k2,
+        s"two-level must yield at most k1*k2 cells: ${sizes.length} > ${k1 * k2}")
+      sizes.map(c => c.toDouble * c).sum / n
+    }
+    val w1 = pairWorkPerVec(TestData.dir("0.1"), 256L)
+    val w10 = pairWorkPerVec("/tmp/sf1", 256L)
+    // constant modulo k-means imbalance (hierarchical splits are a bit
+    // less balanced than flat ones -- nowhere near the 10x a pinned k
+    // would show)
+    assert(w10 < 4.0 * w1, s"per-vector pair work grew $w1 -> $w10")
+  }
+
+  test("exact-substring dedup: gram work occurrence-linear, max gram df flat at 10x") {
+    assume(new java.io.File("/tmp/sf1/documents.parquet").exists(),
+      "10x rehearsal data absent")
+    Graft.registerAll(spark)
+    // d28's no-pairwise claim measured on the engine's own gram tables:
+    // the gram stream grows with the corpus tokens, the marked fraction
+    // stays near-flat, and no hot gram emerges (max df bounded) -- so
+    // total work is occurrence-linear, never df-quadratic
+    def acct(dir: String): (Long, Long, Long) = {
+      val docs = SparkEntry.tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val grams = docs.select(posexplode(call_function(
+          graft.functions.PositionalGramHashes.name, col("text"), lit(8))))
+        .select(col("col").as("h")).localCheckpoint()
+      val r = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2)
+        .agg(coalesce(sum(col("df")), lit(0L)).as("marked"),
+          coalesce(max(col("df")), lit(0L)).as("maxdf")).head
+      (grams.count(), r.getLong(0), r.getLong(1))
+    }
+    val (g1, m1, x1) = acct(TestData.dir("0.1"))
+    val (g10, m10, x10) = acct("/tmp/sf1")
+    assert(g10 > 8L * g1, s"gram stream must grow with the corpus: $g1 -> $g10")
+    val f1 = m1.toDouble / g1
+    val f10 = m10.toDouble / g10
+    assert(f10 < 2.0 * f1 + 0.05, s"marked fraction must stay near-flat: $f1 -> $f10")
+    assert(x10 <= 3L * x1, s"a hot gram emerged: max df $x1 -> $x10")
+  }
+
 }
