@@ -49,7 +49,7 @@ object Bench {
     * — the projection escalated the tail to fast children, so cheap
     * entries here carry 1-run JIT-included observations; 90 pass-3
     * leftover confirms replaced the big ones with isolated mins;
-    * d29 seeded from d28, its twin). Keyed by the query's unique
+    * d29/d30 seeded from d28, their twin). Keyed by the query's unique
     * id prefix; queries added later default to [[DefaultExpectedSec]].
     * This drives HEAVIEST-FIRST scheduling: BENCH_r06 ran groups
     * alphabetically, hit the budget deadline, and skipped the
@@ -63,7 +63,7 @@ object Bench {
       "d13" -> 1.0, "d14" -> 2.0, "d15" -> 5.0, "d16" -> 3.0, "d17" -> 2.0,
       "d18" -> 1.0, "d19" -> 1.0, "d2" -> 2.0, "d20" -> 1.0, "d21" -> 3.0,
       "d22" -> 3.0, "d23" -> 2.0, "d24" -> 3.0, "d25" -> 5.0, "d26" -> 3.0,
-      "d27" -> 1.0, "d28" -> 1.0, "d29" -> 1.0, "d3" -> 0.3, "d4" -> 2.0,
+      "d27" -> 1.0, "d28" -> 1.0, "d29" -> 1.0, "d3" -> 0.3, "d30" -> 2.0, "d4" -> 2.0,
       "d5" -> 4.0, "d6" -> 4.0, "d7" -> 1.0, "d8" -> 1.0, "d9" -> 1.0,
       "g1" -> 4.0, "g10" -> 3.0, "g11" -> 3.0, "g12" -> 4.0, "g2" -> 2.0,
       "g3" -> 4.0, "g4" -> 1.0, "g5" -> 4.0, "g6" -> 3.0, "g7" -> 3.0,

@@ -1296,6 +1296,32 @@ object SparkEntry {
             substring(col("text"), 31, 400).as("text")))
       Dedup.duplicateSubstringSpans(corpus, k = 8, keepFirst = true)
     }),
+    // The Lee et al. HEADLINE audit: how much of each source is
+    // exactly-duplicated ≥8-token text — the released number that
+    // motivates ExactSubstr dedup, as a per-source release report.
+    // Natural template duplication only (no injected clones): spans
+    // from d28's operator over the plain corpus, token budgets summed
+    // per source, removal rate in integer ppm. One composition — the
+    // operator's span table joins back to a per-doc token count and
+    // aggregates; everything after the span table is report-sized.
+    "d30_dup_substring_audit" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val docs = par(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), col("text"))
+      val removed = Dedup.duplicateSubstringSpans(docs, k = 8)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_end") - col("span_start") + 1).as("_rm"))
+      docs.select(col("doc_id"), col("source"),
+          Text.tokenCount(col("text")).cast("long").as("_nt"))
+        .join(removed, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"),
+          coalesce(sum(col("_rm")), lit(0L)).as("tokens_removed"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("tokens_removed"),
+          expr("CAST(tokens_removed * CAST(1000000 AS BIGINT) div n_tokens AS BIGINT)")
+            .as("removed_ppm"))
+    }),
     // Benchmark decontamination: training documents sharing any hashed
     // 4-gram with the (broadcast) eval split. The train corpus is never
     // shuffled — the collision screen is a broadcast hash join inside
@@ -5336,6 +5362,42 @@ object SparkEntry {
            |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
            |  CAST(max(e) AS BIGINT) AS span_end
            |FROM isl GROUP BY doc_id, island""".stripMargin,
+      // d30: the d28 pipeline over the PLAIN corpus, reduced to the
+      // per-source removal-rate release report (ppm rides HUGEINT).
+      "d30_dup_substring_audit" ->
+        s"""WITH norm AS (
+           |  SELECT doc_id, source, $normToksSql AS toks FROM documents
+           |), g AS (
+           |  SELECT doc_id, unnest(range(1, len(toks) - 6)) AS p,
+           |    unnest(list_transform(range(1, len(toks) - 6),
+           |      i -> ('0x' || substr(md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 7], ' ')), 1, 15))::BIGINT)) AS h
+           |  FROM norm WHERE len(toks) >= 8
+           |), dup AS (
+           |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+           |), marks AS (
+           |  SELECT g.doc_id, g.p AS s, g.p + 7 AS e FROM g JOIN dup USING (h)
+           |), ord AS (
+           |  SELECT doc_id, s, e,
+           |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+           |  FROM marks
+           |), isl AS (
+           |  SELECT doc_id, s, e,
+           |    sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM ord
+           |), spans AS (
+           |  SELECT doc_id, min(s) AS ss, max(e) AS ee FROM isl GROUP BY doc_id, island
+           |), rm AS (
+           |  SELECT doc_id, sum(ee - ss + 1) AS rmt FROM spans GROUP BY doc_id
+           |)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(sum(rmt), 0) AS BIGINT) AS tokens_removed,
+           |  CAST(CAST(coalesce(sum(rmt), 0) AS HUGEINT) * 1000000
+           |    // CAST(sum(len(toks)) AS HUGEINT) AS BIGINT) AS removed_ppm
+           |FROM norm LEFT JOIN rm USING (doc_id)
+           |GROUP BY source""".stripMargin,
       // The bloom prefilter is cost-only: the oracle is the plain exact
       // screen at d9's split/width — any bloom false positive surviving
       // to the output would hash-mismatch here.
