@@ -1311,9 +1311,14 @@ object SparkEntry {
       val removed = Dedup.duplicateSubstringSpans(docs, k = 8)
         .groupBy(col("doc_id"))
         .agg(sum(col("span_end") - col("span_start") + 1).as("_rm"))
+      // the removed-per-doc table is bounded by the corpus row count
+      // (every doc can carry spans) — co-partition on doc_id, never
+      // broadcast (the t9/d23 grows-with-the-corpus rule; local stats
+      // at test SF would otherwise pick a broadcast that cannot exist
+      // at 100 TB)
       docs.select(col("doc_id"), col("source"),
           Text.tokenCount(col("text")).cast("long").as("_nt"))
-        .join(removed, Seq("doc_id"), "left")
+        .join(removed.hint("shuffle_hash"), Seq("doc_id"), "left")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"),
           coalesce(sum(col("_rm")), lit(0L)).as("tokens_removed"))
