@@ -355,11 +355,14 @@ object Multimodal {
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
       .distinct()
+    // the hash table is corpus-row-sized: the verify joins co-partition
+    // on the candidate ids (the t9/d23 grows-with-the-corpus rule),
+    // never broadcast
     val ha = hs.select(col("media_id").as("id_a"), col("b0").as("_a0"),
       col("b1").as("_a1"), col("b2").as("_a2"), col("b3").as("_a3"))
     val hb = hs.select(col("media_id").as("id_b"), col("b0").as("_c0"),
       col("b1").as("_c1"), col("b2").as("_c2"), col("b3").as("_c3"))
-    cand.join(ha, "id_a").join(hb, "id_b")
+    cand.join(ha.hint("shuffle_hash"), "id_a").join(hb.hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         (bit_count(col("_a0").bitwiseXOR(col("_c0"))) +
           bit_count(col("_a1").bitwiseXOR(col("_c1"))) +
