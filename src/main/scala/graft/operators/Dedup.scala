@@ -765,9 +765,22 @@ object Dedup {
     * count fits `maxBands`: p controls bucket granularity — each extra
     * plane roughly halves bucket occupancy, and candidate verification
     * cost is quadratic in occupancy — while b only multiplies the cheap
-    * linear explode. On production corpora where vectors cluster (the
-    * d5 watch item), raising `maxBands` lets the same miss target be met
-    * with even deeper bands / smaller buckets. */
+    * linear explode.
+    *
+    * SCALE LIMIT, measured at the round-10 4th octave (SCALE.md): any
+    * FIXED grid saturates its 2^p buckets as the corpus grows (d5's
+    * 35×16: 57k → 121M candidate pairs at sf0.1 → 100×, quadratic),
+    * and deriving p from the corpus count does NOT fix it — sign-LSH
+    * buckets over clustered embeddings are skewed, so expected-
+    * occupancy depths undershoot the hot buckets, and the depth that
+    * would shed the clustered background needs thousands of bands
+    * under the same miss target (a derived-depth variant was built,
+    * verified recall-exact, measured 1.6× WORSE at 100×, and
+    * rejected). For clustered corpora at web scale the near-dup
+    * candidate limiter is the trained-cells route —
+    * [[semDedupByCellSize]] (same threshold semantics, measured
+    * corpus-linear at 100× on the identical corpus); this banding is
+    * the recall-certified pair miner for small-to-moderate scale. */
   def bandingForTargetMiss(
       threshold: Double, targetMiss: Double,
       maxPlanes: Int = 16, maxBands: Int = 64): (Int, Int) = {
