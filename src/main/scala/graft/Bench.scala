@@ -176,7 +176,7 @@ object Bench {
       "u47" -> 0, "u49" -> 0.7, "u5" -> 0.3, "u50" -> 0.4, "u6" -> 0.3,
       "u7" -> 3, "u8" -> 0.3, "u9" -> 0.4)
 
-  private def priorIsolatedMin(n: String): Option[Double] =
+  private[graft] def priorIsolatedMin(n: String): Option[Double] =
     priorIsolatedMinSec.get(n.split("_")(0)).orElse(priorIsolatedMinSec.get(n))
 
   /** Estimated child-JVM overhead (boot + session + parquet init),
@@ -228,7 +228,7 @@ object Bench {
     * pace", which is the only thing an unconfirmed-observation flag
     * can honestly claim. Healthy/fast hosts (slow ≤ 1) are
     * unchanged. */
-  private def suspicious(n: String, sec: Double, hostSlow: Double): Boolean =
+  private[graft] def suspicious(n: String, sec: Double, hostSlow: Double): Boolean =
     sec > math.max(1.0, 1.8 * expectedSec(n) * math.max(1.0, hostSlow))
 
   def main(args: Array[String]): Unit = {

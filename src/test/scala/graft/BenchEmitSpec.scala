@@ -127,4 +127,26 @@ class BenchEmitSpec extends AnyFunSuite {
     // unmapped query names contribute nothing
     assert(Bench.slowFactor((1 to 50).map(i => s"zz$i" -> 9.9)).isEmpty)
   }
+  // ── host-aware suspicion (the BENCH_r09 nsus:88 lesson) ─────────────
+
+  test("suspicion scales by the host factor: uniform slowdown is not debris") {
+    // q1's floor entry (0.3 s): healthy threshold max(1, 1.8*0.3) = 1 s
+    assert(!Bench.suspicious("q1_agg", 0.9, 1.0))
+    assert(Bench.suspicious("q1_agg", 1.1, 1.0))
+    // on a 2.15x-degraded host the same observation scaled by the
+    // published slow factor is the HOST, not debris — no suspect flag
+    assert(!Bench.suspicious("q1_agg", 1.1, 2.15))
+    // genuine debris (beyond the host factor) still flags
+    assert(Bench.suspicious("q1_agg", 1.5 * 2.15, 2.15))
+    // fast hosts never LOOSEN the threshold (max(1, slow))
+    assert(Bench.suspicious("q1_agg", 1.1, 0.5))
+  }
+
+  test("prior-round isolated floors resolve by unique prefix") {
+    // a1's ratcheted floor is the judge's 0.14 s isolated re-run, below
+    // any rehearsal number — the floor only ever steps down
+    assert(Bench.priorIsolatedMin("a1_avro_roundtrip").exists(_ <= 0.14))
+    assert(Bench.priorIsolatedMin("zz_unknown").isEmpty)
+  }
+
 }
