@@ -1,0 +1,119 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Hardening properties for the round-10 surface: the ExactSubstr
+  * operator is cross-checked against an independent in-memory
+  * reference implementation over RANDOM small-vocabulary corpora
+  * (where gram collisions are dense and span-merge edge cases — full
+  * overlaps, adjacency, whole-doc coverage, within-doc repeats — occur
+  * organically), and the keep-first refinement is structurally related
+  * to the conservative rule. Seeded-Random trials, the
+  * RetentionPropertySpec house style.
+  */
+class Round10PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("round10-property-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    Graft.registerAll(s)
+    s
+  }
+
+  private val K = 3
+
+  /** Random corpus over a TINY vocabulary so k-gram collisions are
+    * dense: 2-6 docs of 0-14 tokens drawn from four words. */
+  private def randomCorpus(seed: Int): Seq[(Long, String)] = {
+    val rnd = new Random(seed)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    (1 to 2 + rnd.nextInt(5)).map { i =>
+      val len = rnd.nextInt(15)
+      (i.toLong, Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+  }
+
+  /** Independent reference: tokenize (the operator's contract —
+    * lowercase, `[a-zA-Z0-9']+` runs), count k-gram STRINGS corpus-wide
+    * (no hashing, so a 60-bit md5 collision would surface as a diff),
+    * mark [p, p+k-1] for qualifying occurrences, merge overlapping or
+    * adjacent intervals per doc. */
+  private def reference(
+      docs: Seq[(Long, String)], k: Int,
+      keepFirst: Boolean): Set[(Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> "[a-zA-Z0-9']+".r.findAllIn(t.toLowerCase(java.util.Locale.ROOT))
+        .toVector
+    }.toMap
+    val occ = for {
+      (id, ts) <- toks.toSeq
+      p <- 1 to (ts.length - k + 1)
+    } yield (ts.slice(p - 1, p + k - 1).mkString(" "), id, p.toLong)
+    val byGram = occ.groupBy(_._1).filter(_._2.size >= 2)
+    val marks = byGram.values.flatten.toSeq
+      .filter { case (g, id, p) =>
+        !keepFirst || {
+          val first = byGram(g).map(o => (o._2, o._3)).min
+          (id, p) != first
+        }
+      }
+      .map { case (_, id, p) => (id, p, p + k - 1) }
+    marks.groupBy(_._1).toSeq.flatMap { case (id, ms) =>
+      val sorted = ms.map(m => (m._2, m._3)).distinct.sorted
+      val merged = sorted.foldLeft(Vector.empty[(Long, Long)]) {
+        case (acc, (s, e)) =>
+          acc.lastOption match {
+            case Some((ps, pe)) if s <= pe + 1 =>
+              acc.init :+ ((ps, math.max(pe, e)))
+            case _ => acc :+ ((s, e))
+          }
+      }
+      merged.map { case (s, e) => (id, s, e) }
+    }.toSet
+  }
+
+  private def engine(
+      docs: Seq[(Long, String)], k: Int,
+      keepFirst: Boolean): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    Dedup.duplicateSubstringSpans(
+        docs.toDF("doc_id", "text").repartition(3), k = k,
+        keepFirst = keepFirst)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("duplicateSubstringSpans matches the unhashed reference on random corpora") {
+    (1 to 25).foreach { seed =>
+      val docs = randomCorpus(seed)
+      assert(engine(docs, K, keepFirst = false) ===
+        reference(docs, K, keepFirst = false), s"seed=$seed docs=$docs")
+    }
+  }
+
+  test("keepFirst matches the reference and only ever unmarks") {
+    (100 to 120).foreach { seed =>
+      val docs = randomCorpus(seed)
+      val kf = engine(docs, K, keepFirst = true)
+      val ref = reference(docs, K, keepFirst = true)
+      assert(kf === ref, s"seed=$seed docs=$docs")
+      // every keep-first span lies inside some conservative span: the
+      // refinement removes marks, never adds or widens
+      val cons = reference(docs, K, keepFirst = false)
+      assert(kf.forall { case (id, s, e) =>
+        cons.exists { case (id2, s2, e2) => id2 == id && s2 <= s && e <= e2 }
+      }, s"seed=$seed")
+    }
+  }
+}
