@@ -1849,6 +1849,20 @@ object SparkEntry {
         when(col("lang") === "en", 1L).otherwise(0L).as("label"))
       Profile.decileLift(scored, "score", "label", "doc_id")
     }),
+    // Reliability diagram + ECE for the same score-vs-label pair as
+    // t33/t34 — the calibration report a filter classifier ships with
+    // beside its AUC: min-max-normalized predicted ppm in 10 equal-
+    // width bins, per-bin mean prediction vs observed positive rate,
+    // bin-weighted L1 gap as ece_ppm on every row. All integer-exact.
+    // See Profile.calibrationBins.
+    "t43_calibration" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val scored = par(tbl(s, dir, "documents")).select(
+        col("doc_id"),
+        graft.functions.Text.hashedLinearScoreNative(col("text")).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("label"))
+      Profile.calibrationBins(scored, "score", "label", bins = 10)
+    }),
     // Per-document duplicated-n-gram coverage (Gopher-style repetition
     // screen lifted across the corpus): share of each doc's 5-gram
     // shingles appearing in >= 2 documents, exact integer ppm. Runs on
@@ -5731,6 +5745,43 @@ object SparkEntry {
           |  CASE WHEN t.np = 0 THEN NULL
           |    ELSE CAST(f.cum * 1000000 // t.np AS BIGINT) END AS cum_capture_ppm
           |FROM f, t""".stripMargin,
+      "t43_calibration" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS token
+          |  FROM documents
+          |), w AS (
+          |  SELECT doc_id,
+          |    CAST(sum((('0x' || substr(md5('qw|' || token), 1, 15))::BIGINT % 2001) - 1000)
+          |      AS BIGINT) AS score
+          |  FROM tok GROUP BY doc_id
+          |), sc AS (
+          |  SELECT d.doc_id, coalesce(w.score, 0) AS s,
+          |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lb
+          |  FROM documents d LEFT JOIN w USING (doc_id)
+          |), mm AS (SELECT min(s) AS mn, max(s) AS mx FROM sc
+          |), pr AS (
+          |  SELECT lb, CASE WHEN mx = mn THEN 500000
+          |    ELSE CAST((CAST(s AS HUGEINT) - mn) * 1000000 // (CAST(mx AS HUGEINT) - mn) AS BIGINT)
+          |    END AS pred
+          |  FROM sc, mm
+          |), bn AS (
+          |  SELECT least(CAST(pred * 10 // 1000000 AS INT), 9) + 1 AS bin, lb, pred FROM pr
+          |), g AS (
+          |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(lb) AS BIGINT) AS n_pos,
+          |    CAST(CAST(sum(pred) AS HUGEINT) // count(*) AS BIGINT) AS mean_pred_ppm,
+          |    CAST(CAST(sum(lb) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm
+          |  FROM bn GROUP BY 1
+          |), gg AS (
+          |  SELECT bin, n, n_pos, mean_pred_ppm, pos_rate_ppm,
+          |    pos_rate_ppm - mean_pred_ppm AS gap_ppm
+          |  FROM g
+          |), e AS (
+          |  SELECT CAST(sum(CAST(n AS HUGEINT) * abs(gap_ppm)) // sum(CAST(n AS HUGEINT)) AS BIGINT)
+          |    AS ece_ppm
+          |  FROM gg
+          |)
+          |SELECT gg.bin, gg.n, gg.n_pos, gg.mean_pred_ppm, gg.pos_rate_ppm, gg.gap_ppm, e.ece_ppm
+          |FROM gg, e""".stripMargin,
       "t35_dup_ngrams" ->
         s"""WITH ${augShinglesSql(5)}, ex AS (
            |  SELECT id, unnest(sh) AS s FROM shs

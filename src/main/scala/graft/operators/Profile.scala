@@ -315,6 +315,71 @@ object Profile {
           .as("cum_capture_ppm"))
   }
 
+  /** Reliability diagram + expected calibration error (ECE) for a
+    * filter classifier's score against a binary label — the companion
+    * report to [[aucExact]]/[[decileLift]]: AUC says the score RANKS
+    * well; calibration says the score's magnitude can be read as a
+    * keep-probability (the property a mixture pipeline needs when it
+    * blends scores from different filter models, per Guo et al. 2017,
+    * "On Calibration of Modern Neural Networks"). The raw integer
+    * score is min-max normalized to a predicted ppm
+    * (`(s − min)·10⁶ div (max − min)`; degenerate max = min maps to
+    * 500000, the documented uninformative-score contract), binned into
+    * `bins` equal-WIDTH prediction buckets (the reliability-diagram
+    * convention — equal-population bins are [[decileLift]]'s job), and
+    * each bin reports its mean prediction vs observed positive rate;
+    * `ece_ppm = Σ n_b·|obs_b − pred_b| div N` is the standard
+    * bin-weighted L1 gap, repeated on every row so the report is one
+    * self-contained table.
+    *
+    * Exactness: every step is integer arithmetic over DECIMAL(38,0)
+    * operands with floor division on non-negative numerators (gaps can
+    * be negative but are only ever |·|'d or reported raw), so any SQL
+    * engine reproduces it bit-for-bit.
+    *
+    * Scale shape: one scan-stage projection, one 1-row min/max global
+    * aggregate broadcast back, one ≤`bins`-key hash aggregate
+    * (map-side partial), and a 1-row ECE aggregate over the ≤`bins`-row
+    * table broadcast onto it — nothing corpus-sized shuffles twice and
+    * nothing is ordered globally.
+    *
+    * Output: ≤`bins` rows `(bin, n, n_pos, mean_pred_ppm,
+    * pos_rate_ppm, gap_ppm, ece_ppm)`; empty bins are absent (their
+    * weight in ECE is zero by definition). `labelCol` must be 0/1 and
+    * `scoreCol` integral (micro-quantize doubles first — the library's
+    * standard score shape). */
+  def calibrationBins(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val s = df.select(col(scoreCol).cast("long").as("_sc"),
+      col(labelCol).cast("long").as("_lb"))
+    val mm = s.agg(min(col("_sc")).as("_mn"), max(col("_sc")).as("_mx"))
+    val pred = s.crossJoin(broadcast(mm))
+      .withColumn("_pred",
+        when(col("_mx") === col("_mn"), lit(500000L))
+          .otherwise(expr(
+            """CAST((CAST(_sc AS DECIMAL(38,0)) - _mn) * 1000000
+              | div (CAST(_mx AS DECIMAL(38,0)) - _mn) AS BIGINT)""".stripMargin)))
+      .withColumn("_bin",
+        least(expr(s"CAST(_pred * $bins div 1000000 AS INT)"), lit(bins - 1))
+          + lit(1))
+    val g = pred.groupBy(col("_bin").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_lb")).as("n_pos"),
+        sum(col("_pred")).as("_sp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("CAST(CAST(_sp AS DECIMAL(38,0)) div n AS BIGINT)")
+          .as("mean_pred_ppm"),
+        expr("CAST(CAST(n_pos AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)")
+          .as("pos_rate_ppm"))
+      .withColumn("gap_ppm", col("pos_rate_ppm") - col("mean_pred_ppm"))
+    val ece = g.agg(expr(
+      """CAST(sum(CAST(n AS DECIMAL(38,0)) * abs(gap_ppm))
+        | div sum(CAST(n AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+      .as("ece_ppm"))
+    g.crossJoin(broadcast(ece))
+  }
+
   /** Benford first-digit expectation, parts-per-million: `round(1e6 ·
     * log₁₀(1 + 1/d))`. THE single source for operator and oracle (the
     * SQL VALUES list is generated from this constant), so the contract

@@ -255,4 +255,45 @@ class Round10OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(a === b)
   }
+
+  test("calibrationBins: hand-computed reliability table and ECE") {
+    import spark.implicits._
+    // scores 0..100; min 0, max 100 → pred_ppm = score·10⁴ exactly.
+    // Bin 1 holds pred < 100000 (scores 0-9), …, bin 10 holds ≥ 900000.
+    // Perfectly calibrated labels would make gap ≈ 0; here bin 1 is all
+    // negative and bin 10 all positive, hand-checkable.
+    val df = Seq(
+      (0L, 0L), (5L, 0L), (9L, 0L),         // bin 1: preds 0, 50000, 90000
+      (50L, 1L), (50L, 0L),                  // bin 6: preds 500000 ×2
+      (95L, 1L), (100L, 1L)                  // bin 10: preds 950000, 1000000
+    ).toDF("score", "label")
+    val out = graft.operators.Profile.calibrationBins(df, "score", "label")
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // bin 1: n=3, pos=0, mean_pred = 140000/3 = 46666, pos_rate 0,
+    //   gap −46666
+    assert(out(1) === ((3L, 0L, 46666L, 0L, -46666L, out(1)._6)))
+    // bin 6: n=2, pos=1, mean_pred 500000, pos_rate 500000, gap 0
+    assert(out(6) === ((2L, 1L, 500000L, 500000L, 0L, out(6)._6)))
+    // bin 10: n=2, pos=2, mean_pred 975000, pos_rate 1000000, gap 25000
+    assert(out(10) === ((2L, 2L, 975000L, 1000000L, 25000L, out(10)._6)))
+    // ece = (3·46666 + 2·0 + 2·25000) div 7 = 189998 div 7 = 27142,
+    // identical on every row
+    assert(out.values.map(_._6).toSet === Set(27142L))
+    assert(out.size === 3)
+  }
+
+  test("calibrationBins: degenerate constant score maps to pred 500000") {
+    import spark.implicits._
+    val df = Seq((7L, 1L), (7L, 0L), (7L, 0L)).toDF("score", "label")
+    val out = graft.operators.Profile.calibrationBins(df, "score", "label")
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getInt(0) === 6)              // 500000·10 div 10⁶ = 5 → bin 6
+    assert(r.getLong(3) === 500000L)       // mean_pred_ppm
+    assert(r.getLong(4) === 333333L)       // pos_rate_ppm = 10⁶ div 3
+    assert(r.getLong(6) === 166667L)       // ece = |333333 − 500000|
+  }
 }
