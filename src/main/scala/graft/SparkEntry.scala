@@ -2714,6 +2714,27 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lang"),
           length(col("text")).cast("long").as("n_chars"),
           substring(col("text"), 1, 16).as("head16"))),
+    // Per-registrable-domain composition report over canonicalized
+    // URLs — the C4/RefinedWeb/Dolma pre-text curation stage: URL
+    // normalization (case, www., default ports, utm_* params, param
+    // sort, fragments, trailing slash), PSL eTLD+1 rollup (incl. the
+    // 2-label suffix .co.uk), per-domain doc/distinct-URL/tracking
+    // counts and exact-ppm corpus share. URLs are the deterministic
+    // md5-derived fixture (syntheticUrls) both engines synthesize
+    // identically. See Web.domainStats.
+    "w1_url_domains" -> ((s, dir) =>
+      graft.operators.Web.domainStats(syntheticUrls(s, dir), "url")),
+    // Per-domain document cap (RefinedWeb's anti-dominance rule): keep
+    // at most 2 docs per registrable domain by the seeded key
+    // hash60('cap|'||doc_id) — selected through a bounded mergeable
+    // min-k aggregate (map-side partial), NOT a row_number window that
+    // would serialize each mega-domain onto one reducer. k = 2 so the
+    // cap visibly bites at sf0.01's ~3.5 docs/domain (the q44 gate
+    // lesson: an operator whose filter never fires isn't tested). See
+    // Web.domainCap.
+    "w2_domain_cap" -> ((s, dir) =>
+      graft.operators.Web.domainCap(syntheticUrls(s, dir), "url", "doc_id",
+        k = 2)),
     // The PRODUCTION SemDeDup rule: k derived in-plan as ⌈N/cell⌉ from
     // one count, so expected cell occupancy — and the in-cell pair work
     // Σ n_c² ≈ N·⟨cell⟩ — stays constant per document as the corpus
@@ -3054,6 +3075,47 @@ object SparkEntry {
       .select(col("u").as("src"), col("v").as("dst"), col("w"))
   }
 
+  /** Synthetic absolute URLs for the documents table — the w1/w2 web-
+    * curation fixture. The testdata carries no URL column, so both
+    * engines derive one per document from the SAME md5 arithmetic
+    * (`hash60("url|" ∥ doc_id)` sliced by a fixed divisor chain — the
+    * a1/m7 fixture discipline, fully relational): scheme case variants,
+    * `www.`/`WWW.` prefixes, `blog.`/`news.` subdomains, 37 sites × 4
+    * TLDs (incl. the 2-label suffix `.co.uk`), default and non-default
+    * ports, trailing slashes, `utm_*` tracking parameters, unsorted
+    * query parameters, and fragments — every hazard the normalizer's
+    * contract names, in deterministic proportions. */
+  private def syntheticUrls(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val d = par(tbl(s, dir, "documents")).select(col("doc_id"))
+      .withColumn("_h",
+        Dedup.hash60(concat(lit("url|"), col("doc_id").cast("string"))))
+    val schemes = typedLit(Seq("https", "http", "HTTPS", "Http"))
+    val wwws = typedLit(Seq("www.", "WWW.", ""))
+    val subs = typedLit(Seq("blog.", "news.", "", "", ""))
+    val tlds = typedLit(Seq(".com", ".org", ".io", ".co.uk"))
+    val ports = typedLit(Seq(":443", ":80", ":8080", "", "", ""))
+    d.select(col("doc_id"), concat(
+      element_at(schemes, (col("_h") % 4 + 1).cast("int")),
+      lit("://"),
+      element_at(wwws, (expr("_h div 4") % 3 + 1).cast("int")),
+      element_at(subs, (expr("_h div 12") % 5 + 1).cast("int")),
+      lit("site"), (expr("_h div 60") % 37).cast("string"),
+      element_at(tlds, (expr("_h div 2220") % 4 + 1).cast("int")),
+      element_at(ports, (expr("_h div 8880") % 6 + 1).cast("int")),
+      lit("/p/"), (col("doc_id") % 1000).cast("string"),
+      when(expr("_h div 53280") % 2 === 0, lit("/")).otherwise(lit("")),
+      when(expr("_h div 106560") % 4 === 1,
+        concat(lit("?utm_source=feed&id="), (col("doc_id") % 50).cast("string")))
+        .when(expr("_h div 106560") % 4 === 2,
+          concat(lit("?id="), (col("doc_id") % 50).cast("string"),
+            lit("&utm_campaign=x")))
+        .when(expr("_h div 106560") % 4 === 3, lit("?b=2&a=1"))
+        .otherwise(lit("")),
+      when(expr("_h div 426240") % 3 === 0, lit("#sec")).otherwise(lit("")))
+      .as("url"))
+  }
+
   /** Documents with constructed near-duplicates: each doc plus a
     * truncated copy at doc_id + 1,000,000. */
   private def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
@@ -3291,6 +3353,71 @@ object SparkEntry {
        |    FROM qn q CROSS JOIN c1n c)
        |  WHERE rn = 1
        |)""".stripMargin
+  // The w1/w2 URL fixture + normalization, DuckDB side: synthesizes the
+  // same md5-derived URL per document as syntheticUrls (same hash60 seed
+  // 'url|', same divisor chain, same part tables) and replays
+  // Web.normalizeUrls' canonicalization and Web.registrableDomain's
+  // longest-suffix PSL rule. Ends with CTE `unrm` exposing
+  // (doc_id, host, reg_domain, had_tracking, norm_url).
+  private val urlNormSql: String =
+    """uh AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('url|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents
+      |), uu AS (
+      |  SELECT doc_id,
+      |    (['https','http','HTTPS','Http'])[CAST(h % 4 AS INT) + 1] || '://' ||
+      |    (['www.','WWW.',''])[CAST((h // 4) % 3 AS INT) + 1] ||
+      |    (['blog.','news.','','',''])[CAST((h // 12) % 5 AS INT) + 1] ||
+      |    'site' || CAST((h // 60) % 37 AS VARCHAR) ||
+      |    (['.com','.org','.io','.co.uk'])[CAST((h // 2220) % 4 AS INT) + 1] ||
+      |    ([':443',':80',':8080','','',''])[CAST((h // 8880) % 6 AS INT) + 1] ||
+      |    '/p/' || CAST(doc_id % 1000 AS VARCHAR) ||
+      |    CASE WHEN (h // 53280) % 2 = 0 THEN '/' ELSE '' END ||
+      |    CASE CAST((h // 106560) % 4 AS INT)
+      |      WHEN 1 THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+      |      WHEN 2 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x'
+      |      WHEN 3 THEN '?b=2&a=1' ELSE '' END ||
+      |    CASE WHEN (h // 426240) % 3 = 0 THEN '#sec' ELSE '' END AS url
+      |  FROM uh
+      |), up AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS q0
+      |  FROM uu
+      |), upp AS (
+      |  SELECT doc_id, scheme,
+      |    CASE WHEN contains(hp, ':') THEN split_part(hp, ':', 1) ELSE hp END AS host0,
+      |    CASE WHEN contains(hp, ':') THEN split_part(hp, ':', 2) ELSE '' END AS port,
+      |    CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+      |      THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS path,
+      |    CASE WHEN q0 = '' THEN CAST([] AS VARCHAR[])
+      |      ELSE string_split(q0, '&') END AS params
+      |  FROM up
+      |), unn AS (
+      |  SELECT doc_id, scheme, port, path, params,
+      |    CASE WHEN starts_with(host0, 'www.') THEN substr(host0, 5) ELSE host0 END AS host,
+      |    list_sort(list_filter(params, x -> NOT starts_with(x, 'utm_'))) AS kept
+      |  FROM upp
+      |), unrm AS (
+      |  SELECT doc_id, host,
+      |    len(params) != len(kept) AS had_tracking,
+      |    scheme || '://' || host ||
+      |      CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443')
+      |          OR (scheme = 'http' AND port = '80'))
+      |        THEN ':' || port ELSE '' END ||
+      |      path ||
+      |      CASE WHEN len(kept) = 0 THEN '' ELSE '?' || array_to_string(kept, '&') END
+      |      AS norm_url,
+      |    CASE WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+      |         WHEN host LIKE '%.com' THEN regexp_extract(host, '([^.]+\.com)$', 1)
+      |         WHEN host LIKE '%.org' THEN regexp_extract(host, '([^.]+\.org)$', 1)
+      |         WHEN host LIKE '%.io' THEN regexp_extract(host, '([^.]+\.io)$', 1)
+      |         ELSE host END AS reg_domain
+      |  FROM unn
+      |)""".stripMargin
   // The DuckDB params CTE for the seeded minhash family (shared by every
   // LSH oracle).
   private def minhashParamsSql: String = {
@@ -6115,6 +6242,27 @@ object SparkEntry {
       // ⌈k/⌈√k⌉⌉-fine Lloyd unroll — exactly the Scala side's
       // Dedup.semDedupByCellSize → Similarity.trainTwoLevelCellsOn
       // N·O(√k) arithmetic, cell ids and all.
+      "w1_url_domains" ->
+        s"""WITH $urlNormSql, g AS (
+           |  SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(count(DISTINCT norm_url) AS BIGINT) AS n_urls,
+           |    CAST(coalesce(sum(CASE WHEN had_tracking THEN 1 END), 0) AS BIGINT) AS n_tracked
+           |  FROM unrm GROUP BY 1
+           |), t AS (SELECT CAST(sum(n_docs) AS HUGEINT) AS nt FROM g)
+           |SELECT reg_domain, n_docs, n_urls, n_tracked,
+           |  CAST(CAST(n_docs AS HUGEINT) * 1000000 // nt AS BIGINT) AS share_ppm
+           |FROM g, t""".stripMargin,
+      "w2_domain_cap" ->
+        s"""WITH $urlNormSql, ck AS (
+           |  SELECT reg_domain, doc_id,
+           |    ('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ck
+           |  FROM unrm
+           |), r AS (
+           |  SELECT reg_domain, doc_id,
+           |    row_number() OVER (PARTITION BY reg_domain ORDER BY ck, doc_id) AS rk
+           |  FROM ck
+           |)
+           |SELECT reg_domain, doc_id, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 2""".stripMargin,
       "d25_semdedup_cellsize" ->
         s"""WITH eIn AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** URL/domain curation — the stage every web-scraped corpus passes
+  * before text ever matters (C4 strips by domain blocklist, RefinedWeb
+  * dedups and caps by registrable domain, Dolma publishes per-domain
+  * composition): canonicalize raw URLs so byte-different spellings of
+  * the same resource collide, roll hosts up to their REGISTRABLE domain
+  * (the public-suffix-list eTLD+1 — "blog.siteX.co.uk" and
+  * "www.siteX.co.uk" are both siteX.co.uk, the unit crawl policy is set
+  * at), and enforce per-domain document caps so no single host
+  * dominates the training mixture.
+  *
+  * Everything here is codegen'd builtin string/array expressions in a
+  * scan-stage projection — no UDF, no shuffle until the per-domain
+  * aggregate — and every rule is exact string arithmetic a SQL oracle
+  * replays verbatim.
+  */
+object Web {
+
+  /** The public-suffix set the registrable-domain rule matches against
+    * (longest suffix wins — `co.uk` before `uk`-level labels). A real
+    * deployment swaps in the full Mozilla PSL (~9k suffixes, still a
+    * broadcast-sized constant); the rule is suffix-count-independent. */
+  val DefaultSuffixes: Seq[String] = Seq("co.uk", "com", "org", "io")
+
+  /** URL canonicalization as one scan-stage projection. Appends to
+    * every input row:
+    *  - `host`: the authority lowercased, `www.` prefix and port
+    *    stripped — the join key for domain rollups;
+    *  - `norm_url`: scheme and host lowercased, `www.` stripped,
+    *    scheme-default ports dropped (https:443 / http:80; any other
+    *    port kept), ONE trailing slash stripped from a non-root path,
+    *    `utm_*` tracking parameters removed, surviving query parameters
+    *    sorted lexicographically, fragment dropped;
+    *  - `had_tracking`: whether any `utm_*` parameter was removed.
+    *
+    * The contract expects absolute URLs (`scheme://authority…`); a NULL
+    * url yields NULL outputs (the quarantine convention — one malformed
+    * scrape row must not kill a sweep). Parameter VALUES are preserved
+    * byte-for-byte: canonicalization must never merge two genuinely
+    * different resources, only different spellings of one. */
+  def normalizeUrls(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    df
+      .withColumn("_scheme",
+        lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+      .withColumn("_hp",
+        lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)))
+      .withColumn("_host0",
+        when(col("_hp").contains(":"), substring_index(col("_hp"), ":", 1))
+          .otherwise(col("_hp")))
+      .withColumn("_port",
+        when(col("_hp").contains(":"), substring_index(col("_hp"), ":", -1))
+          .otherwise(lit("")))
+      .withColumn("host",
+        when(col("_host0").startsWith("www."),
+          expr("substring(_host0, 5)")).otherwise(col("_host0")))
+      .withColumn("_path0",
+        regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+      .withColumn("_path",
+        when(length(col("_path0")) > 1 && col("_path0").endsWith("/"),
+          expr("substring(_path0, 1, length(_path0) - 1)"))
+          .otherwise(col("_path0")))
+      .withColumn("_q0", regexp_extract(u, "\\?([^#]*)", 1))
+      .withColumn("_params",
+        when(col("_q0") === "", array().cast("array<string>"))
+          .otherwise(split(col("_q0"), "&")))
+      .withColumn("_kept",
+        array_sort(expr("filter(_params, x -> NOT startswith(x, 'utm_'))")))
+      .withColumn("had_tracking", size(col("_params")) =!= size(col("_kept")))
+      .withColumn("norm_url", concat(
+        col("_scheme"), lit("://"), col("host"),
+        when(col("_port") =!= "" &&
+          !((col("_scheme") === "https" && col("_port") === "443") ||
+            (col("_scheme") === "http" && col("_port") === "80")),
+          concat(lit(":"), col("_port"))).otherwise(lit("")),
+        col("_path"),
+        when(size(col("_kept")) === 0, lit(""))
+          .otherwise(concat(lit("?"), array_join(col("_kept"), "&")))))
+      .drop("_scheme", "_hp", "_host0", "_port", "_path0", "_path", "_q0",
+        "_params", "_kept")
+  }
+
+  /** Registrable domain (eTLD+1) of a normalized host: the longest
+    * matching public suffix plus one label. Longest-match is a
+    * when-chain over the suffix set ordered most-specific-first —
+    * constant-folded by Catalyst, no join, no UDF. A host that matches
+    * no suffix (an IP, an intranet name) is its own domain. */
+  def registrableDomain(
+      host: Column,
+      suffixes: Seq[String] = DefaultSuffixes): Column = {
+    val ordered = suffixes.sortBy(s => (-s.count(_ == '.'), -s.length))
+    val candidates = ordered.map { s =>
+      val quoted = java.util.regex.Pattern.quote(s)
+      when(host.endsWith("." + s),
+        regexp_extract(host, "([^.]+\\." + quoted + ")$", 1))
+    }
+    coalesce(candidates :+ host: _*)
+  }
+
+  /** Per-registrable-domain composition report — the table a curation
+    * run publishes before setting crawl policy: document count,
+    * distinct canonical URLs (re-crawls and tracking-spelling variants
+    * collapse), how many raw URLs carried tracking parameters, and each
+    * domain's corpus share in exact ppm.
+    *
+    * Plan: the [[normalizeUrls]] projection, one hash aggregate on the
+    * domain (map-side partial; the distinct-URL count plans as Spark's
+    * two-stage distinct aggregate so no reducer sees raw rows), and a
+    * 1-row total broadcast back onto the domain-count-sized result. */
+  def domainStats(
+      df: DataFrame, urlCol: String,
+      suffixes: Seq[String] = DefaultSuffixes): DataFrame = {
+    val n = normalizeUrls(df, urlCol)
+      .withColumn("reg_domain", registrableDomain(col("host"), suffixes))
+    val g = n.groupBy(col("reg_domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("norm_url")).as("n_urls"),
+        coalesce(sum(when(col("had_tracking"), 1L)), lit(0L)).as("n_tracked"))
+    val tot = g.agg(sum(col("n_docs")).as("_nt"))
+    g.crossJoin(broadcast(tot))
+      .select(col("reg_domain"), col("n_docs"), col("n_urls"), col("n_tracked"),
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div _nt AS BIGINT)")
+          .as("share_ppm"))
+  }
+
+  /** Per-domain document cap (RefinedWeb's anti-dominance rule): keep
+    * at most `k` documents per registrable domain, selected by the
+    * deterministic seeded key `hash60("cap|" ∥ id)` with the id as
+    * tie-break — an unbiased fixed-size sample that every engine and
+    * every rerun reproduces bit-for-bit.
+    *
+    * Selection runs through [[MinKAgg]] (GroupSample's bounded
+    * mergeable k-smallest aggregate: map-side partial, ≤ k rows per
+    * partition per domain cross the shuffle) — NOT a `row_number`
+    * window, which would shuffle the whole corpus into one partition
+    * per domain and serialize on the mega-domains that dominate real
+    * crawls (a handful of hosts own double-digit percent of the web).
+    *
+    * Output: the kept rows `(reg_domain, idCol, rk)` with `rk` the
+    * 1-based position in the domain's cap order. */
+  def domainCap(
+      df: DataFrame, urlCol: String, idCol: String, k: Int,
+      suffixes: Seq[String] = DefaultSuffixes): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val mink = udaf(new MinKAgg(k), Encoders.product[SampleCand])
+    normalizeUrls(df, urlCol)
+      .withColumn("reg_domain", registrableDomain(col("host"), suffixes))
+      .select(col("reg_domain"),
+        Dedup.hash60(concat(lit("cap|"), col(idCol).cast("string"))).as("_ck"),
+        col(idCol).cast("long").as("_id"))
+      .groupBy(col("reg_domain"))
+      .agg(mink(col("_ck"), col("_id")).as("_keep"))
+      .select(col("reg_domain"), posexplode(col("_keep")).as(Seq("_pos", "_c")))
+      .select(col("reg_domain"), col("_c.id").as(idCol),
+        (col("_pos") + 1).cast("int").as("rk"))
+  }
+}

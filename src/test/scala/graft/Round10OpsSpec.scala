@@ -256,6 +256,80 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("normalizeUrls: every canonicalization rule, hand-checked") {
+    import spark.implicits._
+    val in = Seq(
+      // case + www + default https port + fragment + trailing slash
+      (1L, "HTTPS://WWW.SiteA.co.uk:443/p/1/#frag"),
+      // tracking params removed, survivors sorted, http default port
+      (2L, "http://sitea.co.uk:80/p/1?utm_source=x&b=2&a=1"),
+      // non-default port kept; no path
+      (3L, "https://news.siteb.com:8080"),
+      // 443 is NOT default for http — kept
+      (4L, "http://siteb.com:443/p"),
+      // all params are tracking → no '?' at all
+      (5L, "https://sitec.io/p?utm_a=1&utm_b=2"),
+      // root path '/' survives (only non-root trailing slash strips)
+      (6L, "https://sitec.io/")
+    ).toDF("id", "url")
+    val out = graft.operators.Web.normalizeUrls(in, "url")
+      .select("id", "norm_url", "host", "had_tracking")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === (("https://sitea.co.uk/p/1", "sitea.co.uk", false)))
+    assert(out(2L) === (("http://sitea.co.uk/p/1?a=1&b=2", "sitea.co.uk", true)))
+    assert(out(3L) === (("https://news.siteb.com:8080", "news.siteb.com", false)))
+    assert(out(4L) === (("http://siteb.com:443/p", "siteb.com", false)))
+    assert(out(5L) === (("https://sitec.io/p", "sitec.io", true)))
+    assert(out(6L) === (("https://sitec.io/", "sitec.io", false)))
+  }
+
+  test("registrableDomain: longest public suffix wins; no match = own domain") {
+    import spark.implicits._
+    val hosts = Seq("blog.sitea.co.uk", "sitea.co.uk", "a.b.sitec.com",
+      "sited.io", "10.0.0.1", "intranet").toDF("host")
+    val out = hosts.select(col("host"),
+      graft.operators.Web.registrableDomain(col("host")).as("rd"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("blog.sitea.co.uk") === "sitea.co.uk") // NOT co.uk, NOT uk
+    assert(out("sitea.co.uk") === "sitea.co.uk")
+    assert(out("a.b.sitec.com") === "sitec.com")
+    assert(out("sited.io") === "sited.io")
+    assert(out("10.0.0.1") === "10.0.0.1")
+    assert(out("intranet") === "intranet")
+  }
+
+  test("domainCap: bounded-aggregate selection equals the window form and is partition-invariant") {
+    import spark.implicits._
+    val urls = (0L until 60L)
+      .map(i => (i, s"https://site${i % 5}.com/p/$i")).toDF("doc_id", "url")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Web.domainCap(df, "url", "doc_id", k = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .sortBy(x => (x._1, x._3)).toSeq
+    val a = run(urls.repartition(1))
+    val b = run(urls.repartition(7))
+    assert(a === b)
+    // 5 domains × cap 3
+    assert(a.size === 15)
+    assert(a.groupBy(_._1).forall(_._2.map(_._3).sorted == Seq(1, 2, 3)))
+    // equals the row_number window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("reg_domain"))
+      .orderBy(col("_ck"), col("doc_id"))
+    val windowed = graft.operators.Web.normalizeUrls(urls, "url")
+      .withColumn("reg_domain",
+        graft.operators.Web.registrableDomain(col("host")))
+      .withColumn("_ck", graft.operators.Dedup.hash60(
+        concat(lit("cap|"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("reg_domain"), col("doc_id"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(a === windowed)
+  }
+
   test("calibrationBins: hand-computed reliability table and ECE") {
     import spark.implicits._
     // scores 0..100; min 0, max 100 → pred_ppm = score·10⁴ exactly.
