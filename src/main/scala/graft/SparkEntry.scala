@@ -2746,6 +2746,29 @@ object SparkEntry {
       Dedup.semDedupByCellSize(augmentedEmb(s, dir), targetCellSize = 64,
         iters = 2, threshold = 0.95)
     }),
+    // Incremental (frozen-index) SemDeDup — the day-to-day production
+    // form: the accepted corpus (vec_id % 5 != 0) trains the k-means
+    // index ONCE; the incoming batch (fresh vectors + constructed near-
+    // copies of accepted AND of fresh vectors, the d11 fixture shape)
+    // is assigned against the frozen centers and screened in-cell
+    // against the corpus (drop) and against lower-id batch members
+    // (first occurrence wins) — the corpus is never re-clustered or
+    // re-shuffled. See Dedup.semDedupIncrementalNew.
+    "d31_incremental_semdedup" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val near = transform(col("embedding"), x => x * 1.1 + 0.01)
+      val corpus = par(e.where(col("vec_id") % 5 =!= 0))
+      val fresh = e.where(col("vec_id") % 5 === 0)
+      val incoming = par(fresh
+        .unionByName(corpus.where(col("vec_id") % 10 === 1)
+          .select((col("vec_id") + 1000000).as("vec_id"), near.as("embedding")))
+        .unionByName(fresh.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 2000000).as("vec_id"), near.as("embedding"))))
+      Dedup.semDedupIncrementalNew(incoming, corpus, k = 8, iters = 2,
+        threshold = 0.95)
+    }),
     // End-to-end curation FUNNEL — the release report a training-data
     // pipeline actually publishes: language gate (t3's heuristic) →
     // quality gate (t2's score, micro-quantized ≥ 0.6 — the corpus spans
@@ -6277,6 +6300,70 @@ object SparkEntry {
            |  AND $dotCosSql >= 0.95
            |)
            |SELECT l.vec_id, l.cell FROM lbl l LEFT JOIN dups d ON l.vec_id = d.vec_id
+           |WHERE d.vec_id IS NULL""".stripMargin,
+      // d31 = the frozen-index incremental form: Lloyd trains on the
+      // ACCEPTED corpus only (eIn → qn), one extra mean update past a2
+      // yields the final index centers (c2n — the build-ends-with-an-
+      // update contract), both sides are assigned against those frozen
+      // centers, and the keeper rule drops a new vector with an
+      // accepted in-cell neighbor or a lower-id new in-cell neighbor.
+      "d31_incremental_semdedup" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+           |  WHERE vec_id % 5 != 0
+           |), newE AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+           |  WHERE vec_id % 5 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1 + 0.01)
+           |  FROM embeddings WHERE vec_id % 5 != 0 AND vec_id % 10 = 1
+           |  UNION ALL
+           |  SELECT vec_id + 2000000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1 + 0.01)
+           |  FROM embeddings WHERE vec_id % 5 = 0 AND vec_id % 10 = 0
+           |), $quantEmbSql, ${ivfLloyd2Sql(8)}, c2d AS (
+           |  SELECT a.cell, d, sum(q.qv[d]) AS sv, count(*) AS cnt
+           |  FROM a2 a JOIN qn q USING (vec_id),
+           |       (SELECT CAST(range AS INT) + 1 AS d FROM range(64))
+           |  GROUP BY 1, 2
+           |), c2 AS (
+           |  SELECT cell, list(CAST(round(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY d) AS cvec
+           |  FROM c2d GROUP BY 1
+           |), c2n AS MATERIALIZED (
+           |  SELECT cell, cvec, list_sum(list_transform(cvec, x -> x * x)) AS cn2 FROM c2
+           |), qw AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM newE
+           |), qnw AS (
+           |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM qw
+           |), ao AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT q.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        q.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65),
+           |          d -> q.qv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.cell) AS rn
+           |    FROM qn q CROSS JOIN c2n c)
+           |  WHERE rn = 1
+           |), an AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT q.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        q.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65),
+           |          d -> q.qv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.cell) AS rn
+           |    FROM qnw q CROSS JOIN c2n c)
+           |  WHERE rn = 1
+           |), lo AS MATERIALIZED (
+           |  SELECT q.vec_id, a.cell, q.qv, q.n2 FROM qn q JOIN ao a USING (vec_id)
+           |), lw AS MATERIALIZED (
+           |  SELECT q.vec_id, a.cell, q.qv, q.n2 FROM qnw q JOIN an a USING (vec_id)
+           |), dups AS (
+           |  SELECT DISTINCT a.vec_id FROM lw a JOIN lo b
+           |  ON a.cell = b.cell AND $dotCosSql >= 0.95
+           |  UNION
+           |  SELECT DISTINCT b.vec_id FROM lw a JOIN lw b
+           |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  AND $dotCosSql >= 0.95
+           |)
+           |SELECT l.vec_id, l.cell FROM lw l LEFT JOIN dups d ON l.vec_id = d.vec_id
            |WHERE d.vec_id IS NULL""".stripMargin,
       "d13_containment" ->
         s"""WITH exc AS (

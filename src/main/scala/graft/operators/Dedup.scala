@@ -929,6 +929,72 @@ object Dedup {
       .select(col("_id").as(idCol), col("_cell").as("cell"))
   }
 
+  /** Incremental (frozen-index) SemDeDup — the form a production
+    * pipeline actually runs day-to-day: the accepted corpus's k-means
+    * index is built ONCE ([[Similarity.trainIvfCentersOn]] — an index
+    * build ends with a mean update; its cost amortizes over every
+    * future batch), then each incoming batch is assigned against the
+    * frozen centers and screened in-cell, WITHOUT ever re-clustering
+    * or re-shuffling the accepted corpus. The batch-side twin of
+    * [[incrementalNearDupNew]], with [[semDedup]]'s cosine keeper rule.
+    *
+    * Keeper rule: a new vector is dropped iff its cell holds an
+    * ACCEPTED vector at cosine ≥ `threshold` (already represented), or
+    * a LOWER-ID new vector at cosine ≥ `threshold` (first occurrence
+    * within the batch wins — [[exact]]'s contract). Survivors are
+    * returned as `(idCol, cell)`; accepted vectors are never dropped
+    * (they were admitted by prior batches' screens).
+    *
+    * Scale shape: one training pass over the corpus (the amortized
+    * index build), then per batch: two broadcast assignments against
+    * the k-row center table (pinned k — at derived k swap in
+    * [[Similarity.trainTwoLevelCellsOn]]'s coarse→fine probe exactly as
+    * [[semDedupByCellSize]] does), one cell equi-join of the batch
+    * against the corpus (shuffle-hash — the corpus is hash-partitioned
+    * by cell and NEVER broadcast; at a stable cell layout it can be
+    * pre-bucketed so only the batch moves), and one in-cell self-join
+    * of the batch against itself (batch-sized, bounded by occupancy).
+    */
+  def semDedupIncrementalNew(
+      newEmb: DataFrame, corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 8, iters: Int = 2, threshold: Double = 0.95): DataFrame = {
+    val ob = Similarity.prepare(corpus, idCol, vecCol).localCheckpoint()
+    val cents = Similarity.trainIvfCentersOn(ob, k, iters)
+    def assign(b: DataFrame): DataFrame = {
+      val a = b.crossJoin(broadcast(cents))
+        .withColumn("_dist2",
+          col("_n2") + col("_cn2") -
+            lit(2L) * Similarity.dotQ(col("_q"), col("_cvec")))
+        .groupBy(col("_id"))
+        .agg(min_by(col("_cell"), struct(col("_dist2"), col("_cell")))
+          .as("_cell"))
+      b.join(a, "_id")
+    }
+    val nb = Similarity.prepare(newEmb, idCol, vecCol).localCheckpoint()
+    val oa = assign(ob).select(col("_cell"), col("_id").as("id_o"),
+      col("_q").as("_qo"), col("_n2").as("_n2o"))
+    val na = assign(nb).localCheckpoint()
+    val naA = na.select(col("_cell"), col("_id").as("id_a"),
+      col("_q").as("_qa"), col("_n2").as("_n2a"))
+    val naB = na.select(col("_cell"), col("_id").as("id_b"),
+      col("_q").as("_qb"), col("_n2").as("_n2b"))
+    val dupVsOld = naA.join(oa.hint("shuffle_hash"), Seq("_cell"))
+      .where(Similarity.cosineFrom(
+        Similarity.dotQ(col("_qa"), col("_qo")),
+        col("_n2a"), col("_n2o")) >= threshold)
+      .select(col("id_a").as("_dup"))
+    val dupVsNew = naA.join(naB.hint("shuffle_hash"), Seq("_cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(Similarity.cosineFrom(
+        Similarity.dotQ(col("_qa"), col("_qb")),
+        col("_n2a"), col("_n2b")) >= threshold)
+      .select(col("id_b").as("_dup"))
+    val dups = dupVsOld.unionByName(dupVsNew).distinct()
+    na.join(dups, col("_id") === col("_dup"), "left_anti")
+      .select(col("_id").as(idCol), col("_cell").as("cell"))
+  }
+
   /** Dedup group assignment: connected components over a near-dup pair
     * table (any of [[minhashLshPairs]] / [[ngramJaccardPairs]] /
     * [[embeddingNearDupPairs]]) — the step that turns pairwise matches

@@ -346,7 +346,23 @@ object Similarity {
     * pinned checkpoint). */
   private[operators] def trainIvfCellsOn(
       base: DataFrame, k: Int, iters: Int,
-      seedPrefix: String = "ivf|"): DataFrame = {
+      seedPrefix: String = "ivf|"): DataFrame =
+    ivfLloydOn(base, k, iters, seedPrefix)._1
+
+  /** The FINAL centers of the same md5-seeded Lloyd's run —
+    * `(_cell, _cvec, _cn2)` AFTER the last mean update (one update past
+    * the assignment [[trainIvfCellsOn]] returns): the frozen-index
+    * contract for incremental consumers, where an index build ends
+    * with an update and every later batch is assigned against it
+    * without touching the training corpus again. */
+  private[operators] def trainIvfCentersOn(
+      base: DataFrame, k: Int, iters: Int,
+      seedPrefix: String = "ivf|"): DataFrame =
+    ivfLloydOn(base, k, iters, seedPrefix)._2
+
+  private def ivfLloydOn(
+      base: DataFrame, k: Int, iters: Int,
+      seedPrefix: String): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
     val seedKey = Dedup.hash60(concat(lit(seedPrefix), col("_id").cast("string")))
     var cents = base
@@ -378,7 +394,7 @@ object Similarity {
         .localCheckpoint()
       i += 1
     }
-    assigned
+    (assigned, cents)
   }
 
   /** Two-level (hierarchical) Lloyd's — the ANN ASSIGNMENT for

@@ -256,6 +256,56 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("semDedupIncrementalNew: frozen-index keeper rule, hand-separable") {
+    import spark.implicits._
+    // accepted corpus: two well-separated clusters on axes 0 and 1
+    def vec(axis: Int, jit: Double) = {
+      val v = Array.fill(64)(0.0)
+      v(axis) = 1.0; v(40 + axis) = jit; v.toSeq
+    }
+    val corpus = (0 until 8).map { i =>
+      (100L + i, vec(i % 2, 0.02 * (i / 2)))
+    }.toDF("vec_id", "embedding")
+    val incoming = Seq(
+      // near-copy of an accepted axis-0 member → dropped vs corpus
+      (200L, vec(0, 0.021)),
+      // genuinely novel direction (axis 5, lands in SOME cell but far
+      // from both center families) → survives
+      (201L, vec(5, 0.0)),
+      // twin pair within the batch: lower id survives, higher dropped
+      (202L, vec(5, 0.001)),
+      // far from everything AND from 201/202's axis → survives
+      (203L, vec(9, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedupIncrementalNew(incoming, corpus,
+      k = 2, iters = 2, threshold = 0.95)
+    val kept = out.collect().map(_.getLong(0)).toSet
+    assert(kept === Set(201L, 203L))
+    // output contains ONLY batch ids — the accepted corpus is never
+    // dropped or re-emitted
+    assert(kept.forall(_ >= 200L))
+  }
+
+  test("semDedupIncrementalNew is partition-invariant") {
+    import spark.implicits._
+    def vec(axis: Int, jit: Double) = {
+      val v = Array.fill(64)(0.0)
+      v(axis) = 1.0; v(40 + axis) = jit; v.toSeq
+    }
+    val corpus = (0 until 12).map { i =>
+      (100L + i, vec(i % 3, 0.02 * (i / 3)))
+    }.toDF("vec_id", "embedding")
+    val inc = (0 until 9).map { i =>
+      (200L + i, vec(i % 3, 0.02 * (i / 3) + 0.001))
+    }.toDF("vec_id", "embedding")
+    def run(c: org.apache.spark.sql.DataFrame,
+        n: org.apache.spark.sql.DataFrame) =
+      Dedup.semDedupIncrementalNew(n, c, k = 3, iters = 2, threshold = 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(run(corpus.repartition(1), inc.repartition(1)) ===
+      run(corpus.repartition(5), inc.repartition(3)))
+  }
+
   test("normalizeUrls: every canonicalization rule, hand-checked") {
     import spark.implicits._
     val in = Seq(
