@@ -793,4 +793,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("bytes#"),
       s"image payloads must not appear in the pair-join plan:\n$p")
   }
+
+  test("w1 url domains: normalization is scan-stage projection, two-stage distinct, 1-row total broadcast") {
+    val p = plan("w1_url_domains")
+    // the canonicalization is codegen'd builtins inside Project — no
+    // UDF invocation, no extra exchange before the domain aggregate
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"normalization must be builtin expressions:\n$p")
+    // distinct-URL count plans as the two-stage distinct aggregate
+    // (partial on (domain, url) before the final count)
+    assert(p.contains("HashAggregate") && p.contains("partial"),
+      s"expected partial aggregation:\n$p")
+    // the grand total meets the per-domain rows via broadcast
+    assert(p.contains("BroadcastExchange"),
+      s"1-row total must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("w2 domain cap: bounded partial min-k aggregate, no per-domain window sort") {
+    val p = plan("w2_domain_cap")
+    // MinKAgg runs partially map-side (ObjectHashAggregate partial),
+    // so <= k rows per (partition, domain) cross the shuffle
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected object hash aggregate for the bounded min-k UDAF:\n$p")
+    assert(p.contains("partial"),
+      s"min-k must aggregate partially map-side:\n$p")
+    // the rejected alternative: row_number over PARTITION BY domain
+    assert(!p.contains("Window"),
+      s"no per-domain window sort (mega-domain serialization):\n$p")
+  }
+
+  test("d31 incremental semdedup: frozen centers broadcast, corpus screen shuffle-hash, no cartesian") {
+    val p = plan("d31_incremental_semdedup")
+    // both assignments ride a broadcast of the k-row center table
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"center table must broadcast:\n$p")
+    // the new-vs-corpus and new-vs-new screens are cell equi-joins —
+    // the corpus is hash-partitioned, never broadcast
+    assert(p.contains("ShuffledHashJoin"),
+      s"in-cell screens must be shuffle-hash equi-joins:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs comparison anywhere:\n$p")
+  }
 }
