@@ -2746,6 +2746,49 @@ object SparkEntry {
       Dedup.semDedupByCellSize(augmentedEmb(s, dir), targetCellSize = 64,
         iters = 2, threshold = 0.95)
     }),
+    // End-to-end WEB curation funnel — the release report of the
+    // pre-text web stage (the q44/m8 shape for URLs): ingest →
+    // scan-stage canonicalization → broadcast blocklist gate (3 fixed
+    // registrable domains) → canonical-URL exact dedup (min-doc_id
+    // keeper per norm_url AMONG gate survivors — hash exchange 1) →
+    // per-domain cap at 2 (computed from the domain aggregate's keeper
+    // counts as Σ least(c, 2) — hash exchange 2; no per-doc cap
+    // materialization, the report only needs counts) → one 4-row
+    // (stage, n_docs, n_domains) table from a single plan. Two hash
+    // exchanges total regardless of corpus size.
+    "w3_web_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val blocked = Seq("site0.com", "site7.co.uk", "site12.io")
+      val n = graft.operators.Web
+        .normalizeUrls(syntheticUrls(s, dir), "url")
+        .withColumn("reg_domain",
+          graft.operators.Web.registrableDomain(col("host")))
+        .withColumn("_ok", !col("reg_domain").isin(blocked: _*))
+      val w = Window.partitionBy(col("norm_url"), col("_ok"))
+        .orderBy(col("doc_id"))
+      val flagged = n.withColumn("_keep_url",
+        col("_ok") && row_number().over(w) === 1)
+      val perDomain = flagged.groupBy(col("reg_domain"))
+        .agg(count(lit(1)).as("_dn"),
+          sum(when(col("_ok"), 1L).otherwise(0L)).as("_dnb"),
+          sum(when(col("_keep_url"), 1L).otherwise(0L)).as("_dku"))
+      val tot = perDomain.agg(
+        sum(col("_dn")).as("_n1"), count(lit(1)).as("_m1"),
+        sum(col("_dnb")).as("_n2"),
+        sum(when(col("_dnb") > 0, 1L).otherwise(0L)).as("_m2"),
+        sum(col("_dku")).as("_n3"),
+        sum(when(col("_dku") > 0, 1L).otherwise(0L)).as("_m3"),
+        sum(least(col("_dku"), lit(2L))).as("_n4"))
+      tot.selectExpr(
+        """stack(4,
+          |  '1_ingested', _n1, _m1,
+          |  '2_blocklist', _n2, _m2,
+          |  '3_url_dedup', _n3, _m3,
+          |  '4_domain_cap', _n4, _m3
+          |) AS (stage, n_docs, n_domains)""".stripMargin)
+        .select(col("stage"), col("n_docs").cast("long").as("n_docs"),
+          col("n_domains").cast("long").as("n_domains"))
+    }),
     // Incremental (frozen-index) SemDeDup — the day-to-day production
     // form: the accepted corpus (vec_id % 5 != 0) trains the k-means
     // index ONCE; the incoming batch (fresh vectors + constructed near-
@@ -3110,32 +3153,44 @@ object SparkEntry {
     * contract names, in deterministic proportions. */
   private def syntheticUrls(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
+    // CONTENT hash h1 (keyed by doc_id % 250) drives everything the
+    // normalizer must PRESERVE — protocol, subdomain, site, TLD, port,
+    // canonical query content, path (doc_id % 250) — so documents
+    // sharing a residue share a canonical URL. SPELLING hash h2 (keyed
+    // by the full doc_id) drives everything the normalizer must ERASE —
+    // scheme case, www. variants, trailing slash, fragment, utm
+    // placement — so those documents usually differ RAW and merge only
+    // under canonicalization: the url-dedup stage genuinely fires.
     val d = par(tbl(s, dir, "documents")).select(col("doc_id"))
-      .withColumn("_h",
-        Dedup.hash60(concat(lit("url|"), col("doc_id").cast("string"))))
-    val schemes = typedLit(Seq("https", "http", "HTTPS", "Http"))
+      .withColumn("_m", col("doc_id") % 250)
+      .withColumn("_h1",
+        Dedup.hash60(concat(lit("url|"), col("_m").cast("string"))))
+      .withColumn("_h2",
+        Dedup.hash60(concat(lit("urlv|"), col("doc_id").cast("string"))))
+    val schemes = typedLit(Seq("https", "HTTPS", "http", "Http"))
     val wwws = typedLit(Seq("www.", "WWW.", ""))
     val subs = typedLit(Seq("blog.", "news.", "", "", ""))
     val tlds = typedLit(Seq(".com", ".org", ".io", ".co.uk"))
     val ports = typedLit(Seq(":443", ":80", ":8080", "", "", ""))
     d.select(col("doc_id"), concat(
-      element_at(schemes, (col("_h") % 4 + 1).cast("int")),
+      element_at(schemes,
+        ((col("_h1") % 2) * 2 + col("_h2") % 2 + 1).cast("int")),
       lit("://"),
-      element_at(wwws, (expr("_h div 4") % 3 + 1).cast("int")),
-      element_at(subs, (expr("_h div 12") % 5 + 1).cast("int")),
-      lit("site"), (expr("_h div 60") % 37).cast("string"),
-      element_at(tlds, (expr("_h div 2220") % 4 + 1).cast("int")),
-      element_at(ports, (expr("_h div 8880") % 6 + 1).cast("int")),
-      lit("/p/"), (col("doc_id") % 1000).cast("string"),
-      when(expr("_h div 53280") % 2 === 0, lit("/")).otherwise(lit("")),
-      when(expr("_h div 106560") % 4 === 1,
-        concat(lit("?utm_source=feed&id="), (col("doc_id") % 50).cast("string")))
-        .when(expr("_h div 106560") % 4 === 2,
-          concat(lit("?id="), (col("doc_id") % 50).cast("string"),
-            lit("&utm_campaign=x")))
-        .when(expr("_h div 106560") % 4 === 3, lit("?b=2&a=1"))
+      element_at(wwws, (expr("_h2 div 2") % 3 + 1).cast("int")),
+      element_at(subs, (expr("_h1 div 2") % 5 + 1).cast("int")),
+      lit("site"), (expr("_h1 div 10") % 37).cast("string"),
+      element_at(tlds, (expr("_h1 div 370") % 4 + 1).cast("int")),
+      element_at(ports, (expr("_h1 div 1480") % 6 + 1).cast("int")),
+      lit("/p/"), col("_m").cast("string"),
+      when(expr("_h2 div 6") % 2 === 0, lit("/")).otherwise(lit("")),
+      when(expr("_h1 div 8880") % 3 === 1,
+        when(expr("_h2 div 12") % 2 === 0,
+          concat(lit("?utm_source=feed&id="), (col("_m") % 50).cast("string")))
+          .otherwise(concat(lit("?id="), (col("_m") % 50).cast("string"),
+            lit("&utm_campaign=x"))))
+        .when(expr("_h1 div 8880") % 3 === 2, lit("?b=2&a=1"))
         .otherwise(lit("")),
-      when(expr("_h div 426240") % 3 === 0, lit("#sec")).otherwise(lit("")))
+      when(expr("_h2 div 24") % 3 === 0, lit("#sec")).otherwise(lit("")))
       .as("url"))
   }
 
@@ -3384,24 +3439,26 @@ object SparkEntry {
   // (doc_id, host, reg_domain, had_tracking, norm_url).
   private val urlNormSql: String =
     """uh AS (
-      |  SELECT doc_id,
-      |    ('0x' || substr(md5('url|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  SELECT doc_id, doc_id % 250 AS m,
+      |    ('0x' || substr(md5('url|' || CAST(doc_id % 250 AS VARCHAR)), 1, 15))::BIGINT AS h1,
+      |    ('0x' || substr(md5('urlv|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h2
       |  FROM documents
       |), uu AS (
       |  SELECT doc_id,
-      |    (['https','http','HTTPS','Http'])[CAST(h % 4 AS INT) + 1] || '://' ||
-      |    (['www.','WWW.',''])[CAST((h // 4) % 3 AS INT) + 1] ||
-      |    (['blog.','news.','','',''])[CAST((h // 12) % 5 AS INT) + 1] ||
-      |    'site' || CAST((h // 60) % 37 AS VARCHAR) ||
-      |    (['.com','.org','.io','.co.uk'])[CAST((h // 2220) % 4 AS INT) + 1] ||
-      |    ([':443',':80',':8080','','',''])[CAST((h // 8880) % 6 AS INT) + 1] ||
-      |    '/p/' || CAST(doc_id % 1000 AS VARCHAR) ||
-      |    CASE WHEN (h // 53280) % 2 = 0 THEN '/' ELSE '' END ||
-      |    CASE CAST((h // 106560) % 4 AS INT)
-      |      WHEN 1 THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
-      |      WHEN 2 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x'
-      |      WHEN 3 THEN '?b=2&a=1' ELSE '' END ||
-      |    CASE WHEN (h // 426240) % 3 = 0 THEN '#sec' ELSE '' END AS url
+      |    (['https','HTTPS','http','Http'])[CAST((h1 % 2) * 2 + h2 % 2 AS INT) + 1] || '://' ||
+      |    (['www.','WWW.',''])[CAST((h2 // 2) % 3 AS INT) + 1] ||
+      |    (['blog.','news.','','',''])[CAST((h1 // 2) % 5 AS INT) + 1] ||
+      |    'site' || CAST((h1 // 10) % 37 AS VARCHAR) ||
+      |    (['.com','.org','.io','.co.uk'])[CAST((h1 // 370) % 4 AS INT) + 1] ||
+      |    ([':443',':80',':8080','','',''])[CAST((h1 // 1480) % 6 AS INT) + 1] ||
+      |    '/p/' || CAST(m AS VARCHAR) ||
+      |    CASE WHEN (h2 // 6) % 2 = 0 THEN '/' ELSE '' END ||
+      |    CASE WHEN (h1 // 8880) % 3 = 1 THEN
+      |      CASE WHEN (h2 // 12) % 2 = 0
+      |        THEN '?utm_source=feed&id=' || CAST(m % 50 AS VARCHAR)
+      |        ELSE '?id=' || CAST(m % 50 AS VARCHAR) || '&utm_campaign=x' END
+      |    WHEN (h1 // 8880) % 3 = 2 THEN '?b=2&a=1' ELSE '' END ||
+      |    CASE WHEN (h2 // 24) % 3 = 0 THEN '#sec' ELSE '' END AS url
       |  FROM uh
       |), up AS (
       |  SELECT doc_id, url,
@@ -6301,6 +6358,33 @@ object SparkEntry {
            |)
            |SELECT l.vec_id, l.cell FROM lbl l LEFT JOIN dups d ON l.vec_id = d.vec_id
            |WHERE d.vec_id IS NULL""".stripMargin,
+      "w3_web_funnel" ->
+        s"""WITH $urlNormSql, fl AS (
+           |  SELECT doc_id, norm_url, reg_domain,
+           |    reg_domain NOT IN ('site0.com', 'site7.co.uk', 'site12.io') AS ok
+           |  FROM unrm
+           |), ku AS (
+           |  SELECT reg_domain, ok,
+           |    ok AND row_number() OVER (PARTITION BY norm_url, ok ORDER BY doc_id) = 1 AS keep_url
+           |  FROM fl
+           |), pd AS (
+           |  SELECT reg_domain, CAST(count(*) AS BIGINT) AS dn,
+           |    CAST(coalesce(sum(CASE WHEN ok THEN 1 END), 0) AS BIGINT) AS dnb,
+           |    CAST(coalesce(sum(CASE WHEN keep_url THEN 1 END), 0) AS BIGINT) AS dku
+           |  FROM ku GROUP BY 1
+           |), t AS (
+           |  SELECT CAST(sum(dn) AS BIGINT) AS n1, CAST(count(*) AS BIGINT) AS m1,
+           |    CAST(sum(dnb) AS BIGINT) AS n2,
+           |    CAST(coalesce(sum(CASE WHEN dnb > 0 THEN 1 END), 0) AS BIGINT) AS m2,
+           |    CAST(sum(dku) AS BIGINT) AS n3,
+           |    CAST(coalesce(sum(CASE WHEN dku > 0 THEN 1 END), 0) AS BIGINT) AS m3,
+           |    CAST(sum(least(dku, 2)) AS BIGINT) AS n4
+           |  FROM pd
+           |)
+           |SELECT '1_ingested' AS stage, n1 AS n_docs, m1 AS n_domains FROM t
+           |UNION ALL SELECT '2_blocklist', n2, m2 FROM t
+           |UNION ALL SELECT '3_url_dedup', n3, m3 FROM t
+           |UNION ALL SELECT '4_domain_cap', n4, m3 FROM t""".stripMargin,
       // d31 = the frozen-index incremental form: Lloyd trains on the
       // ACCEPTED corpus only (eIn → qn), one extra mean update past a2
       // yields the final index centers (c2n — the build-ends-with-an-
