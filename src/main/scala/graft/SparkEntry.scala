@@ -2812,6 +2812,28 @@ object SparkEntry {
       Dedup.semDedupIncrementalNew(incoming, corpus, k = 8, iters = 2,
         threshold = 0.95)
     }),
+    // The PRODUCTION incremental form: same fixture as d31, but k is
+    // derived as ⌈N/64⌉ from one corpus count (occupancy — and the
+    // per-batch screen work — constant as the corpus grows) and BOTH
+    // the index build and every assignment ride the frozen two-level
+    // hierarchy (coarse ⌈√k⌉ broadcast, fine equi-joined on the coarse
+    // cell — N·O(√k) dots, never flat Lloyd's N·k). See
+    // Dedup.semDedupIncrementalNewByCellSize.
+    "d32_incr_semdedup_cellsize" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val near = transform(col("embedding"), x => x * 1.1 + 0.01)
+      val corpus = par(e.where(col("vec_id") % 5 =!= 0))
+      val fresh = e.where(col("vec_id") % 5 === 0)
+      val incoming = par(fresh
+        .unionByName(corpus.where(col("vec_id") % 10 === 1)
+          .select((col("vec_id") + 1000000).as("vec_id"), near.as("embedding")))
+        .unionByName(fresh.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 2000000).as("vec_id"), near.as("embedding"))))
+      Dedup.semDedupIncrementalNewByCellSize(incoming, corpus,
+        targetCellSize = 64, iters = 2, threshold = 0.95)
+    }),
     // End-to-end curation FUNNEL — the release report a training-data
     // pipeline actually publishes: language gate (t3's heuristic) →
     // quality gate (t2's score, micro-quantized ≥ 0.6 — the corpus spans
@@ -3400,6 +3422,68 @@ object SparkEntry {
        |), a2 AS (
        |  SELECT f.vec_id, f.cc * kp.k2 + f.ff AS cell FROM fa2 f, kp
        |)""".stripMargin
+
+  // Frozen-two-level-index extension of ivfTwoLevel2Sql (Similarity.
+  // trainTwoLevelIndexOn / probeTwoLevel parity): coarse (cc2*) and
+  // fine (ff2*) centers re-meaned from the FINAL assignments ca2/fa2 —
+  // the build-ends-with-an-update contract — then both the corpus (qn →
+  // po) and the batch (qnw → pw) are assigned through the frozen
+  // hierarchy: coarse argmin over cc2n, fine argmin restricted to the
+  // winning coarse cell, composite cell = cc·k2 + ff.
+  private val ivfTwoLevelFrozenExtSql: String =
+    """cc2d AS (
+      |  SELECT a.cc, d, sum(q.qv[d]) AS sv, count(*) AS cnt
+      |  FROM ca2 a JOIN qn q USING (vec_id),
+      |       (SELECT CAST(range AS INT) + 1 AS d FROM range(64))
+      |  GROUP BY 1, 2
+      |), cc2 AS (
+      |  SELECT cc, list(CAST(round(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY d) AS cvec
+      |  FROM cc2d GROUP BY 1
+      |), cc2n AS MATERIALIZED (
+      |  SELECT cc, cvec, list_sum(list_transform(cvec, x -> x * x)) AS cn2 FROM cc2
+      |), ff2d AS (
+      |  SELECT a.cc, a.ff, d, sum(q.qv[d]) AS sv, count(*) AS cnt
+      |  FROM fa2 a JOIN qn q USING (vec_id),
+      |       (SELECT CAST(range AS INT) + 1 AS d FROM range(64))
+      |  GROUP BY 1, 2, 3
+      |), ff2 AS (
+      |  SELECT cc, ff, list(CAST(round(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY d) AS cvec
+      |  FROM ff2d GROUP BY 1, 2
+      |), ff2n AS MATERIALIZED (
+      |  SELECT cc, ff, cvec, list_sum(list_transform(cvec, x -> x * x)) AS cn2 FROM ff2
+      |), pco AS (
+      |  SELECT vec_id, cc FROM (
+      |    SELECT q.vec_id, c.cc,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        q.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65),
+      |          d -> q.qv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.cc) AS rn
+      |    FROM qn q CROSS JOIN cc2n c)
+      |  WHERE rn = 1
+      |), po AS (
+      |  SELECT vec_id, cc * k2 + ff AS cell FROM (
+      |    SELECT q.vec_id, a.cc, c.ff,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        q.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65),
+      |          d -> q.qv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.ff) AS rn
+      |    FROM qn q JOIN pco a USING (vec_id) JOIN ff2n c ON a.cc = c.cc) s, kp
+      |  WHERE rn = 1
+      |), pcn AS (
+      |  SELECT vec_id, cc FROM (
+      |    SELECT q.vec_id, c.cc,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        q.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65),
+      |          d -> q.qv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.cc) AS rn
+      |    FROM qnw q CROSS JOIN cc2n c)
+      |  WHERE rn = 1
+      |), pw AS (
+      |  SELECT vec_id, cc * k2 + ff AS cell FROM (
+      |    SELECT q.vec_id, a.cc, c.ff,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        q.n2 + c.cn2 - 2 * list_sum(list_transform(range(1, 65),
+      |          d -> q.qv[CAST(d AS INT)] * c.cvec[CAST(d AS INT)])), c.ff) AS rn
+      |    FROM qnw q JOIN pcn a USING (vec_id) JOIN ff2n c ON a.cc = c.cc) s, kp
+      |  WHERE rn = 1
+      |)""".stripMargin
 
   private def ivfLloyd2From(seedsCte: String) =
     s"""$seedsCte, c0 AS (
@@ -6439,6 +6523,41 @@ object SparkEntry {
            |  SELECT q.vec_id, a.cell, q.qv, q.n2 FROM qn q JOIN ao a USING (vec_id)
            |), lw AS MATERIALIZED (
            |  SELECT q.vec_id, a.cell, q.qv, q.n2 FROM qnw q JOIN an a USING (vec_id)
+           |), dups AS (
+           |  SELECT DISTINCT a.vec_id FROM lw a JOIN lo b
+           |  ON a.cell = b.cell AND $dotCosSql >= 0.95
+           |  UNION
+           |  SELECT DISTINCT b.vec_id FROM lw a JOIN lw b
+           |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  AND $dotCosSql >= 0.95
+           |)
+           |SELECT l.vec_id, l.cell FROM lw l LEFT JOIN dups d ON l.vec_id = d.vec_id
+           |WHERE d.vec_id IS NULL""".stripMargin,
+      // d32 = d31 at PRODUCTION scale rules: derived k, frozen
+      // two-level index, both sides probed through it (the
+      // ivfTwoLevelFrozenExtSql chain), same two-screen keeper rule.
+      "d32_incr_semdedup_cellsize" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+           |  WHERE vec_id % 5 != 0
+           |), newE AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+           |  WHERE vec_id % 5 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1 + 0.01)
+           |  FROM embeddings WHERE vec_id % 5 != 0 AND vec_id % 10 = 1
+           |  UNION ALL
+           |  SELECT vec_id + 2000000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1 + 0.01)
+           |  FROM embeddings WHERE vec_id % 5 = 0 AND vec_id % 10 = 0
+           |), $quantEmbSql, qw AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM newE
+           |), qnw AS (
+           |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM qw
+           |), ${ivfTwoLevel2Sql(64)}, $ivfTwoLevelFrozenExtSql, lo AS MATERIALIZED (
+           |  SELECT q.vec_id, a.cell, q.qv, q.n2 FROM qn q JOIN po a USING (vec_id)
+           |), lw AS MATERIALIZED (
+           |  SELECT q.vec_id, a.cell, q.qv, q.n2 FROM qnw q JOIN pw a USING (vec_id)
            |), dups AS (
            |  SELECT DISTINCT a.vec_id FROM lw a JOIN lo b
            |  ON a.cell = b.cell AND $dotCosSql >= 0.95

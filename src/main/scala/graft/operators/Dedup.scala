@@ -972,14 +972,63 @@ object Dedup {
       b.join(a, "_id")
     }
     val nb = Similarity.prepare(newEmb, idCol, vecCol).localCheckpoint()
-    val oa = assign(ob).select(col("_cell"), col("_id").as("id_o"),
+    incrementalScreen(assign(ob), assign(nb).localCheckpoint(), idCol,
+      threshold)
+  }
+
+  /** Derived-k, frozen TWO-LEVEL-index incremental SemDeDup — the form
+    * that survives corpus growth: [[semDedupIncrementalNew]]'s pinned k
+    * lets cell occupancy — and with it the per-batch new-vs-corpus
+    * screen work Σ n_newᶜ·n_oldᶜ ≈ |batch|·N/k — grow linearly with
+    * the accepted corpus (the round-10 octave measured the cliff:
+    * 21× wall at 100× corpus, superlinear on the 30→100 step). Here
+    * k = ⌈N/targetCellSize⌉ is derived from one count so occupancy
+    * stays CONSTANT as the corpus grows, and — because flat Lloyd at
+    * derived k is the N²/⟨cell⟩ scale-killer the round-9 verdict
+    * named — both the index build and every assignment ride the
+    * two-level hierarchy: [[Similarity.trainTwoLevelIndexOn]] freezes
+    * the coarse (≤ ⌈√k⌉ rows, broadcastable forever) and fine
+    * (corpus-sized/⟨cell⟩, NEVER broadcast — equi-joined on the coarse
+    * cell) center tables after their final mean updates, and
+    * [[Similarity.probeTwoLevel]] assigns corpus and batch through
+    * them in N·O(√k) dot products. Keeper rule and output are
+    * [[semDedupIncrementalNew]]'s. */
+  def semDedupIncrementalNewByCellSize(
+      newEmb: DataFrame, corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      targetCellSize: Long = 1024, iters: Int = 2,
+      threshold: Double = 0.95): DataFrame = {
+    require(targetCellSize > 0,
+      s"targetCellSize must be positive, got $targetCellSize")
+    val ob = Similarity.prepare(corpus, idCol, vecCol).localCheckpoint()
+    val n = ob.count()
+    val k = math.min(((n + targetCellSize - 1) / targetCellSize).max(1L),
+      Int.MaxValue.toLong).toInt
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val k2 = (k + k1 - 1) / k1
+    val (cc, ff) = Similarity.trainTwoLevelIndexOn(ob, k1, k2, iters)
+    def assign(b: DataFrame): DataFrame =
+      b.join(Similarity.probeTwoLevel(b, cc, ff, k2), "_id")
+    val nb = Similarity.prepare(newEmb, idCol, vecCol).localCheckpoint()
+    incrementalScreen(assign(ob), assign(nb).localCheckpoint(), idCol,
+      threshold)
+  }
+
+  /** The shared incremental keeper screen over cell-assigned prepared
+    * tables (`(_id, _q, _n2, _cell)`): a new row is dropped iff an
+    * accepted in-cell neighbor sits at cosine ≥ `threshold`, or a
+    * lower-id new in-cell neighbor does. Corpus side rides shuffle-hash
+    * on the cell — never broadcast. */
+  private def incrementalScreen(
+      oa: DataFrame, na: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val o = oa.select(col("_cell"), col("_id").as("id_o"),
       col("_q").as("_qo"), col("_n2").as("_n2o"))
-    val na = assign(nb).localCheckpoint()
     val naA = na.select(col("_cell"), col("_id").as("id_a"),
       col("_q").as("_qa"), col("_n2").as("_n2a"))
     val naB = na.select(col("_cell"), col("_id").as("id_b"),
       col("_q").as("_qb"), col("_n2").as("_n2b"))
-    val dupVsOld = naA.join(oa.hint("shuffle_hash"), Seq("_cell"))
+    val dupVsOld = naA.join(o.hint("shuffle_hash"), Seq("_cell"))
       .where(Similarity.cosineFrom(
         Similarity.dotQ(col("_qa"), col("_qo")),
         col("_n2a"), col("_n2o")) >= threshold)

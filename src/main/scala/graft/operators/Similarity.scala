@@ -432,11 +432,52 @@ object Similarity {
     * Returns `(_id, _cell)` with `_cell = coarse·k2 + fine` — a stable
     * composite id both engines derive identically. */
   private[graft] def trainTwoLevelCellsOn(
-      base: DataFrame, k1: Int, k2: Int, iters: Int): DataFrame = {
+      base: DataFrame, k1: Int, k2: Int, iters: Int): DataFrame =
+    twoLevelLloydOn(base, k1, k2, iters)._1
+
+  /** The FROZEN two-level index of the same run: coarse and fine center
+    * tables AFTER their final mean updates — the incremental-consumer
+    * contract ([[trainIvfCentersOn]]'s build-ends-with-an-update rule
+    * lifted to the hierarchy). Coarse: `(_cc, _ccvec, _ccn2)` (≤ k1
+    * rows — broadcastable at any corpus size since k1 ≈ √k). Fine:
+    * `(_cc, _ff, _cvec, _cn2)` (≤ k1·k2 rows — corpus-sized/⟨cell⟩ at
+    * derived k, so NEVER broadcast; consumers equi-join it on the
+    * coarse cell). Probe with [[probeTwoLevel]]. */
+  private[graft] def trainTwoLevelIndexOn(
+      base: DataFrame, k1: Int, k2: Int, iters: Int): (DataFrame, DataFrame) = {
+    val (_, cc, ff) = twoLevelLloydOn(base, k1, k2, iters)
+    (cc, ff)
+  }
+
+  /** Assign rows of a prepared table through a frozen two-level index:
+    * one broadcast coarse argmin (k1 ≈ √k rows — MBs at web-scale k),
+    * then a fine argmin restricted to the row's coarse cell via an
+    * equi-join on `_cc` (shuffle-hash — the fine table is
+    * corpus-sized/⟨cell⟩ at derived k and never broadcasts). N·O(√k)
+    * dot products total, the d25 assignment arithmetic. Returns
+    * `(_id, _cell)` with the composite `_cell = _cc·k2 + _ff`. */
+  private[graft] def probeTwoLevel(
+      b: DataFrame, coarse: DataFrame, fine: DataFrame, k2: Int): DataFrame = {
+    val ca = b.crossJoin(broadcast(coarse))
+      .withColumn("_dist2",
+        col("_n2") + col("_ccn2") - lit(2L) * dotQ(col("_q"), col("_ccvec")))
+      .groupBy(col("_id"))
+      .agg(min_by(col("_cc"), struct(col("_dist2"), col("_cc"))).as("_cc"))
+    b.join(ca, "_id").join(fine.hint("shuffle_hash"), Seq("_cc"))
+      .withColumn("_dist2",
+        col("_n2") + col("_cn2") - lit(2L) * dotQ(col("_q"), col("_cvec")))
+      .groupBy(col("_id"), col("_cc"))
+      .agg(min_by(col("_ff"), struct(col("_dist2"), col("_ff"))).as("_ff"))
+      .select(col("_id"), (col("_cc") * k2 + col("_ff")).as("_cell"))
+  }
+
+  private def twoLevelLloydOn(
+      base: DataFrame, k1: Int, k2: Int,
+      iters: Int): (DataFrame, DataFrame, DataFrame) = {
     require(k1 > 0 && k2 > 0 && iters > 0,
       s"need k1, k2, iters > 0, got k1=$k1 k2=$k2 iters=$iters")
-    val coarse = trainIvfCellsOn(base, k1, iters, "ivfc|")
-      .withColumnRenamed("_cell", "_cc")
+    val (coarseAssigned, coarseCents) = ivfLloydOn(base, k1, iters, "ivfc|")
+    val coarse = coarseAssigned.withColumnRenamed("_cell", "_cc")
     // one materialized (id, vector, norm, coarse cell) table shared by
     // fine seeding, every fine iteration, and the caller's downstream
     // join — the coarse loop is never re-derived
@@ -471,8 +512,11 @@ object Similarity {
         .localCheckpoint()
       i += 1
     }
-    assigned.select(col("_id"),
-      (col("_cc") * k2 + col("_ff")).as("_cell"))
+    (assigned.select(col("_id"),
+      (col("_cc") * k2 + col("_ff")).as("_cell")),
+      coarseCents.select(col("_cell").as("_cc"), col("_cvec").as("_ccvec"),
+        col("_cn2").as("_ccn2")),
+      fcents)
   }
 
   /** LSH-bucketed top-k: candidates restricted to the query's sign-sketch

@@ -823,6 +823,18 @@ class PlanSpec extends AnyFunSuite {
       s"no per-domain window sort (mega-domain serialization):\n$p")
   }
 
+  test("d32 derived-k incremental: coarse broadcast, fine table equi-joined never broadcast, no cartesian") {
+    val p = plan("d32_incr_semdedup_cellsize")
+    // the ⌈√k⌉-row coarse table broadcasts; the k1·k2 fine table —
+    // corpus-sized/64 at derived k — meets points via an equi-join on
+    // the coarse cell
+    assert(p.contains("BroadcastExchange"), s"coarse centers must broadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"fine probe + in-cell screens must be shuffle-hash equi-joins:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs comparison anywhere:\n$p")
+  }
+
   test("d31 incremental semdedup: frozen centers broadcast, corpus screen shuffle-hash, no cartesian") {
     val p = plan("d31_incremental_semdedup")
     // both assignments ride a broadcast of the k-row center table

@@ -286,6 +286,49 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(kept.forall(_ >= 200L))
   }
 
+  test("semDedupIncrementalNewByCellSize: same keeper semantics through the frozen two-level index") {
+    import spark.implicits._
+    def vec(axis: Int, jit: Double) = {
+      val v = Array.fill(64)(0.0)
+      v(axis) = 1.0; v(40 + axis) = jit; v.toSeq
+    }
+    val corpus = (0 until 8).map { i =>
+      (100L + i, vec(i % 2, 0.02 * (i / 2)))
+    }.toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (200L, vec(0, 0.021)),  // near-copy of accepted → dropped
+      (201L, vec(5, 0.0)),    // novel → survives
+      (202L, vec(5, 0.001)),  // twin of 201 → dropped (first wins)
+      (203L, vec(9, 0.0))     // novel → survives
+    ).toDF("vec_id", "embedding")
+    // target 4 over N=8 derives k=2 ⇒ k1=2 coarse, k2=1 fine — the
+    // same separable partition the pinned-k form finds, probed frozen
+    val out = Dedup.semDedupIncrementalNewByCellSize(incoming, corpus,
+      targetCellSize = 4, iters = 2, threshold = 0.95)
+    assert(out.collect().map(_.getLong(0)).toSet === Set(201L, 203L))
+  }
+
+  test("semDedupIncrementalNewByCellSize is partition-invariant") {
+    import spark.implicits._
+    def vec(axis: Int, jit: Double) = {
+      val v = Array.fill(64)(0.0)
+      v(axis) = 1.0; v(40 + axis) = jit; v.toSeq
+    }
+    val corpus = (0 until 16).map { i =>
+      (100L + i, vec(i % 4, 0.02 * (i / 4)))
+    }.toDF("vec_id", "embedding")
+    val inc = (0 until 8).map { i =>
+      (200L + i, vec(i % 4, 0.02 * (i / 4) + 0.001))
+    }.toDF("vec_id", "embedding")
+    def run(c: org.apache.spark.sql.DataFrame,
+        n: org.apache.spark.sql.DataFrame) =
+      Dedup.semDedupIncrementalNewByCellSize(n, c, targetCellSize = 4,
+        iters = 2, threshold = 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(run(corpus.repartition(1), inc.repartition(1)) ===
+      run(corpus.repartition(5), inc.repartition(3)))
+  }
+
   test("semDedupIncrementalNew is partition-invariant") {
     import spark.implicits._
     def vec(axis: Int, jit: Double) = {
