@@ -116,4 +116,56 @@ class Round10PropertySpec extends AnyFunSuite {
       }, s"seed=$seed")
     }
   }
+
+  /** Random URL generator covering the whole hazard space the
+    * normalizer contracts over — the fixture divisor chain's hazards,
+    * drawn freely instead of deterministically. */
+  private def randomUrl(rnd: Random): String = {
+    def pick[T](xs: Seq[T]) = xs(rnd.nextInt(xs.size))
+    val scheme = pick(Seq("http", "https", "HTTP", "HTTPS", "Http"))
+    val www = pick(Seq("", "www.", "WWW."))
+    val sub = pick(Seq("", "blog.", "news.", "a.b."))
+    val site = s"site${rnd.nextInt(12)}"
+    val tld = pick(Seq(".com", ".org", ".io", ".co.uk"))
+    val port = pick(Seq("", ":80", ":443", ":8080"))
+    val path = pick(Seq("", "/", s"/p/${rnd.nextInt(40)}", s"/p/${rnd.nextInt(40)}/"))
+    val query = pick(Seq("", "?a=1", "?utm_x=9", "?b=2&a=1&utm_s=f",
+      s"?id=${rnd.nextInt(20)}&utm_campaign=z"))
+    val frag = pick(Seq("", "#sec", "#x"))
+    s"$scheme://$www$sub$site$tld$port$path$query$frag"
+  }
+
+  test("normalizeUrls is idempotent: canonical output is its own fixpoint") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val urls = (1 to 400).map(i => (i.toLong, randomUrl(rnd)))
+      .toDF("id", "url")
+    val once = graft.operators.Web.normalizeUrls(urls, "url")
+      .select(col("id"), col("norm_url"))
+    val twice = graft.operators.Web
+      .normalizeUrls(once.withColumnRenamed("norm_url", "url"), "url")
+      .select(col("id"), col("norm_url").as("norm2"))
+    val diff = once.join(twice, "id")
+      .where(col("norm_url") =!= col("norm2")).collect()
+    assert(diff.isEmpty,
+      diff.take(5).map(_.toString).mkString("not idempotent on: ", ", ", ""))
+    // and a re-normalized URL never reports tracking (utm_* is gone)
+    val re = graft.operators.Web
+      .normalizeUrls(once.withColumnRenamed("norm_url", "url"), "url")
+    assert(re.where(col("had_tracking")).count() === 0)
+  }
+
+  test("registrableDomain is invariant under normalization-preserved subdomains") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val urls = (1 to 300).map(i => (i.toLong, randomUrl(rnd))).toDF("id", "url")
+    val n = graft.operators.Web.normalizeUrls(urls, "url")
+      .withColumn("rd", graft.operators.Web.registrableDomain(col("host")))
+    // the registrable domain never keeps a www/blog/news/a.b prefix
+    // and always ends in a known public suffix with exactly one extra
+    // label
+    val bad = n.where(!col("rd").rlike("^site[0-9]+\\.(com|org|io|co\\.uk)$"))
+      .collect()
+    assert(bad.isEmpty, bad.take(5).mkString(", "))
+  }
 }

@@ -712,4 +712,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(stream.size === ids.size)
     } finally q.stop()
   }
+
+  test("stateful domain cap: first-k admission across micro-batches, canonicalization verbatim") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulDomainCap
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val urls = mem.toDF.toDF("doc_id", "url")
+    val q = StatefulDomainCap.admit(urls, "url", "doc_id", k = 2)
+      .writeStream.format("memory").queryName("dcap").outputMode("update").start()
+    try {
+      // spelling variants of ONE domain must share the cap counter:
+      // WWW./https-case/default-port/utm all roll up to sitea.co.uk
+      mem.addData(
+        (1L, "HTTPS://WWW.sitea.co.uk:443/p/1"),
+        (2L, "https://blog.sitea.co.uk/p/2?utm_x=1"),
+        (3L, "https://siteb.com/p/3"))
+      q.processAllAvailable()
+      // the counter carries across the micro-batch boundary: sitea is
+      // full, doc 4 is rejected; siteb admits its second
+      mem.addData((4L, "https://sitea.co.uk/p/4"), (5L, "http://siteb.com/p/5"))
+      q.processAllAvailable()
+      mem.addData((2L, "https://sitea.co.uk/p/dup")) // late id: skipped
+      q.processAllAvailable()
+      val rows = spark.table("dcap").collect()
+        .map(r => r.getLong(1) -> ((r.getString(0), r.getLong(2)))).toMap
+      assert(rows === Map(
+        1L -> (("sitea.co.uk", 1L)), 2L -> (("sitea.co.uk", 2L)),
+        3L -> (("siteb.com", 1L)), 5L -> (("siteb.com", 2L))))
+      assert(!rows.contains(4L), "capped domain must reject")
+      // batch-posture parity: the same operator on a static frame
+      // equals the first-k-by-id window cap row for row
+      val staticUrls = (0L until 40L)
+        .map(i => (i, s"https://site${i % 4}.org/p/$i")).toDF("doc_id", "url")
+      val stream = StatefulDomainCap.admit(staticUrls, "url", "doc_id", k = 3)
+        .collect().map(a => a.doc_id -> ((a.reg_domain, a.rk))).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("reg_domain")).orderBy(col("doc_id"))
+      val batch = graft.operators.Web.normalizeUrls(staticUrls, "url")
+        .withColumn("reg_domain", graft.operators.Web.registrableDomain(col("host")))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("reg_domain"), r.getAs[Int]("rk").toLong))).toMap
+      assert(stream === batch)
+      assert(stream.size === 12)
+    } finally q.stop()
+  }
 }
