@@ -2627,6 +2627,27 @@ object SparkEntry {
       val df = phashFixtureRows(s, dir).toDF("media_id", "bytes")
       Multimodal.perceptualNearDupPairs(par(df), maxHamming = 3)
     }),
+    // Perceptual near-dup FAMILIES — the media twin of d10's
+    // pairs→components→keeper pipeline: m9's Hamming-banded pairs
+    // clustered by min-label connected components, every fixture image
+    // labeled with its family id (singletons are their own family)
+    // plus the min-id keeper flag — the table a media curation run
+    // publishes ("these N files are M distinct images; keep these").
+    // Same scale shape as d10: the CC loop shuffles only the
+    // pair-table-sized frontier per round, never the payloads.
+    "m10_perceptual_families" -> ((s, dir) => {
+      import s.implicits._
+      val df = phashFixtureRows(s, dir).toDF("media_id", "bytes")
+      val pairs = Multimodal.perceptualNearDupPairs(par(df), maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      df.select(col("media_id"))
+        .join(cc.withColumnRenamed("doc_id", "media_id"), Seq("media_id"),
+          "left")
+        .select(col("media_id"),
+          coalesce(col("group_id"), col("media_id")).as("family_id"))
+        .withColumn("is_keeper", col("media_id") === col("family_id"))
+    }),
     // Recursive CTE (Spark 4 relational surface): shortest-hop
     // reachability from nation 0 over the g5 trade backbone — ≤3-hop
     // paths enumerated by the recursion, min-hop aggregated after
@@ -3422,6 +3443,52 @@ object SparkEntry {
        |), a2 AS (
        |  SELECT f.vec_id, f.cc * kp.k2 + f.ff AS cell FROM fa2 f, kp
        |)""".stripMargin
+
+  // The m9/m10 perceptual-hash chain, DuckDB side: recomputes the
+  // fixture images' 8×9 block sums straight from the nation-key
+  // generating formulas (no pixels — the gradient g(x,y) = a·x+b·y+off
+  // mod 256 summed over each block's area), derives the dHash bits and
+  // four 16-bit band keys exactly as Multimodal.perceptualHashes does,
+  // and emits banded candidate pairs with exact popcount Hamming in
+  // CTE `prs` (unfiltered — consumers apply their own threshold).
+  private val phashChainSql: String =
+    """keys AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+      |), prm AS (
+      |  SELECT k, 41 + 17 * ((k // 2) % 9) AS a, 29 + 23 * ((k // 2) % 7) AS b,
+      |    11 * (k // 2) AS off,
+      |    1 + (k // 2) % 3 AS sx, 1 + (k // 2) % 2 AS sy
+      |  FROM keys
+      |), cells AS (
+      |  SELECT p.k, rr.r, cc.cidx,
+      |    sum((p.a * (cc.cidx * p.sx + dx.i) + p.b * (rr.r * p.sy + dy.j) + p.off) % 256) AS s
+      |  FROM prm p,
+      |    (SELECT CAST(range AS BIGINT) AS r FROM range(8)) rr,
+      |    (SELECT CAST(range AS BIGINT) AS cidx FROM range(9)) cc,
+      |    (SELECT CAST(range AS BIGINT) AS i FROM range(3)) dx,
+      |    (SELECT CAST(range AS BIGINT) AS j FROM range(2)) dy
+      |  WHERE dx.i < p.sx AND dy.j < p.sy
+      |  GROUP BY 1, 2, 3
+      |), bits AS (
+      |  SELECT l.k, l.r, l.cidx,
+      |    CASE WHEN rt.s > l.s THEN 1 ELSE 0 END AS bit
+      |  FROM cells l JOIN cells rt
+      |    ON l.k = rt.k AND l.r = rt.r AND rt.cidx = l.cidx + 1
+      |  WHERE l.cidx < 8
+      |), hashes AS MATERIALIZED (
+      |  SELECT k,
+      |    CAST(sum(CASE WHEN r // 2 = 0 THEN bit * (1 << CAST((r % 2) * 8 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b0,
+      |    CAST(sum(CASE WHEN r // 2 = 1 THEN bit * (1 << CAST((r % 2) * 8 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b1,
+      |    CAST(sum(CASE WHEN r // 2 = 2 THEN bit * (1 << CAST((r % 2) * 8 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b2,
+      |    CAST(sum(CASE WHEN r // 2 = 3 THEN bit * (1 << CAST((r % 2) * 8 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b3
+      |  FROM bits GROUP BY k
+      |), prs AS (
+      |  SELECT a.k AS id_a, c.k AS id_b,
+      |    bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1)) +
+      |    bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) AS hamming
+      |  FROM hashes a JOIN hashes c ON a.k < c.k
+      |    AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)
+      |)""".stripMargin
 
   // Frozen-two-level-index extension of ivfTwoLevel2Sql (Similarity.
   // trainTwoLevelIndexOn / probeTwoLevel parity): coarse (cc2*) and
@@ -5435,45 +5502,32 @@ object SparkEntry {
       // rasters — same ordering), then replays band keys, the
       // ≥1-shared-band candidate rule, and exact Hamming.
       "m9_perceptual_neardup" ->
-        """WITH keys AS (
-          |  SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
-          |), prm AS (
-          |  SELECT k, 41 + 17 * ((k // 2) % 9) AS a, 29 + 23 * ((k // 2) % 7) AS b,
-          |    11 * (k // 2) AS off,
-          |    1 + (k // 2) % 3 AS sx, 1 + (k // 2) % 2 AS sy
-          |  FROM keys
-          |), cells AS (
-          |  SELECT p.k, rr.r, cc.cidx,
-          |    sum((p.a * (cc.cidx * p.sx + dx.i) + p.b * (rr.r * p.sy + dy.j) + p.off) % 256) AS s
-          |  FROM prm p,
-          |    (SELECT CAST(range AS BIGINT) AS r FROM range(8)) rr,
-          |    (SELECT CAST(range AS BIGINT) AS cidx FROM range(9)) cc,
-          |    (SELECT CAST(range AS BIGINT) AS i FROM range(3)) dx,
-          |    (SELECT CAST(range AS BIGINT) AS j FROM range(2)) dy
-          |  WHERE dx.i < p.sx AND dy.j < p.sy
-          |  GROUP BY 1, 2, 3
-          |), bits AS (
-          |  SELECT l.k, l.r, l.cidx,
-          |    CASE WHEN rt.s > l.s THEN 1 ELSE 0 END AS bit
-          |  FROM cells l JOIN cells rt
-          |    ON l.k = rt.k AND l.r = rt.r AND rt.cidx = l.cidx + 1
-          |  WHERE l.cidx < 8
-          |), hashes AS MATERIALIZED (
-          |  SELECT k,
-          |    CAST(sum(CASE WHEN r // 2 = 0 THEN bit * (1 << CAST((r % 2) * 8 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b0,
-          |    CAST(sum(CASE WHEN r // 2 = 1 THEN bit * (1 << CAST((r % 2) * 8 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b1,
-          |    CAST(sum(CASE WHEN r // 2 = 2 THEN bit * (1 << CAST((r % 2) * 8 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b2,
-          |    CAST(sum(CASE WHEN r // 2 = 3 THEN bit * (1 << CAST((r % 2) * 8 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b3
-          |  FROM bits GROUP BY k
-          |), pairs AS (
-          |  SELECT a.k AS id_a, c.k AS id_b,
-          |    bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1)) +
-          |    bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) AS hamming
-          |  FROM hashes a JOIN hashes c ON a.k < c.k
-          |    AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)
-          |)
-          |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
-          |FROM pairs WHERE hamming <= 3""".stripMargin,
+        s"""WITH $phashChainSql
+           |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+           |FROM prs WHERE hamming <= 3""".stripMargin,
+      // m10 = m9's pairs clustered to families: recursive closure over
+      // the Hamming-≤3 edges, component minimum as the family id (the
+      // algorithm-independent result min-label propagation converges
+      // to), every nation-key image labeled, min-id keeper flag.
+      "m10_perceptual_families" ->
+        s"""WITH RECURSIVE $phashChainSql, pf AS (
+           |  SELECT id_a, id_b FROM prs WHERE hamming <= 3
+           |), edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pf
+           |  UNION
+           |  SELECT id_b, id_a FROM pf
+           |), nodes AS (
+           |  SELECT DISTINCT src AS id FROM edges
+           |), cc(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT cc.id, e.dst FROM cc JOIN edges e ON cc.r = e.src
+           |), lbl AS (
+           |  SELECT id, min(r) AS group_id FROM cc GROUP BY id
+           |)
+           |SELECT k AS media_id, coalesce(l.group_id, k) AS family_id,
+           |  coalesce(l.group_id, k) = k AS is_keeper
+           |FROM keys LEFT JOIN lbl l ON keys.k = l.id""".stripMargin,
       "u1_funnel_stages" ->
         s"""$funnelStagesSql
            |SELECT user_id, epoch_us(t0) AS t0_us, epoch_us(t1) AS t1_us,

@@ -232,6 +232,25 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(p => Set(p._1, p._2).exists(Set(5L, 6L, 7L))))
   }
 
+  test("m10 families: twins share a family with the even keeper, singletons self-family") {
+    val out = SparkEntry.queries("m10_perceptual_families")(spark,
+      TestData.dir("0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // the fixture renders each content twice (k, k+1 — PNG and BMP of
+    // the same raster), so every even key is a family keeper and its
+    // odd twin a member; the last unpaired key (odd fixture count) is
+    // its own singleton family
+    val byId = out.map(x => x._1 -> ((x._2, x._3))).toMap
+    val n = out.length
+    (0L until n.toLong).foreach { k =>
+      if (k % 2 == 0 && k + 1 < n) assert(byId(k) === ((k, true)), s"k=$k")
+      else if (k % 2 == 1) assert(byId(k) === ((k - 1, false)), s"k=$k")
+      else assert(byId(k) === ((k, true)), s"singleton k=$k")
+    }
+    // families partition the fixture: every id appears exactly once
+    assert(out.map(_._1).distinct.length === n)
+  }
+
   test("perceptual hash is invariant to raster partitioning and source layout") {
     import spark.implicits._
     def g(x: Int, y: Int) = (71 * x + 37 * y + 3) % 256
