@@ -535,4 +535,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(x10 <= 3L * x1, s"a hot gram emerged: max df $x1 -> $x10")
   }
 
+  test("derived-k incremental screen keeps per-batch-vector work constant at 10x") {
+    // gated on the 10x scale-rehearsal blow-up (regenerate with
+    // `runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sf1 10`)
+    assume(new java.io.File("/tmp/sf1/embeddings.parquet").exists(),
+      "10x rehearsal data absent")
+    Graft.registerAll(spark)
+    // d32's contract measured on the engine's own cell assignments:
+    // with k = ceil(N/cell) derived from the corpus count, the
+    // per-batch screen does Sigma_c n_new_c * n_old_c cosines; per NEW
+    // vector that is ~ occupancy, which must stay constant as corpus
+    // AND batch grow together (the pinned-k d31 form grows it
+    // linearly -- the measured 21x-at-100x cliff in SCALE.md)
+    def screenWorkPerNew(dir: String, target: Long): Double = {
+      val e = SparkEntry.tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val corpus = e.where(col("vec_id") % 5 =!= 0)
+      val batch = e.where(col("vec_id") % 5 === 0)
+      val ob = Similarity.prepare(corpus, "vec_id", "embedding").localCheckpoint()
+      val n = ob.count()
+      val k = ((n + target - 1) / target).toInt
+      val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+      val k2 = (k + k1 - 1) / k1
+      val (cc, ff) = Similarity.trainTwoLevelIndexOn(ob, k1, k2, iters = 2)
+      val nb = Similarity.prepare(batch, "vec_id", "embedding").localCheckpoint()
+      val oc = Similarity.probeTwoLevel(ob, cc, ff, k2)
+        .groupBy(col("_cell")).agg(count(lit(1)).as("n_old"))
+      val ncc = Similarity.probeTwoLevel(nb, cc, ff, k2)
+        .groupBy(col("_cell")).agg(count(lit(1)).as("n_new"))
+      val work = ncc.join(oc, Seq("_cell"))
+        .agg(coalesce(sum(col("n_new") * col("n_old")), lit(0L))).head.getLong(0)
+      work.toDouble / nb.count()
+    }
+    val w1 = screenWorkPerNew(TestData.dir("0.1"), 64L)
+    val w10 = screenWorkPerNew("/tmp/sf1", 64L)
+    // constant modulo k-means imbalance; a pinned k would show ~10x
+    assert(w10 < 4.0 * w1, s"per-new-vector screen work grew $w1 -> $w10")
+  }
+
 }
