@@ -135,9 +135,9 @@ object Bench {
       "d18" -> 0.6, "d19" -> 0.9, "d2" -> 0.8, "d20" -> 0.5, "d21" -> 1.9,
       "d22" -> 1.1, "d23" -> 1.0, "d24" -> 1.9, "d25" -> 2.4, "d26" -> 2.0,
       "d27" -> 0.27, "d28" -> 1, "d29" -> 1, "d3" -> 0, "d4" -> 0.8,
-      "d5" -> 3.9, "d6" -> 1.9, "d7" -> 0.5, "d8" -> 0.7, "d9" -> 0.8,
+      "d5" -> 3.9, "d6" -> 1.9, "d7" -> 0.5, "d8" -> 0.66, "d9" -> 0.8,
       "g1" -> 2.8, "g10" -> 1.4, "g11" -> 1.8, "g12" -> 1.7, "g2" -> 1.0,
-      "g3" -> 2.7, "g4" -> 0.8, "g5" -> 1.3, "g6" -> 2.2, "g7" -> 2.0,
+      "g3" -> 2.49, "g4" -> 0.8, "g5" -> 1.3, "g6" -> 2.2, "g7" -> 1.87,
       "g8" -> 1.9, "g9" -> 1.4, "j1" -> 0.09, "m1" -> 0, "m2" -> 0.3,
       "m3" -> 0.3, "m4" -> 0.3, "m5" -> 0.3, "m6" -> 0, "m7" -> 0.28,
       "m8" -> 0.39, "m9" -> 0, "p1" -> 0, "p10" -> 0.3, "p11" -> 0.3,
@@ -147,36 +147,36 @@ object Bench {
       "q1" -> 0, "q10" -> 0, "q11" -> 0.6, "q12" -> 0, "q13" -> 0.3,
       "q14" -> 0.4, "q15" -> 0, "q16" -> 0.4, "q17" -> 0.3, "q18" -> 0.3,
       "q19" -> 0.3, "q2" -> 0, "q20" -> 0, "q21" -> 0.3, "q22" -> 0,
-      "q23" -> 0.4, "q24" -> 0, "q25" -> 0.3, "q26" -> 0, "q27" -> 0.3,
+      "q23" -> 0.4, "q24" -> 0, "q25" -> 0.3, "q26" -> 0, "q27" -> 0.21,
       "q28" -> 0.3, "q29" -> 0.3, "q3" -> 0, "q30" -> 0, "q31" -> 0,
-      "q32" -> 0.3, "q33" -> 0.4, "q34" -> 0, "q35" -> 0, "q36" -> 0.4,
+      "q32" -> 0.3, "q33" -> 0.28, "q34" -> 0, "q35" -> 0, "q36" -> 0.4,
       "q37" -> 0, "q38" -> 0.5, "q39" -> 0, "q4" -> 0, "q40" -> 0,
       "q41" -> 2.8, "q42" -> 0.4, "q43" -> 0.6, "q44" -> 0.7, "q5" -> 0,
       "q6" -> 0.3, "q7" -> 0.4, "q8" -> 0.3, "q9" -> 0,
       "retention_count" -> 0.3, "retention_sum" -> 0, "s1" -> 0.3,
       "s10" -> 1.7, "s11" -> 0.6, "s12" -> 0.4, "s13" -> 0.7, "s14" -> 0.3,
-      "s15" -> 0.3, "s16" -> 0.6, "s17" -> 1.3, "s18" -> 0.5, "s19" -> 0.4,
+      "s15" -> 0.3, "s16" -> 0.59, "s17" -> 1.3, "s18" -> 0.5, "s19" -> 0.4,
       "s2" -> 0.6, "s20" -> 0.5, "s3" -> 1.2, "s4" -> 0.7, "s5" -> 1.6,
-      "s6" -> 1.1, "s7" -> 0.3, "s8" -> 3.26, "s9" -> 6.0, "t1" -> 0,
+      "s6" -> 1.1, "s7" -> 0.3, "s8" -> 2.99, "s9" -> 4.58, "t1" -> 0,
       "t10" -> 0.7, "t11" -> 0.6, "t12" -> 0.6, "t13" -> 0.5, "t14" -> 0,
       "t15" -> 0.6, "t16" -> 1.0, "t17" -> 0.4, "t18" -> 1.1, "t19" -> 0.7,
       "t2" -> 0, "t20" -> 0.3, "t21" -> 0.4, "t22" -> 0.7, "t23" -> 0,
       "t24" -> 0.5, "t25" -> 0, "t26" -> 1.0, "t27" -> 0.3, "t28" -> 0.3,
       "t29" -> 0, "t3" -> 0, "t30" -> 0, "t31" -> 1, "t33" -> 0.4,
       "t34" -> 0.9, "t35" -> 0.7, "t36" -> 0.8, "t37" -> 0, "t38" -> 0.8,
-      "t39" -> 0, "t4" -> 0.3, "t40" -> 0.9, "t41" -> 0.8, "t42" -> 0.9,
-      "t5" -> 0.27, "t6" -> 0.4, "t7" -> 0, "t8" -> 0.3, "t9" -> 0.9,
+      "t39" -> 0, "t4" -> 0.17, "t40" -> 0.9, "t41" -> 0.8, "t42" -> 0.9,
+      "t5" -> 0.18, "t6" -> 0.4, "t7" -> 0, "t8" -> 0.17, "t9" -> 0.9,
       "u1" -> 0.3, "u10" -> 0.4, "u11" -> 0.4, "u12" -> 0.4, "u13" -> 0.3,
       "u14" -> 0, "u15" -> 0.3, "u16" -> 0.3, "u17" -> 0.3, "u18" -> 0.4,
       "u19" -> 0.3, "u2" -> 0, "u20" -> 0.3, "u21" -> 0, "u23" -> 0.8,
       "u24" -> 0, "u25" -> 0.4, "u26" -> 0.4, "u27" -> 0.4, "u28" -> 0.6,
       "u29" -> 0.4, "u3" -> 0, "u30" -> 0.4, "u31" -> 0, "u32" -> 0.3,
-      "u33" -> 0.6, "u34" -> 0.4, "u35" -> 0.4, "u36" -> 0.5, "u37" -> 0.3,
-      "u38" -> 0.4, "u39" -> 0.3, "u4" -> 0, "u40" -> 0.4, "u41" -> 0,
+      "u33" -> 0.6, "u34" -> 0.4, "u35" -> 0.4, "u36" -> 0.5, "u37" -> 0.28,
+      "u38" -> 0.38, "u39" -> 0.3, "u4" -> 0, "u40" -> 0.4, "u41" -> 0,
       "u42" -> 0.7, "u43" -> 0.5, "u44" -> 0.4, "u45" -> 0.3, "u46" -> 0,
-      "u47" -> 0, "u49" -> 0.7, "u5" -> 0.3, "u50" -> 0.4, "u6" -> 0.3,
-      "u7" -> 3, "u8" -> 0.3, "u9" -> 0.4, "t43" -> 0.6, "w1" -> 0.5,
-      "w2" -> 0.5, "w3" -> 0.9, "d31" -> 2.0, "d32" -> 4.2, "m10" -> 0.3)
+      "u47" -> 0, "u49" -> 0.7, "u5" -> 0.3, "u50" -> 0.36, "u6" -> 0.3,
+      "u7" -> 2.57, "u8" -> 0.3, "u9" -> 0.4, "t43" -> 0.59, "w1" -> 0.5,
+      "w2" -> 0.5, "w3" -> 0.9, "d31" -> 2.0, "d32" -> 4.19, "m10" -> 0.3)
 
   private[graft] def priorIsolatedMin(n: String): Option[Double] =
     priorIsolatedMinSec.get(n.split("_")(0)).orElse(priorIsolatedMinSec.get(n))

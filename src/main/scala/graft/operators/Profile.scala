@@ -352,8 +352,12 @@ object Profile {
       df: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
+    // null-scored/-labeled rows are excluded (a row with no prediction
+    // or no ground truth has no place on a reliability diagram — and
+    // would otherwise form a phantom NULL bin)
     val s = df.select(col(scoreCol).cast("long").as("_sc"),
       col(labelCol).cast("long").as("_lb"))
+      .where(col("_sc").isNotNull && col("_lb").isNotNull)
     val mm = s.agg(min(col("_sc")).as("_mn"), max(col("_sc")).as("_mx"))
     val pred = s.crossJoin(broadcast(mm))
       .withColumn("_pred",

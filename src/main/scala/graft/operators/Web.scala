@@ -147,7 +147,10 @@ object Web {
       suffixes: Seq[String] = DefaultSuffixes): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val mink = udaf(new MinKAgg(k), Encoders.product[SampleCand])
-    normalizeUrls(df, urlCol)
+    // null-id rows are dropped up front (an id-less document is
+    // unaddressable downstream either way) — the SampleCand encoder
+    // would otherwise NPE the task on an ordinary nullable parquet cell
+    normalizeUrls(df.where(col(idCol).isNotNull), urlCol)
       .withColumn("reg_domain", registrableDomain(col("host"), suffixes))
       .select(col("reg_domain"),
         Dedup.hash60(concat(lit("cap|"), col(idCol).cast("string"))).as("_ck"),

@@ -58,7 +58,11 @@ object StatefulDomainCap {
       suffixes: Seq[String] = Web.DefaultSuffixes): Dataset[DomainDoc] = {
     val spark = urls.sparkSession
     import spark.implicits._
-    Web.normalizeUrls(urls, urlCol)
+    // null ids dropped up front (the DomainDoc encoder would NPE);
+    // null/malformed urls yield a NULL host → registrableDomain NULL →
+    // they pool under the null-keyed group and count against it, never
+    // against a real domain
+    Web.normalizeUrls(urls.where(col(idCol).isNotNull), urlCol)
       .select(Web.registrableDomain(col("host"), suffixes).as("reg_domain"),
         col(idCol).cast("long").as("doc_id"))
       .as[DomainDoc]
