@@ -823,6 +823,14 @@ class PlanSpec extends AnyFunSuite {
       s"no per-domain window sort (mega-domain serialization):\n$p")
   }
 
+  test("w3 web funnel: exactly two hash exchanges (url window + domain aggregate)") {
+    val p = plan("w3_web_funnel")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 2,
+      s"w3's contract is TWO hash exchanges regardless of corpus size, got $n:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d32 derived-k incremental: coarse broadcast, fine table equi-joined never broadcast, no cartesian") {
     val p = plan("d32_incr_semdedup_cellsize")
     // the ⌈√k⌉-row coarse table broadcasts; the k1·k2 fine table —
