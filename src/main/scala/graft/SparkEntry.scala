@@ -2833,6 +2833,27 @@ object SparkEntry {
       Dedup.semDedupIncrementalNew(incoming, corpus, k = 8, iters = 2,
         threshold = 0.95)
     }),
+    // SEMANTIC decontamination — the embedding-cosine complement of
+    // d7/d9's n-gram screens and d27's eval coverage: paraphrased eval
+    // leakage shares no 8-gram but sits at high cosine. Eval fixture:
+    // near-copies (contaminated probes, must flag their sources) +
+    // negated vectors (cos −1 with their sources — structurally clean
+    // against them). Eval broadcast, train corpus never shuffled,
+    // threshold screen before the argmax. See
+    // Decontaminate.semanticReport.
+    "d33_semantic_decontam" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val evalSet = e.where(col("vec_id") % 83 === 0)
+        .select(col("vec_id").as("eval_id"),
+          transform(col("embedding"), x => x * 1.1 + 0.01).as("embedding"))
+        .unionByName(e.where(col("vec_id") % 83 === 41)
+          .select((col("vec_id") + 500000).as("eval_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      graft.operators.Decontaminate.semanticReport(par(e), evalSet,
+        threshold = 0.95)
+    }),
     // The PRODUCTION incremental form: same fixture as d31, but k is
     // derived as ⌈N/64⌉ from one corpus count (occupancy — and the
     // per-batch screen work — constant as the corpus grows) and BOTH
@@ -6523,6 +6544,32 @@ object SparkEntry {
            |UNION ALL SELECT '2_blocklist', n2, m2 FROM t
            |UNION ALL SELECT '3_url_dedup', n3, m3 FROM t
            |UNION ALL SELECT '4_domain_cap', n4, m3 FROM t""".stripMargin,
+      "d33_semantic_decontam" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+           |), $quantEmbSql, ev AS (
+           |  SELECT vec_id AS eval_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1 + 0.01) AS embedding
+           |  FROM embeddings WHERE vec_id % 83 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 500000, list_transform(embedding, x -> -CAST(x AS DOUBLE))
+           |  FROM embeddings WHERE vec_id % 83 = 41
+           |), eq0 AS (
+           |  SELECT eval_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM ev
+           |), eqn AS (
+           |  SELECT eval_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM eq0
+           |), pr AS (
+           |  SELECT t.vec_id, e.eval_id,
+           |    CAST(list_sum(list_transform(range(1, 65), d -> t.qv[CAST(d AS INT)] * e.qv[CAST(d AS INT)])) AS DOUBLE)
+           |      / (sqrt(CAST(t.n2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE))) AS cos
+           |  FROM qn t CROSS JOIN eqn e
+           |), fl AS (
+           |  SELECT vec_id, eval_id, cos,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn
+           |  FROM pr WHERE cos >= 0.95
+           |)
+           |SELECT vec_id, eval_id, round(cos, 6) AS cos FROM fl WHERE rn = 1""".stripMargin,
       // d31 = the frozen-index incremental form: Lloyd trains on the
       // ACCEPTED corpus only (eIn → qn), one extra mean update past a2
       // yields the final index centers (c2n — the build-ends-with-an-

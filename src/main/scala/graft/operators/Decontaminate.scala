@@ -145,4 +145,75 @@ object Decontaminate {
         expr("(CAST(n_hit AS DECIMAL(38,0)) * 1000000) div n_shingles")
           .as("coverage_ppm"))
   }
+
+  /** SEMANTIC decontamination — the embedding-cosine complement of the
+    * n-gram family above: [[report]]/[[reportBloom]] catch verbatim
+    * and near-verbatim leakage, but a PARAPHRASED eval item (reworded
+    * question, translated passage, renamed variables) shares no
+    * 8-gram with its source while sitting at high embedding cosine —
+    * the leakage mode n-gram screens structurally miss (the reason
+    * modern corpus audits pair both screens). A training vector is
+    * flagged iff some eval vector sits at cosine ≥ `threshold`; the
+    * report names the closest one.
+    *
+    * Plan shape (the [[report]] discipline with vectors): the eval
+    * side is small — it broadcasts prepared+quantized; the train
+    * corpus is scanned in place and NEVER shuffled; the threshold
+    * screen runs before the per-train argmax so only flagged pairs
+    * reach the (tiny) aggregate. Brute-force |train|·|eval| exact dot
+    * products — the right tool up to ~10⁴-10⁵ eval vectors; past
+    * that, [[semanticReportBanded]] keeps the identical contract with
+    * sign-LSH bucketed candidates.
+    *
+    * Output: one row per flagged training vector —
+    * `(idCol, eval_id, cos)` with `cos` its max eval cosine rounded
+    * to 6 (ties → smallest eval id), the same rounding point as the
+    * ANN family. */
+  def semanticReport(
+      train: DataFrame, eval: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      evalIdCol: String = "eval_id", threshold: Double = 0.95): DataFrame = {
+    val t = Similarity.prepare(train, idCol, vecCol)
+    val e = Similarity.prepare(eval, evalIdCol, vecCol)
+      .select(col("_id").as("_eid"), col("_q").as("_eq"),
+        col("_n2").as("_en2"))
+    flaggedArgmax(t.crossJoin(broadcast(e)), idCol, threshold)
+  }
+
+  /** [[semanticReport]] for eval sets too large to meet every train
+    * vector: candidates are restricted to the shared sign-LSH bucket
+    * ([[Similarity.lshBucket]] on both sides — the d5/s2 banding), so
+    * per-train work is the bucket's eval occupancy instead of |eval|.
+    * Single-probe recall contract: a near pair split by one hyperplane
+    * is missed (the s4 multi-probe trade) — flagged set ⊆ the brute
+    * form's, with the constructed contaminations recovered in the
+    * spec. Output contract identical. */
+  def semanticReportBanded(
+      train: DataFrame, eval: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      evalIdCol: String = "eval_id", threshold: Double = 0.95,
+      planes: Int = 16, dim: Int = 64): DataFrame = {
+    val t = Similarity.prepare(train, idCol, vecCol)
+      .withColumn("_bucket", Similarity.lshBucket(col("_q"), planes, dim))
+    val e = Similarity.prepare(eval, evalIdCol, vecCol)
+      .withColumn("_bucket", Similarity.lshBucket(col("_q"), planes, dim))
+      .select(col("_bucket"), col("_id").as("_eid"), col("_q").as("_eq"),
+        col("_n2").as("_en2"))
+    flaggedArgmax(t.join(broadcast(e), "_bucket"), idCol, threshold)
+  }
+
+  /** Shared tail: threshold screen, then per-train argmax (max cosine,
+    * ties → smallest eval id) over the flagged-pair residue. */
+  private def flaggedArgmax(
+      paired: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    paired
+      .withColumn("_cos", Similarity.cosineFrom(
+        Similarity.dotQ(col("_q"), col("_eq")), col("_n2"), col("_en2")))
+      .where(col("_cos") >= threshold)
+      .groupBy(col("_id"))
+      .agg(min_by(struct(col("_eid"), col("_cos")),
+        struct(negate(col("_cos")), col("_eid"))).as("_m"))
+      .select(col("_id").as(idCol), col("_m._eid").as("eval_id"),
+        round(col("_m._cos"), 6).as("cos"))
+  }
 }

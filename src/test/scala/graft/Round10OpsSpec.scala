@@ -368,6 +368,36 @@ class Round10OpsSpec extends AnyFunSuite {
       run(corpus.repartition(5), inc.repartition(3)))
   }
 
+  test("semanticReport: paraphrase-leak flags, orthogonal eval clean, banded ⊆ brute") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    def vec(axis: Int, jit: Double) = {
+      val v = Array.fill(64)(0.0)
+      v(axis) = 1.0; v(40 + axis) = jit; v.toSeq
+    }
+    val train = (0 until 12).map { i =>
+      (100L + i, vec(i % 3, 0.02 * (i / 3)))
+    }.toDF("vec_id", "embedding")
+    val evalSet = Seq(
+      (1L, vec(0, 0.015)),  // paraphrased twin of the axis-0 family
+      (2L, vec(7, 0.0))     // orthogonal to every train vector → clean
+    ).toDF("eval_id", "embedding")
+    val brute = Decontaminate.semanticReport(train, evalSet, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every axis-0 train vector is flagged against eval 1; nothing
+    // is ever flagged against the orthogonal eval 2
+    assert(brute.map(_._1) === (0 until 12).filter(_ % 3 == 0)
+      .map(i => 100L + i).toSet)
+    assert(brute.forall(_._2 == 1L))
+    // the banded form never flags anything brute didn't, and on this
+    // tight fixture (cos ≈ 0.999 pairs share every sign bit) recovers
+    // all of it
+    val banded = Decontaminate.semanticReportBanded(train, evalSet,
+      threshold = 0.95).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(brute))
+    assert(banded === brute)
+  }
+
   test("normalizeUrls: every canonicalization rule, hand-checked") {
     import spark.implicits._
     val in = Seq(
