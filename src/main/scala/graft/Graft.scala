@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{Fingerprint64, HashedLinearScore, HashedShingles, LongArrayDot, MinhashSig, PositionalGramHashes, Simhash32, SqlFunctions}
+import graft.functions.{Fingerprint64, HashedLinearScore, HashedShingles, LongArrayDot, MinhashSig, NfcNormalize, PositionalGramHashes, Simhash32, SqlFunctions}
 import graft.operators.Retention
 
 /** Session facade for the graft engine — the analogue of the reference's
@@ -46,6 +46,7 @@ object Graft {
     Simhash32.register(spark)
     Fingerprint64.register(spark)
     HashedLinearScore.register(spark)
+    NfcNormalize.register(spark)
     SqlFunctions.registerAll(spark)
   }
 

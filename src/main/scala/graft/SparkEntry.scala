@@ -1863,6 +1863,34 @@ object SparkEntry {
         when(col("lang") === "en", 1L).otherwise(0L).as("label"))
       Profile.calibrationBins(scored, "score", "label", bins = 10)
     }),
+    // Unicode NFC canonical normalization — the ingest step that makes
+    // byte-keyed operators (content hash, shingles, PII regexes) see
+    // precomposed and decomposed spellings as the same text. The native
+    // nfc_normalize expression (JDK Normalizer, codegen'd scan-stage
+    // projection) against DuckDB's real nfc_normalize — the oracle is
+    // the other engine's own implementation of the Unicode standard,
+    // not a re-implementation. Fixture mixes decomposed (combining
+    // acute/diaeresis/ring), precomposed, and ASCII tails per doc_id
+    // residue; md5 of the normalized text certifies byte equality.
+    "t44_nfc_normalize" -> ((s, dir) => {
+      Graft.registerAll(s)
+      // residue 0: DECOMPOSED (e + U+0301, o + U+0308) -- must change;
+      // residue 1: the same text PRECOMPOSED (U+00E9, U+00F6) --
+      // already NFC, must NOT change; residue 2: A + combining ring
+      // U+030A -> the precomposed angstrom A
+      val raw = when(col("doc_id") % 3 === 0,
+          concat(lit("Cafe\u0301 no\u0308el #"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("Caf\u00e9 n\u00f6el #"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("A\u030a ring #"), col("doc_id").cast("string")))
+      par(tbl(s, dir, "documents")).select(col("doc_id"), raw.as("_raw"))
+        .withColumn("_nfc", graft.functions.NfcNormalize(col("_raw")))
+        .select(col("doc_id"),
+          length(col("_raw")).cast("long").as("len_raw"),
+          length(col("_nfc")).cast("long").as("len_nfc"),
+          (col("_raw") =!= col("_nfc")).as("changed"),
+          md5(col("_nfc")).as("nfc_md5"))
+    }),
     // Per-document duplicated-n-gram coverage (Gopher-style repetition
     // screen lifted across the corpus): share of each doc's 5-gram
     // shingles appearing in >= 2 documents, exact integer ppm. Runs on
@@ -6111,6 +6139,20 @@ object SparkEntry {
           |  CASE WHEN t.np = 0 THEN NULL
           |    ELSE CAST(f.cum * 1000000 // t.np AS BIGINT) END AS cum_capture_ppm
           |FROM f, t""".stripMargin,
+      "t44_nfc_normalize" ->
+        """WITH r AS (
+          |  SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
+          |    WHEN 0 THEN 'Cafe' || chr(769) || ' no' || chr(776) || 'el #' || CAST(doc_id AS VARCHAR)
+          |    WHEN 1 THEN 'Caf' || chr(233) || ' n' || chr(246) || 'el #' || CAST(doc_id AS VARCHAR)
+          |    ELSE 'A' || chr(778) || ' ring #' || CAST(doc_id AS VARCHAR) END AS raw
+          |  FROM documents
+          |), n AS (
+          |  SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM r
+          |)
+          |SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw,
+          |  CAST(length(nfc) AS BIGINT) AS len_nfc,
+          |  raw != nfc AS changed, md5(nfc) AS nfc_md5
+          |FROM n""".stripMargin,
       "t43_calibration" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9'']+')) AS token

@@ -398,6 +398,26 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(banded === brute)
   }
 
+  test("nfc_normalize: decomposed composes, NFC input is a fixpoint, NULL propagates") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "Cafe\u0301 no\u0308el"),   // decomposed
+      (2L, "Caf\u00e9 n\u00f6el"),     // precomposed (already NFC)
+      (3L, null.asInstanceOf[String]),
+      (4L, "plain ascii")
+    ).toDF("id", "t")
+    val out = rows.selectExpr("id", "nfc_normalize(t) AS n",
+        "CAST(length(nfc_normalize(t)) AS BIGINT) AS ln")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(1L)._1 === "Caf\u00e9 n\u00f6el") // composed to NFC
+    assert(out(1L)._2 === 9L)                      // 11 code points -> 9
+    assert(out(2L)._1 === "Caf\u00e9 n\u00f6el") // fixpoint
+    assert(out(3L)._1 === null)                    // NULL propagates
+    assert(out(4L)._1 === "plain ascii")           // ASCII fast path
+  }
+
   test("normalizeUrls: every canonicalization rule, hand-checked") {
     import spark.implicits._
     val in = Seq(
