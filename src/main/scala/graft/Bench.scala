@@ -106,7 +106,7 @@ object Bench {
       "u47" -> 0.3, "u49" -> 2.0, "u5" -> 1.0, "u50" -> 1.0, "u6" -> 1.0,
       "u7" -> 3.0, "u8" -> 1.0, "u9" -> 1.0, "t43" -> 1.0, "w1" -> 0.7,
       "w2" -> 1.0, "w3" -> 1.0, "d31" -> 3.0, "d32" -> 4.5, "m10" -> 0.5,
-      "d33" -> 1.0, "t44" -> 0.5)
+      "d33" -> 1.0, "t44" -> 0.5, "t45" -> 0.5)
 
   /** New queries (no last-round number) are assumed mid-weight so they
     * schedule early enough to always get measured. */
@@ -178,7 +178,7 @@ object Bench {
       "u47" -> 0, "u49" -> 0.7, "u5" -> 0.3, "u50" -> 0.36, "u6" -> 0.3,
       "u7" -> 2.57, "u8" -> 0.3, "u9" -> 0.4, "t43" -> 0.59, "w1" -> 0.5,
       "w2" -> 0.5, "w3" -> 0.9, "d31" -> 2.0, "d32" -> 4.19, "m10" -> 0.3,
-      "d33" -> 0.8, "t44" -> 0.3)
+      "d33" -> 0.8, "t44" -> 0.3, "t45" -> 0.3)
 
   private[graft] def priorIsolatedMin(n: String): Option[Double] =
     priorIsolatedMinSec.get(n.split("_")(0)).orElse(priorIsolatedMinSec.get(n))

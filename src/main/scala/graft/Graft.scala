@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{Fingerprint64, HashedLinearScore, HashedShingles, LongArrayDot, MinhashSig, NfcNormalize, PositionalGramHashes, Simhash32, SqlFunctions}
+import graft.functions.{Fingerprint64, HashedLinearScore, HashedShingles, LongArrayDot, MinhashSig, NfcNormalize, PositionalGramHashes, StripAccents, Simhash32, SqlFunctions}
 import graft.operators.Retention
 
 /** Session facade for the graft engine — the analogue of the reference's
@@ -47,6 +47,7 @@ object Graft {
     Fingerprint64.register(spark)
     HashedLinearScore.register(spark)
     NfcNormalize.register(spark)
+    StripAccents.register(spark)
     SqlFunctions.registerAll(spark)
   }
 

@@ -1863,6 +1863,23 @@ object SparkEntry {
         when(col("lang") === "en", 1L).otherwise(0L).as("label"))
       Profile.calibrationBins(scored, "score", "label", bins = 10)
     }),
+    // Accent-stripped search keys -- the language-agnostic blocking/
+    // lookup normalization ("Zurich"=="Z\u00fcrich"): NFD + drop
+    // combining marks as a native codegen'd expression; the oracle is
+    // DuckDB's own strip_accents (utf8proc), parity incl. the
+    // NON-decomposing repertoire (\u00f8 stays). See
+    // functions.StripAccents.
+    "t45_strip_accents" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val words = typedLit(Seq("Z\u00fcrich", "caf\u00e9",
+        "st\u0155\u00e4nge", "\u00f8re", "na\u00efve", "S\u00e3o"))
+      val raw = concat(element_at(words, (col("doc_id") % 6 + 1).cast("int")),
+        lit(" #"), col("doc_id").cast("string"))
+      par(tbl(s, dir, "documents")).select(col("doc_id"), raw.as("_raw"))
+        .withColumn("key", graft.functions.StripAccents(col("_raw")))
+        .select(col("doc_id"), col("key"),
+          (col("_raw") =!= col("key")).as("changed"))
+    }),
     // Unicode NFC canonical normalization — the ingest step that makes
     // byte-keyed operators (content hash, shingles, PII regexes) see
     // precomposed and decomposed spellings as the same text. The native
@@ -6139,6 +6156,17 @@ object SparkEntry {
           |  CASE WHEN t.np = 0 THEN NULL
           |    ELSE CAST(f.cum * 1000000 // t.np AS BIGINT) END AS cum_capture_ppm
           |FROM f, t""".stripMargin,
+      "t45_strip_accents" ->
+        """WITH w AS (
+          |  SELECT doc_id, (['Z' || chr(252) || 'rich', 'caf' || chr(233),
+          |    'st' || chr(341) || chr(228) || 'nge', chr(248) || 're',
+          |    'na' || chr(239) || 've', 'S' || chr(227) || 'o'])[CAST(doc_id % 6 AS INT) + 1]
+          |    || ' #' || CAST(doc_id AS VARCHAR) AS raw
+          |  FROM documents
+          |)
+          |SELECT doc_id, strip_accents(raw) AS key,
+          |  raw != strip_accents(raw) AS changed
+          |FROM w""".stripMargin,
       "t44_nfc_normalize" ->
         """WITH r AS (
           |  SELECT doc_id, CASE CAST(doc_id % 3 AS INT)

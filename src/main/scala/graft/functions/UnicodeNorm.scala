@@ -68,3 +68,64 @@ object NfcNormalize {
   def apply(c: Column): Column =
     org.apache.spark.sql.functions.call_function(name, c)
 }
+
+/** `strip_accents(text) → string` — diacritic removal by canonical
+  * decomposition: NFD, then every combining mark (Unicode category Mn)
+  * dropped. The language-agnostic SEARCH-KEY normalization ("Zürich" /
+  * "Zurich", "café" / "cafe" must meet in joins, blocking keys, and
+  * user-facing lookups) — distinct from [[NfcNormalize]], which
+  * preserves text content and only canonicalizes its encoding.
+  * Characters with no canonical decomposition (ø, ß, æ) are preserved —
+  * exactly DuckDB's `strip_accents` (utf8proc) semantics, so the oracle
+  * is again the other engine's own implementation (parity verified over
+  * the decomposing and non-decomposing repertoires). Codegen'd,
+  * NULL-propagating, scan-stage; ASCII fast path skips the regex. */
+case class StripAccents(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${StripAccents.name} requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (str.forall(_ < 0x80)) s // pure-ASCII fast path: nothing to strip
+    else {
+      val nfd = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder(nfd.length)
+      var i = 0
+      while (i < nfd.length) {
+        val cp = nfd.codePointAt(i)
+        if (Character.getType(cp) != Character.NON_SPACING_MARK)
+          sb.appendCodePoint(cp)
+        i += Character.charCount(cp)
+      }
+      UTF8String.fromString(sb.toString)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val self = ctx.addReferenceObj("accentStripper", this, classOf[StripAccents].getName)
+      s"${ev.value} = $self.compute($str);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StripAccents {
+  val name = "strip_accents"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => StripAccents(exprs(0)), "scala_udf")
+
+  def apply(c: Column): Column =
+    org.apache.spark.sql.functions.call_function(name, c)
+}

@@ -418,6 +418,25 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out(4L)._1 === "plain ascii")           // ASCII fast path
   }
 
+  test("strip_accents: marks dropped, non-decomposing kept, NULL propagates") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "Z\u00fcrich caf\u00e9"),
+      (2L, "\u00f8re \u00df stra\u00dfe"),  // no canonical decomposition
+      (3L, null.asInstanceOf[String]),
+      (4L, "plain"),
+      (5L, "Cafe\u0301")                      // already-decomposed input
+    ).toDF("id", "t")
+    val out = rows.selectExpr("id", "strip_accents(t) AS k")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) === "Zurich cafe")
+    assert(out(2L) === "\u00f8re \u00df stra\u00dfe") // preserved
+    assert(out(3L) === null)
+    assert(out(4L) === "plain")
+    assert(out(5L) === "Cafe")  // the combining acute is a mark too
+  }
+
   test("normalizeUrls: every canonicalization rule, hand-checked") {
     import spark.implicits._
     val in = Seq(
