@@ -117,6 +117,51 @@ class Round10PropertySpec extends AnyFunSuite {
     }
   }
 
+  /** In-memory reference for calibrationBins' integer contract:
+    * min-max pred ppm, equal-width bins, per-bin stats, weighted-L1
+    * ECE — all BigInt floor division, independently re-derived. */
+  private def calibrationReference(
+      rows: Seq[(Long, Long)], bins: Int): Map[Int, (Long, Long, Long, Long, Long, Long)] = {
+    if (rows.isEmpty) return Map.empty
+    val mn = rows.map(_._1).min
+    val mx = rows.map(_._1).max
+    def pred(sc: Long): Long =
+      if (mx == mn) 500000L
+      else ((BigInt(sc) - mn) * 1000000 / (BigInt(mx) - mn)).toLong
+    val binned = rows.map { case (sc, lb) =>
+      val p = pred(sc)
+      (math.min((p * bins / 1000000).toInt, bins - 1) + 1, p, lb)
+    }
+    val g = binned.groupBy(_._1).map { case (b, xs) =>
+      val n = xs.size.toLong
+      val np = xs.map(_._3).sum
+      val mp = (xs.map(x => BigInt(x._2)).sum / n).toLong
+      val pr = (BigInt(np) * 1000000 / n).toLong
+      b -> (n, np, mp, pr, pr - mp)
+    }
+    val tot = g.values.map(_._1).sum
+    val ece = (g.values.map(v => BigInt(v._1) * BigInt(v._5).abs).sum / tot).toLong
+    g.map { case (b, (n, np, mp, pr, gp)) => b -> ((n, np, mp, pr, gp, ece)) }
+  }
+
+  test("calibrationBins matches the BigInt reference on random score/label sets") {
+    import spark.implicits._
+    (30 to 45).foreach { seed =>
+      val rnd = new Random(seed)
+      val rows = (1 to 5 + rnd.nextInt(200)).map { _ =>
+        // scores span negatives and ties; labels loosely correlate
+        val sc = rnd.nextInt(2001) - 1000L
+        val lb = if (rnd.nextInt(2000) < sc + 1000) 1L else 0L
+        (sc, lb)
+      }
+      val got = graft.operators.Profile
+        .calibrationBins(rows.toDF("score", "label"), "score", "label")
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      assert(got === calibrationReference(rows, 10), s"seed=$seed")
+    }
+  }
+
   /** Random URL generator covering the whole hazard space the
     * normalizer contracts over — the fixture divisor chain's hazards,
     * drawn freely instead of deterministically. */
