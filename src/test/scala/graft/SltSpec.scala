@@ -54,13 +54,13 @@ class SltSpec extends AnyFunSuite {
 
   test("native_functions.slt (SQL surface of the codegen sketch expressions)") {
     val n = SltRunner.runDir(spark, sltDir, filters = Seq("native_functions"))
-    assert(n === 6) // + the round-10 positional_gram_hashes records
+    assert(n === 9) // + round-10 positional_gram_hashes + unicode records
   }
 
   test("discovery walks the whole corpus; filters by substring") {
     // retention(3) + scalar(5) + text_functions(5) + relational(5) +
-    // native_functions(6)
-    assert(SltRunner.runDir(spark, sltDir) === 24)
+    // native_functions(9)
+    assert(SltRunner.runDir(spark, sltDir) === 27)
     assert(SltRunner.discover(sltDir, Seq("no_such_file")).isEmpty)
   }
 
