@@ -180,6 +180,57 @@ class Round10PropertySpec extends AnyFunSuite {
     s"$scheme://$www$sub$site$tld$port$path$query$frag"
   }
 
+  test("normalizeUrls never throws on malformed input and keeps every row") {
+    import spark.implicits._
+    val garbage = Seq(
+      "", "://", "http://", "not a url at all", "http:///path",
+      "https://:8080", "ftp://weird.scheme.site/x", "http://h?&&&",
+      "http://h#only-frag", "a://b://c", "http://h:notaport/p",
+      "?", "#", "http://h:80:90/p", "https://h/p?a=&b", "x" * 3000
+    ).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+    val out = graft.operators.Web
+      .normalizeUrls(garbage.toDF("id", "url"), "url")
+      .select("id", "norm_url", "host", "had_tracking").collect()
+    // one output row per input row, no exception, no NULL host for
+    // non-null input (the regexes degrade to empty strings, never fail)
+    assert(out.length === garbage.length)
+    assert(out.forall(r => !r.isNullAt(2)))
+    // and NULL input stays a quarantine row
+    val nul = graft.operators.Web
+      .normalizeUrls(Seq((99L, null.asInstanceOf[String])).toDF("id", "url"), "url")
+      .select("norm_url", "host").collect().head
+    assert(nul.isNullAt(0) && nul.isNullAt(1))
+  }
+
+  test("domainCap under pathological skew: one mega-domain, bounded output, exact ranks") {
+    import spark.implicits._
+    // 1 domain holds 5,000 docs; 50 domains hold 2 each — the crawl
+    // reality the bounded aggregate exists for
+    val urls = ((0L until 5000L).map(i => (i, s"https://mega.com/p/$i")) ++
+      (0L until 100L).map(i => (10000L + i, s"https://tiny${i % 50}.org/p/$i")))
+      .toDF("doc_id", "url")
+    val out = graft.operators.Web.domainCap(urls, "url", "doc_id", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val byDom = out.groupBy(_._1)
+    assert(byDom("mega.com").length === 4)
+    assert(byDom.size === 51)
+    assert(out.length === 4 + 50 * 2)
+    // ranks dense 1..min(k, n) per domain
+    assert(byDom.forall { case (_, xs) =>
+      xs.map(_._3).sorted.toList == (1 to xs.length).toList })
+    // equal to the window form on the mega-domain
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("reg_domain")).orderBy(col("_ck"), col("doc_id"))
+    val windowed = graft.operators.Web.normalizeUrls(urls, "url")
+      .withColumn("reg_domain", graft.operators.Web.registrableDomain(col("host")))
+      .withColumn("_ck", graft.operators.Dedup.hash60(
+        concat(lit("cap|"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 4)
+      .where(col("reg_domain") === "mega.com")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rk"))).toSet
+    assert(byDom("mega.com").map(x => (x._2, x._3)).toSet === windowed)
+  }
+
   test("normalizeUrls is idempotent: canonical output is its own fixpoint") {
     import spark.implicits._
     val rnd = new Random(7)
