@@ -823,6 +823,19 @@ class PlanSpec extends AnyFunSuite {
       s"no per-domain window sort (mega-domain serialization):\n$p")
   }
 
+  test("t44/t45 unicode expressions: scan-stage codegen'd projections, no window, no python") {
+    Seq("t44_nfc_normalize", "t45_strip_accents").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q must be window-free:\n$p")
+      assert(!p.contains("BatchEvalPython"), s"$q must not use python:\n$p")
+      assert(!p.contains("ScalaUDF"),
+        s"$q must be a native expression, not a UDF:\n$p")
+      // nothing but the fixture fan-out shuffles
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q is a pure projection — no hash exchange:\n$p")
+    }
+  }
+
   test("w3 web funnel: exactly two hash exchanges (url window + domain aggregate)") {
     val p = plan("w3_web_funnel")
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
