@@ -3337,20 +3337,20 @@ object SparkEntry {
     * oracles. */
   private def lpaChainSql(iters: Int): String = {
     val base =
-      """WITH edges AS (
+      """WITH edges AS MATERIALIZED (
         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w
         |  FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  JOIN customer c ON o.o_custkey = c.c_custkey
         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |  GROUP BY 1, 2
-        |), und0 AS (
+        |), und0 AS MATERIALIZED (
         |  SELECT least(src, dst) AS u, greatest(src, dst) AS v, CAST(sum(w) AS BIGINT) AS w
         |  FROM edges WHERE src <> dst GROUP BY 1, 2
-        |), und AS (
+        |), und AS MATERIALIZED (
         |  SELECT u, v, w FROM und0
         |  WHERE CAST(w AS HUGEINT) * (SELECT count(*) FROM und0) > (SELECT sum(w) FROM und0)
-        |), nb AS (
+        |), nb AS MATERIALIZED (
         |  SELECT u AS n, v AS nbr, w FROM und UNION ALL SELECT v AS n, u AS nbr, w FROM und
         |), l0 AS (
         |  SELECT DISTINCT n AS node, n AS lbl FROM nb
@@ -8306,19 +8306,19 @@ object SparkEntry {
            |WHERE ts < TIMESTAMP '$winStart 00:00:00' + INTERVAL 12 DAY
            |   OR ts >= TIMESTAMP '$winStart 00:00:00' + INTERVAL 14 DAY""".stripMargin,
       "g2_triangles" ->
-        """WITH edges AS (
+        """WITH edges AS MATERIALIZED (
           |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(count(*) AS BIGINT) AS w
           |  FROM lineitem l
           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
           |  JOIN customer c ON o.o_custkey = c.c_custkey
           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
           |  GROUP BY 1, 2
-          |), und AS (
+          |), und AS MATERIALIZED (
           |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM edges WHERE src <> dst
-          |), deg AS (
+          |), deg AS MATERIALIZED (
           |  SELECT n, CAST(count(*) AS BIGINT) AS d
           |  FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY 1
-          |), o AS (
+          |), o AS MATERIALIZED (
           |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v) THEN und.u ELSE und.v END AS a,
           |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v) THEN und.v ELSE und.u END AS b
           |  FROM und JOIN deg du ON und.u = du.n JOIN deg dv ON und.v = dv.n
