@@ -2069,20 +2069,34 @@ object SparkEntry {
     // per dimension with map-side partials, then mean and population
     // std in closed form; nothing is collected and nothing shuffles
     // except 64-group partials.
+    // Per-dimension embedding stats in the library's integer-micro
+    // discipline: the sums are exact (BIGINT / DECIMAL), the mean is a
+    // sign-split truncating division (micro units — round-10 fix: the
+    // old round(double/1000/n, 6) form landed small-denominator
+    // rationals on decimal HALF-boundaries where the engines' double
+    // tie-breaks diverge; the sf0.1 cross-sweep caught dim 21 at
+    // -0.0015855), and the std pays exactly ONE IEEE sqrt on the exact
+    // integer variance numerator (the u26 burstiness rule — sqrt
+    // outputs are irrational off perfect squares, so its rounding
+    // never sits on a boundary).
     "s7_dim_stats" -> ((s, dir) => {
       val e = par(tbl(s, dir, "embeddings"))
         .select(posexplode(col("embedding")).as(Seq("dim", "v")))
         .select(col("dim").cast("long").as("dim"),
           round(col("v").cast("double") * 1000).cast("long").as("q"))
-      val sq = col("sq").cast("double"); val sq2 = col("sq2").cast("double")
       val qd = col("q").cast("decimal(19,0)")
       e.groupBy(col("dim"))
         .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
           sum(qd * qd).as("sq2"))
         .select(col("dim"), col("n"),
-          round(sq / lit(1000.0) / col("n"), 6).as("mean"),
-          round(sqrt(sq2 / col("n") - (sq / col("n")) * (sq / col("n"))) /
-            lit(1000.0), 6).as("std"))
+          expr("""CAST(CASE WHEN sq >= 0
+                 |  THEN CAST(sq AS DECIMAL(38,0)) * 1000 div n
+                 |  ELSE -(CAST(-sq AS DECIMAL(38,0)) * 1000 div n)
+                 |END AS BIGINT)""".stripMargin).as("mean_micro"),
+          expr("""CAST(round(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sq2
+                 |  - CAST(sq AS DECIMAL(38,0)) * CAST(sq AS DECIMAL(38,0))
+                 |  AS DOUBLE)) * 1000 / n) AS BIGINT)""".stripMargin)
+            .as("std_micro"))
     }),
     // Sorted-neighborhood near-dup pairs (record-linkage SNM): blocked
     // prefix sort + windowed Levenshtein verify — the edit-distance
@@ -7472,14 +7486,18 @@ object SparkEntry {
           |  SELECT d.dim, qv[CAST(d.dim AS INT) + 1] AS q
           |  FROM q, (SELECT CAST(range AS BIGINT) AS dim FROM range(64)) d
           |), m AS (
-          |  SELECT dim, count(*) AS n, sum(q) AS sq,
+          |  SELECT dim, CAST(count(*) AS BIGINT) AS n, sum(q) AS sq,
           |    sum(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))) AS sq2
           |  FROM ex GROUP BY 1
           |)
           |SELECT dim, n,
-          |  round(CAST(sq AS DOUBLE) / 1000.0 / n, 6) AS mean,
-          |  round(sqrt(CAST(sq2 AS DOUBLE) / n -
-          |    (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n)) / 1000.0, 6) AS std
+          |  CAST(CASE WHEN sq >= 0
+          |    THEN CAST(sq AS HUGEINT) * 1000 // n
+          |    ELSE -(CAST(-sq AS HUGEINT) * 1000 // n)
+          |  END AS BIGINT) AS mean_micro,
+          |  CAST(round(sqrt(CAST(CAST(n AS HUGEINT) * CAST(sq2 AS HUGEINT)
+          |    - CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT) AS DOUBLE)) * 1000 / n) AS BIGINT)
+          |    AS std_micro
           |FROM m""".stripMargin,
       "d18_sorted_neighborhood" ->
         s"""WITH $augDocsSql, kb AS (
