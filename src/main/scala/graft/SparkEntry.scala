@@ -5708,7 +5708,7 @@ object SparkEntry {
            |  FROM shs WHERE doc_id % 20 <> 0
            |)
            |SELECT doc_id, n_shingles, CAST(count(*) AS BIGINT) AS n_hit,
-           |  round(CAST(count(*) AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contam_frac
+           |  CAST(CAST(count(*) AS HUGEINT) * 1000000 // n_shingles AS BIGINT) AS contam_ppm
            |FROM trainx JOIN evals USING (s)
            |GROUP BY doc_id, n_shingles""".stripMargin,
       // d27: the eval-side direction of d7 — same normalization/shingle
@@ -5860,7 +5860,7 @@ object SparkEntry {
            |  FROM shs WHERE doc_id % 10 <> 0
            |)
            |SELECT doc_id, n_shingles, CAST(count(*) AS BIGINT) AS n_hit,
-           |  round(CAST(count(*) AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contam_frac
+           |  CAST(CAST(count(*) AS HUGEINT) * 1000000 // n_shingles AS BIGINT) AS contam_ppm
            |FROM trainx JOIN evals USING (s)
            |GROUP BY doc_id, n_shingles""".stripMargin,
       "u6_rfm_segments" ->

@@ -72,7 +72,7 @@ object PipelineExample {
     val evalSet = docs.where(col("doc_id") % 20 === 0)
     val contaminated = Decontaminate.report(
         clean.where(col("doc_id") % 20 =!= 0), evalSet, n = 4)
-      .where(col("contam_frac") >= 0.2).select(col("doc_id"))
+      .where(col("contam_ppm") >= 200000).select(col("doc_id"))
     val decontaminated = clean.where(col("doc_id") % 20 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
 

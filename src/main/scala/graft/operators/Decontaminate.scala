@@ -32,7 +32,7 @@ object Decontaminate {
   /** Per-training-document contamination report against `eval`.
     *
     * Output: one row per training document with at least one colliding
-    * shingle — (id, n_shingles, n_hit, contam_frac). Callers drop or
+    * shingle — (id, n_shingles, n_hit, contam_ppm). Callers drop or
     * down-weight documents above a fraction threshold; `n_hit` alone
     * (>= 1) is the strict GPT-3-style 13-gram collision rule.
     *
@@ -54,8 +54,8 @@ object Decontaminate {
     trainEx.join(broadcast(evalShingles), "_s")
       .groupBy(col(idCol), col("n_shingles"))
       .agg(count(lit(1)).as("n_hit"))
-      .withColumn("contam_frac",
-        round(col("n_hit").cast("double") / col("n_shingles").cast("double"), 6))
+      .withColumn("contam_ppm",
+        expr("CAST(CAST(n_hit AS DECIMAL(38,0)) * 1000000 div n_shingles AS BIGINT)"))
   }
 
   /** [[report]] with a Bloom-filter pre-screen on the train side —
@@ -96,8 +96,8 @@ object Decontaminate {
       .join(broadcast(evalShingles), "_s")
       .groupBy(col(idCol), col("n_shingles"))
       .agg(count(lit(1)).as("n_hit"))
-      .withColumn("contam_frac",
-        round(col("n_hit").cast("double") / col("n_shingles").cast("double"), 6))
+      .withColumn("contam_ppm",
+        expr("CAST(CAST(n_hit AS DECIMAL(38,0)) * 1000000 div n_shingles AS BIGINT)"))
   }
 
   /** EVAL-side contamination coverage — the OTHER direction of

@@ -40,7 +40,7 @@ class CurationOpsSpec extends AnyFunSuite {
     // doc 1 has 9 tokens -> 6 distinct 4-gram shingles; 1 collides
     assert(row.getAs[Int]("n_shingles") === 6)
     assert(row.getAs[Long]("n_hit") === 1L)
-    assert(math.abs(row.getAs[Double]("contam_frac") - 1.0 / 6) < 1e-5)
+    assert(row.getAs[Long]("contam_ppm") === 166666L) // 1/6 in floor ppm
   }
 
   test("decontamination counts each colliding shingle once (distinct sets)") {
@@ -65,7 +65,7 @@ class CurationOpsSpec extends AnyFunSuite {
     val train = docs.where(col("doc_id") % 7 =!= 0)
     val eval = docs.where(col("doc_id") % 7 === 0)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     val exact = key(Decontaminate.report(train, eval, n = 4))
     assert(exact.nonEmpty)
     for (fpp <- Seq(0.01, 0.5)) {
