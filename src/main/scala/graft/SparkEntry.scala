@@ -3701,7 +3701,7 @@ object SparkEntry {
       |), upp AS (
       |  SELECT doc_id, scheme,
       |    CASE WHEN contains(hp, ':') THEN split_part(hp, ':', 1) ELSE hp END AS host0,
-      |    CASE WHEN contains(hp, ':') THEN split_part(hp, ':', 2) ELSE '' END AS port,
+      |    CASE WHEN contains(hp, ':') THEN substr(hp, strpos(hp, ':') + 1) ELSE '' END AS port,
       |    CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
       |      THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS path,
       |    CASE WHEN q0 = '' THEN CAST([] AS VARCHAR[])

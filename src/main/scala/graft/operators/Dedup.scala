@@ -797,24 +797,94 @@ object Dedup {
     fits.getOrElse((maxBands, 1))
   }
 
-  /** [[embeddingNearDupPairs]] with the banding derived by
-    * [[bandingForTargetMiss]] — callers state the recall contract
-    * ("miss at most `targetMiss` of pairs at the threshold") and the
-    * grid follows. */
+  /** Corpus bound for the FIXED-GRID banded pair miner, from the
+    * round-10 4th-octave measurement (SCALE.md): at ~1.8M vectors
+    * (30×) the 2¹⁶-bucket grid produced 12.2M candidates; at ~6M
+    * (100×) it saturated — 121M candidates, 125 s, quadratic — while
+    * the trained-cells route handled the identical corpus in 24.4 s.
+    * Below this bound the banding's explicit recall contract
+    * (miss ≤ targetMiss at the threshold) is worth its cost; above it
+    * the auto router delegates to trained cells. */
+  val MaxBandedCorpus: Long = 2000000L
+
+  /** Near-dup pair mining with the route derived from the CORPUS, not
+    * just the recall target. At or below `maxBandedCorpus` rows
+    * (default [[MaxBandedCorpus]], a MEASURED bound — see its doc):
+    * the fixed sign-LSH grid from [[bandingForTargetMiss]], which
+    * carries an explicit recall certificate ("miss at most
+    * `targetMiss` of pairs at the threshold"). Above it: the
+    * trained-cells route ([[embeddingNearDupPairsTrained]] — the d32
+    * production discipline), whose candidate budget stays
+    * corpus-linear because cell count grows with N; its recall
+    * contract is SemDeDup's in-cell rule (near-identical vectors land
+    * in the same trained cell) rather than a closed-form bound —
+    * the honest trade at web scale, where the fixed grid's 2¹⁶
+    * buckets are measured-quadratic. The branch costs one `count()`
+    * over the prepared (checkpointed) corpus, which the chosen route
+    * reuses. */
   def embeddingNearDupPairsAuto(
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.95, targetMiss: Double = 1e-3,
-      bucketCap: Int = 100000, capStats: Option[CapStats] = None): DataFrame = {
-    val (bands, planes) = bandingForTargetMiss(threshold, targetMiss)
-    embeddingNearDupPairs(emb, idCol, vecCol, threshold, bands, planes,
-      bucketCap, capStats)
+      bucketCap: Int = 100000, capStats: Option[CapStats] = None,
+      maxBandedCorpus: Long = MaxBandedCorpus): DataFrame = {
+    val q = Similarity.prepare(emb, idCol, vecCol).localCheckpoint()
+    if (q.count() <= maxBandedCorpus) {
+      val (bands, planes) = bandingForTargetMiss(threshold, targetMiss)
+      bandedPairsOn(q, threshold, bands, planes, bucketCap, capStats)
+    } else trainedPairsOn(q, threshold)
+  }
+
+  /** Trained-cells near-dup PAIR miner — [[semDedupByCellSize]]'s
+    * candidate discipline (derived k = ⌈N/targetCellSize⌉, two-level
+    * coarse→fine assignment, in-cell equi-join) emitting verified
+    * pairs instead of applying the keeper rule. This is the
+    * production-scale twin of [[embeddingNearDupPairs]]: candidate
+    * work is Σ n_c² ≈ N·⟨cell⟩ (corpus-LINEAR at fixed
+    * `targetCellSize`) at any corpus size, vs the fixed grid's
+    * measured-quadratic saturation past [[MaxBandedCorpus]]. */
+  def embeddingNearDupPairsTrained(
+      emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.95, targetCellSize: Long = 1024,
+      iters: Int = 2): DataFrame =
+    trainedPairsOn(Similarity.prepare(emb, idCol, vecCol).localCheckpoint(),
+      threshold, targetCellSize, iters)
+
+  private def trainedPairsOn(
+      q: DataFrame, threshold: Double, targetCellSize: Long = 1024,
+      iters: Int = 2): DataFrame = {
+    require(targetCellSize > 0,
+      s"targetCellSize must be positive, got $targetCellSize")
+    val n = q.count()
+    val k = math.min(((n + targetCellSize - 1) / targetCellSize).max(1L),
+      Int.MaxValue.toLong).toInt
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val k2 = (k + k1 - 1) / k1
+    val cells = Similarity.trainTwoLevelCellsOn(q, k1, k2, iters)
+    val base = q.join(cells, "_id").localCheckpoint()
+    val a = base.select(col("_cell"), col("_id").as("id_a"),
+      col("_q").as("_qa"), col("_n2").as("_n2a"))
+    val b = base.select(col("_cell"), col("_id").as("id_b"),
+      col("_q").as("_qb"), col("_n2").as("_n2b"))
+    a.join(b.hint("shuffle_hash"), Seq("_cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineFrom(
+          Similarity.dotQ(col("_qa"), col("_qb")),
+          col("_n2a"), col("_n2b")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.95, bands: Int = 8, planesPerBand: Int = 8,
-      bucketCap: Int = 100000, capStats: Option[CapStats] = None): DataFrame = {
-    val q = Similarity.prepare(emb, idCol, vecCol).localCheckpoint()
+      bucketCap: Int = 100000, capStats: Option[CapStats] = None): DataFrame =
+    bandedPairsOn(Similarity.prepare(emb, idCol, vecCol).localCheckpoint(),
+      threshold, bands, planesPerBand, bucketCap, capStats)
+
+  private def bandedPairsOn(
+      q: DataFrame, threshold: Double, bands: Int, planesPerBand: Int,
+      bucketCap: Int, capStats: Option[CapStats]): DataFrame = {
     val bandCols = array((0 until bands).map { b =>
       Similarity.lshBucketSeeded(col("_q"), s"nd$b:", planesPerBand)
     }: _*)

@@ -37,11 +37,19 @@ object Web {
     *    sorted lexicographically, fragment dropped;
     *  - `had_tracking`: whether any `utm_*` parameter was removed.
     *
-    * The contract expects absolute URLs (`scheme://authority…`); a NULL
-    * url yields NULL outputs (the quarantine convention — one malformed
-    * scrape row must not kill a sweep). Parameter VALUES are preserved
-    * byte-for-byte: canonicalization must never merge two genuinely
-    * different resources, only different spellings of one. */
+    * The contract expects absolute URLs (`scheme://authority…`) with a
+    * plain `host[:port]` authority — no userinfo, no bracketed IPv6.
+    * Host/port split on the FIRST colon (the URL-correct rule for that
+    * authority class): a malformed multi-colon authority (`h:80:90`)
+    * keeps everything after the first colon as the "port" on BOTH
+    * engines — the DuckDB oracle (`oracleSql`'s `urlNormSql` CTE) uses
+    * the identical rule, and the garbage-input parity test in
+    * `Round11OpsSpec` pins the two formulas together so neither can
+    * drift silently. A NULL url yields NULL outputs (the quarantine
+    * convention — one malformed scrape row must not kill a sweep).
+    * Parameter VALUES are preserved byte-for-byte: canonicalization
+    * must never merge two genuinely different resources, only
+    * different spellings of one. */
   def normalizeUrls(df: DataFrame, urlCol: String): DataFrame = {
     val u = col(urlCol)
     df
@@ -53,7 +61,8 @@ object Web {
         when(col("_hp").contains(":"), substring_index(col("_hp"), ":", 1))
           .otherwise(col("_hp")))
       .withColumn("_port",
-        when(col("_hp").contains(":"), substring_index(col("_hp"), ":", -1))
+        when(col("_hp").contains(":"),
+          expr("substring(_hp, instr(_hp, ':') + 1)"))
           .otherwise(lit("")))
       .withColumn("host",
         when(col("_host0").startsWith("www."),
@@ -147,14 +156,18 @@ object Web {
       suffixes: Seq[String] = DefaultSuffixes): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val mink = udaf(new MinKAgg(k), Encoders.product[SampleCand])
-    // null-id rows are dropped up front (an id-less document is
-    // unaddressable downstream either way) — the SampleCand encoder
-    // would otherwise NPE the task on an ordinary nullable parquet cell
-    normalizeUrls(df.where(col(idCol).isNotNull), urlCol)
+    // id contract: idCol must TRY_CAST to LONG (the output narrows to
+    // it — same as StatefulDomainCap's DomainDoc). The filter runs on
+    // the try_cast, not on raw isNotNull: a non-null but non-numeric
+    // string id would either throw the whole sweep under ANSI cast or
+    // cast to NULL and NPE the SampleCand encoder the way a null
+    // parquet cell does; both row classes quarantine here instead.
+    val idAsLong = expr(s"try_cast(`$idCol` AS LONG)")
+    normalizeUrls(df.where(idAsLong.isNotNull), urlCol)
       .withColumn("reg_domain", registrableDomain(col("host"), suffixes))
       .select(col("reg_domain"),
         Dedup.hash60(concat(lit("cap|"), col(idCol).cast("string"))).as("_ck"),
-        col(idCol).cast("long").as("_id"))
+        idAsLong.as("_id"))
       .groupBy(col("reg_domain"))
       .agg(mink(col("_ck"), col("_id")).as("_keep"))
       .select(col("reg_domain"), posexplode(col("_keep")).as(Seq("_pos", "_c")))

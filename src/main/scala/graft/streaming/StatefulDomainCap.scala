@@ -58,13 +58,16 @@ object StatefulDomainCap {
       suffixes: Seq[String] = Web.DefaultSuffixes): Dataset[DomainDoc] = {
     val spark = urls.sparkSession
     import spark.implicits._
-    // null ids dropped up front (the DomainDoc encoder would NPE);
+    // ids that don't TRY_CAST to long are dropped up front (the
+    // DomainDoc encoder would NPE on the NULL, and ANSI cast would
+    // throw the sweep on a non-numeric string — Web.domainCap's rule);
     // null/malformed urls yield a NULL host → registrableDomain NULL →
     // they pool under the null-keyed group and count against it, never
     // against a real domain
-    Web.normalizeUrls(urls.where(col(idCol).isNotNull), urlCol)
+    val idAsLong = expr(s"try_cast(`$idCol` AS LONG)")
+    Web.normalizeUrls(urls.where(idAsLong.isNotNull), urlCol)
       .select(Web.registrableDomain(col("host"), suffixes).as("reg_domain"),
-        col(idCol).cast("long").as("doc_id"))
+        idAsLong.as("doc_id"))
       .as[DomainDoc]
   }
 
@@ -79,19 +82,32 @@ object StatefulDomainCap {
       .flatMapGroupsWithState[DomainCapState, AdmittedDoc](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (dom: String, it: Iterator[DomainDoc], state: GroupState[DomainCapState]) =>
-          val sorted = it.toVector.sortBy(_.doc_id)
-          var st = state.getOption.getOrElse(DomainCapState(Long.MinValue, 0L))
-          val out = Vector.newBuilder[AdmittedDoc]
-          sorted.foreach { d =>
-            if (d.doc_id > st.last_id) {
-              if (st.admitted < k) {
-                out += AdmittedDoc(dom, d.doc_id, st.admitted + 1)
-                st = DomainCapState(d.doc_id, st.admitted + 1)
-              } else st = DomainCapState(d.doc_id, st.admitted)
+          // Bounded one-pass fold — NEVER buffers the group. A
+          // mega-domain burst (the skew the batch cap's min-k aggregate
+          // is built around) can put millions of rows in one trigger's
+          // group; sorting it would hold them all on one executor.
+          // Within the batch, "admit in doc-id order up to remaining
+          // capacity" ≡ "admit the r smallest DISTINCT ids above
+          // last_id", so a size-≤r ordered set (evict-max on overflow)
+          // plus a running max id is the whole state: O(k) memory per
+          // group regardless of group size.
+          val st0 = state.getOption.getOrElse(DomainCapState(Long.MinValue, 0L))
+          val r = (k - st0.admitted).toInt
+          val keep = scala.collection.mutable.TreeSet.empty[Long]
+          var maxId = st0.last_id
+          it.foreach { d =>
+            if (d.doc_id > st0.last_id) {
+              if (d.doc_id > maxId) maxId = d.doc_id
+              if (r > 0 && (keep.size < r || d.doc_id < keep.max)) {
+                keep += d.doc_id // TreeSet dedups batch-internal repeats
+                if (keep.size > r) keep -= keep.max
+              }
             } // else: late or duplicate id — skip, state is monotone
           }
-          state.update(st)
-          out.result().iterator
+          state.update(DomainCapState(maxId, st0.admitted + keep.size))
+          keep.iterator.zipWithIndex.map { case (id, i) =>
+            AdmittedDoc(dom, id, st0.admitted + i + 1)
+          }.toVector.iterator
       }
   }
 }
