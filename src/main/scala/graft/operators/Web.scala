@@ -93,22 +93,40 @@ object Web {
         "_params", "_kept")
   }
 
+  /** Suffix count up to which [[registrableDomain]] stays a when-chain:
+    * small chains constant-fold to straight-line codegen'd `endsWith`s;
+    * past this, chain codegen size grows toward Catalyst's 64KB/method
+    * limit (a ~9k-suffix PSL chain falls back to interpreted CaseWhen)
+    * and the data-driven [[graft.functions.RegistrableDomainExpr]]
+    * takes over. */
+  val WhenChainMaxSuffixes: Int = 16
+
   /** Registrable domain (eTLD+1) of a normalized host: the longest
-    * matching public suffix plus one label. Longest-match is a
-    * when-chain over the suffix set ordered most-specific-first —
-    * constant-folded by Catalyst, no join, no UDF. A host that matches
-    * no suffix (an IP, an intranet name) is its own domain. */
+    * matching public suffix plus one label; a host that matches no
+    * suffix (an IP, an intranet name) is its own domain.
+    *
+    * Plan: for a handful of suffixes (≤ [[WhenChainMaxSuffixes]]) a
+    * when-chain ordered most-specific-first — constant-folded by
+    * Catalyst, no join, no UDF. For a real PSL (the full Mozilla list
+    * is ~9k suffixes) the when-chain would blow past the 64KB codegen
+    * limit, so the rule switches to the native
+    * [[graft.functions.RegistrableDomainExpr]]: the suffix set rides
+    * the expression as a broadcast-sized constant and each host is
+    * matched longest-first in one O(labels) pass — same contract
+    * (property-pinned equal in `Round11OpsSpec`), still one
+    * codegen'd scan-stage projection. */
   def registrableDomain(
       host: Column,
-      suffixes: Seq[String] = DefaultSuffixes): Column = {
-    val ordered = suffixes.sortBy(s => (-s.count(_ == '.'), -s.length))
-    val candidates = ordered.map { s =>
-      val quoted = java.util.regex.Pattern.quote(s)
-      when(host.endsWith("." + s),
-        regexp_extract(host, "([^.]+\\." + quoted + ")$", 1))
-    }
-    coalesce(candidates :+ host: _*)
-  }
+      suffixes: Seq[String] = DefaultSuffixes): Column =
+    if (suffixes.size <= WhenChainMaxSuffixes) {
+      val ordered = suffixes.sortBy(s => (-s.count(_ == '.'), -s.length))
+      val candidates = ordered.map { s =>
+        val quoted = java.util.regex.Pattern.quote(s)
+        when(host.endsWith("." + s),
+          regexp_extract(host, "([^.]+\\." + quoted + ")$", 1))
+      }
+      coalesce(candidates :+ host: _*)
+    } else graft.functions.RegistrableDomainExpr(host, suffixes)
 
   /** Per-registrable-domain composition report — the table a curation
     * run publishes before setting crawl policy: document count,

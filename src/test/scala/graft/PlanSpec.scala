@@ -868,4 +868,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"no all-pairs comparison anywhere:\n$p")
   }
+
+  test("big-PSL registrable domain: native expression stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    // a real-PSL-sized suffix list (1.2k entries): a when-chain this
+    // wide falls out of codegen (64KB/method); the data-driven
+    // expression must instead ride the scan-stage Project INSIDE a
+    // WholeStageCodegen span, with no UDF anywhere
+    val psl = graft.operators.Web.DefaultSuffixes ++
+      (0 until 600).map(i => s"tld$i") ++
+      (0 until 600).map(i => s"reg$i.tld${i % 50}")
+    val df = SparkEntry.tbl(spark, sf, "documents")
+      .select(concat(lit("site"), (col("doc_id") % 37).cast("string"),
+        lit(".com")).as("host"))
+      .select(graft.operators.Web.registrableDomain(col("host"), psl)
+        .as("reg_domain"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"PSL match must be a native expression:\n$p")
+    // the Project carrying the expression is codegen'd: its plan line
+    // wears a WholeStageCodegen "*(n)" star
+    val projLine = p.linesIterator.find(_.contains("registrabledomainexpr"))
+    assert(projLine.isDefined, s"expression not found in plan:\n$p")
+    assert(projLine.get.trim.startsWith("*("),
+      s"PSL projection fell out of whole-stage codegen:\n${projLine.get}\n$p")
+  }
 }

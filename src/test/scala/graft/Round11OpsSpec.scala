@@ -95,6 +95,62 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out === distinct.zipWithIndex.map { case (id, i) => (id, i + 1L) }.toSet)
   }
 
+  // --- data-driven PSL registrable domain ----------------------------
+
+  /** ~1.2k-suffix PSL: the real 4 the fixture hosts use, plus decoy
+    * TLDs and multi-label suffixes in the shape of the Mozilla list. */
+  private val bigPsl: Seq[String] =
+    Web.DefaultSuffixes ++
+      (0 until 600).map(i => s"tld$i") ++
+      (0 until 600).map(i => s"reg$i.tld${i % 50}")
+
+  test("native PSL expression equals the when-chain contract on adversarial hosts") {
+    import spark.implicits._
+    val suffixes = Seq("co.uk", "com", "org", "io", "k12.ok.us", "ok.us", "us")
+    val hosts = Seq(
+      "x.co.uk", "blog.x.co.uk", "co.uk",       // multi-label + bare suffix
+      "a.b.k12.ok.us", "b.k12.ok.us", "k12.ok.us", // nested suffixes: longest wins
+      "c.ok.us", "d.us", "us",
+      "plain.com", "deep.sub.plain.org",
+      "10.0.0.1", "intranet", "", "x.", ".com", "a..com")
+    val df = hosts.toDF("host")
+    val chain = df.select(Web.registrableDomain(col("host"), suffixes).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    val native = df.select(
+        graft.functions.RegistrableDomainExpr(col("host"), suffixes).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(native === chain)
+    // and a NULL host propagates NULL, like any builtin
+    val nul = Seq(Option.empty[String]).toDF("host")
+      .select(graft.functions.RegistrableDomainExpr(col("host"), suffixes))
+      .collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
+  test("1.2k-suffix PSL through w1/w2: same results as the 4-suffix chain when decoys never match") {
+    val urls = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
+      .select(col("doc_id"),
+        concat(lit("https://site"), (col("doc_id") % 37).cast("string"),
+          when(col("doc_id") % 4 === 0, ".co.uk").otherwise(".com"),
+          lit("/p/"), col("doc_id").cast("string")).as("url"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // w1 shape: domainStats; w2 shape: domainCap
+    assert(key(Web.domainStats(urls, "url", bigPsl)) ===
+      key(Web.domainStats(urls, "url")))
+    assert(key(Web.domainCap(urls, "url", "doc_id", 3, bigPsl)) ===
+      key(Web.domainCap(urls, "url", "doc_id", 3)))
+    // the big-PSL run really exercised the native expression, not the chain
+    assert(bigPsl.size > Web.WhenChainMaxSuffixes)
+    // and multi-label decoy suffixes DO fire when a host matches one:
+    // longest match wins over the bare TLD decoy
+    import spark.implicits._
+    val hit = Seq("a.reg7.tld7", "b.tld7").toDF("host")
+      .select(graft.functions.RegistrableDomainExpr(col("host"), bigPsl).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(hit === Seq("a.reg7.tld7", "b.tld7"))
+  }
+
   // --- d5 routing: corpus-count-aware pair mining --------------------
 
   private def augSmall = {
