@@ -1327,6 +1327,30 @@ object SparkEntry {
           expr("CAST(tokens_removed * CAST(1000000 AS BIGINT) div n_tokens AS BIGINT)")
             .as("removed_ppm"))
     }),
+    // INCREMENTAL ExactSubstr (the d8→d31/d32 arc applied to d28): the
+    // accepted corpus (doc_id % 4 != 3) freezes its gram-frequency
+    // index ONCE (substringGramIndex — the amortized build), then the
+    // incoming batch (the % 4 == 3 split plus excerpt clones of BOTH
+    // corpus and batch documents — the %7==2 clone set straddles the
+    // split, so every gate fires: batch-gram-vs-frozen-count,
+    // batch-internal repeats, and corpus-singleton + batch collision)
+    // is marked against frozen counts + batch-internal counts, never
+    // recounting the corpus. keepFirst exercises the global first-key
+    // rule across the freeze boundary: a corpus-side first occurrence
+    // excises every batch copy. Per-batch work: one batch-gram
+    // shuffle + one equi-join against the never-broadcast index.
+    "d34_incr_dup_substrings" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val docs = par(tbl(s, dir, "documents")).select(col("doc_id"), col("text"))
+      val corpus = docs.where(col("doc_id") % 4 =!= 3)
+      val batch = docs.where(col("doc_id") % 4 === 3)
+        .unionAll(docs.where(col("doc_id") % 7 === 2)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            substring(col("text"), 31, 400).as("text")))
+      val index = Dedup.substringGramIndex(corpus, k = 8)
+      Dedup.duplicateSubstringSpansIncremental(batch, index, k = 8,
+        keepFirst = true)
+    }),
     // Benchmark decontamination: training documents sharing any hashed
     // 4-gram with the (broadcast) eval split. The train corpus is never
     // shuffled — the collision screen is a broadcast hash join inside
@@ -5792,6 +5816,66 @@ object SparkEntry {
            |  SELECT g.doc_id, g.p AS s, g.p + 7 AS e
            |  FROM g JOIN dup USING (h)
            |  WHERE g.doc_id * 1073741824 + g.p <> dup.firstkey
+           |), ord AS (
+           |  SELECT doc_id, s, e,
+           |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+           |  FROM marks
+           |), isl AS (
+           |  SELECT doc_id, s, e,
+           |    sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM ord
+           |)
+           |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+           |  CAST(max(e) AS BIGINT) AS span_end
+           |FROM isl GROUP BY doc_id, island""".stripMargin,
+      // d34: the incremental ExactSubstr replay — the corpus split's
+      // gram counts and first-keys are a standalone (frozen) CTE, the
+      // batch split's counts another, totals = batch + coalesce(frozen)
+      // with the global first-key = least across the freeze boundary —
+      // exactly the Scala packed-key arithmetic, then the d28/d29
+      // islands merge over batch marks only. Both gram CTEs are
+      // MATERIALIZED (the g2/g6 spill lesson: each is referenced
+      // twice).
+      "d34_incr_dup_substrings" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3
+           |), batchd AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+           |  UNION ALL
+           |  SELECT doc_id + 6000000, substr(text, 31, 400) FROM documents
+           |  WHERE doc_id % 7 = 2
+           |), cn AS (
+           |  SELECT doc_id, $normToksSql AS toks FROM corpus
+           |), cg AS MATERIALIZED (
+           |  SELECT doc_id, unnest(range(1, len(toks) - 6)) AS p,
+           |    unnest(list_transform(range(1, len(toks) - 6),
+           |      i -> ('0x' || substr(md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 7], ' ')), 1, 15))::BIGINT)) AS h
+           |  FROM cn WHERE len(toks) >= 8
+           |), idx AS (
+           |  SELECT h, count(*) AS df, min(doc_id * 1073741824 + p) AS firstkey
+           |  FROM cg GROUP BY h
+           |), bn AS (
+           |  SELECT doc_id, $normToksSql AS toks FROM batchd
+           |), bg AS MATERIALIZED (
+           |  SELECT doc_id, unnest(range(1, len(toks) - 6)) AS p,
+           |    unnest(list_transform(range(1, len(toks) - 6),
+           |      i -> ('0x' || substr(md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 7], ' ')), 1, 15))::BIGINT)) AS h
+           |  FROM bn WHERE len(toks) >= 8
+           |), ba AS (
+           |  SELECT h, count(*) AS bnn, min(doc_id * 1073741824 + p) AS bfirst
+           |  FROM bg GROUP BY h
+           |), tot AS (
+           |  SELECT ba.h, ba.bnn + coalesce(idx.df, 0) AS tt,
+           |    least(ba.bfirst,
+           |      coalesce(idx.firstkey, 9223372036854775807)) AS gfirst
+           |  FROM ba LEFT JOIN idx USING (h)
+           |  WHERE ba.bnn + coalesce(idx.df, 0) >= 2
+           |), marks AS (
+           |  SELECT bg.doc_id, bg.p AS s, bg.p + 7 AS e
+           |  FROM bg JOIN tot ON bg.h = tot.h
+           |  WHERE bg.doc_id * 1073741824 + bg.p <> tot.gfirst
            |), ord AS (
            |  SELECT doc_id, s, e,
            |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e

@@ -1562,6 +1562,111 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
+  /** The frozen gram-frequency index an incremental ExactSubstr
+    * pipeline screens against: one row per distinct k-gram hash of the
+    * ACCEPTED corpus with its occurrence count and first-occurrence
+    * key. This is [[duplicateSubstringSpans]]' frequency aggregate
+    * FROZEN — built once when a corpus version is accepted, amortized
+    * over every future batch (the d8→d31/d32 incremental discipline
+    * applied to substrings).
+    *
+    * The index keeps df = 1 grams too, NOT just the duplicated set: a
+    * batch occurrence of a corpus-singleton gram makes that substring
+    * globally duplicated (1 + 1 ≥ 2), which the dups-only table would
+    * silently miss. The full table is corpus-vocabulary-sized (one
+    * 24-byte row per distinct gram — the relational twin of Lee et
+    * al.'s corpus-sized suffix array); at rest it is stored
+    * hash-bucketed on `_h` so a batch screen prunes to touched
+    * buckets. Schema: `(_h, _df, _firstKey)`. */
+  def substringGramIndex(
+      corpus: DataFrame, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val occKey = col("doc_id") * lit(1073741824L) + col("_p")
+    corpus
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(call_function(
+          graft.functions.PositionalGramHashes.name, col(textCol), lit(k))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("_p"),
+        col("col").as("_h"))
+      .groupBy(col("_h"))
+      .agg(count(lit(1)).as("_df"), min(occKey).as("_firstKey"))
+  }
+
+  /** Incremental ExactSubstr — [[duplicateSubstringSpans]] for the
+    * day-to-day posture: mark duplicate-substring spans in an incoming
+    * BATCH against an accepted corpus's frozen [[substringGramIndex]],
+    * without recounting (or even reshuffling) the corpus. A batch
+    * gram's global frequency is its batch-internal count plus the
+    * frozen corpus count; spans are marked in batch documents only
+    * (the corpus was screened when IT was admitted).
+    *
+    * `keepFirst = true` keeps the GLOBAL first occurrence unmarked —
+    * min of the frozen corpus first-key and the batch first-key, the
+    * packed (doc_id·2³⁰ + pos) contract of [[duplicateSubstringSpans]].
+    * Note the asymmetry a frozen index implies, stated honestly: when
+    * the first occurrence lies in the corpus, every batch occurrence
+    * is excised (the corpus copy survives — it is already training
+    * data); the corpus side is never re-marked.
+    *
+    * Scale shape (the d32 discipline, substring edition): the batch's
+    * gram stream is batch-token-sized and shuffles once into the
+    * batch-internal count aggregate; the corpus-vocabulary-sized index
+    * is NEVER broadcast (a day's batch is itself 10⁹ grams — nothing
+    * here fits a broadcast) and NEVER recounted — it meets the
+    * batch-distinct gram set in ONE shuffle-hash equi-join on `_h`
+    * (the d31/d32 corpus-screen posture: with the index stored
+    * hash-bucketed on `_h`, only the batch side moves and per-batch
+    * work is fully corpus-independent; unbucketed, the corpus term is
+    * one linear columnar shuffle of 24-byte rows). Everything
+    * downstream of that join is batch-sized; the span merge is
+    * [[duplicateSubstringSpans]]' per-document window.
+    *
+    * Output: `(doc_id, span_start, span_end)` over BATCH documents,
+    * same contract as [[duplicateSubstringSpans]]. */
+  def duplicateSubstringSpansIncremental(
+      batch: DataFrame, index: DataFrame, k: Int = 8, minCount: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text",
+      keepFirst: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(minCount >= 2, s"minCount must be at least 2, got $minCount")
+    val grams = batch
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(call_function(
+          graft.functions.PositionalGramHashes.name, col(textCol), lit(k))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("_p"),
+        col("col").as("_h"))
+      .localCheckpoint() // shared by the count aggregate + mark join
+    val occKey = col("doc_id") * lit(1073741824L) + col("_p")
+    val batchAgg = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_bn"), min(occKey).as("_bFirst"))
+    // one equi-join against the frozen index — shuffle-hash, never
+    // broadcast in either direction (both sides can be huge); a
+    // bucketed at-rest index makes this batch-side-only movement
+    val totals = batchAgg
+      .join(index.hint("shuffle_hash"), Seq("_h"), "left")
+      .select(col("_h"),
+        (col("_bn") + coalesce(col("_df"), lit(0L))).as("_tot"),
+        least(col("_bFirst"),
+          coalesce(col("_firstKey"), lit(Long.MaxValue))).as("_gFirst"))
+      .where(col("_tot") >= minCount)
+    val marks = grams.join(totals.hint("shuffle_hash"), "_h")
+      .where(if (keepFirst) occKey =!= col("_gFirst") else lit(true))
+      .select(col("doc_id"), col("_p").as("_s"),
+        (col("_p") + (k - 1)).as("_e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_s"), col("_e"))
+    marks
+      .withColumn("_pe",
+        max(col("_e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_isl",
+        sum(when(col("_pe").isNull || col("_s") > col("_pe") + 1, 1)
+          .otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("_s")).as("span_start"), max(col("_e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
   /** All-pairs brute-force variant of [[embeddingNearDupPairs]] — exact
     * recall oracle for tests; O(n²), never the shipped query path. */
   def embeddingNearDupPairsBrute(

@@ -869,6 +869,20 @@ class PlanSpec extends AnyFunSuite {
       s"no all-pairs comparison anywhere:\n$p")
   }
 
+  test("d34 incremental substrings: frozen index never broadcast, equi-joins only") {
+    val p = plan("d34_incr_dup_substrings")
+    // the corpus-vocabulary-sized index meets the batch gram set in a
+    // shuffle-hash equi-join; NOTHING in this plan is broadcast-sized
+    // (both join sides grow with data), so any BroadcastExchange is a
+    // local-stats artifact that cannot exist at 100 TB
+    assert(p.contains("ShuffledHashJoin"),
+      s"index probe must be a shuffle-hash equi-join:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"nothing in d34 is broadcast-safe at scale:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no pairwise or nested-loop step anywhere:\n$p")
+  }
+
   test("big-PSL registrable domain: native expression stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     // a real-PSL-sized suffix list (1.2k entries): a when-chain this

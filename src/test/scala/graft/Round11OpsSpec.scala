@@ -95,6 +95,64 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out === distinct.zipWithIndex.map { case (id, i) => (id, i + 1L) }.toSet)
   }
 
+  // --- incremental ExactSubstr ---------------------------------------
+
+  test("incremental ExactSubstr: hand-checked gates, both keeper rules") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five six"),
+      (2L, "zz1 zz2 zz3 zz4")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "one two three four XX"),   // cross: corpus df=1 + batch 1
+      (11L, "p q r s p q r s"),          // batch-internal repeat
+      (12L, "u1 u2 u3 u4 u5")            // unique: no spans
+    ).toDF("doc_id", "text")
+    val index = graft.operators.Dedup.substringGramIndex(corpus, k = 4)
+    def spans(keepFirst: Boolean) = graft.operators.Dedup
+      .duplicateSubstringSpansIncremental(batch, index, k = 4,
+        keepFirst = keepFirst)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // conservative: every copy excised — doc 10's [1,4] (the corpus
+    // holds the other copy) and doc 11's two overlapping-adjacent
+    // occurrences merge to [1,8]
+    assert(spans(keepFirst = false) === Set((10L, 1L, 4L), (11L, 1L, 8L)))
+    // keep-first: doc 10's gram first occurred in the CORPUS, so the
+    // batch copy is still excised; doc 11's first occurrence (pos 1)
+    // survives, only the repeat at pos 5 marks
+    assert(spans(keepFirst = true) === Set((10L, 1L, 4L), (11L, 5L, 8L)))
+  }
+
+  test("incremental ExactSubstr equals the full run restricted to batch docs, and is partition-invariant") {
+    val docs = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 4 =!= 3)
+    val batch = docs.where(col("doc_id") % 4 === 3)
+      .unionAll(docs.where(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          substring(col("text"), 31, 400).as("text")))
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (kf <- Seq(false, true)) {
+      // the freeze boundary must be semantics-free: global counts and
+      // global first-keys are what they would be in one full run
+      val full = key(graft.operators.Dedup
+        .duplicateSubstringSpans(corpus.unionAll(batch), k = 8, keepFirst = kf))
+        .filter(s => batchIds.contains(s._1))
+      val incr = key(graft.operators.Dedup.duplicateSubstringSpansIncremental(
+        batch, graft.operators.Dedup.substringGramIndex(corpus, k = 8),
+        k = 8, keepFirst = kf))
+      assert(incr === full, s"keepFirst=$kf")
+      assert(incr.nonEmpty)
+      // partition invariance: the screen must not depend on layout
+      val repart = key(graft.operators.Dedup.duplicateSubstringSpansIncremental(
+        batch.repartition(7),
+        graft.operators.Dedup.substringGramIndex(corpus.repartition(3), k = 8),
+        k = 8, keepFirst = kf))
+      assert(repart === incr, s"keepFirst=$kf partition variance")
+    }
+  }
+
   // --- data-driven PSL registrable domain ----------------------------
 
   /** ~1.2k-suffix PSL: the real 4 the fixture hosts use, plus decoy
