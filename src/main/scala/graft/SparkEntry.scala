@@ -2937,6 +2937,32 @@ object SparkEntry {
       graft.operators.Decontaminate.semanticReport(par(e), evalSet,
         threshold = 0.95)
     }),
+    // The banded form of d33 — the posture when the EVAL side outgrows
+    // broadcast-every-pair comfort: both sides take their 16-plane
+    // sign-LSH bucket and candidates are the shared-bucket pairs, so
+    // per-train work is bucket occupancy instead of |eval|. Single-
+    // probe recall contract (flagged ⊆ d33's flagged — a near pair
+    // split by one hyperplane is missed); the oracle replays the SAME
+    // banding, so the contract is hash-exact, not approximate-vs-
+    // brute. Same fixture as d33: near-copy probes overwhelmingly
+    // land in their source's bucket (sign sketches are nearly
+    // scale-invariant; the +0.01 shift can flip a near-zero plane —
+    // exactly the single-probe miss the contract names); negated
+    // vectors land in the complement bucket and stay clean. See
+    // Decontaminate.semanticReportBanded.
+    "d35_semantic_decontam_banded" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val evalSet = e.where(col("vec_id") % 83 === 0)
+        .select(col("vec_id").as("eval_id"),
+          transform(col("embedding"), x => x * 1.1 + 0.01).as("embedding"))
+        .unionByName(e.where(col("vec_id") % 83 === 41)
+          .select((col("vec_id") + 500000).as("eval_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      graft.operators.Decontaminate.semanticReportBanded(par(e), evalSet,
+        threshold = 0.95)
+    }),
     // The PRODUCTION incremental form: same fixture as d31, but k is
     // derived as ⌈N/64⌉ from one corpus count (occupancy — and the
     // per-batch screen work — constant as the corpus grows) and BOTH
@@ -6732,6 +6758,58 @@ object SparkEntry {
            |    CAST(list_sum(list_transform(range(1, 65), d -> t.qv[CAST(d AS INT)] * e.qv[CAST(d AS INT)])) AS DOUBLE)
            |      / (sqrt(CAST(t.n2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE))) AS cos
            |  FROM qn t CROSS JOIN eqn e
+           |), fl AS (
+           |  SELECT vec_id, eval_id, cos,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn
+           |  FROM pr WHERE cos >= 0.95
+           |)
+           |SELECT vec_id, eval_id, round(cos, 6) AS cos FROM fl WHERE rn = 1""".stripMargin,
+      // d35: d33 with the 16-plane sign-LSH banding unrolled on BOTH
+      // sides — the w/dots/bkt CTEs are the s2 recipe at 16 planes,
+      // the pair source is the shared-bucket equi-join instead of the
+      // cross join, and the argmax tail is identical.
+      "d35_semantic_decontam_banded" ->
+        s"""WITH eIn AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+           |), $quantEmbSql, w AS (
+           |  SELECT p, list_transform(range(64),
+           |    d -> ((('0x' || substr(md5(CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15))::BIGINT) % 2001) - 1000) AS wv
+           |  FROM (SELECT CAST(range AS BIGINT) AS p FROM range(16))
+           |), tdots AS (
+           |  SELECT qn.vec_id, w.p,
+           |    list_sum(list_transform(range(1, 65), d -> qn.qv[CAST(d AS INT)] * w.wv[CAST(d AS INT)])) AS dp
+           |  FROM qn, w
+           |), tbkt AS (
+           |  SELECT vec_id, CAST(sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM tdots GROUP BY vec_id
+           |), tq AS MATERIALIZED (
+           |  SELECT qn.vec_id, qn.qv, qn.n2, tbkt.bucket FROM qn JOIN tbkt USING (vec_id)
+           |), ev AS (
+           |  SELECT vec_id AS eval_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1 + 0.01) AS embedding
+           |  FROM embeddings WHERE vec_id % 83 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 500000, list_transform(embedding, x -> -CAST(x AS DOUBLE))
+           |  FROM embeddings WHERE vec_id % 83 = 41
+           |), eq0 AS (
+           |  SELECT eval_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM ev
+           |), eqn AS (
+           |  SELECT eval_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM eq0
+           |), edots AS (
+           |  SELECT eqn.eval_id, w.p,
+           |    list_sum(list_transform(range(1, 65), d -> eqn.qv[CAST(d AS INT)] * w.wv[CAST(d AS INT)])) AS dp
+           |  FROM eqn, w
+           |), ebkt AS (
+           |  SELECT eval_id, CAST(sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM edots GROUP BY eval_id
+           |), eq AS MATERIALIZED (
+           |  SELECT eqn.eval_id, eqn.qv, eqn.n2, ebkt.bucket FROM eqn JOIN ebkt USING (eval_id)
+           |), pr AS (
+           |  SELECT t.vec_id, e.eval_id,
+           |    CAST(list_sum(list_transform(range(1, 65), d -> t.qv[CAST(d AS INT)] * e.qv[CAST(d AS INT)])) AS DOUBLE)
+           |      / (sqrt(CAST(t.n2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE))) AS cos
+           |  FROM tq t JOIN eq e ON t.bucket = e.bucket
            |), fl AS (
            |  SELECT vec_id, eval_id, cos,
            |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn
