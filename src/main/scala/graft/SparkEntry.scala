@@ -2710,6 +2710,19 @@ object SparkEntry {
       val df = phashFixtureRows(s, dir).toDF("media_id", "bytes")
       Multimodal.perceptualNearDupPairs(par(df), maxHamming = 3)
     }),
+    // The 256-bit WEB-SCALE variant of m9: 16×17-grid dHash packed as
+    // eight 32-bit bands (2³² key space — flat occupancy at any
+    // realistic corpus, the round-11 octave adjudication's production
+    // route), Hamming-≤7-of-256 pigeonhole recall, verified by exact
+    // popcount. Fixture: the m9 sawtooth family at (17,16)-multiple
+    // dimensions, every content rendered PNG+BMP — the oracle
+    // recomputes the 16×17 block sums relationally and must land on
+    // exactly one Hamming-0 pair per content.
+    "m11_perceptual_neardup_deep" -> ((s, dir) => {
+      import s.implicits._
+      val df = phashDeepFixtureRows(s, dir).toDF("media_id", "bytes")
+      Multimodal.perceptualNearDupPairsDeep(par(df), maxHamming = 7)
+    }),
     // Perceptual near-dup FAMILIES — the media twin of d10's
     // pairs→components→keeper pipeline: m9's Hamming-banded pairs
     // clustered by min-label connected components, every fixture image
@@ -3249,6 +3262,40 @@ object SparkEntry {
     }
   }
 
+  /** The m11 twin of [[phashFixtureRows]] at the 256-bit grid: same
+    * sawtooth family `gray(x,y) = (a·x + b·y + off) % 256`, dimensions
+    * multiples of (17, 16) — W = 17·(1 + c%3), H = 16·(1 + c%2) — so
+    * the 16×17 block sums are exact integer formulas over the
+    * generator; every content rendered PNG (2c) and BMP (2c + 1), two
+    * lossless encodings of one raster ⇒ each pair at Hamming 0 of 256.
+    * Probed before shipping (the m9 discipline): zero accidental
+    * Hamming-≤7 cross-content pairs — the output is exactly one pair
+    * per content. */
+  private def phashDeepFixtureRows(s: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    import java.awt.image.BufferedImage
+    val keys = tbl(s, dir, "nation").select(col("n_nationkey").cast("long"))
+      .orderBy("n_nationkey").collect().map(_.getLong(0)).toSeq
+    keys.map { k =>
+      val c = k / 2
+      val a = (41 + 17 * (c % 9)).toInt
+      val b = (29 + 23 * (c % 7)).toInt
+      val off = (11 * c).toInt
+      val w = (17 * (1 + c % 3)).toInt
+      val h = (16 * (1 + c % 2)).toInt
+      val (fmt, imgType) =
+        if (k % 2 == 0) ("png", BufferedImage.TYPE_INT_RGB)
+        else ("bmp", BufferedImage.TYPE_3BYTE_BGR)
+      val img = new BufferedImage(w, h, imgType)
+      for (x <- 0 until w; y <- 0 until h) {
+        val g = (a * x + b * y + off) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      (k, bos.toByteArray)
+    }
+  }
+
   /** The testdata parquet files are single-row-group, so a scan is ONE
     * split and everything narrow downstream of it runs on one core. Fan
     * compute-heavy per-row stages (shingling, minhash, text metrics,
@@ -3618,6 +3665,57 @@ object SparkEntry {
       |    bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) AS hamming
       |  FROM hashes a JOIN hashes c ON a.k < c.k
       |    AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)
+      |)""".stripMargin
+
+  // The 256-bit twin of phashChainSql: 16×17 grid, bands = 8 keys of
+  // 32 bits (two rows each, bit (r%2)·16 + cidx — max bit 31, no
+  // BIGINT shift hazard), candidate rule = any of the 8 bands equal,
+  // Hamming over all eight XORs. Dimensions W = 17·sx, H = 16·sy with
+  // sx = 1 + (k//2)%3, sy = 1 + (k//2)%2.
+  private val phashDeepChainSql: String =
+    """keys AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+      |), prm AS (
+      |  SELECT k, 41 + 17 * ((k // 2) % 9) AS a, 29 + 23 * ((k // 2) % 7) AS b,
+      |    11 * (k // 2) AS off,
+      |    1 + (k // 2) % 3 AS sx, 1 + (k // 2) % 2 AS sy
+      |  FROM keys
+      |), cells AS (
+      |  SELECT p.k, rr.r, cc.cidx,
+      |    sum((p.a * (cc.cidx * p.sx + dx.i) + p.b * (rr.r * p.sy + dy.j) + p.off) % 256) AS s
+      |  FROM prm p,
+      |    (SELECT CAST(range AS BIGINT) AS r FROM range(16)) rr,
+      |    (SELECT CAST(range AS BIGINT) AS cidx FROM range(17)) cc,
+      |    (SELECT CAST(range AS BIGINT) AS i FROM range(3)) dx,
+      |    (SELECT CAST(range AS BIGINT) AS j FROM range(2)) dy
+      |  WHERE dx.i < p.sx AND dy.j < p.sy
+      |  GROUP BY 1, 2, 3
+      |), bits AS (
+      |  SELECT l.k, l.r, l.cidx,
+      |    CASE WHEN rt.s > l.s THEN 1 ELSE 0 END AS bit
+      |  FROM cells l JOIN cells rt
+      |    ON l.k = rt.k AND l.r = rt.r AND rt.cidx = l.cidx + 1
+      |  WHERE l.cidx < 16
+      |), hashes AS MATERIALIZED (
+      |  SELECT k,
+      |    CAST(sum(CASE WHEN r // 2 = 0 THEN bit * (CAST(1 AS BIGINT) << CAST((r % 2) * 16 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b0,
+      |    CAST(sum(CASE WHEN r // 2 = 1 THEN bit * (CAST(1 AS BIGINT) << CAST((r % 2) * 16 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b1,
+      |    CAST(sum(CASE WHEN r // 2 = 2 THEN bit * (CAST(1 AS BIGINT) << CAST((r % 2) * 16 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b2,
+      |    CAST(sum(CASE WHEN r // 2 = 3 THEN bit * (CAST(1 AS BIGINT) << CAST((r % 2) * 16 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b3,
+      |    CAST(sum(CASE WHEN r // 2 = 4 THEN bit * (CAST(1 AS BIGINT) << CAST((r % 2) * 16 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b4,
+      |    CAST(sum(CASE WHEN r // 2 = 5 THEN bit * (CAST(1 AS BIGINT) << CAST((r % 2) * 16 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b5,
+      |    CAST(sum(CASE WHEN r // 2 = 6 THEN bit * (CAST(1 AS BIGINT) << CAST((r % 2) * 16 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b6,
+      |    CAST(sum(CASE WHEN r // 2 = 7 THEN bit * (CAST(1 AS BIGINT) << CAST((r % 2) * 16 + cidx AS INT)) ELSE 0 END) AS BIGINT) AS b7
+      |  FROM bits GROUP BY k
+      |), prs AS (
+      |  SELECT a.k AS id_a, c.k AS id_b,
+      |    bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1)) +
+      |    bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) +
+      |    bit_count(xor(a.b4, c.b4)) + bit_count(xor(a.b5, c.b5)) +
+      |    bit_count(xor(a.b6, c.b6)) + bit_count(xor(a.b7, c.b7)) AS hamming
+      |  FROM hashes a JOIN hashes c ON a.k < c.k
+      |    AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3 OR
+      |         a.b4 = c.b4 OR a.b5 = c.b5 OR a.b6 = c.b6 OR a.b7 = c.b7)
       |)""".stripMargin
 
   // Frozen-two-level-index extension of ivfTwoLevel2Sql (Similarity.
@@ -5635,6 +5733,12 @@ object SparkEntry {
         s"""WITH $phashChainSql
            |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
            |FROM prs WHERE hamming <= 3""".stripMargin,
+      // m11 = the 256-bit deep-band chain (16×17 grid, 8×32-bit
+      // bands), Hamming budget 7 of 256.
+      "m11_perceptual_neardup_deep" ->
+        s"""WITH $phashDeepChainSql
+           |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+           |FROM prs WHERE hamming <= 7""".stripMargin,
       // m10 = m9's pairs clustered to families: recursive closure over
       // the Hamming-≤3 edges, component minimum as the family id (the
       // algorithm-independent result min-label propagation converges

@@ -177,7 +177,7 @@ object Dedup {
     * [[exact]] dedup first (see PipelineExample) so identical documents
     * are collapsed before LSH and hot buckets cannot form from exact
     * copies. */
-  private def capBuckets(bk: DataFrame, keyCols: Seq[String], cap: Int,
+  private[operators] def capBuckets(bk: DataFrame, keyCols: Seq[String], cap: Int,
       stats: Option[CapStats] = None): DataFrame = {
     val hot0 = bk.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_members"))

@@ -21,6 +21,15 @@ case class DecodedImage(media_id: Long, format: Option[String],
 case class PerceptualHash(media_id: Long, b0: Option[Int], b1: Option[Int],
     b2: Option[Int], b3: Option[Int])
 
+/** One 256-bit perceptual-hash row: the 16×17-grid dHash as EIGHT
+  * 32-bit band keys — the web-scale band representation (2³² key
+  * space per band → flat occupancy at any corpus size; 32-bit values
+  * in longs, so no signed-bit hazard on either engine). All-NULL =
+  * quarantine (undecodable / sub-17×16 payload). */
+case class PerceptualHashDeep(media_id: Long,
+    b0: Option[Long], b1: Option[Long], b2: Option[Long], b3: Option[Long],
+    b4: Option[Long], b5: Option[Long], b6: Option[Long], b7: Option[Long])
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
@@ -256,47 +265,8 @@ object Multimodal {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     in.mapPartitions { it =>
       it.map { case (id, rawBytes) =>
-        val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
-        val img =
-          try Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes)))
-          catch { case scala.util.control.NonFatal(_) => None }
-        img match {
-          case Some(im) if im.getWidth >= 9 && im.getHeight >= 8 =>
-            val w = im.getWidth
-            val h = im.getHeight
-            // block gray sums + pixel counts over the 8×9 grid
-            val s = Array.ofDim[Long](8, 9)
-            val n = Array.ofDim[Long](8, 9)
-            var r = 0
-            while (r < 8) {
-              val y0 = r * h / 8; val y1 = (r + 1) * h / 8
-              var c = 0
-              while (c < 9) {
-                val x0 = c * w / 9; val x1 = (c + 1) * w / 9
-                var acc = 0L
-                var y = y0
-                while (y < y1) {
-                  var x = x0
-                  while (x < x1) {
-                    val rgb = im.getRGB(x, y)
-                    acc += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-                      (rgb & 0xff)
-                    x += 1
-                  }
-                  y += 1
-                }
-                // gray sum: Σ⌊(r+g+b)/3⌋ would lose the remainder per
-                // pixel; summing the RAW channel total and comparing
-                // cross-multiplied is the same ordering with exact
-                // thirds (gray·3), and the oracle replays it as Σgray
-                // when r=g=b (the fixture's case: acc = 3·Σgray)
-                s(r)(c) = acc
-                n(r)(c) = (y1 - y0).toLong * (x1 - x0)
-                c += 1
-              }
-              r += 1
-            }
+        decodeBlockSums(rawBytes, rows = 8, cols = 9) match {
+          case Some((s, n)) =>
             def band(b: Int): Int = {
               var v = 0
               var rr = 2 * b
@@ -319,6 +289,109 @@ object Multimodal {
     }(Encoders.product[PerceptualHash]).toDF()
   }
 
+  /** Decode + block luminance sums over a `rows`×`cols` grid — the
+    * shared core of the 64-bit and 256-bit dHash variants. Returns
+    * NONE (the quarantine) for undecodable/NULL payloads and rasters
+    * smaller than the grid; otherwise `(s, n)` with `s(r)(c)` the raw
+    * r+g+b channel sum and `n(r)(c)` the pixel count of block (r,c) —
+    * floor boundaries, all-integer. Σ⌊(r+g+b)/3⌋ would lose the
+    * remainder per pixel; summing the RAW channel total and comparing
+    * cross-multiplied is the same ordering with exact thirds (gray·3),
+    * and the oracle replays it as Σgray when r=g=b (the fixtures'
+    * case: acc = 3·Σgray). */
+  private def decodeBlockSums(rawBytes: Array[Byte], rows: Int, cols: Int)
+      : Option[(Array[Array[Long]], Array[Array[Long]])] = {
+    val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
+    val img =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img match {
+      case Some(im) if im.getWidth >= cols && im.getHeight >= rows =>
+        val w = im.getWidth
+        val h = im.getHeight
+        val s = Array.ofDim[Long](rows, cols)
+        val n = Array.ofDim[Long](rows, cols)
+        var r = 0
+        while (r < rows) {
+          val y0 = r * h / rows; val y1 = (r + 1) * h / rows
+          var c = 0
+          while (c < cols) {
+            val x0 = c * w / cols; val x1 = (c + 1) * w / cols
+            var acc = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = im.getRGB(x, y)
+                acc += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                  (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            s(r)(c) = acc
+            n(r)(c) = (y1 - y0).toLong * (x1 - x0)
+            c += 1
+          }
+          r += 1
+        }
+        Some((s, n))
+      case _ => None
+    }
+  }
+
+  /** 256-bit dHash — [[perceptualHashes]] at a 16-row × 17-column grid,
+    * packed as EIGHT 32-bit band keys (two rows each, bit
+    * `(r%2)·16 + c`). This is the WEB-SCALE variant: the round-10 d5
+    * octave measured that any fixed bounded band-key space saturates
+    * quadratically as the corpus grows, and the 64-bit hash's 4×2¹⁶
+    * bands are exactly that class (~N/65k expected occupancy per
+    * bucket at 10⁹ images). Deepening the hash moves the band keys to
+    * a 2³² space — ~N/4.3·10⁹ occupancy, the d2 "unbounded key space,
+    * flat occupancy" property — while KEEPING pigeonhole-exact recall:
+    * 8 bands tolerate Hamming ≤ 7 of 256 bits (2.7% of bits, vs the
+    * 64-bit variant's 3/64 = 4.7% — the deeper grid is more sensitive
+    * per retouch, so the relative tolerance is roughly preserved). No
+    * signed-bit hazard: 32-bit keys ride in longs on both engines.
+    *
+    * Quarantine: rasters smaller than 17×16, undecodable, or NULL
+    * payloads → all-NULL bands. Scan-stage mapPartitions, no
+    * shuffle. */
+  def perceptualHashesDeep(
+      media: DataFrame, idCol: String = "media_id",
+      binCol: String = "bytes"): DataFrame = {
+    val in = media.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    in.mapPartitions { it =>
+      it.map { case (id, rawBytes) =>
+        decodeBlockSums(rawBytes, rows = 16, cols = 17) match {
+          case Some((s, n)) =>
+            val bands = Array.tabulate(8) { b =>
+              var v = 0L
+              var rr = 2 * b
+              while (rr <= 2 * b + 1) {
+                var c = 0
+                while (c < 16) {
+                  if (s(rr)(c + 1) * n(rr)(c) > s(rr)(c) * n(rr)(c + 1))
+                    v |= 1L << ((rr % 2) * 16 + c)
+                  c += 1
+                }
+                rr += 1
+              }
+              v
+            }
+            PerceptualHashDeep(id, Some(bands(0)), Some(bands(1)),
+              Some(bands(2)), Some(bands(3)), Some(bands(4)),
+              Some(bands(5)), Some(bands(6)), Some(bands(7)))
+          case _ => PerceptualHashDeep(id, None, None, None, None, None,
+            None, None, None)
+        }
+      }
+    }(Encoders.product[PerceptualHashDeep]).toDF()
+  }
+
   /** Hamming-banded perceptual near-dup pairs — the d2 MinHash+LSH
     * discipline applied to [[perceptualHashes]]' bits: candidates are
     * images sharing at least one of the four 16-bit bands (an equi-join
@@ -330,25 +403,41 @@ object Multimodal {
     * disagree in far more than `maxHamming` bits.
     *
     * Scale shape: the hash table is one 4-band explode (4 rows per
-    * image), the candidate join is an equi-join on (band, key) — hot
-    * monoculture keys (single-color thumbnails) are the caller's
-    * [[graft.operators.Dedup.CapStats]]-style concern at web scale;
-    * the verify join touches only candidate ids. The corpus's pixel
+    * image), the candidate join is an equi-join on (band, key);
+    * `bandCap` drops (band, key) buckets holding more than that many
+    * images ([[Dedup.capBuckets]] — the d2/d5 quadratic-candidate
+    * guard, with [[graft.operators.Dedup.CapStats]] recall
+    * accounting: hot monoculture keys like single-color thumbnails
+    * would otherwise go cap²-quadratic on one shuffle key); the
+    * verify join touches only candidate ids. The corpus's pixel
     * payloads never move: hashing is scan-stage, everything after
     * rides 4-integer rows.
+    *
+    * SCALE LIMIT, measured at the round-11 octaves (SCALE.md): the 4
+    * band keys live in a FIXED 2¹⁶ space, so occupancy — and with it
+    * Σocc² candidate work — grows quadratically once the corpus
+    * passes ~10⁵-10⁶ images, even with perfectly uniform keys; the
+    * cap bounds the damage (with accounting) but drops recall on hot
+    * buckets. At web scale route to [[perceptualNearDupPairsDeep]]:
+    * 2³² band keys keep occupancy flat at any realistic corpus.
     *
     * Output: `(id_a, id_b, hamming)`, `hamming ≤ maxHamming`. */
   def perceptualNearDupPairs(
       media: DataFrame, idCol: String = "media_id",
-      binCol: String = "bytes", maxHamming: Int = 3): DataFrame = {
+      binCol: String = "bytes", maxHamming: Int = 3,
+      bandCap: Int = 100000,
+      capStats: Option[Dedup.CapStats] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banded recall is exact only for maxHamming in [0, 3], got $maxHamming")
     val hs = perceptualHashes(media, idCol, binCol)
       .where(col("b0").isNotNull)
       .localCheckpoint() // shared by the band explode and both verify sides
-    val bands = hs.select(col("media_id"),
-      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
-      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bk")
+    val bands = Dedup.capBuckets(
+      hs.select(col("media_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+        .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bk"),
+      Seq("_band", "_bk"), bandCap, capStats)
+      .localCheckpoint()
     val cand = bands.as("x")
       .join(bands.as("y").hint("shuffle_hash"),
         col("x._band") === col("y._band") && col("x._bk") === col("y._bk") &&
@@ -369,6 +458,59 @@ object Multimodal {
           bit_count(col("_a2").bitwiseXOR(col("_c2"))) +
           bit_count(col("_a3").bitwiseXOR(col("_c3")))).cast("long")
           .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Hamming-banded near-dup pairs over the 256-bit
+    * [[perceptualHashesDeep]] — the WEB-SCALE route: candidates share
+    * at least one of the EIGHT 32-bit bands (pigeonhole-exact recall
+    * for Hamming ≤ 7 of 256 bits), verified by the exact popcount over
+    * all eight bands. Re-encoded copies of one raster (PNG↔BMP) still
+    * hash identically; the deeper grid flips proportionally more bits
+    * per retouch, so the relative tolerance (≤ 2.7% of bits) roughly
+    * matches the 64-bit variant's 3/64.
+    *
+    * Scale shape: one 8-band explode, candidate equi-join on
+    * (band, key) with keys in a 2³² space — expected occupancy
+    * ~N/4.3·10⁹ per band bucket, i.e. FLAT through any realistic
+    * image corpus (the d2 md5-band property, measured flat at the
+    * round-11 octaves where the 16-bit variant went quadratic);
+    * `bandCap` + [[graft.operators.Dedup.CapStats]] still guard
+    * genuine monocultures (identical rasters hash identically at any
+    * depth — run exact payload dedup first). Payloads never move.
+    *
+    * Output: `(id_a, id_b, hamming)`, `hamming ≤ maxHamming`. */
+  def perceptualNearDupPairsDeep(
+      media: DataFrame, idCol: String = "media_id",
+      binCol: String = "bytes", maxHamming: Int = 7,
+      bandCap: Int = 100000,
+      capStats: Option[Dedup.CapStats] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"8-banded recall is exact only for maxHamming in [0, 7], got $maxHamming")
+    val bcols = (0 until 8).map(i => col(s"b$i"))
+    val hs = perceptualHashesDeep(media, idCol, binCol)
+      .where(col("b0").isNotNull)
+      .localCheckpoint() // shared by the band explode and both verify sides
+    val bands = Dedup.capBuckets(
+      hs.select(col("media_id"), posexplode(array(bcols: _*)))
+        .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bk"),
+      Seq("_band", "_bk"), bandCap, capStats)
+      .localCheckpoint()
+    val cand = bands.as("x")
+      .join(bands.as("y").hint("shuffle_hash"),
+        col("x._band") === col("y._band") && col("x._bk") === col("y._bk") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+      .distinct()
+    val ha = hs.select(col("media_id").as("id_a") +:
+      (0 until 8).map(i => col(s"b$i").as(s"_a$i")): _*)
+    val hb = hs.select(col("media_id").as("id_b") +:
+      (0 until 8).map(i => col(s"b$i").as(s"_c$i")): _*)
+    cand.join(ha.hint("shuffle_hash"), "id_a").join(hb.hint("shuffle_hash"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (0 until 8).map(i =>
+          bit_count(col(s"_a$i").bitwiseXOR(col(s"_c$i"))))
+          .reduce(_ + _).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 }

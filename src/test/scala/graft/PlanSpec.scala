@@ -794,6 +794,16 @@ class PlanSpec extends AnyFunSuite {
       s"image payloads must not appear in the pair-join plan:\n$p")
   }
 
+  test("m11 deep perceptual near-dup: same discipline over the 8x32-bit bands") {
+    val p = plan("m11_perceptual_neardup_deep")
+    assert(p.contains("ShuffledHashJoin"),
+      s"band candidate join must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs image comparison:\n$p")
+    assert(!p.contains("bytes#"),
+      s"image payloads must not appear in the pair-join plan:\n$p")
+  }
+
   test("w1 url domains: normalization is scan-stage projection, two-stage distinct, 1-row total broadcast") {
     val p = plan("w1_url_domains")
     // the canonicalization is codegen'd builtins inside Project — no

@@ -95,6 +95,49 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out === distinct.zipWithIndex.map { case (id, i) => (id, i + 1L) }.toSet)
   }
 
+  // --- 256-bit perceptual bands (the m9/m10 octave fix) ---------------
+
+  test("deep perceptual bands: re-encoded raster still pairs, quarantine holds, caps account") {
+    import spark.implicits._
+    // lossless re-encode (PNG <-> BMP) of one raster must pair at
+    // Hamming 0 through the 256-bit chain — the round-11 recall
+    // contract for the scale-safe route
+    val imgs = (0L until 6L).flatMap { c =>
+      Seq((2 * c, MediaScaleGen.renderContent(c, "png")),
+        (2 * c + 1, MediaScaleGen.renderContent(c, "bmp")))
+    } ++ Seq(
+      (100L, Array.fill[Byte](64)(7)),                    // undecodable
+      (101L, { // decodable but sub-17x16: quarantined for the deep grid
+        val im = new java.awt.image.BufferedImage(10, 10,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos); bos.toByteArray
+      }))
+    val df = imgs.toDF("media_id", "bytes")
+    val pairs = graft.operators.Multimodal
+      .perceptualNearDupPairsDeep(df, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === (0L until 6L).map(c => (2 * c, 2 * c + 1, 0L)).toSet)
+    // quarantine: both junk rows carry all-NULL bands
+    val q = graft.operators.Multimodal.perceptualHashesDeep(df)
+      .where(col("media_id") >= 100L).collect()
+    assert(q.length === 2 && q.forall(_.isNullAt(1)))
+    // monoculture guard: many copies of ONE raster blow past a tiny
+    // bandCap — the bucket drops WITH accounting, instead of going
+    // cap^2-quadratic on one shuffle key
+    val mono = (0L until 20L).map(i => (i, MediaScaleGen.renderContent(42L, "bmp")))
+      .toDF("media_id", "bytes")
+    val cs = graft.operators.Dedup.CapStats(spark, "mono-deep")
+    val capped = graft.operators.Multimodal.perceptualNearDupPairsDeep(
+      mono, maxHamming = 7, bandCap = 5, capStats = Some(cs)).count()
+    assert(capped === 0L)
+    assert(cs.buckets.value === 8L, "all 8 identical-key band buckets dropped")
+    assert(cs.rows.value === 160L, "20 members x 8 bands accounted")
+    // and the same corpus with an honest cap keeps every pair
+    assert(graft.operators.Multimodal.perceptualNearDupPairsDeep(
+      mono, maxHamming = 7).count() === 20L * 19 / 2)
+  }
+
   // --- incremental ExactSubstr ---------------------------------------
 
   test("incremental ExactSubstr: hand-checked gates, both keeper rules") {
