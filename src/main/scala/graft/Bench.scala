@@ -106,7 +106,8 @@ object Bench {
       "u47" -> 0.3, "u49" -> 2.0, "u5" -> 1.0, "u50" -> 1.0, "u6" -> 1.0,
       "u7" -> 3.0, "u8" -> 1.0, "u9" -> 1.0, "t43" -> 1.0, "w1" -> 0.7,
       "w2" -> 1.0, "w3" -> 1.0, "d31" -> 3.0, "d32" -> 4.5, "m10" -> 0.5,
-      "d33" -> 1.0, "t44" -> 0.5, "t45" -> 0.5)
+      "d33" -> 1.0, "t44" -> 0.5, "t45" -> 0.5, "d34" -> 1.5,
+      "d35" -> 1.0, "m11" -> 1.0)
 
   /** New queries (no last-round number) are assumed mid-weight so they
     * schedule early enough to always get measured. */
@@ -158,7 +159,7 @@ object Bench {
       "s10" -> 1.7, "s11" -> 0.6, "s12" -> 0.4, "s13" -> 0.7, "s14" -> 0.3,
       "s15" -> 0.3, "s16" -> 0.59, "s17" -> 1.3, "s18" -> 0.5, "s19" -> 0.4,
       "s2" -> 0.6, "s20" -> 0.5, "s3" -> 1.2, "s4" -> 0.7, "s5" -> 1.6,
-      "s6" -> 1.1, "s7" -> 0.3, "s8" -> 2.99, "s9" -> 4.58, "t1" -> 0,
+      "s6" -> 1.1, "s7" -> 0.3, "s8" -> 2.99, "s9" -> 4.57, "t1" -> 0,
       "t10" -> 0.7, "t11" -> 0.6, "t12" -> 0.6, "t13" -> 0.5, "t14" -> 0,
       "t15" -> 0.6, "t16" -> 1.0, "t17" -> 0.4, "t18" -> 1.1, "t19" -> 0.7,
       "t2" -> 0, "t20" -> 0.3, "t21" -> 0.4, "t22" -> 0.7, "t23" -> 0,
@@ -177,8 +178,9 @@ object Bench {
       "u42" -> 0.7, "u43" -> 0.5, "u44" -> 0.4, "u45" -> 0.3, "u46" -> 0,
       "u47" -> 0, "u49" -> 0.7, "u5" -> 0.3, "u50" -> 0.36, "u6" -> 0.3,
       "u7" -> 2.57, "u8" -> 0.3, "u9" -> 0.4, "t43" -> 0.59, "w1" -> 0.5,
-      "w2" -> 0.5, "w3" -> 0.9, "d31" -> 2.0, "d32" -> 4.19, "m10" -> 0.3,
-      "d33" -> 0.8, "t44" -> 0.3, "t45" -> 0.3)
+      "w2" -> 0.5, "w3" -> 0.9, "d31" -> 2.0, "d32" -> 3.79, "m10" -> 0.3,
+      "d33" -> 0.8, "t44" -> 0.3, "t45" -> 0.3, "d34" -> 1.4,
+      "d35" -> 0.7, "m11" -> 0.7)
 
   private[graft] def priorIsolatedMin(n: String): Option[Double] =
     priorIsolatedMinSec.get(n.split("_")(0)).orElse(priorIsolatedMinSec.get(n))

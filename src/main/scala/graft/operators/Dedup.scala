@@ -1613,14 +1613,17 @@ object Dedup {
     * gram stream is batch-token-sized and shuffles once into the
     * batch-internal count aggregate; the corpus-vocabulary-sized index
     * is NEVER broadcast (a day's batch is itself 10⁹ grams — nothing
-    * here fits a broadcast) and NEVER recounted — it meets the
-    * batch-distinct gram set in ONE shuffle-hash equi-join on `_h`
-    * (the d31/d32 corpus-screen posture: with the index stored
-    * hash-bucketed on `_h`, only the batch side moves and per-batch
-    * work is fully corpus-independent; unbucketed, the corpus term is
-    * one linear columnar shuffle of 24-byte rows). Everything
-    * downstream of that join is batch-sized; the span merge is
-    * [[duplicateSubstringSpans]]' per-document window.
+    * here fits a broadcast), NEVER recounted, and NEVER hash-built (a
+    * hash relation of a vocab-sized side is a spill hazard — measured
+    * at the round-11 100× octave, where a lean executor could not
+    * acquire the build memory) — it meets the batch-distinct gram set
+    * in ONE spill-safe SORT-MERGE equi-join on `_h`. With the index
+    * stored hash-bucketed + sorted on `_h`, only the batch side sorts
+    * and moves and per-batch work is fully corpus-independent;
+    * unbucketed, the corpus term is one linear columnar
+    * shuffle+sort of 24-byte rows. Everything downstream of that join
+    * is batch-sized; the span merge is [[duplicateSubstringSpans]]'
+    * per-document window.
     *
     * Output: `(doc_id, span_start, span_end)` over BATCH documents,
     * same contract as [[duplicateSubstringSpans]]. */
@@ -1640,11 +1643,16 @@ object Dedup {
     val occKey = col("doc_id") * lit(1073741824L) + col("_p")
     val batchAgg = grams.groupBy(col("_h"))
       .agg(count(lit(1)).as("_bn"), min(occKey).as("_bFirst"))
-    // one equi-join against the frozen index — shuffle-hash, never
-    // broadcast in either direction (both sides can be huge); a
-    // bucketed at-rest index makes this batch-side-only movement
+    // one equi-join against the frozen index — SORT-MERGE, never
+    // broadcast in either direction (both sides can be huge) and never
+    // hash-built: a hash relation of the corpus-vocabulary-sized index
+    // is a spill hazard (measured: a lean executor cannot acquire the
+    // build memory at the 100× octave), while merge is spill-safe and
+    // FREE on the index side when the at-rest index is stored
+    // hash-bucketed + sorted on `_h` (then only the batch side sorts
+    // and moves)
     val totals = batchAgg
-      .join(index.hint("shuffle_hash"), Seq("_h"), "left")
+      .join(index.hint("merge"), Seq("_h"), "left")
       .select(col("_h"),
         (col("_bn") + coalesce(col("_df"), lit(0L))).as("_tot"),
         least(col("_bFirst"),

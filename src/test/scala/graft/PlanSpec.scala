@@ -879,14 +879,17 @@ class PlanSpec extends AnyFunSuite {
       s"no all-pairs comparison anywhere:\n$p")
   }
 
-  test("d34 incremental substrings: frozen index never broadcast, equi-joins only") {
+  test("d34 incremental substrings: index probe sort-merge, marks shuffle-hash, never broadcast") {
     val p = plan("d34_incr_dup_substrings")
     // the corpus-vocabulary-sized index meets the batch gram set in a
-    // shuffle-hash equi-join; NOTHING in this plan is broadcast-sized
-    // (both join sides grow with data), so any BroadcastExchange is a
-    // local-stats artifact that cannot exist at 100 TB
+    // spill-safe SORT-MERGE equi-join (a hash build of a vocab-sized
+    // side cannot acquire memory at the 100× octave); the batch-sized
+    // marks join stays shuffle-hash; NOTHING in this plan is
+    // broadcast-sized (both join sides grow with data)
+    assert(p.contains("SortMergeJoin"),
+      s"index probe must be a sort-merge equi-join:\n$p")
     assert(p.contains("ShuffledHashJoin"),
-      s"index probe must be a shuffle-hash equi-join:\n$p")
+      s"the batch-sized marks join stays shuffle-hash:\n$p")
     assert(!p.contains("BroadcastExchange"),
       s"nothing in d34 is broadcast-safe at scale:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
