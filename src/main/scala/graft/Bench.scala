@@ -107,7 +107,7 @@ object Bench {
       "u7" -> 3.0, "u8" -> 1.0, "u9" -> 1.0, "t43" -> 1.0, "w1" -> 0.7,
       "w2" -> 1.0, "w3" -> 1.0, "d31" -> 3.0, "d32" -> 4.5, "m10" -> 0.5,
       "d33" -> 1.0, "t44" -> 0.5, "t45" -> 0.5, "d34" -> 1.5,
-      "d35" -> 1.0, "m11" -> 1.0)
+      "d35" -> 1.0, "m11" -> 1.0, "m12" -> 1.5)
 
   /** New queries (no last-round number) are assumed mid-weight so they
     * schedule early enough to always get measured. */
@@ -180,7 +180,7 @@ object Bench {
       "u7" -> 2.57, "u8" -> 0.3, "u9" -> 0.4, "t43" -> 0.59, "w1" -> 0.5,
       "w2" -> 0.5, "w3" -> 0.9, "d31" -> 2.0, "d32" -> 3.79, "m10" -> 0.3,
       "d33" -> 0.8, "t44" -> 0.3, "t45" -> 0.3, "d34" -> 1.4,
-      "d35" -> 0.7, "m11" -> 0.7)
+      "d35" -> 0.7, "m11" -> 0.7, "m12" -> 1.4)
 
   private[graft] def priorIsolatedMin(n: String): Option[Double] =
     priorIsolatedMinSec.get(n.split("_")(0)).orElse(priorIsolatedMinSec.get(n))

@@ -2744,6 +2744,24 @@ object SparkEntry {
           coalesce(col("group_id"), col("media_id")).as("family_id"))
         .withColumn("is_keeper", col("media_id") === col("family_id"))
     }),
+    // m10's families pipeline over the 256-bit deep bands — the full
+    // web-scale media-curation release path (deep pairs → min-label
+    // CC → keeper): same composition, same scale shape (CC rounds
+    // shuffle only the pair frontier), candidate stage now the
+    // flat-occupancy 2³² band space.
+    "m12_perceptual_families_deep" -> ((s, dir) => {
+      import s.implicits._
+      val df = phashDeepFixtureRows(s, dir).toDF("media_id", "bytes")
+      val pairs = Multimodal.perceptualNearDupPairsDeep(par(df), maxHamming = 7)
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      df.select(col("media_id"))
+        .join(cc.withColumnRenamed("doc_id", "media_id"), Seq("media_id"),
+          "left")
+        .select(col("media_id"),
+          coalesce(col("group_id"), col("media_id")).as("family_id"))
+        .withColumn("is_keeper", col("media_id") === col("family_id"))
+    }),
     // Recursive CTE (Spark 4 relational surface): shortest-hop
     // reachability from nation 0 over the g5 trade backbone — ≤3-hop
     // paths enumerated by the recursion, min-hop aggregated after
@@ -5739,6 +5757,27 @@ object SparkEntry {
         s"""WITH $phashDeepChainSql
            |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
            |FROM prs WHERE hamming <= 7""".stripMargin,
+      // m12 = m11's pairs clustered to families — the m10 closure over
+      // the deep chain's Hamming-≤7 edges.
+      "m12_perceptual_families_deep" ->
+        s"""WITH RECURSIVE $phashDeepChainSql, pf AS (
+           |  SELECT id_a, id_b FROM prs WHERE hamming <= 7
+           |), edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pf
+           |  UNION
+           |  SELECT id_b, id_a FROM pf
+           |), nodes AS (
+           |  SELECT DISTINCT src AS id FROM edges
+           |), cc(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT cc.id, e.dst FROM cc JOIN edges e ON cc.r = e.src
+           |), lbl AS (
+           |  SELECT id, min(r) AS group_id FROM cc GROUP BY id
+           |)
+           |SELECT k AS media_id, coalesce(l.group_id, k) AS family_id,
+           |  coalesce(l.group_id, k) = k AS is_keeper
+           |FROM keys LEFT JOIN lbl l ON keys.k = l.id""".stripMargin,
       // m10 = m9's pairs clustered to families: recursive closure over
       // the Hamming-≤3 edges, component minimum as the family id (the
       // algorithm-independent result min-label propagation converges
