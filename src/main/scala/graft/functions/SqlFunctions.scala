@@ -27,7 +27,8 @@ object SqlFunctions {
     ("pii_scrub", 1, cs => Pii.scrub(cs(0))),
     ("pii_email_count", 1, cs => Pii.emailCount(cs(0))),
     ("pii_ipv4_count", 1, cs => Pii.ipv4Count(cs(0))),
-    ("pii_phone_count", 1, cs => Pii.phoneCount(cs(0))))
+    ("pii_phone_count", 1, cs => Pii.phoneCount(cs(0))),
+    ("registrable_domain", 1, cs => graft.operators.Web.registrableDomain(cs(0))))
 
   /** Expression builder for one entry of [[all]]. */
   def builder(name: String, arity: Int, f: Seq[Column] => Column)(

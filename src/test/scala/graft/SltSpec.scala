@@ -54,13 +54,13 @@ class SltSpec extends AnyFunSuite {
 
   test("native_functions.slt (SQL surface of the codegen sketch expressions)") {
     val n = SltRunner.runDir(spark, sltDir, filters = Seq("native_functions"))
-    assert(n === 9) // + round-10 positional_gram_hashes + unicode records
+    assert(n === 10) // + round-10 positional_gram_hashes/unicode + round-11 registrable_domain
   }
 
   test("discovery walks the whole corpus; filters by substring") {
     // retention(3) + scalar(5) + text_functions(5) + relational(5) +
-    // native_functions(9)
-    assert(SltRunner.runDir(spark, sltDir) === 27)
+    // native_functions(10)
+    assert(SltRunner.runDir(spark, sltDir) === 28)
     assert(SltRunner.discover(sltDir, Seq("no_such_file")).isEmpty)
   }
 
