@@ -59,55 +59,58 @@ object Bench {
     * fallback measures accurately in one run. */
   private val lastRoundSec: Map[String, Double] =
     Map(
-      "a1" -> 1.0, "d1" -> 0.3, "d10" -> 4.0, "d11" -> 4.0, "d12" -> 5.0,
-      "d13" -> 1.0, "d14" -> 2.0, "d15" -> 5.0, "d16" -> 3.0, "d17" -> 2.0,
-      "d18" -> 1.0, "d19" -> 1.0, "d2" -> 2.0, "d20" -> 1.0, "d21" -> 3.0,
-      "d22" -> 3.0, "d23" -> 2.0, "d24" -> 3.0, "d25" -> 5.0, "d26" -> 3.0,
-      "d27" -> 1.0, "d28" -> 1.0, "d29" -> 1.0, "d3" -> 0.3, "d30" -> 2.0, "d4" -> 2.0,
-      "d5" -> 4.0, "d6" -> 4.0, "d7" -> 1.0, "d8" -> 1.0, "d9" -> 1.0,
-      "g1" -> 4.0, "g10" -> 3.0, "g11" -> 3.0, "g12" -> 4.0, "g2" -> 2.0,
-      "g3" -> 4.0, "g4" -> 1.0, "g5" -> 4.0, "g6" -> 3.0, "g7" -> 3.0,
-      "g8" -> 4.0, "g9" -> 3.0, "j1" -> 1.0, "m1" -> 0.3, "m2" -> 1.0,
-      "m3" -> 1.0, "m4" -> 1.0, "m5" -> 1.0, "m6" -> 0.3, "m7" -> 1.0,
-      "m8" -> 1.0, "m9" -> 0.3, "p1" -> 0.3, "p10" -> 1.0, "p11" -> 1.0,
-      "p12" -> 2.0, "p13" -> 1.0, "p14" -> 0.3, "p15" -> 1.0, "p16" -> 1.0,
-      "p17" -> 1.0, "p18" -> 1.0, "p2" -> 0.3, "p3" -> 0.3, "p4" -> 1.0,
-      "p5" -> 1.0, "p6" -> 0.3, "p7" -> 1.0, "p8" -> 2.0, "p9" -> 0.3,
-      "q1" -> 0.3, "q10" -> 0.3, "q11" -> 1.0, "q12" -> 0.3, "q13" -> 1.0,
-      "q14" -> 1.0, "q15" -> 0.3, "q16" -> 1.0, "q17" -> 1.0, "q18" -> 1.0,
-      "q19" -> 1.0, "q2" -> 0.3, "q20" -> 0.3, "q21" -> 1.0, "q22" -> 0.3,
-      "q23" -> 1.0, "q24" -> 0.3, "q25" -> 1.0, "q26" -> 0.3, "q27" -> 1.0,
-      "q28" -> 1.0, "q29" -> 1.0, "q3" -> 0.3, "q30" -> 0.3, "q31" -> 0.3,
-      "q32" -> 1.0, "q33" -> 1.0, "q34" -> 0.3, "q35" -> 0.3, "q36" -> 1.0,
-      "q37" -> 0.3, "q38" -> 1.0, "q39" -> 0.3, "q4" -> 0.3, "q40" -> 0.3,
-      "q41" -> 3.0, "q42" -> 1.0, "q43" -> 1.0, "q44" -> 2.0, "q5" -> 0.3,
-      "q6" -> 1.0, "q7" -> 1.0, "q8" -> 1.0, "q9" -> 0.3,
-      "retention_count" -> 1.0, "retention_sum" -> 0.3, "s1" -> 1.0,
-      "s10" -> 3.0, "s11" -> 1.0, "s12" -> 1.0, "s13" -> 1.0, "s14" -> 1.0,
-      "s15" -> 1.0, "s16" -> 1.0, "s17" -> 3.0, "s18" -> 1.0, "s19" -> 1.0,
-      "s2" -> 1.0, "s20" -> 1.0, "s3" -> 2.0, "s4" -> 1.0, "s5" -> 4.0,
-      "s6" -> 2.0, "s7" -> 1.0, "s8" -> 4.0, "s9" -> 6.0, "t1" -> 0.3,
-      "t10" -> 2.0, "t11" -> 1.0, "t12" -> 1.0, "t13" -> 1.0, "t14" -> 0.3,
-      "t15" -> 1.0, "t16" -> 2.0, "t17" -> 1.0, "t18" -> 3.0, "t19" -> 1.0,
-      "t2" -> 0.3, "t20" -> 1.0, "t21" -> 1.0, "t22" -> 1.0, "t23" -> 0.3,
-      "t24" -> 1.0, "t25" -> 0.3, "t26" -> 2.0, "t27" -> 1.0, "t28" -> 1.0,
-      "t29" -> 0.3, "t3" -> 0.3, "t30" -> 0.3, "t31" -> 1.0, "t33" -> 1.0,
-      "t34" -> 1.0, "t35" -> 1.0, "t36" -> 1.0, "t37" -> 0.3, "t38" -> 1.0,
-      "t39" -> 0.3, "t4" -> 1.0, "t40" -> 1.0, "t41" -> 3.0, "t42" -> 1.0,
-      "t5" -> 1.0, "t6" -> 1.0, "t7" -> 0.3, "t8" -> 1.0, "t9" -> 2.0,
-      "u1" -> 1.0, "u10" -> 1.0, "u11" -> 1.0, "u12" -> 1.0, "u13" -> 1.0,
-      "u14" -> 0.3, "u15" -> 1.0, "u16" -> 1.0, "u17" -> 1.0, "u18" -> 1.0,
-      "u19" -> 1.0, "u2" -> 0.3, "u20" -> 1.0, "u21" -> 0.3, "u23" -> 1.0,
-      "u24" -> 0.3, "u25" -> 1.0, "u26" -> 1.0, "u27" -> 1.0, "u28" -> 1.0,
-      "u29" -> 1.0, "u3" -> 0.3, "u30" -> 1.0, "u31" -> 0.3, "u32" -> 1.0,
-      "u33" -> 1.0, "u34" -> 1.0, "u35" -> 1.0, "u36" -> 1.0, "u37" -> 1.0,
-      "u38" -> 1.0, "u39" -> 1.0, "u4" -> 0.3, "u40" -> 1.0, "u41" -> 0.3,
-      "u42" -> 2.0, "u43" -> 2.0, "u44" -> 1.0, "u45" -> 1.0, "u46" -> 0.3,
-      "u47" -> 0.3, "u49" -> 2.0, "u5" -> 1.0, "u50" -> 1.0, "u6" -> 1.0,
-      "u7" -> 3.0, "u8" -> 1.0, "u9" -> 1.0, "t43" -> 1.0, "w1" -> 0.7,
-      "w2" -> 1.0, "w3" -> 1.0, "d31" -> 3.0, "d32" -> 4.5, "m10" -> 0.5,
-      "d33" -> 1.0, "t44" -> 0.5, "t45" -> 0.5, "d34" -> 1.5,
-      "d35" -> 1.0, "m11" -> 1.0, "m12" -> 1.5)
+      "a1" -> 0.3, "d1" -> 0.3, "d10" -> 3.9, "d11" -> 3.0, "d12" ->
+      2.6, "d13" -> 1.4, "d14" -> 1.4, "d15" -> 5.8, "d16" -> 3.2,
+      "d17" -> 1.6, "d18" -> 1.0, "d19" -> 1.2, "d2" -> 1.5, "d20" ->
+      0.9, "d21" -> 2.2, "d22" -> 1.6, "d23" -> 1.7, "d24" -> 3.2,
+      "d25" -> 4.2, "d26" -> 2.2, "d27" -> 0.4, "d28" -> 1.7, "d29" ->
+      1.3, "d3" -> 0.3, "d30" -> 0.8, "d31" -> 2.2, "d32" -> 4.3, "d33"
+      -> 1.0, "d34" -> 1.9, "d35" -> 0.7, "d4" -> 1.4, "d5" -> 6.0,
+      "d6" -> 3.2, "d7" -> 0.9, "d8" -> 0.7, "d9" -> 1.2, "g1" -> 3.5,
+      "g10" -> 2.5, "g11" -> 2.5, "g12" -> 2.7, "g2" -> 1.7, "g3" ->
+      2.8, "g4" -> 1.4, "g5" -> 2.2, "g6" -> 3.2, "g7" -> 2.7, "g8" ->
+      2.6, "g9" -> 2.4, "j1" -> 0.7, "m1" -> 0.3, "m10" -> 1.4, "m11"
+      -> 0.9, "m12" -> 1.8, "m2" -> 0.3, "m3" -> 0.4, "m4" -> 0.6, "m5"
+      -> 1.2, "m6" -> 0.3, "m7" -> 1.1, "m8" -> 1.3, "m9" -> 1.2, "p1"
+      -> 0.3, "p10" -> 0.7, "p11" -> 0.5, "p12" -> 2.5, "p13" -> 1.1,
+      "p14" -> 0.3, "p15" -> 1.1, "p16" -> 1.3, "p17" -> 0.4, "p18" ->
+      0.7, "p2" -> 0.3, "p3" -> 0.3, "p4" -> 0.5, "p5" -> 0.9, "p6" ->
+      0.3, "p7" -> 1.1, "p8" -> 3.2, "p9" -> 0.3, "q1" -> 0.4, "q10" ->
+      0.4, "q11" -> 1.2, "q12" -> 0.3, "q13" -> 0.6, "q14" -> 0.9,
+      "q15" -> 0.3, "q16" -> 0.7, "q17" -> 0.4, "q18" -> 0.7, "q19" ->
+      0.8, "q2" -> 0.3, "q20" -> 0.3, "q21" -> 0.5, "q22" -> 0.3, "q23"
+      -> 0.7, "q24" -> 0.4, "q25" -> 0.4, "q26" -> 0.4, "q27" -> 0.3,
+      "q28" -> 0.6, "q29" -> 0.3, "q3" -> 0.3, "q30" -> 0.3, "q31" ->
+      0.3, "q32" -> 0.6, "q33" -> 0.3, "q34" -> 0.3, "q35" -> 0.3,
+      "q36" -> 0.8, "q37" -> 0.3, "q38" -> 0.7, "q39" -> 0.3, "q4" ->
+      0.3, "q40" -> 0.3, "q41" -> 4.0, "q42" -> 0.4, "q43" -> 0.8,
+      "q44" -> 1.1, "q5" -> 0.3, "q6" -> 0.5, "q7" -> 0.7, "q8" -> 0.4,
+      "q9" -> 0.3, "retention_count" -> 0.4, "retention_sum" -> 0.9,
+      "s1" -> 1.1, "s10" -> 2.0, "s11" -> 1.2, "s12" -> 1.0, "s13" ->
+      1.1, "s14" -> 1.1, "s15" -> 1.3, "s16" -> 0.8, "s17" -> 2.4,
+      "s18" -> 1.3, "s19" -> 0.7, "s2" -> 1.0, "s20" -> 1.1, "s3" ->
+      1.6, "s4" -> 1.1, "s5" -> 2.6, "s6" -> 1.5, "s7" -> 0.7, "s8" ->
+      3.2, "s9" -> 6.8, "t1" -> 0.4, "t10" -> 1.2, "t11" -> 1.1, "t12"
+      -> 1.1, "t13" -> 0.7, "t14" -> 0.8, "t15" -> 0.8, "t16" -> 1.6,
+      "t17" -> 0.8, "t18" -> 1.3, "t19" -> 0.7, "t2" -> 0.4, "t20" ->
+      0.5, "t21" -> 1.1, "t22" -> 1.2, "t23" -> 0.9, "t24" -> 0.7,
+      "t25" -> 0.3, "t26" -> 1.7, "t27" -> 0.9, "t28" -> 0.6, "t29" ->
+      0.3, "t3" -> 0.3, "t30" -> 0.3, "t31" -> 1.4, "t33" -> 1.0, "t34"
+      -> 1.6, "t35" -> 1.1, "t36" -> 1.1, "t37" -> 0.3, "t38" -> 1.4,
+      "t39" -> 0.3, "t4" -> 0.3, "t40" -> 1.5, "t41" -> 1.3, "t42" ->
+      1.4, "t43" -> 0.8, "t44" -> 0.3, "t45" -> 0.3, "t5" -> 0.4, "t6"
+      -> 0.8, "t7" -> 0.3, "t8" -> 0.4, "t9" -> 1.5, "u1" -> 0.6, "u10"
+      -> 0.7, "u11" -> 1.1, "u12" -> 1.0, "u13" -> 0.7, "u14" -> 0.3,
+      "u15" -> 0.9, "u16" -> 0.8, "u17" -> 1.1, "u18" -> 0.7, "u19" ->
+      1.0, "u2" -> 0.4, "u20" -> 0.8, "u21" -> 0.9, "u23" -> 1.0, "u24"
+      -> 0.4, "u25" -> 0.6, "u26" -> 0.6, "u27" -> 0.9, "u28" -> 0.9,
+      "u29" -> 0.5, "u3" -> 0.4, "u30" -> 1.0, "u31" -> 0.8, "u32" ->
+      0.5, "u33" -> 1.2, "u34" -> 0.7, "u35" -> 0.9, "u36" -> 0.7,
+      "u37" -> 0.3, "u38" -> 0.4, "u39" -> 0.5, "u4" -> 0.3, "u40" ->
+      0.8, "u41" -> 0.3, "u42" -> 1.1, "u43" -> 0.7, "u44" -> 0.5,
+      "u45" -> 0.7, "u46" -> 0.6, "u47" -> 0.4, "u49" -> 1.1, "u5" ->
+      0.6, "u50" -> 0.6, "u6" -> 0.6, "u7" -> 3.3, "u8" -> 0.6, "u9" ->
+      0.6, "w1" -> 0.9, "w2" -> 0.9, "w3" -> 0.9)
 
   /** New queries (no last-round number) are assumed mid-weight so they
     * schedule early enough to always get measured. */
