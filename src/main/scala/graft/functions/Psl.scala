@@ -42,31 +42,46 @@ case class RegistrableDomainExpr(child: Expression, suffixes: Seq[String])
 
   override def dataType: DataType = StringType
 
-  // rebuilt once per deserialized instance (per executor), not per row
-  @transient private lazy val suffixSet: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String](suffixes.size * 2)
-    suffixes.foreach(s.add)
+  // rebuilt once per deserialized instance (per executor), not per
+  // row; keyed by UTF8String so probes compare raw bytes — no
+  // String decode anywhere on the row path
+  @transient private lazy val suffixSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](suffixes.size * 2)
+    suffixes.foreach(x => s.add(UTF8String.fromString(x)))
     s
   }
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
 
+  /** Zero-allocation walk over the host's BYTES ('.' is ASCII 0x2E and
+    * UTF-8 continuation bytes are ≥ 0x80, so a byte scan never splits
+    * a code point): candidate suffixes probe the hash set as
+    * zero-copy views over the input buffer (`fromAddress` — safe
+    * because the views never outlive this call), and only a MATCHED
+    * registrable domain is copied out (`clone()` — the input buffer
+    * is row-reused by the scan, a view must never escape). */
   def compute(host: UTF8String): UTF8String = {
-    val str = host.toString
+    val n = host.numBytes
+    val base = host.getBaseObject
+    val off = host.getBaseOffset
     var prevStart = 0 // start of the label left of the current dot
-    var dot = str.indexOf('.')
-    while (dot >= 0) {
+    var i = 0
+    while (i < n) {
       // candidate = everything right of this dot — dots walk left to
       // right, so candidates go longest to shortest and the first hit
       // is the longest match. An EMPTY label before the matched suffix
       // (".com", "a..com") yields "" — the when-chain's contract
       // (regexp_extract's no-match value for its "[^.]+\.suffix$"
       // label requirement), pinned by the Round11OpsSpec property.
-      if (suffixSet.contains(str.substring(dot + 1)))
-        return if (dot == prevStart) UTF8String.EMPTY_UTF8
-          else UTF8String.fromString(str.substring(prevStart))
-      prevStart = dot + 1
-      dot = str.indexOf('.', dot + 1)
+      if (host.getByte(i) == '.') {
+        val cand = UTF8String.fromAddress(base, off + i + 1, n - i - 1)
+        if (suffixSet.contains(cand))
+          return if (i == prevStart) UTF8String.EMPTY_UTF8
+            else UTF8String.fromAddress(base, off + prevStart, n - prevStart)
+              .clone()
+        prevStart = i + 1
+      }
+      i += 1
     }
     host // no suffix matched: the host is its own domain
   }

@@ -828,10 +828,11 @@ object Dedup {
       bucketCap: Int = 100000, capStats: Option[CapStats] = None,
       maxBandedCorpus: Long = MaxBandedCorpus): DataFrame = {
     val q = Similarity.prepare(emb, idCol, vecCol).localCheckpoint()
-    if (q.count() <= maxBandedCorpus) {
+    val n = q.count()
+    if (n <= maxBandedCorpus) {
       val (bands, planes) = bandingForTargetMiss(threshold, targetMiss)
       bandedPairsOn(q, threshold, bands, planes, bucketCap, capStats)
-    } else trainedPairsOn(q, threshold)
+    } else trainedPairsOn(q, threshold, knownCount = Some(n))
   }
 
   /** Trained-cells near-dup PAIR miner — [[semDedupByCellSize]]'s
@@ -851,10 +852,11 @@ object Dedup {
 
   private def trainedPairsOn(
       q: DataFrame, threshold: Double, targetCellSize: Long = 1024,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, knownCount: Option[Long] = None): DataFrame = {
     require(targetCellSize > 0,
       s"targetCellSize must be positive, got $targetCellSize")
-    val n = q.count()
+    // the auto router already counted the checkpointed corpus — reuse
+    val n = knownCount.getOrElse(q.count())
     val k = math.min(((n + targetCellSize - 1) / targetCellSize).max(1L),
       Int.MaxValue.toLong).toInt
     val k1 = math.ceil(math.sqrt(k.toDouble)).toInt

@@ -429,12 +429,26 @@ object Multimodal {
       capStats: Option[Dedup.CapStats] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banded recall is exact only for maxHamming in [0, 3], got $maxHamming")
-    val hs = perceptualHashes(media, idCol, binCol)
-      .where(col("b0").isNotNull)
+    bandedHammingPairs(
+      perceptualHashes(media, idCol, binCol).where(col("b0").isNotNull),
+      (0 until 4).map(i => s"b$i"), maxHamming, bandCap, capStats)
+  }
+
+  /** The banded-Hamming pair pipeline shared by the 64-bit (4 bands)
+    * and 256-bit (8 bands) variants: checkpoint the hash table, explode
+    * band keys, cap hot (band, key) buckets ([[Dedup.capBuckets]]),
+    * candidate equi-join on (band, key), verify by exact popcount over
+    * every band — one implementation so the hint/cap/checkpoint
+    * discipline cannot drift between variants. The hash table is
+    * corpus-row-sized: the verify joins co-partition on the candidate
+    * ids (the t9/d23 grows-with-the-corpus rule), never broadcast. */
+  private def bandedHammingPairs(
+      hashes: DataFrame, bandNames: Seq[String], maxHamming: Int,
+      bandCap: Int, capStats: Option[Dedup.CapStats]): DataFrame = {
+    val hs = hashes
       .localCheckpoint() // shared by the band explode and both verify sides
     val bands = Dedup.capBuckets(
-      hs.select(col("media_id"),
-        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      hs.select(col("media_id"), posexplode(array(bandNames.map(col): _*)))
         .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bk"),
       Seq("_band", "_bk"), bandCap, capStats)
       .localCheckpoint()
@@ -444,20 +458,15 @@ object Multimodal {
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
       .distinct()
-    // the hash table is corpus-row-sized: the verify joins co-partition
-    // on the candidate ids (the t9/d23 grows-with-the-corpus rule),
-    // never broadcast
-    val ha = hs.select(col("media_id").as("id_a"), col("b0").as("_a0"),
-      col("b1").as("_a1"), col("b2").as("_a2"), col("b3").as("_a3"))
-    val hb = hs.select(col("media_id").as("id_b"), col("b0").as("_c0"),
-      col("b1").as("_c1"), col("b2").as("_c2"), col("b3").as("_c3"))
+    val ha = hs.select(col("media_id").as("id_a") +:
+      bandNames.zipWithIndex.map { case (b, i) => col(b).as(s"_a$i") }: _*)
+    val hb = hs.select(col("media_id").as("id_b") +:
+      bandNames.zipWithIndex.map { case (b, i) => col(b).as(s"_c$i") }: _*)
     cand.join(ha.hint("shuffle_hash"), "id_a").join(hb.hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
-        (bit_count(col("_a0").bitwiseXOR(col("_c0"))) +
-          bit_count(col("_a1").bitwiseXOR(col("_c1"))) +
-          bit_count(col("_a2").bitwiseXOR(col("_c2"))) +
-          bit_count(col("_a3").bitwiseXOR(col("_c3")))).cast("long")
-          .as("hamming"))
+        bandNames.indices.map(i =>
+          bit_count(col(s"_a$i").bitwiseXOR(col(s"_c$i"))))
+          .reduce(_ + _).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 
@@ -487,30 +496,8 @@ object Multimodal {
       capStats: Option[Dedup.CapStats] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"8-banded recall is exact only for maxHamming in [0, 7], got $maxHamming")
-    val bcols = (0 until 8).map(i => col(s"b$i"))
-    val hs = perceptualHashesDeep(media, idCol, binCol)
-      .where(col("b0").isNotNull)
-      .localCheckpoint() // shared by the band explode and both verify sides
-    val bands = Dedup.capBuckets(
-      hs.select(col("media_id"), posexplode(array(bcols: _*)))
-        .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bk"),
-      Seq("_band", "_bk"), bandCap, capStats)
-      .localCheckpoint()
-    val cand = bands.as("x")
-      .join(bands.as("y").hint("shuffle_hash"),
-        col("x._band") === col("y._band") && col("x._bk") === col("y._bk") &&
-          col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
-      .distinct()
-    val ha = hs.select(col("media_id").as("id_a") +:
-      (0 until 8).map(i => col(s"b$i").as(s"_a$i")): _*)
-    val hb = hs.select(col("media_id").as("id_b") +:
-      (0 until 8).map(i => col(s"b$i").as(s"_c$i")): _*)
-    cand.join(ha.hint("shuffle_hash"), "id_a").join(hb.hint("shuffle_hash"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (0 until 8).map(i =>
-          bit_count(col(s"_a$i").bitwiseXOR(col(s"_c$i"))))
-          .reduce(_ + _).cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
+    bandedHammingPairs(
+      perceptualHashesDeep(media, idCol, binCol).where(col("b0").isNotNull),
+      (0 until 8).map(i => s"b$i"), maxHamming, bandCap, capStats)
   }
 }

@@ -181,10 +181,13 @@ object Web {
     // cast to NULL and NPE the SampleCand encoder the way a null
     // parquet cell does; both row classes quarantine here instead.
     val idAsLong = expr(s"try_cast(`$idCol` AS LONG)")
+    // the selection key hashes the CANONICAL long spelling, not the raw
+    // column: "7" and "007" are one document and must share one hash
+    // key (and the oracle hashes CAST(id AS VARCHAR) of the numeric id)
     normalizeUrls(df.where(idAsLong.isNotNull), urlCol)
       .withColumn("reg_domain", registrableDomain(col("host"), suffixes))
       .select(col("reg_domain"),
-        Dedup.hash60(concat(lit("cap|"), col(idCol).cast("string"))).as("_ck"),
+        Dedup.hash60(concat(lit("cap|"), idAsLong.cast("string"))).as("_ck"),
         idAsLong.as("_id"))
       .groupBy(col("reg_domain"))
       .agg(mink(col("_ck"), col("_id")).as("_keep"))

@@ -44,20 +44,31 @@ class Round11PropertySpec extends AnyFunSuite {
     host
   }
 
-  test("property: native PSL expression equals the independent reference on random hosts") {
+  test("property: native PSL expression equals when-chain AND the scala reference on random hosts") {
     import spark.implicits._
     val rnd = new Random(1101)
     val labels = Vector("a", "bb", "co", "uk", "com", "x9", "", "site7")
     val suffixes = Seq("co.uk", "com", "uk", "x9.com", "site7")
-    val exprCol = graft.functions.RegistrableDomainExpr(col("host"), suffixes)
+    // three implementations, two of them genuinely independent of the
+    // native one: the production when-chain (regexp_extract semantics
+    // — what the DuckDB oracle replays) and a scala fold; all three
+    // must agree on every random host, including empty labels, bare
+    // suffixes and nested suffixes
+    val nativeCol = graft.functions.RegistrableDomainExpr(col("host"), suffixes)
+    val chainCol = graft.operators.Web.registrableDomain(col("host"), suffixes)
+    assert(suffixes.size <= graft.operators.Web.WhenChainMaxSuffixes,
+      "chainCol must exercise the when-chain path")
     for (_ <- 1 to 12) {
       val hosts = List.fill(24)(
         List.fill(1 + rnd.nextInt(5))(labels(rnd.nextInt(labels.size)))
           .mkString("."))
-      val got = hosts.toDF("host").select(exprCol.as("r"))
-        .collect().map(_.getString(0)).toList
-      val want = hosts.map(refDomain(_, suffixes.toSet))
-      assert(got === want, s"hosts=$hosts")
+      val rows = hosts.toDF("host")
+        .select(nativeCol.as("n"), chainCol.as("c")).collect()
+      val native = rows.map(_.getString(0)).toList
+      val chain = rows.map(_.getString(1)).toList
+      assert(native === chain, s"native != when-chain on hosts=$hosts")
+      assert(native === hosts.map(refDomain(_, suffixes.toSet)),
+        s"native != scala reference on hosts=$hosts")
     }
   }
 
