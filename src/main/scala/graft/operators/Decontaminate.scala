@@ -187,19 +187,34 @@ object Decontaminate {
     * Single-probe recall contract: a near pair split by one hyperplane
     * is missed (the s4 multi-probe trade) — flagged set ⊆ the brute
     * form's, with the constructed contaminations recovered in the
-    * spec. Output contract identical. */
+    * spec. Output contract identical.
+    *
+    * Two bounds, two fixes — stated precisely: the banding fixes the
+    * COMPUTE bound (pair work = |train|·bucket-occupancy, not
+    * |train|·|eval|) regardless of `broadcastEval`; the default keeps
+    * the eval broadcast (the train corpus never moves — right while
+    * the prepared eval fits executor memory, ~10⁶-10⁷ vectors). Past
+    * broadcast MEMORY, set `broadcastEval = false`: the bucket meet
+    * becomes a shuffle-hash equi-join on the bucket key — train and
+    * eval each shuffle once on their bucket and nothing is resident
+    * on every executor. Results are identical either way
+    * (spec-pinned); only the exchange strategy changes. */
   def semanticReportBanded(
       train: DataFrame, eval: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       evalIdCol: String = "eval_id", threshold: Double = 0.95,
-      planes: Int = 16, dim: Int = 64): DataFrame = {
+      planes: Int = 16, dim: Int = 64,
+      broadcastEval: Boolean = true): DataFrame = {
     val t = Similarity.prepare(train, idCol, vecCol)
       .withColumn("_bucket", Similarity.lshBucket(col("_q"), planes, dim))
     val e = Similarity.prepare(eval, evalIdCol, vecCol)
       .withColumn("_bucket", Similarity.lshBucket(col("_q"), planes, dim))
       .select(col("_bucket"), col("_id").as("_eid"), col("_q").as("_eq"),
         col("_n2").as("_en2"))
-    flaggedArgmax(t.join(broadcast(e), "_bucket"), idCol, threshold)
+    val paired =
+      if (broadcastEval) t.join(broadcast(e), "_bucket")
+      else t.join(e.hint("shuffle_hash"), "_bucket")
+    flaggedArgmax(paired, idCol, threshold)
   }
 
   /** Shared tail: threshold screen, then per-train argmax (max cosine,

@@ -196,6 +196,46 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental ExactSubstr: fixed batch output invariant under disjoint corpus growth") {
+    // the per-batch corpus-independence contract at spec scale: blow
+    // the accepted corpus up 3x with id-shifted, vocabulary-disjoint
+    // copies (the ScaleGen discipline) — the fixed batch's span table
+    // must not change, because disjoint grams can neither create nor
+    // mask a mark
+    val docs = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 4 =!= 3)
+    val batch = docs.where(col("doc_id") % 4 === 3)
+    val corpus3x = corpus
+      .unionAll(corpus.select((col("doc_id") + 10000000L).as("doc_id"),
+        regexp_replace(col("text"), "[a-zA-Z0-9']+", "$0cA").as("text")))
+      .unionAll(corpus.select((col("doc_id") + 20000000L).as("doc_id"),
+        regexp_replace(col("text"), "[a-zA-Z0-9']+", "$0cB").as("text")))
+    def spans(c: org.apache.spark.sql.DataFrame) = graft.operators.Dedup
+      .duplicateSubstringSpansIncremental(batch,
+        graft.operators.Dedup.substringGramIndex(c, k = 8), k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = spans(corpus)
+    assert(base.nonEmpty)
+    assert(spans(corpus3x) === base)
+  }
+
+  test("banded semantic decontamination: shuffle-hash eval path equals the broadcast path") {
+    val e = SparkEntry.tbl(spark, TestData.dir("0.001"), "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val evalSet = e.where(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("eval_id"),
+        transform(col("embedding"), x => x * 1.1 + 0.01).as("embedding"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bc = key(graft.operators.Decontaminate.semanticReportBanded(
+      e, evalSet, threshold = 0.95))
+    val sh = key(graft.operators.Decontaminate.semanticReportBanded(
+      e, evalSet, threshold = 0.95, broadcastEval = false))
+    assert(bc === sh)
+    assert(bc.nonEmpty)
+  }
+
   // --- data-driven PSL registrable domain ----------------------------
 
   /** ~1.2k-suffix PSL: the real 4 the fixture hosts use, plus decoy
