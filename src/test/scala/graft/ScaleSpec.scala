@@ -213,6 +213,51 @@ class ScaleSpec extends AnyFunSuite {
     assert(sample(2) === s5.filter(_._3 <= 2))
   }
 
+  test("d34's at-rest contract: a bucketed frozen substring index joins without its own exchange") {
+    import graft.operators.Dedup
+    Graft.registerAll(spark) // positional_gram_hashes
+    val sf = TestData.dir("0.001")
+    // clear catalog + location debris (see the bucketed-join test below)
+    Seq("subidx_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    val docs = SparkEntry.tbl(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 4 =!= 3)
+    val batch = docs.where(col("doc_id") % 4 === 3)
+    val index = Dedup.substringGramIndex(corpus, k = 8)
+    // the at-rest layout the operator's scaladoc names: hash-bucketed +
+    // sorted on the gram key, built once when the corpus is accepted
+    index.write.mode("overwrite").bucketBy(4, "_h").sortBy("_h")
+      .saveAsTable("subidx_b")
+    def countEx(p: String) = "Exchange hashpartitioning".r.findAllIn(p).length
+    val plain = Dedup.duplicateSubstringSpansIncremental(batch, index, k = 8)
+    val bucketed = Dedup.duplicateSubstringSpansIncremental(
+      batch, spark.table("subidx_b"), k = 8)
+    val pPlain = plain.queryExecution.executedPlan.toString
+    val pBucketed = bucketed.queryExecution.executedPlan.toString
+    // the bucketed index contributes its bucketing instead of an
+    // exchange: exactly ONE exchange disappears (the index side's) and
+    // the scan advertises the bucket layout — only the batch moves
+    assert(pBucketed.contains("Bucketed: true"),
+      s"index scan must use the bucket layout:\n$pBucketed")
+    assert(countEx(pBucketed) === countEx(pPlain) - 1,
+      s"bucketing must remove exactly the index-side exchange:\n" +
+        s"plain=${countEx(pPlain)} bucketed=${countEx(pBucketed)}\n$pBucketed")
+    // and the layout is semantics-free
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = key(plain)
+    assert(key(bucketed) === a)
+    assert(a.nonEmpty)
+  }
+
   test("bucketed tables join without a shuffle on the bucketed key") {
     val sf = TestData.dir("0.001")
     // the builder's warehouse conf is ignored when getOrCreate reuses an
