@@ -1351,6 +1351,20 @@ object SparkEntry {
       Dedup.duplicateSubstringSpansIncremental(batch, index, k = 8,
         keepFirst = true)
     }),
+    // SPAN-LEVEL decontamination — the surgical complement of d7's
+    // whole-document report: exactly the leaked passages marked as
+    // merged token intervals (eval gram hashes broadcast, train's
+    // positional gram stream screened in the scan stage, d28's islands
+    // merge over marked rows only), so the clean remainder of a
+    // contaminated document survives as training data. Same d7 split;
+    // k=4 matches d7's fixture width.
+    "d36_contamination_spans" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val docs = par(tbl(s, dir, "documents")).select(col("doc_id"), col("text"))
+      graft.operators.Decontaminate.contaminationSpans(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0), k = 4)
+    }),
     // Benchmark decontamination: training documents sharing any hashed
     // 4-gram with the (broadcast) eval split. The train corpus is never
     // shuffled — the collision screen is a broadcast hash join inside
@@ -6045,6 +6059,44 @@ object SparkEntry {
            |  SELECT bg.doc_id, bg.p AS s, bg.p + 7 AS e
            |  FROM bg JOIN tot ON bg.h = tot.h
            |  WHERE bg.doc_id * 1073741824 + bg.p <> tot.gfirst
+           |), ord AS (
+           |  SELECT doc_id, s, e,
+           |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+           |  FROM marks
+           |), isl AS (
+           |  SELECT doc_id, s, e,
+           |    sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM ord
+           |)
+           |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+           |  CAST(max(e) AS BIGINT) AS span_end
+           |FROM isl GROUP BY doc_id, island""".stripMargin,
+      // d36: span-level decontamination — the d7 split's eval 4-gram
+      // hash set (DISTINCT) against the train side's POSITIONAL 4-gram
+      // stream, then the d28/d34 islands merge over train marks only.
+      "d36_contamination_spans" ->
+        s"""WITH ev AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+           |), tr AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+           |), en AS (
+           |  SELECT doc_id, $normToksSql AS toks FROM ev
+           |), eg AS (
+           |  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 2),
+           |    i -> ('0x' || substr(md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 3], ' ')), 1, 15))::BIGINT)) AS h
+           |  FROM en WHERE len(toks) >= 4
+           |), tn AS (
+           |  SELECT doc_id, $normToksSql AS toks FROM tr
+           |), tg AS (
+           |  SELECT doc_id, unnest(range(1, len(toks) - 2)) AS p,
+           |    unnest(list_transform(range(1, len(toks) - 2),
+           |      i -> ('0x' || substr(md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 3], ' ')), 1, 15))::BIGINT)) AS h
+           |  FROM tn WHERE len(toks) >= 4
+           |), marks AS (
+           |  SELECT tg.doc_id, tg.p AS s, tg.p + 3 AS e
+           |  FROM tg JOIN eg USING (h)
            |), ord AS (
            |  SELECT doc_id, s, e,
            |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e

@@ -146,6 +146,47 @@ object Decontaminate {
           .as("coverage_ppm"))
   }
 
+  /** SPAN-LEVEL decontamination — the surgical form of [[report]]:
+    * instead of dropping (or down-weighting) a whole contaminated
+    * training document, mark exactly the leaked PASSAGES as merged
+    * token intervals to excise, keeping the document's clean remainder
+    * as training data. A train token span is marked iff one of its
+    * word k-grams appears anywhere in the eval set — the positional
+    * twin of the set-membership screen, using the same one-pass native
+    * gram hashing as ExactSubstr
+    * ([[graft.functions.PositionalGramHashes]]) so the span arithmetic
+    * is d28's, byte-replayable in SQL.
+    *
+    * Plan shape (the [[report]] asymmetry, span edition): eval's
+    * distinct gram hashes broadcast (tiny); the train corpus's
+    * positional gram stream is screened by ONE broadcast hash join
+    * inside the scan stage — the corpus is never shuffled until the
+    * marks (a tiny, contaminated-spans-sized residue) meet the
+    * per-document islands merge ([[Dedup.mergeSpans]] — one shuffle of
+    * marked rows only, window bounded by document length).
+    *
+    * Output: `(doc_id, span_start, span_end)` — merged 1-based
+    * inclusive token intervals of the TRAIN documents to excise;
+    * clean documents emit nothing. Hash collisions can only
+    * over-excise, never miss real overlap — the safe direction. */
+  def contaminationSpans(
+      train: DataFrame, eval: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    def grams(df: DataFrame) = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(call_function(
+          graft.functions.PositionalGramHashes.name, col(textCol), lit(k))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("_p"),
+        col("col").as("_h"))
+    val evalGrams = grams(eval).select(col("_h")).distinct()
+    val marks = grams(train).join(broadcast(evalGrams), "_h")
+      .select(col("doc_id"), col("_p").as("_s"),
+        (col("_p") + (k - 1)).as("_e"))
+    Dedup.mergeSpans(marks)
+  }
+
   /** SEMANTIC decontamination — the embedding-cosine complement of the
     * n-gram family above: [[report]]/[[reportBloom]] catch verbatim
     * and near-verbatim leakage, but a PARAPHRASED eval item (reworded

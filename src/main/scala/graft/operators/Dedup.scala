@@ -1548,9 +1548,17 @@ object Dedup {
       .where(if (keepFirst) occKey =!= col("_firstKey") else lit(true))
       .select(col("doc_id"), col("_p").as("_s"),
         (col("_p") + (k - 1)).as("_e"))
-    // gaps-and-islands merge: an interval starts a new island iff it
-    // begins past every previous interval's end + 1 (adjacent spans
-    // merge — their union is contiguous tokens)
+    mergeSpans(marks)
+  }
+
+  /** Gaps-and-islands merge of per-document `(doc_id, _s, _e)` mark
+    * intervals: an interval starts a new island iff it begins past
+    * every previous interval's end + 1 (adjacent spans merge — their
+    * union is contiguous tokens). The shared tail of every span-level
+    * excision operator (d28/d34/d36); the window is per-document,
+    * bounded by document length. Output:
+    * `(doc_id, span_start, span_end)`, `span_end` inclusive. */
+  private[operators] def mergeSpans(marks: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("_s"), col("_e"))
     marks
       .withColumn("_pe",
@@ -1664,17 +1672,7 @@ object Dedup {
       .where(if (keepFirst) occKey =!= col("_gFirst") else lit(true))
       .select(col("doc_id"), col("_p").as("_s"),
         (col("_p") + (k - 1)).as("_e"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("_s"), col("_e"))
-    marks
-      .withColumn("_pe",
-        max(col("_e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("_isl",
-        sum(when(col("_pe").isNull || col("_s") > col("_pe") + 1, 1)
-          .otherwise(0))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("_isl"))
-      .agg(min(col("_s")).as("span_start"), max(col("_e")).as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"))
+    mergeSpans(marks)
   }
 
   /** All-pairs brute-force variant of [[embeddingNearDupPairs]] — exact

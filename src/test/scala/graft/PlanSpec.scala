@@ -896,6 +896,26 @@ class PlanSpec extends AnyFunSuite {
       s"no pairwise or nested-loop step anywhere:\n$p")
   }
 
+  test("d36 contamination spans: eval broadcast, corpus shuffles only marked rows") {
+    val p = plan("d36_contamination_spans")
+    // the eval gram set is the tiny side: broadcast hash join inside
+    // the scan stage — the train corpus's gram stream never hash-
+    // shuffles; the ONLY hash exchange is the islands-merge window
+    // over the marked (contaminated-span-sized) residue
+    assert(p.contains("BroadcastExchange"),
+      s"eval grams must broadcast:\n$p")
+    // exactly two hash exchanges, neither corpus-gram-sized: the
+    // eval-side distinct (on _h, eval-sized) and the islands-merge
+    // window (on doc_id, marked-residue-sized)
+    val ex = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toList.sorted
+    assert(ex == List("_h", "doc_id"),
+      s"only the eval distinct and the marks window may hash-shuffle, got $ex:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the screen is one broadcast join:\n$p")
+  }
+
   test("big-PSL registrable domain: native expression stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     // a real-PSL-sized suffix list (1.2k entries): a when-chain this

@@ -220,6 +220,39 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(spans(corpus3x) === base)
   }
 
+  test("contamination spans: hand-checked surgical excision, consistent with the document report") {
+    import spark.implicits._
+    val eval = Seq((100L, "secret bench question alpha beta")).toDF("doc_id", "text")
+    val train = Seq(
+      // leak in the middle: tokens 3-7 hold the eval 4-grams
+      (1L, "clean intro text secret bench question alpha beta and a clean tail"),
+      (2L, "totally clean document nothing shared here"),
+      // leak at the start, doc shorter than the leak + k
+      (3L, "secret bench question alpha x")
+    ).toDF("doc_id", "text")
+    val spans = graft.operators.Decontaminate
+      .contaminationSpans(train, eval, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: grams at positions 4 and 5 ("secret bench question alpha",
+    // "bench question alpha beta") mark [4,7] and [5,8] -> merged [4,8];
+    // doc 3: one gram at 1 -> [1,4]; doc 2: nothing
+    assert(spans === Set((1L, 4L, 8L), (3L, 1L, 4L)))
+    // consistency with the document-level report on the gate fixture:
+    // the docs carrying spans are exactly the docs d7's report flags
+    // (same 4-gram recipe; positional and set forms agree for docs
+    // with >= k tokens)
+    val docs = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val tr = docs.where(col("doc_id") % 20 =!= 0)
+    val ev = docs.where(col("doc_id") % 20 === 0)
+    val spanDocs = graft.operators.Decontaminate.contaminationSpans(tr, ev, k = 4)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val reportDocs = graft.operators.Decontaminate.report(tr, ev, n = 4)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(spanDocs === reportDocs)
+    assert(spanDocs.nonEmpty)
+  }
+
   test("banded semantic decontamination: shuffle-hash eval path equals the broadcast path") {
     val e = SparkEntry.tbl(spark, TestData.dir("0.001"), "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
