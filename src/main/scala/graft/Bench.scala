@@ -98,7 +98,7 @@ object Bench {
       0.3, "t3" -> 0.3, "t30" -> 0.3, "t31" -> 1.4, "t33" -> 1.0, "t34"
       -> 1.6, "t35" -> 1.1, "t36" -> 1.1, "t37" -> 0.3, "t38" -> 1.4,
       "t39" -> 0.3, "t4" -> 0.3, "t40" -> 1.5, "t41" -> 1.3, "t42" ->
-      1.4, "t43" -> 0.8, "t44" -> 0.3, "t45" -> 0.3, "t5" -> 0.4, "t6"
+      1.4, "t43" -> 0.8, "t44" -> 0.3, "t45" -> 0.3, "t46" -> 0.6, "t5" -> 0.4, "t6"
       -> 0.8, "t7" -> 0.3, "t8" -> 0.4, "t9" -> 1.5, "u1" -> 0.6, "u10"
       -> 0.7, "u11" -> 1.1, "u12" -> 1.0, "u13" -> 0.7, "u14" -> 0.3,
       "u15" -> 0.9, "u16" -> 0.8, "u17" -> 1.1, "u18" -> 0.7, "u19" ->
@@ -182,7 +182,7 @@ object Bench {
       "u47" -> 0, "u49" -> 0.7, "u5" -> 0.3, "u50" -> 0.36, "u6" -> 0.3,
       "u7" -> 2.57, "u8" -> 0.3, "u9" -> 0.4, "t43" -> 0.59, "w1" -> 0.5,
       "w2" -> 0.5, "w3" -> 0.9, "d31" -> 2.0, "d32" -> 3.79, "m10" -> 0.3,
-      "d33" -> 0.8, "t44" -> 0.3, "t45" -> 0.3, "d34" -> 1.4,
+      "d33" -> 0.8, "t44" -> 0.3, "t45" -> 0.3, "t46" -> 0.6, "d34" -> 1.4,
       "d35" -> 0.7, "d36" -> 0.9, "m11" -> 0.7, "m12" -> 1.4)
 
   private[graft] def priorIsolatedMin(n: String): Option[Double] =

@@ -1901,6 +1901,43 @@ object SparkEntry {
         when(col("lang") === "en", 1L).otherwise(0L).as("label"))
       Profile.calibrationBins(scored, "score", "label", bins = 10)
     }),
+    // Per-document SCRIPT-MIX profile \u2014 the script-confusion spam
+    // screen (Cyrillic lookalikes inside Latin words, CJK stuffing in
+    // English pages) that dominant-language ID structurally misses:
+    // code-point counts per script class over explicit BMP hex RANGES
+    // (never \p{script=...} \u2014 property tables shift with the engine's
+    // Unicode version; a hex range is engine-eternal), plus the exact
+    // integer mixed flag (>= 2 classes each holding >= 10% of scripted
+    // code points). Fixture: deterministic per-doc_id script segments
+    // appended to the ASCII corpus \u2014 Spark injects from driver-built
+    // code-point literal arrays (Spark's chr() is ASCII-mod-256, NOT a
+    // code-point function), DuckDB from its real chr(); both land on
+    // identical strings. All counts scan-stage regexp_count.
+    "t46_script_mix" -> ((s, dir) => {
+      import graft.functions.Text
+      val cyr = typedLit((0 until 32).map(i => new String(Character.toChars(0x430 + i))))
+      val grk = typedLit((0 until 24).map(i => new String(Character.toChars(0x3B1 + i))))
+      val han = typedLit((0 until 100).map(i => new String(Character.toChars(0x4E00 + i))))
+      val ara = typedLit((0 until 10).map(i => new String(Character.toChars(0x627 + i))))
+      val injected = par(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
+        .withColumn("_cyr", element_at(cyr, (col("doc_id") % 32 + 1).cast("int")))
+        .withColumn("_grk", element_at(grk, (col("doc_id") % 24 + 1).cast("int")))
+        .withColumn("_han", element_at(han, (col("doc_id") % 100 + 1).cast("int")))
+        .withColumn("_ara", element_at(ara, (col("doc_id") % 10 + 1).cast("int")))
+        .withColumn("_t", concat(col("text"),
+          expr("CASE WHEN doc_id % 3 = 1 THEN ' ' || repeat(_cyr, CAST(3 + doc_id % 5 AS INT)) ELSE '' END"),
+          expr("CASE WHEN doc_id % 5 = 2 THEN ' ' || repeat(_grk, CAST(2 + doc_id % 4 AS INT)) ELSE '' END"),
+          expr("CASE WHEN doc_id % 11 = 3 THEN ' ' || repeat(_han, CAST(1 + doc_id % 3 AS INT)) ELSE '' END"),
+          expr("CASE WHEN doc_id % 13 = 5 THEN ' ' || repeat(_ara, CAST(2 + doc_id % 3 AS INT)) ELSE '' END")))
+      val counts = Text.ScriptRanges.map { case (n, _, _) =>
+        Text.scriptCount(col("_t"), n).cast("long").as(s"n_$n") }
+      injected.select(col("doc_id") +: counts: _*)
+        .withColumn("n_scripted",
+          Text.ScriptRanges.map(r => col(s"n_${r._1}")).reduce(_ + _))
+        .withColumn("script_mixed", Text.scriptMixed(
+          Text.ScriptRanges.map(r => col(s"n_${r._1}")), col("n_scripted")))
+    }),
     // Accent-stripped search keys -- the language-agnostic blocking/
     // lookup normalization ("Zurich"=="Z\u00fcrich"): NFD + drop
     // combining marks as a native codegen'd expression; the oracle is
@@ -6475,6 +6512,35 @@ object SparkEntry {
           |  CASE WHEN t.np = 0 THEN NULL
           |    ELSE CAST(f.cum * 1000000 // t.np AS BIGINT) END AS cum_capture_ppm
           |FROM f, t""".stripMargin,
+      // t46: the same per-doc_id script injection via DuckDB's real
+      // chr() (Spark built the identical strings from code-point
+      // literal arrays), counts via regexp_extract_all over the SAME
+      // hex ranges in RE2 spelling, the same integer mixed rule.
+      "t46_script_mix" ->
+        """WITH inj AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 3 = 1 THEN ' ' || repeat(chr(CAST(1072 + doc_id % 32 AS INT)), CAST(3 + doc_id % 5 AS INT)) ELSE '' END ||
+          |    CASE WHEN doc_id % 5 = 2 THEN ' ' || repeat(chr(CAST(945 + doc_id % 24 AS INT)), CAST(2 + doc_id % 4 AS INT)) ELSE '' END ||
+          |    CASE WHEN doc_id % 11 = 3 THEN ' ' || repeat(chr(CAST(19968 + doc_id % 100 AS INT)), CAST(1 + doc_id % 3 AS INT)) ELSE '' END ||
+          |    CASE WHEN doc_id % 13 = 5 THEN ' ' || repeat(chr(CAST(1575 + doc_id % 10 AS INT)), CAST(2 + doc_id % 3 AS INT)) ELSE '' END AS t
+          |  FROM documents
+          |), cnt AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT) AS n_latin,
+          |    CAST(len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+          |    CAST(len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]')) AS BIGINT) AS n_greek,
+          |    CAST(len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS n_han,
+          |    CAST(len(regexp_extract_all(t, '[\x{0600}-\x{06FF}]')) AS BIGINT) AS n_arabic
+          |  FROM inj
+          |)
+          |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han, n_arabic,
+          |  n_latin + n_cyrillic + n_greek + n_han + n_arabic AS n_scripted,
+          |  (CASE WHEN n_latin > 0 AND n_latin * 10 >= n_latin + n_cyrillic + n_greek + n_han + n_arabic THEN 1 ELSE 0 END +
+          |   CASE WHEN n_cyrillic > 0 AND n_cyrillic * 10 >= n_latin + n_cyrillic + n_greek + n_han + n_arabic THEN 1 ELSE 0 END +
+          |   CASE WHEN n_greek > 0 AND n_greek * 10 >= n_latin + n_cyrillic + n_greek + n_han + n_arabic THEN 1 ELSE 0 END +
+          |   CASE WHEN n_han > 0 AND n_han * 10 >= n_latin + n_cyrillic + n_greek + n_han + n_arabic THEN 1 ELSE 0 END +
+          |   CASE WHEN n_arabic > 0 AND n_arabic * 10 >= n_latin + n_cyrillic + n_greek + n_han + n_arabic THEN 1 ELSE 0 END) >= 2 AS script_mixed
+          |FROM cnt""".stripMargin,
       "t45_strip_accents" ->
         """WITH w AS (
           |  SELECT doc_id, (['Z' || chr(252) || 'rich', 'caf' || chr(233),

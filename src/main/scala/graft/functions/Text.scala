@@ -174,4 +174,38 @@ object Text {
         concat(lit("aug|"), id.cast("string"), lit("|"), (i + 1).cast("string"))),
         lit(1000000L)) >= ratePpm)
   }
+
+  /** Script classes for [[scriptCount]], as explicit CODE-POINT RANGES
+    * (name, Java-regex class, RE2-regex class). Ranges — not Unicode
+    * script properties — deliberately: `\p{script=...}` tables shift
+    * with the engine's Unicode version, while a hex range means the
+    * same code points in every engine forever (the cross-engine
+    * reproducibility rule every operator here follows). The classes
+    * cover each script's BASE block; supplementary blocks (Latin
+    * extended, CJK ext B, …) are out of contract, documented. */
+  val ScriptRanges: Seq[(String, String, String)] = Seq(
+    ("latin", "[A-Za-z]", "[A-Za-z]"),
+    ("cyrillic", "[\\u0400-\\u04FF]", "[\\x{0400}-\\x{04FF}]"),
+    ("greek", "[\\u0370-\\u03FF]", "[\\x{0370}-\\x{03FF}]"),
+    ("han", "[\\u4E00-\\u9FFF]", "[\\x{4E00}-\\x{9FFF}]"),
+    ("arabic", "[\\u0600-\\u06FF]", "[\\x{0600}-\\x{06FF}]"))
+
+  /** Count of code points of one [[ScriptRanges]] class — a codegen'd
+    * `regexp_count` (each match is exactly one code point; Java regex
+    * never splits surrogate pairs, and all contract ranges are BMP). */
+  def scriptCount(c: Column, script: String): Column = {
+    val cls = ScriptRanges.find(_._1 == script).getOrElse(
+      throw new IllegalArgumentException(s"unknown script class: $script"))._2
+    regexp_count(c, lit(cls))
+  }
+
+  /** Mixed-script flag (the script-confusion spam screen — Cyrillic
+    * letters inside Latin words, CJK stuffing in English pages — that
+    * per-document language ID alone misses, because langId reports the
+    * DOMINANT language): true iff at least two script classes each
+    * hold ≥ 10% of the document's scripted code points. Exact integer
+    * rule (`cnt·10 ≥ total ∧ cnt > 0`), no floats. */
+  def scriptMixed(counts: Seq[Column], total: Column): Column =
+    counts.map(c => when(c > 0 && c * 10 >= total, 1).otherwise(0))
+      .reduce(_ + _) >= 2
 }

@@ -325,6 +325,38 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(hit === Seq("a.reg7.tld7", "b.tld7"))
   }
 
+  // --- script-mix profile ---------------------------------------------
+
+  test("script counts: hand-checked ranges, surrogate safety, mixed-flag rule") {
+    import spark.implicits._
+    import graft.functions.Text
+    val supplementaryHan = new String(Character.toChars(0x20000)) // CJK ext B
+    val rows = Seq(
+      (1L, "hello мир"),              // 5 latin + 3 cyrillic
+      (2L, "abc"),                    // pure latin: not mixed
+      (3L, "ab 你好"),        // 2 latin + 2 han -> mixed
+      (4L, "abcdefghij б"),      // 10 latin + 1 cyr: 1*10 >= 11 false -> NOT mixed
+      (5L, "abcdefghi б"),       // 9 latin + 1 cyr: 10 >= 10 -> mixed
+      (6L, s"ab $supplementaryHan")   // supplementary Han OUT of contract, not split either
+    ).toDF("doc_id", "text")
+    val counts = Text.ScriptRanges.map { case (n, _, _) =>
+      Text.scriptCount(col("text"), n).cast("long").as(s"n_$n") }
+    val out = rows.select(col("doc_id") +: counts: _*)
+      .withColumn("tot", Text.ScriptRanges.map(r => col(s"n_${r._1}")).reduce(_ + _))
+      .withColumn("mixed", Text.scriptMixed(
+        Text.ScriptRanges.map(r => col(s"n_${r._1}")), col("tot")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(7)))).toMap
+    assert(out(1L) === ((5L, 3L, 0L, true)))
+    assert(out(2L) === ((3L, 0L, 0L, false)))
+    assert(out(3L) === ((2L, 0L, 2L, true)))
+    assert(out(4L) === ((10L, 1L, 0L, false)))
+    assert(out(5L) === ((9L, 1L, 0L, true)))
+    // U+20000 is outside every contract range AND must not be
+    // miscounted via its surrogate halves
+    assert(out(6L) === ((2L, 0L, 0L, false)))
+  }
+
   // --- d5 routing: corpus-count-aware pair mining --------------------
 
   private def augSmall = {
