@@ -57,7 +57,14 @@ object PipelineExample {
       Text.tokenCount(col("text")).as("n_tokens"))
     val gated = scored.select(col("*") +: QualityRules.flags(col("text"),
       minWords = 10, minRequiredWords = 1): _*)
-    val kept = gated.where(col("quality") >= 0.5 && col("passes_quality"))
+    // script-confusion gate (round 11): mixed-script spam — Cyrillic
+    // lookalikes in Latin words, CJK stuffing — that the dominant-
+    // language gate above cannot see
+    val scriptCounts = Text.ScriptRanges.map { case (n, _, _) =>
+      Text.scriptCount(col("text"), n).cast("long") }
+    val scriptMixed = Text.scriptMixed(scriptCounts, scriptCounts.reduce(_ + _))
+    val kept = gated.where(col("quality") >= 0.5 && col("passes_quality") &&
+        !scriptMixed)
       .select(col("doc_id"), col("text"), col("lang"), col("quality"), col("n_tokens"))
 
     // 3. near-dup removal via GROUP clustering: transitive near-dups
@@ -75,6 +82,13 @@ object PipelineExample {
       .where(col("contam_ppm") >= 200000).select(col("doc_id"))
     val decontaminated = clean.where(col("doc_id") % 20 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
+    // 4b. SURGICAL pass (round 11): the survivors below the drop
+    //     threshold still excise exactly their leaked passages —
+    //     the spans a release would cut before tokenization
+    val excisedTokens = Decontaminate
+      .contaminationSpans(decontaminated, evalSet, k = 4)
+      .agg(coalesce(sum(col("span_end") - col("span_start") + 1), lit(0L)))
+      .head().getLong(0)
 
     // 5. domain-mixture resampling: thin each language toward the target
     //    mixture (binding language kept whole; rates derived in-plan)
@@ -103,6 +117,7 @@ object PipelineExample {
     println(s"input=$total unique=${uniq.count()} " +
       s"span_deduped=${spanKept.count()} kept=${kept.count()} " +
       s"clean=${clean.count()} decontaminated=${decontaminated.count()} " +
+      s"excised_tokens=$excisedTokens " +
       s"mixed=${mixed.count()} review_sample=${review.count()} " +
       s"train_sequences=$nSeqs")
     report.orderBy(col("split")).show(false)
