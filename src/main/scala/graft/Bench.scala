@@ -65,7 +65,7 @@ object Bench {
       0.9, "d21" -> 2.2, "d22" -> 1.6, "d23" -> 1.7, "d24" -> 3.2,
       "d25" -> 4.2, "d26" -> 2.2, "d27" -> 0.4, "d28" -> 1.7, "d29" ->
       1.3, "d3" -> 0.3, "d30" -> 0.8, "d31" -> 2.2, "d32" -> 4.3, "d33"
-      -> 1.0, "d34" -> 1.9, "d35" -> 0.7, "d36" -> 1.0, "d4" -> 1.4, "d5" -> 6.0,
+      -> 1.0, "d34" -> 1.9, "d35" -> 0.7, "d36" -> 1.0, "d37" -> 1.3, "d4" -> 1.4, "d5" -> 6.0,
       "d6" -> 3.2, "d7" -> 0.9, "d8" -> 0.7, "d9" -> 1.2, "g1" -> 3.5,
       "g10" -> 2.5, "g11" -> 2.5, "g12" -> 2.7, "g2" -> 1.7, "g3" ->
       2.8, "g4" -> 1.4, "g5" -> 2.2, "g6" -> 3.2, "g7" -> 2.7, "g8" ->
@@ -183,7 +183,7 @@ object Bench {
       "u7" -> 2.57, "u8" -> 0.3, "u9" -> 0.4, "t43" -> 0.59, "w1" -> 0.5,
       "w2" -> 0.5, "w3" -> 0.9, "d31" -> 2.0, "d32" -> 3.79, "m10" -> 0.3,
       "d33" -> 0.8, "t44" -> 0.3, "t45" -> 0.3, "t46" -> 0.6, "d34" -> 1.4,
-      "d35" -> 0.7, "d36" -> 0.9, "m11" -> 0.7, "m12" -> 1.4)
+      "d35" -> 0.7, "d36" -> 0.9, "d37" -> 1.2, "m11" -> 0.7, "m12" -> 1.4)
 
   private[graft] def priorIsolatedMin(n: String): Option[Double] =
     priorIsolatedMinSec.get(n.split("_")(0)).orElse(priorIsolatedMinSec.get(n))

@@ -1365,6 +1365,38 @@ object SparkEntry {
         docs.where(col("doc_id") % 20 =!= 0),
         docs.where(col("doc_id") % 20 === 0), k = 4)
     }),
+    // The d36 excision pipeline reduced to the RELEASE report (d30's
+    // relationship to d28, applied to decontamination): per source,
+    // how many documents carry leaked passages and what fraction of
+    // the source's tokens the surgical cut removes, in exact ppm —
+    // the number a dataset card publishes next to its eval-overlap
+    // policy. Span table joined back to per-doc token counts
+    // (shuffle-hash — spans are corpus-bounded, never broadcast),
+    // then one source-sized aggregate.
+    "d37_contamination_audit" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val docs = par(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), col("text"))
+      val train = docs.where(col("doc_id") % 20 =!= 0)
+      val removed = graft.operators.Decontaminate.contaminationSpans(
+          train.select(col("doc_id"), col("text")),
+          docs.where(col("doc_id") % 20 === 0).select(col("doc_id"), col("text")),
+          k = 4)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_end") - col("span_start") + 1).as("_rm"))
+      train.select(col("doc_id"), col("source"),
+          Text.tokenCount(col("text")).cast("long").as("_nt"))
+        .join(removed.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("_rm")).as("n_contaminated"),
+          sum(col("_nt")).as("n_tokens"),
+          coalesce(sum(col("_rm")), lit(0L)).as("tokens_excised"))
+        .select(col("source"), col("n_docs"), col("n_contaminated"),
+          col("n_tokens"), col("tokens_excised"),
+          expr("CAST(tokens_excised * CAST(1000000 AS BIGINT) div n_tokens AS BIGINT)")
+            .as("excised_ppm"))
+    }),
     // Benchmark decontamination: training documents sharing any hashed
     // 4-gram with the (broadcast) eval split. The train corpus is never
     // shuffled — the collision screen is a broadcast hash join inside
@@ -6148,6 +6180,53 @@ object SparkEntry {
            |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
            |  CAST(max(e) AS BIGINT) AS span_end
            |FROM isl GROUP BY doc_id, island""".stripMargin,
+      // d37: the d36 span chain reduced to the per-source excision
+      // release report (the d30 shape; ppm rides HUGEINT; contaminated
+      // docs counted via the rm LEFT-join hit).
+      "d37_contamination_audit" ->
+        s"""WITH ev AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+           |), tr AS (
+           |  SELECT doc_id, source, text FROM documents WHERE doc_id % 20 <> 0
+           |), en AS (
+           |  SELECT doc_id, $normToksSql AS toks FROM ev
+           |), eg AS (
+           |  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 2),
+           |    i -> ('0x' || substr(md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 3], ' ')), 1, 15))::BIGINT)) AS h
+           |  FROM en WHERE len(toks) >= 4
+           |), tn AS (
+           |  SELECT doc_id, source, $normToksSql AS toks FROM tr
+           |), tg AS (
+           |  SELECT doc_id, unnest(range(1, len(toks) - 2)) AS p,
+           |    unnest(list_transform(range(1, len(toks) - 2),
+           |      i -> ('0x' || substr(md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 3], ' ')), 1, 15))::BIGINT)) AS h
+           |  FROM tn WHERE len(toks) >= 4
+           |), marks AS (
+           |  SELECT tg.doc_id, tg.p AS s, tg.p + 3 AS e
+           |  FROM tg JOIN eg USING (h)
+           |), ord AS (
+           |  SELECT doc_id, s, e,
+           |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+           |  FROM marks
+           |), isl AS (
+           |  SELECT doc_id, s, e,
+           |    sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM ord
+           |), spans AS (
+           |  SELECT doc_id, min(s) AS ss, max(e) AS ee FROM isl GROUP BY doc_id, island
+           |), rm AS (
+           |  SELECT doc_id, sum(ee - ss + 1) AS rmt FROM spans GROUP BY doc_id
+           |)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(count(rm.rmt) AS BIGINT) AS n_contaminated,
+           |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(sum(rm.rmt), 0) AS BIGINT) AS tokens_excised,
+           |  CAST(CAST(coalesce(sum(rm.rmt), 0) AS HUGEINT) * 1000000
+           |    // CAST(sum(len(toks)) AS HUGEINT) AS BIGINT) AS excised_ppm
+           |FROM tn LEFT JOIN rm USING (doc_id)
+           |GROUP BY source""".stripMargin,
       // d30: the d28 pipeline over the PLAIN corpus, reduced to the
       // per-source removal-rate release report (ppm rides HUGEINT).
       "d30_dup_substring_audit" ->
