@@ -759,4 +759,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(stream.size === 12)
     } finally q.stop()
   }
+
+  test("script-mix profile: the stateless round-11 projection runs verbatim on a stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.Text
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the t46 counting projection is window-free codegen'd regexp_count
+    // — it must stream unchanged (the Web.normalizeUrls argument, made
+    // for the text surface)
+    def profile(df: org.apache.spark.sql.DataFrame) = {
+      val counts = Text.ScriptRanges.map { case (n, _, _) =>
+        Text.scriptCount(col("text"), n).cast("long").as(s"n_$n") }
+      val tot = Text.ScriptRanges.map(r => col(s"n_${r._1}")).reduce(_ + _)
+      df.select(col("doc_id") +: counts: _*)
+        .withColumn("mixed", Text.scriptMixed(
+          Text.ScriptRanges.map(r => col(s"n_${r._1}")), tot))
+    }
+    val rows = Seq((1L, "hello \u043c\u0438\u0440"), (2L, "abc"), (3L, "ab \u4f60\u597d"))
+    val mem = MemoryStream[(Long, String)]
+    val q = profile(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("smix").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("smix").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(6))).toSet
+      val batch = profile(rows.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(6))).toSet
+      assert(stream === batch)
+      assert(stream.exists(_._4), "the mixed flag must fire on the stream")
+    } finally q.stop()
+  }
 }
