@@ -1324,7 +1324,7 @@ object SparkEntry {
           coalesce(sum(col("_rm")), lit(0L)).as("tokens_removed"))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("tokens_removed"),
-          expr("CAST(tokens_removed * CAST(1000000 AS BIGINT) div n_tokens AS BIGINT)")
+          expr("CAST(CAST(tokens_removed AS DECIMAL(38,0)) * 1000000 div n_tokens AS BIGINT)")
             .as("removed_ppm"))
     }),
     // INCREMENTAL ExactSubstr (the d8→d31/d32 arc applied to d28): the
@@ -1394,7 +1394,7 @@ object SparkEntry {
           coalesce(sum(col("_rm")), lit(0L)).as("tokens_excised"))
         .select(col("source"), col("n_docs"), col("n_contaminated"),
           col("n_tokens"), col("tokens_excised"),
-          expr("CAST(tokens_excised * CAST(1000000 AS BIGINT) div n_tokens AS BIGINT)")
+          expr("CAST(CAST(tokens_excised AS DECIMAL(38,0)) * 1000000 div n_tokens AS BIGINT)")
             .as("excised_ppm"))
     }),
     // Benchmark decontamination: training documents sharing any hashed
@@ -1962,13 +1962,10 @@ object SparkEntry {
           expr("CASE WHEN doc_id % 5 = 2 THEN ' ' || repeat(_grk, CAST(2 + doc_id % 4 AS INT)) ELSE '' END"),
           expr("CASE WHEN doc_id % 11 = 3 THEN ' ' || repeat(_han, CAST(1 + doc_id % 3 AS INT)) ELSE '' END"),
           expr("CASE WHEN doc_id % 13 = 5 THEN ' ' || repeat(_ara, CAST(2 + doc_id % 3 AS INT)) ELSE '' END")))
-      val counts = Text.ScriptRanges.map { case (n, _, _) =>
-        Text.scriptCount(col("_t"), n).cast("long").as(s"n_$n") }
-      injected.select(col("doc_id") +: counts: _*)
-        .withColumn("n_scripted",
-          Text.ScriptRanges.map(r => col(s"n_${r._1}")).reduce(_ + _))
-        .withColumn("script_mixed", Text.scriptMixed(
-          Text.ScriptRanges.map(r => col(s"n_${r._1}")), col("n_scripted")))
+      injected.select(col("doc_id") +: Text.scriptProfileCols(col("_t")): _*)
+        .withColumn("n_scripted", Text.scriptCountCols.reduce(_ + _))
+        .withColumn("script_mixed",
+          Text.scriptMixed(Text.scriptCountCols, col("n_scripted")))
     }),
     // Accent-stripped search keys -- the language-agnostic blocking/
     // lookup normalization ("Zurich"=="Z\u00fcrich"): NFD + drop

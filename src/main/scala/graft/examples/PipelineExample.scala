@@ -59,12 +59,12 @@ object PipelineExample {
       minWords = 10, minRequiredWords = 1): _*)
     // script-confusion gate (round 11): mixed-script spam — Cyrillic
     // lookalikes in Latin words, CJK stuffing — that the dominant-
-    // language gate above cannot see
-    val scriptCounts = Text.ScriptRanges.map { case (n, _, _) =>
-      Text.scriptCount(col("text"), n).cast("long") }
-    val scriptMixed = Text.scriptMixed(scriptCounts, scriptCounts.reduce(_ + _))
-    val kept = gated.where(col("quality") >= 0.5 && col("passes_quality") &&
-        !scriptMixed)
+    // language gate above cannot see. Counts are MATERIALIZED as a
+    // projection before the filter (the scriptMixed contract): inlined
+    // into the WHERE, each script regex would re-run ~7× per row
+    val counted = gated.select(col("*") +: Text.scriptProfileCols(col("text")): _*)
+    val kept = counted.where(col("quality") >= 0.5 && col("passes_quality") &&
+        !Text.scriptMixed(Text.scriptCountCols, Text.scriptCountCols.reduce(_ + _)))
       .select(col("doc_id"), col("text"), col("lang"), col("quality"), col("n_tokens"))
 
     // 3. near-dup removal via GROUP clustering: transitive near-dups

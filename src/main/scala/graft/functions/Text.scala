@@ -204,8 +204,27 @@ object Text {
     * per-document language ID alone misses, because langId reports the
     * DOMINANT language): true iff at least two script classes each
     * hold ≥ 10% of the document's scripted code points. Exact integer
-    * rule (`cnt·10 ≥ total ∧ cnt > 0`), no floats. */
+    * rule (`cnt·10 ≥ total ∧ cnt > 0`), no floats.
+    *
+    * Pass MATERIALIZED count columns (the [[scriptProfileCols]]
+    * projection), not raw [[scriptCount]] expressions: the flag
+    * references every count ~7× and `FilterExec` codegen does not
+    * eliminate common subexpressions the way projections do — inlined
+    * counts re-run each script regex dozens of times per row. */
   def scriptMixed(counts: Seq[Column], total: Column): Column =
     counts.map(c => when(c > 0 && c * 10 >= total, 1).otherwise(0))
       .reduce(_ + _) >= 2
+
+  /** The one canonical script-profile projection: `n_<script>` long
+    * counts for every [[ScriptRanges]] class over `textCol` — the
+    * single place the class list is wired, shared by the t46 query,
+    * the pipeline example, and the specs. */
+  def scriptProfileCols(textCol: Column): Seq[Column] =
+    ScriptRanges.map { case (n, _, _) =>
+      scriptCount(textCol, n).cast("long").as(s"n_$n") }
+
+  /** References to [[scriptProfileCols]]' output columns, for the
+    * mixed-flag / total stages downstream of the projection. */
+  def scriptCountCols: Seq[Column] =
+    ScriptRanges.map(r => col(s"n_${r._1}"))
 }

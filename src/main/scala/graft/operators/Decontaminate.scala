@@ -174,14 +174,21 @@ object Decontaminate {
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 8): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    def grams(df: DataFrame) = df
+    // eval needs no id and no positions — membership is all that
+    // matters, so the eval side explodes textCol alone (an eval frame
+    // keyed differently, or not at all, works as-is)
+    val evalGrams = eval
+      .select(explode(call_function(
+        graft.functions.PositionalGramHashes.name, col(textCol), lit(k)))
+        .as("_h"))
+      .distinct()
+    val marks = train
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(call_function(
           graft.functions.PositionalGramHashes.name, col(textCol), lit(k))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("_p"),
         col("col").as("_h"))
-    val evalGrams = grams(eval).select(col("_h")).distinct()
-    val marks = grams(train).join(broadcast(evalGrams), "_h")
+      .join(broadcast(evalGrams), "_h")
       .select(col("doc_id"), col("_p").as("_s"),
         (col("_p") + (k - 1)).as("_e"))
     Dedup.mergeSpans(marks)

@@ -339,12 +339,9 @@ class Round11OpsSpec extends AnyFunSuite {
       (5L, "abcdefghi б"),       // 9 latin + 1 cyr: 10 >= 10 -> mixed
       (6L, s"ab $supplementaryHan")   // supplementary Han OUT of contract, not split either
     ).toDF("doc_id", "text")
-    val counts = Text.ScriptRanges.map { case (n, _, _) =>
-      Text.scriptCount(col("text"), n).cast("long").as(s"n_$n") }
-    val out = rows.select(col("doc_id") +: counts: _*)
-      .withColumn("tot", Text.ScriptRanges.map(r => col(s"n_${r._1}")).reduce(_ + _))
-      .withColumn("mixed", Text.scriptMixed(
-        Text.ScriptRanges.map(r => col(s"n_${r._1}")), col("tot")))
+    val out = rows.select(col("doc_id") +: Text.scriptProfileCols(col("text")): _*)
+      .withColumn("tot", Text.scriptCountCols.reduce(_ + _))
+      .withColumn("mixed", Text.scriptMixed(Text.scriptCountCols, col("tot")))
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(7)))).toMap
     assert(out(1L) === ((5L, 3L, 0L, true)))

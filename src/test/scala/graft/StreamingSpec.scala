@@ -768,14 +768,10 @@ class StreamingSpec extends AnyFunSuite {
     // the t46 counting projection is window-free codegen'd regexp_count
     // — it must stream unchanged (the Web.normalizeUrls argument, made
     // for the text surface)
-    def profile(df: org.apache.spark.sql.DataFrame) = {
-      val counts = Text.ScriptRanges.map { case (n, _, _) =>
-        Text.scriptCount(col("text"), n).cast("long").as(s"n_$n") }
-      val tot = Text.ScriptRanges.map(r => col(s"n_${r._1}")).reduce(_ + _)
-      df.select(col("doc_id") +: counts: _*)
-        .withColumn("mixed", Text.scriptMixed(
-          Text.ScriptRanges.map(r => col(s"n_${r._1}")), tot))
-    }
+    def profile(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id") +: Text.scriptProfileCols(col("text")): _*)
+        .withColumn("mixed", Text.scriptMixed(Text.scriptCountCols,
+          Text.scriptCountCols.reduce(_ + _)))
     val rows = Seq((1L, "hello \u043c\u0438\u0440"), (2L, "abc"), (3L, "ab \u4f60\u597d"))
     val mem = MemoryStream[(Long, String)]
     val q = profile(mem.toDF.toDF("doc_id", "text"))
