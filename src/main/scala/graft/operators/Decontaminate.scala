@@ -174,14 +174,7 @@ object Decontaminate {
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 8): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    // eval needs no id and no positions — membership is all that
-    // matters, so the eval side explodes textCol alone (an eval frame
-    // keyed differently, or not at all, works as-is)
-    val evalGrams = eval
-      .select(explode(call_function(
-        graft.functions.PositionalGramHashes.name, col(textCol), lit(k)))
-        .as("_h"))
-      .distinct()
+    val evalGrams = evalGramSet(eval, textCol, k)
     val marks = train
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(call_function(
@@ -193,6 +186,18 @@ object Decontaminate {
         (col("_p") + (k - 1)).as("_e"))
     Dedup.mergeSpans(marks)
   }
+
+  /** The distinct hashed word-k-gram set of an eval corpus — the static
+    * side every gram-membership screen joins against
+    * ([[contaminationSpans]], the streaming ingest gate). Needs no id
+    * and no positions — membership is all that matters, so any frame
+    * with `textCol` works. Schema: one `_h` long column. */
+  def evalGramSet(eval: DataFrame, textCol: String = "text",
+      k: Int = 8): DataFrame =
+    eval.select(explode(call_function(
+        graft.functions.PositionalGramHashes.name, col(textCol), lit(k)))
+        .as("_h"))
+      .distinct()
 
   /** SEMANTIC decontamination — the embedding-cosine complement of the
     * n-gram family above: [[report]]/[[reportBloom]] catch verbatim

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ingest-time benchmark-contamination gate — the streaming posture of
+  * the d7/d36 n-gram screens: a crawl/ingest stream is checked against
+  * the FROZEN eval gram set the moment each document arrives, instead
+  * of re-screening the corpus per release. The strict GPT-3-style rule
+  * (any shared k-gram ⇒ contaminated) streams cleanly because it is an
+  * EXISTS, not an aggregate: explode the document's grams (scan-stage,
+  * the ExactSubstr native pass), inner-join the static eval set (a
+  * stream-static join — Spark broadcasts or rebuilds the static side
+  * per micro-batch; at ~10³-10⁵ eval items it is broadcast-sized
+  * forever), and emit each doc id once via streaming `dropDuplicates`.
+  *
+  * State, stated honestly: the dedup keeps one entry PER FLAGGED doc id
+  * — not per document — so state grows with contamination hits only
+  * (the screen's output, which a pipeline wants durable anyway). On an
+  * event-time stream bound it with `dropDuplicatesWithinWatermark`.
+  *
+  * Batch parity (asserted in `StreamingSpec`): the flagged-id set
+  * equals the batch screens' — documents with ≥ 1 shared gram, i.e.
+  * exactly [[graft.operators.Decontaminate.contaminationSpans]]'
+  * distinct doc ids and `report`'s n_hit ≥ 1 set.
+  */
+object StreamingContamination {
+
+  /** @param evalGrams the frozen eval gram set —
+    *   [[graft.operators.Decontaminate.evalGramSet]], typically read
+    *   back from its at-rest parquet (built once per eval-suite
+    *   version, amortized over every ingest batch). */
+  def flaggedIds(
+      docs: DataFrame, evalGrams: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(call_function(
+          graft.functions.PositionalGramHashes.name, col(textCol), lit(k)))
+          .as("_h"))
+      .join(evalGrams, "_h")
+      .select(col("doc_id"))
+      .dropDuplicates("doc_id")
+  }
+}

@@ -787,4 +787,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(stream.exists(_._4), "the mixed flag must fire on the stream")
     } finally q.stop()
   }
+
+  test("streaming contamination gate: stream-static gram screen equals the batch screens") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Graft.registerAll(spark) // positional_gram_hashes
+    val docs = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val evalDf = docs.where(col("doc_id") % 20 === 0)
+    val train = docs.where(col("doc_id") % 20 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the frozen eval gram set, built once (here in-memory; production
+    // reads it back from its at-rest parquet)
+    val evalGrams = graft.operators.Decontaminate.evalGramSet(evalDf, k = 4)
+      .localCheckpoint()
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingContamination
+      .flaggedIds(mem.toDF.toDF("doc_id", "text"), evalGrams, k = 4)
+      .writeStream.format("memory").queryName("cgate").outputMode("append").start()
+    try {
+      // two micro-batches; a doc flagged in batch 1 must not re-emit
+      val (b1, b2) = train.splitAt(train.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("cgate").collect().map(_.getLong(0)).toList
+      assert(streamed.distinct.size === streamed.size, "each doc flags at most once")
+      // parity with BOTH batch screens: the span screen's doc set and
+      // the report's strict n_hit >= 1 set
+      val spanDocs = graft.operators.Decontaminate.contaminationSpans(
+          docs.where(col("doc_id") % 20 =!= 0), evalDf, k = 4)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(streamed.toSet === spanDocs)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
