@@ -3004,6 +3004,41 @@ object SparkEntry {
         .select(col("stage"), col("n_docs").cast("long").as("n_docs"),
           col("n_domains").cast("long").as("n_domains"))
     }),
+    // Real-PSL three-rule eTLD+1 (round 12 — the Mozilla list is ~9k
+    // plain suffixes PLUS ~1k wildcard (*.ck: any single label under ck
+    // is itself a public suffix) and exception (!www.ck: NOT a public
+    // suffix despite the wildcard — it IS the registrable domain) rules;
+    // treating those as literal suffixes silently mis-roots whole ccTLDs
+    // (.ck, the .jp city domains) in every domain cap and blocklist.
+    // The fixture synthesizes hosts from the canonical published PSL
+    // test-case shapes (www.ck, a.b.test.ck, city.kobe.jp, …) via the
+    // a1/m7 md5 discipline; BOTH implementations — the ≤16-rule
+    // when-chain and the data-driven native expression — are emitted as
+    // columns, so the oracle's single CASE chain hash-pins chain ≡
+    // native ≡ SQL on every host. See Web.registrableDomain /
+    // functions.RegistrableDomainExpr.
+    "w4_psl_domains" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val rules = Seq("com", "co.uk", "jp", "kyoto.jp", "us",
+        "*.ck", "*.kobe.jp", "!www.ck", "!city.kobe.jp")
+      assert(rules.size <= graft.operators.Web.WhenChainMaxSuffixes)
+      val subs = typedLit(Seq("", "www.", "a.", "x.y.", "blog."))
+      val bases = typedLit(Seq("test", "site7", "www", "city", "example"))
+      val tlds = typedLit(Seq(".com", ".co.uk", ".ck", ".jp", ".kyoto.jp",
+        ".kobe.jp", ".us", ".example"))
+      val hosts = par(tbl(s, dir, "documents")).select(col("doc_id"))
+        .withColumn("_h1", Dedup.hash60(
+          concat(lit("psl|"), (col("doc_id") % 200).cast("string"))))
+        .select(col("doc_id"), concat(
+          element_at(subs, (col("_h1") % 5 + 1).cast("int")),
+          element_at(bases, (expr("_h1 div 5") % 5 + 1).cast("int")),
+          element_at(tlds, (expr("_h1 div 25") % 8 + 1).cast("int"))).as("host"))
+      hosts.select(col("doc_id"), col("host"),
+        graft.operators.Web.registrableDomain(col("host"), rules)
+          .as("rd_chain"),
+        graft.functions.RegistrableDomainExpr(col("host"), rules)
+          .as("rd_native"))
+    }),
     // Incremental (frozen-index) SemDeDup — the day-to-day production
     // form: the accepted corpus (vec_id % 5 != 0) trains the k-means
     // index ONCE; the incoming batch (fresh vectors + constructed near-
@@ -7075,6 +7110,45 @@ object SparkEntry {
            |UNION ALL SELECT '2_blocklist', n2, m2 FROM t
            |UNION ALL SELECT '3_url_dedup', n3, m3 FROM t
            |UNION ALL SELECT '4_domain_cap', n4, m3 FROM t""".stripMargin,
+      // the three-rule PSL match replayed as ONE ordered CASE chain —
+      // exceptions first (they prevail), then rules by effective
+      // public-suffix label count (a wildcard counts one more than its
+      // spelled parent; bare ⟨label⟩.parent is its own domain, the
+      // two-label extract yields '' on empty labels) — emitted for both
+      // output columns so chain ≡ native ≡ SQL is hash-enforced
+      "w4_psl_domains" ->
+        """WITH h AS (
+          |  SELECT doc_id,
+          |    ('0x' || substr(md5('psl|' || CAST(doc_id % 200 AS VARCHAR)), 1, 15))::BIGINT AS h1
+          |  FROM documents
+          |), hosts AS (
+          |  SELECT doc_id,
+          |    (['', 'www.', 'a.', 'x.y.', 'blog.'])[CAST(h1 % 5 AS INT) + 1] ||
+          |    (['test', 'site7', 'www', 'city', 'example'])[CAST((h1 // 5) % 5 AS INT) + 1] ||
+          |    (['.com', '.co.uk', '.ck', '.jp', '.kyoto.jp', '.kobe.jp', '.us', '.example'])[CAST((h1 // 25) % 8 AS INT) + 1]
+          |    AS host
+          |  FROM h
+          |), rd AS (
+          |  SELECT doc_id, host,
+          |    CASE
+          |      WHEN host = 'www.ck' OR host LIKE '%.www.ck' THEN 'www.ck'
+          |      WHEN host = 'city.kobe.jp' OR host LIKE '%.city.kobe.jp' THEN 'city.kobe.jp'
+          |      WHEN host LIKE '%.kobe.jp' THEN
+          |        CASE WHEN regexp_matches(host, '^[^.]+\.kobe\.jp$') THEN host
+          |             ELSE regexp_extract(host, '([^.]+\.[^.]+\.kobe\.jp)$', 1) END
+          |      WHEN host LIKE '%.kyoto.jp' THEN regexp_extract(host, '([^.]+\.kyoto\.jp)$', 1)
+          |      WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+          |      WHEN host LIKE '%.ck' THEN
+          |        CASE WHEN regexp_matches(host, '^[^.]+\.ck$') THEN host
+          |             ELSE regexp_extract(host, '([^.]+\.[^.]+\.ck)$', 1) END
+          |      WHEN host LIKE '%.com' THEN regexp_extract(host, '([^.]+\.com)$', 1)
+          |      WHEN host LIKE '%.jp' THEN regexp_extract(host, '([^.]+\.jp)$', 1)
+          |      WHEN host LIKE '%.us' THEN regexp_extract(host, '([^.]+\.us)$', 1)
+          |      ELSE host
+          |    END AS rd
+          |  FROM hosts
+          |)
+          |SELECT doc_id, host, rd AS rd_chain, rd AS rd_native FROM rd""".stripMargin,
       "d33_semantic_decontam" ->
         s"""WITH eIn AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings

@@ -103,29 +103,65 @@ object Web {
 
   /** Registrable domain (eTLD+1) of a normalized host: the longest
     * matching public suffix plus one label; a host that matches no
-    * suffix (an IP, an intranet name) is its own domain.
+    * rule (an IP, an intranet name) is its own domain.
     *
-    * Plan: for a handful of suffixes (≤ [[WhenChainMaxSuffixes]]) a
-    * when-chain ordered most-specific-first — constant-folded by
-    * Catalyst, no join, no UDF. For a real PSL (the full Mozilla list
-    * is ~9k suffixes) the when-chain would blow past the 64KB codegen
-    * limit, so the rule switches to the native
-    * [[graft.functions.RegistrableDomainExpr]]: the suffix set rides
+    * Rules use the published PSL file spelling — plain suffixes
+    * (`com`, `co.uk`), wildcards (`*.ck`: any ONE label under `ck` is
+    * itself a public suffix), and exceptions (`!www.ck`: despite the
+    * wildcard, `www.ck` is NOT a public suffix — its parent is, so
+    * `www.ck` is the registrable domain of anything at/under it).
+    * Exception rules prevail over everything (the published list never
+    * shadows one with a longer rule); otherwise the longest match
+    * wins, a wildcard matching one label more than its spelled parent.
+    * A host that IS a bare public suffix (incl. a bare `<label>.w`
+    * wildcard suffix) is its own domain; an empty label where the
+    * contract needs one yields "" (regexp_extract's no-match value).
+    *
+    * Plan: for a handful of rules (≤ [[WhenChainMaxSuffixes]]) a
+    * when-chain — exceptions first, then rules ordered by effective
+    * public-suffix label count — constant-folded by Catalyst, no join,
+    * no UDF. For a real PSL (the full Mozilla list is ~9k suffixes +
+    * ~1k wildcard/exception rules) the when-chain would blow past the
+    * 64KB codegen limit, so the rule switches to the native
+    * [[graft.functions.RegistrableDomainExpr]]: the rule sets ride
     * the expression as a broadcast-sized constant and each host is
     * matched longest-first in one O(labels) pass — same contract
-    * (property-pinned equal in `Round11OpsSpec`), still one
-    * codegen'd scan-stage projection. */
+    * (property-pinned equal in `Round11PropertySpec`/`Round12OpsSpec`),
+    * still one codegen'd scan-stage projection. */
   def registrableDomain(
       host: Column,
       suffixes: Seq[String] = DefaultSuffixes): Column =
     if (suffixes.size <= WhenChainMaxSuffixes) {
-      val ordered = suffixes.sortBy(s => (-s.count(_ == '.'), -s.length))
-      val candidates = ordered.map { s =>
-        val quoted = java.util.regex.Pattern.quote(s)
-        when(host.endsWith("." + s),
-          regexp_extract(host, "([^.]+\\." + quoted + ")$", 1))
+      def q(s: String) = java.util.regex.Pattern.quote(s)
+      // exceptions prevail: checked before any length-ordered rule
+      val exceptions = suffixes.filter(_.startsWith("!")).map(_.substring(1))
+        .sortBy(e => (-e.count(_ == '.'), -e.length))
+        .map(e => when(host === e || host.endsWith("." + e), lit(e)))
+      // plain + wildcard, by effective public-suffix label count (a
+      // wildcard's is one more than its spelled parent's); equal-count
+      // overlaps produce the same psuffix string either way, so the
+      // tie-break (spelled length) only pins determinism
+      val ordered = suffixes.filterNot(_.startsWith("!"))
+        .sortBy { s =>
+          val spelled = if (s.startsWith("*.")) s.substring(2) else s
+          val eff = spelled.count(_ == '.') + (if (s.startsWith("*.")) 2 else 1)
+          (-eff, -spelled.length)
+        }
+      val candidates = ordered.map {
+        case w if w.startsWith("*.") =>
+          val p = w.substring(2)
+          // bare ⟨label⟩.parent is itself the public suffix → own
+          // domain; otherwise one label + ⟨label⟩.parent, both labels
+          // non-empty or the extract yields ""
+          when(host.endsWith("." + p),
+            when(host.rlike("^[^.]+\\." + q(p) + "$"), host)
+              .otherwise(
+                regexp_extract(host, "([^.]+\\.[^.]+\\." + q(p) + ")$", 1)))
+        case s =>
+          when(host.endsWith("." + s),
+            regexp_extract(host, "([^.]+\\." + q(s) + ")$", 1))
       }
-      coalesce(candidates :+ host: _*)
+      coalesce(exceptions ++ candidates :+ host: _*)
     } else graft.functions.RegistrableDomainExpr(host, suffixes)
 
   /** Per-registrable-domain composition report — the table a curation
