@@ -74,7 +74,15 @@ object Decontaminate {
     * (tiny) eval side.
     *
     * `expectedItems`/`fpp` size the filter (bits ≈ 1.44·n·log₂(1/fpp));
-    * overshooting `expectedItems` only wastes the overshoot in bits. */
+    * overshooting `expectedItems` only wastes the overshoot in bits.
+    *
+    * The filter is built IN-PLAN (`BloomFilterAggregate` over the eval
+    * shingles — a distributed aggregate, nothing collects to the
+    * driver) and applied with the engine's own codegen'd
+    * `might_contain`, fed as the scalar-subquery constant the
+    * expression requires — so the screen stays inside whole-stage
+    * codegen on the one stage sized by the 100 TB side. A Scala UDF
+    * here would forfeit codegen exactly where it costs the most. */
   def reportBloom(
       train: DataFrame, eval: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
@@ -85,14 +93,33 @@ object Decontaminate {
       .distinct()
       // consumed twice (bloom build + exact join) — materialize once
       .localCheckpoint()
-    val bloom = evalShingles.stat.bloomFilter("_s", expectedItems, fpp)
-    val bloomB = train.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf { s: Long => bloomB.value.mightContainLong(s) }
+    // Spark's optimal-bits sizing: -n·ln(fpp)/ln(2)² (what the builtin
+    // aggregate expects spelled out; floored so a degenerate fpp still
+    // builds a filter)
+    val numBits = math.max(64L, math.ceil(
+      -expectedItems.toDouble * math.log(fpp) /
+        (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate/BloomFilterMightContain are the engine's own
+    // runtime-filter expressions; they are not in the SQL registry, so
+    // they are constructed directly (the ColumnBridge pattern)
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.graft.ColumnBridge
+    val bloom = evalShingles
+      .agg(ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(
+            ColumnBridge.expression(col("_s")),
+            CatLit(expectedItems), CatLit(numBits))
+          .toAggregateExpression()).as("_bf"))
     val trainEx = train
       .select(col(idCol), Dedup.hashedShingleSetNative(col(textCol), n).as("_sh"))
       .select(col(idCol), size(col("_sh")).as("n_shingles"),
         explode(col("_sh")).as("_s"))
-    trainEx.where(mightContain(col("_s")))
+    trainEx
+      .where(ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          ColumnBridge.expression(bloom.scalar()),
+          ColumnBridge.expression(col("_s")))))
       .join(broadcast(evalShingles), "_s")
       .groupBy(col(idCol), col("n_shingles"))
       .agg(count(lit(1)).as("n_hit"))

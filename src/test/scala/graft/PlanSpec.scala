@@ -230,8 +230,13 @@ class PlanSpec extends AnyFunSuite {
       s"eval shingle set should broadcast into the train scan stage:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"the train corpus must not be shuffled for the collision join:\n$p")
-    assert(p.contains("UDF"),
-      s"the bloom mightContain prefilter should sit in the scan stage:\n$p")
+    // the screen is the codegen'd BUILTIN might_contain over an in-plan
+    // bloom_filter_agg — a Scala UDF here would forfeit codegen on the
+    // corpus-sized exploded-shingle stream
+    assert(p.contains("might_contain"),
+      s"the bloom might_contain prefilter should sit in the scan stage:\n$p")
+    assert(!p.contains("UDF"),
+      s"the bloom screen must be the builtin, not a Scala UDF:\n$p")
   }
 
   test("p6 deterministic shuffle: one exchange, on the shard key") {
