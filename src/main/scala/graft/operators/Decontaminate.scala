@@ -202,8 +202,12 @@ object Decontaminate {
       k: Int = 8): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val evalGrams = evalGramSet(eval, textCol, k)
+    // the shared id quarantine rule (Web.domainCap / ExactSubstr): a
+    // non-numeric id casts to NULL and drops here instead of killing
+    // the sweep under ANSI cast
     val marks = train
-      .select(col(idCol).cast("long").as("doc_id"),
+      .where(Dedup.tryLongId(idCol).isNotNull)
+      .select(Dedup.tryLongId(idCol).as("doc_id"),
         posexplode(call_function(
           graft.functions.PositionalGramHashes.name, col(textCol), lit(k))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("_p"),

@@ -48,6 +48,36 @@ object Dedup {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** The id quarantine rule every long-keyed operator in this file
+    * shares (the `Web.domainCap` contract): the id must TRY_CAST to
+    * LONG. A non-numeric string id would either throw the whole sweep
+    * under ANSI cast or cast to NULL and NPE downstream; instead it
+    * casts to NULL here and the caller filters it out — one malformed
+    * id must never kill a corpus pass. */
+  private[graft] def tryLongId(idCol: String): Column =
+    expr(s"try_cast(`$idCol` AS LONG)")
+
+  /** Exclusive upper bound of the packed-occurrence-key id domain:
+    * `doc_id·2³⁰ + pos` overflows signed 64-bit once doc_id reaches
+    * 2³³, which would silently corrupt the first-occurrence keeper
+    * ordering. */
+  private[graft] val MaxPackedId: Long = 1L << 33
+
+  /** [[tryLongId]] plus a LOUD domain guard for the ExactSubstr
+    * family's packed key: ids outside [0, 2³³) fail the run via
+    * `raise_error` — a silently wrong keeper is worse than a failed
+    * job. Stays a scan-stage codegen'd conditional; the check runs
+    * once per document, not per token. NULL (unparseable) ids pass
+    * through as NULL for the caller's quarantine filter. */
+  private[graft] def packedDomainId(idCol: String): Column = {
+    val id = tryLongId(idCol)
+    when(id.isNull, lit(null).cast("long"))
+      .when(id >= 0 && id < MaxPackedId, id)
+      .otherwise(raise_error(concat(
+        lit(s"packed-key id contract: `$idCol` must be in [0, 2^33), got "),
+        id.cast("string"))).cast("long"))
+  }
+
   /** Distinct word n-gram shingles of the normalized text. Documents
     * shorter than n tokens contribute their whole token string as a single
     * shingle. */
@@ -1524,7 +1554,11 @@ object Dedup {
     * key packs (doc_id, pos) as `doc_id·2³⁰ + pos` so the ordering is
     * one integer min the oracle replays verbatim (contract: positions
     * below 2³⁰ — any real corpus chunks documents far below a billion
-    * tokens). The conservative default (`false`) excises every copy —
+    * tokens — and ids in [0, 2³³), ENFORCED loudly by
+    * [[packedDomainId]]: an out-of-domain id would overflow the pack
+    * and silently corrupt the keeper, so it raises instead; an
+    * unparseable id quarantines per the shared [[tryLongId]] rule).
+    * The conservative default (`false`) excises every copy —
     * the right screen when repeated boilerplate should contribute
     * zero training tokens. */
   def duplicateSubstringSpans(
@@ -1534,7 +1568,8 @@ object Dedup {
     require(k >= 1, s"k must be positive, got $k")
     require(minCount >= 2, s"minCount must be at least 2, got $minCount")
     val grams = docs
-      .select(col(idCol).cast("long").as("doc_id"),
+      .where(tryLongId(idCol).isNotNull) // quarantine unparseable ids
+      .select(packedDomainId(idCol).as("doc_id"),
         posexplode(call_function(
           graft.functions.PositionalGramHashes.name, col(textCol), lit(k))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("_p"),
@@ -1594,7 +1629,8 @@ object Dedup {
     require(k >= 1, s"k must be positive, got $k")
     val occKey = col("doc_id") * lit(1073741824L) + col("_p")
     corpus
-      .select(col(idCol).cast("long").as("doc_id"),
+      .where(tryLongId(idCol).isNotNull) // quarantine unparseable ids
+      .select(packedDomainId(idCol).as("doc_id"),
         posexplode(call_function(
           graft.functions.PositionalGramHashes.name, col(textCol), lit(k))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("_p"),
@@ -1644,7 +1680,8 @@ object Dedup {
     require(k >= 1, s"k must be positive, got $k")
     require(minCount >= 2, s"minCount must be at least 2, got $minCount")
     val grams = batch
-      .select(col(idCol).cast("long").as("doc_id"),
+      .where(tryLongId(idCol).isNotNull) // quarantine unparseable ids
+      .select(packedDomainId(idCol).as("doc_id"),
         posexplode(call_function(
           graft.functions.PositionalGramHashes.name, col(textCol), lit(k))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("_p"),

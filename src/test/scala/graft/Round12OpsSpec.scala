@@ -221,6 +221,45 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(hosts === Seq("x.co.uk", "plain.com", "10.0.0.1"))
   }
 
+  // --- ExactSubstr packed-key id domain -------------------------------
+
+  test("packed-key id domain is enforced loudly; unparseable ids quarantine") {
+    import spark.implicits._
+    import graft.operators.{Decontaminate, Dedup}
+    val rep = "alpha beta gamma delta " * 2
+    val ok = Seq((1L, rep), (2L, rep)).toDF("doc_id", "text")
+    val want = Dedup.duplicateSubstringSpans(ok, k = 4, minCount = 2)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty, "fixture must mark spans")
+    // an id at exactly 2^33 would overflow the doc_id*2^30+pos pack and
+    // silently corrupt the first-occurrence keeper: the run must FAIL
+    val bad = Seq((1L, rep), (1L << 33, rep)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.duplicateSubstringSpans(bad, k = 4, minCount = 2).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (t.getMessage + Option(t.getCause).map(rootMsg).getOrElse(""))
+    assert(rootMsg(e).contains("packed-key id contract"), rootMsg(e).take(400))
+    // a NON-NUMERIC string id quarantines (row dropped), never throws —
+    // the shared try_cast rule across the round-11/12 operators
+    val mixed = Seq(("1", rep), ("2", rep), ("oops", rep))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSubstringSpans(mixed, k = 4, minCount = 2)
+      .collect().map(_.toSeq).toSet
+    assert(got === want, "quarantine must drop only the malformed row")
+    // same rule on the incremental twin and the span decontaminator
+    val idx = Dedup.substringGramIndex(mixed, k = 4)
+    assert(idx.collect().nonEmpty)
+    val inc = Dedup.duplicateSubstringSpansIncremental(
+      Seq(("7", rep), ("x", rep)).toDF("doc_id", "text"), idx, k = 4)
+      .collect()
+    assert(inc.map(_.getLong(0)).toSet === Set(7L))
+    val spans = Decontaminate.contaminationSpans(
+      mixed, Seq(rep).toDF("text"), k = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(spans === Set(1L, 2L))
+  }
+
   test("three-rule native expression stays inside whole-stage codegen") {
     import spark.implicits._
     // the wildcard/exception sets ride the same executor-local constant
