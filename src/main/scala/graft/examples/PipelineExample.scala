@@ -59,10 +59,12 @@ object PipelineExample {
       minWords = 10, minRequiredWords = 1): _*)
     // script-confusion gate (round 11): mixed-script spam — Cyrillic
     // lookalikes in Latin words, CJK stuffing — that the dominant-
-    // language gate above cannot see. Counts are MATERIALIZED as a
-    // projection before the filter (the scriptMixed contract): inlined
-    // into the WHERE, each script regex would re-run ~7× per row
-    val counted = gated.select(col("*") +: Text.scriptProfileCols(col("text")): _*)
+    // language gate above cannot see. Profiled through the GENERATOR
+    // barrier (round 12): a plain count projection is re-inlined into
+    // the pushed-down WHERE by Catalyst (each script regex ~7×/row in
+    // FilterExec, measured); withScriptProfile is the form the
+    // optimizer cannot re-inline — 5 regex evaluations per row, total
+    val counted = Text.withScriptProfile(gated, col("text"))
     val kept = counted.where(col("quality") >= 0.5 && col("passes_quality") &&
         !Text.scriptMixed(Text.scriptCountCols, Text.scriptCountCols.reduce(_ + _)))
       .select(col("doc_id"), col("text"), col("lang"), col("quality"), col("n_tokens"))

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -206,14 +206,37 @@ object Text {
     * hold ≥ 10% of the document's scripted code points. Exact integer
     * rule (`cnt·10 ≥ total ∧ cnt > 0`), no floats.
     *
-    * Pass MATERIALIZED count columns (the [[scriptProfileCols]]
-    * projection), not raw [[scriptCount]] expressions: the flag
-    * references every count ~7× and `FilterExec` codegen does not
-    * eliminate common subexpressions the way projections do — inlined
-    * counts re-run each script regex dozens of times per row. */
+    * The flag references every count ~7×, and `FilterExec` codegen
+    * does no common-subexpression elimination — worse, a WHERE over a
+    * plain aliased count projection is pushed THROUGH the projection
+    * by Catalyst (PushPredicateThroughNonJoin substitutes the aliases
+    * back), re-inlining every script regex into the filter no matter
+    * how the caller staged it (measured on the executed plan). When
+    * gating with this flag, profile through [[withScriptProfile]] —
+    * its generator barrier is the form the optimizer provably cannot
+    * re-inline; a bare projection only works when nothing filters on
+    * the counts. */
   def scriptMixed(counts: Seq[Column], total: Column): Column =
     counts.map(c => when(c > 0 && c * 10 >= total, 1).otherwise(0))
       .reduce(_ + _) >= 2
+
+  /** Appends the materialized `n_<script>` profile columns to `df`
+    * with an ENFORCED single-evaluation barrier: the five counts are
+    * computed once per row inside a generator (explode of a
+    * one-element struct array). Catalyst never pushes a filter
+    * predicate through a Generate whose output it references, so a
+    * downstream WHERE on the counts (the [[scriptMixed]] gate) reads
+    * struct fields instead of re-running each script regex ~7× per row
+    * in `FilterExec` — which is exactly what happens to a plain
+    * aliased projection (PushPredicateThroughNonJoin re-inlines it;
+    * measured: this form keeps the plan at 5 regex evaluations total,
+    * the projection form re-inlines 35 into the filter). Still one
+    * scan-stage whole-stage-codegen span, pinned in `PlanSpec`. */
+  def withScriptProfile(df: DataFrame, textCol: Column): DataFrame =
+    df.select(col("*"),
+        explode(array(struct(scriptProfileCols(textCol): _*))).as("_sp"))
+      .select(df.columns.map(col) ++
+        ScriptRanges.map(r => col(s"_sp.n_${r._1}")): _*)
 
   /** The one canonical script-profile projection: `n_<script>` long
     * counts for every [[ScriptRanges]] class over `textCol` — the

@@ -216,17 +216,28 @@ object Dedup {
     // filter, so observability costs nothing on the corpus-sized side;
     // the caller's eager checkpoint of the capped table means it fires
     // exactly once per operator call
-    val hot = stats match {
+    // NO SILENT CAPS (the repo rule): without CapStats, a genuinely hot
+    // bucket would silently drop pairs that existing callers won't
+    // notice — so the no-stats path logs each dropped bucket loudly
+    // instead. The tally/warn rides the (tiny) hot list only; cost on
+    // the corpus-sized side is zero either way.
+    val tally = stats match {
       case Some(cs) =>
-        val tally = udf { members: Long =>
-          cs.buckets.add(1L); cs.rows.add(members); true
+        udf { members: Long => cs.buckets.add(1L); cs.rows.add(members); true }
+      case None =>
+        udf { members: Long =>
+          org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+            .warn(s"capBuckets: dropping a hot bucket of $members members " +
+              s"(cap=$cap) — pairs within it are lost; pass CapStats for " +
+              "recall accounting")
+          true
         }
-        // eager checkpoint so the tally fires exactly once per call, not
-        // once per downstream materialization of the capped table
-        hot0.where(tally(col("_members"))).select(keyCols.map(col): _*)
-          .localCheckpoint()
-      case None => hot0.select(keyCols.map(col): _*)
     }
+    // eager checkpoint so the tally/warn fires exactly once per call,
+    // not once per downstream materialization of the capped table
+    val hot = hot0.where(tally(col("_members")))
+      .select(keyCols.map(col): _*)
+      .localCheckpoint()
     bk.join(broadcast(hot), keyCols, "left_anti")
   }
 

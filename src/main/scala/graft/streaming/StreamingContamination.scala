@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   *
   * State, stated honestly: the dedup keeps one entry PER FLAGGED doc id
   * — not per document — so state grows with contamination hits only
-  * (the screen's output, which a pipeline wants durable anyway). On an
-  * event-time stream bound it with `dropDuplicatesWithinWatermark`.
+  * (the screen's output, which a pipeline wants durable anyway). For a
+  * long-running gate, pass `eventTimeCol`/`watermarkDelay`: the dedup
+  * switches to `dropDuplicatesWithinWatermark`, so a flagged id's state
+  * entry expires once the watermark passes it — bounded state, with
+  * re-emission possible only for a duplicate id arriving later than
+  * the delay (the standard watermark trade, callers pick the delay).
   *
   * Batch parity (asserted in `StreamingSpec`): the flagged-id set
   * equals the batch screens' — documents with ≥ 1 shared gram, i.e.
@@ -29,19 +33,34 @@ object StreamingContamination {
   /** @param evalGrams the frozen eval gram set —
     *   [[graft.operators.Decontaminate.evalGramSet]], typically read
     *   back from its at-rest parquet (built once per eval-suite
-    *   version, amortized over every ingest batch). */
+    *   version, amortized over every ingest batch).
+    * @param eventTimeCol optional event-time column on `docs`: when
+    *   set (with `watermarkDelay`), the per-flagged-id dedup state is
+    *   bounded by `dropDuplicatesWithinWatermark` instead of growing
+    *   for the life of the query. The column is watermarked and kept
+    *   alongside `doc_id` in the output.
+    * @param watermarkDelay the watermark delay string (e.g. "1 hour")
+    *   — how late a duplicate id may arrive and still be suppressed. */
   def flaggedIds(
       docs: DataFrame, evalGrams: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 8): DataFrame = {
+      k: Int = 8, eventTimeCol: Option[String] = None,
+      watermarkDelay: String = "1 hour"): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    docs
-      .select(col(idCol).cast("long").as("doc_id"),
+    val flagged = docs
+      .select(col(idCol).cast("long").as("doc_id") +:
         explode(call_function(
           graft.functions.PositionalGramHashes.name, col(textCol), lit(k)))
-          .as("_h"))
+          .as("_h") +:
+        eventTimeCol.map(col).toSeq: _*)
       .join(evalGrams, "_h")
-      .select(col("doc_id"))
-      .dropDuplicates("doc_id")
+    eventTimeCol match {
+      case Some(t) =>
+        flagged.select(col("doc_id"), col(t))
+          .withWatermark(t, watermarkDelay)
+          .dropDuplicatesWithinWatermark("doc_id")
+      case None =>
+        flagged.select(col("doc_id")).dropDuplicates("doc_id")
+    }
   }
 }

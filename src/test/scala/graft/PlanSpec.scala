@@ -239,6 +239,33 @@ class PlanSpec extends AnyFunSuite {
       s"the bloom screen must be the builtin, not a Scala UDF:\n$p")
   }
 
+  test("script-mix gate: generator barrier keeps each regex at ONE evaluation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Text
+    // the hazard (measured round 12): filtering on a plain aliased
+    // count projection lets PushPredicateThroughNonJoin substitute the
+    // aliases back into the WHERE — each script regex re-runs ~7×/row
+    // in FilterExec (which does no subexpression elimination) AND again
+    // in the projection above. withScriptProfile's generator barrier is
+    // the form the optimizer cannot re-inline: exactly one
+    // regexp_extract_all per script class in the whole executed plan,
+    // none of them in the Filter, everything in one codegen span.
+    val docs = SparkEntry.tbl(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val gated = Text.withScriptProfile(docs, col("text"))
+      .where(!Text.scriptMixed(Text.scriptCountCols,
+        Text.scriptCountCols.reduce(_ + _)))
+    val p = gated.queryExecution.executedPlan.toString
+    val total = "regexp_extract_all".r.findAllIn(p).size
+    assert(total === Text.ScriptRanges.size,
+      s"expected one regex per script class, got $total:\n$p")
+    val filterRegexes = p.linesIterator.filter(_.contains("Filter"))
+      .map(l => "regexp_extract_all".r.findAllIn(l).size).sum
+    assert(filterRegexes === 0,
+      s"the gate filter must read materialized counts, not regexes:\n$p")
+    assert(p.contains("Generate"), s"barrier generator missing:\n$p")
+  }
+
   test("p6 deterministic shuffle: one exchange, on the shard key") {
     val p = plan("p6_deterministic_shuffle")
     assert(p.contains("Exchange hashpartitioning(shard"),

@@ -822,4 +822,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming contamination gate: watermarked dedup bounds state, suppresses in-window dups") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Graft.registerAll(spark)
+    val docs = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val evalDf = docs.where(col("doc_id") % 20 === 0)
+    val train = docs.where(col("doc_id") % 20 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val evalGrams = graft.operators.Decontaminate.evalGramSet(evalDf, k = 4)
+      .localCheckpoint()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t5 = java.sql.Timestamp.valueOf("2026-01-01 00:00:05")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingContamination
+      .flaggedIds(mem.toDF.toDF("doc_id", "text", "ts"), evalGrams, k = 4,
+        eventTimeCol = Some("ts"), watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("cgatew")
+      .outputMode("append").start()
+    try {
+      mem.addData(train.map(d => (d._1, d._2, t0)): _*)
+      q.processAllAvailable()
+      // re-ingest every batch-1 doc 5s later — inside the 10s
+      // watermark delay, so every duplicate id must be suppressed
+      mem.addData(train.map(d => (d._1, d._2, t5)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cgatew").collect().map(_.getLong(0)).toList
+      assert(streamed.distinct.size === streamed.size,
+        "in-window duplicate ids must not re-emit")
+      val spanDocs = graft.operators.Decontaminate.contaminationSpans(
+          docs.where(col("doc_id") % 20 =!= 0), evalDf, k = 4)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(streamed.toSet === spanDocs)
+      // the bounded-state operator is really in the plan: state rows
+      // are tracked by the within-watermark dedupe, not the unbounded
+      // dropDuplicates
+      val ops = q.lastProgress.stateOperators.map(_.operatorName).mkString(",")
+      assert(ops.toLowerCase.contains("withinwatermark"),
+        s"expected dedupeWithinWatermark state operator, got: $ops")
+    } finally q.stop()
+  }
 }
