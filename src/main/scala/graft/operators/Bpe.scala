@@ -57,7 +57,20 @@ object Bpe {
   }
 
   /** Learns `rounds` merges; returns (merge_rank, lhs, rhs, pair_count)
-    * in learn order. Stops early if no pair is left to merge. */
+    * in learn order. Stops early if no pair is left to merge.
+    *
+    * CONTRACT — this is a MODEL BUILD, not a corpus pass: BPE training
+    * is inherently sequential (each merge re-ranks the next), so every
+    * round costs one driver round-trip (a `limit(1)` job) plus one
+    * rewrite; a real 32k-merge vocabulary is ~64k Spark jobs. Train on
+    * a SAMPLED slice of the corpus (tokenizer quality saturates far
+    * below full-corpus word counts — the word-frequency table, not the
+    * corpus, is what training sees, and a uniform document sample
+    * preserves its shape), then apply the learned merges corpus-wide
+    * with [[encodeStats]], which IS a single-pass scan-stage operator.
+    * [[trainMergesBatched]] cuts the round-trips ~batchK× with
+    * provably identical output when many merges per round are
+    * independent. */
   def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -80,6 +93,92 @@ object Bpe {
           .withColumn("s", replace(col("s"), lit(s" $l $rr "), lit(s" $l$rr ")))
           .localCheckpoint()
         r += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** [[trainMerges]] with up to `batchK` merges per driver round-trip —
+    * EXACTLY the sequential greedy output (property-tested equal), with
+    * ~batchK× fewer Spark jobs when merges are independent (they
+    * usually are: distinct high-frequency pairs rarely share symbols).
+    *
+    * Each round collects the top candidates ONCE and applies the
+    * maximal SAFE PREFIX of the ranked list in one rewrite. A prefix
+    * selection is safe — i.e. sequential greedy would provably have
+    * picked the same pairs with the same counts — when
+    *  1. the candidate shares no symbol with any earlier selection
+    *     (and no symbol equal to an earlier selection's merged string):
+    *     the rewrites then commute and leave each other's pair counts
+    *     untouched, so the collected (stale) counts are the true
+    *     sequential ones; and
+    *  2. no pair an earlier selection s CREATES can outrank the
+    *     candidate: a created pair is (x, s.lhs∥s.rhs) or
+    *     (s.lhs∥s.rhs, y), and its count is bounded by the OLD count of
+    *     (x, s.lhs) / (s.rhs, y) — every created occurrence "x s.lhs
+    *     s.rhs" contains an old "x s.lhs" — so it suffices that every
+    *     collected pair adjacent to s's symbols counts strictly below
+    *     the candidate (pairs NOT collected count below the collected
+    *     minimum, hence below the candidate a fortiori).
+    * The batch ends at the first candidate that cannot be proven safe
+    * — conservative, never wrong. */
+  def trainMergesBatched(
+      docs: DataFrame, textCol: String, rounds: Int,
+      batchK: Int = 8): DataFrame = {
+    require(batchK >= 1, s"batchK must be positive, got $batchK")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = wordCounts(docs, textCol)
+      .select(col("cnt"), charString(col("word")).as("s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // one collect per ROUND: the ranked head, wide enough to check
+      // the created-pair bound (rule 2) around each selection
+      val top = pairCounts(words)
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(batchK * 4).collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      if (top.isEmpty) exhausted = true
+      else {
+        val picked = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val usedSymbols = scala.collection.mutable.Set[String]()
+        // rule 2 needs every pair adjacent to a used symbol to be
+        // bounded: pairs NOT collected count at most the collection
+        // floor, so past the floor nothing is provable — and AT the
+        // floor an uncollected tie could win the (n, l, r) sort
+        val floor = if (top.size == batchK * 4) top.last._3 else -1L
+        var open = true
+        for ((l, rr, n) <- top if open && picked.size < batchK &&
+            r + picked.size <= rounds) {
+          val safeDisjoint = picked.isEmpty ||
+            (!usedSymbols(l) && !usedSymbols(rr) && !usedSymbols(l + rr))
+          // rule 2: every collected pair touching an earlier selection's
+          // symbols (the already-picked pairs themselves excluded —
+          // they are consumed, not created) must count strictly below
+          // this candidate
+          val safeCreated = picked.isEmpty || (n > floor &&
+            top.forall { case (ql, qr, qn) =>
+              qn < n ||
+                picked.exists(p => p._1 == ql && p._2 == qr) ||
+                !(usedSymbols(ql) || usedSymbols(qr))
+            })
+          if (safeDisjoint && safeCreated) {
+            picked += ((l, rr, n))
+            usedSymbols += l; usedSymbols += rr; usedSymbols += (l + rr)
+            // a self-repeating pick (a,a) can create (aa,aa) bounded
+            // only by ITSELF (count ≥ any later candidate): close the
+            // batch — sequential must re-rank from here
+            if (l == rr) open = false
+          } else open = false
+        }
+        for ((l, rr, n) <- picked) { merges += ((r, l, rr, n)); r += 1 }
+        words = words
+          .withColumn("s", picked.foldLeft(col("s")) { case (c, (l, rr, _)) =>
+            replace(c, lit(s" $l $rr "), lit(s" $l$rr ")) })
+          .localCheckpoint()
       }
     }
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")

@@ -173,6 +173,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(enc.toSeq === Seq((1L, 3L, 4L)))
   }
 
+  test("bpe batched training equals sequential greedy exactly") {
+    import spark.implicits._
+    // real corpus slice: many independent high-frequency pairs (the
+    // batch-friendly case), plus self-repeating and chained merges that
+    // force conservative batch closes — the equality must hold through
+    // all of them, at several batch widths
+    val docs = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
+      .where(col("doc_id") < 120).select(col("doc_id"), col("text"))
+    val seqM = graft.operators.Bpe.trainMerges(docs, "text", rounds = 16)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(seqM.size === 16, "fixture must sustain 16 merges")
+    for (k <- Seq(1, 3, 8)) {
+      val batM = graft.operators.Bpe
+        .trainMergesBatched(docs, "text", rounds = 16, batchK = k)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(batM === seqM, s"batchK=$k diverged from sequential")
+    }
+    // the aa/ab + overlap fixtures from the sequential test, batched
+    val m = graft.operators.Bpe
+      .trainMergesBatched(Seq((1L, "aa aa ab")).toDF("doc_id", "text"),
+        "text", rounds = 5, batchK = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq === Seq((1, "a", "a", 2L), (2, "a", "b", 1L)))
+    val m2 = graft.operators.Bpe
+      .trainMergesBatched(Seq((1L, "aaa")).toDF("doc_id", "text"),
+        "text", rounds = 2, batchK = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m2.toSeq === Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
   test("lexical diversity: hand-computed types/hapax/ttr, case folding, empty docs drop") {
     import spark.implicits._
     val docs = Seq(
