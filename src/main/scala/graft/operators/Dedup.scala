@@ -487,6 +487,20 @@ object Dedup {
     (sh, bandKeys)
   }
 
+  /** The frozen accepted-corpus near-dup manifest — (shingle sets,
+    * band keys) exactly as the [[incrementalNearDupNew]] screens derive
+    * them, exposed for ingest-time gates
+    * ([[graft.streaming.StreamingNearDup]]): built ONCE when a corpus
+    * version is accepted, persisted at rest bucketed by (band, key),
+    * amortized over every future batch/stream (the d8→d31 freeze
+    * discipline). Schemas: shingles `(_id, _sh)`, bands
+    * `(_id, _band, _bkey)`. */
+  def nearDupManifest(
+      corpus: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 32, bands: Int = 8,
+      bucketCap: Int = 100000): (DataFrame, DataFrame) =
+    shingleBandKeys(corpus, idCol, textCol, k, bands, bucketCap)
+
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
     * the two sides' shingle-set tables. */
   private def verifyJaccard(

@@ -865,4 +865,52 @@ class StreamingSpec extends AnyFunSuite {
         s"expected dedupeWithinWatermark state operator, got: $ops")
     } finally q.stop()
   }
+
+  test("streaming near-dup admission gate equals d11's keeper rule across shuffled micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Graft.registerAll(spark)
+    val docs = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 5 =!= 0).localCheckpoint()
+    val fresh = docs.where(col("doc_id") % 5 === 0)
+    // incoming = fresh docs + exact copies of corpus docs (corpus
+    // screen must fire) + exact copies of fresh docs (within-stream
+    // screen must fire, including across micro-batches)
+    val incoming = fresh
+      .unionByName(corpus.where(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(fresh.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the batch oracle: d11's keepers; expected rejections = complement
+    val keepers = graft.operators.Dedup.incrementalNearDupNew(
+        incoming.toDF("doc_id", "text"), corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = incoming.map(_._1).toSet -- keepers
+    assert(expected.nonEmpty && keepers.nonEmpty,
+      "fixture must reject some and admit some")
+    // frozen manifest, built once (production: read back from parquet)
+    val (cSh, cBands) = graft.operators.Dedup.nearDupManifest(corpus)
+    // SHUFFLED split: copies may arrive before their originals — the
+    // late-flag path must still converge to the batch set
+    val rnd = new scala.util.Random(1203)
+    val shuffled = rnd.shuffle(incoming)
+    val parts = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingNearDup
+      .flaggedIds(mem.toDF.toDF("doc_id", "text"), cSh, cBands)
+      .writeStream.format("memory").queryName("ndgate")
+      .outputMode("append").start()
+    try {
+      parts.foreach { p => mem.addData(p: _*); q.processAllAvailable() }
+      val streamed = spark.table("ndgate").collect().map(_.getLong(0)).toList
+      assert(streamed.distinct.size === streamed.size,
+        "each rejection emits once")
+      assert(streamed.toSet === expected,
+        s"gate != d11 complement; extra=${streamed.toSet -- expected} " +
+          s"missing=${expected -- streamed.toSet}")
+    } finally q.stop()
+  }
 }
