@@ -110,7 +110,7 @@ object Bench {
       0.8, "u41" -> 0.3, "u42" -> 1.1, "u43" -> 0.7, "u44" -> 0.5,
       "u45" -> 0.7, "u46" -> 0.6, "u47" -> 0.4, "u49" -> 1.1, "u5" ->
       0.6, "u50" -> 0.6, "u6" -> 0.6, "u7" -> 3.3, "u8" -> 0.6, "u9" ->
-      0.6, "w1" -> 0.9, "w2" -> 0.9, "w3" -> 0.9)
+      0.6, "w1" -> 0.9, "w2" -> 0.9, "w3" -> 0.9, "w4" -> 0.5)
 
   /** New queries (no last-round number) are assumed mid-weight so they
     * schedule early enough to always get measured. */
@@ -183,7 +183,8 @@ object Bench {
       "u7" -> 2.57, "u8" -> 0.3, "u9" -> 0.4, "t43" -> 0.59, "w1" -> 0.5,
       "w2" -> 0.5, "w3" -> 0.9, "d31" -> 2.0, "d32" -> 3.79, "m10" -> 0.3,
       "d33" -> 0.8, "t44" -> 0.3, "t45" -> 0.3, "t46" -> 0.6, "d34" -> 1.4,
-      "d35" -> 0.7, "d36" -> 0.9, "d37" -> 1.2, "m11" -> 0.7, "m12" -> 1.4)
+      "d35" -> 0.7, "d36" -> 0.9, "d37" -> 1.2, "m11" -> 0.7, "m12" -> 1.4,
+      "w4" -> 0.49)
 
   private[graft] def priorIsolatedMin(n: String): Option[Double] =
     priorIsolatedMinSec.get(n.split("_")(0)).orElse(priorIsolatedMinSec.get(n))
