@@ -239,6 +239,26 @@ class PlanSpec extends AnyFunSuite {
       s"the bloom screen must be the builtin, not a Scala UDF:\n$p")
   }
 
+  test("streaming near-dup gate: corpus manifest joins are shuffled-hash, never broadcast") {
+    import org.apache.spark.sql.functions._
+    // the gate runs identically on a batch Dataset (FMGWS batch mode),
+    // which makes its plan assertable: both stream-static joins against
+    // the corpus-sized manifest must be ShuffledHashJoin (the d11 rule
+    // — a corpus-sized broadcast is a scale hazard by construction)
+    val docs = SparkEntry.tbl(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val (cSh, cBands) = graft.operators.Dedup.nearDupManifest(
+      docs.where(col("doc_id") % 5 =!= 0))
+    val gate = graft.streaming.StreamingNearDup.flaggedIds(
+      docs.where(col("doc_id") % 5 === 0), cSh, cBands)
+    val p = gate.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"manifest joins should be shuffled-hash:\n$p")
+    assert(!p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the corpus manifest must never broadcast:\n$p")
+  }
+
   test("script-mix gate: generator barrier keeps each regex at ONE evaluation") {
     import org.apache.spark.sql.functions._
     import graft.functions.Text
