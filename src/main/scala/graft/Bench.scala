@@ -44,7 +44,8 @@ object Bench {
   private def sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private def cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-  /** Last-round per-query seconds (the round-10 dress rehearsal:
+  /** Last-round per-query seconds (the round-12 dress rehearsal:
+    * 244/244 measured, 0 errors, slow=1.23 host; earlier provenance —
     * 224/224 measured, 0 errors, 0 suspects, slow=1.76 vs the r9 map
     * — the projection escalated the tail to fast children, so cheap
     * entries here carry 1-run JIT-included observations; 90 pass-3
@@ -59,58 +60,55 @@ object Bench {
     * fallback measures accurately in one run. */
   private val lastRoundSec: Map[String, Double] =
     Map(
-      "a1" -> 0.3, "d1" -> 0.3, "d10" -> 3.9, "d11" -> 3.0, "d12" ->
-      2.6, "d13" -> 1.4, "d14" -> 1.4, "d15" -> 5.8, "d16" -> 3.2,
-      "d17" -> 1.6, "d18" -> 1.0, "d19" -> 1.2, "d2" -> 1.5, "d20" ->
-      0.9, "d21" -> 2.2, "d22" -> 1.6, "d23" -> 1.7, "d24" -> 3.2,
-      "d25" -> 4.2, "d26" -> 2.2, "d27" -> 0.4, "d28" -> 1.7, "d29" ->
-      1.3, "d3" -> 0.3, "d30" -> 0.8, "d31" -> 2.2, "d32" -> 4.3, "d33"
-      -> 1.0, "d34" -> 1.9, "d35" -> 0.7, "d36" -> 1.0, "d37" -> 1.3, "d4" -> 1.4, "d5" -> 6.0,
-      "d6" -> 3.2, "d7" -> 0.9, "d8" -> 0.7, "d9" -> 1.2, "g1" -> 3.5,
-      "g10" -> 2.5, "g11" -> 2.5, "g12" -> 2.7, "g2" -> 1.7, "g3" ->
-      2.8, "g4" -> 1.4, "g5" -> 2.2, "g6" -> 3.2, "g7" -> 2.7, "g8" ->
-      2.6, "g9" -> 2.4, "j1" -> 0.7, "m1" -> 0.3, "m10" -> 1.4, "m11"
-      -> 0.9, "m12" -> 1.8, "m2" -> 0.3, "m3" -> 0.4, "m4" -> 0.6, "m5"
-      -> 1.2, "m6" -> 0.3, "m7" -> 1.1, "m8" -> 1.3, "m9" -> 1.2, "p1"
-      -> 0.3, "p10" -> 0.7, "p11" -> 0.5, "p12" -> 2.5, "p13" -> 1.1,
-      "p14" -> 0.3, "p15" -> 1.1, "p16" -> 1.3, "p17" -> 0.4, "p18" ->
-      0.7, "p2" -> 0.3, "p3" -> 0.3, "p4" -> 0.5, "p5" -> 0.9, "p6" ->
-      0.3, "p7" -> 1.1, "p8" -> 3.2, "p9" -> 0.3, "q1" -> 0.4, "q10" ->
-      0.4, "q11" -> 1.2, "q12" -> 0.3, "q13" -> 0.6, "q14" -> 0.9,
-      "q15" -> 0.3, "q16" -> 0.7, "q17" -> 0.4, "q18" -> 0.7, "q19" ->
-      0.8, "q2" -> 0.3, "q20" -> 0.3, "q21" -> 0.5, "q22" -> 0.3, "q23"
-      -> 0.7, "q24" -> 0.4, "q25" -> 0.4, "q26" -> 0.4, "q27" -> 0.3,
-      "q28" -> 0.6, "q29" -> 0.3, "q3" -> 0.3, "q30" -> 0.3, "q31" ->
-      0.3, "q32" -> 0.6, "q33" -> 0.3, "q34" -> 0.3, "q35" -> 0.3,
-      "q36" -> 0.8, "q37" -> 0.3, "q38" -> 0.7, "q39" -> 0.3, "q4" ->
-      0.3, "q40" -> 0.3, "q41" -> 4.0, "q42" -> 0.4, "q43" -> 0.8,
-      "q44" -> 1.1, "q5" -> 0.3, "q6" -> 0.5, "q7" -> 0.7, "q8" -> 0.4,
-      "q9" -> 0.3, "retention_count" -> 0.4, "retention_sum" -> 0.9,
-      "s1" -> 1.1, "s10" -> 2.0, "s11" -> 1.2, "s12" -> 1.0, "s13" ->
-      1.1, "s14" -> 1.1, "s15" -> 1.3, "s16" -> 0.8, "s17" -> 2.4,
-      "s18" -> 1.3, "s19" -> 0.7, "s2" -> 1.0, "s20" -> 1.1, "s3" ->
-      1.6, "s4" -> 1.1, "s5" -> 2.6, "s6" -> 1.5, "s7" -> 0.7, "s8" ->
-      3.2, "s9" -> 6.8, "t1" -> 0.4, "t10" -> 1.2, "t11" -> 1.1, "t12"
-      -> 1.1, "t13" -> 0.7, "t14" -> 0.8, "t15" -> 0.8, "t16" -> 1.6,
-      "t17" -> 0.8, "t18" -> 1.3, "t19" -> 0.7, "t2" -> 0.4, "t20" ->
-      0.5, "t21" -> 1.1, "t22" -> 1.2, "t23" -> 0.9, "t24" -> 0.7,
-      "t25" -> 0.3, "t26" -> 1.7, "t27" -> 0.9, "t28" -> 0.6, "t29" ->
-      0.3, "t3" -> 0.3, "t30" -> 0.3, "t31" -> 1.4, "t33" -> 1.0, "t34"
-      -> 1.6, "t35" -> 1.1, "t36" -> 1.1, "t37" -> 0.3, "t38" -> 1.4,
-      "t39" -> 0.3, "t4" -> 0.3, "t40" -> 1.5, "t41" -> 1.3, "t42" ->
-      1.4, "t43" -> 0.8, "t44" -> 0.3, "t45" -> 0.3, "t46" -> 0.6, "t5" -> 0.4, "t6"
-      -> 0.8, "t7" -> 0.3, "t8" -> 0.4, "t9" -> 1.5, "u1" -> 0.6, "u10"
-      -> 0.7, "u11" -> 1.1, "u12" -> 1.0, "u13" -> 0.7, "u14" -> 0.3,
-      "u15" -> 0.9, "u16" -> 0.8, "u17" -> 1.1, "u18" -> 0.7, "u19" ->
-      1.0, "u2" -> 0.4, "u20" -> 0.8, "u21" -> 0.9, "u23" -> 1.0, "u24"
-      -> 0.4, "u25" -> 0.6, "u26" -> 0.6, "u27" -> 0.9, "u28" -> 0.9,
-      "u29" -> 0.5, "u3" -> 0.4, "u30" -> 1.0, "u31" -> 0.8, "u32" ->
-      0.5, "u33" -> 1.2, "u34" -> 0.7, "u35" -> 0.9, "u36" -> 0.7,
-      "u37" -> 0.3, "u38" -> 0.4, "u39" -> 0.5, "u4" -> 0.3, "u40" ->
-      0.8, "u41" -> 0.3, "u42" -> 1.1, "u43" -> 0.7, "u44" -> 0.5,
-      "u45" -> 0.7, "u46" -> 0.6, "u47" -> 0.4, "u49" -> 1.1, "u5" ->
-      0.6, "u50" -> 0.6, "u6" -> 0.6, "u7" -> 3.3, "u8" -> 0.6, "u9" ->
-      0.6, "w1" -> 0.9, "w2" -> 0.9, "w3" -> 0.9, "w4" -> 0.5)
+      "a1" -> 0.8, "d1" -> 0.3, "d10" -> 4.8, "d11" -> 7.2, "d12" -> 3.1,
+      "d13" -> 1.9, "d14" -> 1.7, "d15" -> 6.3, "d16" -> 4.8, "d17" -> 4.0,
+      "d18" -> 1.4, "d19" -> 1.6, "d2" -> 2.4, "d20" -> 1.1, "d21" -> 3.4,
+      "d22" -> 3.7, "d23" -> 3.4, "d24" -> 3.0, "d25" -> 4.7, "d26" -> 2.8,
+      "d27" -> 0.7, "d28" -> 2.4, "d29" -> 2.2, "d3" -> 0.3, "d30" -> 1.0,
+      "d31" -> 3.8, "d32" -> 5.5, "d33" -> 1.8, "d34" -> 3.7, "d35" -> 1.9,
+      "d36" -> 1.4, "d37" -> 1.3, "d4" -> 1.1, "d5" -> 7.8, "d6" -> 2.8,
+      "d7" -> 1.4, "d8" -> 1.0, "d9" -> 1.3, "g1" -> 3.8, "g10" -> 6.0,
+      "g11" -> 2.9, "g12" -> 5.4, "g2" -> 2.7, "g3" -> 4.2, "g4" -> 1.7,
+      "g5" -> 2.6, "g6" -> 3.5, "g7" -> 5.4, "g8" -> 4.3, "g9" -> 3.6,
+      "j1" -> 0.3, "m1" -> 0.3, "m10" -> 2.6, "m11" -> 1.5, "m12" -> 3.0,
+      "m2" -> 0.6, "m3" -> 0.6, "m4" -> 1.2, "m5" -> 0.5, "m6" -> 0.3,
+      "m7" -> 0.7, "m8" -> 0.7, "m9" -> 1.2, "p1" -> 0.3, "p10" -> 1.6,
+      "p11" -> 0.3, "p12" -> 4.1, "p13" -> 0.8, "p14" -> 0.3, "p15" -> 2.2,
+      "p16" -> 0.8, "p17" -> 0.6, "p18" -> 0.8, "p2" -> 0.3, "p3" -> 0.3,
+      "p4" -> 0.8, "p5" -> 0.7, "p6" -> 0.3, "p7" -> 2.7, "p8" -> 2.6,
+      "p9" -> 0.3, "q1" -> 0.8, "q10" -> 1.2, "q11" -> 0.9, "q12" -> 0.4,
+      "q13" -> 1.2, "q14" -> 0.9, "q15" -> 0.3, "q16" -> 1.7, "q17" -> 1.3,
+      "q18" -> 1.5, "q19" -> 1.2, "q2" -> 0.5, "q20" -> 0.3, "q21" -> 0.6,
+      "q22" -> 0.3, "q23" -> 1.4, "q24" -> 0.9, "q25" -> 1.0, "q26" -> 0.6,
+      "q27" -> 0.3, "q28" -> 0.9, "q29" -> 0.6, "q3" -> 0.4, "q30" -> 0.6,
+      "q31" -> 0.8, "q32" -> 1.0, "q33" -> 0.9, "q34" -> 0.3, "q35" -> 0.4,
+      "q36" -> 1.7, "q37" -> 0.6, "q38" -> 1.6, "q39" -> 0.6, "q4" -> 0.6,
+      "q40" -> 0.3, "q41" -> 5.0, "q42" -> 0.9, "q43" -> 0.8, "q44" -> 1.6,
+      "q5" -> 0.3, "q6" -> 0.6, "q7" -> 1.9, "q8" -> 0.5, "q9" -> 0.4,
+      "retention" -> 0.9, "s1" -> 1.5, "s10" -> 2.9, "s11" -> 1.2,
+      "s12" -> 1.2, "s13" -> 1.6, "s14" -> 1.4, "s15" -> 0.8, "s16" -> 0.6,
+      "s17" -> 3.8, "s18" -> 1.0, "s19" -> 1.9, "s2" -> 0.9, "s20" -> 1.8,
+      "s3" -> 3.0, "s4" -> 1.2, "s5" -> 5.2, "s6" -> 2.0, "s7" -> 1.7,
+      "s8" -> 4.4, "s9" -> 6.4, "t1" -> 0.4, "t10" -> 1.2, "t11" -> 2.0,
+      "t12" -> 1.6, "t13" -> 1.6, "t14" -> 1.2, "t15" -> 0.9, "t16" -> 2.4,
+      "t17" -> 0.5, "t18" -> 1.5, "t19" -> 0.7, "t2" -> 0.5, "t20" -> 0.8,
+      "t21" -> 1.2, "t22" -> 2.5, "t23" -> 0.4, "t24" -> 0.8, "t25" -> 0.4,
+      "t26" -> 1.8, "t27" -> 1.4, "t28" -> 0.9, "t29" -> 0.3, "t3" -> 0.3,
+      "t30" -> 0.3, "t31" -> 1.4, "t33" -> 1.1, "t34" -> 1.9, "t35" -> 2.7,
+      "t36" -> 1.5, "t37" -> 0.3, "t38" -> 1.3, "t39" -> 0.4, "t4" -> 0.3,
+      "t40" -> 1.8, "t41" -> 1.7, "t42" -> 1.6, "t43" -> 1.1, "t44" -> 0.3,
+      "t45" -> 0.3, "t46" -> 0.6, "t5" -> 0.4, "t6" -> 0.7, "t7" -> 0.3,
+      "t8" -> 0.4, "t9" -> 2.0, "u1" -> 0.6, "u10" -> 0.7, "u11" -> 1.3,
+      "u12" -> 0.7, "u13" -> 0.6, "u14" -> 0.3, "u15" -> 1.7, "u16" -> 0.6,
+      "u17" -> 1.1, "u18" -> 0.7, "u19" -> 1.1, "u2" -> 0.7, "u20" -> 2.0,
+      "u21" -> 1.3, "u23" -> 0.8, "u24" -> 0.3, "u25" -> 0.6, "u26" -> 0.9,
+      "u27" -> 1.6, "u28" -> 1.1, "u29" -> 0.5, "u3" -> 0.3, "u30" -> 0.9,
+      "u31" -> 1.9, "u32" -> 0.6, "u33" -> 1.2, "u34" -> 0.8, "u35" -> 1.0,
+      "u36" -> 1.7, "u37" -> 0.5, "u38" -> 1.0, "u39" -> 0.5, "u4" -> 0.3,
+      "u40" -> 0.8, "u41" -> 0.3, "u42" -> 2.1, "u43" -> 1.5, "u44" -> 0.6,
+      "u45" -> 0.9, "u46" -> 0.6, "u47" -> 0.5, "u49" -> 2.1, "u5" -> 0.7,
+      "u50" -> 0.8, "u6" -> 0.9, "u7" -> 3.5, "u8" -> 0.9, "u9" -> 1.0,
+      "w1" -> 2.2, "w2" -> 2.2, "w3" -> 2.0, "w4" -> 0.3)
 
   /** New queries (no last-round number) are assumed mid-weight so they
     * schedule early enough to always get measured. */
