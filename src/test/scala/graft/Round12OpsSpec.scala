@@ -221,6 +221,30 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(hosts === Seq("x.co.uk", "plain.com", "10.0.0.1"))
   }
 
+  test("w4 fixture: every PSL rule class fires visibly (the untested-gate lesson)") {
+    val rows = SparkEntry.queries("w4_psl_domains")(spark, TestData.dir("0.001"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    def n(p: ((String, String, String)) => Boolean) = rows.count(p)
+    // exception rules resolve hosts at/under them to the rule itself
+    assert(n(t => t._3 == "www.ck") > 0, "exception !www.ck never fired")
+    assert(n(t => t._3 == "city.kobe.jp") > 0, "exception !city.kobe.jp never fired")
+    // wildcard rollups: a *.ck host deeper than the ⟨label⟩.ck suffix
+    assert(n(t => t._1.endsWith(".ck") && t._3 != t._1 && t._3 != "www.ck") > 0,
+      "wildcard *.ck rollup never fired")
+    assert(n(t => t._1.endsWith(".kobe.jp") && t._3 != t._1 &&
+      t._3 != "city.kobe.jp") > 0, "wildcard *.kobe.jp rollup never fired")
+    // bare wildcard public suffixes are their own domain
+    assert(n(t => t._3 == t._1 && (t._1.endsWith(".ck") ||
+      t._1.endsWith(".kobe.jp"))) > 0, "bare wildcard suffix never fired")
+    // 2-label plain suffix and the no-match identity
+    assert(n(t => t._1.endsWith(".kyoto.jp") && t._3 != t._1) > 0,
+      "plain kyoto.jp rollup never fired")
+    assert(n(t => t._1.endsWith(".example") && t._3 == t._1) > 0,
+      "no-match identity never fired")
+    // and the two output columns really are two implementations agreeing
+    assert(rows.forall(t => t._2 == t._3), "chain != native somewhere")
+  }
+
   // --- ExactSubstr packed-key id domain -------------------------------
 
   test("packed-key id domain is enforced loudly; unparseable ids quarantine") {
