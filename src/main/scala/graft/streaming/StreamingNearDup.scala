@@ -61,7 +61,11 @@ case class NdFlagged(doc_id: Long)
   *
   * State, stated honestly: each (band, key) bucket holds the shingle
   * set of EVERY member for the life of the query — the price of exact
-  * Jaccard against the whole stream history. Bucket occupancy is the
+  * Jaccard against the whole stream history. (Each batch also ships a
+  * doc's shingle set once per band to its buckets — `bands`× the
+  * payload the batch twin shuffles; inherent here, because the bucket
+  * must retain the evidence for future arrivals and a stream cannot
+  * join back to a shingle table the way d11's verify does.) Bucket occupancy is the
   * LSH design load (tiny under the exact-dedup-first pipeline rule);
   * there is no silent cap. Production gates bound state by periodically
   * FREEZING the admitted stream into the corpus manifest and restarting

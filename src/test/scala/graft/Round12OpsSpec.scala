@@ -210,6 +210,51 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: chain == native == reference under RANDOM three-rule sets") {
+    import spark.implicits._
+    // randomize the RULES too (not just the hosts): random plain
+    // suffixes over a small label pool, wildcards over random parents,
+    // exceptions as one-label extensions of the wildcard parents (the
+    // published list's shape, which also guarantees no shadowing)
+    val rnd = new Random(1204)
+    val labels = Vector("a", "b", "cc", "dd", "e", "")
+    for (round <- 1 to 8) {
+      def lbl() = labels(rnd.nextInt(labels.size - 1)) // non-empty pool
+      val plain0 = (1 to (1 + rnd.nextInt(3))).map(_ =>
+        Seq.fill(1 + rnd.nextInt(2))(lbl()).mkString(".")).distinct
+      val wildParents0 = (1 to (1 + rnd.nextInt(2))).map(_ =>
+        Seq.fill(1 + rnd.nextInt(2))(lbl()).mkString(".")).distinct
+        .filterNot(plain0.contains)
+      val excs = wildParents0.filter(_ => rnd.nextBoolean())
+        .map(p => s"${lbl()}.$p")
+      // the published list's invariant, enforced on the generator: no
+      // rule extends (shadows) an exception — the one case the chain's
+      // exceptions-first order and the walk's longest-first order are
+      // allowed to disagree on, excluded by both scaladocs' contract
+      def shadows(r: String) = excs.exists(e => r == e || r.endsWith("." + e))
+      val plain = plain0.filterNot(shadows)
+      val wildParents = wildParents0.filterNot(shadows)
+      val rules = plain ++ wildParents.map("*." + _) ++ excs.map("!" + _)
+      if (rules.size <= Web.WhenChainMaxSuffixes) {
+        val plainSet = plain.toSet
+        val wildSet = wildParents.toSet
+        val excSet = excs.toSet
+        val hosts = List.fill(40)(
+          List.fill(1 + rnd.nextInt(5))(labels(rnd.nextInt(labels.size)))
+            .mkString("."))
+        val rows = hosts.toDF("host")
+          .select(
+            graft.functions.RegistrableDomainExpr(col("host"), rules).as("n"),
+            Web.registrableDomain(col("host"), rules).as("c")).collect()
+        val native = rows.map(_.getString(0)).toList
+        val chain = rows.map(_.getString(1)).toList
+        assert(native === chain, s"round=$round rules=$rules hosts=$hosts")
+        assert(native === hosts.map(refDomain3(_, plainSet, wildSet, excSet)),
+          s"round=$round native != reference; rules=$rules hosts=$hosts")
+      }
+    }
+  }
+
   test("plain-only rule lists take the zero-extra-probe fast path unchanged") {
     import spark.implicits._
     // a plain-only list must behave exactly as the round-11 expression

@@ -205,6 +205,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m2.toSeq === Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("property: batched BPE equals sequential on random corpora") {
+    import spark.implicits._
+    // random small-alphabet corpora maximize merge interaction (chained
+    // merges, self-repeats, created-pair ranking hazards) — exactly the
+    // cases the safe-prefix rule must close the batch on
+    val rnd = new scala.util.Random(1205)
+    for (round <- 1 to 6) {
+      val alpha = "abcd".take(2 + rnd.nextInt(3))
+      val docs = (1 to 6).map { i =>
+        (i.toLong, Seq.fill(8 + rnd.nextInt(20))(
+          Seq.fill(1 + rnd.nextInt(6))(alpha(rnd.nextInt(alpha.length)))
+            .mkString).mkString(" "))
+      }.toDF("doc_id", "text")
+      val rounds = 4 + rnd.nextInt(8)
+      val seqM = graft.operators.Bpe.trainMerges(docs, "text", rounds)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val k = 1 + rnd.nextInt(6)
+      val batM = graft.operators.Bpe
+        .trainMergesBatched(docs, "text", rounds, batchK = k)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(batM === seqM, s"round=$round batchK=$k rounds=$rounds")
+    }
+  }
+
   test("lexical diversity: hand-computed types/hapax/ttr, case folding, empty docs drop") {
     import spark.implicits._
     val docs = Seq(
