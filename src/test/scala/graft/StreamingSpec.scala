@@ -913,4 +913,70 @@ class StreamingSpec extends AnyFunSuite {
           s"missing=${expected -- streamed.toSet}")
     } finally q.stop()
   }
+
+  test("streaming near-dup gate: the freeze cycle bounds state without losing rejections") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Graft.registerAll(spark)
+    // the scaladoc's production posture, exercised end to end: run the
+    // gate over epoch 1, FREEZE epoch-1 history into the corpus
+    // manifest, restart the query (empty keyed state), run epoch 2 —
+    // epoch-2 rejections must still see epoch-1 docs (now via the
+    // static side) exactly as one unbroken query would
+    val docs = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 5 =!= 0).localCheckpoint()
+    val fresh = docs.where(col("doc_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (e1, e2base) = fresh.splitAt(fresh.size / 2)
+    // epoch 2 = fresh docs + near-copies of EPOCH-1 docs: without the
+    // freeze these pairs would need epoch-1 bucket state to be caught
+    val e2 = e2base ++ e1.filter(_._1 % 3 == 0)
+      .map { case (id, t) => (id + 500000L, t) }
+    val (cSh1, cB1) = graft.operators.Dedup.nearDupManifest(corpus)
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.StreamingNearDup
+      .flaggedIds(mem1.toDF.toDF("doc_id", "text"), cSh1, cB1)
+      .writeStream.format("memory").queryName("fz1")
+      .outputMode("append").start()
+    val flagged1 = try {
+      mem1.addData(e1: _*); q1.processAllAvailable()
+      spark.table("fz1").collect().map(_.getLong(0)).toSet
+    } finally q1.stop()
+    // FREEZE: corpus v2 = corpus v1 + every epoch-1 arrival (rejected
+    // docs stay in the manifest — d11's screen compares against ALL
+    // smaller ids, not just keepers, and re-freezing them keeps the
+    // gate's rule identical)
+    val corpus2 = corpus.unionByName(e1.toDF("doc_id", "text"))
+      .localCheckpoint()
+    val (cSh2, cB2) = graft.operators.Dedup.nearDupManifest(corpus2)
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamingNearDup
+      .flaggedIds(mem2.toDF.toDF("doc_id", "text"), cSh2, cB2)
+      .writeStream.format("memory").queryName("fz2")
+      .outputMode("append").start()
+    val flagged2 = try {
+      mem2.addData(e2: _*); q2.processAllAvailable()
+      spark.table("fz2").collect().map(_.getLong(0)).toSet
+    } finally q2.stop()
+    // oracle: one unbroken batch run over the full history — epoch-2
+    // rejections of the two-epoch gate must match the batch screens
+    // restricted to epoch-2 ids (epoch-1 ids have smaller raw ids and
+    // arrive earlier, so the restriction is exact)
+    val all = (e1 ++ e2).toDF("doc_id", "text")
+    val keepers = graft.operators.Dedup.incrementalNearDupNew(all, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectedAll = (e1 ++ e2).map(_._1).toSet -- keepers
+    val e2ids = e2.map(_._1).toSet
+    assert(flagged2 === (expectedAll & e2ids),
+      s"post-freeze epoch-2 rejections diverged; extra=${flagged2 -- expectedAll}")
+    // every epoch-1 id is smaller than every epoch-2 id, so an epoch-1
+    // verdict in the unbroken run depends only on corpus + epoch 1
+    assert(flagged1 === (expectedAll -- e2ids), "epoch-1 rejections diverged")
+    // the cross-epoch copies really exercised the freeze: at least one
+    // epoch-2 rejection pairs only with an epoch-1 doc
+    assert(e2.map(_._1).exists(id => id >= 500000L && flagged2(id)),
+      "no epoch-2 rejection depended on frozen epoch-1 history")
+  }
 }
