@@ -59,7 +59,9 @@ object SparkEntry {
 
   private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     bpeMergesCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
-      Bpe.trainMerges(par(tbl(s, dir, "documents")), "text", rounds = 6)
+      // the batched trainer: proven output-equal to the sequential
+      // greedy (TextOpsSpec), fewer driver round-trips per model build
+      Bpe.trainMergesBatched(par(tbl(s, dir, "documents")), "text", rounds = 6)
         .collect().sortBy(_.getInt(0))
         .map(r => (r.getString(1), r.getString(2))).toSeq)
 
