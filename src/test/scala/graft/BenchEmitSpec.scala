@@ -130,16 +130,17 @@ class BenchEmitSpec extends AnyFunSuite {
   // ── host-aware suspicion (the BENCH_r09 nsus:88 lesson) ─────────────
 
   test("suspicion scales by the host factor: uniform slowdown is not debris") {
-    // q1's floor entry (0.3 s): healthy threshold max(1, 1.8*0.3) = 1 s
-    assert(!Bench.suspicious("q1_agg", 0.9, 1.0))
-    assert(Bench.suspicious("q1_agg", 1.1, 1.0))
+    // anchored on q5's lastRoundSec entry (0.3 s — re-check after each
+    // wholesale refresh): healthy threshold max(1, 1.8*0.3) = 1 s
+    assert(!Bench.suspicious("q5_agg", 0.9, 1.0))
+    assert(Bench.suspicious("q5_agg", 1.1, 1.0))
     // on a 2.15x-degraded host the same observation scaled by the
     // published slow factor is the HOST, not debris — no suspect flag
-    assert(!Bench.suspicious("q1_agg", 1.1, 2.15))
+    assert(!Bench.suspicious("q5_agg", 1.1, 2.15))
     // genuine debris (beyond the host factor) still flags
-    assert(Bench.suspicious("q1_agg", 1.5 * 2.15, 2.15))
+    assert(Bench.suspicious("q5_agg", 1.5 * 2.15, 2.15))
     // fast hosts never LOOSEN the threshold (max(1, slow))
-    assert(Bench.suspicious("q1_agg", 1.1, 0.5))
+    assert(Bench.suspicious("q5_agg", 1.1, 0.5))
   }
 
   test("prior-round isolated floors resolve by unique prefix") {
