@@ -55,9 +55,13 @@ case class NdFlagged(doc_id: Long)
   * manifest); the corpus screen is a stream-static left join on
   * (band, key) against the band manifest plus the shingle-manifest
   * lookup, with the exact-Jaccard verify IN-PLAN (codegen'd array
-  * arithmetic) — the corpus is never broadcast and never re-shuffled
-  * beyond the per-micro-batch join. Only the stateful fold
-  * (per-bucket, flatMapGroupsWithState) runs Scala.
+  * arithmetic) — the corpus is never broadcast (`PlanSpec`), and with
+  * the manifest stored bucketed on its join keys (bands on
+  * (_band,_bkey), shingles on _id — the d34 at-rest discipline) it is
+  * never re-shuffled either: both static-side exchanges disappear,
+  * PROVEN in `ScaleSpec`; only the arriving batch moves per
+  * micro-batch. Only the stateful fold (per-bucket,
+  * flatMapGroupsWithState) runs Scala.
   *
   * State, stated honestly: each (band, key) bucket holds the shingle
   * set of EVERY member for the life of the query — the price of exact

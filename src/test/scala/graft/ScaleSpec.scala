@@ -258,6 +258,53 @@ class ScaleSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("near-dup gate manifest: at-rest bucketed layout removes the static-side exchanges") {
+    val sf = TestData.dir("0.001")
+    // the StreamingNearDup scaladoc's production claim, proven: a
+    // manifest stored bucketed on its join keys contributes its layout
+    // instead of a per-micro-batch exchange — only the arriving batch
+    // moves. Asserted on the batch-mode plan (FMGWS runs on batch
+    // Datasets; the stream-static join planning is the same).
+    Seq("ndmf_bands_b", "ndmf_sh_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    Graft.registerAll(spark)
+    val docs = SparkEntry.tbl(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val fresh = docs.where(col("doc_id") % 5 === 0)
+    val (cSh, cBands) = Dedup.nearDupManifest(corpus)
+    cBands.write.mode("overwrite").bucketBy(4, "_band", "_bkey")
+      .sortBy("_band", "_bkey").saveAsTable("ndmf_bands_b")
+    cSh.write.mode("overwrite").bucketBy(4, "_id").sortBy("_id")
+      .saveAsTable("ndmf_sh_b")
+    def countEx(p: String) = "Exchange hashpartitioning".r.findAllIn(p).length
+    val plain = graft.streaming.StreamingNearDup.flaggedIds(fresh, cSh, cBands)
+    val bucketed = graft.streaming.StreamingNearDup.flaggedIds(
+      fresh, spark.table("ndmf_sh_b"), spark.table("ndmf_bands_b"))
+    val pPlain = plain.queryExecution.executedPlan.toString
+    val pBucketed = bucketed.queryExecution.executedPlan.toString
+    assert(pBucketed.contains("Bucketed: true"),
+      s"manifest scans must use the bucket layout:\n$pBucketed")
+    // both static sides (band table keyed (_band,_bkey), shingle table
+    // keyed _id) stop exchanging; everything else is identical
+    assert(countEx(pBucketed) === countEx(pPlain) - 2,
+      s"bucketing must remove exactly the two manifest exchanges: " +
+        s"plain=${countEx(pPlain)} bucketed=${countEx(pBucketed)}\n$pBucketed")
+    // and the layout is semantics-free
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val a = key(plain)
+    assert(key(bucketed) === a)
+    assert(a.nonEmpty)
+  }
+
   test("bucketed tables join without a shuffle on the bucketed key") {
     val sf = TestData.dir("0.001")
     // the builder's warehouse conf is ignored when getOrCreate reuses an
