@@ -108,7 +108,7 @@ object Bench {
       "u40" -> 0.8, "u41" -> 0.3, "u42" -> 2.1, "u43" -> 1.5, "u44" -> 0.6,
       "u45" -> 0.9, "u46" -> 0.6, "u47" -> 0.5, "u49" -> 2.1, "u5" -> 0.7,
       "u50" -> 0.8, "u6" -> 0.9, "u7" -> 3.5, "u8" -> 0.9, "u9" -> 1.0,
-      "w1" -> 2.2, "w2" -> 2.2, "w3" -> 2.0, "w4" -> 0.3)
+      "w1" -> 2.2, "w2" -> 2.2, "w3" -> 2.0, "w4" -> 0.3, "w5" -> 0.9)
 
   /** New queries (no last-round number) are assumed mid-weight so they
     * schedule early enough to always get measured. */
@@ -182,7 +182,7 @@ object Bench {
       "w2" -> 0.5, "w3" -> 0.9, "d31" -> 2.0, "d32" -> 3.79, "m10" -> 0.3,
       "d33" -> 0.8, "t44" -> 0.3, "t45" -> 0.3, "t46" -> 0.6, "d34" -> 1.4,
       "d35" -> 0.7, "d36" -> 0.9, "d37" -> 1.2, "m11" -> 0.7, "m12" -> 1.4,
-      "w4" -> 0.49)
+      "w4" -> 0.49, "w5" -> 0.86)
 
   private[graft] def priorIsolatedMin(n: String): Option[Double] =
     priorIsolatedMinSec.get(n.split("_")(0)).orElse(priorIsolatedMinSec.get(n))

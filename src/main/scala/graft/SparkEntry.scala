@@ -3019,27 +3019,32 @@ object SparkEntry {
     // columns, so the oracle's single CASE chain hash-pins chain ≡
     // native ≡ SQL on every host. See Web.registrableDomain /
     // functions.RegistrableDomainExpr.
-    "w4_psl_domains" -> ((s, dir) => {
-      import graft.operators.Dedup
-      val rules = Seq("com", "co.uk", "jp", "kyoto.jp", "us",
-        "*.ck", "*.kobe.jp", "!www.ck", "!city.kobe.jp")
-      assert(rules.size <= graft.operators.Web.WhenChainMaxSuffixes)
-      val subs = typedLit(Seq("", "www.", "a.", "x.y.", "blog."))
-      val bases = typedLit(Seq("test", "site7", "www", "city", "example"))
-      val tlds = typedLit(Seq(".com", ".co.uk", ".ck", ".jp", ".kyoto.jp",
-        ".kobe.jp", ".us", ".example"))
-      val hosts = par(tbl(s, dir, "documents")).select(col("doc_id"))
-        .withColumn("_h1", Dedup.hash60(
-          concat(lit("psl|"), (col("doc_id") % 200).cast("string"))))
-        .select(col("doc_id"), concat(
-          element_at(subs, (col("_h1") % 5 + 1).cast("int")),
-          element_at(bases, (expr("_h1 div 5") % 5 + 1).cast("int")),
-          element_at(tlds, (expr("_h1 div 25") % 8 + 1).cast("int"))).as("host"))
-      hosts.select(col("doc_id"), col("host"),
-        graft.operators.Web.registrableDomain(col("host"), rules)
+    "w4_psl_domains" -> ((s, dir) =>
+      pslHosts(s, dir).select(col("doc_id"), col("host"),
+        graft.operators.Web.registrableDomain(col("host"), pslThreeRules)
           .as("rd_chain"),
-        graft.functions.RegistrableDomainExpr(col("host"), rules)
-          .as("rd_native"))
+        graft.functions.RegistrableDomainExpr(col("host"), pslThreeRules)
+          .as("rd_native"))),
+    // PSL rule-class composition (round 12 — the crawl audit that
+    // explains a domain report before anyone debugs it: how much of the
+    // corpus roots under exception rules, wildcard rules, plain
+    // suffixes, or nothing; Web.pslRuleClass shares registrableDomain's
+    // branch order VERBATIM so the two chains cannot disagree about the
+    // prevailing rule). One hash aggregate + a 1-row broadcast total,
+    // shares in exact ppm.
+    "w5_psl_rule_classes" -> ((s, dir) => {
+      val g = pslHosts(s, dir)
+        .select(col("host"),
+          graft.operators.Web.pslRuleClass(col("host"), pslThreeRules)
+            .as("rule_class"))
+        .groupBy(col("rule_class"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"))
+      val tot = g.agg(sum(col("n_docs")).as("_nt"))
+      g.crossJoin(broadcast(tot))
+        .select(col("rule_class"), col("n_docs"), col("n_hosts"),
+          expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div _nt AS BIGINT)")
+            .as("share_ppm"))
     }),
     // Incremental (frozen-index) SemDeDup — the day-to-day production
     // form: the accepted corpus (vec_id % 5 != 0) trains the k-means
@@ -3494,6 +3499,33 @@ object SparkEntry {
       .where(col("w").cast("decimal(38,0)") * col("ne") >
         col("tw").cast("decimal(38,0)"))
       .select(col("u").as("src"), col("v").as("dst"), col("w"))
+  }
+
+  /** The w4/w5 three-rule PSL: the canonical published-list shapes —
+    * nested plain suffixes, two wildcard ccTLD families, and their
+    * exceptions. ≤ 16 rules so BOTH implementations run (the chain
+    * directly, the native expression as w4's second column). */
+  private val pslThreeRules = Seq("com", "co.uk", "jp", "kyoto.jp", "us",
+    "*.ck", "*.kobe.jp", "!www.ck", "!city.kobe.jp")
+
+  /** The w4/w5 host fixture: deterministic md5-derived hosts over the
+    * canonical published-PSL test shapes (www.ck, a.b.test.ck,
+    * city.kobe.jp, …) — every rule class fires visibly
+    * (`Round12OpsSpec`), both engines synthesize identically. */
+  private def pslHosts(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    assert(pslThreeRules.size <= graft.operators.Web.WhenChainMaxSuffixes)
+    val subs = typedLit(Seq("", "www.", "a.", "x.y.", "blog."))
+    val bases = typedLit(Seq("test", "site7", "www", "city", "example"))
+    val tlds = typedLit(Seq(".com", ".co.uk", ".ck", ".jp", ".kyoto.jp",
+      ".kobe.jp", ".us", ".example"))
+    par(tbl(s, dir, "documents")).select(col("doc_id"))
+      .withColumn("_h1", Dedup.hash60(
+        concat(lit("psl|"), (col("doc_id") % 200).cast("string"))))
+      .select(col("doc_id"), concat(
+        element_at(subs, (col("_h1") % 5 + 1).cast("int")),
+        element_at(bases, (expr("_h1 div 5") % 5 + 1).cast("int")),
+        element_at(tlds, (expr("_h1 div 25") % 8 + 1).cast("int"))).as("host"))
   }
 
   /** Synthetic absolute URLs for the documents table — the w1/w2 web-
@@ -7151,6 +7183,44 @@ object SparkEntry {
           |  FROM hosts
           |)
           |SELECT doc_id, host, rd AS rd_chain, rd AS rd_native FROM rd""".stripMargin,
+      // the class chain replays the SAME branch order as w4's value
+      // chain, emitting labels — and the report tail is w1's
+      // count/ppm discipline
+      "w5_psl_rule_classes" ->
+        """WITH h AS (
+          |  SELECT doc_id,
+          |    ('0x' || substr(md5('psl|' || CAST(doc_id % 200 AS VARCHAR)), 1, 15))::BIGINT AS h1
+          |  FROM documents
+          |), hosts AS (
+          |  SELECT doc_id,
+          |    (['', 'www.', 'a.', 'x.y.', 'blog.'])[CAST(h1 % 5 AS INT) + 1] ||
+          |    (['test', 'site7', 'www', 'city', 'example'])[CAST((h1 // 5) % 5 AS INT) + 1] ||
+          |    (['.com', '.co.uk', '.ck', '.jp', '.kyoto.jp', '.kobe.jp', '.us', '.example'])[CAST((h1 // 25) % 8 AS INT) + 1]
+          |    AS host
+          |  FROM h
+          |), cls AS (
+          |  SELECT host,
+          |    CASE
+          |      WHEN host = 'www.ck' OR host LIKE '%.www.ck' THEN 'exception'
+          |      WHEN host = 'city.kobe.jp' OR host LIKE '%.city.kobe.jp' THEN 'exception'
+          |      WHEN host LIKE '%.kobe.jp' THEN 'wildcard'
+          |      WHEN host LIKE '%.kyoto.jp' THEN 'plain'
+          |      WHEN host LIKE '%.co.uk' THEN 'plain'
+          |      WHEN host LIKE '%.ck' THEN 'wildcard'
+          |      WHEN host LIKE '%.com' THEN 'plain'
+          |      WHEN host LIKE '%.jp' THEN 'plain'
+          |      WHEN host LIKE '%.us' THEN 'plain'
+          |      ELSE 'none'
+          |    END AS rule_class
+          |  FROM hosts
+          |), g AS (
+          |  SELECT rule_class, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+          |  FROM cls GROUP BY 1
+          |), t AS (SELECT CAST(sum(n_docs) AS HUGEINT) AS nt FROM g)
+          |SELECT rule_class, n_docs, n_hosts,
+          |  CAST(CAST(n_docs AS HUGEINT) * 1000000 // nt AS BIGINT) AS share_ppm
+          |FROM g, t""".stripMargin,
       "d33_semantic_decontam" ->
         s"""WITH eIn AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings

@@ -164,6 +164,39 @@ object Web {
       coalesce(exceptions ++ candidates :+ host: _*)
     } else graft.functions.RegistrableDomainExpr(host, suffixes)
 
+  /** The CLASS of the prevailing PSL rule for each host — the crawl
+    * audit that explains a domain report's rollup behavior before
+    * anyone debugs it ("these hosts rooted under a wildcard", "ck is
+    * exception-rooted"): `'exception'`, `'wildcard'`, `'plain'`, or
+    * `'none'` (no rule matched — IPs, intranet names). The branches
+    * are [[registrableDomain]]'s when-chain VERBATIM in the same
+    * order, emitting class labels instead of domains, so the two
+    * chains cannot disagree about which rule prevails. When-chain
+    * rule counts only (≤ [[WhenChainMaxSuffixes]]) — a full-PSL class
+    * profile samples with a small rule set or extends the native
+    * expression. */
+  def pslRuleClass(host: Column, suffixes: Seq[String]): Column = {
+    require(suffixes.size <= WhenChainMaxSuffixes,
+      s"pslRuleClass is the when-chain form: ${suffixes.size} rules > " +
+        s"$WhenChainMaxSuffixes")
+    val exceptions = suffixes.filter(_.startsWith("!")).map(_.substring(1))
+      .sortBy(e => (-e.count(_ == '.'), -e.length))
+      .map(e => when(host === e || host.endsWith("." + e), lit("exception")))
+    val ordered = suffixes.filterNot(_.startsWith("!"))
+      .sortBy { s =>
+        val spelled = if (s.startsWith("*.")) s.substring(2) else s
+        val eff = spelled.count(_ == '.') + (if (s.startsWith("*.")) 2 else 1)
+        (-eff, -spelled.length)
+      }
+    val candidates = ordered.map {
+      case w if w.startsWith("*.") =>
+        when(host.endsWith("." + w.substring(2)), lit("wildcard"))
+      case s =>
+        when(host.endsWith("." + s), lit("plain"))
+    }
+    coalesce(exceptions ++ candidates :+ lit("none"): _*)
+  }
+
   /** Per-registrable-domain composition report — the table a curation
     * run publishes before setting crawl policy: document count,
     * distinct canonical URLs (re-crawls and tracking-spelling variants
