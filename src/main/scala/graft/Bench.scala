@@ -66,7 +66,7 @@ object Bench {
       "d22" -> 3.7, "d23" -> 3.4, "d24" -> 3.0, "d25" -> 4.7, "d26" -> 2.8,
       "d27" -> 0.7, "d28" -> 2.4, "d29" -> 2.2, "d3" -> 0.3, "d30" -> 1.0,
       "d31" -> 3.8, "d32" -> 5.5, "d33" -> 1.8, "d34" -> 3.7, "d35" -> 1.9,
-      "d36" -> 1.4, "d37" -> 1.3, "d4" -> 1.1, "d5" -> 7.8, "d6" -> 2.8,
+      "d36" -> 1.4, "d37" -> 1.3, "d38" -> 2.0, "d4" -> 1.1, "d5" -> 7.8, "d6" -> 2.8,
       "d7" -> 1.4, "d8" -> 1.0, "d9" -> 1.3, "g1" -> 3.8, "g10" -> 6.0,
       "g11" -> 2.9, "g12" -> 5.4, "g2" -> 2.7, "g3" -> 4.2, "g4" -> 1.7,
       "g5" -> 2.6, "g6" -> 3.5, "g7" -> 5.4, "g8" -> 4.3, "g9" -> 3.6,
@@ -182,7 +182,7 @@ object Bench {
       "w2" -> 0.5, "w3" -> 0.9, "d31" -> 2.0, "d32" -> 3.79, "m10" -> 0.3,
       "d33" -> 0.8, "t44" -> 0.3, "t45" -> 0.3, "t46" -> 0.6, "d34" -> 1.4,
       "d35" -> 0.7, "d36" -> 0.9, "d37" -> 1.2, "m11" -> 0.7, "m12" -> 1.4,
-      "w4" -> 0.49, "w5" -> 0.86)
+      "w4" -> 0.49, "w5" -> 0.86, "d38" -> 2.0)
 
   private[graft] def priorIsolatedMin(n: String): Option[Double] =
     priorIsolatedMinSec.get(n.split("_")(0)).orElse(priorIsolatedMinSec.get(n))

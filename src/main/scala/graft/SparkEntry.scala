@@ -1534,6 +1534,42 @@ object SparkEntry {
       Dedup.incrementalNearDupNew(incoming, corpus)
         .select(col("doc_id"), length(col("text")).as("n_chars"))
     }),
+    // Admission-gate AUDIT (round 12 — d11's verdict form, the
+    // dataset-card number published beside an ingest policy): per
+    // provenance group of the d11 fixture, how many arrivals were
+    // rejected as corpus near-dups vs within-batch near-dups vs
+    // admitted, with the admit rate in exact ppm. The keeper set is
+    // provably the complement (Round12OpsSpec); this is what
+    // StreamingNearDup's rejections roll up to at release time. See
+    // Dedup.incrementalNearDupVerdicts.
+    "d38_admission_audit" -> ((s, dir) => {
+      Graft.registerAll(s)
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val trim = expr("substring(text, 1, greatest(length(text) - 20, 1))")
+      val corpus = par(d.where(col("doc_id") % 5 =!= 0))
+      val fresh = d.where(col("doc_id") % 5 === 0)
+      val incoming = par(
+        fresh
+          .unionByName(corpus.where(col("doc_id") % 10 === 1)
+            .select((col("doc_id") + 3000000).as("doc_id"), trim.as("text")))
+          .unionByName(fresh.where(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 4000000).as("doc_id"), trim.as("text"))))
+      Dedup.incrementalNearDupVerdicts(incoming, corpus)
+        .withColumn("provenance",
+          when(col("doc_id") >= 4000000, "fresh_copy")
+            .when(col("doc_id") >= 3000000, "corpus_copy")
+            .otherwise("fresh"))
+        .groupBy(col("provenance"))
+        .agg(count(lit(1)).as("n_in"),
+          sum(when(col("corpus_dup"), 1L).otherwise(0L)).as("n_corpus_dup"),
+          sum(when(col("batch_dup"), 1L).otherwise(0L)).as("n_batch_dup"),
+          sum(when(!col("corpus_dup") && !col("batch_dup"), 1L).otherwise(0L))
+            .as("n_admitted"))
+        .select(col("provenance"), col("n_in"), col("n_corpus_dup"),
+          col("n_batch_dup"), col("n_admitted"),
+          expr("CAST(CAST(n_admitted AS DECIMAL(38,0)) * 1000000 div n_in AS BIGINT)")
+            .as("admit_ppm"))
+    }),
     // SemDeDup: k-means-clustered semantic dedup over the augmented
     // embeddings — the trained cells limit candidates (not LSH bands),
     // and any vector with a lower-id in-cluster neighbor at cos ≥ 0.95
@@ -7057,6 +7093,54 @@ object SparkEntry {
            |LEFT JOIN innerDrop x ON i.doc_id = x.doc_id
            |LEFT JOIN crossDrop y ON i.doc_id = y.doc_id
            |WHERE x.doc_id IS NULL AND y.doc_id IS NULL""".stripMargin,
+      // d38 replays d11's screens as VERDICT flags and rolls them up by
+      // the fixture's provenance groups, admit rate in exact ppm
+      "d38_admission_audit" ->
+        s"""WITH corp AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+           |), fresh AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+           |), inc AS (
+           |  SELECT doc_id, text FROM fresh
+           |  UNION ALL
+           |  SELECT doc_id + 3000000, substr(text, 1, greatest(length(text) - 20, 1))
+           |  FROM corp WHERE doc_id % 10 = 1
+           |  UNION ALL
+           |  SELECT doc_id + 4000000, substr(text, 1, greatest(length(text) - 20, 1))
+           |  FROM fresh WHERE doc_id % 10 = 0
+           |), $minhashParamsSql, ${lshSideSql("inc", "I")}, ${lshSideSql("corp", "C")},
+           |innerCand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM bandI a JOIN bandI b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+           |), innerDrop AS (
+           |  SELECT DISTINCT c.id_b AS doc_id
+           |  FROM innerCand c JOIN shsI sa ON c.id_a = sa.id JOIN shsI sb ON c.id_b = sb.id
+           |  WHERE $jaccardSql >= 0.4
+           |), crossCand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM bandI a JOIN bandC b ON a.band = b.band AND a.bkey = b.bkey
+           |), crossDrop AS (
+           |  SELECT DISTINCT c.id_a AS doc_id
+           |  FROM crossCand c JOIN shsI sa ON c.id_a = sa.id JOIN shsC sb ON c.id_b = sb.id
+           |  WHERE $jaccardSql >= 0.4
+           |), verdicts AS (
+           |  SELECT i.doc_id,
+           |    y.doc_id IS NOT NULL AS corpus_dup,
+           |    x.doc_id IS NOT NULL AS batch_dup,
+           |    CASE WHEN i.doc_id >= 4000000 THEN 'fresh_copy'
+           |         WHEN i.doc_id >= 3000000 THEN 'corpus_copy'
+           |         ELSE 'fresh' END AS provenance
+           |  FROM inc i
+           |  LEFT JOIN innerDrop x ON i.doc_id = x.doc_id
+           |  LEFT JOIN crossDrop y ON i.doc_id = y.doc_id
+           |)
+           |SELECT provenance, CAST(count(*) AS BIGINT) AS n_in,
+           |  CAST(coalesce(sum(CASE WHEN corpus_dup THEN 1 END), 0) AS BIGINT) AS n_corpus_dup,
+           |  CAST(coalesce(sum(CASE WHEN batch_dup THEN 1 END), 0) AS BIGINT) AS n_batch_dup,
+           |  CAST(coalesce(sum(CASE WHEN NOT corpus_dup AND NOT batch_dup THEN 1 END), 0) AS BIGINT) AS n_admitted,
+           |  CAST(CAST(coalesce(sum(CASE WHEN NOT corpus_dup AND NOT batch_dup THEN 1 END), 0) AS HUGEINT) * 1000000
+           |    // count(*) AS BIGINT) AS admit_ppm
+           |FROM verdicts GROUP BY 1""".stripMargin,
       // d12 replays the s5 k-means unroll over the AUGMENTED embeddings,
       // then drops every vector with a lower-id in-cell neighbor at
       // cos >= 0.95 (the SemDeDup keeper rule).

@@ -561,6 +561,56 @@ object Dedup {
       .join(crossDups.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
 
+  /** Per-document admission VERDICTS for the [[incrementalNearDupNew]]
+    * screens — the audit form: instead of silently dropping, report
+    * for every incoming document whether it has a verified near-dup in
+    * the frozen corpus (`corpus_dup`) and/or a smaller-id near-dup
+    * within the batch (`batch_dup`). The keeper set is exactly the
+    * rows with both flags false (asserted equal to
+    * [[incrementalNearDupNew]] in `Round12OpsSpec`), but the flags are
+    * what a release audit rolls up: how much of each source was
+    * rejected, and WHY — the dataset-card number published beside an
+    * ingest gate's policy (d38).
+    *
+    * Same plan discipline as the keeper form: both screens are
+    * (band, key) equi-joins with every corpus-sized side
+    * shuffle-hash-hinted, never broadcast; the verdict attach is two
+    * left joins of rejection-sized sets back onto the incoming ids.
+    * Output: `(idCol, corpus_dup, batch_dup)`. */
+  def incrementalNearDupVerdicts(
+      incoming: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.4,
+      bucketCap: Int = 100000): DataFrame = {
+    val (shInc, bandsInc) = shingleBandKeys(incoming, idCol, textCol, k, bands, bucketCap)
+    val (shCor, bandsCor) = shingleBandKeys(corpus, idCol, textCol, k, bands, bucketCap)
+    val innerCand = bandsInc.as("a")
+      .join(bandsInc.as("b").hint("shuffle_hash"),
+        col("a._band") === col("b._band") && col("a._bkey") === col("b._bkey") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    val innerDups = verifyJaccard(innerCand, shInc, shInc)
+      .where(col("jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("_bd", lit(true))
+    val crossCand = bandsInc.as("a")
+      .join(bandsCor.as("b").hint("shuffle_hash"),
+        col("a._band") === col("b._band") && col("a._bkey") === col("b._bkey"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    val crossDups = verifyJaccard(crossCand, shInc, shCor)
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a").as(idCol)).distinct()
+      .withColumn("_cd", lit(true))
+    incoming.select(col(idCol))
+      .join(crossDups.hint("shuffle_hash"), Seq(idCol), "left")
+      .join(innerDups.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_cd"), lit(false)).as("corpus_dup"),
+        coalesce(col("_bd"), lit(false)).as("batch_dup"))
+  }
+
   /** Exact n-gram Jaccard pairs via shingle inverted index (explode →
     * equi-join on shingle → count co-occurrences). No false negatives,
     * cost bounded by shingle document frequency — the standard exact

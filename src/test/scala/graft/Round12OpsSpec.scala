@@ -329,6 +329,32 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(spans === Set(1L, 2L))
   }
 
+  test("admission verdicts: the flag-free rows are exactly the keeper set") {
+    import graft.operators.Dedup
+    // incrementalNearDupVerdicts is d11's audit form: both-flags-false
+    // must equal incrementalNearDupNew's keepers row for row, and both
+    // rejection reasons must fire on the d11 fixture shape
+    val docs = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 5 =!= 0).localCheckpoint()
+    val fresh = docs.where(col("doc_id") % 5 === 0)
+    val incoming = fresh
+      .unionByName(corpus.where(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+      .unionByName(fresh.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 4000000).as("doc_id"), col("text")))
+      .localCheckpoint()
+    val v = Dedup.incrementalNearDupVerdicts(incoming, corpus).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    val keepers = Dedup.incrementalNearDupNew(incoming, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(v.filter(t => !t._2 && !t._3).map(_._1).toSet === keepers)
+    assert(v.exists(_._2), "corpus_dup never fired")
+    assert(v.exists(_._3), "batch_dup never fired")
+    assert(v.map(_._1).toSet === incoming.collect().map(_.getLong(0)).toSet,
+      "every arrival gets a verdict")
+  }
+
   test("three-rule native expression stays inside whole-stage codegen") {
     import spark.implicits._
     // the wildcard/exception sets ride the same executor-local constant
