@@ -171,3 +171,102 @@ object RegistrableDomainExpr {
     ColumnBridge.column(
       RegistrableDomainExpr(ColumnBridge.expression(host), suffixes))
 }
+
+/** `psl_rule_class(host) → string` — the CLASS of the prevailing PSL
+  * rule (`'exception'`/`'wildcard'`/`'plain'`/`'none'`), the native
+  * twin of [[graft.operators.Web.pslRuleClass]]'s when-chain for
+  * full-sized rule lists. The walk is [[RegistrableDomainExpr]]'s
+  * VERBATIM (same sets, same per-dot probe order, same empty-label
+  * and bare-suffix decisions), returning the branch's class instead of
+  * the domain — so on any host the pair (domain, class) is decided by
+  * ONE rule, property-pinned against the chain in `Round12OpsSpec`.
+  * Rule-count-independent like its twin; plain-only lists skip the
+  * extra probes the same way. */
+case class PslRuleClassExpr(child: Expression, suffixes: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"psl_rule_class requires string host, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  @transient private lazy val plainSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](suffixes.size * 2)
+    suffixes.iterator
+      .filterNot(r => r.startsWith("!") || r.startsWith("*."))
+      .foreach(x => s.add(UTF8String.fromString(x)))
+    s
+  }
+  @transient private lazy val wildcardSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](8)
+    suffixes.iterator.filter(_.startsWith("*."))
+      .foreach(x => s.add(UTF8String.fromString(x.substring(2))))
+    s
+  }
+  @transient private lazy val exceptionSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](8)
+    suffixes.iterator.filter(_.startsWith("!"))
+      .foreach(x => s.add(UTF8String.fromString(x.substring(1))))
+    s
+  }
+  @transient private lazy val hasSpecial: Boolean =
+    !wildcardSet.isEmpty || !exceptionSet.isEmpty
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  def compute(host: UTF8String): UTF8String = {
+    val n = host.numBytes
+    val base = host.getBaseObject
+    val off = host.getBaseOffset
+    var prevStart = 0
+    var i = 0
+    while (i < n) {
+      if (host.getByte(i) == '.') {
+        val cand = UTF8String.fromAddress(base, off + i + 1, n - i - 1)
+        if (hasSpecial) {
+          if (exceptionSet.contains(cand)) return PslRuleClassExpr.Exception
+          if (wildcardSet.contains(cand)) {
+            // the value twin distinguishes empty-label/excepted/bare
+            // sub-cases here; all of them are decided BY the wildcard
+            // rule except the excepted psuffix, which is the exception
+            if (i != prevStart) {
+              val psuffix =
+                UTF8String.fromAddress(base, off + prevStart, n - prevStart)
+              if (exceptionSet.contains(psuffix))
+                return PslRuleClassExpr.Exception
+            }
+            return PslRuleClassExpr.Wildcard
+          }
+        }
+        if (plainSet.contains(cand)) return PslRuleClassExpr.Plain
+        prevStart = i + 1
+      }
+      i += 1
+    }
+    PslRuleClassExpr.None
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val self = ctx.addReferenceObj("pslClassMatcher", this,
+        classOf[PslRuleClassExpr].getName)
+      s"${ev.value} = $self.compute($str);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PslRuleClassExpr {
+  private val Exception = UTF8String.fromString("exception")
+  private val Wildcard = UTF8String.fromString("wildcard")
+  private val Plain = UTF8String.fromString("plain")
+  private val None = UTF8String.fromString("none")
+
+  def apply(host: Column, suffixes: Seq[String]): Column =
+    ColumnBridge.column(
+      PslRuleClassExpr(ColumnBridge.expression(host), suffixes))
+}

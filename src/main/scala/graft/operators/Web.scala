@@ -171,14 +171,18 @@ object Web {
     * `'none'` (no rule matched — IPs, intranet names). The branches
     * are [[registrableDomain]]'s when-chain VERBATIM in the same
     * order, emitting class labels instead of domains, so the two
-    * chains cannot disagree about which rule prevails. When-chain
-    * rule counts only (≤ [[WhenChainMaxSuffixes]]) — a full-PSL class
-    * profile samples with a small rule set or extends the native
-    * expression. */
-  def pslRuleClass(host: Column, suffixes: Seq[String]): Column = {
-    require(suffixes.size <= WhenChainMaxSuffixes,
-      s"pslRuleClass is the when-chain form: ${suffixes.size} rules > " +
-        s"$WhenChainMaxSuffixes")
+    * chains cannot disagree about which rule prevails. Past
+    * [[WhenChainMaxSuffixes]] the rule switches to the native
+    * [[graft.functions.PslRuleClassExpr]] — the same walk as the
+    * domain expression returning the branch's class, so full-PSL
+    * (~10k-rule) class profiles run at the same
+    * rule-count-independent cost (chain ≡ native property-pinned in
+    * `Round12OpsSpec`). */
+  def pslRuleClass(host: Column, suffixes: Seq[String]): Column =
+    if (suffixes.size <= WhenChainMaxSuffixes) pslRuleClassChain(host, suffixes)
+    else graft.functions.PslRuleClassExpr(host, suffixes)
+
+  private def pslRuleClassChain(host: Column, suffixes: Seq[String]): Column = {
     val exceptions = suffixes.filter(_.startsWith("!")).map(_.substring(1))
       .sortBy(e => (-e.count(_ == '.'), -e.length))
       .map(e => when(host === e || host.endsWith("." + e), lit("exception")))

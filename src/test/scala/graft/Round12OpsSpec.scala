@@ -245,12 +245,20 @@ class Round12OpsSpec extends AnyFunSuite {
         val rows = hosts.toDF("host")
           .select(
             graft.functions.RegistrableDomainExpr(col("host"), rules).as("n"),
-            Web.registrableDomain(col("host"), rules).as("c")).collect()
+            Web.registrableDomain(col("host"), rules).as("c"),
+            graft.functions.PslRuleClassExpr(col("host"), rules).as("kn"),
+            Web.pslRuleClass(col("host"), rules).as("kc")).collect()
         val native = rows.map(_.getString(0)).toList
         val chain = rows.map(_.getString(1)).toList
         assert(native === chain, s"round=$round rules=$rules hosts=$hosts")
         assert(native === hosts.map(refDomain3(_, plainSet, wildSet, excSet)),
           s"round=$round native != reference; rules=$rules hosts=$hosts")
+        // the CLASS twins must agree too (rules.size ≤ 16 forces the
+        // chain path on the Web side, the native expr on the other)
+        val classNative = rows.map(_.getString(2)).toList
+        val classChain = rows.map(_.getString(3)).toList
+        assert(classNative === classChain,
+          s"round=$round class native != chain; rules=$rules hosts=$hosts")
       }
     }
   }
