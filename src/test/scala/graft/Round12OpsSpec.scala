@@ -377,13 +377,17 @@ class Round12OpsSpec extends AnyFunSuite {
     val df = spark.range(3)
       .select(element_at(typedLit(Seq("a.b.wtld", "x.keep.wtld", "plain.com")),
         (col("id") + 1).cast("int")).as("host"))
-      .select(Web.registrableDomain(col("host"), psl).as("rd"))
+      .select(Web.registrableDomain(col("host"), psl).as("rd"),
+        Web.pslRuleClass(col("host"), psl).as("cls"))
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("ScalaUDF"), p)
-    val projLine = p.linesIterator.find(_.contains("registrabledomainexpr"))
-    assert(projLine.isDefined && projLine.get.trim.startsWith("*("),
-      s"three-rule PSL projection fell out of codegen:\n$p")
-    assert(df.collect().map(_.getString(0)).toSeq ===
-      Seq("a.b.wtld", "keep.wtld", "plain.com"))
+    for (e <- Seq("registrabledomainexpr", "pslruleclassexpr")) {
+      val projLine = p.linesIterator.find(_.contains(e))
+      assert(projLine.isDefined && projLine.get.trim.startsWith("*("),
+        s"$e fell out of whole-stage codegen:\n$p")
+    }
+    val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(("a.b.wtld", "wildcard"), ("keep.wtld", "exception"),
+      ("plain.com", "plain")))
   }
 }
