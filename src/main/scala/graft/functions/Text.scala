@@ -231,12 +231,21 @@ object Text {
     * aliased projection (PushPredicateThroughNonJoin re-inlines it;
     * measured: this form keeps the plan at 5 regex evaluations total,
     * the projection form re-inlines 35 into the filter). Still one
-    * scan-stage whole-stage-codegen span, pinned in `PlanSpec`. */
-  def withScriptProfile(df: DataFrame, textCol: Column): DataFrame =
-    df.select(col("*"),
+    * scan-stage whole-stage-codegen span, pinned in `PlanSpec`.
+    *
+    * As the documented canonical profiling path, it guards against
+    * column-name collisions: any pre-existing `_sp` or `n_<script>`
+    * column on `df` (e.g. a caller that already profiled once) is
+    * DROPPED and recomputed rather than duplicated — a duplicate name
+    * would make every downstream `n_<script>` resolution ambiguous. */
+  def withScriptProfile(df: DataFrame, textCol: Column): DataFrame = {
+    val reserved = ("_sp" +: ScriptRanges.map(r => s"n_${r._1}")).toSet
+    val base = df.drop(df.columns.filter(reserved): _*)
+    base.select(col("*"),
         explode(array(struct(scriptProfileCols(textCol): _*))).as("_sp"))
-      .select(df.columns.map(col) ++
+      .select(base.columns.map(col) ++
         ScriptRanges.map(r => col(s"_sp.n_${r._1}")): _*)
+  }
 
   /** The one canonical script-profile projection: `n_<script>` long
     * counts for every [[ScriptRanges]] class over `textCol` — the

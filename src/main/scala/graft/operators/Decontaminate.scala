@@ -75,6 +75,15 @@ object Decontaminate {
     *
     * `expectedItems`/`fpp` size the filter (bits ≈ 1.44·n·log₂(1/fpp));
     * overshooting `expectedItems` only wastes the overshoot in bits.
+    * `BloomFilterAggregate` SILENTLY clamps its parameters to the
+    * session's `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`
+    * (default 67,108,864) and `.maxNumItems` (default 4M) — so the
+    * helper clamps to the same caps itself and WARNS when the request
+    * exceeds them: the realized fpp then degrades from the requested
+    * one (output stays correct either way — the exact join removes
+    * every false positive), and the sizing that actually runs is the
+    * one logged, not a silently-worse fiction. Callers that need the
+    * requested fpp at >cap sizes raise the two confs alongside.
     *
     * The filter is built IN-PLAN (`BloomFilterAggregate` over the eval
     * shingles — a distributed aggregate, nothing collects to the
@@ -95,10 +104,27 @@ object Decontaminate {
       .localCheckpoint()
     // Spark's optimal-bits sizing: -n·ln(fpp)/ln(2)² (what the builtin
     // aggregate expects spelled out; floored so a degenerate fpp still
-    // builds a filter)
-    val numBits = math.max(64L, math.ceil(
+    // builds a filter), clamped to the session's runtime-bloom-filter
+    // caps — BloomFilterAggregate clamps to them silently, so clamping
+    // here (with a warning) keeps the documented sizing honest.
+    val conf = train.sparkSession.conf
+    val maxNumBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val maxNumItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val wantBits = math.max(64L, math.ceil(
       -expectedItems.toDouble * math.log(fpp) /
         (math.log(2) * math.log(2))).toLong)
+    if (wantBits > maxNumBits || expectedItems > maxNumItems)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"reportBloom: requested sizing (items=$expectedItems, fpp=$fpp → " +
+        s"bits=$wantBits) exceeds the session caps (maxNumItems=" +
+        s"$maxNumItems, maxNumBits=$maxNumBits); clamping — realized fpp " +
+        "will be worse than requested (output unaffected: the exact join " +
+        "removes false positives). Raise the runtime.bloomFilter confs to " +
+        "honor the request.")
+    val clampedItems = math.min(expectedItems, maxNumItems)
+    val numBits = math.min(wantBits, maxNumBits)
     // BloomFilterAggregate/BloomFilterMightContain are the engine's own
     // runtime-filter expressions; they are not in the SQL registry, so
     // they are constructed directly (the ColumnBridge pattern)
@@ -109,7 +135,7 @@ object Decontaminate {
         new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(
             ColumnBridge.expression(col("_s")),
-            CatLit(expectedItems), CatLit(numBits))
+            CatLit(clampedItems), CatLit(numBits))
           .toAggregateExpression()).as("_bf"))
     val trainEx = train
       .select(col(idCol), Dedup.hashedShingleSetNative(col(textCol), n).as("_sh"))

@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   */
 object StreamingContamination {
 
-  /** @param evalGrams the frozen eval gram set —
+  /** Unparseable ids follow the shared [[graft.operators.Dedup.tryLongId]]
+    * quarantine (one malformed id in a micro-batch must never kill the
+    * long-running query under ANSI mode), matching `StreamingNearDup`.
+    *
+    * @param evalGrams the frozen eval gram set —
     *   [[graft.operators.Decontaminate.evalGramSet]], typically read
     *   back from its at-rest parquet (built once per eval-suite
     *   version, amortized over every ingest batch).
@@ -48,7 +52,8 @@ object StreamingContamination {
       watermarkDelay: String = "1 hour"): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val flagged = docs
-      .select(col(idCol).cast("long").as("doc_id") +:
+      .where(graft.operators.Dedup.tryLongId(idCol).isNotNull) // shared id quarantine
+      .select(graft.operators.Dedup.tryLongId(idCol).as("doc_id") +:
         explode(call_function(
           graft.functions.PositionalGramHashes.name, col(textCol), lit(k)))
           .as("_h") +:

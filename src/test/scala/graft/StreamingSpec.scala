@@ -979,4 +979,162 @@ class StreamingSpec extends AnyFunSuite {
     assert(e2.map(_._1).exists(id => id >= 500000L && flagged2(id)),
       "no epoch-2 rejection depended on frozen epoch-1 history")
   }
+
+  /** Run the near-dup gate over one batch of (id, text) docs and return
+    * the flagged-id set. */
+  private def runNdGate(
+      incoming: Seq[(Long, String)], corpus: org.apache.spark.sql.DataFrame,
+      bucketCap: Int = 100000, signatureState: Boolean = false,
+      name: String = "ndg"): Set[Long] = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (cSh, cBands) = graft.operators.Dedup.nearDupManifest(corpus)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingNearDup
+      .flaggedIds(mem.toDF.toDF("doc_id", "text"), cSh, cBands,
+        bucketCap = bucketCap, signatureState = signatureState)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming: _*); q.processAllAvailable()
+      spark.table(name).collect().map(_.getLong(0)).toSet
+    } finally q.stop()
+  }
+
+  test("near-dup gate signature mode: flag set equals exact mode far from threshold") {
+    Graft.registerAll(spark)
+    // copies (J = 1: every signature component matches → est 1.0) and
+    // unrelated docs (J ≈ 0: a shared band pins only r=4 of 32
+    // components, est ≈ 0.125 < 0.4) — both modes must agree exactly
+    val docs = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 5 =!= 0).localCheckpoint()
+    val fresh = docs.where(col("doc_id") % 5 === 0)
+    val incoming = fresh
+      .unionByName(corpus.where(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(fresh.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val exact = runNdGate(incoming, corpus, name = "sigp_ex")
+    val est = runNdGate(incoming, corpus, signatureState = true,
+      name = "sigp_sig")
+    assert(exact.nonEmpty, "fixture must reject some docs")
+    assert(est === exact,
+      s"far-from-threshold fixture diverged: extra=${est -- exact} " +
+        s"missing=${exact -- est}")
+  }
+
+  test("near-dup gate signature mode: the estimator diverges BOTH ways near the threshold") {
+    import spark.implicits._
+    Graft.registerAll(spark)
+    // the scaladoc's ⊆/⊇ claim, tested: near J = 0.4 the matching-
+    // components estimate crosses the threshold in either direction.
+    // Sweep synthetic pairs (shared prefix + distinct tails), compute
+    // exact J and estimated J from the SAME native expressions the gate
+    // uses, and verify the gate's verdict follows the ESTIMATE — then
+    // assert the sweep contains a disagreement in each direction.
+    def doc(seed: Int, words: Int): String =
+      (0 until words).map(w => s"w${seed}_$w").mkString(" ")
+    val pairs = (0 until 40).map { p =>
+      val shared = doc(p, 14 + (p % 9))
+      val a = shared + " " + doc(1000 + p, 10 + (p % 7))
+      val b = shared + " " + doc(2000 + p, 10 + ((p + 3) % 7))
+      (p.toLong, a, b)
+    }
+    val pairDf = pairs.toDF("pair", "a", "b")
+      .withColumn("_sa", graft.operators.Dedup.hashedShingleSetNative(col("a")))
+      .withColumn("_sb", graft.operators.Dedup.hashedShingleSetNative(col("b")))
+      .withColumn("_ga", graft.operators.Dedup.minhashSignatureNative(col("_sa"), 32))
+      .withColumn("_gb", graft.operators.Dedup.minhashSignatureNative(col("_sb"), 32))
+    val inter = size(array_intersect(col("_sa"), col("_sb")))
+    // candidacy precondition shared by BOTH modes: the pair must land
+    // in at least one common band bucket (all r=4 components of some
+    // band equal) — divergence is only observable on candidate pairs
+    val shareBand = (0 until 8).map { j =>
+      (0 until 4).map(i =>
+        element_at(col("_ga"), j * 4 + i + 1) ===
+          element_at(col("_gb"), j * 4 + i + 1)).reduce(_ && _)
+    }.reduce(_ || _)
+    val verdicts = pairDf.select(col("pair"),
+        (inter.cast("double") /
+          (size(col("_sa")) + size(col("_sb")) - inter).cast("double"))
+          .as("exactJ"),
+        (size(filter(zip_with(col("_ga"), col("_gb"), (x, y) => x === y),
+          (m: org.apache.spark.sql.Column) => m)).cast("double") / 32.0)
+          .as("estJ"),
+        shareBand.as("cand"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    val exactOnly = verdicts.filter(v => v._4 && v._2 >= 0.4 && v._3 < 0.4)
+    val estOnly = verdicts.filter(v => v._4 && v._2 < 0.4 && v._3 >= 0.4)
+    assert(exactOnly.nonEmpty && estOnly.nonEmpty,
+      s"sweep must contain both divergence directions; exactOnly=" +
+        s"${exactOnly.length} estOnly=${estOnly.length}")
+    // run the gate in signature mode over one representative pair of
+    // each kind (empty corpus: within-stream screen only) — the flag
+    // must follow the estimate, not the exact Jaccard
+    val emptyCorpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val eo = pairs(exactOnly.head._1.toInt)
+    val so = pairs(estOnly.head._1.toInt)
+    val flagsEo = runNdGate(Seq((1L, eo._2), (2L, eo._3)), emptyCorpus,
+      signatureState = true, name = "div_eo")
+    assert(flagsEo.isEmpty,
+      s"estJ<0.4 pair must NOT flag in signature mode, got $flagsEo")
+    val flagsSo = runNdGate(Seq((1L, so._2), (2L, so._3)), emptyCorpus,
+      signatureState = true, name = "div_so")
+    assert(flagsSo === Set(2L),
+      s"estJ>=0.4 pair must flag the larger id, got $flagsSo")
+  }
+
+  test("near-dup gate bucketCap: capped arrivals skip pairing but corpus verdicts still emit") {
+    import spark.implicits._
+    Graft.registerAll(spark)
+    val textA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra tango"
+    val textB = "zulu yankee xray whiskey victor uniform tango sierra " +
+      "quebec papa oscar november mike lima kilo juliett india hotel golf"
+    val corpus = Seq((900L, textB)).toDF("doc_id", "text").localCheckpoint()
+    // ids 1,2 are copies of A (not in corpus); ids 10,11 are copies of
+    // corpus text B
+    val incoming = Seq((1L, textA), (2L, textA), (10L, textB), (11L, textB))
+    // uncapped: 2 loses to 1 (within-stream), 10 and 11 are corpus hits
+    assert(runNdGate(incoming, corpus, name = "cap_off")
+      === Set(2L, 10L, 11L))
+    // bucketCap=1: each bucket admits its smallest id only — id 2 never
+    // pairs (its rejection is LOST, the documented hot-bucket trade);
+    // id 11 is skipped from state too, but its corpus verdict is
+    // stateless and still emits
+    assert(runNdGate(incoming, corpus, bucketCap = 1, name = "cap_on")
+      === Set(10L, 11L))
+  }
+
+  test("streaming contamination gate quarantines malformed ids instead of dying") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Graft.registerAll(spark)
+    val evalDocs = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val evalGrams = graft.operators.Decontaminate.evalGramSet(evalDocs)
+      .localCheckpoint()
+    val mem = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingContamination
+      .flaggedIds(mem.toDF.toDF("doc_id", "text"), evalGrams)
+      .writeStream.format("memory").queryName("contq")
+      .outputMode("append").start()
+    try {
+      // one malformed id rides the same micro-batch as a real hit —
+      // under ANSI mode an unguarded cast would kill the query
+      mem.addData(
+        ("not-a-number", "the quick brown fox jumps over the lazy dog today"),
+        ("7", "the quick brown fox jumps over the lazy dog today"),
+        ("8", "completely unrelated words nowhere near the benchmark"))
+      q.processAllAvailable()
+      val flagged = spark.table("contq").collect().map(_.getLong(0)).toSet
+      assert(flagged === Set(7L),
+        s"quarantine must drop the malformed id and keep screening, got $flagged")
+    } finally q.stop()
+  }
 }
