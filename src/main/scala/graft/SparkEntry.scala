@@ -2880,6 +2880,49 @@ object SparkEntry {
           coalesce(col("group_id"), col("media_id")).as("family_id"))
         .withColumn("is_keeper", col("media_id") === col("family_id"))
     }),
+    // REAL audio decode (round 13 — the speech-pipeline twin of m7):
+    // WAV/RIFF headers parsed by pure-JDK byte arithmetic, header-only
+    // (never materializes a sample), quarantining non-audio scraper
+    // bytes AND truncated headers as NULL metadata. The fixture
+    // renders canonical PCM WAVs from integer formulas; the oracle
+    // recomputes every field — including exact floor-division
+    // duration_ms and the container byte count — straight from the
+    // generating arithmetic. See Multimodal.decodeAudio.
+    "m13_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val df = audioFixtureRows(s, dir).toDF("media_id", "bytes")
+      Multimodal.decodeAudio(par(df))
+        .select(col("media_id"),
+          coalesce(col("codec"), lit("(undecodable)")).as("codec"),
+          coalesce(col("sample_rate"), lit(-1)).as("sample_rate"),
+          coalesce(col("channels"), lit(-1)).as("channels"),
+          coalesce(col("bits_per_sample"), lit(-1)).as("bits_per_sample"),
+          coalesce(col("n_frames"), lit(-1L)).as("n_frames"),
+          coalesce(col("duration_ms"), lit(-1L)).as("duration_ms"),
+          col("n_bytes"))
+    }),
+    // Audio QA gate (round 13 — m5's shape over decodeAudio's REAL
+    // header metadata): per-ingest-check pass rates in exact ppm —
+    // decodable container, 16-bit PCM, ≥16 kHz, ≥10 ms. Scan-stage
+    // decode + stack melt + one checks-sized aggregate.
+    "m14_audio_qa" -> ((s, dir) => {
+      import s.implicits._
+      val df = audioFixtureRows(s, dir).toDF("media_id", "bytes")
+      Multimodal.audioQaReport(par(df))
+    }),
+    // Exact audio content dedup (round 13 — m4's shape over WAV
+    // payloads): keeper = min media_id per byte-identical payload.
+    // Each fixture content is stored twice (one content, two file
+    // rows); garbage contents are per-FILE distinct, so they group as
+    // singletons — byte-equality grouping proven both ways.
+    "m15_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val df = audioDedupFixtureRows(s, dir).toDF("media_id", "bytes")
+      par(df).groupBy(md5(col("bytes")))
+        .agg(min(col("media_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+    }),
     // Recursive CTE (Spark 4 relational surface): shortest-hop
     // reachability from nation 0 over the g5 trade backbone — ≤3-hop
     // paths enumerated by the recursion, min-hop aggregated after
@@ -3395,6 +3438,66 @@ object SparkEntry {
     }
   }
 
+  /** Render one canonical-44-byte-header PCM WAV from integer formulas
+    * (LE fields per the RIFF spec); data bytes are a deterministic
+    * seeded ramp. Everything the decoder reports is an exact integer
+    * function of the arguments — the m7 oracle discipline for audio. */
+  private def wavBytes(sampleRate: Int, channels: Int, bits: Int,
+      nFrames: Int, seed: Long): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataSize = nFrames * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < dataSize) { bb.put(((seed * 131 + i * 7) % 256).toByte); i += 1 }
+    bb.array()
+  }
+
+  /** Deterministic audio fixture for m13/m14 (the m7 shape over WAV):
+    * nation keys k → PCM WAVs with rate 8000·(1+k%3), channels 1+k%2,
+    * bits 8 if k%3=0 else 16, frames 100+37·(k%11); k%7=6 rows are
+    * non-audio scraper bytes and k%5=4 rows are TRUNCATED headers
+    * (first 20 bytes of a valid file) — both quarantine. */
+  private def audioFixtureRows(s: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val keys = tbl(s, dir, "nation").select(col("n_nationkey").cast("long"))
+      .orderBy("n_nationkey").collect().map(_.getLong(0)).toSeq
+    keys.map { k =>
+      val full = wavBytes(8000 * (1 + (k % 3)).toInt, 1 + (k % 2).toInt,
+        if (k % 3 == 0) 8 else 16, 100 + 37 * (k % 11).toInt, k)
+      val bytes: Array[Byte] =
+        if (k % 7 == 6) s"not audio $k, just bytes a scraper shipped".getBytes("UTF-8")
+        else if (k % 5 == 4) full.take(20)
+        else full
+      (k, bytes)
+    }
+  }
+
+  /** Deterministic audio-dedup fixture for m15 (the m4 shape): each
+    * CONTENT c renders ONE WAV byte string stored under ids 2c and
+    * 2c+1 (exact copies — one content, two files); c%7=6 contents are
+    * per-FILE scraper garbage (the id is in the bytes), so those two
+    * rows are singletons — byte-equality grouping, proven. */
+  private def audioDedupFixtureRows(s: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val keys = tbl(s, dir, "nation").select(col("n_nationkey").cast("long"))
+      .orderBy("n_nationkey").collect().map(_.getLong(0)).toSeq
+    keys.flatMap { c =>
+      Seq(0L, 1L).map { side =>
+        val id = 2 * c + side
+        val bytes: Array[Byte] =
+          if (c % 7 == 6) s"scraper garbage $id".getBytes("UTF-8")
+          else wavBytes(16000, 1, 16, 50 + (c % 5).toInt * 11, c * 7 + 3)
+        (id, bytes)
+      }
+    }
+  }
+
   /** Deterministic perceptual-hash fixture for m9: each CONTENT c is a
     * HIGH-FREQUENCY sawtooth `gray(x,y) = (a·x + b·y + off) % 256` with
     * a = 41 + 17·(c%9), b = 29 + 23·(c%7), off = 11·c, at W = 9·(1 + c%3),
@@ -3540,9 +3643,28 @@ object SparkEntry {
   /** The w4/w5 three-rule PSL: the canonical published-list shapes —
     * nested plain suffixes, two wildcard ccTLD families, and their
     * exceptions. ≤ 16 rules so BOTH implementations run (the chain
-    * directly, the native expression as w4's second column). */
-  private val pslThreeRules = Seq("com", "co.uk", "jp", "kyoto.jp", "us",
-    "*.ck", "*.kobe.jp", "!www.ck", "!city.kobe.jp")
+    * directly, the native expression as w4's second column). Arrives
+    * through [[graft.operators.Web.loadPslRules]] from a
+    * published-FORMAT fixture (comments, section markers, trailing
+    * annotations), so the oracle queries certify the ingest path too
+    * (round 13). */
+  private val pslThreeRules = graft.operators.Web.loadPslRules(
+    """// This fixture follows the published public_suffix_list.dat format.
+      |// ===BEGIN ICANN DOMAINS===
+      |com
+      |co.uk
+      |jp
+      |kyoto.jp
+      |us
+      |*.ck
+      |*.kobe.jp
+      |!www.ck
+      |!city.kobe.jp the city itself registers directly
+      |// ===END ICANN DOMAINS===
+      |// ===BEGIN PRIVATE DOMAINS===
+      |excluded.example
+      |// ===END PRIVATE DOMAINS===
+      |""".stripMargin)
 
   /** The w4/w5 host fixture: deterministic md5-derived hosts over the
     * canonical published-PSL test shapes (www.ck, a.b.test.ck,
@@ -5944,6 +6066,71 @@ object SparkEntry {
            |FROM prs WHERE hamming <= 7""".stripMargin,
       // m12 = m11's pairs clustered to families — the m10 closure over
       // the deep chain's Hamming-≤7 edges.
+      // m13: every decoded field — codec, rate, channels, bits, exact
+      // frame count, floor-division duration, container byte length —
+      // recomputed from the WAV fixture's generating formulas; the
+      // quarantine classes (scraper garbage, truncated header) land on
+      // the sentinel row shape.
+      "m13_audio_decode" ->
+        """WITH a AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+          |    (n_nationkey % 7 = 6 OR n_nationkey % 5 = 4) AS bad,
+          |    n_nationkey % 7 = 6 AS garbage,
+          |    8000 * (1 + n_nationkey % 3) AS rate,
+          |    1 + n_nationkey % 2 AS ch,
+          |    CASE WHEN n_nationkey % 3 = 0 THEN 8 ELSE 16 END AS bits,
+          |    CAST(100 + 37 * (n_nationkey % 11) AS BIGINT) AS frames
+          |  FROM nation
+          |)
+          |SELECT k AS media_id,
+          |  CASE WHEN bad THEN '(undecodable)' ELSE 'pcm' END AS codec,
+          |  CAST(CASE WHEN bad THEN -1 ELSE rate END AS INT) AS sample_rate,
+          |  CAST(CASE WHEN bad THEN -1 ELSE ch END AS INT) AS channels,
+          |  CAST(CASE WHEN bad THEN -1 ELSE bits END AS INT) AS bits_per_sample,
+          |  CAST(CASE WHEN bad THEN -1 ELSE frames END AS BIGINT) AS n_frames,
+          |  CAST(CASE WHEN bad THEN -1
+          |       ELSE (frames * 1000) // rate END AS BIGINT) AS duration_ms,
+          |  CAST(CASE
+          |    WHEN garbage THEN LENGTH('not audio ' || CAST(k AS VARCHAR)
+          |      || ', just bytes a scraper shipped')
+          |    WHEN bad THEN 20
+          |    ELSE 44 + frames * (ch * bits // 8) END AS BIGINT) AS n_bytes
+          |FROM a""".stripMargin,
+      // m14: the four audio QA checks replayed from the same formulas
+      // (a quarantined row fails every check, the operator's
+      // NULL-fails-the-gate contract).
+      "m14_audio_qa" ->
+        """WITH a AS (
+          |  SELECT NOT (n_nationkey % 7 = 6 OR n_nationkey % 5 = 4) AS ok,
+          |    8000 * (1 + n_nationkey % 3) AS rate,
+          |    CASE WHEN n_nationkey % 3 = 0 THEN 8 ELSE 16 END AS bits,
+          |    CAST(100 + 37 * (n_nationkey % 11) AS BIGINT) AS frames
+          |  FROM nation
+          |), c AS (
+          |  SELECT 'decodable' AS check_name, ok AS passed FROM a
+          |  UNION ALL SELECT 'pcm16', ok AND bits = 16 FROM a
+          |  UNION ALL SELECT 'rate16k', ok AND rate >= 16000 FROM a
+          |  UNION ALL SELECT 'min_duration',
+          |    ok AND (frames * 1000) // rate >= 10 FROM a
+          |)
+          |SELECT check_name, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(coalesce(sum(CASE WHEN passed THEN 1 END), 0) AS BIGINT) AS n_pass,
+          |  CAST(CAST(coalesce(sum(CASE WHEN passed THEN 1 END), 0) AS HUGEINT)
+          |    * 1000000 // count(*) AS BIGINT) AS pass_ppm
+          |FROM c GROUP BY 1""".stripMargin,
+      // m15: the duplicate structure is the fixture's own arithmetic —
+      // one content under two ids groups to (2c, 2), per-file garbage
+      // stays singleton.
+      "m15_audio_dedup" ->
+        """SELECT CAST(2 * n_nationkey AS BIGINT) AS keep_id,
+          |  CAST(2 AS BIGINT) AS n_copies
+          |FROM nation WHERE n_nationkey % 7 <> 6
+          |UNION ALL
+          |SELECT CAST(2 * n_nationkey AS BIGINT), CAST(1 AS BIGINT)
+          |FROM nation WHERE n_nationkey % 7 = 6
+          |UNION ALL
+          |SELECT CAST(2 * n_nationkey + 1 AS BIGINT), CAST(1 AS BIGINT)
+          |FROM nation WHERE n_nationkey % 7 = 6""".stripMargin,
       "m12_perceptual_families_deep" ->
         s"""WITH RECURSIVE $phashDeepChainSql, pf AS (
            |  SELECT id_a, id_b FROM prs WHERE hamming <= 7

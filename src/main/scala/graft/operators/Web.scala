@@ -101,6 +101,49 @@ object Web {
     * takes over. */
   val WhenChainMaxSuffixes: Int = 16
 
+  /** Parse the published public_suffix_list.dat FORMAT into the rule
+    * `Seq[String]` that [[registrableDomain]]/[[pslRuleClass]] and the
+    * native expressions consume — closing the ingest-to-expression
+    * story: callers hand the file text (a few hundred KB, read on the
+    * driver, shipped inside the expression as the usual broadcast-sized
+    * constant) instead of pre-cleaning it by hand.
+    *
+    * Format rules honored (the published spec):
+    *  - a line is read up to its first whitespace; anything after is
+    *    ignored (the file annotates some rules that way);
+    *  - `//` lines are comments — EXCEPT the section markers
+    *    `// ===BEGIN ICANN DOMAINS===` / `// ===END PRIVATE DOMAINS===`,
+    *    which scope the rules between them;
+    *  - blank lines are ignored;
+    *  - wildcard (`*.ck`) and exception (`!www.ck`) spellings pass
+    *    through verbatim — they are the expressions' native contract.
+    *
+    * `sections` filters by section name (the published file has ICANN
+    * and PRIVATE; most curation audits want ICANN only — the PRIVATE
+    * half would split e.g. every `github.io` user site into its own
+    * "domain" in a per-domain cap). Rules outside any marked section
+    * (hand-authored lists) always load. Rule text is lowercased —
+    * the published list is already lowercase; hand-authored lists meet
+    * the host-normalization contract either way. */
+  def loadPslRules(text: String,
+      sections: Set[String] = Set("ICANN")): Seq[String] = {
+    val begin = "===BEGIN ([A-Z]+) DOMAINS===".r
+    val end = "===END ([A-Z]+) DOMAINS===".r
+    var current: Option[String] = None
+    val out = Seq.newBuilder[String]
+    text.linesIterator.foreach { raw =>
+      val line = raw.trim
+      if (line.startsWith("//")) {
+        begin.findFirstMatchIn(line).foreach(m => current = Some(m.group(1)))
+        end.findFirstMatchIn(line).foreach(_ => current = None)
+      } else if (line.nonEmpty && current.forall(sections.contains)) {
+        val rule = line.takeWhile(!_.isWhitespace).toLowerCase
+        if (rule.nonEmpty) out += rule
+      }
+    }
+    out.result().distinct
+  }
+
   /** Registrable domain (eTLD+1) of a normalized host: the longest
     * matching public suffix plus one label; a host that matches no
     * rule (an IP, an intranet name) is its own domain.

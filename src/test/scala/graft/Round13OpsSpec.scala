@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior specs for the round-13 hardening: reportBloom's sizing
+  * clamp (output identical past the session caps), withScriptProfile's
+  * collision guard (re-profiling is idempotent, never ambiguous). */
+class Round13OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("round13-ops-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    Graft.registerAll(s)
+    s
+  }
+
+  test("reportBloom: sizing past the session bloom caps clamps, output identical") {
+    import spark.implicits._
+    val train = SparkEntry.tbl(spark, TestData.dir("0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val eval = train.where(col("doc_id") % 11 === 3)
+      .select((col("doc_id") + 5000).as("doc_id"), col("text"))
+    val exact = graft.operators.Decontaminate.report(train, eval)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // expectedItems far past maxNumItems (4M) and bits past maxNumBits
+    // (64Mi): the helper must clamp (warn) and still produce the exact
+    // report — false positives are removed by the exact join
+    val clamped = graft.operators.Decontaminate.reportBloom(
+        train, eval, expectedItems = 50000000L, fpp = 0.001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "fixture must produce contamination hits")
+    assert(clamped === exact)
+  }
+
+  test("withScriptProfile: re-profiling drops stale columns instead of duplicating") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world"), (2L, "привет мир"))
+      .toDF("doc_id", "text")
+    val once = graft.functions.Text.withScriptProfile(df, col("text"))
+    val twice = graft.functions.Text.withScriptProfile(
+      // re-profile over a DIFFERENT text column: stale n_* values must
+      // be recomputed, not shadowed by ambiguous duplicates
+      once.withColumn("text2", lit("汉字")), col("text2"))
+    assert(twice.columns.count(_ == "n_latin") === 1,
+      "n_<script> must appear exactly once after re-profiling")
+    assert(!twice.columns.contains("_sp"))
+    val han = twice.select("doc_id", "n_han", "n_latin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(han === Set((1L, 2L, 0L), (2L, 2L, 0L)),
+      "recomputed profile must reflect the new text column")
+    // a caller-owned `_sp` column is also recomputed away, not collided
+    val sp = graft.functions.Text.withScriptProfile(
+      df.withColumn("_sp", lit(9)), col("text"))
+    assert(sp.columns.count(_ == "_sp") === 0)
+  }
+
+  test("decodeAudio: RIFF chunk-walk edge cases quarantine, never throw") {
+    import spark.implicits._
+    def wav(extraChunk: Boolean, declaredOverrun: Boolean,
+        fmtTag: Int): Array[Byte] = {
+      val frames = 10; val blockAlign = 2; val data = frames * blockAlign
+      // an odd-sized LIST chunk before fmt exercises word-aligned
+      // advancement; declaredOverrun claims more data bytes than exist
+      val extra = if (extraChunk) 8 + 3 + 1 else 0
+      val bb = java.nio.ByteBuffer.allocate(44 + extra + data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + data)
+        .put("WAVE".getBytes("US-ASCII"))
+      if (extraChunk)
+        bb.put("LIST".getBytes("US-ASCII")).putInt(3)
+          .put(Array[Byte](1, 2, 3, 0)) // 3 bytes + 1 pad
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(fmtTag.toShort).putShort(1.toShort)
+        .putInt(8000).putInt(8000 * blockAlign)
+        .putShort(blockAlign.toShort).putShort(16.toShort)
+        .put("data".getBytes("US-ASCII"))
+        .putInt(if (declaredOverrun) data + 999 else data)
+      (0 until data).foreach(i => bb.put(i.toByte))
+      bb.array()
+    }
+    val rows = Seq(
+      (1L, wav(extraChunk = false, declaredOverrun = false, fmtTag = 1)),
+      (2L, wav(extraChunk = true, declaredOverrun = false, fmtTag = 1)),
+      (3L, wav(extraChunk = false, declaredOverrun = true, fmtTag = 1)),
+      (4L, wav(extraChunk = false, declaredOverrun = false, fmtTag = 65534)),
+      (5L, Array[Byte](82, 73)), // 2-byte fragment
+      (6L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "bytes")
+    val got = graft.operators.Multimodal.decodeAudio(rows)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.toString), Option(r.get(5)))).toMap
+    assert(got(1L) === (Some("pcm"), Some(10L)))
+    assert(got(2L) === (Some("pcm"), Some(10L)),
+      "odd-sized pre-fmt chunk must be walked over (word-aligned)")
+    assert(got(3L)._1.isEmpty,
+      "declared data exceeding the payload is a truncated scrape → quarantine")
+    assert(got(4L)._1 === Some("fmt_65534"),
+      "extensible-format tag is bucketed, not quarantined")
+    assert(got(5L)._1.isEmpty && got(6L)._1.isEmpty)
+  }
+
+  test("loadPslRules: published file format parses to the expression contract") {
+    import spark.implicits._
+    val fixture =
+      """// This is a comment line, ignored entirely.
+        |
+        |// ===BEGIN ICANN DOMAINS===
+        |com
+        |co.uk
+        |jp
+        |kyoto.jp
+        |*.ck
+        |!www.ck this trailing annotation is ignored
+        |*.kobe.jp
+        |!city.kobe.jp
+        |COM
+        |// ===END ICANN DOMAINS===
+        |
+        |// ===BEGIN PRIVATE DOMAINS===
+        |github.io
+        |// ===END PRIVATE DOMAINS===
+        |""".stripMargin
+    val icann = graft.operators.Web.loadPslRules(fixture)
+    assert(icann === Seq("com", "co.uk", "jp", "kyoto.jp", "*.ck",
+      "!www.ck", "*.kobe.jp", "!city.kobe.jp"),
+      "ICANN-only load: comments/blanks/annotations stripped, case " +
+        "folded, dupes removed, PRIVATE excluded")
+    val both = graft.operators.Web.loadPslRules(
+      fixture, Set("ICANN", "PRIVATE"))
+    assert(both.contains("github.io"))
+    // rules outside any marked section (hand-authored lists) always load
+    assert(graft.operators.Web.loadPslRules("com\n// c\nco.uk")
+      === Seq("com", "co.uk"))
+    // w4's semantics through the loaded rules: the published test-case
+    // verdicts (wildcard, exception, plain, none) all hold
+    val hosts = Seq("a.b.test.ck", "www.ck", "b.www.ck", "city.kobe.jp",
+      "x.city.kobe.jp", "a.b.kobe.jp", "foo.com", "a.foo.com",
+      "intranet").toDF("host")
+    val got = hosts.select(col("host"),
+        graft.operators.Web.registrableDomain(col("host"), icann).as("rd"),
+        graft.functions.RegistrableDomainExpr(col("host"), icann).as("rdn"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    got.foreach { case (h, rd, rdn) =>
+      assert(rd === rdn, s"chain vs native diverged on $h") }
+    val byHost = got.map(g => g._1 -> g._2).toMap
+    assert(byHost("a.b.test.ck") === "b.test.ck") // wildcard *.ck
+    assert(byHost("www.ck") === "www.ck")          // exception, bare
+    assert(byHost("b.www.ck") === "www.ck")        // exception prevails
+    assert(byHost("city.kobe.jp") === "city.kobe.jp")
+    assert(byHost("x.city.kobe.jp") === "city.kobe.jp")
+    assert(byHost("a.b.kobe.jp") === "a.b.kobe.jp") // wildcard *.kobe.jp
+    assert(byHost("foo.com") === "foo.com")
+    assert(byHost("a.foo.com") === "foo.com")
+    assert(byHost("intranet") === "intranet")       // no rule: own domain
+  }
+}
