@@ -159,7 +159,7 @@ object Bench {
       "retention_count" -> 0.3, "retention_sum" -> 0, "s1" -> 0.3,
       "s10" -> 1.7, "s11" -> 0.6, "s12" -> 0.4, "s13" -> 0.7, "s14" -> 0.3,
       "s15" -> 0.3, "s16" -> 0.59, "s17" -> 1.3, "s18" -> 0.5, "s19" -> 0.4,
-      "s2" -> 0.6, "s20" -> 0.5, "s3" -> 1.2, "s4" -> 0.7, "s5" -> 1.6,
+      "s2" -> 0.6, "s20" -> 0.5, "s3" -> 1.2, "s4" -> 0.49, "s5" -> 1.6,
       "s6" -> 1.1, "s7" -> 0.3, "s8" -> 2.99, "s9" -> 4.57, "t1" -> 0,
       "t10" -> 0.7, "t11" -> 0.6, "t12" -> 0.6, "t13" -> 0.5, "t14" -> 0,
       "t15" -> 0.6, "t16" -> 1.0, "t17" -> 0.4, "t18" -> 1.1, "t19" -> 0.7,
@@ -182,7 +182,7 @@ object Bench {
       "w2" -> 0.5, "w3" -> 0.9, "d31" -> 2.0, "d32" -> 3.79, "m10" -> 0.3,
       "d33" -> 0.8, "t44" -> 0.3, "t45" -> 0.3, "t46" -> 0.6, "d34" -> 1.4,
       "d35" -> 0.7, "d36" -> 0.9, "d37" -> 1.2, "m11" -> 0.7, "m12" -> 1.4,
-      "w4" -> 0.49, "w5" -> 0.86, "d38" -> 2.0)
+      "w4" -> 0.49, "w5" -> 0.86, "d38" -> 1.28)
 
   private[graft] def priorIsolatedMin(n: String): Option[Double] =
     priorIsolatedMinSec.get(n.split("_")(0)).orElse(priorIsolatedMinSec.get(n))
