@@ -2923,6 +2923,21 @@ object SparkEntry {
           count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))
     }),
+    // Audio perceptual near-dup (round 13 — the m9 dHash applied to
+    // sound: byte dedup misses the same clip re-mastered at a
+    // different volume; the SIGN pattern of the 65-block energy
+    // envelope's gradient survives exactly that transform. REAL PCM
+    // decode (pure JDK), banded 4×16-bit for Hamming-≤3 pigeonhole
+    // recall, exact popcount verify — m9's pair pipeline verbatim.
+    // Fixture: each pseudo-noise content rendered at full and HALF
+    // volume (every block energy scales exactly ×2 → identical hash);
+    // the oracle recomputes block energies straight from the sample
+    // FORMULA and must land on exactly one Hamming-0 pair per content.
+    "m16_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val df = audioPhashFixtureRows(s, dir).toDF("media_id", "bytes")
+      Multimodal.audioNearDupPairs(par(df), maxHamming = 3)
+    }),
     // Recursive CTE (Spark 4 relational surface): shortest-hop
     // reachability from nation 0 over the g5 trade backbone — ≤3-hop
     // paths enumerated by the recursion, min-hop aggregated after
@@ -3496,6 +3511,46 @@ object SparkEntry {
         (id, bytes)
       }
     }
+  }
+
+  /** Render one canonical PCM16-mono WAV around explicit samples. */
+  private def wavBytesPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Deterministic audio-perceptual fixture for m16: each CONTENT c is
+    * a pseudo-noise PCM16 clip s(c,j) = ((c·37 + j²·13) % 2001 − 1000)
+    * over n = 65·(12 + c%5) frames, rendered TWICE — full volume (×16,
+    * media_id 2c) and HALF volume (×8, media_id 2c+1): every block
+    * energy scales by exactly 2, so the gradient-sign hash is
+    * identical (Hamming 0) while distinct contents' noise decorrelates
+    * the signs. Two non-audio rows exercise the in-plan quarantine. */
+  private def audioPhashFixtureRows(s: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val keys = tbl(s, dir, "nation").select(col("n_nationkey").cast("long"))
+      .orderBy("n_nationkey").collect().map(_.getLong(0)).toSeq
+    keys.flatMap { c =>
+      val f = 12 + (c % 5).toInt
+      val n = 65 * f
+      Seq(0, 1).map { side =>
+        val amp = 16 - 8 * side
+        val samples = Array.tabulate(n)(j =>
+          (((c * 37 + j.toLong * j * 13) % 2001 - 1000) * amp).toShort)
+        (2 * c + side, wavBytesPcm16(16000, samples))
+      }
+    } ++ Seq(
+      (100000L, "not audio at all, scraper bytes".getBytes("UTF-8")),
+      (100001L, Array[Byte](82, 73, 70, 70)))
   }
 
   /** Deterministic perceptual-hash fixture for m9: each CONTENT c is a
@@ -6066,6 +6121,45 @@ object SparkEntry {
            |FROM prs WHERE hamming <= 7""".stripMargin,
       // m12 = m11's pairs clustered to families — the m10 closure over
       // the deep chain's Hamming-≤7 edges.
+      // m16: block energies recomputed straight from the generating
+      // sample formula (equal block sizes reduce the operator's
+      // cross-multiplied mean compare to a plain sum compare; the ×2
+      // amplitude pair preserves every > and = exactly), then the m9
+      // band/pair replay: ≥1 shared 16-bit band, exact Hamming.
+      "m16_audio_neardup" ->
+        """WITH keys AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+          |), files AS (
+          |  SELECT 2*k + sd.s AS media_id, k, 16 - 8*sd.s AS amp,
+          |    CAST(12 + k % 5 AS BIGINT) AS f
+          |  FROM keys, (SELECT CAST(range AS BIGINT) AS s FROM range(2)) sd
+          |), energies AS (
+          |  SELECT fl.media_id, j.j // fl.f AS blk,
+          |    sum(abs(((fl.k*37 + j.j*j.j*13) % 2001 - 1000) * fl.amp)) AS e
+          |  FROM files fl, (SELECT CAST(range AS BIGINT) AS j FROM range(1040)) j
+          |  WHERE j.j < 65*fl.f
+          |  GROUP BY 1, 2
+          |), bits AS (
+          |  SELECT l.media_id, l.blk AS r,
+          |    CASE WHEN rt.e > l.e THEN 1 ELSE 0 END AS bit
+          |  FROM energies l JOIN energies rt
+          |    ON l.media_id = rt.media_id AND rt.blk = l.blk + 1
+          |  WHERE l.blk < 64
+          |), hashes AS MATERIALIZED (
+          |  SELECT media_id,
+          |    CAST(sum(CASE WHEN r // 16 = 0 THEN bit * (1 << CAST(r % 16 AS INT)) ELSE 0 END) AS BIGINT) AS b0,
+          |    CAST(sum(CASE WHEN r // 16 = 1 THEN bit * (1 << CAST(r % 16 AS INT)) ELSE 0 END) AS BIGINT) AS b1,
+          |    CAST(sum(CASE WHEN r // 16 = 2 THEN bit * (1 << CAST(r % 16 AS INT)) ELSE 0 END) AS BIGINT) AS b2,
+          |    CAST(sum(CASE WHEN r // 16 = 3 THEN bit * (1 << CAST(r % 16 AS INT)) ELSE 0 END) AS BIGINT) AS b3
+          |  FROM bits GROUP BY 1
+          |), prs AS (
+          |  SELECT a.media_id AS id_a, c.media_id AS id_b,
+          |    CAST(bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1)) +
+          |      bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) AS BIGINT) AS hamming
+          |  FROM hashes a JOIN hashes c ON a.media_id < c.media_id
+          |    AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)
+          |)
+          |SELECT id_a, id_b, hamming FROM prs WHERE hamming <= 3""".stripMargin,
       // m13: every decoded field — codec, rate, channels, bits, exact
       // frame count, floor-division duration, container byte length —
       // recomputed from the WAV fixture's generating formulas; the

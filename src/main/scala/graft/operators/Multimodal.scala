@@ -253,59 +253,72 @@ object Multimodal {
     in.mapPartitions { it =>
       it.map { case (id, rawBytes) =>
         val b = if (rawBytes == null) Array.emptyByteArray else rawBytes
-        def u8(i: Int): Int = b(i) & 0xff
-        def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
-        def u32(i: Int): Long =
-          u8(i).toLong | (u8(i + 1).toLong << 8) |
-            (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
-        def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
-        val decoded: Option[DecodedAudio] =
-          try {
-            if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") None
-            else {
-              // the RIFF chunk walk: word-aligned (odd-sized chunks pad
-              // one byte), stop once both fmt and data are seen
-              var pos = 12
-              var fmt: Option[(Int, Int, Long, Int, Int)] = None
-              var dataSize: Option[Long] = None
-              while (pos + 8 <= b.length &&
-                  (fmt.isEmpty || dataSize.isEmpty)) {
-                val id4 = tag(pos); val size = u32(pos + 4)
-                if (id4 == "fmt " && size >= 16 && pos + 24 <= b.length)
-                  fmt = Some((u16(pos + 8), u16(pos + 10), u32(pos + 12),
-                    u16(pos + 20), u16(pos + 22)))
-                // a data chunk whose declared bytes exceed the payload is
-                // a truncated scrape → quarantine (None stays None)
-                if (id4 == "data") {
-                  if (pos + 8 + size <= b.length) dataSize = Some(size)
-                  else pos = b.length // force quarantine exit
-                }
-                pos += 8 + size.toInt + (size.toInt & 1)
-              }
-              (fmt, dataSize) match {
-                case (Some((af, ch, rate, blockAlign, bits)), Some(ds))
-                    if ch > 0 && rate > 0 && blockAlign > 0 &&
-                      blockAlign == ch * bits / 8 =>
-                  val codec = af match {
-                    case 1 => "pcm"
-                    case 3 => "ieee_float"
-                    case 6 => "alaw"
-                    case 7 => "mulaw"
-                    case t => s"fmt_$t"
-                  }
-                  val frames = ds / blockAlign
-                  Some(DecodedAudio(id, Some(codec), Some(rate.toInt),
-                    Some(ch), Some(bits), Some(frames),
-                    Some(frames * 1000L / rate), b.length.toLong))
-                case _ => None
-              }
+        parseWav(b) match {
+          case Some(w) =>
+            val codec = w.fmtTag match {
+              case 1 => "pcm"
+              case 3 => "ieee_float"
+              case 6 => "alaw"
+              case 7 => "mulaw"
+              case t => s"fmt_$t"
             }
-          } catch { case scala.util.control.NonFatal(_) => None }
-        decoded.getOrElse(
-          DecodedAudio(id, None, None, None, None, None, None,
-            b.length.toLong))
+            val frames = w.dataSize / w.blockAlign
+            DecodedAudio(id, Some(codec), Some(w.rate.toInt),
+              Some(w.channels), Some(w.bits), Some(frames),
+              Some(frames * 1000L / w.rate), b.length.toLong)
+          case None =>
+            DecodedAudio(id, None, None, None, None, None, None,
+              b.length.toLong)
+        }
       }
     }(Encoders.product[DecodedAudio]).toDF()
+  }
+
+  /** A validated WAV header: `fmt ` fields plus the located data chunk. */
+  private case class WavHeader(fmtTag: Int, channels: Int, rate: Long,
+      blockAlign: Int, bits: Int, dataOff: Int, dataSize: Long)
+
+  /** The RIFF chunk walk shared by [[decodeAudio]] and
+    * [[audioPerceptualHashes]]: word-aligned (odd-sized chunks pad one
+    * byte), stops once both `fmt ` and `data` are seen; returns None —
+    * the quarantine — for non-RIFF payloads, truncated headers,
+    * declared data exceeding the payload, and nonsensical fmt fields
+    * (zero rate/channels, blockAlign ≠ channels·bits/8). */
+  private def parseWav(b: Array[Byte]): Option[WavHeader] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    try {
+      if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+      else {
+        var pos = 12
+        var fmt: Option[(Int, Int, Long, Int, Int)] = None
+        var data: Option[(Int, Long)] = None
+        while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+          val id4 = tag(pos); val size = u32(pos + 4)
+          if (id4 == "fmt " && size >= 16 && pos + 24 <= b.length)
+            fmt = Some((u16(pos + 8), u16(pos + 10), u32(pos + 12),
+              u16(pos + 20), u16(pos + 22)))
+          // a data chunk whose declared bytes exceed the payload is
+          // a truncated scrape → quarantine (None stays None)
+          if (id4 == "data") {
+            if (pos + 8 + size <= b.length) data = Some((pos + 8, size))
+            else pos = b.length // force quarantine exit
+          }
+          pos += 8 + size.toInt + (size.toInt & 1)
+        }
+        (fmt, data) match {
+          case (Some((af, ch, rate, blockAlign, bits)), Some((off, ds)))
+              if ch > 0 && rate > 0 && blockAlign > 0 &&
+                blockAlign == ch * bits / 8 =>
+            Some(WavHeader(af, ch, rate, blockAlign, bits, off, ds))
+          case _ => None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Audio QA-gate report — [[qaReport]]'s shape over [[decodeAudio]]'s
@@ -329,6 +342,101 @@ object Multimodal {
       .select(col("check_name"), col("n"), col("n_pass"),
         expr("CAST(CAST(n_pass AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)")
           .as("pass_ppm"))
+  }
+
+  /** Audio perceptual hash — the AUDIO twin of [[perceptualHashes]]'
+    * dHash, over REAL decoded PCM samples (16-bit mono PCM is pure JDK
+    * byte arithmetic; no codec library needed): byte-exact content
+    * dedup misses the same clip re-mastered at a different volume,
+    * but the SIGN PATTERN of the energy envelope's gradient survives
+    * exactly that transform —
+    *
+    *  1. the data chunk's int16 samples are split into 65 time blocks
+    *     with floor boundaries (block r covers frames
+    *     [⌊r·n/65⌋, ⌊(r+1)·n/65⌋) — all-integer, any n ≥ 65);
+    *  2. block energy = Σ|sample| (exact integer; L1, not L2 — no
+    *     squaring overflow, same ordering under volume scaling);
+    *  3. bit r = [e(r+1)·n(r) > e(r)·n(r+1)], compared
+    *     cross-multiplied so unequal block sizes never divide — 64
+    *     bits of temporal energy-gradient signs. A clip scaled by any
+    *     a > 0 scales every energy by a: the bits — including ties —
+    *     are IDENTICAL, which is the volume-invariance contract;
+    *  4. packed as four 16-bit band keys (bit r → band r/16, bit
+    *     r mod 16) — directly the LSH bands of [[audioNearDupPairs]],
+    *     replayable in any SQL engine (no signed-bit hazard).
+    *
+    * Non-PCM / non-mono / non-16-bit payloads, quarantined containers,
+    * and clips shorter than 65 frames yield all-NULL bands (the
+    * [[decodeAudio]] contract — stereo mixdown and other encodings are
+    * a second-pass decoder's job; the gate must never die). Scale
+    * shape: scan-stage mapPartitions projection, no shuffle. */
+  def audioPerceptualHashes(
+      media: DataFrame, idCol: String = "media_id",
+      binCol: String = "bytes"): DataFrame = {
+    val blocks = 65
+    val in = media.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    in.mapPartitions { it =>
+      it.map { case (id, rawBytes) =>
+        val b = if (rawBytes == null) Array.emptyByteArray else rawBytes
+        val hashed = parseWav(b) match {
+          case Some(w) if w.fmtTag == 1 && w.channels == 1 && w.bits == 16 &&
+              w.dataSize / w.blockAlign >= blocks =>
+            val n = (w.dataSize / 2L).toInt
+            val e = new Array[Long](blocks)
+            val cnt = new Array[Long](blocks)
+            var j = 0
+            while (j < n) {
+              // int16 LE, sign-extended
+              val s = ((b(w.dataOff + 2 * j) & 0xff) |
+                (b(w.dataOff + 2 * j + 1) << 8)).toShort.toInt
+              val blk = ((j.toLong * blocks) / n).toInt
+              e(blk) += math.abs(s); cnt(blk) += 1
+              j += 1
+            }
+            // cross-multiplied compare, exact at ANY clip length:
+            // e ≤ 32768·n, so e·cnt can pass 2⁶³ past ~100 s at 48 kHz
+            // — fall back to BigInt only when the long product would
+            // wrap (64 compares per clip; the sample loop dominates)
+            def gt(x: Long, y: Long, p: Long, q: Long): Boolean =
+              if ((y == 0 || x <= Long.MaxValue / y) &&
+                  (q == 0 || p <= Long.MaxValue / q)) x * y > p * q
+              else BigInt(x) * BigInt(y) > BigInt(p) * BigInt(q)
+            def band(i: Int): Int = {
+              var v = 0
+              var r = 16 * i
+              while (r < 16 * i + 16) {
+                if (gt(e(r + 1), cnt(r), e(r), cnt(r + 1))) v |= 1 << (r % 16)
+                r += 1
+              }
+              v
+            }
+            Some(PerceptualHash(id, Some(band(0)), Some(band(1)),
+              Some(band(2)), Some(band(3))))
+          case _ => None
+        }
+        hashed.getOrElse(PerceptualHash(id, None, None, None, None))
+      }
+    }(Encoders.product[PerceptualHash]).toDF()
+  }
+
+  /** Hamming-banded audio near-dup pairs over
+    * [[audioPerceptualHashes]] — [[perceptualNearDupPairs]]' pipeline
+    * verbatim (pigeonhole-exact recall for Hamming ≤ 3 over 4 bands,
+    * capped band buckets, exact popcount verify), pointed at the
+    * volume-invariant energy-gradient hash. Quarantined clips
+    * (all-NULL bands) never enter the join. */
+  def audioNearDupPairs(
+      media: DataFrame, idCol: String = "media_id",
+      binCol: String = "bytes", maxHamming: Int = 3,
+      bandCap: Int = 100000,
+      capStats: Option[Dedup.CapStats] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banded recall is exact only for maxHamming in [0, 3], got $maxHamming")
+    bandedHammingPairs(
+      audioPerceptualHashes(media, idCol, binCol).where(col("b0").isNotNull),
+      (0 until 4).map(i => s"b$i"), maxHamming, bandCap, capStats)
   }
 
   /** Per-partition imperative feature extraction over the binary payload

@@ -106,6 +106,50 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got(5L)._1.isEmpty && got(6L)._1.isEmpty)
   }
 
+  test("audioPerceptualHashes: volume invariance, decorrelation, quarantine classes") {
+    import spark.implicits._
+    def pcm16(samples: Array[Short], channels: Int = 1,
+        bits: Int = 16): Array[Byte] = {
+      val blockAlign = channels * bits / 8
+      val dataSize = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort)
+        .putInt(8000).putInt(8000 * blockAlign)
+        .putShort(blockAlign.toShort).putShort(bits.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(dataSize)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    def noise(seed: Long, n: Int, amp: Int): Array[Short] =
+      Array.tabulate(n)(j =>
+        (((seed * 31 + j.toLong * j * 7) % 1801 - 900) * amp).toShort)
+    val n = 65 * 9
+    val rows = Seq(
+      (1L, pcm16(noise(5, n, 16))),   // full volume
+      (2L, pcm16(noise(5, n, 4))),    // quarter volume — same signs
+      (3L, pcm16(noise(9, n, 16))),   // different content
+      (4L, pcm16(noise(5, 64, 16))),  // < 65 frames → quarantine
+      (5L, pcm16(noise(5, n, 16), channels = 2)), // stereo → quarantine
+      (6L, "not a wav".getBytes("UTF-8"))).toDF("media_id", "bytes")
+    val h = graft.operators.Multimodal.audioPerceptualHashes(rows)
+      .collect().map(r => r.getLong(0) ->
+        (0 until 4).map(i => Option(r.get(i + 1)))).toMap
+    assert(h(1L) === h(2L), "4x volume change must not move a single bit")
+    assert(h(1L).forall(_.nonEmpty) && h(3L).forall(_.nonEmpty))
+    assert(h(1L) !== h(3L), "distinct noise contents must decorrelate")
+    Seq(4L, 5L, 6L).foreach(id =>
+      assert(h(id).forall(_.isEmpty), s"id $id must quarantine"))
+    // the pair pipeline: only (1,2) at Hamming 0; quarantined rows
+    // never enter the join
+    val pairs = graft.operators.Multimodal.audioNearDupPairs(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)))
+  }
+
   test("loadPslRules: published file format parses to the expression contract") {
     import spark.implicits._
     val fixture =
