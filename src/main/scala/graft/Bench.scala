@@ -71,7 +71,7 @@ object Bench {
       "g11" -> 2.9, "g12" -> 5.4, "g2" -> 2.7, "g3" -> 4.2, "g4" -> 1.7,
       "g5" -> 2.6, "g6" -> 3.5, "g7" -> 5.4, "g8" -> 4.3, "g9" -> 3.6,
       "j1" -> 0.3, "m1" -> 0.3, "m10" -> 2.6, "m11" -> 1.5, "m12" -> 3.0,
-      "m13" -> 0.6, "m14" -> 0.6, "m15" -> 0.5, "m16" -> 1.3,
+      "m13" -> 0.6, "m14" -> 0.6, "m15" -> 0.5, "m16" -> 1.3, "m17" -> 1.9,
       "m2" -> 0.6, "m3" -> 0.6, "m4" -> 1.2, "m5" -> 0.5, "m6" -> 0.3,
       "m7" -> 0.7, "m8" -> 0.7, "m9" -> 1.2, "p1" -> 0.3, "p10" -> 1.6,
       "p11" -> 0.3, "p12" -> 4.1, "p13" -> 0.8, "p14" -> 0.3, "p15" -> 2.2,
@@ -143,7 +143,7 @@ object Bench {
       "g1" -> 2.8, "g10" -> 1.4, "g11" -> 1.8, "g12" -> 1.7, "g2" -> 1.0,
       "g3" -> 2.49, "g4" -> 0.8, "g5" -> 1.3, "g6" -> 2.2, "g7" -> 1.87,
       "g8" -> 1.9, "g9" -> 1.4, "j1" -> 0.09, "m1" -> 0, "m2" -> 0.3,
-      "m13" -> 0.54, "m14" -> 0.5, "m15" -> 0.41, "m16" -> 1.19,
+      "m13" -> 0.54, "m14" -> 0.5, "m15" -> 0.41, "m16" -> 1.19, "m17" -> 1.77,
       "m3" -> 0.3, "m4" -> 0.3, "m5" -> 0.3, "m6" -> 0, "m7" -> 0.28,
       "m8" -> 0.39, "m9" -> 0, "p1" -> 0, "p10" -> 0.3, "p11" -> 0.3,
       "p12" -> 2, "p13" -> 0.5, "p14" -> 0, "p15" -> 0.4, "p16" -> 0.5,

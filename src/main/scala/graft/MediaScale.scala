@@ -33,7 +33,7 @@ import graft.operators.{Dedup, Multimodal}
 object MediaScaleGen {
 
   /** splitmix64 finalizer — deterministic per-(content, block) gray. */
-  private def mix(z0: Long): Long = {
+  private[graft] def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -88,6 +88,60 @@ object MediaScaleGen {
       .flatMap { c =>
         Seq((2 * c, MediaScaleGen.renderContent(c, "png", px)),
           (2 * c + 1, MediaScaleGen.renderContent(c, "bmp", px)))
+      }
+      .toDF("media_id", "bytes")
+      .write.mode("overwrite").parquet(s"$outDir/media.parquet")
+    spark.stop()
+  }
+}
+
+/** Audio-corpus scale-rehearsal generator — [[MediaScaleGen]]'s twin
+  * for the m16 energy-gradient octaves. Per CONTENT c: a 1,040-frame
+  * (65 blocks × 16) PCM16-mono pseudo-noise clip (splitmix-derived
+  * samples → i.i.d.-uniform gradient signs, the LSH best case — see
+  * MediaScaleGen's lower-bound argument), rendered TWICE: full volume
+  * (media_id 2c) and half volume (2c + 1) — the planted truth is
+  * exactly one Hamming-0 pair per content.
+  *
+  * Usage: `runMain graft.AudioScaleGen <outDir> <nContents>` →
+  * `<outDir>/media.parquet` (media_id BIGINT, bytes BINARY). */
+object AudioScaleGen {
+
+  private[graft] def renderClip(c: Long, amp: Int): Array[Byte] = {
+    val n = 65 * 16
+    val dataSize = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(16000).putInt(32000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var j = 0
+    while (j < n) {
+      val z = MediaScaleGen.mix(c * 99991L + j)
+      bb.putShort((((z & Long.MaxValue) % 2001L - 1000L) * amp).toShort)
+      j += 1
+    }
+    bb.array()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val nContents = args(1).toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    spark.range(0, nContents, 1, cpus.toInt)
+      .flatMap { c =>
+        Seq((2 * c, AudioScaleGen.renderClip(c, 16)),
+          (2 * c + 1, AudioScaleGen.renderClip(c, 8)))
       }
       .toDF("media_id", "bytes")
       .write.mode("overwrite").parquet(s"$outDir/media.parquet")
@@ -162,6 +216,41 @@ object MediaScaleBench {
           hs.withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bk"))
         emit("wall_sec" -> f"$wall%.2f", "pairs" -> pairs,
           "cand_slots" -> slots, "max_occ" -> maxocc, "buckets" -> buckets)
+      case "audio" =>
+        val t0 = System.nanoTime()
+        val pairs = Multimodal.audioNearDupPairs(media, maxHamming = 3).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val hs = Multimodal.audioPerceptualHashes(media)
+          .where(col("b0").isNotNull)
+          .select(col("media_id"), posexplode(array(
+            col("b0"), col("b1"), col("b2"), col("b3"))))
+        val (slots, maxocc, buckets) = bandAccount(
+          hs.withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bk"))
+        emit("wall_sec" -> f"$wall%.2f", "pairs" -> pairs,
+          "cand_slots" -> slots, "max_occ" -> maxocc, "buckets" -> buckets)
+      case "audiodeep" =>
+        val t0 = System.nanoTime()
+        val pairs = Multimodal.audioNearDupPairsDeep(media, maxHamming = 7).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val hs = Multimodal.audioPerceptualHashesDeep(media)
+          .where(col("b0").isNotNull)
+          .select(col("media_id"), posexplode(array(
+            (0 until 8).map(i => col(s"b$i")): _*)))
+        val (slots, maxocc, buckets) = bandAccount(
+          hs.withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bk"))
+        emit("wall_sec" -> f"$wall%.2f", "pairs" -> pairs,
+          "cand_slots" -> slots, "max_occ" -> maxocc, "buckets" -> buckets)
+      case "audiodecode" =>
+        val t0 = System.nanoTime()
+        val headers = Multimodal.decodeAudio(media)
+          .where(col("codec").isNotNull).count()
+        val tHeader = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val hashed = Multimodal.audioPerceptualHashes(media)
+          .where(col("b0").isNotNull).count()
+        val tSamples = (System.nanoTime() - t1) / 1e9
+        emit("header_sec" -> f"$tHeader%.2f", "samples_sec" -> f"$tSamples%.2f",
+          "decoded_headers" -> headers, "hashed_clips" -> hashed)
       case "decode" =>
         val t0 = System.nanoTime()
         val headers = Multimodal.decodeImages(media)

@@ -2938,6 +2938,17 @@ object SparkEntry {
       val df = audioPhashFixtureRows(s, dir).toDF("media_id", "bytes")
       Multimodal.audioNearDupPairs(par(df), maxHamming = 3)
     }),
+    // The 256-bit WEB-SCALE variant of m16 (the m11 relationship):
+    // 257 time blocks → 8×32-bit bands (2³² key space — flat occupancy
+    // at any realistic corpus; the 16-bit bands saturate past ~1M
+    // clips, measured in SCALE.md), Hamming-≤7-of-256 pigeonhole
+    // recall, exact popcount verify. Same volume-invariant fixture
+    // family at 257-multiple frame counts.
+    "m17_audio_neardup_deep" -> ((s, dir) => {
+      import s.implicits._
+      val df = audioPhashDeepFixtureRows(s, dir).toDF("media_id", "bytes")
+      Multimodal.audioNearDupPairsDeep(par(df), maxHamming = 7)
+    }),
     // Recursive CTE (Spark 4 relational surface): shortest-hop
     // reachability from nation 0 over the g5 trade backbone — ≤3-hop
     // paths enumerated by the recursion, min-hop aggregated after
@@ -3551,6 +3562,22 @@ object SparkEntry {
     } ++ Seq(
       (100000L, "not audio at all, scraper bytes".getBytes("UTF-8")),
       (100001L, Array[Byte](82, 73, 70, 70)))
+  }
+
+  /** m16's fixture at 257-multiple frame counts for the deep (256-bit)
+    * audio hash: n = 257·(4 + c%3) frames, full/half volume twins. */
+  private def audioPhashDeepFixtureRows(s: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val keys = tbl(s, dir, "nation").select(col("n_nationkey").cast("long"))
+      .orderBy("n_nationkey").collect().map(_.getLong(0)).toSeq
+    keys.flatMap { c =>
+      val n = 257 * (4 + (c % 3).toInt)
+      Seq(0, 1).map { side =>
+        val amp = 16 - 8 * side
+        val samples = Array.tabulate(n)(j =>
+          (((c * 37 + j.toLong * j * 13) % 2001 - 1000) * amp).toShort)
+        (2 * c + side, wavBytesPcm16(16000, samples))
+      }
+    } ++ Seq((100000L, "quarantine bytes".getBytes("UTF-8")))
   }
 
   /** Deterministic perceptual-hash fixture for m9: each CONTENT c is a
@@ -6160,6 +6187,48 @@ object SparkEntry {
           |    AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)
           |)
           |SELECT id_a, id_b, hamming FROM prs WHERE hamming <= 3""".stripMargin,
+      // m17: the m16 replay at 257 blocks / 8×32-bit bands.
+      "m17_audio_neardup_deep" ->
+        """WITH keys AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+          |), files AS (
+          |  SELECT 2*k + sd.s AS media_id, k, 16 - 8*sd.s AS amp,
+          |    CAST(4 + k % 3 AS BIGINT) AS f
+          |  FROM keys, (SELECT CAST(range AS BIGINT) AS s FROM range(2)) sd
+          |), energies AS (
+          |  SELECT fl.media_id, j.j // fl.f AS blk,
+          |    sum(abs(((fl.k*37 + j.j*j.j*13) % 2001 - 1000) * fl.amp)) AS e
+          |  FROM files fl, (SELECT CAST(range AS BIGINT) AS j FROM range(1542)) j
+          |  WHERE j.j < 257*fl.f
+          |  GROUP BY 1, 2
+          |), bits AS (
+          |  SELECT l.media_id, l.blk AS r,
+          |    CASE WHEN rt.e > l.e THEN 1 ELSE 0 END AS bit
+          |  FROM energies l JOIN energies rt
+          |    ON l.media_id = rt.media_id AND rt.blk = l.blk + 1
+          |  WHERE l.blk < 256
+          |), hashes AS MATERIALIZED (
+          |  SELECT media_id,
+          |    CAST(sum(CASE WHEN r // 32 = 0 THEN bit * (CAST(1 AS BIGINT) << CAST(r % 32 AS INT)) ELSE 0 END) AS BIGINT) AS b0,
+          |    CAST(sum(CASE WHEN r // 32 = 1 THEN bit * (CAST(1 AS BIGINT) << CAST(r % 32 AS INT)) ELSE 0 END) AS BIGINT) AS b1,
+          |    CAST(sum(CASE WHEN r // 32 = 2 THEN bit * (CAST(1 AS BIGINT) << CAST(r % 32 AS INT)) ELSE 0 END) AS BIGINT) AS b2,
+          |    CAST(sum(CASE WHEN r // 32 = 3 THEN bit * (CAST(1 AS BIGINT) << CAST(r % 32 AS INT)) ELSE 0 END) AS BIGINT) AS b3,
+          |    CAST(sum(CASE WHEN r // 32 = 4 THEN bit * (CAST(1 AS BIGINT) << CAST(r % 32 AS INT)) ELSE 0 END) AS BIGINT) AS b4,
+          |    CAST(sum(CASE WHEN r // 32 = 5 THEN bit * (CAST(1 AS BIGINT) << CAST(r % 32 AS INT)) ELSE 0 END) AS BIGINT) AS b5,
+          |    CAST(sum(CASE WHEN r // 32 = 6 THEN bit * (CAST(1 AS BIGINT) << CAST(r % 32 AS INT)) ELSE 0 END) AS BIGINT) AS b6,
+          |    CAST(sum(CASE WHEN r // 32 = 7 THEN bit * (CAST(1 AS BIGINT) << CAST(r % 32 AS INT)) ELSE 0 END) AS BIGINT) AS b7
+          |  FROM bits GROUP BY 1
+          |), prs AS (
+          |  SELECT a.media_id AS id_a, c.media_id AS id_b,
+          |    CAST(bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1)) +
+          |      bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) +
+          |      bit_count(xor(a.b4, c.b4)) + bit_count(xor(a.b5, c.b5)) +
+          |      bit_count(xor(a.b6, c.b6)) + bit_count(xor(a.b7, c.b7)) AS BIGINT) AS hamming
+          |  FROM hashes a JOIN hashes c ON a.media_id < c.media_id
+          |    AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3 OR
+          |         a.b4 = c.b4 OR a.b5 = c.b5 OR a.b6 = c.b6 OR a.b7 = c.b7)
+          |)
+          |SELECT id_a, id_b, hamming FROM prs WHERE hamming <= 7""".stripMargin,
       // m13: every decoded field — codec, rate, channels, bits, exact
       // frame count, floor-division duration, container byte length —
       // recomputed from the WAV fixture's generating formulas; the

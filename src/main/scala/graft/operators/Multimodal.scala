@@ -439,6 +439,78 @@ object Multimodal {
       (0 until 4).map(i => s"b$i"), maxHamming, bandCap, capStats)
   }
 
+  /** The 256-bit WEB-SCALE variant of [[audioPerceptualHashes]] — the
+    * audio twin of [[perceptualHashesDeep]]: 257 time blocks → 256
+    * energy-gradient sign bits packed as EIGHT 32-bit band keys (2³²
+    * key space per band → flat occupancy at any realistic corpus; the
+    * measured 4×16-bit bands saturate like m9's past ~10⁶ clips —
+    * SCALE.md round 13). Same volume-invariance contract, same
+    * quarantine classes (plus clips shorter than 257 frames — at
+    * 16 kHz that is 16 ms, below any trainable clip). */
+  def audioPerceptualHashesDeep(
+      media: DataFrame, idCol: String = "media_id",
+      binCol: String = "bytes"): DataFrame = {
+    val blocks = 257
+    val in = media.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    in.mapPartitions { it =>
+      it.map { case (id, rawBytes) =>
+        val b = if (rawBytes == null) Array.emptyByteArray else rawBytes
+        val hashed = parseWav(b) match {
+          case Some(w) if w.fmtTag == 1 && w.channels == 1 && w.bits == 16 &&
+              w.dataSize / w.blockAlign >= blocks =>
+            val n = (w.dataSize / 2L).toInt
+            val e = new Array[Long](blocks)
+            val cnt = new Array[Long](blocks)
+            var j = 0
+            while (j < n) {
+              val s = ((b(w.dataOff + 2 * j) & 0xff) |
+                (b(w.dataOff + 2 * j + 1) << 8)).toShort.toInt
+              val blk = ((j.toLong * blocks) / n).toInt
+              e(blk) += math.abs(s); cnt(blk) += 1
+              j += 1
+            }
+            def gt(x: Long, y: Long, p: Long, q: Long): Boolean =
+              if ((y == 0 || x <= Long.MaxValue / y) &&
+                  (q == 0 || p <= Long.MaxValue / q)) x * y > p * q
+              else BigInt(x) * BigInt(y) > BigInt(p) * BigInt(q)
+            def band(i: Int): Long = {
+              var v = 0L
+              var r = 32 * i
+              while (r < 32 * i + 32) {
+                if (gt(e(r + 1), cnt(r), e(r), cnt(r + 1))) v |= 1L << (r % 32)
+                r += 1
+              }
+              v
+            }
+            Some(PerceptualHashDeep(id, Some(band(0)), Some(band(1)),
+              Some(band(2)), Some(band(3)), Some(band(4)), Some(band(5)),
+              Some(band(6)), Some(band(7))))
+          case _ => None
+        }
+        hashed.getOrElse(PerceptualHashDeep(id, None, None, None, None,
+          None, None, None, None))
+      }
+    }(Encoders.product[PerceptualHashDeep]).toDF()
+  }
+
+  /** Hamming-banded pairs over [[audioPerceptualHashesDeep]] — the
+    * web-scale audio route (pigeonhole-exact recall for Hamming ≤ 7
+    * over 8 bands, the m11 discipline). */
+  def audioNearDupPairsDeep(
+      media: DataFrame, idCol: String = "media_id",
+      binCol: String = "bytes", maxHamming: Int = 7,
+      bandCap: Int = 100000,
+      capStats: Option[Dedup.CapStats] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"banded recall is exact only for maxHamming in [0, 7], got $maxHamming")
+    bandedHammingPairs(
+      audioPerceptualHashesDeep(media, idCol, binCol)
+        .where(col("b0").isNotNull),
+      (0 until 8).map(i => s"b$i"), maxHamming, bandCap, capStats)
+  }
+
   /** Per-partition imperative feature extraction over the binary payload
     * (first `dim` bytes scaled to [0,1)). Runs as one JVM loop per
     * partition — the pattern a real decoder/featurizer plugs into. */

@@ -148,6 +148,17 @@ class Round13OpsSpec extends AnyFunSuite {
     val pairs = graft.operators.Multimodal.audioNearDupPairs(rows)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.toSeq === Seq((1L, 2L, 0L)))
+    // the deep (256-bit) variant: same invariance and verdicts on the
+    // same clips (n = 585 ≥ 257 frames), same quarantine classes
+    val hd = graft.operators.Multimodal.audioPerceptualHashesDeep(rows)
+      .collect().map(r => r.getLong(0) ->
+        (0 until 8).map(i => Option(r.get(i + 1)))).toMap
+    assert(hd(1L) === hd(2L) && hd(1L).forall(_.nonEmpty))
+    assert(hd(1L) !== hd(3L))
+    Seq(4L, 5L, 6L).foreach(id => assert(hd(id).forall(_.isEmpty)))
+    val dPairs = graft.operators.Multimodal.audioNearDupPairsDeep(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dPairs.toSeq === Seq((1L, 2L, 0L)))
   }
 
   test("loadPslRules: published file format parses to the expression contract") {
