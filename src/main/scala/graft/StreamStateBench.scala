@@ -26,9 +26,12 @@ object StreamStateBench {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     // deterministic corpus + stream: word salads with some shared
-    // vocabulary so band buckets get real (multi-member) occupancy
+    // vocabulary so band buckets get real (multi-member) occupancy.
+    // 50021 is prime (and coprime to 37), so two ids collide only when
+    // they differ by 50021 — beyond the id range: the only duplicates
+    // are the planted copies
     def doc(i: Long): String =
-      (0 until 60).map(w => s"w${(i * 37 + w * w) % 5000}_${w % 13}")
+      (0 until 60).map(w => s"w${(i * 37 + w * w) % 50021}_${w % 13}")
         .mkString(" ")
     val corpus = (0L until 500L).map(i => (i, doc(i)))
       .toDF("doc_id", "text").localCheckpoint()
