@@ -2938,6 +2938,24 @@ object SparkEntry {
       val df = audioPhashFixtureRows(s, dir).toDF("media_id", "bytes")
       Multimodal.audioNearDupPairs(par(df), maxHamming = 3)
     }),
+    // REAL video container decode (round 13 — completing the
+    // image/audio/video trio): MP4/ISO-BMFF box walk in pure-JDK byte
+    // arithmetic, header-only (never touches mdat), both mvhd layouts
+    // (v0 u32 / v1 u64), quarantining scraper bytes and truncated
+    // boxes. Oracle recomputes brand/timescale/floor-division
+    // duration/track count/container byte length from the generating
+    // formulas. See Multimodal.decodeVideo.
+    "m18_video_decode" -> ((s, dir) => {
+      import s.implicits._
+      val df = videoFixtureRows(s, dir).toDF("media_id", "bytes")
+      Multimodal.decodeVideo(par(df))
+        .select(col("media_id"),
+          coalesce(col("brand"), lit("(undecodable)")).as("brand"),
+          coalesce(col("timescale"), lit(-1L)).as("timescale"),
+          coalesce(col("duration_ms"), lit(-1L)).as("duration_ms"),
+          coalesce(col("n_tracks"), lit(-1)).as("n_tracks"),
+          col("n_bytes"))
+    }),
     // The 256-bit WEB-SCALE variant of m16 (the m11 relationship):
     // 257 time blocks → 8×32-bit bands (2³² key space — flat occupancy
     // at any realistic corpus; the 16-bit bands saturate past ~1M
@@ -3578,6 +3596,61 @@ object SparkEntry {
         (2 * c + side, wavBytesPcm16(16000, samples))
       }
     } ++ Seq((100000L, "quarantine bytes".getBytes("UTF-8")))
+  }
+
+  /** Render one minimal-but-canonical MP4/ISO-BMFF container: ftyp +
+    * moov(mvhd + traks) + mdat + an odd-sized free box (boxes are NOT
+    * word-aligned — the walk must not assume RIFF padding). Big-endian
+    * throughout; mvhd at the spec's v0 (100 B) / v1 (112 B) payload
+    * sizes. */
+  private def mp4Bytes(timescale: Long, duration: Long, tracks: Int,
+      v1: Boolean, mdatLen: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftypP = java.nio.ByteBuffer.allocate(12)
+      .put("isom".getBytes("US-ASCII")).putInt(512)
+      .put("mp41".getBytes("US-ASCII")).array()
+    val mvhdP =
+      if (v1) {
+        val bb = java.nio.ByteBuffer.allocate(112)
+        bb.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1, flags
+          .putLong(3L).putLong(4L)                 // ctime/mtime u64
+          .putInt(timescale.toInt).putLong(duration)
+        bb.array()                                  // zero-padded tail
+      } else {
+        val bb = java.nio.ByteBuffer.allocate(100)
+        bb.put(0.toByte).put(Array[Byte](0, 0, 0))
+          .putInt(3).putInt(4)                      // ctime/mtime u32
+          .putInt(timescale.toInt).putInt(duration.toInt)
+        bb.array()
+      }
+    val moovP = box("mvhd", mvhdP) ++
+      (0 until tracks).flatMap(_ => box("trak", new Array[Byte](8))).toArray
+    box("ftyp", ftypP) ++ box("moov", moovP) ++
+      box("mdat", Array.tabulate(mdatLen)(i => (i * 7).toByte)) ++
+      box("free", Array[Byte](1, 2, 3))
+  }
+
+  /** Deterministic video fixture for m18 (the m13 shape over MP4):
+    * nation keys k → timescale 600·(1+k%3), duration 601+977·k units,
+    * 1+k%3 tracks, mvhd v1 for odd k / v0 for even; k%7=6 rows are
+    * non-video scraper bytes and k%5=4 rows are TRUNCATED (first 10
+    * bytes) — both quarantine. */
+  private def videoFixtureRows(s: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val keys = tbl(s, dir, "nation").select(col("n_nationkey").cast("long"))
+      .orderBy("n_nationkey").collect().map(_.getLong(0)).toSeq
+    keys.map { k =>
+      val full = mp4Bytes(600 * (1 + k % 3), 601 + 977 * k,
+        1 + (k % 3).toInt, v1 = k % 2 == 1, mdatLen = 16 + k.toInt)
+      val bytes: Array[Byte] =
+        if (k % 7 == 6) s"not a video $k, scraper bytes".getBytes("UTF-8")
+        else if (k % 5 == 4) full.take(10)
+        else full
+      (k, bytes)
+    }
   }
 
   /** Deterministic perceptual-hash fixture for m9: each CONTENT c is a
@@ -6187,6 +6260,34 @@ object SparkEntry {
           |    AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)
           |)
           |SELECT id_a, id_b, hamming FROM prs WHERE hamming <= 3""".stripMargin,
+      // m18: every decoded field — brand, timescale, floor-division
+      // duration, track count, and the exact container byte length
+      // (box-size arithmetic: ftyp 20 + moov(8 + mvhd(108|120) +
+      // 16·tracks) + mdat(24+k) + free 11) — recomputed from the MP4
+      // fixture's generating formulas.
+      "m18_video_decode" ->
+        """WITH a AS (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+          |    (n_nationkey % 7 = 6 OR n_nationkey % 5 = 4) AS bad,
+          |    n_nationkey % 7 = 6 AS garbage,
+          |    CAST(600 * (1 + n_nationkey % 3) AS BIGINT) AS ts,
+          |    CAST(601 + 977 * n_nationkey AS BIGINT) AS dur,
+          |    1 + n_nationkey % 3 AS trk,
+          |    CASE WHEN n_nationkey % 2 = 1 THEN 120 ELSE 108 END AS mvhd_box
+          |  FROM nation
+          |)
+          |SELECT k AS media_id,
+          |  CASE WHEN bad THEN '(undecodable)' ELSE 'isom' END AS brand,
+          |  CAST(CASE WHEN bad THEN -1 ELSE ts END AS BIGINT) AS timescale,
+          |  CAST(CASE WHEN bad THEN -1
+          |       ELSE (dur * 1000) // ts END AS BIGINT) AS duration_ms,
+          |  CAST(CASE WHEN bad THEN -1 ELSE trk END AS INT) AS n_tracks,
+          |  CAST(CASE
+          |    WHEN garbage THEN LENGTH('not a video ' || CAST(k AS VARCHAR)
+          |      || ', scraper bytes')
+          |    WHEN bad THEN 10
+          |    ELSE 63 + mvhd_box + 16 * trk + k END AS BIGINT) AS n_bytes
+          |FROM a""".stripMargin,
       // m17: the m16 replay at 257 blocks / 8×32-bit bands.
       "m17_audio_neardup_deep" ->
         """WITH keys AS (

@@ -22,6 +22,14 @@ case class DecodedAudio(media_id: Long, codec: Option[String],
     bits_per_sample: Option[Int], n_frames: Option[Long],
     duration_ms: Option[Long], n_bytes: Long)
 
+/** One REAL-decoded video row: MP4/ISO-BMFF container metadata read
+  * from the actual payload's box structure, or all-NULL metadata for
+  * an undecodable / truncated payload. `duration_ms` is an exact floor
+  * division of mvhd duration units by the movie timescale. */
+case class DecodedVideo(media_id: Long, brand: Option[String],
+    timescale: Option[Long], duration_ms: Option[Long],
+    n_tracks: Option[Int], n_bytes: Long)
+
 /** One perceptual-hash row: the 64-bit dHash of a decoded raster as
   * FOUR 16-bit band keys (rows 0-1 → b0, … rows 6-7 → b3) — the
   * representation the Hamming-banded pair join consumes directly, and
@@ -43,17 +51,24 @@ case class PerceptualHashDeep(media_id: Long,
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * IMAGE decode is REAL: [[decodeImages]] reads PNG/JPEG/GIF/BMP headers
-  * through `javax.imageio` (ships with the JDK — zero added
-  * dependencies). The synthetic [[decodeImageMeta]] stays for payloads
-  * that are deterministic fakes by design (the benchmark corpus), and
-  * audio/video decode remains a clearly-marked STUB (no such codecs in
-  * the JDK): those metadata are parsed from the first header bytes and
-  * "frames"/"resize" are byte-range operations. Everything around the
-  * stubs is the real production shape — binary columns flow through
-  * parquet, metadata is a typed struct, frame sampling is an array of
-  * binary slices, and feature extraction runs imperatively per partition
-  * over a typed Dataset (the JVM analogue of batched Python UDFs: one
+  * CONTAINER decode is REAL for all three modalities, zero added
+  * dependencies: [[decodeImages]] reads PNG/JPEG/GIF/BMP headers
+  * through `javax.imageio`; [[decodeAudio]] walks WAV/RIFF chunks and
+  * [[decodeVideo]] walks MP4/ISO-BMFF boxes in pure JDK byte
+  * arithmetic — all header-only, all quarantining corrupt scrapes as
+  * NULL metadata. SAMPLE access is real where the JDK can decode it
+  * (full rasters for the perceptual image hashes; PCM16 samples for
+  * the audio energy hashes); compressed A/V codec decode (H.264, AAC,
+  * MP3, …) needs external libraries absent here — those payloads keep
+  * their container metadata and are bucketed for a second-pass
+  * decoder, exactly the production posture. The synthetic
+  * [[decodeImageMeta]] stays for payloads that are deterministic fakes
+  * by design (the benchmark corpus), and "frames"/"resize" over opaque
+  * payloads are byte-range operations. Everything around the decoders
+  * is the real production shape — binary columns flow through parquet,
+  * metadata is a typed struct, frame sampling is an array of binary
+  * slices, and feature extraction runs imperatively per partition over
+  * a typed Dataset (the JVM analogue of batched Python UDFs: one
   * deserialization per partition, vectorizable inner loop, explicit
   * output encoder).
   */
@@ -342,6 +357,103 @@ object Multimodal {
       .select(col("check_name"), col("n"), col("n_pass"),
         expr("CAST(CAST(n_pass AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)")
           .as("pass_ppm"))
+  }
+
+  /** REAL video container decode — MP4/ISO-BMFF box walking in pure
+    * JDK byte arithmetic, completing the image/audio/video trio
+    * ([[decodeImages]] / [[decodeAudio]] / this). Header-only, the
+    * same three disciplines:
+    *
+    *  - the top-level box walk reads `ftyp` (major brand) and recurses
+    *    ONE level into `moov` for `mvhd` (timescale + duration, both
+    *    version 0 u32 and version 1 u64 layouts) and the `trak` count
+    *    — it never touches `mdat`, so cost is O(box headers), not
+    *    O(payload);
+    *  - QUARANTINE, never a failed job: non-BMFF payloads, truncated
+    *    boxes, `size`=1 largesize overruns, zero/negative box sizes,
+    *    missing `mvhd`, and zero timescale all yield all-NULL rows;
+    *  - exact integers: `duration_ms` = duration·1000 / timescale
+    *    (floor), replayable by any SQL engine.
+    *
+    * Codec-level decode (H.264/H.265/AAC frames inside `mdat`) needs
+    * external libraries absent here — the container row is exactly
+    * what a curation pipeline needs to QA, dedup by metadata, budget,
+    * and route payloads to a second-pass decoder fleet.
+    *
+    * Output: `(media_id, brand, timescale, duration_ms, n_tracks,
+    * n_bytes)`. Scan-stage `mapPartitions` projection, no shuffle. */
+  def decodeVideo(
+      media: DataFrame, idCol: String = "media_id",
+      binCol: String = "bytes"): DataFrame = {
+    val in = media.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    in.mapPartitions { it =>
+      it.map { case (id, rawBytes) =>
+        val b = if (rawBytes == null) Array.emptyByteArray else rawBytes
+        def u8(i: Int): Long = (b(i) & 0xff).toLong
+        def u32(i: Int): Long =
+          (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+        def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+        def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+        val decoded: Option[DecodedVideo] =
+          try {
+            var brand: Option[String] = None
+            var mvhd: Option[(Long, Long)] = None // (timescale, duration)
+            var tracks = 0
+            var sawFtyp = false
+            var bad = false
+            // walk boxes in [from, to); moov recursion uses the same walk
+            def walk(from: Int, to: Int, depth: Int): Unit = {
+              var pos = from
+              while (!bad && pos + 8 <= to) {
+                val size0 = u32(pos)
+                val typ = tag(pos + 4)
+                // size 1 → 64-bit largesize; size 0 → box runs to EOF
+                val (hdr, size) =
+                  if (size0 == 1 && pos + 16 <= to) (16, u64(pos + 8))
+                  else if (size0 == 0) (8, (to - pos).toLong)
+                  else (8, size0)
+                if (size < hdr || pos + size > to) { bad = true }
+                else {
+                  typ match {
+                    case "ftyp" if depth == 0 && size >= hdr + 4 =>
+                      sawFtyp = true; brand = Some(tag(pos + hdr))
+                    case "moov" if depth == 0 =>
+                      walk(pos + hdr, (pos + size).toInt, 1)
+                    case "mvhd" if depth == 1 && size >= hdr + 4 =>
+                      val v = u8(pos + hdr)
+                      // v0: ctime/mtime u32 → timescale@+8, duration@+12
+                      // v1: ctime/mtime u64 → timescale@+16, duration@+20
+                      if (v == 0 && size >= hdr + 20)
+                        mvhd = Some((u32(pos + hdr + 12), u32(pos + hdr + 16)))
+                      else if (v == 1 && size >= hdr + 32)
+                        mvhd = Some((u32(pos + hdr + 20), u64(pos + hdr + 24)))
+                      else bad = true
+                    case "trak" if depth == 1 => tracks += 1
+                    case _ => // skipped box (mdat, free, udta, …)
+                  }
+                  pos += size.toInt
+                }
+              }
+            }
+            if (b.length < 12) None
+            else {
+              walk(0, b.length, 0)
+              mvhd match {
+                case Some((ts, dur))
+                    if !bad && sawFtyp && ts > 0 && dur >= 0 &&
+                      dur <= Long.MaxValue / 1000L =>
+                  Some(DecodedVideo(id, brand, Some(ts),
+                    Some(dur * 1000L / ts), Some(tracks), b.length.toLong))
+                case _ => None
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded.getOrElse(
+          DecodedVideo(id, None, None, None, None, b.length.toLong))
+      }
+    }(Encoders.product[DecodedVideo]).toDF()
   }
 
   /** Audio perceptual hash — the AUDIO twin of [[perceptualHashes]]'

@@ -161,6 +161,55 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(dPairs.toSeq === Seq((1L, 2L, 0L)))
   }
 
+  test("decodeVideo: ISO-BMFF box-walk edge cases quarantine, never throw") {
+    import spark.implicits._
+    def be(i: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(i).array()
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    def mvhdV0(ts: Int, dur: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.put(0.toByte).put(Array[Byte](0, 0, 0)).putInt(1).putInt(2)
+        .putInt(ts).putInt(dur)
+      box("mvhd", bb.array())
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be(0) ++ "mp42".getBytes("US-ASCII"))
+    val good = ftyp ++ box("moov", mvhdV0(1000, 7321) ++
+      box("trak", new Array[Byte](4)) ++ box("trak", new Array[Byte](4))) ++
+      box("mdat", Array[Byte](9, 9, 9))
+    // a largesize (size=1) mdat whose u64 length matches exactly
+    val largeMdat = be(1) ++ "mdat".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(8).putLong(16 + 4).array() ++
+      Array[Byte](1, 2, 3, 4)
+    val withLarge = ftyp ++ box("moov", mvhdV0(600, 1234)) ++ largeMdat
+    // moov AFTER mdat (streaming-unfriendly but legal) must still parse
+    val moovLast = ftyp ++ box("mdat", new Array[Byte](5)) ++
+      box("moov", mvhdV0(100, 250))
+    val rows = Seq(
+      (1L, good),
+      (2L, withLarge),
+      (3L, moovLast),
+      (4L, ftyp ++ box("moov", box("trak", new Array[Byte](4)))), // no mvhd
+      (5L, ftyp ++ box("moov", mvhdV0(0, 10))),      // zero timescale
+      (6L, good.take(30)),                            // truncated mid-box
+      (7L, be(1) ++ "mdat".getBytes("US-ASCII") ++
+        java.nio.ByteBuffer.allocate(8).putLong(1L << 40).array()), // largesize overrun
+      (8L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "bytes")
+    val got = graft.operators.Multimodal.decodeVideo(rows)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.toString), Option(r.get(2)),
+          Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got(1L) === (Some("isom"), Some(1000L), Some(7321L), Some(2)))
+    assert(got(2L) === (Some("isom"), Some(600L), Some(2056L), Some(0)),
+      "64-bit largesize box must be walked over")
+    assert(got(3L) === (Some("isom"), Some(100L), Some(2500L), Some(0)),
+      "moov after mdat must still parse")
+    Seq(4L, 5L, 6L, 7L, 8L).foreach(id =>
+      assert(got(id)._1.isEmpty, s"id $id must quarantine"))
+  }
+
   test("loadPslRules: published file format parses to the expression contract") {
     import spark.implicits._
     val fixture =
