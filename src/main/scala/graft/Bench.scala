@@ -72,6 +72,7 @@ object Bench {
       "g5" -> 4.6, "g6" -> 2.9, "g7" -> 4.0, "g8" -> 3.4, "g9" -> 2.2,
       "j1" -> 0.3, "m1" -> 0.6, "m10" -> 2.8, "m11" -> 2.1, "m12" -> 2.4,
       "m13" -> 0.5, "m14" -> 0.8, "m15" -> 1.0, "m16" -> 1.4, "m17" -> 1.3, "m18" -> 0.9,
+      "m19" -> 0.9, "m20" -> 0.6,
       "m2" -> 0.6, "m3" -> 0.7, "m4" -> 1.5, "m5" -> 0.8, "m6" -> 0.4,
       "m7" -> 0.6, "m8" -> 0.7, "m9" -> 1.2, "p1" -> 0.2, "p10" -> 1.1,
       "p11" -> 0.7, "p12" -> 4.4, "p13" -> 1.4, "p14" -> 0.4, "p15" -> 0.9,
@@ -144,6 +145,7 @@ object Bench {
       "g3" -> 2.49, "g4" -> 0.8, "g5" -> 1.3, "g6" -> 2.2, "g7" -> 1.87,
       "g8" -> 1.9, "g9" -> 1.4, "j1" -> 0.09, "m1" -> 0.0, "m2" -> 0.3,
       "m13" -> 0.47, "m14" -> 0.5, "m15" -> 0.41, "m16" -> 1.19, "m17" -> 1.29, "m18" -> 0.88,
+      "m19" -> 0.81, "m20" -> 0.54,
       "m3" -> 0.3, "m4" -> 0.3, "m5" -> 0.3, "m6" -> 0.0, "m7" -> 0.28,
       "m8" -> 0.39, "m9" -> 0.0, "p1" -> 0.0, "p10" -> 0.3, "p11" -> 0.3,
       "p12" -> 2.0, "p13" -> 0.5, "p14" -> 0.0, "p15" -> 0.4, "p16" -> 0.5,
@@ -204,7 +206,7 @@ object Bench {
     * exists to avoid. */
   private val PerQueryOverheadSec = 1.7
 
-  private def expectedSec(n: String): Double =
+  private[graft] def expectedSec(n: String): Double =
     lastRoundSec.getOrElse(n.split("_")(0),
       lastRoundSec.getOrElse(n, DefaultExpectedSec))
 

@@ -2956,6 +2956,30 @@ object SparkEntry {
           coalesce(col("n_tracks"), lit(-1)).as("n_tracks"),
           col("n_bytes"))
     }),
+    // Video QA gate (round 13 — m14's shape over decodeVideo's REAL
+    // container metadata): per-ingest-check pass rates in exact ppm —
+    // decodable container, ≥2 tracks (missing-stream detector),
+    // timescale ≥1000 units/s, ≥2 s of media. Quarantined rows fail
+    // every check (the NULL-fails-the-gate contract). Scan-stage
+    // decode + stack melt + one checks-sized aggregate.
+    "m19_video_qa" -> ((s, dir) => {
+      import s.implicits._
+      val df = videoFixtureRows(s, dir).toDF("media_id", "bytes")
+      Multimodal.videoQaReport(par(df))
+    }),
+    // Exact video content dedup (round 13 — m15's shape over MP4
+    // payloads): keeper = min media_id per byte-identical container.
+    // Each fixture content is stored twice (one content, two file
+    // rows); garbage contents are per-FILE distinct, so they group as
+    // singletons — byte-equality grouping proven both ways.
+    "m20_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val df = videoDedupFixtureRows(s, dir).toDF("media_id", "bytes")
+      par(df).groupBy(md5(col("bytes")))
+        .agg(min(col("media_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+    }),
     // The 256-bit WEB-SCALE variant of m16 (the m11 relationship):
     // 257 time blocks → 8×32-bit bands (2³² key space — flat occupancy
     // at any realistic corpus; the 16-bit bands saturate past ~1M
@@ -3650,6 +3674,27 @@ object SparkEntry {
         else if (k % 5 == 4) full.take(10)
         else full
       (k, bytes)
+    }
+  }
+
+  /** Deterministic video-dedup fixture for m20 (the m15 shape over
+    * MP4): each CONTENT c renders ONE container byte string stored
+    * under ids 2c and 2c+1 (exact copies — one content, two files);
+    * c%7=6 contents are per-FILE scraper garbage (the id is in the
+    * bytes), so those two rows stay singletons — byte-equality
+    * grouping proven both ways. */
+  private def videoDedupFixtureRows(s: SparkSession, dir: String): Seq[(Long, Array[Byte])] = {
+    val keys = tbl(s, dir, "nation").select(col("n_nationkey").cast("long"))
+      .orderBy("n_nationkey").collect().map(_.getLong(0)).toSeq
+    keys.flatMap { c =>
+      Seq(0L, 1L).map { side =>
+        val id = 2 * c + side
+        val bytes: Array[Byte] =
+          if (c % 7 == 6) s"scraper garbage $id".getBytes("UTF-8")
+          else mp4Bytes(600, 1201 + 31 * c, 1 + (c % 2).toInt,
+            v1 = c % 3 == 1, mdatLen = 8 + (c % 5).toInt)
+        (id, bytes)
+      }
     }
   }
 
@@ -6288,6 +6333,40 @@ object SparkEntry {
           |    WHEN bad THEN 10
           |    ELSE 63 + mvhd_box + 16 * trk + k END AS BIGINT) AS n_bytes
           |FROM a""".stripMargin,
+      // m19: the four video QA checks replayed from the m18 fixture
+      // formulas (a quarantined row fails every check).
+      "m19_video_qa" ->
+        """WITH a AS (
+          |  SELECT NOT (n_nationkey % 7 = 6 OR n_nationkey % 5 = 4) AS ok,
+          |    CAST(600 * (1 + n_nationkey % 3) AS BIGINT) AS ts,
+          |    CAST(601 + 977 * n_nationkey AS BIGINT) AS dur,
+          |    1 + n_nationkey % 3 AS trk
+          |  FROM nation
+          |), c AS (
+          |  SELECT 'decodable' AS check_name, ok AS passed FROM a
+          |  UNION ALL SELECT 'multi_track', ok AND trk >= 2 FROM a
+          |  UNION ALL SELECT 'timescale1k', ok AND ts >= 1000 FROM a
+          |  UNION ALL SELECT 'min_duration',
+          |    ok AND (dur * 1000) // ts >= 2000 FROM a
+          |)
+          |SELECT check_name, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(coalesce(sum(CASE WHEN passed THEN 1 END), 0) AS BIGINT) AS n_pass,
+          |  CAST(CAST(coalesce(sum(CASE WHEN passed THEN 1 END), 0) AS HUGEINT)
+          |    * 1000000 // count(*) AS BIGINT) AS pass_ppm
+          |FROM c GROUP BY 1""".stripMargin,
+      // m20: the duplicate structure is the fixture's own arithmetic —
+      // one content under two ids groups to (2c, 2), per-file garbage
+      // stays singleton.
+      "m20_video_dedup" ->
+        """SELECT CAST(2 * n_nationkey AS BIGINT) AS keep_id,
+          |  CAST(2 AS BIGINT) AS n_copies
+          |FROM nation WHERE n_nationkey % 7 <> 6
+          |UNION ALL
+          |SELECT CAST(2 * n_nationkey AS BIGINT), CAST(1 AS BIGINT)
+          |FROM nation WHERE n_nationkey % 7 = 6
+          |UNION ALL
+          |SELECT CAST(2 * n_nationkey + 1 AS BIGINT), CAST(1 AS BIGINT)
+          |FROM nation WHERE n_nationkey % 7 = 6""".stripMargin,
       // m17: the m16 replay at 257 blocks / 8×32-bit bands.
       "m17_audio_neardup_deep" ->
         """WITH keys AS (

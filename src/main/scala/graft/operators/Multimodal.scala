@@ -456,6 +456,33 @@ object Multimodal {
     }(Encoders.product[DecodedVideo]).toDF()
   }
 
+  /** Video QA-gate report — [[audioQaReport]]'s shape over
+    * [[decodeVideo]]'s REAL container metadata: per-ingest-check pass
+    * rates in exact ppm. Checks: decodable container (quarantined rows
+    * fail every gate — the NULL-fails contract), ≥ 2 tracks (a
+    * single-track file is missing its audio or video stream),
+    * timescale ≥ 1000 units/s (sub-kHz timescales mark legacy or
+    * audio-only containers a video pipeline routes elsewhere), and
+    * ≥ 2 s of media (a shorter clip is a scrape artifact or a preview
+    * stub). Scan-stage decode + stack melt + one checks-sized
+    * aggregate — the m5/m14 plan shape, no data-sized shuffle. */
+  def videoQaReport(media: DataFrame, idCol: String = "media_id",
+      binCol: String = "bytes"): DataFrame = {
+    val melted = decodeVideo(media, idCol, binCol).select(expr(
+      """stack(4,
+        |  'decodable', brand IS NOT NULL,
+        |  'multi_track', n_tracks >= 2,
+        |  'timescale1k', timescale >= 1000,
+        |  'min_duration', duration_ms >= 2000
+        |) AS (check_name, passed)""".stripMargin))
+    melted.groupBy(col("check_name"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("passed"), 1L)), lit(0L)).as("n_pass"))
+      .select(col("check_name"), col("n"), col("n_pass"),
+        expr("CAST(CAST(n_pass AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)")
+          .as("pass_ppm"))
+  }
+
   /** Audio perceptual hash — the AUDIO twin of [[perceptualHashes]]'
     * dHash, over REAL decoded PCM samples (16-bit mono PCM is pure JDK
     * byte arithmetic; no codec library needed): byte-exact content

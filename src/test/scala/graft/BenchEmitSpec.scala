@@ -130,17 +130,20 @@ class BenchEmitSpec extends AnyFunSuite {
   // ── host-aware suspicion (the BENCH_r09 nsus:88 lesson) ─────────────
 
   test("suspicion scales by the host factor: uniform slowdown is not debris") {
-    // anchored on q5's lastRoundSec entry (0.3 s — re-check after each
-    // wholesale refresh): healthy threshold max(1, 1.8*0.3) = 1 s
-    assert(!Bench.suspicious("q5_agg", 0.9, 1.0))
-    assert(Bench.suspicious("q5_agg", 1.1, 1.0))
-    // on a 2.15x-degraded host the same observation scaled by the
-    // published slow factor is the HOST, not debris — no suspect flag
-    assert(!Bench.suspicious("q5_agg", 1.1, 2.15))
+    // derived from the live map (refresh-proof — the round-12 anchor on
+    // a literal 0.3 s entry broke at the next wholesale refresh): the
+    // contract is threshold = max(1, 1.8 * expected * max(1, slow))
+    def thr(slow: Double) =
+      math.max(1.0, 1.8 * Bench.expectedSec("q5_agg") * math.max(1.0, slow))
+    assert(!Bench.suspicious("q5_agg", thr(1.0) * 0.9, 1.0))
+    assert(Bench.suspicious("q5_agg", thr(1.0) * 1.1, 1.0))
+    // on a 2.15x-degraded host an observation inside the host-scaled
+    // threshold is the HOST, not debris — no suspect flag
+    assert(!Bench.suspicious("q5_agg", thr(2.15) * 0.9, 2.15))
     // genuine debris (beyond the host factor) still flags
-    assert(Bench.suspicious("q5_agg", 1.5 * 2.15, 2.15))
+    assert(Bench.suspicious("q5_agg", thr(2.15) * 1.4, 2.15))
     // fast hosts never LOOSEN the threshold (max(1, slow))
-    assert(Bench.suspicious("q5_agg", 1.1, 0.5))
+    assert(Bench.suspicious("q5_agg", thr(1.0) * 1.1, 0.5))
   }
 
   test("prior-round isolated floors resolve by unique prefix") {

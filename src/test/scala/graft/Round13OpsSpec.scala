@@ -208,6 +208,37 @@ class Round13OpsSpec extends AnyFunSuite {
       "moov after mdat must still parse")
     Seq(4L, 5L, 6L, 7L, 8L).foreach(id =>
       assert(got(id)._1.isEmpty, s"id $id must quarantine"))
+
+    // m19 shape: the QA gate over the same rows — every check fires
+    // both ways, and every quarantined row fails every check
+    val qa = graft.operators.Multimodal.videoQaReport(rows)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(qa.keySet === Set("decodable", "multi_track", "timescale1k",
+      "min_duration"))
+    assert(qa("decodable") === (8L, 3L))    // ids 1-3 decode, 4-8 quarantine
+    assert(qa("multi_track") === (8L, 1L))  // only `good` has 2 traks
+    assert(qa("timescale1k") === (8L, 1L))  // 1000 vs 600/100
+    assert(qa("min_duration") === (8L, 3L)) // 7321/2056/2500 ms all >= 2000
+  }
+
+  test("video exact dedup: byte-identity grouping both ways (m20 shape)") {
+    import spark.implicits._
+    // one content under two ids groups to (min id, 2); per-file
+    // garbage and a one-byte-different container stay singletons
+    val a = Array[Byte](1, 2, 3, 4, 5)
+    val b = Array[Byte](1, 2, 3, 4, 6)
+    val rows = Seq((10L, a), (11L, a.clone()), (12L, b),
+      (13L, "garbage 13".getBytes("UTF-8")),
+      (14L, "garbage 14".getBytes("UTF-8"))).toDF("media_id", "bytes")
+    val got = rows.groupBy(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("bytes")))
+      .agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.col("media_id")).as("keep_id"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 2L), (12L, 1L), (13L, 1L), (14L, 1L)))
   }
 
   test("loadPslRules: published file format parses to the expression contract") {
