@@ -99,7 +99,7 @@ object Bench {
       "t30" -> 0.3, "t31" -> 1.6, "t33" -> 1.3, "t34" -> 2.0, "t35" -> 4.0,
       "t36" -> 1.6, "t37" -> 0.3, "t38" -> 1.5, "t39" -> 0.3, "t4" -> 0.2,
       "t40" -> 1.7, "t41" -> 1.3, "t42" -> 1.9, "t43" -> 1.1, "t44" -> 0.2,
-      "t45" -> 0.3, "t46" -> 0.5, "t5" -> 0.7, "t6" -> 0.9, "t7" -> 0.2,
+      "t45" -> 0.3, "t46" -> 0.5, "t47" -> 0.5, "t5" -> 0.7, "t6" -> 0.9, "t7" -> 0.2,
       "t8" -> 0.7, "t9" -> 3.4, "u1" -> 0.5, "u10" -> 0.8, "u11" -> 1.1,
       "u12" -> 0.8, "u13" -> 1.0, "u14" -> 0.2, "u15" -> 1.3, "u16" -> 1.0,
       "u17" -> 0.9, "u18" -> 0.6, "u19" -> 0.8, "u2" -> 0.5, "u20" -> 1.0,
@@ -184,7 +184,7 @@ object Bench {
       "u47" -> 0.0, "u49" -> 0.7, "u5" -> 0.3, "u50" -> 0.36, "u6" -> 0.3,
       "u7" -> 2.57, "u8" -> 0.3, "u9" -> 0.4, "t43" -> 0.59, "w1" -> 0.5,
       "w2" -> 0.5, "w3" -> 0.9, "d31" -> 2.0, "d32" -> 3.79, "m10" -> 0.3,
-      "d33" -> 0.8, "t44" -> 0.2, "t45" -> 0.21, "t46" -> 0.47, "d34" -> 1.4,
+      "d33" -> 0.8, "t44" -> 0.2, "t45" -> 0.21, "t46" -> 0.47, "t47" -> 0.48, "d34" -> 1.4,
       "d35" -> 0.7, "d36" -> 0.9, "d37" -> 0.62, "m11" -> 0.7, "m12" -> 1.4,
       "w4" -> 0.21, "w5" -> 0.86, "d38" -> 1.28)
 

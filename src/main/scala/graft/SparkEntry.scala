@@ -1983,6 +1983,33 @@ object SparkEntry {
     // code-point literal arrays (Spark's chr() is ASCII-mod-256, NOT a
     // code-point function), DuckDB from its real chr(); both land on
     // identical strings. All counts scan-stage regexp_count.
+    // FUSED gate profile (round 13 — the whole curation gate's metric
+    // surface from ONE GateMetrics scan instead of ~16 regex and
+    // tokenization passes: quality score, language id, token count,
+    // all seven Gopher rule flags, the five script counts, and the
+    // mixed-script flag, per document; the rehearsal's gate stage
+    // measured 8.9x faster at 100x docs on it, output pinned
+    // bit-identical to the composable forms in GateFusedSpec). The
+    // oracle replays every formula (the t2/t3/t8/t46 replays joined
+    // into one pass over documents).
+    "t47_gate_profile" -> ((s, dir) => {
+      import graft.functions.Text
+      val g = Text.withGateProfile(
+        par(tbl(s, dir, "documents")).select(col("doc_id"), col("text")),
+        col("text"))
+      g.select(col("doc_id"), col("quality"), col("lang_pred"),
+        col("n_tokens"), col("n_latin"), col("n_cyrillic"), col("n_greek"),
+        col("n_han"), col("n_arabic"),
+        col("ok_word_count").cast("int").as("ok_word_count"),
+        col("ok_word_len").cast("int").as("ok_word_len"),
+        col("ok_symbols").cast("int").as("ok_symbols"),
+        col("ok_bullets").cast("int").as("ok_bullets"),
+        col("ok_ellipsis").cast("int").as("ok_ellipsis"),
+        col("ok_alpha_words").cast("int").as("ok_alpha_words"),
+        col("ok_required_words").cast("int").as("ok_required_words"),
+        col("passes_quality").cast("int").as("passes_quality"),
+        col("script_mixed").cast("int").as("script_mixed"))
+    }),
     "t46_script_mix" -> ((s, dir) => {
       import graft.functions.Text
       val cyr = typedLit((0 until 32).map(i => new String(Character.toChars(0x430 + i))))
@@ -7227,6 +7254,73 @@ object SparkEntry {
       // chr() (Spark built the identical strings from code-point
       // literal arrays), counts via regexp_extract_all over the SAME
       // hex ranges in RE2 spelling, the same integer mixed rule.
+      // t47: every gate metric replayed from the same formulas the
+      // t2/t3/t8/t46 oracles already pin, in one pass.
+      "t47_gate_profile" ->
+        """WITH t AS (
+          |  SELECT doc_id, text,
+          |    regexp_extract_all(text, '[a-zA-Z0-9'']+') AS toks,
+          |    regexp_extract_all(lower(text), '[a-zA-Z0-9'']+') AS ltoks,
+          |    string_split(text, chr(10)) AS ls
+          |  FROM documents
+          |), m AS (
+          |  SELECT doc_id, len(toks) AS n_tok,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |         ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+          |    CASE WHEN len(toks) = 0 THEN 0.0
+          |         ELSE CAST(len(list_filter(ltoks, x -> x IN ('the','a','of','to','and','in','is','that','it','for'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+          |    CASE WHEN len(toks) = 0 THEN 0.0
+          |         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS awl,
+          |    len(list_filter(ltoks, x -> x IN ('the','a','of','to','and','in','is','that','it','for'))) AS s_en,
+          |    len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS s_de,
+          |    len(list_filter(ltoks, x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS s_fr,
+          |    len(list_filter(ltoks, x -> x IN ('el','los','las','y','es','un','una','que','de','por'))) AS s_es,
+          |    CASE WHEN len(toks) = 0 THEN 0.0
+          |         ELSE CAST((length(text) - length(replace(text, '#', ''))) +
+          |                    (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS sym_ratio,
+          |    CASE WHEN len(ls) = 0 THEN 0.0
+          |         ELSE CAST(len(list_filter(ls, x -> starts_with(ltrim(x), '- ') OR starts_with(ltrim(x), '* '))) AS DOUBLE) / CAST(len(ls) AS DOUBLE) END AS bullet_frac,
+          |    CASE WHEN len(ls) = 0 THEN 0.0
+          |         ELSE CAST(len(list_filter(ls, x -> ends_with(rtrim(x), '...'))) AS DOUBLE) / CAST(len(ls) AS DOUBLE) END AS ell_frac,
+          |    CASE WHEN len(toks) = 0 THEN 0.0
+          |         ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS alpha_frac,
+          |    len(list_intersect(list_distinct(ltoks),
+          |        ['the','be','to','of','and','that','have','with'])) AS req_hits,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+          |    CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+          |    CAST(len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) AS BIGINT) AS n_greek,
+          |    CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS n_han,
+          |    CAST(len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS BIGINT) AS n_arabic
+          |  FROM t
+          |)
+          |SELECT doc_id,
+          |  round(least(1.0, CAST(n_tok AS DOUBLE) / 200.0) * 0.25 + alpha_ratio * 0.25 +
+          |        (1.0 - stop_ratio) * 0.2 + least(1.0, awl / 8.0) * 0.3, 6) AS quality,
+          |  CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+          |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+          |       WHEN s_fr >= s_es THEN 'fr'
+          |       ELSE 'es' END AS lang_pred,
+          |  CAST(n_tok AS BIGINT) AS n_tokens,
+          |  n_latin, n_cyrillic, n_greek, n_han, n_arabic,
+          |  CASE WHEN n_tok >= 50 AND n_tok <= 100000 THEN 1 ELSE 0 END AS ok_word_count,
+          |  CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1 ELSE 0 END AS ok_word_len,
+          |  CASE WHEN sym_ratio <= 0.1 THEN 1 ELSE 0 END AS ok_symbols,
+          |  CASE WHEN bullet_frac <= 0.9 THEN 1 ELSE 0 END AS ok_bullets,
+          |  CASE WHEN ell_frac <= 0.3 THEN 1 ELSE 0 END AS ok_ellipsis,
+          |  CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS ok_alpha_words,
+          |  CASE WHEN req_hits >= 2 THEN 1 ELSE 0 END AS ok_required_words,
+          |  CASE WHEN n_tok >= 50 AND n_tok <= 100000 AND awl >= 3.0 AND awl <= 10.0
+          |            AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ell_frac <= 0.3
+          |            AND alpha_frac >= 0.8 AND req_hits >= 2 THEN 1 ELSE 0 END AS passes_quality,
+          |  CASE WHEN
+          |   (CASE WHEN n_latin > 0 AND n_latin * 10 >= n_latin + n_cyrillic + n_greek + n_han + n_arabic THEN 1 ELSE 0 END +
+          |    CASE WHEN n_cyrillic > 0 AND n_cyrillic * 10 >= n_latin + n_cyrillic + n_greek + n_han + n_arabic THEN 1 ELSE 0 END +
+          |    CASE WHEN n_greek > 0 AND n_greek * 10 >= n_latin + n_cyrillic + n_greek + n_han + n_arabic THEN 1 ELSE 0 END +
+          |    CASE WHEN n_han > 0 AND n_han * 10 >= n_latin + n_cyrillic + n_greek + n_han + n_arabic THEN 1 ELSE 0 END +
+          |    CASE WHEN n_arabic > 0 AND n_arabic * 10 >= n_latin + n_cyrillic + n_greek + n_han + n_arabic THEN 1 ELSE 0 END) >= 2
+          |   THEN 1 ELSE 0 END AS script_mixed
+          |FROM m""".stripMargin,
       "t46_script_mix" ->
         """WITH inj AS (
           |  SELECT doc_id, text ||

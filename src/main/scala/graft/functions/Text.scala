@@ -61,6 +61,11 @@ object Text {
     size(filter(tokens(lower(c)), t => t.isin(set: _*)))
   }
 
+  /** The stopword list for one language — the contract surface shared
+    * with [[GateMetricsUtil]]'s fused lookup tables (one definition,
+    * two evaluation strategies). */
+  private[functions] def stopwordSet(lang: String): Seq[String] = stopwords(lang)
+
   /** Language-ID heuristic: stopword-hit count per candidate language,
     * argmax with a fixed tie-break order (en > de > fr > es). Returns the
     * winner or 'und' when no stopword of any language appears.
@@ -245,6 +250,95 @@ object Text {
         explode(array(struct(scriptProfileCols(textCol): _*))).as("_sp"))
       .select(base.columns.map(col) ++
         ScriptRanges.map(r => col(s"_sp.n_${r._1}")): _*)
+  }
+
+  /** The FUSED gate profile — every per-document metric the curation
+    * gate consumes, appended in ONE [[GateMetrics]] scan (plus the
+    * lowercase pass) instead of the ~16 regex/tokenization passes the
+    * composable forms cost (measured: the gate scan is 78% of the
+    * whole composed pipeline's wall at 1000× docs, SCALE.md). Output
+    * columns and their values are BIT-IDENTICAL to the composable
+    * path — `quality` == [[qualityScore]], `lang_pred` == [[langId]],
+    * the `ok_*`/`passes_quality` flags == [[QualityRules.flags]] at
+    * the same thresholds, `n_<script>` == [[scriptProfileCols]], and
+    * `script_mixed` == [[scriptMixed]] over them (the derived doubles
+    * repeat the composable forms' operation order exactly; pinned in
+    * `GateFusedSpec` on the corpus plus adversarial case-mapping and
+    * astral fixtures).
+    *
+    * Same generator barrier as [[withScriptProfile]]: the struct is
+    * computed once per row inside an explode, so a downstream WHERE
+    * over any emitted column reads struct fields — Catalyst cannot
+    * push a predicate through the Generate and re-inline the scan. */
+  def withGateProfile(df: DataFrame, textCol: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8, minRequiredWords: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val emitted = Seq("n_tokens", "quality", "lang_pred",
+      "ok_word_count", "ok_word_len", "ok_symbols", "ok_bullets",
+      "ok_ellipsis", "ok_alpha_words", "ok_required_words",
+      "passes_quality", "script_mixed") ++
+      ScriptRanges.map(r => s"n_${r._1}")
+    val reserved = ("_gm" +: emitted).toSet
+    val base = df.drop(df.columns.filter(reserved): _*)
+    val gm = ColumnBridge.column(
+      GateMetrics(ColumnBridge.expression(textCol)))
+    def f(n: String): Column = col(s"_gm.$n")
+
+    val nTok = f("n_tokens")
+    def safeFrac(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+    // operation order below is copied from qualityScore / flags /
+    // symbolWordRatio verbatim — double arithmetic must match bitwise
+    val awl = safeFrac(f("token_char_sum"), nTok)
+    val alphaRatio = safeFrac(f("alpha_chars"), f("total_chars"))
+    val stopRatio = safeFrac(f("stop_en"), nTok)
+    val volume = least(lit(1.0), nTok.cast("double") / 200.0)
+    val wordLen = least(lit(1.0), awl / 8.0)
+    val quality = round(
+      volume * 0.25 + alphaRatio * 0.25 +
+        (lit(1.0) - stopRatio) * 0.2 + wordLen * 0.3, 6)
+    val (en, de, fr, es) = (f("stop_en"), f("stop_de"), f("stop_fr"), f("stop_es"))
+    val langPred =
+      when(en === 0 && de === 0 && fr === 0 && es === 0, lit("und"))
+        .when(en >= de && en >= fr && en >= es, lit("en"))
+        .when(de >= fr && de >= es, lit("de"))
+        .when(fr >= es, lit("fr"))
+        .otherwise(lit("es"))
+    val symRatio = safeFrac(
+      f("hash_chars").cast("double") + f("ellipsis_triples").cast("double"),
+      nTok)
+    val gates = Seq(
+      "ok_word_count" -> (nTok >= minWords && nTok <= maxWords),
+      "ok_word_len" -> (awl >= minMeanWordLen && awl <= maxMeanWordLen),
+      "ok_symbols" -> (symRatio <= maxSymbolRatio),
+      "ok_bullets" -> (safeFrac(f("n_bullet_lines"), f("n_lines")) <= maxBulletFrac),
+      "ok_ellipsis" -> (safeFrac(f("n_ellipsis_lines"), f("n_lines")) <= maxEllipsisFrac),
+      "ok_alpha_words" -> (safeFrac(f("n_alpha_tokens"), nTok) >= minAlphaWordFrac),
+      "ok_required_words" -> (f("required_distinct") >= minRequiredWords))
+    val scriptCounts = ScriptRanges.map {
+      case ("latin", _, _) => f("alpha_chars").as("n_latin")
+      case (n, _, _) => f(s"n_$n").as(s"n_$n")
+    }
+    val scriptTotal = ScriptRanges.map {
+      case ("latin", _, _) => f("alpha_chars")
+      case (n, _, _) => f(s"n_$n")
+    }.reduce(_ + _)
+    val mixed = scriptMixed(ScriptRanges.map {
+      case ("latin", _, _) => f("alpha_chars")
+      case (n, _, _) => f(s"n_$n")
+    }, scriptTotal)
+
+    base.select(col("*"), explode(array(gm)).as("_gm"))
+      .select(base.columns.map(col) ++ (Seq(
+        nTok.as("n_tokens"), quality.as("quality"), langPred.as("lang_pred")) ++
+        gates.map { case (n, g) => g.as(n) } :+
+        gates.map(_._2).reduce(_ && _).as("passes_quality")) ++
+        scriptCounts :+ mixed.as("script_mixed"): _*)
   }
 
   /** The one canonical script-profile projection: `n_<script>` long
