@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{Graft, TestData}
 import graft.SparkEntry.tbl
-import graft.functions.{Pii, QualityRules, Text}
+import graft.functions.{Pii, Text}
 import graft.operators.{Decontaminate, Dedup, GroupSample, Profile, Snapshot, Split}
 
 /** End-to-end training-data curation pipeline over the documents table —
@@ -51,22 +51,18 @@ object PipelineExample {
     //    maps, all inside the scan's codegen stage
     val scrubbed = spanKept.select(col("doc_id"), col("lang"),
       Pii.scrub(col("text")).as("text"))
-    val scored = scrubbed.select(col("doc_id"), col("lang"), col("text"),
-      Text.qualityScore(col("text")).as("quality"),
-      Text.langId(col("text")).as("lang_pred"),
-      Text.tokenCount(col("text")).as("n_tokens"))
-    val gated = scored.select(col("*") +: QualityRules.flags(col("text"),
-      minWords = 10, minRequiredWords = 1): _*)
-    // script-confusion gate (round 11): mixed-script spam — Cyrillic
-    // lookalikes in Latin words, CJK stuffing — that the dominant-
-    // language gate above cannot see. Profiled through the GENERATOR
-    // barrier (round 12): a plain count projection is re-inlined into
-    // the pushed-down WHERE by Catalyst (each script regex ~7×/row in
-    // FilterExec, measured); withScriptProfile is the form the
-    // optimizer cannot re-inline — 5 regex evaluations per row, total
-    val counted = Text.withScriptProfile(gated, col("text"))
-    val kept = counted.where(col("quality") >= 0.5 && col("passes_quality") &&
-        !Text.scriptMixed(Text.scriptCountCols, Text.scriptCountCols.reduce(_ + _)))
+    // the FUSED gate profile (round 13): quality score, language id,
+    // token count, all Gopher rule flags, script counts, and the
+    // mixed-script spam gate from ONE GateMetrics scan — output
+    // bit-identical to the composable qualityScore/langId/flags/
+    // withScriptProfile chain (GateFusedSpec) at ~1/16th the regex
+    // passes (gate 12.3× at 1000× docs, SCALE.md); the same generator
+    // barrier keeps this WHERE reading struct fields instead of
+    // re-inlining the scan into FilterExec
+    val scored = Text.withGateProfile(scrubbed, col("text"),
+      minWords = 10, minRequiredWords = 1)
+    val kept = scored.where(col("quality") >= 0.5 && col("passes_quality") &&
+        !col("script_mixed"))
       .select(col("doc_id"), col("text"), col("lang"), col("quality"), col("n_tokens"))
 
     // 3. near-dup removal via GROUP clustering: transitive near-dups
