@@ -96,6 +96,28 @@ class GateFusedSpec extends AnyFunSuite {
     assertIdentical(rows.toDF("id", "text"))
   }
 
+  test("fused gate == composable gate on 300 seeded random hostile strings") {
+    import spark.implicits._
+    // every atom chosen to stress a scanner state machine: token-class
+    // chars, dots in runs, bullet markers, space-vs-tab trim edges,
+    // newlines, case-mapping traps (Kelvin sign, dotted capital I),
+    // all five script ranges, an astral surrogate pair, stopwords of
+    // all four languages, required words
+    val atoms: Array[String] = Array(
+      "a", "b", "Z", "q", "0", "9", "'", "#", ".", "-", "*", " ", "  ",
+      "\n", "\t", "K", "İ", "é", "б", "α",
+      "世", "م", "😀", "the", "of", "und", "les",
+      "der", "que", "...", "....", "- ", "* ", ". ")
+    val rnd = new scala.util.Random(4713)
+    val rows: Seq[(Long, String)] = (1L to 300L).map { i =>
+      val len = rnd.nextInt(40)
+      val sb = new StringBuilder
+      (0 until len).foreach(_ => sb.append(atoms(rnd.nextInt(atoms.length))))
+      (i, sb.toString)
+    }
+    assertIdentical(rows.toDF("id", "text"))
+  }
+
   test("fused gate profile survives a downstream filter without re-inlining") {
     // the withScriptProfile lesson: the generator barrier means a
     // WHERE over emitted columns must not push into the scan — assert
