@@ -992,4 +992,27 @@ class PlanSpec extends AnyFunSuite {
     assert(projLine.get.trim.startsWith("*("),
       s"PSL projection fell out of whole-stage codegen:\n${projLine.get}\n$p")
   }
+
+  test("fused gate: GateMetrics rides codegen once, no UDF, filter stays out of the scan") {
+    import org.apache.spark.sql.functions._
+    // the withGateProfile plan must carry exactly ONE GateMetrics
+    // evaluation (the generator barrier), inside a codegen'd span,
+    // with no ScalaUDF anywhere — the 12x-at-1000x contract's plan
+    // shape (SCALE.md round-13 fused gate)
+    val df = graft.functions.Text.withGateProfile(
+        SparkEntry.tbl(spark, sf, "documents").select(col("doc_id"), col("text")),
+        col("text"), minWords = 5, minRequiredWords = 0)
+      .where(col("passes_quality") && !col("script_mixed") &&
+        col("quality") >= 0.3)
+      .select(col("doc_id"), col("n_tokens"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"fused gate must be native:\n$p")
+    val hits = p.linesIterator.filter(_.toLowerCase.contains("gatemetrics")).toSeq
+    assert(hits.size == 1,
+      s"expected exactly one GateMetrics line in the executed plan, got ${hits.size}:\n$p")
+    assert(hits.head.trim.startsWith("+- *(") || hits.head.trim.startsWith("*("),
+      s"GateMetrics fell out of whole-stage codegen:\n${hits.head}\n$p")
+    assert(df.count() > 0, "the gated corpus must be non-empty at sf0.001")
+  }
 }
