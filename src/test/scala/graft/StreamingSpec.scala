@@ -1137,4 +1137,43 @@ class StreamingSpec extends AnyFunSuite {
         s"quarantine must drop the malformed id and keep screening, got $flagged")
     } finally q.stop()
   }
+
+  test("fused gate profile runs at ingest time: streaming == batch, row for row") {
+    // the ingest-quality-gate plumbing proof: withGateProfile is a
+    // stateless projection + generate, so it must run unchanged on a
+    // streaming Dataset (append mode, no watermark needed) and admit
+    // exactly the rows the batch gate admits
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs: Seq[(Long, String)] = Seq(
+      1L -> ("the quick brown fox jumps over the lazy dog and that " * 4),
+      2L -> "short",
+      3L -> ("#### ... #### ... " * 20),
+      4L -> ("der hund und die katze sind nicht zu haus mit auf " * 4),
+      5L -> ("the cat sat on the mat with a hat and that is that have fun " * 3))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.Text.withGateProfile(df, col("text"),
+          minWords = 10, minRequiredWords = 0)
+        .where(col("passes_quality") && !col("script_mixed"))
+        .select(col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"))
+    val batch = gate(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    assert(batch.nonEmpty && batch.size < docs.size,
+      s"fixture must make the gate fire both ways, got $batch")
+    val mem = MemoryStream[(Long, String)]
+    val q = gate(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gateq")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gateq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+      assert(streamed === batch,
+        s"streaming gate must equal batch:\n stream=$streamed\n batch=$batch")
+    } finally q.stop()
+  }
 }
