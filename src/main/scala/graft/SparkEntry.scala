@@ -3220,6 +3220,55 @@ object SparkEntry {
           expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div _nt AS BIGINT)")
             .as("share_ppm"))
     }),
+    // RFC 9309 robots.txt verdicts (round 13 — the crawl-politeness
+    // twin of the PSL story: rules arrive through Web.loadRobotsRules'
+    // published-format parser, precedence is the RFC's longest-spelled-
+    // pattern-wins with Allow beating Disallow at ties, matching is
+    // octet-exact prefix with * any-run and trailing-$ end anchor over
+    // the RAW path-plus-query — robots run at ingest, before
+    // canonicalization). Both implementations emitted side by side —
+    // the ≤16-rule when-chain of codegen'd startswith/rlike probes and
+    // the data-driven native expression — so the oracle's single
+    // ordered CASE hash-pins chain ≡ native ≡ SQL on every document.
+    "w6_robots_verdicts" -> ((s, dir) => {
+      val rules = graftRobotsRules
+      syntheticUrls(s, dir)
+        .select(col("doc_id"),
+          regexp_extract(col("url"), rawPathQueryRe, 1).as("path"))
+        .withColumn("rule_idx_chain",
+          graft.operators.Web.robotsPrevailingRule(col("path"), rules))
+        .withColumn("rule_idx_native",
+          graft.functions.RobotsMatchExpr(col("path"),
+            rules.map(r => (r.allow, r.path))))
+        .select(col("doc_id"), col("path"),
+          col("rule_idx_chain"), col("rule_idx_native"),
+          graft.operators.Web.robotsAllowed(col("rule_idx_chain"), rules)
+            .as("allowed"))
+    }),
+    // Crawl-admission audit (round 13 — the w5 shape for robots: which
+    // rule decided how much of the corpus, so a blocked-share report is
+    // explainable without re-running the match): ONE prevailing-rule
+    // index per document (verdict and label are O(1) array probes on
+    // it), one hash aggregate on (rule, verdict), 1-row broadcast
+    // total, shares in exact ppm.
+    "w7_robots_gate" -> ((s, dir) => {
+      val rules = graftRobotsRules
+      val v = syntheticUrls(s, dir)
+        .select(regexp_extract(col("url"), rawPathQueryRe, 1).as("path"))
+        .withColumn("_ri",
+          graft.operators.Web.robotsPrevailingRule(col("path"), rules))
+        .select(col("path"),
+          graft.operators.Web.robotsAllowed(col("_ri"), rules).as("allowed"),
+          graft.operators.Web.robotsRuleLabel(col("_ri"), rules).as("rule"))
+      val g = v.groupBy(col("rule"), col("allowed"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("path")).as("n_paths"))
+      val tot = g.agg(sum(col("n_docs")).as("_nt"))
+      g.crossJoin(broadcast(tot))
+        .select(col("rule"), col("allowed"), col("n_docs"), col("n_paths"),
+          expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div _nt AS BIGINT)")
+            .as("share_ppm"))
+    }),
     // Incremental (frozen-index) SemDeDup — the day-to-day production
     // form: the accepted corpus (vec_id % 5 != 0) trains the k-means
     // index ONCE; the incoming batch (fresh vectors + constructed near-
@@ -3893,6 +3942,78 @@ object SparkEntry {
       |// ===END PRIVATE DOMAINS===
       |""".stripMargin)
 
+  /** The w6/w7 robots.txt: a published-format fixture exercising every
+    * parse rule (group scoping across two `graftbot` groups that MUST
+    * merge, an `OtherBot` group the selection skips, case-variant
+    * field/token spellings, inline comments, ignored `Crawl-delay`/
+    * `Sitemap` lines, an empty `Disallow:` = no rule) and every MATCH
+    * class on the synthetic URL paths `/p/0..249[/][?…]`: an
+    * equal-length Allow/Disallow tie (allow prevails on all `/p/1…`),
+    * longer-disallow override (`/p/15…`), an allow that ties the
+    * wildcard at length 6 (`/p/152` is a utm-class residue, so its
+    * docs match BOTH `Allow: /p/152` and the starred `utm_` rule at 6
+    * spelled octets — allow wins), two `$`-anchored exact blocks on
+    * residues whose bare query-free path occurs at sf0.01 AND sf0.001
+    * (15 and 8 — an anchored rule that never sees its bare path reads
+    * as untested), the `utm_` wildcard, a plain prefix block
+    * (`/p/20`), and the no-match default. */
+  private val graftRobotsTxt: String =
+    """# graft crawl policy (RFC 9309 format fixture)
+      |User-Agent: OtherBot
+      |Disallow: /
+      |
+      |User-agent: GraftBot
+      |Allow: /p/1
+      |Disallow: /p/1  # same length as the Allow above -> Allow prevails
+      |Disallow: /p/15
+      |Allow: /p/152
+      |Disallow: /p/15$
+      |Crawl-delay: 10
+      |Disallow:
+      |
+      |User-agent: graftbot
+      |Disallow: /*utm_
+      |Disallow: /p/8$
+      |Disallow: /p/20
+      |Sitemap: https://example.com/sitemap.xml
+      |""".stripMargin
+
+  private val graftRobotsRules: Seq[graft.operators.RobotsRule] =
+    graft.operators.Web.loadRobotsRules(graftRobotsTxt, "graftbot")
+
+  /** The URI component RFC 9309 matches on: raw spelled path PLUS
+    * query, fragment dropped — what a crawler tests before fetching
+    * (robots run at INGEST, before any canonicalization). Same regex
+    * both engines run on the same synthesized URL. */
+  private val rawPathQueryRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+
+  /** The DuckDB replay of the robots when-chain: the SAME precedence
+    * order ([[graft.operators.Web.robotsOrder]]) and the SAME regex
+    * spelling ([[graft.operators.Web.robotsGlobRegex]] — `(?s)`/`\z`
+    * are Java/RE2-identical by construction) as one ordered CASE
+    * yielding the prevailing rule's original index. */
+  private def robotsCaseSql(rules: Seq[graft.operators.RobotsRule]): String = {
+    def q(s: String) = s.replace("'", "''")
+    val whens = graft.operators.Web.robotsOrder(rules).map { case (r, i) =>
+      val cond =
+        if (!r.path.contains('*') && !r.path.endsWith("$"))
+          s"starts_with(path, '${q(r.path)}')"
+        else
+          s"regexp_matches(path, '${q(graft.operators.Web.robotsGlobRegex(r.path))}')"
+      s"WHEN $cond THEN $i"
+    }
+    whens.mkString("CASE ", " ", " ELSE -1 END")
+  }
+
+  private def robotsAllowSql(rules: Seq[graft.operators.RobotsRule]): String =
+    rules.map(_.allow).mkString(
+      "CASE WHEN ri = -1 THEN TRUE ELSE ([", ", ", "])[ri + 1] END")
+
+  private def robotsLabelSql(rules: Seq[graft.operators.RobotsRule]): String =
+    rules.map(r => "'" + ((if (r.allow) "allow " else "disallow ") + r.path)
+        .replace("'", "''") + "'")
+      .mkString("CASE WHEN ri = -1 THEN 'default' ELSE ([", ", ", "])[ri + 1] END")
+
   /** The w4/w5 host fixture: deterministic md5-derived hosts over the
     * canonical published-PSL test shapes (www.ck, a.b.test.ck,
     * city.kobe.jp, …) — every rule class fires visibly
@@ -4368,7 +4489,12 @@ object SparkEntry {
   // Web.normalizeUrls' canonicalization and Web.registrableDomain's
   // longest-suffix PSL rule. Ends with CTE `unrm` exposing
   // (doc_id, host, reg_domain, had_tracking, norm_url).
-  private val urlNormSql: String =
+  // Just the URL SYNTHESIS half (CTEs `uh`, `uu` — `uu` exposes
+  // (doc_id, url)): the w6/w7 robots gate matches on the RAW spelled
+  // path-plus-query (what a crawler tests BEFORE fetching — robots
+  // precede canonicalization), so it shares the fixture but not the
+  // normalization tail.
+  private val urlSynthSql: String =
     """uh AS (
       |  SELECT doc_id, doc_id % 250 AS m,
       |    ('0x' || substr(md5('url|' || CAST(doc_id % 250 AS VARCHAR)), 1, 15))::BIGINT AS h1,
@@ -4391,7 +4517,10 @@ object SparkEntry {
       |    WHEN (h1 // 8880) % 3 = 2 THEN '?b=2&a=1' ELSE '' END ||
       |    CASE WHEN (h2 // 24) % 3 = 0 THEN '#sec' ELSE '' END AS url
       |  FROM uh
-      |), up AS (
+      |)""".stripMargin
+
+  private val urlNormSql: String = urlSynthSql +
+    """, up AS (
       |  SELECT doc_id, url,
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
       |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
@@ -7929,6 +8058,42 @@ object SparkEntry {
           |SELECT rule_class, n_docs, n_hosts,
           |  CAST(CAST(n_docs AS HUGEINT) * 1000000 // nt AS BIGINT) AS share_ppm
           |FROM g, t""".stripMargin,
+      // the robots chain replayed as ONE ordered CASE over the raw
+      // spelled path-plus-query — robotsCaseSql emits Web.robotsOrder's
+      // precedence and Web.robotsGlobRegex's Java/RE2-identical regex
+      // spelling, so chain ≡ native ≡ SQL is hash-enforced per document
+      "w6_robots_verdicts" ->
+        s"""WITH $urlSynthSql, pq AS (
+           |  SELECT doc_id,
+           |    regexp_extract(url, '$rawPathQueryRe', 1) AS path
+           |  FROM uu
+           |), v AS (
+           |  SELECT doc_id, path, ${robotsCaseSql(graftRobotsRules)} AS ri
+           |  FROM pq
+           |)
+           |SELECT doc_id, path, ri AS rule_idx_chain, ri AS rule_idx_native,
+           |  ${robotsAllowSql(graftRobotsRules)} AS allowed
+           |FROM v""".stripMargin,
+      // w6's verdict CASE + the w1/w5 count/ppm report tail
+      "w7_robots_gate" ->
+        s"""WITH $urlSynthSql, pq AS (
+           |  SELECT regexp_extract(url, '$rawPathQueryRe', 1) AS path
+           |  FROM uu
+           |), v AS (
+           |  SELECT path, ${robotsCaseSql(graftRobotsRules)} AS ri FROM pq
+           |), lbl AS (
+           |  SELECT path,
+           |    ${robotsAllowSql(graftRobotsRules)} AS allowed,
+           |    ${robotsLabelSql(graftRobotsRules)} AS rule
+           |  FROM v
+           |), g AS (
+           |  SELECT rule, allowed, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(count(DISTINCT path) AS BIGINT) AS n_paths
+           |  FROM lbl GROUP BY 1, 2
+           |), t AS (SELECT CAST(sum(n_docs) AS HUGEINT) AS nt FROM g)
+           |SELECT rule, allowed, n_docs, n_paths,
+           |  CAST(CAST(n_docs AS HUGEINT) * 1000000 // nt AS BIGINT) AS share_ppm
+           |FROM g, t""".stripMargin,
       "d33_semantic_decontam" ->
         s"""WITH eIn AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings

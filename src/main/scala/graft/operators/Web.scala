@@ -3,6 +3,14 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
+/** One robots.txt rule scoped to a crawler: `allow` is the line's
+  * directive (Allow/Disallow), `path` the match pattern verbatim in the
+  * published spelling (prefix match; `*` matches any octet run, a
+  * trailing `$` anchors the end). Produced by [[Web.loadRobotsRules]],
+  * consumed by [[Web.robotsPrevailingRule]] and
+  * [[graft.functions.RobotsMatchExpr]]. */
+case class RobotsRule(allow: Boolean, path: String)
+
 /** URL/domain curation — the stage every web-scraped corpus passes
   * before text ever matters (C4 strips by domain blocklist, RefinedWeb
   * dedups and caps by registrable domain, Dolma publishes per-domain
@@ -143,6 +151,161 @@ object Web {
     }
     out.result().distinct
   }
+
+  /** Parse RFC 9309 robots.txt TEXT into the crawler-scoped rule list
+    * the verdict expressions consume — the crawl-politeness twin of
+    * [[loadPslRules]]: the file is a few KB fetched per site (the RFC
+    * caps parse obligation at 500 KiB), parsed once on the driver, and
+    * the rules ride the verdict expression as a broadcast-sized
+    * constant.
+    *
+    * Format rules honored (RFC 9309 §2.2):
+    *  - lines are `field: value`; field names case-insensitive; a `#`
+    *    starts a comment anywhere in the line; a leading UTF-8 BOM is
+    *    stripped;
+    *  - a group is one or more CONSECUTIVE `User-agent` lines followed
+    *    by its `Allow`/`Disallow` rules; a later `User-agent` run
+    *    starts a new group. Multiple groups naming the same agent are
+    *    combined (MUST per the RFC). Rules before any `User-agent`
+    *    line belong to no group and are dropped;
+    *  - other known-shape lines (`Sitemap`, `Crawl-delay`, any
+    *    unknown field) are ignored — they end a User-agent RUN but do
+    *    not close the open group's rule scope;
+    *  - an EMPTY `Disallow:`/`Allow:` value is no rule at all (the
+    *    classic "Disallow nothing = allow everything" spelling);
+    *  - product tokens match case-insensitively and EXACTLY
+    *    (`graftbot` selects the `GraftBot` group, not `graftbot-img`);
+    *    a crawler with no named group falls back to the `*` group,
+    *    else to no rules (everything allowed). */
+  def loadRobotsRules(text: String, userAgent: String = "*"): Seq[RobotsRule] = {
+    val byAgent = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[RobotsRule]]
+    var currentAgents: List[String] = Nil
+    var inAgentRun = false
+    text.stripPrefix("\uFEFF").linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val field = line.substring(0, ci).trim.toLowerCase
+        val value = line.substring(ci + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!inAgentRun) { currentAgents = Nil; inAgentRun = true }
+            val tok = value.toLowerCase
+            if (tok.nonEmpty) {
+              currentAgents ::= tok
+              byAgent.getOrElseUpdate(tok,
+                scala.collection.mutable.ArrayBuffer.empty)
+            }
+          case "allow" | "disallow" =>
+            inAgentRun = false
+            if (value.nonEmpty) {
+              val r = RobotsRule(field == "allow", value)
+              currentAgents.foreach(a => byAgent(a) += r)
+            }
+          case _ => inAgentRun = false
+        }
+      }
+    }
+    val ua = userAgent.trim.toLowerCase
+    byAgent.get(ua).orElse(byAgent.get("*"))
+      .map(_.toSeq).getOrElse(Seq.empty)
+  }
+
+  /** Rule count up to which the robots verdict stays a when-chain of
+    * builtin `startswith`/`rlike` probes; past this the native
+    * [[graft.functions.RobotsMatchExpr]] takes over (real files run a
+    * handful of rules, but e-commerce robots.txt with thousands of
+    * generated Disallow lines exist — the RFC's 500 KiB parse cap is
+    * ~20k rules, far past the 64KB codegen limit a chain would hit). */
+  val WhenChainMaxRobotsRules: Int = 16
+
+  /** The RFC 9309 match pattern as a regex string IDENTICAL in Java
+    * and RE2 syntax — the one translation both the Spark `rlike`
+    * chain and the DuckDB oracle replay, so the two engines cannot
+    * disagree on a metacharacter: `*` → `.*` under `(?s)` (an octet
+    * run crosses newlines), a TRAILING `$` → `\z` (true end-of-text in
+    * both engines — bare `$` would admit a trailing newline in Java
+    * but not RE2), every other metacharacter escaped literal (a
+    * mid-pattern `$` is data, not an anchor). */
+  def robotsGlobRegex(pat: String): String = {
+    val anchored = pat.endsWith("$")
+    val body = if (anchored) pat.dropRight(1) else pat
+    val sb = new StringBuilder("(?s)^")
+    body.foreach {
+      case '*' => sb.append(".*")
+      case c if "\\.[](){}+?^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    if (anchored) sb.append("\\z")
+    sb.toString
+  }
+
+  /** Index (into `rules`' ORIGINAL order) of the rule that decides a
+    * path under RFC 9309's precedence, or -1 when none matches (the
+    * default: allowed). Precedence is the RFC's: the LONGEST matching
+    * pattern (spelled octet length) wins; at equal length `Allow`
+    * beats `Disallow`. Matching is octet-exact prefix with `*` as
+    * any-run and trailing `$` as end anchor; the match target is the
+    * URI's path-plus-query (what a crawler tests before fetching).
+    *
+    * Plan: ≤ [[WhenChainMaxRobotsRules]] rules — a when-chain ordered
+    * longest-first/allow-first, each probe a codegen'd builtin
+    * (`startswith` for literal prefixes, `rlike` on
+    * [[robotsGlobRegex]] for wildcard/anchored patterns), so the first
+    * hit IS the prevailing rule; past that the native
+    * [[graft.functions.RobotsMatchExpr]] — same order, one byte-level
+    * glob walk per rule with early exit, no regex engine on the row
+    * path (chain ≡ native fuzz-pinned in `Round13OpsSpec`). Returning
+    * the INDEX keeps one evaluation per row: the verdict
+    * ([[robotsAllowed]]) and the audit label ([[robotsRuleLabel]])
+    * are O(1) array probes on it. */
+  def robotsPrevailingRule(path: Column, rules: Seq[RobotsRule]): Column =
+    if (rules.isEmpty) when(path.isNotNull, lit(-1))
+    else if (rules.size <= WhenChainMaxRobotsRules) robotsChain(path, rules)
+    else graft.functions.RobotsMatchExpr(path, rules.map(r => (r.allow, r.path)))
+
+  private[graft] def robotsChain(path: Column, rules: Seq[RobotsRule]): Column = {
+    val cases = robotsOrder(rules).map { case (r, i) =>
+      val cond =
+        if (!r.path.contains('*') && !r.path.endsWith("$"))
+          path.startsWith(lit(r.path))
+        else path.rlike(robotsGlobRegex(r.path))
+      when(cond, lit(i))
+    }
+    // the isNotNull guard pins NULL-in → NULL-out (the native
+    // expression's UnaryExpression contract): a bare coalesce would
+    // turn a NULL path into the -1 default
+    when(path.isNotNull, coalesce(cases :+ lit(-1): _*))
+  }
+
+  /** RFC 9309 precedence order: longest spelled pattern first (octet
+    * length), `Allow` before `Disallow` at equal length, original
+    * position as the deterministic tail tie-break. Shared spelling of
+    * the one sort both the chain and the native expression use. */
+  private[graft] def robotsOrder(
+      rules: Seq[RobotsRule]): Seq[(RobotsRule, Int)] =
+    rules.zipWithIndex.sortBy { case (r, i) =>
+      (-r.path.getBytes("UTF-8").length, !r.allow, i)
+    }
+
+  /** Crawl verdict from a [[robotsPrevailingRule]] index: the
+    * prevailing rule's directive, or allowed when no rule matched. */
+  def robotsAllowed(ruleIdx: Column, rules: Seq[RobotsRule]): Column =
+    if (rules.isEmpty) when(ruleIdx.isNotNull, lit(true))
+    else when(ruleIdx === -1, lit(true))
+      .otherwise(element_at(typedLit(rules.map(_.allow)), ruleIdx + 1))
+
+  /** Audit label from a [[robotsPrevailingRule]] index: the prevailing
+    * rule in its spelled form (`"disallow "` + the pattern), or
+    * `"default"` —
+    * the column a crawl-admission report groups by so a verdict is
+    * explainable without re-running the match. */
+  def robotsRuleLabel(ruleIdx: Column, rules: Seq[RobotsRule]): Column =
+    if (rules.isEmpty) when(ruleIdx.isNotNull, lit("default"))
+    else when(ruleIdx === -1, lit("default"))
+      .otherwise(element_at(typedLit(rules.map(r =>
+        (if (r.allow) "allow " else "disallow ") + r.path)), ruleIdx + 1))
 
   /** Registrable domain (eTLD+1) of a normalized host: the longest
     * matching public suffix plus one label; a host that matches no
