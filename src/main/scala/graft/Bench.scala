@@ -110,7 +110,8 @@ object Bench {
       "u41" -> 0.6, "u42" -> 2.3, "u43" -> 1.0, "u44" -> 0.8, "u45" -> 0.7,
       "u46" -> 0.5, "u47" -> 0.8, "u49" -> 1.5, "u5" -> 0.6, "u50" -> 0.6,
       "u6" -> 1.2, "u7" -> 3.9, "u8" -> 0.7, "u9" -> 1.0, "w1" -> 1.2,
-      "w2" -> 1.0, "w3" -> 1.6, "w4" -> 0.3, "w5" -> 0.7)
+      "w2" -> 1.0, "w3" -> 1.6, "w4" -> 0.3, "w5" -> 0.7, "w6" -> 0.5,
+      "w7" -> 0.9)
 
   /** New queries (no last-round number) are assumed mid-weight so they
     * schedule early enough to always get measured. */
@@ -186,7 +187,7 @@ object Bench {
       "u42" -> 0.7, "u43" -> 0.5, "u44" -> 0.4, "u45" -> 0.3, "u46" -> 0.0,
       "u47" -> 0.0, "u49" -> 0.7, "u5" -> 0.3, "u50" -> 0.36, "u6" -> 0.3,
       "u7" -> 2.57, "u8" -> 0.3, "u9" -> 0.4, "w1" -> 0.5, "w2" -> 0.5,
-      "w3" -> 0.9, "w4" -> 0.21, "w5" -> 0.66)
+      "w3" -> 0.9, "w4" -> 0.21, "w5" -> 0.66, "w6" -> 0.49, "w7" -> 0.93)
 
   private[graft] def priorIsolatedMin(n: String): Option[Double] =
     priorIsolatedMinSec.get(n.split("_")(0)).orElse(priorIsolatedMinSec.get(n))

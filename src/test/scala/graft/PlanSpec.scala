@@ -993,6 +993,39 @@ class PlanSpec extends AnyFunSuite {
       s"PSL projection fell out of whole-stage codegen:\n${projLine.get}\n$p")
   }
 
+  test("big robots list: native match stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{RobotsRule, Web}
+    // a generated-robots.txt-sized rule list (800 Disallow lines — the
+    // e-commerce pattern; the RFC's 500 KiB parse cap is ~20k): the
+    // when-chain is out (64KB/method, an rlike regex engine per probe),
+    // so robotsPrevailingRule must switch to the native expression and
+    // ride the scan-stage Project INSIDE a codegen span, no UDF
+    val rules = (0 until 800).map(i =>
+      RobotsRule(i % 5 == 0, s"/cat$i/*x$i$$"))
+    val df = SparkEntry.tbl(spark, sf, "documents")
+      .select(concat(lit("/p/"), (col("doc_id") % 250).cast("string"))
+        .as("path"))
+      .select(Web.robotsPrevailingRule(col("path"), rules).as("ri"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"robots match must be a native expression:\n$p")
+    val line = p.linesIterator.find(_.toLowerCase.contains("robotsmatchexpr"))
+    assert(line.isDefined, s"expression not found in plan:\n$p")
+    assert(line.get.trim.startsWith("*("),
+      s"robots projection fell out of whole-stage codegen:\n${line.get}\n$p")
+    // the small-list chain is builtin string probes: no UDF, no
+    // RobotsMatchExpr, still codegen'd
+    val chain = SparkEntry.tbl(spark, sf, "documents")
+      .select(concat(lit("/p/"), (col("doc_id") % 250).cast("string"))
+        .as("path"))
+      .select(Web.robotsPrevailingRule(col("path"),
+        rules.take(8)).as("ri"))
+    val cp = chain.queryExecution.executedPlan.toString
+    assert(!cp.contains("ScalaUDF") && !cp.toLowerCase.contains("robotsmatchexpr"),
+      s"8-rule list must plan as the builtin when-chain:\n$cp")
+  }
+
   test("fused gate: GateMetrics rides codegen once, no UDF, filter stays out of the scan") {
     import org.apache.spark.sql.functions._
     // the withGateProfile plan must carry exactly ONE GateMetrics

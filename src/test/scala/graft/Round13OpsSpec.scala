@@ -295,4 +295,150 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(byHost("a.foo.com") === "foo.com")
     assert(byHost("intranet") === "intranet")       // no rule: own domain
   }
+
+  test("loadRobotsRules: RFC 9309 group scoping, merge, fallback") {
+    import graft.operators.{RobotsRule, Web}
+    val txt = "\uFEFF" +
+      """# policy
+        |Disallow: /orphan
+        |User-Agent: AlphaBot
+        |User-agent: BetaBot
+        |Disallow: /shared   # belongs to BOTH consecutive agents
+        |Allow: /shared/ok
+        |Crawl-delay: 10
+        |Disallow: /after-unknown-field
+        |
+        |User-agent: *
+        |Disallow: /star
+        |
+        |user-agent: alphabot
+        |Disallow: /second-group
+        |Disallow:
+        |noColonLine
+        |""".stripMargin
+    // rules before any User-agent line are dropped; unknown fields end
+    // a UA run but NOT the group's rule scope; same-UA groups merge;
+    // empty Disallow is no rule; field/token case folds
+    assert(Web.loadRobotsRules(txt, "ALPHABOT") === Seq(
+      RobotsRule(false, "/shared"), RobotsRule(true, "/shared/ok"),
+      RobotsRule(false, "/after-unknown-field"),
+      RobotsRule(false, "/second-group")))
+    assert(Web.loadRobotsRules(txt, "BetaBot") === Seq(
+      RobotsRule(false, "/shared"), RobotsRule(true, "/shared/ok"),
+      RobotsRule(false, "/after-unknown-field")))
+    // token match is exact: an unnamed crawler falls back to the * group
+    assert(Web.loadRobotsRules(txt, "alphabot-images")
+      === Seq(RobotsRule(false, "/star")))
+    // no * group, no named group -> no rules (everything allowed)
+    assert(Web.loadRobotsRules("User-agent: x\nDisallow: /a", "y") === Seq())
+  }
+
+  test("robots verdict: RFC precedence on the spelled classes, chain == native") {
+    import graft.operators.{RobotsRule, Web}
+    import spark.implicits._
+    val rules = Web.loadRobotsRules(
+      """User-agent: bot
+        |Allow: /p/1
+        |Disallow: /p/1
+        |Disallow: /p/15
+        |Allow: /p/152
+        |Disallow: /p/15$
+        |Disallow: /*utm_
+        |Disallow: /p/8$
+        |""".stripMargin, "bot")
+    assert(rules.size === 7)
+    val cases = Seq(
+      "/p/10" -> true,            // equal-length Allow/Disallow tie: allow
+      "/p/15" -> false,           // anchored len-6 beats plain len-5
+      "/p/15/" -> false,          // anchor misses, plain /p/15 prevails
+      "/p/152?utm_source=x" -> true, // allow ties the wildcard at 6: allow
+      "/p/151?id=3&utm_campaign=x" -> false, // wildcard beats /p/1 and /p/15? no: /p/15 len5 < 6
+      "/p/8" -> false,            // anchored exact
+      "/p/8?b=2" -> true,         // anchor misses -> /p/1? no match -> default
+      "/p/42" -> true,            // default: no rule matches
+      "/q/9?utm_x=1" -> false)    // wildcard crosses into the query
+    val df = cases.map(_._1).toDF("path")
+      .withColumn("ci", Web.robotsPrevailingRule(col("path"), rules))
+      .withColumn("ni", graft.functions.RobotsMatchExpr(col("path"),
+        rules.map(r => (r.allow, r.path))))
+      .select(col("path"), col("ci"), col("ni"),
+        Web.robotsAllowed(col("ci"), rules).as("ok"),
+        Web.robotsRuleLabel(col("ci"), rules).as("lbl"))
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getInt(2), r.getBoolean(3),
+        r.getString(4))).toSeq
+    got.foreach { case (p, ci, ni, _, _) =>
+      assert(ci === ni, s"chain vs native diverged on $p") }
+    val verdicts = got.map(g => g._1 -> g._4).toMap
+    cases.foreach { case (p, want) =>
+      assert(verdicts(p) === want, s"verdict mismatch on $p") }
+    val labels = got.map(g => g._1 -> g._5).toMap
+    assert(labels("/p/15") === "disallow /p/15$")
+    assert(labels("/p/15/") === "disallow /p/15")
+    assert(labels("/p/152?utm_source=x") === "allow /p/152")
+    assert(labels("/p/42") === "default")
+    // NULL path -> NULL on both implementations
+    val nulls = Seq[Option[String]](None).toDF("path")
+      .select(Web.robotsPrevailingRule(col("path"), rules).as("ci"),
+        graft.functions.RobotsMatchExpr(col("path"),
+          rules.map(r => (r.allow, r.path))).as("ni"))
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
+  test("robots glob: hostile patterns, chain == native == reference on fuzz") {
+    import graft.operators.{RobotsRule, Web}
+    import spark.implicits._
+    // every metacharacter class the glob translation must keep literal,
+    // plus wildcard/anchor compositions and an equal-length tie pair
+    val rules = Seq(
+      RobotsRule(false, "*"), RobotsRule(false, "/a*b*bc$"),
+      RobotsRule(true, "/a.b"), RobotsRule(false, "/q(1)"),
+      RobotsRule(false, "/[x]"), RobotsRule(false, "/p+q"),
+      RobotsRule(false, "/a|b"), RobotsRule(false, "/do$lar"),
+      RobotsRule(false, "/ca^ret"), RobotsRule(false, "/back\\slash"),
+      RobotsRule(true, "/tie/x"), RobotsRule(false, "/tie/y"),
+      RobotsRule(false, "/e\u00e9*\u00e9$"), RobotsRule(false, "$"),
+      RobotsRule(true, "/*/deep*$"), RobotsRule(false, "/nl*x"))
+    assert(rules.size === 16)
+    val rnd = new scala.util.Random(13)
+    val alphabet = "ab/c.*$()[]|+^\\xy\u00e9\n"
+    val fuzz = Seq("", "/a.b", "/aXb", "/abbc", "/abc", "/a%b%bc",
+      "/q(1)", "/q1", "/[x]", "/x", "/p+q", "/ppq", "/a|b", "/do$lar",
+      "/ca^ret", "/back\\slash", "/tie/x", "/tie/y",
+      "/e\u00e9\u00e9", "/e\u00e9zz\u00e9", "/nl\nx", "/d/deep",
+      "/d/deeper") ++
+      (1 to 300).map(_ => (0 until rnd.nextInt(14))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    // reference: the RFC rule restated independently — longest spelled
+    // octet pattern first, Allow before Disallow, regex on the shared
+    // translation (the chain exercises startsWith fast paths on top)
+    def ref(p: String): Int = {
+      val hit = Web.robotsOrder(rules).find { case (r, _) =>
+        java.util.regex.Pattern.compile(Web.robotsGlobRegex(r.path))
+          .matcher(p).find()
+      }
+      hit.map(_._2).getOrElse(-1)
+    }
+    val df = fuzz.toDF("path")
+      .withColumn("ci", Web.robotsChain(col("path"), rules))
+      .withColumn("ni", graft.functions.RobotsMatchExpr(col("path"),
+        rules.map(r => (r.allow, r.path))))
+    df.collect().foreach { r =>
+      val (p, ci, ni) = (r.getString(0), r.getInt(1), r.getInt(2))
+      assert(ci === ni, s"chain vs native diverged on ${p.map(_.toInt)}")
+      assert(ci === ref(p), s"chain vs reference diverged on ${p.map(_.toInt)}")
+    }
+    // past WhenChainMaxRobotsRules the public rule switches to the
+    // native expression; the chain builder still agrees at 48 rules
+    val big = Seq.tabulate(48)(i =>
+      RobotsRule(i % 3 == 0, s"/r${i % 7}*${i % 5}"))
+    val bigDf = fuzz.toDF("path")
+      .withColumn("pub", Web.robotsPrevailingRule(col("path"), big))
+      .withColumn("ch", Web.robotsChain(col("path"), big))
+    bigDf.collect().foreach { r =>
+      assert(r.getInt(1) === r.getInt(2),
+        s"48-rule native vs chain diverged on ${r.getString(0).map(_.toInt)}")
+    }
+  }
 }
