@@ -1176,4 +1176,48 @@ class StreamingSpec extends AnyFunSuite {
         s"streaming gate must equal batch:\n stream=$streamed\n batch=$batch")
     } finally q.stop()
   }
+
+  test("robots crawl gate runs at ingest time: streaming == batch, row for row") {
+    // the crawl frontier is a STREAM of discovered URLs; the robots
+    // verdict is a stateless scan-stage projection (rules ride the
+    // expression as a constant), so it must run unchanged on a
+    // streaming Dataset and admit exactly the batch verdicts
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Web
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rules = Web.loadRobotsRules(
+      """User-agent: *
+        |Allow: /p/1
+        |Disallow: /p/1
+        |Disallow: /p/15$
+        |Disallow: /*utm_
+        |""".stripMargin)
+    val urls: Seq[(Long, String)] = Seq(
+      1L -> "/p/10", 2L -> "/p/15", 3L -> "/p/15/x",
+      4L -> "/q?utm_source=a", 5L -> "/other", 6L -> "/p/15?utm_x=1")
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("_ri", Web.robotsPrevailingRule(col("path"), rules))
+        .where(Web.robotsAllowed(col("_ri"), rules))
+        .select(col("doc_id"), col("path"),
+          Web.robotsRuleLabel(col("_ri"), rules).as("rule"))
+    val batch = gate(urls.toDF("doc_id", "path"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(batch.map(_._1) === Set(1L, 3L, 5L),
+      s"fixture must admit exactly the tie/prefix/default rows, got $batch")
+    val mem = MemoryStream[(Long, String)]
+    val q = gate(mem.toDF.toDF("doc_id", "path"))
+      .writeStream.format("memory").queryName("robotsq")
+      .outputMode("append").start()
+    try {
+      mem.addData(urls.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(urls.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("robotsq").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(streamed === batch,
+        s"streaming robots gate must equal batch:\n stream=$streamed\n batch=$batch")
+    } finally q.stop()
+  }
 }
