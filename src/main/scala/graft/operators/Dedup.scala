@@ -442,9 +442,10 @@ object Dedup {
       bucketCap: Int = 4): DataFrame = {
     val (bands, planes) = bandingForTargetMiss(threshold, targetMiss)
     val q = Similarity.prepare(emb, idCol, vecCol)
-    val bandCols = array((0 until bands).map { b =>
-      Similarity.lshBucketSeeded(col("_q"), s"nd$b:", planes)
-    }: _*)
+    // same fused band-key expression as bandedPairsOn — the audit must
+    // see the production banding's exact bucket population
+    val bandCols = graft.functions.SignBands.bandKeys(
+      col("_q"), (0 until bands).map(b => s"nd$b:"), planes)
     val sizes = q.select(col("_id"), posexplode(bandCols))
       .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("_m"))
     stageReport("emb_lsh_band", bucketCap, sizes)
@@ -992,9 +993,11 @@ object Dedup {
   private def bandedPairsOn(
       q: DataFrame, threshold: Double, bands: Int, planesPerBand: Int,
       bucketCap: Int, capStats: Option[CapStats]): DataFrame = {
-    val bandCols = array((0 until bands).map { b =>
-      Similarity.lshBucketSeeded(col("_q"), s"nd$b:", planesPerBand)
-    }: _*)
+    // all band keys in ONE fused codegen loop — the 35×16-grid when-chain
+    // form overflowed codegen's method budget and ran interpreted,
+    // measured as d5's dominant stage (see functions.SignBands)
+    val bandCols = graft.functions.SignBands.bandKeys(
+      col("_q"), (0 until bands).map(b => s"nd$b:"), planesPerBand)
     val bk = capBuckets(
       q.select(col("_id"), posexplode(bandCols))
         .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bb"),

@@ -600,4 +600,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 100L), s"got $got")
   }
+
+  test("SignBands fused band keys == the per-plane lshBucketSeeded chain") {
+    import spark.implicits._
+    // deterministic pseudo-random 64-dim vectors, incl. negatives/zeros
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, (0 until 64).map(d =>
+        ((Similarity.hexHash60(s"sbtest$i,$d") % 2001) - 1000).toDouble / 997.0
+      ).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = Similarity.prepare(vecs, "vec_id", "embedding")
+    val bands = 35; val planes = 16
+    val seeds = (0 until bands).map(b => s"nd$b:")
+    val chain = array(seeds.map(sd =>
+      Similarity.lshBucketSeeded(col("_q"), sd, planes)): _*)
+    val fused = graft.functions.SignBands.bandKeys(col("_q"), seeds, planes)
+    val diff = q.select(col("_id"), chain.as("_a"), fused.as("_b"))
+      .where(col("_a") =!= col("_b")).count()
+    assert(diff === 0L)
+    // short-vector input: both sides share LongArrayDot's min-length rule
+    val short = Seq((1L, Array(0.5, -0.25, 0.75))).toDF("vec_id", "embedding")
+    val qs = Similarity.prepare(short, "vec_id", "embedding")
+    val d2 = qs.select(chain.as("_a"), fused.as("_b"))
+      .where(col("_a") =!= col("_b")).count()
+    assert(d2 === 0L)
+  }
 }
