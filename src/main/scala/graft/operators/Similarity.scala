@@ -20,6 +20,51 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Elementwise sum of equal-length long vectors — the one-exchange
+    * centroid-mean building block (see [[meanCentroidsBy]]). Empty input
+    * never reaches `finish` (groups exist only for seen rows). */
+  class LongVecSumAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]]
+      with Serializable {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], v: Seq[Long]): Array[Long] =
+      if (b.isEmpty) v.toArray
+      else { var i = 0; while (i < b.length && i < v.length) { b(i) += v(i); i += 1 }; b }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else { var i = 0; while (i < a.length && i < b.length) { a(i) += b(i); i += 1 }; a }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  private lazy val longVecSum = udaf(new LongVecSumAgg)
+
+  /** Per-group elementwise ROUNDED-MEAN centroids (+ squared norms) in ONE
+    * aggregation exchange: `groupBy(keys).agg(vecsum, count)` then a
+    * per-element `round(sum/count)` transform. Replaces the round-1..12
+    * posexplode → groupBy(keys, pos) → groupBy(keys) + collect_list/
+    * array_sort form, which paid a SECOND exchange (the re-assembly
+    * aggregation) per centroid update and shuffled 64 (pos, value) rows
+    * per vector where one row suffices. Arithmetic is identical: integer
+    * element sums (associative — partitioning-independent), the same
+    * `round(sum / count)` double division per element (all members of a
+    * group share one length, the engine-wide fixed-dim contract, so the
+    * per-element count equals the group count), and the same
+    * (`out`, `out` ∥ "_n2"-style) output columns the call sites had.
+    * Input rows must carry `keys` and a non-null long-array `vecCol`. */
+  private[operators] def meanCentroidsBy(
+      members: DataFrame, keys: Seq[String], vecCol: String,
+      outVec: String, outN2: String): DataFrame =
+    members.groupBy(keys.map(col): _*)
+      .agg(longVecSum(col(vecCol)).as("_svec"), count(lit(1)).as("_cnt"))
+      .select(keys.map(col) :+
+        transform(col("_svec"), s => round(s / col("_cnt")).cast("long")).as(outVec): _*)
+      .withColumn(outN2, dotQ(col(outVec), col(outVec)))
+
   def md5Hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -292,16 +337,8 @@ object Similarity {
         col(cellCol).as("_cell"))
       .withColumn("_n2", dotQ(col("_q"), col("_q")))
       .localCheckpoint()
-    val cents = base
-      .select(col("_cell"), posexplode(col("_q")).as(Seq("_pos", "_v")))
-      .groupBy(col("_cell"), col("_pos"))
-      .agg(sum(col("_v")).as("_sv"), count(lit(1)).as("_cnt"))
-      .groupBy(col("_cell"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("_pos").as("p"),
-          round(col("_sv") / col("_cnt")).cast("long").as("v")))),
-        x => x.getField("v")).as("_cvec"))
-      .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
+    // one-exchange rounded-mean centroids (see meanCentroidsBy)
+    val cents = meanCentroidsBy(base, Seq("_cell"), "_q", "_cvec", "_cn2")
     val q = queries.select(col(idCol).as("_qid"), quantize(col(vecCol)).as("_qq"))
       .withColumn("_qn2", dotQ(col("_qq"), col("_qq")))
     val qcells = q.crossJoin(broadcast(cents))
@@ -381,16 +418,9 @@ object Similarity {
           col("_n2") + col("_cn2") - lit(2L) * dotQ(col("_q"), col("_cvec")))
       assigned = scored.groupBy(col("_id"))
         .agg(min_by(col("_cell"), struct(col("_dist2"), col("_cell"))).as("_cell"))
-      cents = base.join(assigned, "_id")
-        .select(col("_cell"), posexplode(col("_q")).as(Seq("_pos", "_v")))
-        .groupBy(col("_cell"), col("_pos"))
-        .agg(sum(col("_v")).as("_sv"), count(lit(1)).as("_cnt"))
-        .groupBy(col("_cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("_pos").as("p"),
-            round(col("_sv") / col("_cnt")).cast("long").as("v")))),
-          x => x.getField("v")).as("_cvec"))
-        .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
+      // one-exchange rounded-mean update (see meanCentroidsBy)
+      cents = meanCentroidsBy(base.join(assigned, "_id"),
+          Seq("_cell"), "_q", "_cvec", "_cn2")
         .localCheckpoint()
       i += 1
     }
@@ -499,16 +529,10 @@ object Similarity {
           col("_n2") + col("_cn2") - lit(2L) * dotQ(col("_q"), col("_cvec")))
       assigned = scored.groupBy(col("_id"), col("_cc"))
         .agg(min_by(col("_ff"), struct(col("_dist2"), col("_ff"))).as("_ff"))
-      fcents = cbase.join(assigned.select(col("_id"), col("_ff")), "_id")
-        .select(col("_cc"), col("_ff"), posexplode(col("_q")).as(Seq("_pos", "_v")))
-        .groupBy(col("_cc"), col("_ff"), col("_pos"))
-        .agg(sum(col("_v")).as("_sv"), count(lit(1)).as("_cnt"))
-        .groupBy(col("_cc"), col("_ff"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("_pos").as("p"),
-            round(col("_sv") / col("_cnt")).cast("long").as("v")))),
-          x => x.getField("v")).as("_cvec"))
-        .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
+      // one-exchange rounded-mean update (see meanCentroidsBy)
+      fcents = meanCentroidsBy(
+          cbase.join(assigned.select(col("_id"), col("_ff")), "_id"),
+          Seq("_cc", "_ff"), "_q", "_cvec", "_cn2")
         .localCheckpoint()
       i += 1
     }
@@ -711,16 +735,7 @@ object Similarity {
     * cell's members — the coarse-centroid derivation shared by
     * [[ivfPqTopK]] and [[cellProfile]]. */
   private def memberCentroids(base: DataFrame, assigned: DataFrame): DataFrame =
-    base.join(assigned, "_id")
-      .select(col("_cell"), posexplode(col("_q")).as(Seq("_pos", "_v")))
-      .groupBy(col("_cell"), col("_pos"))
-      .agg(sum(col("_v")).as("_sv"), count(lit(1)).as("_cnt"))
-      .groupBy(col("_cell"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("_pos").as("p"),
-          round(col("_sv") / col("_cnt")).cast("long").as("v")))),
-        x => x.getField("v")).as("_cvec"))
-      .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
+    meanCentroidsBy(base.join(assigned, "_id"), Seq("_cell"), "_q", "_cvec", "_cn2")
 
   /** Clustering-quality diagnostic over the trained coarse cells: per
     * cell, the member count and mean exact-integer squared L2 distance
@@ -784,16 +799,9 @@ object Similarity {
           col("_svn2") + col("_cn2") - lit(2L) * dotQ(col("_sv"), col("_cvec")))
         .groupBy(col("_id"), col("_sub"))
         .agg(min_by(col("_cell"), struct(col("_dist2"), col("_cell"))).as("_cell"))
-      cents = subv.join(assigned, Seq("_id", "_sub"))
-        .select(col("_sub"), col("_cell"), posexplode(col("_sv")).as(Seq("_pos", "_v")))
-        .groupBy(col("_sub"), col("_cell"), col("_pos"))
-        .agg(sum(col("_v")).as("_svs"), count(lit(1)).as("_cnt"))
-        .groupBy(col("_sub"), col("_cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("_pos").as("p"),
-            round(col("_svs") / col("_cnt")).cast("long").as("v")))),
-          x => x.getField("v")).as("_cvec"))
-        .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
+      // one-exchange rounded-mean update (see meanCentroidsBy)
+      cents = meanCentroidsBy(subv.join(assigned, Seq("_id", "_sub")),
+          Seq("_sub", "_cell"), "_sv", "_cvec", "_cn2")
         .localCheckpoint()
       i += 1
     }
