@@ -944,12 +944,11 @@ object SparkEntry {
     "s5_ann_ivf_trained" -> ((s, dir) => {
       Graft.registerAll(s)
       val e = tbl(s, dir, "embeddings")
-      val cells = Similarity.trainIvfCells(par(e), "vec_id", "embedding",
-          k = 8, iters = 2)
-        .withColumnRenamed("_id", "vec_id")
-      Similarity.ivfTopK(par(e).join(cells, "vec_id"),
-        e.where(col("vec_id") < 20),
-        "vec_id", "embedding", "_cell", k = 5, nprobe = 2)
+      // train-and-probe in one pass: one corpus prepare, the trainer's
+      // own final centers reused by the probe (identical assignments,
+      // centroids, and top-k — see Similarity.ivfTopKSelfTrained)
+      Similarity.ivfTopKSelfTrained(par(e), e.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, kCells = 8, iters = 2, nprobe = 2)
     }),
     // SQ8 scalar-quantized ANN: candidates scored against reconstructed
     // 8-bit codes (exact integer arithmetic end-to-end, so the oracle

@@ -339,6 +339,16 @@ object Similarity {
       .localCheckpoint()
     // one-exchange rounded-mean centroids (see meanCentroidsBy)
     val cents = meanCentroidsBy(base, Seq("_cell"), "_q", "_cvec", "_cn2")
+    ivfProbeOn(base, cents, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** The probe half of [[ivfTopK]] over an already-assigned corpus
+    * (`_id, _q, _n2, _cell`) and its centroid table — shared by the
+    * external-assignment path and [[ivfTopKSelfTrained]], which reuses
+    * the trainer's own final centers instead of re-aggregating them. */
+  private def ivfProbeOn(
+      base: DataFrame, cents: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("_qid"), quantize(col(vecCol)).as("_qq"))
       .withColumn("_qn2", dotQ(col("_qq"), col("_qq")))
     val qcells = q.crossJoin(broadcast(cents))
@@ -353,6 +363,25 @@ object Similarity {
       .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
         cosineFrom(dotQ(col("_q"), col("_qq")), col("_n2"), col("_qn2")).as("cos"))
     TopK.perQuery(scored, k)
+  }
+
+  /** Train-and-probe IVF in one pass: the s5 composition
+    * (trainIvfCells → join back → ivfTopK) shared ONE corpus but paid
+    * for it twice — two full-corpus quantize+checkpoint prepares and a
+    * centroid re-aggregation over the joined corpus, all recomputing
+    * values the trainer's final iteration had already materialized
+    * ([[ivfLloydOn]]'s last mean update IS the member-mean centroid
+    * table of the returned assignment). This variant prepares once,
+    * trains once, and probes against the trainer's own (checkpointed)
+    * final centers: one prepare, zero re-aggregation — identical
+    * assignments, centroids, and top-k by construction. */
+  def ivfTopKSelfTrained(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, kCells: Int, iters: Int, nprobe: Int = 2): DataFrame = {
+    val base = prepare(corpus, idCol, vecCol).localCheckpoint()
+    val (assigned, cents) = ivfLloydOn(base, kCells, iters, "ivf|")
+    ivfProbeOn(base.join(assigned, "_id"), cents, queries, idCol, vecCol, k, nprobe)
   }
 
   /** Lloyd's k-means over quantized vectors — trains the coarse-quantizer
@@ -731,12 +760,6 @@ object Similarity {
     exactRerank(base, q, cand, k)
   }
 
-  /** Elementwise rounded-mean centroids (+ squared norms) of each
-    * cell's members — the coarse-centroid derivation shared by
-    * [[ivfPqTopK]] and [[cellProfile]]. */
-  private def memberCentroids(base: DataFrame, assigned: DataFrame): DataFrame =
-    meanCentroidsBy(base.join(assigned, "_id"), Seq("_cell"), "_q", "_cvec", "_cn2")
-
   /** Clustering-quality diagnostic over the trained coarse cells: per
     * cell, the member count and mean exact-integer squared L2 distance
     * to the member-mean centroid — the "are my IVF cells balanced and
@@ -749,8 +772,9 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 2): DataFrame = {
     val base = prepare(emb, idCol, vecCol).localCheckpoint()
-    val assigned = trainIvfCellsOn(base, k, iters)
-    val cents = memberCentroids(base, assigned)
+    // the trainer's final mean update IS the member-mean centroid table
+    // of the returned assignment — reuse it instead of re-aggregating
+    val (assigned, cents) = ivfLloydOn(base, k, iters, "ivf|")
     base.join(assigned, "_id")
       .join(broadcast(cents), "_cell")
       .withColumn("_dist2",
@@ -899,10 +923,10 @@ object Similarity {
     require(kSub <= 1000, s"kSub $kSub must be <= 1000 (LUT key packing)")
     val w = dim / subspaces
     val base = prepare(corpus, idCol, vecCol).localCheckpoint()
-    // coarse quantizer: trained assignment + member-mean centroids (the
-    // same rounded-mean form ivfTopK derives from an external label)
-    val assigned = trainIvfCellsOn(base, kCells, ivfIters)
-    val coarse = memberCentroids(base, assigned)
+    // coarse quantizer: trained assignment + member-mean centroids — the
+    // trainer's final mean update is exactly that centroid table, so it
+    // is reused instead of re-aggregated (one exchange + join removed)
+    val (assigned, coarse) = ivfLloydOn(base, kCells, ivfIters, "ivf|")
     val q = prepare(queries, idCol, vecCol)
       .select(col("_id").as("_qid"), col("_q").as("_qq"), col("_n2").as("_qn2"))
       .localCheckpoint()
