@@ -3035,8 +3035,12 @@ object SparkEntry {
       val backbone = und.crossJoin(broadcast(tot))
         .where(col("w").cast("decimal(38,0)") * col("ne") >
           col("tw").cast("decimal(38,0)"))
+      // eager: the recursive CTE re-evaluates the g41_nb view plan on
+      // every recursion step — left lazy, each of the 3 hops re-runs
+      // the full trade-edge join + backbone filter
       val nb = backbone.select(col("u").as("n"), col("v").as("nbr"))
         .unionByName(backbone.select(col("v").as("n"), col("u").as("nbr")))
+        .localCheckpoint()
       nb.createOrReplaceTempView("g41_nb")
       try s.sql("""
         WITH RECURSIVE reach(node, hops) AS (
@@ -3903,11 +3907,16 @@ object SparkEntry {
     * Shared by g5 (label propagation) and g9 (harmonic centrality);
     * q41's oracle unrolls the identical SQL. */
   private def tradeBackbone(s: SparkSession, dir: String): DataFrame = {
+    // eager: und feeds both the mean aggregate (broadcast side) and the
+    // filtered scan, and every caller is an iterative op that references
+    // the backbone 2+ times across separate jobs — left lazy, each
+    // reference re-runs the lineitem⋈orders trade-edge join
     val und = tradeEdges(s, dir)
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"), col("w"))
       .where(col("u") =!= col("v"))
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      .localCheckpoint()
     val tot = und.agg(count(lit(1)).as("ne"), sum(col("w")).as("tw"))
     und.crossJoin(broadcast(tot))
       .where(col("w").cast("decimal(38,0)") * col("ne") >

@@ -58,8 +58,13 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
       iters: Int, dampPct: Int,
       init: Long => Column, teleport: Long => Column): DataFrame = {
+    // eager: the edge projection feeds THREE separate construction jobs
+    // (both sides of the out-weight join, then the nodes union) — left
+    // lazy, each job re-evaluates the caller's full edge derivation
+    // (for the trade graph, a lineitem⋈orders join) from scratch;
+    // exchange reuse never crosses job boundaries
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
-      col(weightCol).cast("long").as("_w"))
+      col(weightCol).cast("long").as("_w")).localCheckpoint()
     val eo = e.join(e.groupBy(col("_src")).agg(sum(col("_w")).as("_tw")), Seq("_src"))
       .localCheckpoint()
     val nodes = e.select(col("_src").as("node"))
@@ -144,11 +149,15 @@ object Graph {
     */
   def triangleCounts(
       edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    // eager: und feeds the degree aggregate (twice, via the union) and
+    // the orientation join — left lazy, each reference re-derives the
+    // caller's edge construction (for g2, the lineitem⋈orders join)
     val und = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("_u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("_v"))
       .where(col("_u") =!= col("_v"))
       .distinct()
+      .localCheckpoint()
     val deg = und.select(col("_u").as("_n")).union(und.select(col("_v").as("_n")))
       .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
     // orient each edge from the (degree, id)-smaller endpoint to the larger
