@@ -1229,10 +1229,19 @@ object SparkEntry {
     // windows, bucketized into a plain equi-join on the day-bucket id —
     // no nested loop, both sides shuffle once. Aggregated per order.
     "u7_range_join" -> ((s, dir) => {
+      // aggregate BEFORE the range join: shipments collapse to one row
+      // per ship_day (count + exact decimal qty partial), so the join
+      // emits |days|×|covering intervals| rows instead of
+      // |lineitems|×|covering intervals| (~10⁴ vs ~10⁷ at sf0.1).
+      // Decimal partial sums are exact and associative, so the
+      // re-aggregated (n_ship, sum_qty) is bit-identical
       val pts = tbl(s, dir, "lineitem").select(
         datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))
           .cast("long").as("ship_day"),
         col("l_quantity"))
+        .groupBy(col("ship_day"))
+        .agg(count(lit(1)).as("_n_day"),
+          sum(col("l_quantity").cast("decimal(18,3)")).as("_qty_day"))
       val ivs = tbl(s, dir, "orders")
         .where(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"),
@@ -1242,8 +1251,8 @@ object SparkEntry {
       RangeJoin.pointInInterval(pts, "ship_day", ivs,
           "start_day", "end_day", bucketWidth = 4)
         .groupBy(col("o_orderkey"))
-        .agg(count(lit(1)).as("n_ship"),
-          sum(col("l_quantity").cast("decimal(18,3)")).cast("double").as("sum_qty"))
+        .agg(sum(col("_n_day")).as("n_ship"),
+          sum(col("_qty_day")).cast("double").as("sum_qty"))
     }),
 
     // ── Pipeline plumbing ────────────────────────────────────────────────
