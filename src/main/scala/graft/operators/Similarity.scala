@@ -426,9 +426,20 @@ object Similarity {
       seedPrefix: String = "ivf|"): DataFrame =
     ivfLloydOn(base, k, iters, seedPrefix)._2
 
+  /** `ckptEvery` controls how often the per-iteration center table is
+    * eagerly materialized. 1 (the default) is the classic shape: one
+    * lineage-cut job per iteration — right when the caller consumes
+    * BOTH outputs (the intermediates are multi-referenced across the
+    * caller's separate jobs). A large value leaves every intermediate
+    * lazy: each is referenced exactly once (by the next iteration), so
+    * the whole training chain — seed, assignments, mean updates —
+    * executes as stages of the CALLER's one materialization job instead
+    * of iters+1 driver round-trips, at identical total scan work. Only
+    * safe when the caller materializes each returned output at most
+    * once (twoLevelLloydOn's coarse loop: cbase absorbs the chain). */
   private def ivfLloydOn(
       base: DataFrame, k: Int, iters: Int,
-      seedPrefix: String): (DataFrame, DataFrame) = {
+      seedPrefix: String, ckptEvery: Int = 1): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
     val seedKey = Dedup.hash60(concat(lit(seedPrefix), col("_id").cast("string")))
     var cents = base
@@ -438,7 +449,7 @@ object Similarity {
         row_number().over(Window.orderBy(seedKey, col("_id"))) - 1)
       .select(col("_cell").cast("long").as("_cell"), col("_q").as("_cvec"))
       .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
-      .localCheckpoint()
+    if (ckptEvery == 1) cents = cents.localCheckpoint()
     var assigned: DataFrame = null
     var i = 0
     while (i < iters) {
@@ -450,7 +461,7 @@ object Similarity {
       // one-exchange rounded-mean update (see meanCentroidsBy)
       cents = meanCentroidsBy(base.join(assigned, "_id"),
           Seq("_cell"), "_q", "_cvec", "_cn2")
-        .localCheckpoint()
+      if ((i + 1) % ckptEvery == 0) cents = cents.localCheckpoint()
       i += 1
     }
     (assigned, cents)
@@ -535,13 +546,27 @@ object Similarity {
       iters: Int): (DataFrame, DataFrame, DataFrame) = {
     require(k1 > 0 && k2 > 0 && iters > 0,
       s"need k1, k2, iters > 0, got k1=$k1 k2=$k2 iters=$iters")
-    val (coarseAssigned, coarseCents) = ivfLloydOn(base, k1, iters, "ivfc|")
+    // coarse loop fully lazy (ckptEvery > iters): the chain executes as
+    // stages of cbase's ONE materialization job below instead of
+    // iters+1 separate driver round-trips — identical scan work
+    val (coarseAssigned, _) = ivfLloydOn(base, k1, iters, "ivfc|",
+      ckptEvery = iters + 1)
     val coarse = coarseAssigned.withColumnRenamed("_cell", "_cc")
     // one materialized (id, vector, norm, coarse cell) table shared by
     // fine seeding, every fine iteration, and the caller's downstream
     // join — the coarse loop is never re-derived
     val cbase = base.join(coarse, "_id").localCheckpoint()
+    // the trainer's final coarse centers ARE the mean update over the
+    // final assignment — recomputed here from the materialized cbase
+    // (identical arithmetic, one cheap scan) instead of re-running the
+    // lazy coarse chain; lazy checkpoint: the CellsOn path never pays
+    // for it, the IndexOn path materializes it once on first probe
+    val coarseCents = meanCentroidsBy(cbase, Seq("_cc"), "_q", "_cvec", "_cn2")
+      .localCheckpoint(false)
     val fseedKey = Dedup.hash60(concat(lit("ivff|"), col("_id").cast("string")))
+    // fine intermediates lazy for the same reason: each center table is
+    // referenced exactly once (by the next iteration), so the fine
+    // chain executes inside the first consumer's job
     var fcents = cbase
       .withColumn("_ff",
         (row_number().over(Window.partitionBy(col("_cc"))
@@ -549,7 +574,6 @@ object Similarity {
       .where(col("_ff") < k2)
       .select(col("_cc"), col("_ff"), col("_q").as("_cvec"))
       .withColumn("_cn2", dotQ(col("_cvec"), col("_cvec")))
-      .localCheckpoint()
     var assigned: DataFrame = null
     var i = 0
     while (i < iters) {
@@ -558,18 +582,23 @@ object Similarity {
           col("_n2") + col("_cn2") - lit(2L) * dotQ(col("_q"), col("_cvec")))
       assigned = scored.groupBy(col("_id"), col("_cc"))
         .agg(min_by(col("_ff"), struct(col("_dist2"), col("_ff"))).as("_ff"))
-      // one-exchange rounded-mean update (see meanCentroidsBy)
+      // one-exchange rounded-mean update (see meanCentroidsBy);
+      // penultimate table eagerly cut so BOTH final outputs (assigned
+      // and the final fcents) read it from blocks instead of each
+      // re-running the chain
       fcents = meanCentroidsBy(
           cbase.join(assigned.select(col("_id"), col("_ff")), "_id"),
           Seq("_cc", "_ff"), "_q", "_cvec", "_cn2")
-        .localCheckpoint()
+      if (i == iters - 2) fcents = fcents.localCheckpoint()
       i += 1
     }
     (assigned.select(col("_id"),
       (col("_cc") * k2 + col("_ff")).as("_cell")),
-      coarseCents.select(col("_cell").as("_cc"), col("_cvec").as("_ccvec"),
+      coarseCents.select(col("_cc"), col("_cvec").as("_ccvec"),
         col("_cn2").as("_ccn2")),
-      fcents)
+      // lazy checkpoint: CellsOn (which only consumes `assigned`) never
+      // pays for the final fine centers; IndexOn materializes them once
+      fcents.localCheckpoint(false))
   }
 
   /** LSH-bucketed top-k: candidates restricted to the query's sign-sketch
