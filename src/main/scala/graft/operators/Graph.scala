@@ -266,7 +266,15 @@ object Graph {
       .where(col("_u") =!= col("_v"))
       .distinct()
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // early exit at the fixpoint: peeling only REMOVES edges, so an
+    // unchanged edge count means an unchanged edge set and every later
+    // round is a no-op — the result at `rounds` is IDENTICAL, the
+    // remaining rounds' 3 exchanges each are just skipped. The count
+    // rides the already-materialized checkpoint blocks.
+    var prev = e.count()
+    var r = 0
+    var fixed = prev == 0
+    while (r < rounds && !fixed) {
       val keep = e.select(col("_u").as("_n")).union(e.select(col("_v").as("_n")))
         .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
         .where(col("_d") >= k)
@@ -274,6 +282,10 @@ object Graph {
       e = e.join(keep.select(col("_n").as("_u")), Seq("_u"), "left_semi")
         .join(keep.select(col("_n").as("_v")), Seq("_v"), "left_semi")
         .localCheckpoint()
+      val c = e.count()
+      fixed = c == prev
+      prev = c
+      r += 1
     }
     e.select(col("_u").as("_n")).union(e.select(col("_v").as("_n")))
       .groupBy(col("_n")).agg(count(lit(1)).as("degree"))
@@ -382,13 +394,26 @@ object Graph {
     var dist = nb.select(col("_n").as("_src")).distinct()
       .select(col("_src"), col("_src").as("_node"), lit(0L).as("_h"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // early exit at the fixpoint: BFS only ADDS pairs (a pair's _h is
+    // its discovery round and never changes), so an unchanged pair
+    // count means the reachability closure is complete and every later
+    // round recomputes the same table — the truncated-harmonic result
+    // at `rounds` is IDENTICAL, the remaining rounds' join + min-dedup
+    // exchanges are skipped. Count rides the checkpoint blocks.
+    var prev = dist.count()
+    var r = 0
+    var fixed = false
+    while (r < rounds && !fixed) {
       val next = dist
         .join(nb.select(col("_n").as("_node"), col("_nbr")), Seq("_node"))
         .select(col("_src"), col("_nbr").as("_node"), (col("_h") + 1).as("_h"))
       dist = dist.unionByName(next)
         .groupBy(col("_src"), col("_node")).agg(min(col("_h")).as("_h"))
         .localCheckpoint()
+      val c = dist.count()
+      fixed = c == prev
+      prev = c
+      r += 1
     }
     dist.where(col("_node") =!= col("_src"))
       .groupBy(col("_src"))
