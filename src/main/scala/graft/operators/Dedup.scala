@@ -1082,9 +1082,15 @@ object Dedup {
   def semDedup(
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       k: Int = 8, iters: Int = 2, threshold: Double = 0.95): DataFrame = {
-    val cells = Similarity.trainIvfCells(emb, idCol, vecCol, k, iters)
-    semDedupInCells(Similarity.prepare(emb, idCol, vecCol), cells, idCol,
-      threshold)
+    // prepare ONCE: trainer and in-cell screen share one materialized
+    // corpus projection (the ivfTopKSelfTrained rule — the old shape
+    // paid a second full-corpus quantize for the screen side); the
+    // trainer chain stays lazy (ckptEvery > iters) and executes inside
+    // the screen's own base⋈cells materialization job
+    val base = Similarity.prepare(emb, idCol, vecCol).localCheckpoint()
+    val cells = Similarity.trainIvfCellsOn(base, k, iters,
+      ckptEvery = iters + 1)
+    semDedupInCells(base, cells, idCol, threshold)
   }
 
   /** The SemDeDup keeper rule over a prepared corpus and a cell

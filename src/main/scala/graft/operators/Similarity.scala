@@ -380,8 +380,15 @@ object Similarity {
       idCol: String, vecCol: String,
       k: Int, kCells: Int, iters: Int, nprobe: Int = 2): DataFrame = {
     val base = prepare(corpus, idCol, vecCol).localCheckpoint()
-    val (assigned, cents) = ivfLloydOn(base, kCells, iters, "ivf|")
-    ivfProbeOn(base.join(assigned, "_id"), cents, queries, idCol, vecCol, k, nprobe)
+    // lazy trainer chain absorbed by the assigned-corpus materialization
+    // (the twoLevelLloydOn rule); the final centers are the mean update
+    // over the final assignment, recomputed from the materialized abase
+    // — identical values, one cheap scan instead of re-running the chain
+    val (assigned, _) = ivfLloydOn(base, kCells, iters, "ivf|",
+      ckptEvery = iters + 1)
+    val abase = base.join(assigned, "_id").localCheckpoint()
+    val cents = meanCentroidsBy(abase, Seq("_cell"), "_q", "_cvec", "_cn2")
+    ivfProbeOn(abase, cents, queries, idCol, vecCol, k, nprobe)
   }
 
   /** Lloyd's k-means over quantized vectors — trains the coarse-quantizer
@@ -412,8 +419,8 @@ object Similarity {
     * pinned checkpoint). */
   private[operators] def trainIvfCellsOn(
       base: DataFrame, k: Int, iters: Int,
-      seedPrefix: String = "ivf|"): DataFrame =
-    ivfLloydOn(base, k, iters, seedPrefix)._1
+      seedPrefix: String = "ivf|", ckptEvery: Int = 1): DataFrame =
+    ivfLloydOn(base, k, iters, seedPrefix, ckptEvery)._1
 
   /** The FINAL centers of the same md5-seeded Lloyd's run —
     * `(_cell, _cvec, _cn2)` AFTER the last mean update (one update past
@@ -801,10 +808,14 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 2): DataFrame = {
     val base = prepare(emb, idCol, vecCol).localCheckpoint()
-    // the trainer's final mean update IS the member-mean centroid table
-    // of the returned assignment — reuse it instead of re-aggregating
-    val (assigned, cents) = ivfLloydOn(base, k, iters, "ivf|")
-    base.join(assigned, "_id")
+    // lazy trainer chain absorbed by the assigned-corpus materialization
+    // (the twoLevelLloydOn rule); the final centers ARE the mean update
+    // over the final assignment, recomputed from the materialized abase
+    val (assigned, _) = ivfLloydOn(base, k, iters, "ivf|",
+      ckptEvery = iters + 1)
+    val abase = base.join(assigned, "_id").localCheckpoint()
+    val cents = meanCentroidsBy(abase, Seq("_cell"), "_q", "_cvec", "_cn2")
+    abase
       .join(broadcast(cents), "_cell")
       .withColumn("_dist2",
         col("_n2") + col("_cn2") - lit(2L) * dotQ(col("_q"), col("_cvec")))
@@ -841,10 +852,14 @@ object Similarity {
       .select(col("_sub"), posexplode(col("_seeds")).as(Seq("_pos", "_c")))
       .select(col("_sub"), col("_c.id").as("_id"),
         col("_pos").cast("long").as("_cell"))
+    // intermediates lazy (each is referenced once, by the next round —
+    // the twoLevelLloydOn rule); only the FINAL codebook is eagerly cut,
+    // because two consumers read it (code assignment + query LUTs), so
+    // the whole training chain executes inside that one job. A lineage
+    // cut every 4 rounds guards Catalyst plan growth on long trainings.
     var cents = subv.join(broadcast(seedIds), Seq("_sub", "_id"))
       .select(col("_sub"), col("_cell"), col("_sv").as("_cvec"),
         col("_svn2").as("_cn2"))
-      .localCheckpoint()
     var i = 0
     while (i < iters) {
       val assigned = subv.join(broadcast(cents), "_sub")
@@ -855,10 +870,10 @@ object Similarity {
       // one-exchange rounded-mean update (see meanCentroidsBy)
       cents = meanCentroidsBy(subv.join(assigned, Seq("_id", "_sub")),
           Seq("_sub", "_cell"), "_sv", "_cvec", "_cn2")
-        .localCheckpoint()
+      if ((i + 1) % 4 == 0 && i != iters - 1) cents = cents.localCheckpoint()
       i += 1
     }
-    cents
+    cents.localCheckpoint()
   }
 
   /** Final code assignment against trained codebooks, folded into one
@@ -952,10 +967,15 @@ object Similarity {
     require(kSub <= 1000, s"kSub $kSub must be <= 1000 (LUT key packing)")
     val w = dim / subspaces
     val base = prepare(corpus, idCol, vecCol).localCheckpoint()
-    // coarse quantizer: trained assignment + member-mean centroids — the
-    // trainer's final mean update is exactly that centroid table, so it
-    // is reused instead of re-aggregated (one exchange + join removed)
-    val (assigned, coarse) = ivfLloydOn(base, kCells, ivfIters, "ivf|")
+    // coarse quantizer: lazy trainer chain absorbed by the assigned-
+    // corpus materialization (the twoLevelLloydOn rule); the final
+    // member-mean centroids are recomputed from the materialized abase
+    // — identical values, one cheap scan instead of re-running the chain
+    val (assigned0, _) = ivfLloydOn(base, kCells, ivfIters, "ivf|",
+      ckptEvery = ivfIters + 1)
+    val abase = base.join(assigned0, "_id").localCheckpoint()
+    val assigned = abase.select(col("_id"), col("_cell"))
+    val coarse = meanCentroidsBy(abase, Seq("_cell"), "_q", "_cvec", "_cn2")
     val q = prepare(queries, idCol, vecCol)
       .select(col("_id").as("_qid"), col("_q").as("_qq"), col("_n2").as("_qn2"))
       .localCheckpoint()
