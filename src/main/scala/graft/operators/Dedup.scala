@@ -470,9 +470,6 @@ object Dedup {
       capStats: Option[CapStats] = None): (DataFrame, DataFrame) = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
-    val sh = docs.select(col(idCol).as("_id"), hashedShingleSetNative(col(textCol)).as("_sh"))
-      .localCheckpoint()
-    val sig = sh.withColumn("_sig", minhashSignatureNative(col("_sh"), k))
     // band key = xxhash64 of the band's r signature values — native fixed
     // args, no per-row string building + md5. Only key *equality* matters
     // for candidate generation, so the Spark-side hash need not match the
@@ -480,8 +477,21 @@ object Dedup {
     val bandCols = array((0 until bands).map { j =>
       xxhash64((j * r until (j + 1) * r).map(i => element_at(col("_sig"), i + 1)): _*)
     }: _*)
+    // ONE materialization carries shingles AND the folded band-key array:
+    // previously the capBuckets hot-list job and the band-key checkpoint
+    // each re-evaluated the lazy sig projection, computing the k-hash
+    // minhash signature twice per corpus; now shingle + signature + band
+    // keys run once and both downstream tables read blocks (+bands·8
+    // bytes/row of block storage, the signature itself is not stored)
+    val shb = docs
+      .select(col(idCol).as("_id"), hashedShingleSetNative(col(textCol)).as("_sh"))
+      .withColumn("_sig", minhashSignatureNative(col("_sh"), k))
+      .withColumn("_bands", bandCols)
+      .drop("_sig")
+      .localCheckpoint()
+    val sh = shb.select(col("_id"), col("_sh"))
     val bandKeys = capBuckets(
-      sig.select(col("_id"), posexplode(bandCols))
+      shb.select(col("_id"), posexplode(col("_bands")))
         .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bkey"),
       Seq("_band", "_bkey"), bucketCap, capStats)
       .localCheckpoint()
