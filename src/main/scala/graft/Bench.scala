@@ -60,22 +60,22 @@ object Bench {
     * fallback measures accurately in one run. */
   private val lastRoundSec: Map[String, Double] =
     Map(
-      "a1" -> 0.7, "d1" -> 0.3, "d10" -> 6.9, "d11" -> 4.1, "d12" -> 2.3,
-      "d13" -> 1.5, "d14" -> 2.1, "d15" -> 8.3, "d16" -> 4.8, "d17" -> 2.9,
-      "d18" -> 1.4, "d19" -> 3.0, "d2" -> 3.9, "d20" -> 1.8, "d21" -> 3.5,
-      "d22" -> 2.6, "d23" -> 2.1, "d24" -> 4.3, "d25" -> 5.9, "d26" -> 4.9,
+      "a1" -> 0.7, "d1" -> 0.3, "d10" -> 3.9, "d11" -> 3.9, "d12" -> 2.3,
+      "d13" -> 1.5, "d14" -> 2.1, "d15" -> 3.9, "d16" -> 3.9, "d17" -> 2.9,
+      "d18" -> 1.4, "d19" -> 3.0, "d2" -> 3.9, "d20" -> 1.8, "d21" -> 1.0,
+      "d22" -> 2.6, "d23" -> 2.1, "d24" -> 3.9, "d25" -> 3.9, "d26" -> 4.9,
       "d27" -> 1.0, "d28" -> 1.9, "d29" -> 1.8, "d3" -> 0.2, "d30" -> 0.7,
-      "d31" -> 3.5, "d32" -> 5.3, "d33" -> 1.1, "d34" -> 3.7, "d35" -> 1.4,
-      "d36" -> 1.4, "d37" -> 0.6, "d38" -> 2.8, "d4" -> 2.1, "d5" -> 8.8,
-      "d6" -> 4.2, "d7" -> 1.1, "d8" -> 1.1, "d9" -> 1.5, "g1" -> 6.5,
-      "g10" -> 2.4, "g11" -> 3.6, "g12" -> 2.8, "g2" -> 3.7, "g3" -> 5.0,
-      "g4" -> 1.3, "g5" -> 5.2, "g6" -> 5.1, "g7" -> 3.0, "g8" -> 3.3,
-      "g9" -> 3.2, "j1" -> 0.3, "m1" -> 0.9, "m10" -> 3.4, "m11" -> 1.4,
+      "d31" -> 3.5, "d32" -> 3.9, "d33" -> 1.1, "d34" -> 3.7, "d35" -> 1.4,
+      "d36" -> 1.4, "d37" -> 0.6, "d38" -> 2.8, "d4" -> 2.1, "d5" -> 3.0,
+      "d6" -> 3.9, "d7" -> 1.1, "d8" -> 1.1, "d9" -> 1.5, "g1" -> 3.9,
+      "g10" -> 2.4, "g11" -> 3.6, "g12" -> 2.4, "g2" -> 1.5, "g3" -> 3.9,
+      "g4" -> 1.3, "g5" -> 3.9, "g6" -> 3.9, "g7" -> 3.0, "g8" -> 3.3,
+      "g9" -> 2.0, "j1" -> 0.3, "m1" -> 0.9, "m10" -> 3.4, "m11" -> 1.4,
       "m12" -> 3.0, "m13" -> 0.5, "m14" -> 1.2, "m15" -> 0.7, "m16" -> 1.6,
       "m17" -> 1.4, "m18" -> 0.5, "m19" -> 0.5, "m2" -> 0.9, "m20" -> 0.9,
       "m3" -> 0.7, "m4" -> 0.8, "m5" -> 0.9, "m6" -> 0.3, "m7" -> 0.8,
       "m8" -> 0.8, "m9" -> 1.2, "p1" -> 0.2, "p10" -> 0.6, "p11" -> 0.3,
-      "p12" -> 4.7, "p13" -> 0.8, "p14" -> 0.3, "p15" -> 0.8, "p16" -> 0.9,
+      "p12" -> 3.9, "p13" -> 0.8, "p14" -> 0.3, "p15" -> 0.8, "p16" -> 0.9,
       "p17" -> 0.4, "p18" -> 0.7, "p2" -> 0.2, "p3" -> 0.2, "p4" -> 0.7,
       "p5" -> 0.7, "p6" -> 0.4, "p7" -> 1.3, "p8" -> 2.4, "p9" -> 0.4,
       "q1" -> 0.4, "q10" -> 0.5, "q11" -> 1.2, "q12" -> 0.3, "q13" -> 0.7,
@@ -85,12 +85,12 @@ object Bench {
       "q28" -> 0.6, "q29" -> 0.5, "q3" -> 0.3, "q30" -> 0.4, "q31" -> 0.4,
       "q32" -> 0.7, "q33" -> 0.5, "q34" -> 0.2, "q35" -> 0.3, "q36" -> 0.9,
       "q37" -> 0.5, "q38" -> 0.9, "q39" -> 0.6, "q4" -> 0.4, "q40" -> 0.2,
-      "q41" -> 4.9, "q42" -> 0.8, "q43" -> 1.0, "q44" -> 1.5, "q5" -> 0.2,
+      "q41" -> 2.0, "q42" -> 0.8, "q43" -> 1.0, "q44" -> 1.5, "q5" -> 0.2,
       "q6" -> 0.7, "q7" -> 1.0, "q8" -> 0.6, "q9" -> 0.5, "retention" -> 0.6,
       "s1" -> 1.1, "s10" -> 2.6, "s11" -> 1.1, "s12" -> 1.1, "s13" -> 2.0,
-      "s14" -> 1.1, "s15" -> 1.0, "s16" -> 0.6, "s17" -> 2.8, "s18" -> 4.1,
+      "s14" -> 1.1, "s15" -> 1.0, "s16" -> 0.6, "s17" -> 2.8, "s18" -> 3.9,
       "s19" -> 0.9, "s2" -> 0.9, "s20" -> 1.2, "s3" -> 3.9, "s4" -> 1.9,
-      "s5" -> 5.4, "s6" -> 1.7, "s7" -> 1.1, "s8" -> 5.3, "s9" -> 7.1,
+      "s5" -> 3.9, "s6" -> 1.7, "s7" -> 1.1, "s8" -> 3.9, "s9" -> 3.9,
       "t1" -> 0.2, "t10" -> 1.0, "t11" -> 1.0, "t12" -> 1.1, "t13" -> 0.7,
       "t14" -> 0.5, "t15" -> 0.9, "t16" -> 1.8, "t17" -> 0.5, "t18" -> 2.0,
       "t19" -> 0.9, "t2" -> 0.3, "t20" -> 0.7, "t21" -> 1.1, "t22" -> 3.6,
@@ -109,7 +109,7 @@ object Bench {
       "u37" -> 0.4, "u38" -> 0.8, "u39" -> 0.6, "u4" -> 0.3, "u40" -> 1.5,
       "u41" -> 0.6, "u42" -> 2.3, "u43" -> 1.0, "u44" -> 0.8, "u45" -> 0.7,
       "u46" -> 0.5, "u47" -> 0.8, "u49" -> 1.5, "u5" -> 0.6, "u50" -> 0.6,
-      "u6" -> 1.2, "u7" -> 3.9, "u8" -> 0.7, "u9" -> 1.0, "w1" -> 1.2,
+      "u6" -> 1.2, "u7" -> 1.0, "u8" -> 0.7, "u9" -> 1.0, "w1" -> 1.2,
       "w2" -> 1.0, "w3" -> 1.6, "w4" -> 0.3, "w5" -> 0.7, "w6" -> 0.5,
       "w7" -> 0.9)
 
@@ -136,13 +136,13 @@ object Bench {
     * [[lastRoundSec]]). */
   private val priorIsolatedMinSec: Map[String, Double] =
     Map(
-      "a1" -> 0.14, "d1" -> 0.0, "d10" -> 2.2, "d11" -> 1.8, "d12" -> 1.8,
+      "a1" -> 0.14, "d1" -> 0.0, "d10" -> 2.2, "d11" -> 1.8, "d12" -> 1.56,
       "d13" -> 0.7, "d14" -> 1.2, "d15" -> 3.6, "d16" -> 2.2, "d17" -> 0.9,
-      "d18" -> 0.6, "d19" -> 0.9, "d2" -> 0.8, "d20" -> 0.5, "d21" -> 1.9,
+      "d18" -> 0.6, "d19" -> 0.9, "d2" -> 0.8, "d20" -> 0.5, "d21" -> 0.56,
       "d22" -> 1.1, "d23" -> 1.0, "d24" -> 1.9, "d25" -> 2.4, "d26" -> 2.0,
       "d27" -> 0.27, "d28" -> 1.0, "d29" -> 1.0, "d3" -> 0.0, "d30" -> 0.62,
-      "d31" -> 2.0, "d32" -> 3.79, "d33" -> 0.8, "d34" -> 1.4, "d35" -> 0.7,
-      "d36" -> 0.9, "d37" -> 0.53, "d38" -> 1.28, "d4" -> 0.8, "d5" -> 3.9,
+      "d31" -> 2.0, "d32" -> 3.59, "d33" -> 0.8, "d34" -> 1.4, "d35" -> 0.7,
+      "d36" -> 0.9, "d37" -> 0.53, "d38" -> 1.28, "d4" -> 0.8, "d5" -> 2.0,
       "d6" -> 1.9, "d7" -> 0.5, "d8" -> 0.66, "d9" -> 0.8, "g1" -> 2.8,
       "g10" -> 1.4, "g11" -> 1.8, "g12" -> 1.7, "g2" -> 1.0, "g3" -> 2.49,
       "g4" -> 0.8, "g5" -> 1.3, "g6" -> 2.2, "g7" -> 1.87, "g8" -> 1.9,
@@ -154,20 +154,20 @@ object Bench {
       "p10" -> 0.3, "p11" -> 0.27, "p12" -> 2.0, "p13" -> 0.5, "p14" -> 0.0,
       "p15" -> 0.4, "p16" -> 0.5, "p17" -> 0.3, "p18" -> 0.3, "p2" -> 0.0,
       "p3" -> 0.0, "p4" -> 0.4, "p5" -> 0.3, "p6" -> 0.0, "p7" -> 0.8,
-      "p8" -> 2.0, "p9" -> 0.0, "q1" -> 0.0, "q10" -> 0.0, "q11" -> 0.6,
+      "p8" -> 0.91, "p9" -> 0.0, "q1" -> 0.0, "q10" -> 0.0, "q11" -> 0.6,
       "q12" -> 0.0, "q13" -> 0.3, "q14" -> 0.4, "q15" -> 0.0, "q16" -> 0.4,
       "q17" -> 0.3, "q18" -> 0.3, "q19" -> 0.3, "q2" -> 0.0, "q20" -> 0.0,
       "q21" -> 0.3, "q22" -> 0.0, "q23" -> 0.4, "q24" -> 0.0, "q25" -> 0.3,
       "q26" -> 0.0, "q27" -> 0.21, "q28" -> 0.3, "q29" -> 0.3, "q3" -> 0.0,
       "q30" -> 0.0, "q31" -> 0.0, "q32" -> 0.3, "q33" -> 0.28, "q34" -> 0.0,
       "q35" -> 0.0, "q36" -> 0.4, "q37" -> 0.0, "q38" -> 0.5, "q39" -> 0.0,
-      "q4" -> 0.0, "q40" -> 0.0, "q41" -> 2.8, "q42" -> 0.4, "q43" -> 0.6,
+      "q4" -> 0.0, "q40" -> 0.0, "q41" -> 1.39, "q42" -> 0.4, "q43" -> 0.6,
       "q44" -> 0.7, "q5" -> 0.0, "q6" -> 0.3, "q7" -> 0.4, "q8" -> 0.3,
-      "q9" -> 0.0, "retention" -> 0.47, "s1" -> 0.3, "s10" -> 1.7,
+      "q9" -> 0.0, "retention" -> 0.47, "s1" -> 0.3, "s10" -> 1.19,
       "s11" -> 0.6, "s12" -> 0.4, "s13" -> 0.7, "s14" -> 0.3, "s15" -> 0.3,
       "s16" -> 0.59, "s17" -> 1.3, "s18" -> 0.5, "s19" -> 0.4, "s2" -> 0.6,
-      "s20" -> 0.5, "s3" -> 1.2, "s4" -> 0.49, "s5" -> 1.6, "s6" -> 1.1,
-      "s7" -> 0.3, "s8" -> 2.99, "s9" -> 4.57, "t1" -> 0.0, "t10" -> 0.7,
+      "s20" -> 0.5, "s3" -> 0.71, "s4" -> 0.49, "s5" -> 1.04, "s6" -> 1.1,
+      "s7" -> 0.3, "s8" -> 2.99, "s9" -> 3.9, "t1" -> 0.0, "t10" -> 0.7,
       "t11" -> 0.6, "t12" -> 0.6, "t13" -> 0.5, "t14" -> 0.0, "t15" -> 0.6,
       "t16" -> 1.0, "t17" -> 0.4, "t18" -> 1.1, "t19" -> 0.7, "t2" -> 0.0,
       "t20" -> 0.3, "t21" -> 0.4, "t22" -> 0.7, "t23" -> 0.0, "t24" -> 0.5,
@@ -186,7 +186,7 @@ object Bench {
       "u38" -> 0.38, "u39" -> 0.3, "u4" -> 0.0, "u40" -> 0.4, "u41" -> 0.0,
       "u42" -> 0.7, "u43" -> 0.5, "u44" -> 0.4, "u45" -> 0.3, "u46" -> 0.0,
       "u47" -> 0.0, "u49" -> 0.7, "u5" -> 0.3, "u50" -> 0.36, "u6" -> 0.3,
-      "u7" -> 2.57, "u8" -> 0.3, "u9" -> 0.4, "w1" -> 0.5, "w2" -> 0.5,
+      "u7" -> 0.53, "u8" -> 0.3, "u9" -> 0.4, "w1" -> 0.5, "w2" -> 0.5,
       "w3" -> 0.9, "w4" -> 0.21, "w5" -> 0.66, "w6" -> 0.49, "w7" -> 0.93)
 
   private[graft] def priorIsolatedMin(n: String): Option[Double] =
