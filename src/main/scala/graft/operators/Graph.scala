@@ -72,7 +72,7 @@ object Graph {
     val n = nodes.count() // one tiny job; |V| is known anyway at this point
     require(n > 0, "pageRank: empty edge set")
     var ranks = nodes.withColumn("rank_ppm", init(n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // rank mass is ppm-scaled (Σrank ≈ |V|·10⁶, so a mega-hub's
       // rank_ppm can reach ~10¹⁶ at |V|=10¹⁰) and edge weights are
       // data — the products ride DECIMAL(38,0) before the integer
@@ -89,7 +89,11 @@ object Graph {
           (teleport(n) + expr(
             s"CAST((CAST(coalesce(_in, 0L) AS DECIMAL(38,0)) * $dampPct) div 100 AS BIGINT)"))
             .as("rank_ppm"))
-        .localCheckpoint()
+      // each intermediate rank table is referenced exactly once (by the
+      // next iteration), so a per-iteration eager cut bought no reuse —
+      // only a driver round-trip per round; cut every 4th round to bound
+      // Catalyst plan growth, let the final job run the last ≤4 rounds
+      if (i % 4 == 0) ranks = ranks.localCheckpoint()
     }
     ranks
   }
