@@ -745,7 +745,59 @@ object Bench {
     BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
       .bigDecimal.stripTrailingZeros.toPlainString
 
-  /** Emits the aggregate artifact as TWO JSON lines, engineered for the
+  /** Three-decimal format for the per_query_part chunk values. */
+  private def fmt3(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+
+  /** Chunked per-query artifact lines (round 14, VERDICT r13 item 1).
+    * The full-precision `queries` map is ~8 KB at 257 queries while the
+    * driver captures only a ~2 KB stdout tail, so BENCH_r12/r13 shipped
+    * with `parsed: null` and PERF's `per_query`/geomean were empty —
+    * round-over-round grading ran on the compact line's slowest-10
+    * alone. These chunks restore the per-query measurement contract:
+    * each is a SELF-DESCRIBING one-line JSON document under `limit`
+    * bytes (inside any per-line capture window) carrying FULL query
+    * names at 3-decimal precision:
+    *
+    *   `{"metric":"per_query_part","i":k,"n":N,"unit":"sec","sf":...,
+    *     "queries":{...}}`
+    *
+    * Emitted BETWEEN the existing full line and the existing compact
+    * line — additions only, both neighbours stay byte-identical.
+    * Entries are ordered cheapest-first so the LAST chunks (the ones a
+    * bare character-tail capture is most likely to retain whole) carry
+    * the heaviest queries — the numbers a reader weighs most. */
+  private[graft] def perQueryPartLines(results: Seq[(String, Double)],
+      sfBase: String, limit: Int = 1800): Seq[String] = {
+    if (results.isEmpty) Nil
+    else {
+      def header(i: Int, n: Int): String =
+        s"""{"metric":"per_query_part","i":$i,"n":$n,"unit":"sec","sf":"$sfBase","queries":{"""
+      // worst-case header width (2-digit i/n) + closing "}}"
+      val overhead = header(99, 99).length + 2
+      val entries = results.sortBy { case (n, v) => (v, n) }
+        .map { case (n, v) => s"${jstr(n)}:${fmt3(v)}" }
+      val groups = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer[String]())
+      var len = overhead
+      entries.foreach { e =>
+        if (groups.last.nonEmpty && len + e.length + 1 > limit) {
+          groups += scala.collection.mutable.ArrayBuffer[String]()
+          len = overhead
+        }
+        groups.last += e
+        len += e.length + 1
+      }
+      groups.zipWithIndex.map { case (g, i) =>
+        header(i, groups.size) + g.mkString(",") + "}}"
+      }.toSeq
+    }
+  }
+
+  /** Emits the aggregate artifact as the established TWO JSON lines
+    * plus the round-14 [[perQueryPartLines]] chunks between them,
+    * engineered for the
     * driver's ~2 KB stdout TAIL capture (BENCH_r05 lost every timed
     * `sec` value to it — only the boot-inflated `wall` map survived;
     * BENCH_r07 lost the `suspect` array because it sat at the HEAD of
@@ -770,6 +822,10 @@ object Bench {
       walls: scala.collection.Map[String, Double] = Map.empty,
       suspect: Seq[String] = Nil): Unit = {
     println(fullArtifactLine(results, errors, walls, suspect))
+    // per-query chunks between the two established lines (additions
+    // only — see [[perQueryPartLines]] for the driver-capture rationale)
+    perQueryPartLines(results, new java.io.File(sfDir).getName)
+      .foreach(println)
     println(compactArtifactLine(results, errors,
       new java.io.File(sfDir).getName, suspect, slowFactor(results)))
   }

@@ -1,0 +1,67 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Measurement-only harness (optimization guide §1): runs named declared
+  * queries in one warm JVM and reports, per timed run, the wall seconds
+  * plus the Spark JOB / STAGE / TASK counts — the direct observable for
+  * "this query's cost is N sequential driver round-trips, not data"
+  * (the LSH+CC chain diagnosis from VERDICT r13). Not part of the
+  * driver contract; never invoked by Bench/Verify.
+  *
+  * Usage: `runMain graft.ProfileJobs <query> [<query> ...]`
+  * (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS — same as Bench).
+  */
+object ProfileJobs {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.registerAll(spark)
+    val jobs = new AtomicInteger()
+    val stages = new AtomicInteger()
+    val tasks = new AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(s.stageInfo.numTasks.toLong)
+      }
+    })
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      // untimed warmup (codegen/JIT) — same protocol as Bench
+      fn(spark, sfDir).count()
+      release()
+      (1 to 2).foreach { rep =>
+        Thread.sleep(400) // let the async listener bus drain
+        jobs.set(0); stages.set(0); tasks.set(0)
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(400)
+        println(f"""{"query":"$name","rep":$rep,"sec":$sec%.3f,"jobs":${jobs.get},"stages":${stages.get},"tasks":${tasks.get}}""")
+        release()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -146,6 +146,48 @@ class BenchEmitSpec extends AnyFunSuite {
     assert(Bench.suspicious("q5_agg", thr(1.0) * 1.1, 0.5))
   }
 
+  // ── per_query_part chunks (round 14: restore the driver's per-query
+  // measurement contract — the full line is ~8 KB at 257 queries and the
+  // driver's ~2 KB tail capture lost it two rounds running) ────────────
+
+  test("per_query_part chunks each fit the capture window and cover every query") {
+    val rs = synth(257)
+    val lines = Bench.perQueryPartLines(rs, "sf0.1")
+    assert(lines.nonEmpty)
+    lines.foreach(l => assert(l.length <= 1800, s"len ${l.length}: $l"))
+    // self-describing chunk protocol: i/n consistent
+    assert(lines.zipWithIndex.forall { case (l, i) =>
+      l.startsWith(s"""{"metric":"per_query_part","i":$i,"n":${lines.size},""")
+    }, lines.head)
+    // union of chunks carries every query exactly once, FULL names
+    val all = lines.flatMap(l =>
+      """"(q\d+_synthetic_name_\d+)":([0-9.]+)""".r.findAllMatchIn(l)
+        .map(m => m.group(1) -> m.group(2).toDouble))
+    assert(all.size === 257)
+    assert(all.map(_._1).toSet === rs.map(_._1).toSet)
+    // 3-decimal precision: within half a millisecond of the true value
+    val truth = rs.toMap
+    all.foreach { case (n, v) =>
+      assert(math.abs(v - truth(n)) <= 0.0005, s"$n: $v vs ${truth(n)}")
+    }
+    // heaviest queries ride the LAST chunk (tail-capture hedge)
+    assert(lines.last.contains(""""q257_synthetic_name_257":"""))
+    assert(lines.head.contains(""""q1_synthetic_name_001":"""))
+  }
+
+  test("per_query_part chunks are valid one-line JSON at any size") {
+    assert(Bench.perQueryPartLines(Nil, "sf0.1").isEmpty)
+    val one = Bench.perQueryPartLines(Seq("a1_x" -> 0.1234), "sf0.01")
+    assert(one === Seq(
+      """{"metric":"per_query_part","i":0,"n":1,"unit":"sec","sf":"sf0.01","queries":{"a1_x":0.123}}"""))
+    // no chunk ever splits an entry, even with long names near the limit
+    val long = (1 to 300).map(i => (s"q${i}_${"x" * 60}", i * 1.5))
+    Bench.perQueryPartLines(long, "sf0.1").foreach { l =>
+      assert(l.length <= 1800)
+      assert(l.endsWith("}}"))
+    }
+  }
+
   test("prior-round isolated floors resolve by unique prefix") {
     // a1's ratcheted floor is the judge's 0.14 s isolated re-run, below
     // any rehearsal number — the floor only ever steps down
