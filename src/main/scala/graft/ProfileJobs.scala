@@ -33,12 +33,22 @@ object ProfileJobs {
     val jobs = new AtomicInteger()
     val stages = new AtomicInteger()
     val tasks = new AtomicLong()
+    val verbose = sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (verbose) t0.put(j.jobId, System.nanoTime())
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (verbose) Option(t0.remove(j.jobId)).foreach { s =>
+          System.err.println(f"[job ${j.jobId}%4d] ${(System.nanoTime() - s) / 1e3}%9.0f us")
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks.toLong)
+        if (verbose) System.err.println(
+          s"[stage ${s.stageInfo.stageId}] ${s.stageInfo.numTasks} tasks  ${s.stageInfo.name}")
       }
     })
     def release(): Unit = {

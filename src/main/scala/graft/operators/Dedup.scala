@@ -490,6 +490,16 @@ object Dedup {
       .drop("_sig")
       .localCheckpoint()
     val sh = shb.select(col("_id"), col("_sh"))
+    // NOTE (round 14 negative result, kept so round 15 doesn't retry):
+    // a PINNED (band, key) layout here — repartition(N, _band, _bkey) +
+    // persist, eagerly materialized — deletes the hot-list aggregate's
+    // exchange and both self-join exchanges from the plan, but measured
+    // WORSE at sf0.1 (d6 2.0-2.4 → 3.4-4.0 s, d10 2.0-2.2 → 2.9-3.2 s,
+    // +125 tasks): the columnar cache build plus fixed 32-partition
+    // join stages cost more than the AQE-coalesced (1-3 task) exchanges
+    // they replace. Same regime-dependence as the r13 iterative-table
+    // experiment — at 100 TB the deleted exchanges are corpus-sized and
+    // the verdict flips, but that needs a cluster-scale measurement.
     val bandKeys = capBuckets(
       shb.select(col("_id"), posexplode(col("_bands")))
         .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bkey"),
@@ -1279,10 +1289,29 @@ object Dedup {
       // carry the changed flag inside the round's checkpointed output:
       // convergence is then a scan of materialized blocks, not an extra
       // old-vs-new join (+shuffle) per round — measured ~40% of round cost
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      //
+      // POINTER JUMP (round 14, guide §1.2 — fewer passes): after the
+      // neighbor-min half-step, each node also adopts the PREVIOUS
+      // round's label of its new label (lbl ← min(l1, prev(l1))) — the
+      // hash-to-min contraction, turning diameter-many rounds into
+      // ~log(diameter). Every label stays the id of a component member
+      // and only ever decreases, so an unchanged round still implies
+      // neighbor-min stability and therefore labels == component min —
+      // the FIXPOINT (the declared result) is identical, only the
+      // trajectory shortens. The jump joins against the previous
+      // round's materialized blocks, so it adds one cheap join per
+      // round and removes whole rounds (measured 5 → 3 on the d6
+      // corpus).
+      val half = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("_l1"))
+      val next = half
+        .join(labels.select(col("id").as("_l1"), col("lbl").as("_pl")),
+          Seq("_l1"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("_changed"))
+          least(col("_l1"), coalesce(col("_pl"), col("_l1"))).as("lbl"),
+          (least(col("_l1"), coalesce(col("_pl"), col("_l1"))) < col("lbl"))
+            .as("_changed"))
         .localCheckpoint()
       converged = next.where(col("_changed")).isEmpty
       labels = next.drop("_changed")
@@ -1529,12 +1558,21 @@ object Dedup {
       sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
       i => conv(substring(md5(t.substr(i, lit(k)).cast("binary")), 1, 15), 16, 10)
         .cast("long"))
+    // distinct INSIDE the row (array_distinct before the explode): the
+    // fingerprint set is per-document, so the corpus-wide distinct
+    // exchange the explode previously fed was pure waste — per-doc set
+    // semantics are identical and one full shuffle disappears (§2.4)
     docs.select(col(idCol).as("doc_id"), grams.as("_g"))
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), greatest(size(col("_g")) - (w - 1), lit(1))),
-        j => array_min(slice(col("_g"), j, lit(w))))).as("fp"))
-      .distinct()
+      .select(col("doc_id"), explode(winnowedFpArr(col("_g"), w)).as("fp"))
   }
+
+  /** The per-document winnowed fingerprint SET as an array column —
+    * shared by [[winnowingFingerprints]] and [[winnowingPairs]] (which
+    * also needs the per-doc set SIZE from the same scan pass). */
+  private def winnowedFpArr(grams: Column, w: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+      j => array_min(slice(grams, j, lit(w)))))
 
   /** Local-overlap pairs over [[winnowingFingerprints]]: documents
     * sharing fingerprints, scored by
@@ -1567,9 +1605,32 @@ object Dedup {
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k: Int = 8, w: Int = 4, dfCap: Int = 64, minOverlapPpm: Long = 500000L,
       capStats: Option[CapStats] = None): DataFrame = {
-    val fps = winnowingFingerprints(docs, idCol, textCol, k, w)
-      .localCheckpoint() // shared by sizes, df table and both join sides
-    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("_nf"))
+    require(k >= 2 && w >= 1, s"need k >= 2, w >= 1; got k=$k w=$w")
+    val t = Text.normalized(col(textCol))
+    val grams = transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => conv(substring(md5(t.substr(i, lit(k)).cast("binary")), 1, 15), 16, 10)
+        .cast("long"))
+    // each exploded row carries its document's fingerprint-set SIZE
+    // computed in the same scan pass (round 14, §2.3/§2.4): the former
+    // per-doc `sizes` aggregate and its two pair-side joins disappear —
+    // _na/_nb now ride the pair groupBy's key — and the per-doc
+    // array_distinct replaces the corpus-wide distinct exchange. Sizes
+    // still count EVERY fingerprint (df filters only gate matching,
+    // the documented lower-bound contract).
+    //
+    // _g and _fps are bound to columns ACROSS Generate boundaries before
+    // anything maps over them: inlining the gram-array expression into
+    // the per-window lambda (higher-order functions evaluate
+    // interpreted) re-hashes the whole document per window — measured
+    // as a runaway O(|text|²) md5 stage before this structure was
+    // pinned down.
+    val fps = docs
+      .select(col(idCol).as("doc_id"), grams.as("_g"))
+      .select(col("doc_id"), explode(array(winnowedFpArr(col("_g"), w))).as("_fps"))
+      .select(col("doc_id"), size(col("_fps")).as("_nf"),
+        explode(col("_fps")).as("fp"))
+      .localCheckpoint() // shared by the df table and both join sides
     // vocabulary-sized df table, joined back shuffle-hash on the
     // fingerprint (the prefixFilter/t9 rule — never broadcast); df = 1
     // cannot pair, df > dfCap is the hot-key drop, both pruned in one
@@ -1586,14 +1647,12 @@ object Dedup {
     val kept = fps.join(
       dfs.where(col("_df") >= 2 && col("_df") <= dfCap)
         .select(col("fp")).hint("shuffle_hash"), "fp")
-    val pairs = kept.as("a")
+    kept.as("a")
       .join(kept.as("b").hint("shuffle_hash"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a._nf").as("_na"), col("b._nf").as("_nb"))
       .agg(count(lit(1)).as("n_shared"))
-    pairs
-      .join(sizes.select(col("doc_id").as("id_a"), col("_nf").as("_na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("_nf").as("_nb")), "id_b")
       .select(col("id_a"), col("id_b"), col("n_shared"),
         expr("CAST(n_shared * CAST(1000000 AS BIGINT) div least(_na, _nb) AS BIGINT)")
           .as("overlap_ppm"))
