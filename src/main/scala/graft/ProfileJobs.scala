@@ -29,10 +29,18 @@ object ProfileJobs {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // extra session confs for experiments, e.g.
+    // SPARK_GRAFT_CONF="spark.sql.autoBroadcastJoinThreshold=-1;spark.graft.staticLayout=pinned"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     Graft.registerAll(spark)
     val jobs = new AtomicInteger()
     val stages = new AtomicInteger()
     val tasks = new AtomicLong()
+    val shufW = new AtomicLong()
+    val shufR = new AtomicLong()
     val verbose = sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
@@ -47,6 +55,8 @@ object ProfileJobs {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks.toLong)
+        shufW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        shufR.addAndGet(s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
         if (verbose) System.err.println(
           s"[stage ${s.stageInfo.stageId}] ${s.stageInfo.numTasks} tasks  ${s.stageInfo.name}")
       }
@@ -63,12 +73,12 @@ object ProfileJobs {
       release()
       (1 to 2).foreach { rep =>
         Thread.sleep(400) // let the async listener bus drain
-        jobs.set(0); stages.set(0); tasks.set(0)
+        jobs.set(0); stages.set(0); tasks.set(0); shufW.set(0); shufR.set(0)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(400)
-        println(f"""{"query":"$name","rep":$rep,"sec":$sec%.3f,"jobs":${jobs.get},"stages":${stages.get},"tasks":${tasks.get}}""")
+        println(f"""{"query":"$name","rep":$rep,"sec":$sec%.3f,"jobs":${jobs.get},"stages":${stages.get},"tasks":${tasks.get},"shufWriteMB":${shufW.get / 1048576.0}%.1f,"shufReadMB":${shufR.get / 1048576.0}%.1f}""")
         release()
       }
     }

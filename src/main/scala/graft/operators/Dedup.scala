@@ -1275,9 +1275,13 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().localCheckpoint()
+    // static per-iteration join side, keyed on src every round — layout
+    // decided by StaticLayout.static (checkpoint locally, pinned at scale)
+    val edges = StaticLayout.static(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+        .distinct(),
+      col("src"))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     var iter = 0

@@ -65,8 +65,11 @@ object Graph {
     // exchange reuse never crosses job boundaries
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
       col(weightCol).cast("long").as("_w")).localCheckpoint()
-    val eo = e.join(e.groupBy(col("_src")).agg(sum(col("_w")).as("_tw")), Seq("_src"))
-      .localCheckpoint()
+    // static per-iteration join side, keyed on _src every round — layout
+    // decided by StaticLayout.static (checkpoint locally, pinned at scale)
+    val eo = StaticLayout.static(
+      e.join(e.groupBy(col("_src")).agg(sum(col("_w")).as("_tw")), Seq("_src")),
+      col("_src"))
     val nodes = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count() // one tiny job; |V| is known anyway at this point
@@ -214,9 +217,11 @@ object Graph {
         col(weightCol).cast("long").as("_w"))
       .where(col("_u") =!= col("_v"))
       .groupBy(col("_u"), col("_v")).agg(sum(col("_w")).as("_w"))
-    val nb = und.select(col("_u").as("_n"), col("_v").as("_nbr"), col("_w"))
-      .unionByName(und.select(col("_v").as("_n"), col("_u").as("_nbr"), col("_w")))
-      .localCheckpoint()
+    // static per-iteration join side, keyed on _nbr every round
+    val nb = StaticLayout.static(
+      und.select(col("_u").as("_n"), col("_v").as("_nbr"), col("_w"))
+        .unionByName(und.select(col("_v").as("_n"), col("_u").as("_nbr"), col("_w"))),
+      col("_nbr"))
     // every node in nb has >= 1 neighbor by construction (isolated nodes
     // have no edges and no label), so the update covers all nodes
     var labels = nb.select(col("_n")).distinct()
@@ -392,9 +397,11 @@ object Graph {
       .where(col("_u") =!= col("_v"))
       .distinct()
       .localCheckpoint()
-    val nb = und.select(col("_u").as("_n"), col("_v").as("_nbr"))
-      .union(und.select(col("_v").as("_n"), col("_u").as("_nbr")))
-      .localCheckpoint()
+    // static per-iteration join side, keyed on _n (joined as _node)
+    val nb = StaticLayout.static(
+      und.select(col("_u").as("_n"), col("_v").as("_nbr"))
+        .union(und.select(col("_v").as("_n"), col("_u").as("_nbr"))),
+      col("_n"))
     var dist = nb.select(col("_n").as("_src")).distinct()
       .select(col("_src"), col("_src").as("_node"), lit(0L).as("_h"))
       .localCheckpoint()
@@ -635,8 +642,15 @@ object Graph {
       weightCol: String = "w", iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     def dec(c: Column) = c.cast("decimal(38,0)")
-    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
-      col(weightCol).cast("long").as("_w")).localCheckpoint()
+    // static per-iteration join side; each HITS round joins it on _src
+    // (hub step) AND _dst (authority step) — the pinned layout keys on
+    // _src, so at scale the authority step still exchanges it once per
+    // round (a second _dst-pinned copy is the full fix; one copy
+    // already halves the per-round static exchanges)
+    val e = StaticLayout.static(
+      edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
+        col(weightCol).cast("long").as("_w")),
+      col("_src"))
     val nodes = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node"))).distinct().localCheckpoint()
     def ppmByMax(scored: DataFrame, c: String): DataFrame = {
