@@ -1275,12 +1275,21 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 25): DataFrame = {
+    // canonicalize BEFORE doubling (round 14, §2.3): the distinct then
+    // exchanges |pairs| rows instead of the doubled table. Two strictly
+    // lo<hi orientations cannot collide, so the doubled set stays
+    // distinct by construction; a self-loop row is kept exactly once
+    // (the old double-then-distinct behavior) by excluding it from the
+    // reversed side.
+    val canon = pairs
+      .select(least(col(idA), col(idB)).as("src"),
+        greatest(col(idA), col(idB)).as("dst"))
+      .distinct()
     // static per-iteration join side, keyed on src every round — layout
     // decided by StaticLayout.static (checkpoint locally, pinned at scale)
     val edges = StaticLayout.static(
-      pairs.select(col(idA).as("src"), col(idB).as("dst"))
-        .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-        .distinct(),
+      canon.unionByName(canon.where(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst"))),
       col("src"))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
@@ -1317,6 +1326,12 @@ object Dedup {
           (least(col("_l1"), coalesce(col("_pl"), col("_l1"))) < col("lbl"))
             .as("_changed"))
         .localCheckpoint()
+      // isEmpty, not count: take(1) over checkpointed blocks is
+      // exchange-free (one job on every non-converged round; its 1→4→…
+      // partition expansion only costs extra jobs on the single
+      // converged round), while a count() plans a partial-agg exchange
+      // + an AQE stage job EVERY round — measured +5 jobs per query
+      // when tried in round 14
       converged = next.where(col("_changed")).isEmpty
       labels = next.drop("_changed")
       iter += 1
