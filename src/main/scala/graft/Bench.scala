@@ -60,58 +60,64 @@ object Bench {
     * fallback measures accurately in one run. */
   private val lastRoundSec: Map[String, Double] =
     Map(
-      "a1" -> 0.7, "d1" -> 0.3, "d10" -> 3.9, "d11" -> 3.9, "d12" -> 2.3,
-      "d13" -> 1.5, "d14" -> 2.1, "d15" -> 3.9, "d16" -> 3.9, "d17" -> 2.9,
-      "d18" -> 1.4, "d19" -> 3.0, "d2" -> 3.9, "d20" -> 1.8, "d21" -> 1.0,
-      "d22" -> 2.6, "d23" -> 2.1, "d24" -> 3.9, "d25" -> 3.9, "d26" -> 4.9,
-      "d27" -> 1.0, "d28" -> 1.9, "d29" -> 1.8, "d3" -> 0.2, "d30" -> 0.7,
-      "d31" -> 3.5, "d32" -> 3.9, "d33" -> 1.1, "d34" -> 3.7, "d35" -> 1.4,
-      "d36" -> 1.4, "d37" -> 0.6, "d38" -> 2.8, "d4" -> 2.1, "d5" -> 3.0,
-      "d6" -> 3.9, "d7" -> 1.1, "d8" -> 1.1, "d9" -> 1.5, "g1" -> 3.9,
-      "g10" -> 2.4, "g11" -> 3.6, "g12" -> 2.4, "g2" -> 1.5, "g3" -> 3.9,
-      "g4" -> 1.3, "g5" -> 3.9, "g6" -> 3.9, "g7" -> 3.0, "g8" -> 3.3,
-      "g9" -> 2.0, "j1" -> 0.3, "m1" -> 0.9, "m10" -> 3.4, "m11" -> 1.4,
-      "m12" -> 3.0, "m13" -> 0.5, "m14" -> 1.2, "m15" -> 0.7, "m16" -> 1.6,
-      "m17" -> 1.4, "m18" -> 0.5, "m19" -> 0.5, "m2" -> 0.9, "m20" -> 0.9,
-      "m3" -> 0.7, "m4" -> 0.8, "m5" -> 0.9, "m6" -> 0.3, "m7" -> 0.8,
-      "m8" -> 0.8, "m9" -> 1.2, "p1" -> 0.2, "p10" -> 0.6, "p11" -> 0.3,
-      "p12" -> 3.9, "p13" -> 0.8, "p14" -> 0.3, "p15" -> 0.8, "p16" -> 0.9,
-      "p17" -> 0.4, "p18" -> 0.7, "p2" -> 0.2, "p3" -> 0.2, "p4" -> 0.7,
-      "p5" -> 0.7, "p6" -> 0.4, "p7" -> 1.3, "p8" -> 2.4, "p9" -> 0.4,
-      "q1" -> 0.4, "q10" -> 0.5, "q11" -> 1.2, "q12" -> 0.3, "q13" -> 0.7,
-      "q14" -> 0.8, "q15" -> 0.4, "q16" -> 0.7, "q17" -> 1.1, "q18" -> 0.6,
-      "q19" -> 0.9, "q2" -> 0.2, "q20" -> 0.7, "q21" -> 0.7, "q22" -> 0.3,
-      "q23" -> 0.9, "q24" -> 0.7, "q25" -> 0.6, "q26" -> 0.4, "q27" -> 0.3,
-      "q28" -> 0.6, "q29" -> 0.5, "q3" -> 0.3, "q30" -> 0.4, "q31" -> 0.4,
-      "q32" -> 0.7, "q33" -> 0.5, "q34" -> 0.2, "q35" -> 0.3, "q36" -> 0.9,
-      "q37" -> 0.5, "q38" -> 0.9, "q39" -> 0.6, "q4" -> 0.4, "q40" -> 0.2,
-      "q41" -> 2.0, "q42" -> 0.8, "q43" -> 1.0, "q44" -> 1.5, "q5" -> 0.2,
-      "q6" -> 0.7, "q7" -> 1.0, "q8" -> 0.6, "q9" -> 0.5, "retention" -> 0.6,
-      "s1" -> 1.1, "s10" -> 2.6, "s11" -> 1.1, "s12" -> 1.1, "s13" -> 2.0,
-      "s14" -> 1.1, "s15" -> 1.0, "s16" -> 0.6, "s17" -> 2.8, "s18" -> 3.9,
-      "s19" -> 0.9, "s2" -> 0.9, "s20" -> 1.2, "s3" -> 3.9, "s4" -> 1.9,
-      "s5" -> 3.9, "s6" -> 1.7, "s7" -> 1.1, "s8" -> 3.9, "s9" -> 3.9,
-      "t1" -> 0.2, "t10" -> 1.0, "t11" -> 1.0, "t12" -> 1.1, "t13" -> 0.7,
-      "t14" -> 0.5, "t15" -> 0.9, "t16" -> 1.8, "t17" -> 0.5, "t18" -> 2.0,
-      "t19" -> 0.9, "t2" -> 0.3, "t20" -> 0.7, "t21" -> 1.1, "t22" -> 3.6,
-      "t23" -> 0.6, "t24" -> 1.0, "t25" -> 0.2, "t26" -> 2.0, "t27" -> 0.7,
-      "t28" -> 0.6, "t29" -> 0.3, "t3" -> 0.2, "t30" -> 0.4, "t31" -> 1.6,
-      "t33" -> 1.0, "t34" -> 1.9, "t35" -> 1.5, "t36" -> 1.4, "t37" -> 0.3,
-      "t38" -> 1.6, "t39" -> 0.3, "t4" -> 0.2, "t40" -> 1.4, "t41" -> 1.7,
-      "t42" -> 1.3, "t43" -> 1.1, "t44" -> 0.3, "t45" -> 0.3, "t46" -> 0.4,
-      "t47" -> 1.0, "t5" -> 0.4, "t6" -> 0.6, "t7" -> 0.3, "t8" -> 0.3,
-      "t9" -> 2.1, "u1" -> 0.6, "u10" -> 1.1, "u11" -> 0.9, "u12" -> 1.0,
-      "u13" -> 0.6, "u14" -> 0.4, "u15" -> 0.8, "u16" -> 0.6, "u17" -> 1.6,
-      "u18" -> 0.9, "u19" -> 0.9, "u2" -> 0.4, "u20" -> 0.6, "u21" -> 1.5,
-      "u23" -> 1.7, "u24" -> 0.3, "u25" -> 0.5, "u26" -> 0.6, "u27" -> 0.8,
-      "u28" -> 1.3, "u29" -> 0.5, "u3" -> 0.5, "u30" -> 1.1, "u31" -> 0.9,
-      "u32" -> 1.0, "u33" -> 1.8, "u34" -> 1.1, "u35" -> 0.9, "u36" -> 0.8,
-      "u37" -> 0.4, "u38" -> 0.8, "u39" -> 0.6, "u4" -> 0.3, "u40" -> 1.5,
-      "u41" -> 0.6, "u42" -> 2.3, "u43" -> 1.0, "u44" -> 0.8, "u45" -> 0.7,
-      "u46" -> 0.5, "u47" -> 0.8, "u49" -> 1.5, "u5" -> 0.6, "u50" -> 0.6,
-      "u6" -> 1.2, "u7" -> 1.0, "u8" -> 0.7, "u9" -> 1.0, "w1" -> 1.2,
-      "w2" -> 1.0, "w3" -> 1.6, "w4" -> 0.3, "w5" -> 0.7, "w6" -> 0.5,
-      "w7" -> 0.9)
+      "a1" -> 0.7, "d1" -> 0.3, "d10" -> 3.18, "d11" -> 2.42, "d12" -> 1.58,
+      "d13" -> 1.5, "d14" -> 1.42, "d15" -> 3.9, "d16" -> 2.77,
+      "d17" -> 1.91, "d18" -> 1.04, "d19" -> 1.63, "d2" -> 2.3,
+      "d20" -> 0.96, "d21" -> 0.84, "d22" -> 1.87, "d23" -> 1.47,
+      "d24" -> 3.28, "d25" -> 3.9, "d26" -> 2.15, "d27" -> 0.5,
+      "d28" -> 1.9, "d29" -> 1.6, "d3" -> 0.16, "d30" -> 0.7, "d31" -> 2.61,
+      "d32" -> 3.9, "d33" -> 0.97, "d34" -> 1.9, "d35" -> 0.98,
+      "d36" -> 1.4, "d37" -> 0.49, "d38" -> 1.74, "d4" -> 1.43, "d5" -> 3,
+      "d6" -> 2.49, "d7" -> 0.98, "d8" -> 0.82, "d9" -> 1.23, "g1" -> 3.78,
+      "g10" -> 2.37, "g11" -> 2.47, "g12" -> 2.4, "g2" -> 1.36,
+      "g3" -> 2.92, "g4" -> 1.3, "g5" -> 2.25, "g6" -> 3.13, "g7" -> 2.88,
+      "g8" -> 2.89, "g9" -> 2, "j1" -> 0.3, "m1" -> 0.33, "m10" -> 2.16,
+      "m11" -> 1.4, "m12" -> 1.89, "m13" -> 0.5, "m14" -> 0.65,
+      "m15" -> 0.7, "m16" -> 1.34, "m17" -> 1.02, "m18" -> 0.42,
+      "m19" -> 0.5, "m2" -> 0.47, "m20" -> 0.61, "m3" -> 0.7, "m4" -> 0.65,
+      "m5" -> 0.53, "m6" -> 0.3, "m7" -> 0.55, "m8" -> 0.7, "m9" -> 1.16,
+      "p1" -> 0.15, "p10" -> 0.49, "p11" -> 0.3, "p12" -> 2.59,
+      "p13" -> 0.69, "p14" -> 0.3, "p15" -> 0.8, "p16" -> 0.9, "p17" -> 0.4,
+      "p18" -> 0.7, "p2" -> 0.2, "p3" -> 0.2, "p4" -> 0.7, "p5" -> 0.7,
+      "p6" -> 0.18, "p7" -> 1.19, "p8" -> 1.8, "p9" -> 0.23, "q1" -> 0.4,
+      "q10" -> 0.38, "q11" -> 1.02, "q12" -> 0.3, "q13" -> 0.57,
+      "q14" -> 0.8, "q15" -> 0.25, "q16" -> 0.7, "q17" -> 0.45,
+      "q18" -> 0.6, "q19" -> 0.72, "q2" -> 0.15, "q20" -> 0.26,
+      "q21" -> 0.52, "q22" -> 0.26, "q23" -> 0.77, "q24" -> 0.46,
+      "q25" -> 0.56, "q26" -> 0.4, "q27" -> 0.19, "q28" -> 0.6,
+      "q29" -> 0.39, "q3" -> 0.27, "q30" -> 0.21, "q31" -> 0.4,
+      "q32" -> 0.64, "q33" -> 0.5, "q34" -> 0.16, "q35" -> 0.2,
+      "q36" -> 0.74, "q37" -> 0.27, "q38" -> 0.87, "q39" -> 0.32,
+      "q4" -> 0.4, "q40" -> 0.17, "q41" -> 2, "q42" -> 0.6, "q43" -> 0.95,
+      "q44" -> 1.1, "q5" -> 0.2, "q6" -> 0.64, "q7" -> 0.69, "q8" -> 0.4,
+      "q9" -> 0.31, "retention" -> 0.34, "s1" -> 0.4, "s10" -> 1.65,
+      "s11" -> 1.02, "s12" -> 0.85, "s13" -> 1.29, "s14" -> 0.81,
+      "s15" -> 0.72, "s16" -> 0.6, "s17" -> 2.23, "s18" -> 1.04,
+      "s19" -> 0.74, "s2" -> 0.9, "s20" -> 1.2, "s3" -> 1.18, "s4" -> 0.88,
+      "s5" -> 1.95, "s6" -> 1.69, "s7" -> 0.51, "s8" -> 3.2, "s9" -> 3.9,
+      "t1" -> 0.2, "t10" -> 0.88, "t11" -> 0.93, "t12" -> 1.09,
+      "t13" -> 0.7, "t14" -> 0.42, "t15" -> 0.62, "t16" -> 1.77,
+      "t17" -> 0.5, "t18" -> 1.66, "t19" -> 0.87, "t2" -> 0.23,
+      "t20" -> 0.59, "t21" -> 0.97, "t22" -> 2.14, "t23" -> 0.6, "t24" -> 1,
+      "t25" -> 0.2, "t26" -> 1.79, "t27" -> 0.7, "t28" -> 0.6,
+      "t29" -> 0.29, "t3" -> 0.2, "t30" -> 0.4, "t31" -> 1.06, "t33" -> 1,
+      "t34" -> 1.36, "t35" -> 1.07, "t36" -> 1.3, "t37" -> 0.27,
+      "t38" -> 1.18, "t39" -> 0.22, "t4" -> 0.2, "t40" -> 1.4, "t41" -> 1.7,
+      "t42" -> 1.3, "t43" -> 0.85, "t44" -> 0.2, "t45" -> 0.23,
+      "t46" -> 0.4, "t47" -> 1, "t5" -> 0.4, "t6" -> 0.6, "t7" -> 0.23,
+      "t8" -> 0.25, "t9" -> 1.17, "u1" -> 0.48, "u10" -> 0.68,
+      "u11" -> 0.75, "u12" -> 1, "u13" -> 0.6, "u14" -> 0.4, "u15" -> 0.71,
+      "u16" -> 0.6, "u17" -> 0.54, "u18" -> 0.68, "u19" -> 0.8, "u2" -> 0.4,
+      "u20" -> 0.6, "u21" -> 0.44, "u23" -> 0.78, "u24" -> 0.26,
+      "u25" -> 0.5, "u26" -> 0.6, "u27" -> 0.8, "u28" -> 1.18, "u29" -> 0.5,
+      "u3" -> 0.26, "u30" -> 0.68, "u31" -> 0.56, "u32" -> 0.64,
+      "u33" -> 1.13, "u34" -> 0.97, "u35" -> 0.81, "u36" -> 0.8,
+      "u37" -> 0.4, "u38" -> 0.8, "u39" -> 0.6, "u4" -> 0.24, "u40" -> 0.64,
+      "u41" -> 0.25, "u42" -> 2.08, "u43" -> 1, "u44" -> 0.8, "u45" -> 0.7,
+      "u46" -> 0.47, "u47" -> 0.52, "u49" -> 1.5, "u5" -> 0.6,
+      "u50" -> 0.53, "u6" -> 0.6, "u7" -> 1, "u8" -> 0.7, "u9" -> 1,
+      "w1" -> 0.89, "w2" -> 1, "w3" -> 0.97, "w4" -> 0.22, "w5" -> 0.58,
+      "w6" -> 0.37, "w7" -> 0.74)
 
   /** New queries (no last-round number) are assumed mid-weight so they
     * schedule early enough to always get measured. */
@@ -136,56 +142,56 @@ object Bench {
     * [[lastRoundSec]]). */
   private val priorIsolatedMinSec: Map[String, Double] =
     Map(
-      "a1" -> 0.14, "d1" -> 0.0, "d10" -> 2.2, "d11" -> 1.8, "d12" -> 1.56,
+      "a1" -> 0.14, "d1" -> 0, "d10" -> 2.2, "d11" -> 1.8, "d12" -> 1.56,
       "d13" -> 0.7, "d14" -> 1.2, "d15" -> 3.6, "d16" -> 2.2, "d17" -> 0.9,
       "d18" -> 0.6, "d19" -> 0.9, "d2" -> 0.8, "d20" -> 0.5, "d21" -> 0.56,
-      "d22" -> 1.1, "d23" -> 1.0, "d24" -> 1.9, "d25" -> 2.4, "d26" -> 2.0,
-      "d27" -> 0.27, "d28" -> 1.0, "d29" -> 1.0, "d3" -> 0.0, "d30" -> 0.62,
-      "d31" -> 2.0, "d32" -> 3.59, "d33" -> 0.8, "d34" -> 1.4, "d35" -> 0.7,
-      "d36" -> 0.9, "d37" -> 0.53, "d38" -> 1.28, "d4" -> 0.8, "d5" -> 2.0,
+      "d22" -> 1.1, "d23" -> 1, "d24" -> 1.9, "d25" -> 2.4, "d26" -> 2,
+      "d27" -> 0.27, "d28" -> 1, "d29" -> 1, "d3" -> 0, "d30" -> 0.62,
+      "d31" -> 2, "d32" -> 3.59, "d33" -> 0.8, "d34" -> 1.4, "d35" -> 0.7,
+      "d36" -> 0.9, "d37" -> 0.53, "d38" -> 1.28, "d4" -> 0.8, "d5" -> 2,
       "d6" -> 1.9, "d7" -> 0.5, "d8" -> 0.66, "d9" -> 0.8, "g1" -> 2.8,
-      "g10" -> 1.4, "g11" -> 1.8, "g12" -> 1.7, "g2" -> 1.0, "g3" -> 2.49,
+      "g10" -> 1.4, "g11" -> 1.8, "g12" -> 1.7, "g2" -> 1, "g3" -> 2.49,
       "g4" -> 0.8, "g5" -> 1.3, "g6" -> 2.2, "g7" -> 1.87, "g8" -> 1.9,
-      "g9" -> 1.4, "j1" -> 0.09, "m1" -> 0.0, "m10" -> 0.3, "m11" -> 0.7,
+      "g9" -> 1.4, "j1" -> 0.09, "m1" -> 0, "m10" -> 0.3, "m11" -> 0.7,
       "m12" -> 1.4, "m13" -> 0.43, "m14" -> 0.5, "m15" -> 0.41,
       "m16" -> 1.19, "m17" -> 1.29, "m18" -> 0.47, "m19" -> 0.43,
       "m2" -> 0.3, "m20" -> 0.54, "m3" -> 0.3, "m4" -> 0.3, "m5" -> 0.3,
-      "m6" -> 0.0, "m7" -> 0.28, "m8" -> 0.39, "m9" -> 0.0, "p1" -> 0.0,
-      "p10" -> 0.3, "p11" -> 0.27, "p12" -> 2.0, "p13" -> 0.5, "p14" -> 0.0,
-      "p15" -> 0.4, "p16" -> 0.5, "p17" -> 0.3, "p18" -> 0.3, "p2" -> 0.0,
-      "p3" -> 0.0, "p4" -> 0.4, "p5" -> 0.3, "p6" -> 0.0, "p7" -> 0.8,
-      "p8" -> 0.91, "p9" -> 0.0, "q1" -> 0.0, "q10" -> 0.0, "q11" -> 0.6,
-      "q12" -> 0.0, "q13" -> 0.3, "q14" -> 0.4, "q15" -> 0.0, "q16" -> 0.4,
-      "q17" -> 0.3, "q18" -> 0.3, "q19" -> 0.3, "q2" -> 0.0, "q20" -> 0.0,
-      "q21" -> 0.3, "q22" -> 0.0, "q23" -> 0.4, "q24" -> 0.0, "q25" -> 0.3,
-      "q26" -> 0.0, "q27" -> 0.21, "q28" -> 0.3, "q29" -> 0.3, "q3" -> 0.0,
-      "q30" -> 0.0, "q31" -> 0.0, "q32" -> 0.3, "q33" -> 0.28, "q34" -> 0.0,
-      "q35" -> 0.0, "q36" -> 0.4, "q37" -> 0.0, "q38" -> 0.5, "q39" -> 0.0,
-      "q4" -> 0.0, "q40" -> 0.0, "q41" -> 1.39, "q42" -> 0.4, "q43" -> 0.6,
-      "q44" -> 0.7, "q5" -> 0.0, "q6" -> 0.3, "q7" -> 0.4, "q8" -> 0.3,
-      "q9" -> 0.0, "retention" -> 0.47, "s1" -> 0.3, "s10" -> 1.19,
+      "m6" -> 0, "m7" -> 0.28, "m8" -> 0.39, "m9" -> 0, "p1" -> 0,
+      "p10" -> 0.3, "p11" -> 0.27, "p12" -> 2, "p13" -> 0.5, "p14" -> 0,
+      "p15" -> 0.4, "p16" -> 0.5, "p17" -> 0.3, "p18" -> 0.3, "p2" -> 0,
+      "p3" -> 0, "p4" -> 0.4, "p5" -> 0.3, "p6" -> 0, "p7" -> 0.8,
+      "p8" -> 0.91, "p9" -> 0, "q1" -> 0, "q10" -> 0, "q11" -> 0.6,
+      "q12" -> 0, "q13" -> 0.3, "q14" -> 0.4, "q15" -> 0, "q16" -> 0.4,
+      "q17" -> 0.3, "q18" -> 0.3, "q19" -> 0.3, "q2" -> 0, "q20" -> 0,
+      "q21" -> 0.3, "q22" -> 0, "q23" -> 0.4, "q24" -> 0, "q25" -> 0.3,
+      "q26" -> 0, "q27" -> 0.21, "q28" -> 0.3, "q29" -> 0.3, "q3" -> 0,
+      "q30" -> 0, "q31" -> 0, "q32" -> 0.3, "q33" -> 0.28, "q34" -> 0,
+      "q35" -> 0, "q36" -> 0.4, "q37" -> 0, "q38" -> 0.5, "q39" -> 0,
+      "q4" -> 0, "q40" -> 0, "q41" -> 1.39, "q42" -> 0.4, "q43" -> 0.6,
+      "q44" -> 0.7, "q5" -> 0, "q6" -> 0.3, "q7" -> 0.4, "q8" -> 0.3,
+      "q9" -> 0, "retention" -> 0.42, "s1" -> 0.3, "s10" -> 1.19,
       "s11" -> 0.6, "s12" -> 0.4, "s13" -> 0.7, "s14" -> 0.3, "s15" -> 0.3,
       "s16" -> 0.59, "s17" -> 1.3, "s18" -> 0.5, "s19" -> 0.4, "s2" -> 0.6,
       "s20" -> 0.5, "s3" -> 0.71, "s4" -> 0.49, "s5" -> 1.04, "s6" -> 1.1,
-      "s7" -> 0.3, "s8" -> 2.99, "s9" -> 3.9, "t1" -> 0.0, "t10" -> 0.7,
-      "t11" -> 0.6, "t12" -> 0.6, "t13" -> 0.5, "t14" -> 0.0, "t15" -> 0.6,
-      "t16" -> 1.0, "t17" -> 0.4, "t18" -> 1.1, "t19" -> 0.7, "t2" -> 0.0,
-      "t20" -> 0.3, "t21" -> 0.4, "t22" -> 0.7, "t23" -> 0.0, "t24" -> 0.5,
-      "t25" -> 0.0, "t26" -> 1.0, "t27" -> 0.3, "t28" -> 0.3, "t29" -> 0.0,
-      "t3" -> 0.0, "t30" -> 0.0, "t31" -> 1.0, "t33" -> 0.4, "t34" -> 0.9,
-      "t35" -> 0.7, "t36" -> 0.8, "t37" -> 0.0, "t38" -> 0.8, "t39" -> 0.0,
+      "s7" -> 0.3, "s8" -> 2.99, "s9" -> 3.9, "t1" -> 0, "t10" -> 0.7,
+      "t11" -> 0.6, "t12" -> 0.6, "t13" -> 0.5, "t14" -> 0, "t15" -> 0.6,
+      "t16" -> 1, "t17" -> 0.4, "t18" -> 1.1, "t19" -> 0.7, "t2" -> 0,
+      "t20" -> 0.3, "t21" -> 0.4, "t22" -> 0.7, "t23" -> 0, "t24" -> 0.5,
+      "t25" -> 0, "t26" -> 1, "t27" -> 0.3, "t28" -> 0.3, "t29" -> 0,
+      "t3" -> 0, "t30" -> 0, "t31" -> 1, "t33" -> 0.4, "t34" -> 0.9,
+      "t35" -> 0.7, "t36" -> 0.8, "t37" -> 0, "t38" -> 0.8, "t39" -> 0,
       "t4" -> 0.16, "t40" -> 0.9, "t41" -> 0.8, "t42" -> 0.9, "t43" -> 0.59,
       "t44" -> 0.2, "t45" -> 0.21, "t46" -> 0.36, "t47" -> 0.48,
-      "t5" -> 0.18, "t6" -> 0.4, "t7" -> 0.0, "t8" -> 0.17, "t9" -> 0.9,
+      "t5" -> 0.18, "t6" -> 0.4, "t7" -> 0, "t8" -> 0.17, "t9" -> 0.9,
       "u1" -> 0.3, "u10" -> 0.4, "u11" -> 0.4, "u12" -> 0.4, "u13" -> 0.3,
-      "u14" -> 0.0, "u15" -> 0.3, "u16" -> 0.3, "u17" -> 0.3, "u18" -> 0.4,
-      "u19" -> 0.3, "u2" -> 0.0, "u20" -> 0.3, "u21" -> 0.0, "u23" -> 0.8,
-      "u24" -> 0.0, "u25" -> 0.4, "u26" -> 0.4, "u27" -> 0.4, "u28" -> 0.6,
-      "u29" -> 0.4, "u3" -> 0.0, "u30" -> 0.4, "u31" -> 0.0, "u32" -> 0.3,
+      "u14" -> 0, "u15" -> 0.3, "u16" -> 0.3, "u17" -> 0.3, "u18" -> 0.4,
+      "u19" -> 0.3, "u2" -> 0, "u20" -> 0.3, "u21" -> 0, "u23" -> 0.8,
+      "u24" -> 0, "u25" -> 0.4, "u26" -> 0.4, "u27" -> 0.4, "u28" -> 0.6,
+      "u29" -> 0.4, "u3" -> 0, "u30" -> 0.4, "u31" -> 0, "u32" -> 0.3,
       "u33" -> 0.6, "u34" -> 0.4, "u35" -> 0.4, "u36" -> 0.5, "u37" -> 0.28,
-      "u38" -> 0.38, "u39" -> 0.3, "u4" -> 0.0, "u40" -> 0.4, "u41" -> 0.0,
-      "u42" -> 0.7, "u43" -> 0.5, "u44" -> 0.4, "u45" -> 0.3, "u46" -> 0.0,
-      "u47" -> 0.0, "u49" -> 0.7, "u5" -> 0.3, "u50" -> 0.36, "u6" -> 0.3,
+      "u38" -> 0.38, "u39" -> 0.3, "u4" -> 0, "u40" -> 0.4, "u41" -> 0,
+      "u42" -> 0.7, "u43" -> 0.5, "u44" -> 0.4, "u45" -> 0.3, "u46" -> 0,
+      "u47" -> 0, "u49" -> 0.7, "u5" -> 0.3, "u50" -> 0.36, "u6" -> 0.3,
       "u7" -> 0.53, "u8" -> 0.3, "u9" -> 0.4, "w1" -> 0.5, "w2" -> 0.5,
       "w3" -> 0.9, "w4" -> 0.21, "w5" -> 0.66, "w6" -> 0.49, "w7" -> 0.93)
 
